@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mimicking the driver's
+DuckDB compare: for each query output parquet under OUT_DIR, run the
+oracle SQL in DuckDB over the same sf tables and compare values
+(column-name-sorted, row-order as produced, tolerant float compare first,
+then strict-hash style exact compare report).
+
+Dev-only tooling (driver-side python env); not part of the Spark library.
+Usage: scripts/check_oracle.py [sfDir] [outDir]
+"""
+import json, sys, math
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.loads((OUT / "oracle_sql.json").read_text())
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    qdir = OUT / name
+    if not qdir.exists():
+        print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+    try:
+        got = pq.read_table(str(qdir))
+    except Exception as e:
+        print(f"FAIL {name}: unreadable output: {e}"); n_fail += 1; continue
+    try:
+        exp = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+
+    gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+    if gcols != ecols:
+        print(f"FAIL {name}: columns {gcols} vs oracle {ecols}"); n_fail += 1; continue
+    if got.num_rows != exp.num_rows:
+        print(f"FAIL {name}: rows {got.num_rows} vs oracle {exp.num_rows}"); n_fail += 1; continue
+
+    bad = None
+    for c in gcols:
+        gv = [norm(x) for x in got.column(c).to_pylist()]
+        ev = [norm(x) for x in exp.column(c).to_pylist()]
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if a == b:
+                continue
+            if isinstance(a, float) and isinstance(b, float) and abs(a-b) <= 1e-9 * max(1, abs(a), abs(b)):
+                #近 but NOT hash-equal — flag loudly
+                bad = (c, i, a, b, "CLOSE-BUT-NOT-EQUAL")
+                break
+            bad = (c, i, a, b, "MISMATCH")
+            break
+        if bad:
+            break
+    if bad:
+        c, i, a, b, kind = bad
+        print(f"FAIL {name}: {kind} col={c} row={i}: spark={a!r} oracle={b!r}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({got.num_rows} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} passed, {n_fail} failed")
+sys.exit(1 if n_fail else 0)

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.expr._
+
+/** User-facing lazy 1-d array handle — the analogue of the reference's
+  * `Array` collection (reference `dask_array/_collection.py:110`): every
+  * method builds expression nodes immediately; nothing executes until
+  * `elements` / an aggregate is asked for, at which point the tree is
+  * `Simplify`-ed (pushdown + fusion) and handed to Catalyst as a DataFrame
+  * plan. Operator overloads mirror the reference's Python operator protocol
+  * (`dask_array/_collection.py:716-932`).
+  */
+final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
+
+  private def wrap(e: VecExpr): DArray = new DArray(e, ctx)
+
+  // ---- elemwise (reference `Elemwise`, dask_array/_blockwise.py:837) ------
+  def map(sqlOverV: String): DArray        = wrap(MapVec(exprTree, sqlOverV))
+  def +(s: Double): DArray                 = map(s"v + $s")
+  def -(s: Double): DArray                 = map(s"v - $s")
+  def *(s: Double): DArray                 = map(s"v * $s")
+  def /(s: Double): DArray                 = map(s"v / $s")
+  def +(o: DArray): DArray                 = zip(o, "v1 + v2")
+  def -(o: DArray): DArray                 = zip(o, "v1 - v2")
+  def *(o: DArray): DArray                 = zip(o, "v1 * v2")
+  def /(o: DArray): DArray                 = zip(o, "v1 / v2")
+  def zip(o: DArray, sqlOverV1V2: String): DArray = wrap(ZipVec(exprTree, o.exprTree, sqlOverV1V2))
+  def abs: DArray                          = map("abs(v)")
+  def sqrt: DArray                         = map("sqrt(v)")
+  def exp: DArray                          = map("exp(v)")
+  def log: DArray                          = map("ln(v)")
+  def negate: DArray                       = map("-v")
+  def pow(p: Double): DArray               = map(s"power(v, $p)")
+  def clip(lo: Double, hi: Double): DArray = map(s"least(greatest(v, $lo), $hi)")
+  def round(d: Int): DArray                = map(s"round(v, $d)")
+  def where(predOverV: String, other: Double): DArray =
+    map(s"CASE WHEN $predOverV THEN v ELSE $other END")
+
+  // ---- slicing / masking ---------------------------------------------------
+  def slice(lo: Long, hi: Long): DArray    = wrap(SliceVec(exprTree, lo, hi))
+  def mask(predOverV: String): DArray      = wrap(FilterVec(exprTree, predOverV))
+  def setItems(updates: Seq[(Long, Double)]): DArray = wrap(SetItemVec(exprTree, updates))
+
+  // ---- shape ---------------------------------------------------------------
+  def ++(o: DArray): DArray                = wrap(ConcatVec(exprTree, o.exprTree))
+
+  // ---- windows / scans -----------------------------------------------------
+  def cumsum: DArray                       = wrap(CumVec(exprTree, "sum"))
+  def cummax: DArray                       = wrap(CumVec(exprTree, "max"))
+  def cummin: DArray                       = wrap(CumVec(exprTree, "min"))
+  def cumprod: DArray                      = wrap(CumVec(exprTree, "prod"))
+  def diff(n: Int = 1): DArray             = wrap(DiffVec(exprTree, n))
+  def sliding(w: Int, op: String, minCount: Int = 1): DArray =
+    wrap(SlidingVec(exprTree, w, op, minCount))
+  def ffill: DArray                        = wrap(FfillVec(exprTree))
+
+  // ---- execution -----------------------------------------------------------
+  /** The optimized expression (for plan-structural tests, reference
+    * `.ai-docs/testing.md` "Testing Optimizations"). */
+  def optimized: VecExpr = Simplify(exprTree)
+
+  /** Element table `(idx BIGINT, v DOUBLE)` after array-level optimization. */
+  def elements: DataFrame = optimized.eval(ctx)
+
+  /** Multi-aggregate reduction (reference `reduction()`,
+    * `dask_array/reductions/_reduction.py:259`): Spark plans the partial +
+    * final split itself — the reference's chunk/combine/aggregate tree. */
+  def reduce(aggs: (String, String)*): DataFrame = {
+    val cols: Seq[Column] = aggs.map { case (sql, alias) => expr(sql).as(alias) }
+    elements.agg(cols.head, cols.tail: _*)
+  }
+
+  def sum(alias: String = "sum"): DataFrame  = reduce(s"sum(v)" -> alias)
+  def mean(alias: String = "mean"): DataFrame = reduce(s"avg(v)" -> alias)
+
+  /** Top-k by value (reference `topk`, `dask_array/routines/_topk.py:14`):
+    * Spark plans `ORDER BY ... LIMIT k` as per-partition TakeOrdered +
+    * driver merge — the same per-block-topk/combine tree the reference
+    * builds by hand. */
+  def topk(k: Int): DataFrame =
+    elements.orderBy(col("v").desc, col("idx").asc).limit(k)
+
+  def pprint: String = exprTree.pprint()
+  def pprintOptimized: String = optimized.pprint()
+}
+
+object DArray {
+  /** Array view over a numeric column of a parquet table; `idxSql` must be a
+    * dense deterministic position (reference `from_array`,
+    * `dask_array/io/_from_array.py:60` — order is part of the data model). */
+  def fromColumn(spark: SparkSession, dir: String, table: String,
+                 idxSql: String, valueSql: String): DArray =
+    new DArray(ColumnVec(table, idxSql, valueSql), Ctx(spark, dir))
+
+  /** arange (reference `dask_array/creation/_arange.py:16`). */
+  def arange(spark: SparkSession, dir: String, start: Double, stop: Double, step: Double): DArray = {
+    val n = math.max(0L, math.ceil((stop - start) / step).toLong)
+    new DArray(RangeVec(start, step, n), Ctx(spark, dir))
+  }
+
+  /** linspace (reference `dask_array/creation/_linspace.py:15`). */
+  def linspace(spark: SparkSession, dir: String, start: Double, stop: Double, num: Long): DArray = {
+    val step = if (num > 1) (stop - start) / (num - 1) else 0.0
+    new DArray(RangeVec(start, step, num), Ctx(spark, dir))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.expr
+
+import scala.annotation.tailrec
+
+/** Fixpoint rewriter — the analogue of the reference's
+  * `simplify()` pass (reference `dask_array/_expr.py:506-515`,
+  * `.ai-docs/optimizations.md` "Pipeline Overview"), run over the array
+  * algebra BEFORE plans are handed to Catalyst (SURVEY §4.2's decision:
+  * array-level rewrites need array metadata Catalyst doesn't carry).
+  *
+  * Rules:
+  *   1. map/map fusion          — `Map(Map(x,e1),e2) → Map(x, e2[v:=e1])`
+  *      (reference blockwise fusion, `dask_array/_blockwise.py:1405-1573`)
+  *   2. map-into-zip fusion     — `Map(Zip(a,b,e),e2) → Zip(a,b, e2[v:=e])`
+  *   3. slice/slice fusion      — `fuse_slice`
+  *      (reference `dask_array/slicing/_utils.py:941`)
+  *   4. slice-through-map       — rebasing `idx` when the kernel uses it
+  *      (reference `.ai-docs/optimizations.md` "Through Blockwise")
+  *   5. slice-through-zip       — pushed to both sides
+  *   6. slice-into-source       — folded into the scan `region`
+  *      (reference `FromArray._accept_slice`, `dask_array/io/_from_array.py`)
+  *   7. slice-into-range        — affine refit (slice of arange is arange)
+  *   8. identity elision        — `Map(x,"v") → x`, `Slice(x, 0, len) → x`
+  *
+  * Sharing gate (reference `_slice_pushdown`, `dask_array/_expr.py:431-468`):
+  * a slice only pushes below a node all of whose dependents are slices —
+  * pushing below a node some other consumer needs in full would just
+  * re-derive the child. Dependents are counted by content name across the
+  * whole DAG, the same dependents-map trick the reference builds.
+  */
+object Simplify {
+
+  def apply(root: VecExpr): VecExpr = fixpoint(root, 20)
+
+  @tailrec
+  private def fixpoint(e: VecExpr, fuel: Int): VecExpr = {
+    val parents = dependents(e)
+    val next = rewrite(e, parents)
+    if (next.name == e.name || fuel == 0) next else fixpoint(next, fuel - 1)
+  }
+
+  /** name → set of parent tokens (for the sharing gate). */
+  private def dependents(root: VecExpr): Map[String, List[VecExpr]] = {
+    val acc = scala.collection.mutable.Map[String, List[VecExpr]]().withDefaultValue(Nil)
+    def walk(e: VecExpr): Unit = {
+      e.children.foreach { c => acc(c.name) = e :: acc(c.name); walk(c) }
+    }
+    walk(root)
+    acc.toMap.withDefaultValue(Nil)
+  }
+
+  private def allDependentsAreSlices(node: VecExpr, parents: Map[String, List[VecExpr]]): Boolean =
+    parents(node.name).forall(_.isInstanceOf[SliceVec])
+
+  private def rewrite(e: VecExpr, parents: Map[String, List[VecExpr]]): VecExpr = {
+    val withChildren = e match {
+      case MapVec(c, x)        => MapVec(rewrite(c, parents), x)
+      case ZipVec(a, b, x)     => ZipVec(rewrite(a, parents), rewrite(b, parents), x)
+      case SliceVec(c, lo, hi) => SliceVec(rewrite(c, parents), lo, hi)
+      case FilterVec(c, p)     => FilterVec(rewrite(c, parents), p)
+      case ConcatVec(a, b)     => ConcatVec(rewrite(a, parents), rewrite(b, parents))
+      case SetItemVec(c, u)    => SetItemVec(rewrite(c, parents), u)
+      case CumVec(c, op)       => CumVec(rewrite(c, parents), op)
+      case DiffVec(c, n)       => DiffVec(rewrite(c, parents), n)
+      case SlidingVec(c, w, op, mc) => SlidingVec(rewrite(c, parents), w, op, mc)
+      case FfillVec(c)         => FfillVec(rewrite(c, parents))
+      case leaf                => leaf
+    }
+    simplifyNode(withChildren, parents)
+  }
+
+  private def simplifyNode(e: VecExpr, parents: Map[String, List[VecExpr]]): VecExpr = e match {
+    // -- identity elision ---------------------------------------------------
+    case MapVec(c, "v")                                   => c
+    case SliceVec(c, 0, hi) if c.length == hi             => c
+
+    // -- elemwise fusion ----------------------------------------------------
+    case MapVec(MapVec(c, e1), e2) =>
+      simplifyNode(MapVec(c, VecExpr.subst(e2, "v", e1)), parents)
+    case MapVec(ZipVec(a, b, e1), e2) =>
+      ZipVec(a, b, VecExpr.subst(e2, "v", e1))
+    case ZipVec(MapVec(a, e1), b, e) if !VecExpr.usesIdx(e1) =>
+      simplifyNode(ZipVec(a, b, VecExpr.subst(e, "v1", VecExpr.subst(e1, "v", "v1"))), parents)
+    case ZipVec(a, MapVec(b, e2), e) if !VecExpr.usesIdx(e2) =>
+      simplifyNode(ZipVec(a, b, VecExpr.subst(e, "v2", VecExpr.subst(e2, "v", "v2"))), parents)
+
+    // -- slice fusion & pushdown ---------------------------------------------
+    case SliceVec(SliceVec(c, a, b), c2, d) =>
+      val (lo, hi) = graft.core.Chunks.fuseSlice(a, b, c2, d)
+      simplifyNode(SliceVec(c, lo, hi), parents)
+
+    case s @ SliceVec(m @ MapVec(c, e1), lo, hi) =>
+      if (!allDependentsAreSlices(m, parents)) s // sharing gate
+      else {
+        // rebase idx: after pushing, positions are already shifted by -lo
+        val rebased = if (VecExpr.usesIdx(e1)) VecExpr.subst(e1, "idx", s"idx + ${lo}L") else e1
+        MapVec(simplifyNode(SliceVec(c, lo, hi), parents), rebased)
+      }
+
+    case s @ SliceVec(z @ ZipVec(a, b, e1), lo, hi) =>
+      if (!allDependentsAreSlices(z, parents)) s
+      else {
+        val rebased = if (VecExpr.usesIdx(e1)) VecExpr.subst(e1, "idx", s"idx + ${lo}L") else e1
+        ZipVec(simplifyNode(SliceVec(a, lo, hi), parents),
+               simplifyNode(SliceVec(b, lo, hi), parents), rebased)
+      }
+
+    case SliceVec(src @ ColumnVec(t, i, v, None), lo, hi) =>
+      val _ = src
+      ColumnVec(t, i, v, Some((lo, hi)))
+    case SliceVec(ColumnVec(t, i, v, Some((l0, h0))), lo, hi) =>
+      val (nl, nh) = graft.core.Chunks.fuseSlice(l0, h0, lo, hi)
+      ColumnVec(t, i, v, Some((nl, nh)))
+
+    case SliceVec(RangeVec(start, step, n), lo, hi) =>
+      RangeVec(start + lo * step, step, math.min(hi, n) - math.min(lo, n))
+
+    case other => other
+  }
+}

@@ -1,0 +1,272 @@
+package graft.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation context: a session plus the scale-factor directory holding the
+  * parquet tables (see /root/repo/TESTDATA.md). */
+final case class Ctx(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Lazy 1-d array expression — the element-table realization of the
+  * reference's `ArrayExpr` (reference `dask_array/_expr.py:74`): nodes are
+  * content-addressed (deterministic `name`, reference
+  * `.ai-docs/testing.md` "Why `._name` Comparison?"), metadata is derived
+  * without executing, and `eval` emits a DataFrame with schema
+  * `(idx BIGINT, v DOUBLE)` — the "element table" of SURVEY.md §1.5.
+  *
+  * Scalar kernels are carried as Spark SQL fragments over `v`/`v1`/`v2`/`idx`
+  * rather than opaque closures, so they stay hashable (content addressing),
+  * printable (`pprint`), fusable by substitution (the analogue of blockwise
+  * fusion, reference `dask_array/_blockwise.py:1405-1573`), and — critically —
+  * fully visible to Catalyst: every elemwise chain compiles to native column
+  * expressions inside WholeStageCodegen, never a Scala closure.
+  */
+sealed trait VecExpr {
+  def children: Seq[VecExpr]
+
+  /** Operation token incl. parameters — the content-addressing payload. */
+  def token: String
+
+  /** Deterministic content hash; identical expressions get identical names
+    * (reference `SingletonExpr`, `dask_array/_expr.py:74`). */
+  final lazy val name: String = VecExpr.sha(token + children.map(_.name).mkString("(", ",", ")"))
+
+  /** Length if statically known, else -1 (the reference's nan-chunks
+    * condition, reference `dask_array/slicing/_bool_index.py:118` — block
+    * count known, sizes not; Spark's native state). */
+  def length: Long = -1L
+
+  /** Realize as the element table `(idx BIGINT, v DOUBLE)`. */
+  def eval(ctx: Ctx): DataFrame
+
+  final def pprint(indent: Int = 0): String =
+    (" " * indent) + token + "\n" + children.map(_.pprint(indent + 2)).mkString
+}
+
+object VecExpr {
+  def sha(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Textual kernel substitution — elemwise fusion primitive. Replaces the
+    * placeholder identifier `what` (whole-word) with `(repl)`. */
+  def subst(expr: String, what: String, repl: String): String =
+    expr.replaceAll(s"\\b$what\\b", java.util.regex.Matcher.quoteReplacement(s"($repl)"))
+
+  /** Does the kernel reference the positional index? (Gates slice pushdown:
+    * pushing a slice below an idx-dependent kernel must rebase `idx`.) */
+  def usesIdx(expr: String): Boolean = "\\bidx\\b".r.findFirstIn(expr).isDefined
+}
+
+/** Leaf: a numeric column of a parquet table as a 1-d array. `idxSql` is the
+  * position expression (a dense key like `event_id`), `valueSql` the payload.
+  * `region` is a deferred half-open slice folded into the scan — the
+  * reference's slice-fusion-into-FromArray (`dask_array/io/_from_array.py`
+  * `_region`, `.ai-docs/io.md`): it becomes a parquet `PushedFilters` range,
+  * so culled blocks are never read. */
+final case class ColumnVec(
+    table: String,
+    idxSql: String,
+    valueSql: String,
+    region: Option[(Long, Long)] = None
+) extends VecExpr {
+  def children: Seq[VecExpr] = Nil
+  def token: String = s"column[$table,$idxSql,$valueSql,$region]"
+  def eval(ctx: Ctx): DataFrame = {
+    val base = ctx.table(table)
+    val scoped = region match {
+      case Some((lo, hi)) =>
+        base.where(s"($idxSql) >= $lo AND ($idxSql) < $hi")
+          .selectExpr(s"CAST(($idxSql) - $lo AS BIGINT) AS idx", s"CAST($valueSql AS DOUBLE) AS v")
+      case None =>
+        base.selectExpr(s"CAST($idxSql AS BIGINT) AS idx", s"CAST($valueSql AS DOUBLE) AS v")
+    }
+    scoped
+  }
+}
+
+/** Leaf: arithmetic progression — `arange`/`linspace` (reference
+  * `dask_array/creation/_arange.py:16`, `_linspace.py:15`). Realized as
+  * `spark.range` (no materialization; Catalyst folds the affine map). */
+final case class RangeVec(start: Double, step: Double, n: Long) extends VecExpr {
+  def children: Seq[VecExpr] = Nil
+  def token: String = s"range[$start,$step,$n]"
+  override def length: Long = n
+  def eval(ctx: Ctx): DataFrame =
+    ctx.spark.range(n).selectExpr("id AS idx", s"CAST($start AS DOUBLE) + CAST(id AS DOUBLE) * CAST($step AS DOUBLE) AS v")
+}
+
+/** Unary elemwise projection (reference `Elemwise`,
+  * `dask_array/_blockwise.py:837`): SQL kernel over `v` (and optionally
+  * `idx`). Chains fuse by substitution in [[Simplify]]. */
+final case class MapVec(child: VecExpr, exprSql: String) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"map[$exprSql]"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame =
+    child.eval(ctx).selectExpr("idx", s"CAST($exprSql AS DOUBLE) AS v")
+}
+
+/** Binary elemwise — blockwise alignment as a co-partitioned equi-join on
+  * position (SURVEY §2.6 item 1; reference chunk alignment
+  * `dask_array/_expr.py:723-905`). Kernel over `v1`, `v2`. */
+final case class ZipVec(left: VecExpr, right: VecExpr, exprSql: String) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(left, right)
+  def token: String = s"zip[$exprSql]"
+  override def length: Long = if (left.length >= 0) left.length else right.length
+  def eval(ctx: Ctx): DataFrame = {
+    val l = left.eval(ctx).withColumnRenamed("v", "v1")
+    val r = right.eval(ctx).withColumnRenamed("v", "v2")
+    l.join(r, "idx").selectExpr("idx", s"CAST($exprSql AS DOUBLE) AS v")
+  }
+}
+
+/** Basic slice `x[lo:hi)` with reindexing (reference `SliceSlicesIntegers`,
+  * `dask_array/slicing/_basic.py:357`). [[Simplify]] pushes it to the leaves
+  * so it prunes at scan time (reference `.ai-docs/optimizations.md`). */
+final case class SliceVec(child: VecExpr, lo: Long, hi: Long) extends VecExpr {
+  require(lo >= 0 && hi >= lo, s"bad slice [$lo,$hi)")
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"slice[$lo,$hi]"
+  override def length: Long = hi - lo
+  def eval(ctx: Ctx): DataFrame =
+    child.eval(ctx).where(col("idx") >= lo && col("idx") < hi)
+      .select((col("idx") - lo).as("idx"), col("v"))
+}
+
+/** Boolean mask (reference `BooleanIndexFlattened`,
+  * `dask_array/slicing/_bool_index.py:118`): value predicate over `v`/`idx`.
+  * Keeps original positions (argwhere-style) — the compacting variant is
+  * `compact=true`, which is the reference's unknown-chunks case and simply
+  * maps to Spark's "row count unknown" native condition. */
+final case class FilterVec(child: VecExpr, predSql: String) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"filter[$predSql]"
+  def eval(ctx: Ctx): DataFrame = child.eval(ctx).where(predSql)
+}
+
+/** Concatenate along the axis (reference `Concatenate`,
+  * `dask_array/stacking/_concatenate.py:20`): pure union with an index
+  * offset — zero data movement, matching the reference's `transfer_bytes`
+  * (0,0) aliasing. Offset is the left length (broadcast scalar when not
+  * statically known). */
+final case class ConcatVec(left: VecExpr, right: VecExpr) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(left, right)
+  def token: String = "concat"
+  override def length: Long =
+    if (left.length >= 0 && right.length >= 0) left.length + right.length else -1L
+  def eval(ctx: Ctx): DataFrame = {
+    val l = left.eval(ctx)
+    val r = right.eval(ctx)
+    val shifted =
+      if (left.length >= 0) r.select((col("idx") + left.length).as("idx"), col("v"))
+      else {
+        val off = l.agg(max(col("idx")).as("m")).select((col("m") + 1).as("off"))
+        r.crossJoin(broadcast(off)).select((col("idx") + col("off")).as("idx"), col("v"))
+      }
+    l.unionByName(shifted)
+  }
+}
+
+/** Point assignment `x[i] = val` (reference `SetItem`,
+  * `dask_array/slicing/_setitem.py:294`): copy-on-write rewrite; small update
+  * sets compile to a `CASE WHEN` chain (broadcast-join semantics without the
+  * join). */
+final case class SetItemVec(child: VecExpr, updates: Seq[(Long, Double)]) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"setitem[${updates.mkString(";")}]"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame = {
+    val cases = updates.map { case (i, x) => s"WHEN idx = $i THEN CAST($x AS DOUBLE)" }.mkString(" ")
+    child.eval(ctx).selectExpr("idx", s"CASE $cases ELSE v END AS v")
+  }
+}
+
+/** Cumulative scan (reference `CumReduction`,
+  * `dask_array/reductions/_cumulative.py:100`): the per-block prefix scan +
+  * carry chain is exactly Spark's running-total window; the physical plan is
+  * a single range-partitioned sort, no driver loop. */
+final case class CumVec(child: VecExpr, op: String) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"cum[$op]"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame = {
+    val w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = op match {
+      case "sum" => sum(col("v"))
+      case "min" => min(col("v"))
+      case "max" => max(col("v"))
+      case "prod" => // exp-sum-log with sign/zero bookkeeping
+        when(sum(when(col("v") === 0.0, 1).otherwise(0)).over(w) > 0, 0.0)
+          .otherwise(
+            exp(sum(log(abs(col("v")))).over(w)) *
+              pow(lit(-1.0), sum(when(col("v") < 0, 1).otherwise(0)).over(w)))
+      case other => throw new IllegalArgumentException(s"cum op $other")
+    }
+    val cum = op match {
+      case "prod" => agg
+      case _      => agg.over(w)
+    }
+    child.eval(ctx).select(col("idx"), cum.cast("double").as("v"))
+  }
+}
+
+/** n-th discrete difference (reference `diff`,
+  * `dask_array/routines/_diff.py:6`): `v - lag(v, n)` window expr; the
+  * overlap exchange the reference performs is Spark's sort boundary. */
+final case class DiffVec(child: VecExpr, n: Int) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"diff[$n]"
+  override def length: Long = if (child.length >= 0) math.max(child.length - n, 0) else -1
+  def eval(ctx: Ctx): DataFrame = {
+    val w = Window.orderBy("idx")
+    child.eval(ctx)
+      .select(col("idx"), (col("v") - lag(col("v"), n).over(w)).as("v"))
+      .where(col("idx") >= n)
+      .select((col("idx") - n).as("idx"), col("v"))
+  }
+}
+
+/** Trailing sliding-window reduction (reference `SlidingWindowReduction`,
+  * `dask_array/reductions/_sliding_window.py:405` and the `bottleneck.move_*`
+  * `min_count` semantics at `:249`): a row frame
+  * `ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW` — Spark evaluates it
+  * incrementally, which is the banded plan the reference builds by hand. */
+final case class SlidingVec(child: VecExpr, w: Int, op: String, minCount: Int) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"sliding[$w,$op,$minCount]"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame = {
+    val frame = Window.orderBy("idx").rowsBetween(-(w - 1), Window.currentRow)
+    val agg = op match {
+      case "sum"  => sum(col("v"))
+      case "mean" => avg(col("v"))
+      case "min"  => min(col("v"))
+      case "max"  => max(col("v"))
+      case "std"  => stddev_samp(col("v"))
+      case other  => throw new IllegalArgumentException(s"sliding op $other")
+    }
+    val cnt = count(col("v")).over(frame)
+    child.eval(ctx).select(
+      col("idx"),
+      when(cnt >= minCount, agg.over(frame)).cast("double").as("v"))
+  }
+}
+
+/** Forward fill of nulls (reference `push`/ffill,
+  * `dask_array/_overlap.py:1441`): `last(v, ignoreNulls) OVER (ORDER BY idx)`. */
+final case class FfillVec(child: VecExpr) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = "ffill"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame = {
+    val w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    child.eval(ctx).select(col("idx"), last(col("v"), ignoreNulls = true).over(w).as("v"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ArrayMeta, Chunks}
+
+class ChunksSpec extends AnyFunSuite {
+  test("normalize splits with remainder") {
+    assert(Chunks.normalize(10, 3) == Vector(3L, 3L, 3L, 1L))
+    assert(Chunks.normalize(9, 3) == Vector(3L, 3L, 3L))
+    assert(Chunks.normalize(0, 3) == Vector.empty)
+    assert(Chunks.normalize(2, 5) == Vector(2L))
+  }
+
+  test("offsets / blockOf") {
+    val c = Vector(3L, 3L, 4L)
+    assert(Chunks.offsets(c) == Vector(0L, 3L, 6L, 10L))
+    assert(Chunks.blockOf(c, 0) == 0)
+    assert(Chunks.blockOf(c, 2) == 0)
+    assert(Chunks.blockOf(c, 3) == 1)
+    assert(Chunks.blockOf(c, 9) == 2)
+  }
+
+  test("sliceBlocks culls whole blocks and trims edges") {
+    val c = Vector(4L, 4L, 4L)
+    // [5, 10) overlaps block1 rows 1..4 and block2 rows 0..2
+    assert(Chunks.sliceBlocks(c, 5, 10) == Vector((1, 1L, 4L), (2, 0L, 2L)))
+    // exact block: no trim, single block
+    assert(Chunks.sliceBlocks(c, 4, 8) == Vector((1, 0L, 4L)))
+  }
+
+  test("fuseSlice composes consecutive slices") {
+    // x[2:9][1:4] == x[3:6]
+    assert(Chunks.fuseSlice(2, 9, 1, 4) == ((3L, 6L)))
+    // clamped by outer bound: x[2:5][1:10] == x[3:5]
+    assert(Chunks.fuseSlice(2, 5, 1, 10) == ((3L, 5L)))
+  }
+
+  test("movedFraction: identity grids move nothing, refits move everything") {
+    assert(Chunks.movedFraction(Vector(4L, 4L), Vector(4L, 4L)) == 0.0)
+    // splitting is free (both target halves stay inside one source block)
+    assert(Chunks.movedFraction(Vector(8L), Vector(4L, 4L)) == 0.0)
+    // merging two into one moves the whole extent
+    assert(Chunks.movedFraction(Vector(4L, 4L), Vector(8L)) == 1.0)
+  }
+
+  test("ArrayMeta derives counts") {
+    val m = ArrayMeta.matrix(10, 7, 4, 3)
+    assert(m.numBlocks == Vector(3, 3))
+    assert(m.totalBlocks == 9)
+    assert(m.size == 70)
+  }
+}
+
+class SimplifySpec extends AnyFunSuite {
+  import graft.expr._
+
+  private val src = ColumnVec("events", "event_id", "value")
+
+  test("map/map chains fuse into one kernel") {
+    val e = MapVec(MapVec(src, "v * 2"), "v + 1")
+    val s = Simplify(e)
+    assert(s == MapVec(src, "(v * 2) + 1"))
+  }
+
+  test("slice pushes through map into the scan region") {
+    val e = SliceVec(MapVec(src, "v * 2"), 10, 20)
+    val s = Simplify(e)
+    assert(s == MapVec(ColumnVec("events", "event_id", "value", Some((10L, 20L))), "v * 2"))
+  }
+
+  test("slice/slice fuses before pushing") {
+    val e = SliceVec(SliceVec(src, 10, 100), 5, 20)
+    assert(Simplify(e) == ColumnVec("events", "event_id", "value", Some((15L, 30L))))
+  }
+
+  test("idx-dependent kernels are rebased when a slice passes them") {
+    val e = SliceVec(MapVec(src, "v + idx"), 10, 20)
+    val s = Simplify(e)
+    assert(s == MapVec(ColumnVec("events", "event_id", "value", Some((10L, 20L))), "v + (idx + 10L)"))
+  }
+
+  test("slice of arange refits the range (slice-into-IO for creation)") {
+    val e = SliceVec(RangeVec(0.0, 0.5, 100), 10, 20)
+    assert(Simplify(e) == RangeVec(5.0, 0.5, 10))
+  }
+
+  test("content-addressed names: identical trees share a name") {
+    val a = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
+    val b = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
+    assert(a.name == b.name)
+    assert(a.name != MapVec(src, "v * 3").name)
+  }
+
+  test("sharing gate: slice does not push below a node another consumer needs whole") {
+    // zip(cumsum(m), slice(m)) — m is consumed in full by the cumulative
+    // scan, so pushing the slice below m would re-derive m; the gate
+    // (reference dask_array/_expr.py:431-468) must decline.
+    val m = MapVec(src, "v * 2")
+    val e = ZipVec(CumVec(m, "sum"), SliceVec(m, 0, 10), "v1 + v2")
+    val s = Simplify(e)
+    val slices = collect(s) { case sl: SliceVec => sl }
+    assert(slices.nonEmpty, "slice should NOT have been pushed into the shared child")
+    val regions = collect(s) { case c: ColumnVec if c.region.nonEmpty => c }
+    assert(regions.isEmpty, "no scan region should exist while the child is shared")
+  }
+
+  test("without sharing, the same slice pushes to the scan") {
+    val m = MapVec(src, "v * 2")
+    val s = Simplify(SliceVec(m, 0, 10))
+    val regions = collect(s) { case c: ColumnVec if c.region.nonEmpty => c }
+    assert(regions.nonEmpty)
+  }
+
+  private def collect[T](e: VecExpr)(pf: PartialFunction[VecExpr, T]): List[T] =
+    (if (pf.isDefinedAt(e)) List(pf(e)) else Nil) ++ e.children.flatMap(collect(_)(pf))
+}

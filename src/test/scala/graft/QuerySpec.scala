@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for query smoke tests (sf0.001). Full value
+  * correctness is checked against the DuckDB oracle by the driver (and
+  * locally by scripts/check_oracle.py); these specs assert executability,
+  * schema and basic invariants for every declared query. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class QuerySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query runs at sf0.001 and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every query has an oracle or is explicitly exempt") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("flagship revenue matches a direct Spark SQL computation") {
+    val got = SparkEntry.queries("q01_sum_revenue")(spark, sf)
+      .collect()(0).getDouble(0)
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("round(sum(l_extendedprice * (1 - l_discount)), 2) AS r")
+      .collect()(0).getDouble(0)
+    assert(got == exp)
+  }
+
+  test("cumsum last element equals total sum") {
+    val ds = DArray.fromColumn(spark, sf, "events", "event_id", "value")
+    val total = ds.elements.selectExpr("round(sum(v), 2)").collect()(0).getDouble(0)
+    val lastCum = ds.cumsum.elements.orderBy(org.apache.spark.sql.functions.col("idx").desc)
+      .limit(1).selectExpr("round(v, 2)").collect()(0).getDouble(0)
+    assert(math.abs(total - lastCum) < 1e-6)
+  }
+
+  test("slice pushdown reaches the parquet scan (PushedFilters)") {
+    val da = DArray.fromColumn(spark, sf, "events", "event_id", "value")
+      .slice(100, 200).map("v * 2")
+    val plan = da.elements.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(event_id,100") || plan.contains("IsNotNull")),
+      s"expected pushed range filter in scan:\n$plan")
+  }
+}
