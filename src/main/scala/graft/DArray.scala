@@ -47,6 +47,13 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   // ---- shape ---------------------------------------------------------------
   def ++(o: DArray): DArray                = wrap(ConcatVec(exprTree, o.exprTree))
 
+  // ---- shape / layout --------------------------------------------------------
+  def coarsen(k: Int, op: String): DArray  = wrap(CoarsenVec(exprTree, k, op))
+  def flip: DArray                         = wrap(FlipVec(exprTree))
+  def roll(s: Long): DArray                = wrap(RollVec(exprTree, s))
+  def gradient: DArray                     = wrap(GradientVec(exprTree))
+  def repeatEach(k: Int): DArray           = wrap(RepeatVec(exprTree, k))
+
   // ---- windows / scans -----------------------------------------------------
   def cumsum: DArray                       = wrap(CumVec(exprTree, "sum"))
   def cummax: DArray                       = wrap(CumVec(exprTree, "max"))
@@ -75,6 +82,57 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 
   def sum(alias: String = "sum"): DataFrame  = reduce(s"sum(v)" -> alias)
   def mean(alias: String = "mean"): DataFrame = reduce(s"avg(v)" -> alias)
+
+  /** Distinct values with first position and count (reference `unique`
+    * with `return_index`/`return_counts`,
+    * `dask_array/routines/_unique.py:167,51,104`): per-block unique +
+    * single aggregate in the reference ≙ one hash aggregation here. */
+  def uniqueCounts: DataFrame =
+    elements.groupBy(col("v"))
+      .agg(expr("min(idx)").as("first_idx"), expr("count(*)").as("cnt"))
+
+  /** Occurrence counts of small non-negative integer values (reference
+    * `bincount`, `dask_array/routines/_bincount.py:39`), with optional
+    * weights: `GROUP BY value` with count/sum(w) — partial aggregation
+    * makes this one narrow shuffle of at most `minlength` rows/partition. */
+  def bincount(weights: Option[DArray] = None): DataFrame = weights match {
+    case None =>
+      elements.groupBy(col("v").cast("long").as("value"))
+        .agg(expr("count(*)").as("cnt"))
+    case Some(w) =>
+      val joined = elements.withColumnRenamed("v", "x")
+        .join(w.elements.withColumnRenamed("v", "wt"), "idx")
+      joined.groupBy(col("x").cast("long").as("value"))
+        .agg(expr("count(*)").as("cnt"), expr("sum(wt)").as("wsum"))
+  }
+
+  /** Fixed-bin histogram (reference `histogram`,
+    * `dask_array/_histogram.py:41`): bucket index per element + count —
+    * the per-block `np.histogram` + tree-sum collapses into Spark's
+    * partial+final count. Values outside [lo,hi) are clamped. */
+  def histogram(lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val w = (hi - lo) / nBins
+    elements
+      .selectExpr(s"least(greatest(CAST(floor((v - $lo) / $w) AS BIGINT), 0L), ${nBins - 1}L) AS bucket")
+      .groupBy("bucket").agg(expr("count(*)").as("cnt"))
+  }
+
+  /** Insertion index against a sorted (small, broadcast) array (reference
+    * `searchsorted`, `dask_array/routines/_search.py:20` — the reference
+    * also gathers the sorted side whole per block). */
+  def searchsorted(sorted: DArray): DataFrame = {
+    val edges = broadcast(sorted.elements.select(col("v").as("edge")))
+    elements.join(edges, col("edge") <= col("v"), "left")
+      .groupBy("idx", "v").agg(count(col("edge")).as("pos"))
+      .select(col("idx"), col("pos"))
+  }
+
+  /** argmin/argmax with deterministic tie-breaking on position (reference
+    * `dask_array/reductions/_arg_reduction.py:16`): planned as
+    * TakeOrderedAndProject — per-partition top-1 + driver merge, the same
+    * structured `{vals,arg}` tree the reference builds. */
+  def argmax: DataFrame = elements.orderBy(col("v").desc, col("idx").asc).limit(1)
+  def argmin: DataFrame = elements.orderBy(col("v").asc, col("idx").asc).limit(1)
 
   /** Top-k by value (reference `topk`, `dask_array/routines/_topk.py:14`):
     * Spark plans `ORDER BY ... LIMIT k` as per-partition TakeOrdered +

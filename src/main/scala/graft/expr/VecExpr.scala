@@ -270,3 +270,83 @@ final case class FfillVec(child: VecExpr) extends VecExpr {
     child.eval(ctx).select(col("idx"), last(col("v"), ignoreNulls = true).over(w).as("v"))
   }
 }
+
+/** Block-local downsampling (reference `coarsen`,
+  * `dask_array/routines/_coarsen.py:42`): reduce over k-sized neighborhoods
+  * — `GROUP BY idx div k` + agg, a pure map-side-combinable aggregation. */
+final case class CoarsenVec(child: VecExpr, k: Int, op: String) extends VecExpr {
+  require(k > 0)
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"coarsen[$k,$op]"
+  override def length: Long =
+    if (child.length >= 0) (child.length + k - 1) / k else -1
+  def eval(ctx: Ctx): DataFrame =
+    child.eval(ctx).groupBy((col("idx") / k).cast("long").as("idx"))
+      .agg(expr(s"$op(v)").cast("double").as("v"))
+}
+
+object VecLen {
+  /** Attach the (possibly data-dependent) total length as a broadcast scalar
+    * column `n` — the reference's `compute_chunk_sizes` moment
+    * (`dask_array/_collection.py:415`), but kept inside the plan: no driver
+    * action, just a broadcast of a 1-row aggregate. */
+  def withN(df: DataFrame, staticLen: Long): DataFrame =
+    if (staticLen >= 0) df.withColumn("n", lit(staticLen))
+    else df.crossJoin(broadcast(df.agg((max(col("idx")) + 1).as("n"))))
+}
+
+/** Reversed view (reference `flip`, `dask_array/manipulation/_flip.py:10`):
+  * pure index remap `i → n-1-i`, no data movement beyond the remap. */
+final case class FlipVec(child: VecExpr) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = "flip"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame =
+    VecLen.withN(child.eval(ctx), child.length)
+      .select((col("n") - 1 - col("idx")).as("idx"), col("v"))
+}
+
+/** Circular shift (reference `roll`, `dask_array/manipulation/_roll.py:8`):
+  * `out[(i+s) mod n] = in[i]` — an index remap; the reference lowers it to
+  * two slices + concat, which is the same exchange. */
+final case class RollVec(child: VecExpr, s: Long) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"roll[$s]"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame =
+    VecLen.withN(child.eval(ctx), child.length)
+      .select(((col("idx") + s + col("n")) % col("n")).as("idx"), col("v"))
+}
+
+/** Central-difference gradient (reference `gradient`,
+  * `dask_array/routines/_gradient.py:16`): interior `(x[i+1]-x[i-1])/2`,
+  * one-sided at the edges — the reference's halo exchange is the window
+  * sort boundary here. */
+final case class GradientVec(child: VecExpr) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = "gradient"
+  override def length: Long = child.length
+  def eval(ctx: Ctx): DataFrame = {
+    val w = Window.orderBy("idx")
+    val prev = lag(col("v"), 1).over(w)
+    val next = lead(col("v"), 1).over(w)
+    child.eval(ctx).select(col("idx"),
+      when(prev.isNull, next - col("v"))
+        .when(next.isNull, col("v") - prev)
+        .otherwise((next - prev) / 2.0).as("v"))
+  }
+}
+
+/** Element repetition (reference `repeat`,
+  * `dask_array/creation/_repeat.py:13`): `explode(array_repeat(...))` —
+  * a generator with static fan-out, no shuffle. */
+final case class RepeatVec(child: VecExpr, k: Int) extends VecExpr {
+  require(k > 0)
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"repeat[$k]"
+  override def length: Long = if (child.length >= 0) child.length * k else -1
+  def eval(ctx: Ctx): DataFrame =
+    child.eval(ctx)
+      .select(col("idx"), col("v"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select((col("idx") * k + col("j")).as("idx"), col("v"))
+}
