@@ -64,6 +64,11 @@ object Simplify {
       case DiffVec(c, n)       => DiffVec(rewrite(c, parents), n)
       case SlidingVec(c, w, op, mc) => SlidingVec(rewrite(c, parents), w, op, mc)
       case FfillVec(c)         => FfillVec(rewrite(c, parents))
+      case CoarsenVec(c, k, o) => CoarsenVec(rewrite(c, parents), k, o)
+      case FlipVec(c)          => FlipVec(rewrite(c, parents))
+      case RollVec(c, s)       => RollVec(rewrite(c, parents), s)
+      case GradientVec(c)      => GradientVec(rewrite(c, parents))
+      case RepeatVec(c, k)     => RepeatVec(rewrite(c, parents), k)
       case leaf                => leaf
     }
     simplifyNode(withChildren, parents)

@@ -2,7 +2,7 @@ package graft.expr
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,32 +188,101 @@ final case class SetItemVec(child: VecExpr, updates: Seq[(Long, Double)]) extend
   }
 }
 
+/** Blocked-window helpers: every sequential/windowed operator partitions the
+  * element table into blocks of [[B]] positions (`idx DIV B`) and works
+  * per-block, exchanging only O(numBlocks) carry rows or O(halo) ghost rows —
+  * the reference's per-block-scan + carry-chain plan
+  * (`dask_array/reductions/_cumulative.py:100,425-597` and the overlap
+  * machinery `dask_array/_overlap.py:70-152`). A global
+  * `Window.orderBy(idx)` would collapse 100 TB onto one task; these plans
+  * keep the heavy phase partitioned by block and spend the single-partition
+  * window only on the numBlocks-row carry table (the reference runs the same
+  * carry chain on the driver). */
+object Blocked {
+  /** Rows per block. Small enough that sf0.01 testdata (10k rows) already
+    * spans multiple blocks — the carry/halo paths are exercised by the
+    * correctness gate, not just at scale. Tunable via -Dgraft.block.size. */
+  val B: Long = sys.props.getOrElse("graft.block.size", "4096").toLong
+
+  /** Attach the block id. */
+  def withBlk(df: DataFrame): DataFrame = df.withColumn("blk", expr(s"idx DIV $B"))
+
+  /** In-block running window (partitioned — scales horizontally). */
+  def wLocal: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("blk").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Strictly-preceding-blocks window over the tiny per-block summary table
+    * (numBlocks rows — the reference's driver-side carry chain). */
+  def wCarry: org.apache.spark.sql.expressions.WindowSpec =
+    Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+
+  /** Union of own rows (`tblk = blk`) plus ghost copies of the last `halo`
+    * positions of each block into its successor (`tblk = blk+1`) — the halo
+    * exchange under `map_overlap` (reference `dask_array/_overlap.py:626`).
+    * Requires halo < B. */
+  def withTrailingHalo(df: DataFrame, halo: Long): DataFrame = {
+    require(halo < B, s"halo $halo must be < block size $B")
+    val base = withBlk(df)
+    val own = base.withColumn("tblk", col("blk"))
+    if (halo <= 0) own
+    else own.unionByName(
+      base.where(expr(s"idx % $B >= ${B - halo}")).withColumn("tblk", col("blk") + 1))
+  }
+}
+
 /** Cumulative scan (reference `CumReduction`,
-  * `dask_array/reductions/_cumulative.py:100`): the per-block prefix scan +
-  * carry chain is exactly Spark's running-total window; the physical plan is
-  * a single range-partitioned sort, no driver loop. */
+  * `dask_array/reductions/_cumulative.py:100`): per-block prefix scan
+  * (partitioned window) + O(numBlocks) carry table broadcast back — the
+  * reference's exact two-phase plan, with Spark's shuffle as the carrier. */
 final case class CumVec(child: VecExpr, op: String) extends VecExpr {
   def children: Seq[VecExpr] = Seq(child)
   def token: String = s"cum[$op]"
   override def length: Long = child.length
   def eval(ctx: Ctx): DataFrame = {
-    val w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val agg = op match {
-      case "sum" => sum(col("v"))
-      case "min" => min(col("v"))
-      case "max" => max(col("v"))
-      case "prod" => // exp-sum-log with sign/zero bookkeeping
-        when(sum(when(col("v") === 0.0, 1).otherwise(0)).over(w) > 0, 0.0)
-          .otherwise(
-            exp(sum(log(abs(col("v")))).over(w)) *
-              pow(lit(-1.0), sum(when(col("v") < 0, 1).otherwise(0)).over(w)))
+    val base = Blocked.withBlk(child.eval(ctx))
+    val wL = Blocked.wLocal
+    val wC = Blocked.wCarry
+    op match {
+      case "sum" =>
+        val local = base.withColumn("lv", sum(col("v")).over(wL))
+        val carry = base.groupBy("blk").agg(sum("v").as("tot"))
+          .select(col("blk"), sum("tot").over(wC).as("c"))
+        local.join(broadcast(carry), "blk")
+          .select(col("idx"), (col("lv") + coalesce(col("c"), lit(0.0))).cast("double").as("v"))
+      case "min" | "max" =>
+        val (aggF, combine) =
+          if (op == "min") ((c: Column) => min(c), (a: Column, b: Column) => least(a, b))
+          else ((c: Column) => max(c), (a: Column, b: Column) => greatest(a, b))
+        val local = base.withColumn("lv", aggF(col("v")).over(wL))
+        val carry = base.groupBy("blk").agg(aggF(col("v")).as("tot"))
+          .select(col("blk"), aggF(col("tot")).over(wC).as("c"))
+        local.join(broadcast(carry), "blk")
+          .select(col("idx"),
+            when(col("c").isNull, col("lv")).otherwise(combine(col("lv"), col("c")))
+              .cast("double").as("v"))
+      case "prod" =>
+        // exp-sum-log with per-block zero/sign bookkeeping, carried like sum
+        val zeros = when(col("v") === 0.0, 1).otherwise(0)
+        val negs  = when(col("v") < 0.0, 1).otherwise(0)
+        val logs  = when(col("v") =!= 0.0, log(abs(col("v")))).otherwise(0.0)
+        val local = base
+          .withColumn("lz", sum(zeros).over(wL))
+          .withColumn("ln", sum(negs).over(wL))
+          .withColumn("ll", sum(logs).over(wL))
+        val carry = base.groupBy("blk")
+          .agg(sum(zeros).as("bz"), sum(negs).as("bn"), sum(logs).as("bl"))
+          .select(col("blk"),
+            sum("bz").over(wC).as("cz"), sum("bn").over(wC).as("cn"), sum("bl").over(wC).as("cl"))
+        local.join(broadcast(carry), "blk")
+          .select(col("idx"),
+            when(col("lz") + coalesce(col("cz"), lit(0L)) > 0, 0.0)
+              .otherwise(
+                exp(col("ll") + coalesce(col("cl"), lit(0.0))) *
+                  pow(lit(-1.0), (col("ln") + coalesce(col("cn"), lit(0L))) % 2))
+              .cast("double").as("v"))
       case other => throw new IllegalArgumentException(s"cum op $other")
     }
-    val cum = op match {
-      case "prod" => agg
-      case _      => agg.over(w)
-    }
-    child.eval(ctx).select(col("idx"), cum.cast("double").as("v"))
   }
 }
 
@@ -225,11 +294,13 @@ final case class DiffVec(child: VecExpr, n: Int) extends VecExpr {
   def token: String = s"diff[$n]"
   override def length: Long = if (child.length >= 0) math.max(child.length - n, 0) else -1
   def eval(ctx: Ctx): DataFrame = {
-    val w = Window.orderBy("idx")
-    child.eval(ctx)
-      .select(col("idx"), (col("v") - lag(col("v"), n).over(w)).as("v"))
-      .where(col("idx") >= n)
-      .select((col("idx") - n).as("idx"), col("v"))
+    // halo of n ghost rows from the preceding block feeds the lag; windows
+    // stay partitioned by block (assumes dense idx, as diff is positional)
+    val all = Blocked.withTrailingHalo(child.eval(ctx), n.toLong)
+    val w = Window.partitionBy("tblk").orderBy("idx")
+    all.withColumn("pv", lag(col("v"), n).over(w))
+      .where(col("tblk") === col("blk") && col("idx") >= n)
+      .select((col("idx") - n).as("idx"), (col("v") - col("pv")).as("v"))
   }
 }
 
@@ -243,7 +314,11 @@ final case class SlidingVec(child: VecExpr, w: Int, op: String, minCount: Int) e
   def token: String = s"sliding[$w,$op,$minCount]"
   override def length: Long = child.length
   def eval(ctx: Ctx): DataFrame = {
-    val frame = Window.orderBy("idx").rowsBetween(-(w - 1), Window.currentRow)
+    // trailing frame fed by a (w-1)-row halo from the preceding block; the
+    // banded per-block plan of the reference, with the halo as the band
+    val all = Blocked.withTrailingHalo(child.eval(ctx), (w - 1).toLong)
+    val frame = Window.partitionBy("tblk").orderBy("idx")
+      .rowsBetween(-(w - 1), Window.currentRow)
     val agg = op match {
       case "sum"  => sum(col("v"))
       case "mean" => avg(col("v"))
@@ -253,9 +328,11 @@ final case class SlidingVec(child: VecExpr, w: Int, op: String, minCount: Int) e
       case other  => throw new IllegalArgumentException(s"sliding op $other")
     }
     val cnt = count(col("v")).over(frame)
-    child.eval(ctx).select(
-      col("idx"),
+    all.select(
+      col("idx"), col("blk"), col("tblk"),
       when(cnt >= minCount, agg.over(frame)).cast("double").as("v"))
+      .where(col("tblk") === col("blk"))
+      .select(col("idx"), col("v"))
   }
 }
 
@@ -266,8 +343,17 @@ final case class FfillVec(child: VecExpr) extends VecExpr {
   def token: String = "ffill"
   override def length: Long = child.length
   def eval(ctx: Ctx): DataFrame = {
-    val w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    child.eval(ctx).select(col("idx"), last(col("v"), ignoreNulls = true).over(w).as("v"))
+    // per-block ffill (partitioned) + carry = last non-null of any earlier
+    // block, ffilled over the tiny per-block summary and broadcast back
+    val base = Blocked.withBlk(child.eval(ctx))
+    val local = base.withColumn("lv",
+      last(col("v"), ignoreNulls = true).over(Blocked.wLocal))
+    val carry = base.groupBy("blk")
+      .agg(expr("max_by(v, CASE WHEN v IS NOT NULL THEN idx END)").as("bl"))
+      .select(col("blk"),
+        last(col("bl"), ignoreNulls = true).over(Blocked.wCarry).as("c"))
+    local.join(broadcast(carry), "blk")
+      .select(col("idx"), coalesce(col("lv"), col("c")).as("v"))
   }
 }
 
@@ -327,13 +413,24 @@ final case class GradientVec(child: VecExpr) extends VecExpr {
   def token: String = "gradient"
   override def length: Long = child.length
   def eval(ctx: Ctx): DataFrame = {
-    val w = Window.orderBy("idx")
+    // bidirectional halo of 1: last row of each block ghosts into the next
+    // block, first row into the previous — the stencil's ghost cells
+    val base = Blocked.withBlk(child.eval(ctx))
+    val own = base.withColumn("tblk", col("blk"))
+    val gNext = base.where(expr(s"idx % ${Blocked.B} = ${Blocked.B - 1}"))
+      .withColumn("tblk", col("blk") + 1)
+    val gPrev = base.where(expr(s"idx % ${Blocked.B} = 0 AND blk > 0"))
+      .withColumn("tblk", col("blk") - 1)
+    val all = own.unionByName(gNext).unionByName(gPrev)
+    val w = Window.partitionBy("tblk").orderBy("idx")
     val prev = lag(col("v"), 1).over(w)
     val next = lead(col("v"), 1).over(w)
-    child.eval(ctx).select(col("idx"),
-      when(prev.isNull, next - col("v"))
-        .when(next.isNull, col("v") - prev)
-        .otherwise((next - prev) / 2.0).as("v"))
+    all.select(col("idx"), col("blk"), col("tblk"),
+        when(prev.isNull, next - col("v"))
+          .when(next.isNull, col("v") - prev)
+          .otherwise((next - prev) / 2.0).as("v"))
+      .where(col("tblk") === col("blk"))
+      .select(col("idx"), col("v"))
   }
 }
 
