@@ -83,6 +83,24 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def sum(alias: String = "sum"): DataFrame  = reduce(s"sum(v)" -> alias)
   def mean(alias: String = "mean"): DataFrame = reduce(s"avg(v)" -> alias)
 
+  /** Membership against a test set (reference `isin`,
+    * `dask_array/routines/_search.py:101`): the reference broadcasts the
+    * aggregated test set to every block; here it is a broadcast LEFT SEMI
+    * join — no shuffle of the big side. */
+  def isin(test: DArray): DataFrame =
+    elements.join(broadcast(test.elements.select(col("v")).distinct()), Seq("v"), "left_semi")
+      .select(col("idx"), col("v"))
+
+  /** Bucket index per element against fixed increasing edges (reference
+    * `digitize`, `dask_array/routines/_select.py:12`): pure elemwise — the
+    * count of edges <= v, a chain Catalyst folds into one projection. */
+  def digitize(edges: Seq[Double]): DArray =
+    map(edges.map(e => s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)").mkString(" + "))
+
+  /** Distinct values (reference `union1d` building block,
+    * `dask_array/routines/_unique.py:226`). */
+  def uniqueValues: DataFrame = elements.select(col("v")).distinct()
+
   /** Distinct values with first position and count (reference `unique`
     * with `return_index`/`return_counts`,
     * `dask_array/routines/_unique.py:167,51,104`): per-block unique +

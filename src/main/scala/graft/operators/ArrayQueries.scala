@@ -22,6 +22,12 @@ object ArrayQueries {
   private def events(s: SparkSession, d: String): DArray =
     DArray.fromColumn(s, d, "events", "event_id", "value")
 
+  /** Shared digitize edge grid — the Spark kernel and the oracle SQL are
+    * generated from the same list so they cannot drift. */
+  private val digitizeEdges: Seq[Double] = (0 until 10).map(_ * 50.0)
+  private val digitizeOracleExpr: String =
+    digitizeEdges.map(e => s"(CASE WHEN value >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FromParquet → Elemwise → Reduction: the SURVEY §7.2 minimum slice.
     "q01_sum_revenue" -> ((s, d) =>
@@ -90,6 +96,95 @@ object ArrayQueries {
 
     "q14_cummax" -> ((s, d) =>
       events(s, d).cummax.elements.orderBy("idx")),
+
+    // unique with first-index + counts (reference routines/_unique.py)
+    "q15_unique_counts" -> ((s, d) =>
+      events(s, d).map("floor(v / 25)").uniqueCounts.orderBy("v")),
+
+    // weighted bincount (reference routines/_bincount.py): values bucketed,
+    // weighted by the raw value — count + weight-sum per bucket
+    "q16_bincount_weighted" -> ((s, d) => {
+      val x = events(s, d).map("floor(v / 25)")
+      x.bincount(Some(events(s, d)))
+        .select(col("value"), col("cnt"), round(col("wsum"), 2).as("wsum"))
+        .orderBy("value")
+    }),
+
+    "q17_histogram" -> ((s, d) =>
+      events(s, d).histogram(0.0, 500.0, 25).orderBy("bucket")),
+
+    "q18_searchsorted" -> ((s, d) =>
+      events(s, d).searchsorted(DArray.arange(s, d, 0, 500, 25)).orderBy("idx")),
+
+    "q19_argmax" -> ((s, d) => events(s, d).argmax),
+    "q20_argmin" -> ((s, d) => events(s, d).argmin),
+
+    "q21_roll" -> ((s, d) => events(s, d).roll(137).elements.orderBy("idx")),
+    "q22_flip" -> ((s, d) => events(s, d).flip.elements.orderBy("idx")),
+
+    // floor first: integer sums are exact doubles, and /16 is an exact
+    // binary scale — the result needs no rounding to hash-match
+    "q23_coarsen_mean" -> ((s, d) =>
+      events(s, d).map("floor(v)").coarsen(16, "avg").elements.orderBy("idx")),
+
+    // cumprod over exact ±1 factors: exercises the sign/zero carry chain
+    // with hash-stable values (log/exp of 1 is exact)
+    "q24_cumprod_sign" -> ((s, d) =>
+      events(s, d).slice(0, 500).map("CASE WHEN v > 250 THEN -1.0 ELSE 1.0 END")
+        .cumprod.elements.orderBy("idx")),
+
+    "q25_cummin" -> ((s, d) => events(s, d).cummin.elements.orderBy("idx")),
+
+    "q26_digitize" -> ((s, d) =>
+      events(s, d).digitize(digitizeEdges).elements.orderBy("idx")),
+
+    "q27_nnz_ptp" -> ((s, d) =>
+      events(s, d).reduce(
+        "CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)" -> "nnz",
+        "round(max(v) - min(v), 2)" -> "ptp")),
+
+    // exact quantiles (reference reductions/_common.py:922 — exact path)
+    "q28_quantiles" -> ((s, d) =>
+      events(s, d).reduce(
+        "round(percentile(v, 0.25), 4)" -> "q25",
+        "round(percentile(v, 0.5), 4)"  -> "med",
+        "round(percentile(v, 0.9), 4)"  -> "q90")),
+
+    // argwhere/nonzero: positions satisfying a predicate (unknown sizes —
+    // Spark's native condition)
+    "q29_nonzero" -> ((s, d) =>
+      events(s, d).mask("v > 300").elements.select("idx").orderBy("idx")),
+
+    "q30_isin" -> ((s, d) =>
+      events(s, d).map("floor(v)").isin(DArray.arange(s, d, 100, 150, 1))
+        .orderBy("idx")),
+
+    // third central moment (reference `moment`, reductions/_common.py:572):
+    // two-pass mean + power-sum, the broadcast carrying the first pass
+    "q31_moment3" -> ((s, d) => {
+      val el = events(s, d).elements
+      val m = el.agg(avg(col("v")).as("m"))
+      el.crossJoin(broadcast(m))
+        .agg(round(expr("sum(power(v - m, 3)) / count(*)"), 4).as("m3"))
+    }),
+
+    // union1d = distinct of concatenation (reference routines/_unique.py:226)
+    "q32_union1d" -> ((s, d) =>
+      (events(s, d).map("floor(v / 25)") ++ DArray.arange(s, d, 0, 30, 1))
+        .uniqueValues.orderBy("v")),
+
+    // nan-variant reductions: NaN-aware masking (SURVEY §2.7 NaN/NULL note)
+    "q33_nansum" -> ((s, d) =>
+      events(s, d).map("CASE WHEN idx % 97 = 0 THEN CAST('NaN' AS DOUBLE) ELSE v END")
+        .reduce(
+          "round(sum(CASE WHEN NOT isnan(v) THEN v END), 2)" -> "s",
+          "CAST(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT)" -> "nnan")),
+
+    "q34_gradient" -> ((s, d) =>
+      events(s, d).gradient.elements.orderBy("idx")),
+
+    "q35_repeat" -> ((s, d) =>
+      events(s, d).slice(0, 100).repeatEach(3).elements.orderBy("idx")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,5 +256,100 @@ object ArrayQueries {
       """SELECT event_id AS idx, max(value) OVER (ORDER BY event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
          FROM events ORDER BY idx""",
+
+    "q15_unique_counts" ->
+      """SELECT floor(value / 25) AS v, min(event_id) AS first_idx,
+         count(*) AS cnt FROM events GROUP BY 1 ORDER BY v""",
+
+    "q16_bincount_weighted" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS value, count(*) AS cnt,
+         round(sum(value), 2) AS wsum FROM events GROUP BY 1 ORDER BY value""",
+
+    "q17_histogram" ->
+      """SELECT least(greatest(CAST(floor(value / 20) AS BIGINT), 0), 24) AS bucket,
+         count(*) AS cnt FROM events GROUP BY 1 ORDER BY bucket""",
+
+    "q18_searchsorted" ->
+      """SELECT event_id AS idx, count(edge) AS pos FROM events
+         LEFT JOIN (SELECT CAST(i * 25 AS DOUBLE) AS edge FROM range(20) t(i))
+           ON edge <= value
+         GROUP BY event_id ORDER BY idx""",
+
+    "q19_argmax" ->
+      "SELECT event_id AS idx, value AS v FROM events ORDER BY v DESC, idx LIMIT 1",
+    "q20_argmin" ->
+      "SELECT event_id AS idx, value AS v FROM events ORDER BY v ASC, idx LIMIT 1",
+
+    "q21_roll" ->
+      """SELECT (event_id + 137) % (SELECT count(*) FROM events) AS idx,
+         value AS v FROM events ORDER BY idx""",
+
+    "q22_flip" ->
+      """SELECT (SELECT count(*) FROM events) - 1 - event_id AS idx,
+         value AS v FROM events ORDER BY idx""",
+
+    "q23_coarsen_mean" ->
+      """SELECT CAST(event_id // 16 AS BIGINT) AS idx, avg(floor(value)) AS v
+         FROM events GROUP BY 1 ORDER BY idx""",
+
+    "q24_cumprod_sign" ->
+      """SELECT event_id AS idx,
+         CASE WHEN sum(CASE WHEN value > 250 THEN 1 ELSE 0 END)
+              OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              % 2 = 1 THEN -1.0 ELSE 1.0 END AS v
+         FROM events WHERE event_id < 500 ORDER BY idx""",
+
+    "q25_cummin" ->
+      """SELECT event_id AS idx, min(value) OVER (ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         FROM events ORDER BY idx""",
+
+    "q26_digitize" ->
+      s"""SELECT event_id AS idx, CAST($digitizeOracleExpr AS DOUBLE) AS v
+         FROM events ORDER BY idx""",
+
+    "q27_nnz_ptp" ->
+      """SELECT CAST(sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+         round(max(value) - min(value), 2) AS ptp FROM events""",
+
+    "q28_quantiles" ->
+      """SELECT round(quantile_cont(value, 0.25), 4) AS q25,
+         round(quantile_cont(value, 0.5), 4) AS med,
+         round(quantile_cont(value, 0.9), 4) AS q90 FROM events""",
+
+    "q29_nonzero" ->
+      "SELECT event_id AS idx FROM events WHERE value > 300 ORDER BY idx",
+
+    "q30_isin" ->
+      """SELECT event_id AS idx, floor(value) AS v FROM events
+         WHERE floor(value) IN (SELECT CAST(100 + i AS DOUBLE) FROM range(50) t(i))
+         ORDER BY idx""",
+
+    "q31_moment3" ->
+      """SELECT round(sum(power(value - (SELECT avg(value) FROM events), 3))
+                 / count(*), 4) AS m3 FROM events""",
+
+    "q32_union1d" ->
+      """SELECT DISTINCT v FROM (
+           SELECT floor(value / 25) AS v FROM events
+           UNION ALL SELECT CAST(i AS DOUBLE) AS v FROM range(30) t(i))
+         ORDER BY v""",
+
+    "q33_nansum" ->
+      """SELECT round(sum(CASE WHEN NOT isnan(v) THEN v END), 2) AS s,
+         CAST(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS nnan
+         FROM (SELECT CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+                      ELSE value END AS v FROM events)""",
+
+    "q34_gradient" ->
+      """SELECT event_id AS idx,
+         CASE WHEN lag(value) OVER w IS NULL THEN lead(value) OVER w - value
+              WHEN lead(value) OVER w IS NULL THEN value - lag(value) OVER w
+              ELSE (lead(value) OVER w - lag(value) OVER w) / 2.0 END AS v
+         FROM events WINDOW w AS (ORDER BY event_id) ORDER BY idx""",
+
+    "q35_repeat" ->
+      """SELECT event_id * 3 + j AS idx, value AS v
+         FROM events, range(3) t(j) WHERE event_id < 100 ORDER BY idx""",
   )
 }
