@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lazy 2-d array as an element table `(i BIGINT, j BIGINT, v DOUBLE)` with
+  * static shape metadata — the 2-d slice of the reference's chunked N-d
+  * array (reference `dask_array/_collection.py:110`; SURVEY §1.5's "element
+  * table" representation).
+  *
+  * Where the 1-d [[DArray]] keeps its own expression layer (slice pushdown
+  * needs index rebasing Catalyst can't see), the 2-d ops here are pure
+  * declarative Catalyst plans: a filter on `i`/`j` commutes through
+  * transpose (key projection), elemwise joins (equi-join keys), and the
+  * matmul group-by (grouping keys) entirely inside Catalyst's own
+  * `PushDownPredicates`, reaching the scan as `PushedFilters` — verified in
+  * MatrixSpec. This is SURVEY §4.2's division of labor: array-layer rewrites
+  * only where Catalyst lacks the metadata.
+  *
+  * Scale notes (100 TB design):
+  *  - matmul (reference `dask_array/linalg/_tensordot.py:45-139`) is the
+  *    SUMMA join+agg plan: shuffle both sides on the contracted index,
+  *    partial-aggregate before the (i,j) shuffle (Spark inserts the
+  *    map-side combine), broadcast the small side when its static size
+  *    says so — no driver materialization anywhere.
+  *  - transpose/flip/triangle/diag are O(1) metadata/key projections with
+  *    zero data movement (reference `manipulation/_transpose.py:14` keeps
+  *    the same promise via block-coordinate permutation).
+  */
+final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
+
+  private def wrap(d: DataFrame): DMatrix = new DMatrix(d, rows, cols)
+
+  /** Elements under ~this many doubles are broadcast in joins. */
+  private val broadcastElems = 1L << 22
+
+  // ---- elemwise ------------------------------------------------------------
+  def map(sqlOverV: String): DMatrix =
+    wrap(df.selectExpr("i", "j", s"CAST($sqlOverV AS DOUBLE) AS v"))
+
+  /** Aligned elemwise combine — equi-join on the grid coordinates
+    * (reference blockwise alignment, SURVEY §2.6 item 1). */
+  def zip(o: DMatrix, sqlOverV1V2: String): DMatrix = {
+    require(rows == o.rows && cols == o.cols, s"shape mismatch $rows x $cols vs ${o.rows} x ${o.cols}")
+    val l = df.withColumnRenamed("v", "v1")
+    val r = o.df.withColumnRenamed("v", "v2")
+    wrap(l.join(r, Seq("i", "j")).selectExpr("i", "j", s"CAST($sqlOverV1V2 AS DOUBLE) AS v"))
+  }
+  def +(o: DMatrix): DMatrix = zip(o, "v1 + v2")
+  def -(o: DMatrix): DMatrix = zip(o, "v1 - v2")
+  def *(o: DMatrix): DMatrix = zip(o, "v1 * v2")
+
+  // ---- shape ---------------------------------------------------------------
+  /** Transpose: pure key projection (reference
+    * `manipulation/_transpose.py:14` — coordinate permutation, no data
+    * movement). */
+  def t: DMatrix =
+    new DMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")), cols, rows)
+
+  def flipRows: DMatrix = new DMatrix(
+    df.select((lit(rows - 1) - col("i")).as("i"), col("j"), col("v")), rows, cols)
+  def flipCols: DMatrix = new DMatrix(
+    df.select(col("i"), (lit(cols - 1) - col("j")).as("j"), col("v")), rows, cols)
+
+  /** Rectangular slice `[r0:r1, c0:c1)` with rebasing — the 2-d
+    * `SliceSlicesIntegers` (reference `slicing/_basic.py:357`); the range
+    * predicates push to the scan through every operator above. */
+  def slice(r0: Long, r1: Long, c0: Long, c1: Long): DMatrix =
+    new DMatrix(
+      df.where(col("i") >= r0 && col("i") < r1 && col("j") >= c0 && col("j") < c1)
+        .select((col("i") - r0).as("i"), (col("j") - c0).as("j"), col("v")),
+      r1 - r0, c1 - c0)
+
+  /** Flatten C-order to a 1-d element table (reference `ravel`,
+    * `manipulation/_reshape.py:709`): an affine index map, no shuffle. */
+  def ravel: DataFrame = df.select((col("i") * cols + col("j")).as("idx"), col("v"))
+
+  /** Reshape via the linearized index (reference `Reshape`,
+    * `manipulation/_reshape.py:265`): relinearize — the element table makes
+    * the reference's rechunk-planning unnecessary. */
+  def reshape(nr: Long, nc: Long): DMatrix = {
+    require(nr * nc == rows * cols, s"cannot reshape $rows x $cols to $nr x $nc")
+    new DMatrix(
+      ravel.select(expr(s"idx DIV $nc").as("i"), (col("idx") % nc).as("j"), col("v")),
+      nr, nc)
+  }
+
+  // ---- triangles / diagonal ------------------------------------------------
+  /** Keep the upper triangle at offset k, zero-fill semantics by omission
+    * (reference `triu`, `routines/_triangular.py:12`). */
+  def triu(k: Long = 0): DMatrix = wrap(df.where(col("j") - col("i") >= k))
+  def tril(k: Long = 0): DMatrix = wrap(df.where(col("j") - col("i") <= k))
+
+  /** Extract the k-diagonal as a 1-d element table (reference `diagonal`,
+    * `creation/_diagonal.py:16`). */
+  def diag(k: Long = 0): DataFrame =
+    df.where(col("j") - col("i") === k)
+      .select(col("i").as("idx"), col("v"))
+
+  // ---- reductions ----------------------------------------------------------
+  def agg(sqlAggsOverV: (String, String)*): DataFrame = {
+    val cs = sqlAggsOverV.map { case (sql, alias) => expr(sql).as(alias) }
+    df.agg(cs.head, cs.tail: _*)
+  }
+
+  /** Reduce over one axis — groupBy the kept coordinate (reference
+    * axis-subset reduction, `reductions/_reduction.py:89`): partial
+    * aggregation gives the map-side combine of the reference's tree. */
+  def reduceRows(sqlAggOverV: String): DataFrame = // one value per row i
+    df.groupBy("i").agg(expr(sqlAggOverV).cast("double").as("v")).withColumnRenamed("i", "idx")
+  def reduceCols(sqlAggOverV: String): DataFrame =
+    df.groupBy("j").agg(expr(sqlAggOverV).cast("double").as("v")).withColumnRenamed("j", "idx")
+
+  /** Diagonal sum (reference `trace`, `reductions/_trace.py:4`). */
+  def trace: DataFrame = diag(0).agg(sum(col("v")).as("trace"))
+
+  // ---- contraction ---------------------------------------------------------
+  /** Matrix multiply — the join+agg SUMMA plan (reference `tensordot`/
+    * `matmul`, `linalg/_tensordot.py:45,194`): equi-join on the contracted
+    * index, partial products, hash-agg on the output coordinates. The small
+    * side is broadcast when its static element count allows, turning the
+    * contraction into a map-side join with zero shuffle of the big side. */
+  def matmul(o: DMatrix): DMatrix = {
+    require(cols == o.rows, s"matmul shape mismatch: $rows x $cols @ ${o.rows} x ${o.cols}")
+    val a = df.select(col("i"), col("j").as("k"), col("v").as("va"))
+    val b0 = o.df.select(col("i").as("k"), col("j"), col("v").as("vb"))
+    val b = if (o.rows * o.cols <= broadcastElems) broadcast(b0) else b0
+    new DMatrix(
+      a.join(b, "k").groupBy("i", "j").agg(sum(col("va") * col("vb")).as("v")),
+      rows, o.cols)
+  }
+  def @@(o: DMatrix): DMatrix = matmul(o)
+
+  /** Gram matrix AᵀA — the TSQR/SVD building block (reference
+    * `linalg/_qr.py`, `linalg/_svd.py:19-168`). */
+  def gram: DMatrix = t.matmul(this)
+
+  def elements: DataFrame = df
+}
+
+object DMatrix {
+  /** Build from a generator kernel over `i`,`j` — covers `fromfunction`,
+    * `indices`, `meshgrid` (reference `creation/_mesh.py:114`): one
+    * `spark.range` scan, the affine coordinate math folds into the scan. */
+  def tabulate(spark: SparkSession, rows: Long, cols: Long, sqlOverIJ: String): DMatrix =
+    new DMatrix(
+      spark.range(rows * cols).selectExpr(
+        s"id DIV $cols AS i", s"id % $cols AS j", s"CAST($sqlOverIJ AS DOUBLE) AS v"),
+      rows, cols)
+
+  /** Identity at offset k (reference `eye`, `creation/_eye.py:13`):
+    * materializes only the diagonal — O(n) rows, not O(n^2), the sparse
+    * analogue of the reference's broadcast trick. */
+  def eye(spark: SparkSession, n: Long, k: Long = 0): DMatrix =
+    new DMatrix(
+      spark.range(n).selectExpr("id AS i", s"id + $k AS j", "CAST(1 AS DOUBLE) AS v")
+        .where(col("j") >= 0 && col("j") < n),
+      n, n)
+
+  /** 1-d → 2-d diagonal matrix (reference `diag`, `creation/_diag.py:15`). */
+  def diagOf(vecElements: DataFrame, n: Long): DMatrix =
+    new DMatrix(vecElements.select(col("idx").as("i"), col("idx").as("j"), col("v")), n, n)
+
+  /** Outer product of two 1-d element tables (reference `outer`,
+    * `routines/_outer.py:6`): broadcast the right side — every (i,j) pair
+    * is produced map-side, no shuffle. */
+  def outer(a: DataFrame, na: Long, b: DataFrame, nb: Long): DMatrix =
+    new DMatrix(
+      a.select(col("idx").as("i"), col("v").as("va"))
+        .crossJoin(broadcast(b.select(col("idx").as("j"), col("v").as("vb"))))
+        .select(col("i"), col("j"), (col("va") * col("vb")).as("v")),
+      na, nb)
+
+  /** 1-d element table reshaped to (rows x cols) C-order (reference
+    * `reshape`, `manipulation/_reshape.py:265`). */
+  def fromVec(vecElements: DataFrame, rows: Long, cols: Long): DMatrix =
+    new DMatrix(
+      vecElements.select(expr(s"idx DIV $cols").as("i"), (col("idx") % cols).as("j"), col("v")),
+      rows, cols)
+}

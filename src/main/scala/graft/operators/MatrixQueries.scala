@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{DArray, DMatrix}
+
+/** 2-d array / linear-algebra queries (SURVEY §2.10, §2.11): matmul, gram,
+  * trace, transpose, triangles, diagonal, outer, reshape, axis reductions.
+  *
+  * Every query generates its inputs with integer-arithmetic `tabulate`
+  * kernels, so values are exact in double and hash-match the DuckDB oracle
+  * without rounding. The Spark kernel string and the oracle SQL are built
+  * from the same kernel definition below — they cannot drift.
+  */
+object MatrixQueries {
+
+  /** A deterministic integer test matrix: (kernel over i,j) % m. */
+  private final case class Tab(rows: Long, cols: Long, kernel: String) {
+    def spark(s: SparkSession): DMatrix = DMatrix.tabulate(s, rows, cols, kernel)
+    /** DuckDB subquery producing the same (i, j, v). */
+    def duck: String =
+      s"""(SELECT i, j, CAST($kernel AS DOUBLE) AS v FROM
+          (SELECT x // $cols AS i, x % $cols AS j FROM range(${rows * cols}) t(x)))"""
+  }
+
+  private val A  = Tab(40, 30, "(i*7 + j*3) % 11")
+  private val B  = Tab(30, 20, "(i*5 + j*2) % 13")
+  private val C  = Tab(20, 10, "(i*2 + j*9) % 7")
+  private val T  = Tab(100, 10, "(i*3 + j*11) % 17")
+  private val Sq = Tab(30, 30, "(i*13 + j) % 19")
+  private val R  = Tab(20, 30, "(i*31 + j*17) % 29")
+
+  /** DuckDB matmul of two Tab subqueries. */
+  private def duckMatmul(a: String, b: String): String =
+    s"""SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v
+        FROM $a a JOIN $b b ON a.j = b.i GROUP BY 1, 2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SUMMA join+agg contraction (reference linalg/_tensordot.py:45)
+    "m01_matmul" -> ((s, d) =>
+      A.spark(s).matmul(B.spark(s)).elements.orderBy("i", "j")),
+
+    // gram matrix AᵀA — the TSQR building block (reference linalg/_qr.py)
+    "m02_gram" -> ((s, d) =>
+      T.spark(s).gram.elements.orderBy("i", "j")),
+
+    "m03_trace" -> ((s, d) => Tab(50, 50, "(i*2 + j*5) % 9").spark(s).trace),
+
+    // axis reduction: one sum per row (reference reductions over axis subsets)
+    "m04_rowsum" -> ((s, d) =>
+      Tab(60, 40, "(i + j*j) % 23").spark(s).reduceRows("sum(v)").orderBy("idx")),
+
+    // symmetrize + rectangular slice: the README demo shape (x + x.T)[:10,:10]
+    "m05_transpose_add_slice" -> ((s, d) =>
+      (Sq.spark(s) + Sq.spark(s).t).slice(0, 10, 0, 10).elements.orderBy("i", "j")),
+
+    "m06_triu_sum" -> ((s, d) =>
+      Tab(40, 40, "(i*3 + j*7) % 15").spark(s).triu(1).agg("sum(v)" -> "s")),
+
+    // reshape via relinearization + slice (reference manipulation/_reshape.py)
+    "m07_reshape_slice" -> ((s, d) =>
+      R.spark(s).reshape(30, 20).slice(5, 15, 3, 13).elements.orderBy("i", "j")),
+
+    // outer product of two ranges (reference routines/_outer.py:6)
+    "m08_outer" -> ((s, d) => {
+      val a = DArray.arange(s, d, 0, 40, 1).elements
+      val b = DArray.arange(s, d, 0, 25, 1).elements
+      DMatrix.outer(a, 40, b, 25).elements.orderBy("i", "j")
+    }),
+
+    "m09_diag_offset" -> ((s, d) =>
+      Tab(35, 35, "(i*5 + j*3) % 21").spark(s).diag(2).orderBy("idx")),
+
+    // eye as O(n) sparse diagonal; 3*I @ B = 3B end-to-end
+    "m10_eye_matmul" -> ((s, d) =>
+      DMatrix.eye(s, 30).map("v * 3").matmul(B.spark(s)).elements.orderBy("i", "j")),
+
+    // chain contraction (A@B)@C — join+agg composes
+    "m11_matmul_chain" -> ((s, d) =>
+      A.spark(s).matmul(B.spark(s)).matmul(C.spark(s)).elements.orderBy("i", "j")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_matmul" -> s"${duckMatmul(A.duck, B.duck)} ORDER BY i, j",
+
+    "m02_gram" ->
+      s"""SELECT a.j AS i, b.j AS j, sum(a.v * b.v) AS v
+          FROM ${T.duck} a JOIN ${T.duck} b ON a.i = b.i
+          GROUP BY 1, 2 ORDER BY i, j""",
+
+    "m03_trace" ->
+      s"""SELECT sum(v) AS trace FROM ${Tab(50, 50, "(i*2 + j*5) % 9").duck} WHERE i = j""",
+
+    "m04_rowsum" ->
+      s"""SELECT i AS idx, CAST(sum(v) AS DOUBLE) AS v
+          FROM ${Tab(60, 40, "(i + j*j) % 23").duck} GROUP BY 1 ORDER BY idx""",
+
+    "m05_transpose_add_slice" ->
+      s"""SELECT a.i AS i, a.j AS j, a.v + b.v AS v
+          FROM ${Sq.duck} a JOIN ${Sq.duck} b ON a.i = b.j AND a.j = b.i
+          WHERE a.i < 10 AND a.j < 10 ORDER BY i, j""",
+
+    "m06_triu_sum" ->
+      s"""SELECT sum(v) AS s FROM ${Tab(40, 40, "(i*3 + j*7) % 15").duck} WHERE j - i >= 1""",
+
+    "m07_reshape_slice" ->
+      s"""SELECT (li // 20) - 5 AS i, (li % 20) - 3 AS j, v FROM
+          (SELECT i * 30 + j AS li, v FROM ${R.duck})
+          WHERE li // 20 BETWEEN 5 AND 14 AND li % 20 BETWEEN 3 AND 12
+          ORDER BY i, j""",
+
+    "m08_outer" ->
+      """SELECT a.i AS i, b.j AS j, CAST(a.i * b.j AS DOUBLE) AS v
+         FROM range(40) a(i), range(25) b(j) ORDER BY i, j""",
+
+    "m09_diag_offset" ->
+      s"""SELECT i AS idx, v FROM ${Tab(35, 35, "(i*5 + j*3) % 21").duck}
+          WHERE j - i = 2 ORDER BY idx""",
+
+    "m10_eye_matmul" ->
+      s"""SELECT i, j, 3 * v AS v FROM ${B.duck} ORDER BY i, j""",
+
+    "m11_matmul_chain" ->
+      s"""${duckMatmul(s"(${duckMatmul(A.duck, B.duck)})", C.duck)} ORDER BY i, j""",
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-structural tests for the 2-d layer: the claims in DMatrix's
+  * Scaladoc about what Catalyst does for us, pinned as assertions. */
+class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  test("matmul broadcasts the small side (no shuffle of the big operand)") {
+    val a = DMatrix.tabulate(spark, 1000, 50, "(i + j) % 7")
+    val b = DMatrix.tabulate(spark, 50, 20, "(i * j) % 5")
+    val plan = a.matmul(b).elements.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
+
+  test("slice filters push through transpose + elemwise into the range scan") {
+    val sq = DMatrix.tabulate(spark, 100, 100, "(i * 13 + j) % 19")
+    val sliced = (sq + sq.t).slice(0, 5, 0, 5)
+    val optimized = sliced.elements.queryExecution.optimizedPlan.toString
+    // after pushdown both join inputs are range-scans already filtered:
+    // no Filter sits directly on top of the Join output
+    val lines = optimized.linesIterator.toList
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(joinIdx >= 0)
+    assert(!lines.take(joinIdx).exists(_.trim.startsWith("Filter")),
+      s"filter not pushed below the join:\n$optimized")
+    // and results agree with the unsliced computation
+    val full = (sq + sq.t).elements
+      .where("i < 5 AND j < 5").orderBy("i", "j").collect()
+    val got = sliced.elements.orderBy("i", "j").collect()
+    assert(got.toSeq == full.toSeq)
+  }
+
+  test("transpose twice is identity on values") {
+    val a = DMatrix.tabulate(spark, 7, 5, "i * 10 + j")
+    val got = a.t.t.elements.orderBy("i", "j").collect().map(_.getDouble(2)).toSeq
+    val want = a.elements.orderBy("i", "j").collect().map(_.getDouble(2)).toSeq
+    assert(got == want)
+  }
+
+  test("matmul against eye is identity") {
+    val a = DMatrix.tabulate(spark, 12, 12, "(i * 3 + j * 7) % 10")
+    val got = a.matmul(DMatrix.eye(spark, 12)).elements.orderBy("i", "j").collect()
+    val want = a.elements.orderBy("i", "j").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("reshape round-trips through ravel") {
+    val a = DMatrix.tabulate(spark, 6, 8, "i * 8 + j")
+    val r = a.reshape(8, 6).reshape(6, 8)
+    assert(r.elements.orderBy("i", "j").collect().toSeq ==
+      a.elements.orderBy("i", "j").collect().toSeq)
+  }
+}
