@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * deduplication (exact, MinHash+LSH, n-gram Jaccard, SimHash), language
+  * ID, quality scoring, token counting, fingerprinting.
+  *
+  * Scale design (100 TB): every operator is a per-row projection (shingles,
+  * signatures, scores — fully codegen'd higher-order functions, no UDFs)
+  * followed by at most one key-partitioned shuffle (band bucket, hash
+  * group, pair key). Pairwise work is always LSH/band-bounded — never an
+  * unblocked O(n^2) cross join; the only cross joins below are explicitly
+  * top-k-bounded demo surfaces on the small signature tables.
+  *
+  * Portability: all hashes are integer polynomial hashes over `ascii()`
+  * codes, so the DuckDB oracle reproduces them bit-for-bit. Spark kernels
+  * and oracle SQL are generated from the same fragments.
+  */
+object TextQueries {
+
+  // ---- shared deterministic hash fragments (Spark SQL + DuckDB SQL) -------
+  private val P = 1000003 // prime modulus for all polynomial hashes
+
+  /** char-trigram polyhash of shingle `s` — same text in both dialects */
+  private val ph =
+    "(ascii(substring(s, 1, 1)) * 961 + ascii(substring(s, 2, 1)) * 31 + ascii(substring(s, 3, 1)))"
+
+  private val sparkShingles =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))"
+  private val duckShingles =
+    "list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))"
+
+  private val H = 8 // minhash functions
+  private def hashA(j: Int) = 17 + 13 * j
+  private def hashB(j: Int) = 89 + 31 * j
+
+  private def sparkMinhash(j: Int): String =
+    s"array_min(transform($sparkShingles, s -> (CAST(${hashA(j)} AS BIGINT) * $ph + ${hashB(j)}) % $P))"
+  private def duckMinhash(j: Int): String =
+    s"list_min(list_transform($duckShingles, s -> (CAST(${hashA(j)} AS BIGINT) * $ph + ${hashB(j)}) % $P))"
+
+  /** 4 LSH bands of 2 minhash rows each, coarsened to 64 buckets per band
+    * so small scale factors still produce candidate collisions. */
+  private val BANDS = 4
+  private def bandHash(mh: Int => String)(t: Int): String =
+    s"((${mh(2 * t)} % 8) * 8 + (${mh(2 * t + 1)} % 8))"
+
+  // 16-bit simhash over the shingle polyhashes
+  private def sparkSimhash: String = {
+    val hl = s"transform($sparkShingles, s -> $ph)"
+    (0 until 16).map { b =>
+      s"(CASE WHEN aggregate($hl, 0, (acc, h) -> acc + (CASE WHEN (h DIV ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+  private def duckSimhash: String = {
+    val hl = s"list_transform($duckShingles, s -> $ph)"
+    (0 until 16).map { b =>
+      s"(CASE WHEN list_sum(list_transform($hl, h -> CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  // language-ID marker lists (mechanism demo — deterministic scoring with a
+  // fixed priority tie-break; the synthetic corpus shares one vocabulary)
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("order", "window"), "de" -> Seq("customer", "hash"),
+    "es" -> Seq("slow", "agg"), "fr" -> Seq("scan", "batch"),
+    "zh" -> Seq("join", "column"))
+
+  private def scoreExpr(words: Seq[String], filterFn: String, splitFn: String): String = {
+    val pred = words.map(w => s"t = '$w'").mkString(" OR ")
+    s"len__($filterFn($splitFn(text, ' '), t -> $pred))"
+  }
+  private def sparkScore(ws: Seq[String]) =
+    scoreExpr(ws, "filter", "split").replace("len__", "size")
+  private def duckScore(ws: Seq[String]) =
+    scoreExpr(ws, "list_filter", "string_split").replace("len__", "len")
+
+  /** argmax with fixed priority order (first listed wins ties). */
+  private def predCase(score: Seq[String] => String): String = {
+    val scores = langMarkers.map { case (l, ws) => l -> score(ws) }
+    val cases = scores.zipWithIndex.map { case ((l, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      if (rest.isEmpty) s"ELSE '$l'"
+      else s"WHEN ${rest.map(r => s"$s >= $r").mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} END"
+  }
+
+  // rolling fingerprint over the whole text
+  private val sparkFingerprint =
+    s"aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % $P)"
+  private val duckFingerprint =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  // BPE-ish token pattern (letters / digits / single punctuation)
+  private val tokPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  // -------------------------------------------------------------------------
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** documents unioned with duplicated copies of every 5th doc (new ids
+    * +100000) — gives the dedup operators real duplicates to find. */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    base.unionByName(
+      base.where("doc_id % 5 = 0").withColumn("doc_id", col("doc_id") + 100000L))
+  }
+  private val duckDocsWithDups =
+    """(SELECT * FROM documents UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 5 = 0)"""
+
+  /** Per-doc signature table (doc_id, mh0..mh7) — the one-pass projection
+    * every MinHash consumer shares. */
+  private def sigDF(s: SparkSession, d: String): DataFrame =
+    docs(s, d).selectExpr(
+      "doc_id" +: (0 until H).map(j => s"${sparkMinhash(j)} AS mh$j"): _*)
+  private val duckSig =
+    s"""(SELECT doc_id, ${(0 until H).map(j => s"${duckMinhash(j)} AS mh$j").mkString(", ")}
+         FROM documents)"""
+
+  /** Band rows (doc_id, t, bh): the LSH shuffle key. */
+  private def bandsDF(s: SparkSession, d: String): DataFrame = {
+    val stackArgs = (0 until BANDS)
+      .map(t => s"$t, ${bandHash(j => s"mh$j")(t)}").mkString(", ")
+    sigDF(s, d).selectExpr("doc_id", s"stack($BANDS, $stackArgs) AS (t, bh)")
+  }
+  private val duckBands =
+    s"""(SELECT doc_id, t,
+         CASE ${(0 until BANDS).map(t => s"WHEN t = $t THEN ${bandHash(j => s"mh$j")(t)}").mkString(" ")} END AS bh
+         FROM $duckSig, generate_series(0, ${BANDS - 1}) g(t))"""
+
+  /** LSH candidate pairs ranked by shared-band count (top-k bounded). */
+  private def lshPairsDF(s: SparkSession, d: String, k: Int): DataFrame = {
+    val b = bandsDF(s, d)
+    b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("nshared"))
+      .orderBy(col("nshared").desc, col("a"), col("b")).limit(k)
+  }
+  private def duckLshPairs(k: Int) =
+    s"""(SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nshared
+         FROM $duckBands x JOIN $duckBands y
+           ON x.t = y.t AND x.bh = y.bh AND x.doc_id < y.doc_id
+         GROUP BY 1, 2 ORDER BY nshared DESC, a, b LIMIT $k)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: content-hash groupBy, keep the smallest id per group
+    "t01_exact_dedup" -> ((s, d) =>
+      docsWithDups(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+        .where("cnt > 1")
+        .select("keep_id", "cnt").orderBy("keep_id")),
+
+    // quality scoring: length, token stats, stopword + punctuation ratios
+    "t02_quality" -> ((s, d) =>
+      docs(s, d).where("doc_id < 50").selectExpr(
+        "doc_id",
+        "length(text) AS n",
+        "size(split(text, ' ')) AS n_tok",
+        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')), 4) AS avg_tok_len",
+        "round(CAST(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'in')) AS DOUBLE) / size(split(text, ' ')), 4) AS stop_ratio",
+        s"round(CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE) / length(text), 4) AS punct_ratio")
+        .orderBy("doc_id")),
+
+    // corpus-level token accounting: whitespace + BPE-ish regex counts
+    "t03_token_counts" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        "size(split(text, ' ')) AS ws",
+        s"regexp_count(text, '$tokPattern') AS bpe")
+        .agg(expr("CAST(sum(ws) AS BIGINT)").as("ws_tokens"),
+          expr("CAST(sum(bpe) AS BIGINT)").as("bpe_tokens"),
+          expr("CAST(count(*) AS BIGINT)").as("n_docs"))),
+
+    // language ID: marker-token scoring, fixed-priority argmax
+    "t04_langid" -> ((s, d) =>
+      docs(s, d).selectExpr(s"${predCase(sparkScore)} AS pred")
+        .groupBy("pred").agg(expr("CAST(count(*) AS BIGINT)").as("n"))
+        .orderBy("pred")),
+
+    // minhash signatures (8 hash functions over char-3-gram shingles)
+    "t05_minhash" -> ((s, d) => sigDF(s, d).orderBy("doc_id")),
+
+    // LSH banding: candidate pairs by shared-band count, top-50
+    "t06_lsh_candidates" -> ((s, d) => lshPairsDF(s, d, 50)),
+
+    // exact n-gram Jaccard, LSH-bounded (never unblocked O(n^2))
+    "t07_jaccard" -> ((s, d) => {
+      val cand = lshPairsDF(s, d, 200).select("a", "b")
+      val sh = docs(s, d).selectExpr("doc_id", s"$sparkShingles AS sh")
+      cand
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+        .selectExpr("a", "b",
+          "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / (size(sa) + size(sb) - size(array_intersect(sa, sb))) AS jac")
+        .orderBy(col("jac").desc, col("a"), col("b")).limit(20)
+    }),
+
+    // 16-bit simhash signatures
+    "t08_simhash" -> ((s, d) =>
+      docs(s, d).selectExpr("doc_id", s"$sparkSimhash AS simhash").orderBy("doc_id")),
+
+    // rolling-hash document fingerprints
+    "t09_fingerprint" -> ((s, d) =>
+      docs(s, d).selectExpr("doc_id", s"$sparkFingerprint AS fp").orderBy("doc_id")),
+
+    // word-bigram frequency profile, top-20
+    "t10_bigrams" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("explode(transform(sequence(1, size(split(text, ' ')) - 1), i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))) AS bg")
+        .groupBy("bg").agg(expr("CAST(count(*) AS BIGINT)").as("c"))
+        .orderBy(col("c").desc, col("bg")).limit(20)),
+
+    // nearest simhash pairs by Hamming distance (top-k-bounded demo on the
+    // small signature table; production path is bucketed like t06)
+    "t11_simhash_pairs" -> ((s, d) => {
+      val sh = docs(s, d).selectExpr("doc_id", s"$sparkSimhash AS h")
+      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .selectExpr("x.doc_id AS a", "y.doc_id AS b",
+          "bit_count(x.h ^ y.h) AS ham")
+        .orderBy(col("ham"), col("a"), col("b")).limit(20)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_exact_dedup" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS cnt FROM $duckDocsWithDups
+          GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keep_id""",
+
+    "t02_quality" ->
+      """SELECT doc_id, length(text) AS n,
+         len(string_split(text, ' ')) AS n_tok,
+         round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len,
+         round(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'in')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio,
+         round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text), 4) AS punct_ratio
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "t03_token_counts" ->
+      s"""SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+          CAST(sum(len(regexp_extract_all(text, '$tokPattern'))) AS BIGINT) AS bpe_tokens,
+          CAST(count(*) AS BIGINT) AS n_docs FROM documents""",
+
+    "t04_langid" ->
+      s"""SELECT ${predCase(duckScore)} AS pred, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1 ORDER BY pred""",
+
+    "t05_minhash" ->
+      s"SELECT * FROM $duckSig ORDER BY doc_id",
+
+    "t06_lsh_candidates" ->
+      s"SELECT * FROM ${duckLshPairs(50)}",
+
+    "t07_jaccard" ->
+      s"""WITH cand AS (SELECT a, b FROM ${duckLshPairs(200)}),
+          sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+          SELECT c.a AS a, c.b AS b,
+            CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jac
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+          ORDER BY jac DESC, a, b LIMIT 20""",
+
+    "t08_simhash" ->
+      s"SELECT doc_id, $duckSimhash AS simhash FROM documents ORDER BY doc_id",
+
+    "t09_fingerprint" ->
+      s"SELECT doc_id, $duckFingerprint AS fp FROM documents ORDER BY doc_id",
+
+    "t10_bigrams" ->
+      """SELECT bg, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+           FROM documents)
+         GROUP BY bg ORDER BY c DESC, bg LIMIT 20""",
+
+    "t11_simhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, $duckSimhash AS h FROM documents)
+          SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.h, y.h)) AS ham
+          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          ORDER BY ham, a, b LIMIT 20""",
+  )
+}
