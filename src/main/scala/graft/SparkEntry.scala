@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ArrayQueries.queries ++ MatrixQueries.queries ++ TextQueries.queries
+    ArrayQueries.queries ++ MatrixQueries.queries ++ TextQueries.queries ++
+      EmbeddingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ArrayQueries.oracles ++ MatrixQueries.oracles ++ TextQueries.oracles
+    ArrayQueries.oracles ++ MatrixQueries.oracles ++ TextQueries.oracles ++
+      EmbeddingQueries.oracles
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (`vec_id BIGINT, embedding ARRAY<FLOAT>, label INT`; vectors are
+  * L2-normalized so cosine similarity = dot product).
+  *
+  * Scale design (100 TB): the vector math is all codegen'd higher-order
+  * functions over the array column (`aggregate`/`zip_with`/`transform`) —
+  * no UDFs, no driver collection. Brute-force scans are bounded to a
+  * broadcast query set (the ANN baseline); the scale path is the
+  * random-hyperplane LSH bucketing (e03/e05): one projection pass, then a
+  * bucket-partitioned shuffle, the embedding analogue of MinHash banding.
+  *
+  * Portability: hyperplanes are integer-arithmetic pseudo-random
+  * (`((p*73 + d*37) % 19) - 9`), so the DuckDB oracle reproduces them
+  * exactly; accumulation runs in ascending dimension order on both sides.
+  */
+object EmbeddingQueries {
+
+  private val DIM = 64
+
+  /** dot(a, b) in Spark SQL over two ARRAY<FLOAT> columns, double math. */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+  private def duckDot(a: String, b: String): String =
+    s"CAST(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, $DIM)]) AS DOUBLE)"
+
+  /** Signed projection onto deterministic pseudo-random hyperplane p. */
+  private def sparkProj(p: String): String =
+    s"aggregate(sequence(1, $DIM), CAST(0 AS DOUBLE), (acc, d) -> acc + CAST(element_at(embedding, d) AS DOUBLE) * ((($p * 73 + (d - 1) * 37) % 19) - 9))"
+  private def duckProj(p: String): String =
+    s"CAST(list_sum([CAST(embedding[d] AS DOUBLE) * ((($p * 73 + (d - 1) * 37) % 19) - 9) for d in generate_series(1, $DIM)]) AS DOUBLE)"
+
+  /** 8-bit hyperplane LSH bucket. */
+  private val sparkBucket: String =
+    (0 until 8).map(p => s"(CASE WHEN round(${sparkProj(p.toString)}, 6) > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+  private val duckBucket: String =
+    (0 until 8).map(p => s"(CASE WHEN round(${duckProj(p.toString)}, 6) > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // vector norms — the elemwise/aggregate HOF baseline (≈1.0 everywhere
+    // confirms the corpus is L2-normalized)
+    "e01_norms" -> ((s, d) =>
+      emb(s, d).where("vec_id < 50").selectExpr(
+        "vec_id",
+        s"round(sqrt(${sparkDot("embedding", "embedding")}), 4) AS norm")
+        .orderBy("vec_id")),
+
+    // brute-force cosine top-3 per query vector: the ANN correctness
+    // baseline — query side broadcast, ties broken on rounded sim + id
+    "e02_knn_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where("vec_id < 5")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .selectExpr("qid", "vec_id",
+          s"round(${sparkDot("embedding", "qe")}, 4) AS sim")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("sim").desc, col("vec_id"))))
+        .where("rn <= 3")
+        .select("qid", "rn", "vec_id", "sim").orderBy("qid", "rn")
+    }),
+
+    // random-hyperplane LSH bucketing — the scale path: one projection
+    // pass, bucket histogram shows the partitioning the ANN join would use
+    "e03_lsh_buckets" -> ((s, d) =>
+      emb(s, d).selectExpr(s"$sparkBucket AS bucket")
+        .groupBy("bucket").agg(expr("CAST(count(*) AS BIGINT)").as("n"))
+        .orderBy("bucket")),
+
+    // per-label centroids (the IVF coarse quantizer): posexplode + groupBy
+    "e04_centroids" -> ((s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(round(avg(col("x").cast("double")), 4).as("m"))
+        .where("dim <= 8")
+        .orderBy("label", "dim")),
+
+    // bucketed ANN: cosine top-pairs within the same LSH bucket — the
+    // candidate join is bucket-partitioned, never an unblocked cross join
+    "e05_ann_bucketed" -> ((s, d) => {
+      val b = emb(s, d).selectExpr("vec_id", "embedding", s"$sparkBucket AS bucket")
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .selectExpr("x.vec_id AS a", "y.vec_id AS b",
+          s"round(${sparkDot("x.embedding", "y.embedding")}, 4) AS sim")
+        .orderBy(col("sim").desc, col("a"), col("b")).limit(20)
+    }),
+
+    // exact cosine top-pairs within a label block (IVF-style blocking)
+    "e06_label_topk_pairs" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+        .selectExpr("x.label AS label", "x.vec_id AS a", "y.vec_id AS b",
+          s"round(${sparkDot("x.embedding", "y.embedding")}, 4) AS sim")
+        .orderBy(col("sim").desc, col("a"), col("b")).limit(10)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_norms" ->
+      s"""SELECT vec_id, round(sqrt(${duckDot("embedding", "embedding")}), 4) AS norm
+          FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
+
+    "e02_knn_bruteforce" ->
+      s"""SELECT q.vec_id AS qid,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(${duckDot("e.embedding", "q.embedding")}, 4) DESC, e.vec_id) AS INT) AS rn,
+            e.vec_id AS vec_id,
+            round(${duckDot("e.embedding", "q.embedding")}, 4) AS sim
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+          QUALIFY rn <= 3 ORDER BY qid, rn""",
+
+    "e03_lsh_buckets" ->
+      s"""SELECT $duckBucket AS bucket, CAST(count(*) AS BIGINT) AS n
+          FROM embeddings GROUP BY 1 ORDER BY bucket""",
+
+    "e04_centroids" ->
+      s"""SELECT label, g.d AS dim, round(avg(CAST(embedding[g.d] AS DOUBLE)), 4) AS m
+          FROM embeddings, generate_series(1, 8) g(d)
+          GROUP BY 1, 2 ORDER BY label, dim""",
+
+    "e05_ann_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings)
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            round(${duckDot("x.embedding", "y.embedding")}, 4) AS sim
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          ORDER BY sim DESC, a, b LIMIT 20""",
+
+    "e06_label_topk_pairs" ->
+      s"""SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
+            round(${duckDot("x.embedding", "y.embedding")}, 4) AS sim
+          FROM embeddings x JOIN embeddings y
+            ON x.label = y.label AND x.vec_id < y.vec_id
+          ORDER BY sim DESC, a, b LIMIT 10""",
+  )
+}
