@@ -185,6 +185,34 @@ object ArrayQueries {
 
     "q35_repeat" -> ((s, d) =>
       events(s, d).slice(0, 100).repeatEach(3).elements.orderBy("idx")),
+
+    // counter-based seeded RNG (reference Random family,
+    // dask_array/random/_generator.py): a per-element LCG keyed on the
+    // position — embarrassingly parallel, no state, reproducible on any
+    // partitioning (the per-block spawned-generator property)
+    "q36_random_hist" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1)
+        .map(s"((1103515245 * (CAST(v AS BIGINT) + 12345) + 12345) % 2147483648) / 2147483648.0")
+        .histogram(0.0, 1.0, 10).orderBy("bucket")),
+
+    "q37_random_stats" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1)
+        .map(s"((1103515245 * (CAST(v AS BIGINT) + 12345) + 12345) % 2147483648) / 2147483648.0")
+        .reduce(
+          "round(avg(v), 6)" -> "m",
+          "round(min(v), 8)" -> "lo",
+          "round(max(v), 8)" -> "hi")),
+
+    // Box-Muller normal from two LCG streams; distribution-level checks
+    "q38_random_normal" -> ((s, d) => {
+      val u1 = "(((1103515245 * (CAST(v AS BIGINT) + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0"
+      val u2 = "(((69069 * (CAST(v AS BIGINT) + 777) + 1) % 2147483648) + 0.5) / 2147483648.0"
+      DArray.arange(s, d, 0, 20000, 1)
+        .map(s"sqrt(-2 * ln($u1)) * cos(2 * pi() * $u2)")
+        .reduce(
+          "round(avg(v), 3)" -> "m",
+          "round(stddev_samp(v), 3)" -> "sd")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,5 +379,23 @@ object ArrayQueries {
     "q35_repeat" ->
       """SELECT event_id * 3 + j AS idx, value AS v
          FROM events, range(3) t(j) WHERE event_id < 100 ORDER BY idx""",
+
+    "q36_random_hist" ->
+      """SELECT least(greatest(CAST(floor(u * 10) AS BIGINT), 0), 9) AS bucket,
+         count(*) AS cnt FROM (
+           SELECT ((1103515245 * (i + 12345) + 12345) % 2147483648) / 2147483648.0 AS u
+           FROM range(20000) t(i))
+         GROUP BY 1 ORDER BY bucket""",
+
+    "q37_random_stats" ->
+      """SELECT round(avg(u), 6) AS m, round(min(u), 8) AS lo, round(max(u), 8) AS hi
+         FROM (SELECT ((1103515245 * (i + 12345) + 12345) % 2147483648) / 2147483648.0 AS u
+               FROM range(20000) t(i))""",
+
+    "q38_random_normal" ->
+      """SELECT round(avg(z), 3) AS m, round(stddev_samp(z), 3) AS sd FROM (
+           SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
+                * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
+           FROM range(20000) t(i))""",
   )
 }
