@@ -21,25 +21,31 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   // ---- shared deterministic hash fragments (Spark SQL + DuckDB SQL) -------
+  //
+  // Performance note (measured at sf0.1): building shingle STRINGS and
+  // running array_distinct over them inside every minhash/simhash
+  // expression costs O(16 · n² string compares) per doc — 34 s for the
+  // corpus. Instead the char-trigram polyhash is computed positionally
+  // (never materializing shingle strings), the int hash array `hl` and its
+  // distinct `dhl` are computed once per doc, and a repartition exchange
+  // pins them so CollapseProject cannot re-inline the expensive expression
+  // into every downstream consumer. All signature functions then read a
+  // materialized int array — the whole text pipeline is one scan + one
+  // narrow exchange.
   private val P = 1000003 // prime modulus for all polynomial hashes
 
-  /** char-trigram polyhash of shingle `s` — same text in both dialects */
-  private val ph =
-    "(ascii(substring(s, 1, 1)) * 961 + ascii(substring(s, 2, 1)) * 31 + ascii(substring(s, 3, 1)))"
-
-  private val sparkShingles =
-    "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))"
-  private val duckShingles =
-    "list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))"
+  /** positional char-trigram polyhash list over `text` (no shingle strings) */
+  private val duckHl =
+    "list_transform(generate_series(1, greatest(length(text) - 2, 1)), i -> ascii(substring(text, i, 1)) * 961 + ascii(substring(text, i + 1, 1)) * 31 + ascii(substring(text, i + 2, 1)))"
 
   private val H = 8 // minhash functions
   private def hashA(j: Int) = 17 + 13 * j
   private def hashB(j: Int) = 89 + 31 * j
 
-  private def sparkMinhash(j: Int): String =
-    s"array_min(transform($sparkShingles, s -> (CAST(${hashA(j)} AS BIGINT) * $ph + ${hashB(j)}) % $P))"
-  private def duckMinhash(j: Int): String =
-    s"list_min(list_transform($duckShingles, s -> (CAST(${hashA(j)} AS BIGINT) * $ph + ${hashB(j)}) % $P))"
+  /** minhash over the hash list (min over a multiset = min over its set,
+    * so `hl` needs no distinct here). */
+  private def duckMinhashOf(hl: String)(j: Int): String =
+    s"list_min(list_transform($hl, h -> (CAST(${hashA(j)} AS BIGINT) * h + ${hashB(j)}) % $P))"
 
   /** 4 LSH bands of 2 minhash rows each, coarsened to 64 buckets per band
     * so small scale factors still produce candidate collisions. */
@@ -47,19 +53,11 @@ object TextQueries {
   private def bandHash(mh: Int => String)(t: Int): String =
     s"((${mh(2 * t)} % 8) * 8 + (${mh(2 * t + 1)} % 8))"
 
-  // 16-bit simhash over the shingle polyhashes
-  private def sparkSimhash: String = {
-    val hl = s"transform($sparkShingles, s -> $ph)"
+  // 16-bit simhash over the DISTINCT shingle hashes (`dhl` column)
+  private def duckSimhashOf(dhl: String): String =
     (0 until 16).map { b =>
-      s"(CASE WHEN aggregate($hl, 0, (acc, h) -> acc + (CASE WHEN (h DIV ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform($dhl, h -> CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
-  }
-  private def duckSimhash: String = {
-    val hl = s"list_transform($duckShingles, s -> $ph)"
-    (0 until 16).map { b =>
-      s"(CASE WHEN list_sum(list_transform($hl, h -> CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
-    }.mkString(" + ")
-  }
 
   // language-ID marker lists (mechanism demo — deterministic scoring with a
   // fixed priority tie-break; the synthetic corpus shares one vocabulary)
@@ -89,8 +87,6 @@ object TextQueries {
   }
 
   // rolling fingerprint over the whole text
-  private val sparkFingerprint =
-    s"aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % $P)"
   private val duckFingerprint =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
 
@@ -114,40 +110,59 @@ object TextQueries {
         SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
         FROM documents WHERE doc_id % 5 = 0)"""
 
-  /** Per-doc signature table (doc_id, mh0..mh7) — the one-pass projection
-    * every MinHash consumer shares. */
-  private def sigDF(s: SparkSession, d: String): DataFrame =
-    docs(s, d).selectExpr(
-      "doc_id" +: (0 until H).map(j => s"${sparkMinhash(j)} AS mh$j"): _*)
-  private val duckSig =
-    s"""(SELECT doc_id, ${(0 until H).map(j => s"${duckMinhash(j)} AS mh$j").mkString(", ")}
-         FROM documents)"""
+  /** Per-doc signature table — computed by the in-block JVM kernel
+    * ([[graft.functions.TextSig]]); the SQL fragments above SPECIFY the
+    * semantics and run as the DuckDB oracle. */
+  private def sigTable(s: SparkSession, d: String): DataFrame =
+    graft.functions.TextSig.rows(s, d)
 
-  /** Band rows (doc_id, t, bh): the LSH shuffle key. */
+  private val duckHashed =
+    s"""(SELECT doc_id, hl, list_distinct(hl) AS dhl FROM
+         (SELECT doc_id, $duckHl AS hl FROM documents))"""
+  private val duckSig =
+    s"""(SELECT doc_id, ${(0 until H).map(j => s"${duckMinhashOf("hl")(j)} AS mh$j").mkString(", ")}
+         FROM $duckHashed)"""
+
+  /** Band rows (doc_id, t, bh): the LSH shuffle key. The minhash columns
+    * come out of the kernel as plain attributes, so the `stack` generator
+    * reads materialized values — no recompute risk. */
   private def bandsDF(s: SparkSession, d: String): DataFrame = {
     val stackArgs = (0 until BANDS)
       .map(t => s"$t, ${bandHash(j => s"mh$j")(t)}").mkString(", ")
-    sigDF(s, d).selectExpr("doc_id", s"stack($BANDS, $stackArgs) AS (t, bh)")
+    sigTable(s, d).selectExpr("doc_id", s"stack($BANDS, $stackArgs) AS (t, bh)")
   }
   private val duckBands =
     s"""(SELECT doc_id, t,
          CASE ${(0 until BANDS).map(t => s"WHEN t = $t THEN ${bandHash(j => s"mh$j")(t)}").mkString(" ")} END AS bh
          FROM $duckSig, generate_series(0, ${BANDS - 1}) g(t))"""
 
-  /** LSH candidate pairs ranked by shared-band count (top-k bounded). */
+  /** Candidate pairs via sorted-neighborhood windowing inside each band
+    * bucket: each doc pairs only with the next [[WINDOW]] docs (by id) in
+    * its bucket, so a degenerate bucket of n docs yields O(n·W) pairs, not
+    * O(n²) — the bounded-blocking guard every LSH pipeline needs at scale
+    * (this corpus is so 3-gram-self-similar that unbounded banding produced
+    * 23.5M pairs at sf0.1). `nshared` counts the bands in which the pair
+    * fell in one bucket within the window. */
+  private val WINDOW = 8
   private def lshPairsDF(s: SparkSession, d: String, k: Int): DataFrame = {
-    val b = bandsDF(s, d)
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy("t", "bh").orderBy("doc_id"))
+    val b = bandsDF(s, d).withColumn("rn", rn)
     b.as("x").join(b.as("y"),
         col("x.t") === col("y.t") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("nshared"))
       .orderBy(col("nshared").desc, col("a"), col("b")).limit(k)
   }
   private def duckLshPairs(k: Int) =
-    s"""(SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nshared
-         FROM $duckBands x JOIN $duckBands y
-           ON x.t = y.t AND x.bh = y.bh AND x.doc_id < y.doc_id
+    s"""(WITH br AS (SELECT doc_id, t, bh,
+           row_number() OVER (PARTITION BY t, bh ORDER BY doc_id) AS rn
+           FROM $duckBands)
+         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS nshared
+         FROM br x JOIN br y
+           ON x.t = y.t AND x.bh = y.bh AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
          GROUP BY 1, 2 ORDER BY nshared DESC, a, b LIMIT $k)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -187,30 +202,33 @@ object TextQueries {
         .orderBy("pred")),
 
     // minhash signatures (8 hash functions over char-3-gram shingles)
-    "t05_minhash" -> ((s, d) => sigDF(s, d).orderBy("doc_id")),
+    "t05_minhash" -> ((s, d) =>
+      sigTable(s, d)
+        .select("doc_id", (0 until H).map(j => s"mh$j"): _*).orderBy("doc_id")),
 
     // LSH banding: candidate pairs by shared-band count, top-50
     "t06_lsh_candidates" -> ((s, d) => lshPairsDF(s, d, 50)),
 
-    // exact n-gram Jaccard, LSH-bounded (never unblocked O(n^2))
+    // exact n-gram Jaccard over the distinct-hash sets, LSH-bounded
+    // (never unblocked O(n^2))
     "t07_jaccard" -> ((s, d) => {
       val cand = lshPairsDF(s, d, 200).select("a", "b")
-      val sh = docs(s, d).selectExpr("doc_id", s"$sparkShingles AS sh")
+      val sh = sigTable(s, d).select("doc_id", "dhl")
       cand
-        .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+        .join(sh.select(col("doc_id").as("a"), col("dhl").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("dhl").as("sb")), "b")
         .selectExpr("a", "b",
           "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / (size(sa) + size(sb) - size(array_intersect(sa, sb))) AS jac")
         .orderBy(col("jac").desc, col("a"), col("b")).limit(20)
     }),
 
-    // 16-bit simhash signatures
+    // 16-bit simhash signatures (from the one-pass kernel)
     "t08_simhash" -> ((s, d) =>
-      docs(s, d).selectExpr("doc_id", s"$sparkSimhash AS simhash").orderBy("doc_id")),
+      sigTable(s, d).select("doc_id", "simhash").orderBy("doc_id")),
 
     // rolling-hash document fingerprints
     "t09_fingerprint" -> ((s, d) =>
-      docs(s, d).selectExpr("doc_id", s"$sparkFingerprint AS fp").orderBy("doc_id")),
+      sigTable(s, d).select("doc_id", "fp").orderBy("doc_id")),
 
     // word-bigram frequency profile, top-20
     "t10_bigrams" -> ((s, d) =>
@@ -219,13 +237,22 @@ object TextQueries {
         .groupBy("bg").agg(expr("CAST(count(*) AS BIGINT)").as("c"))
         .orderBy(col("c").desc, col("bg")).limit(20)),
 
-    // nearest simhash pairs by Hamming distance (top-k-bounded demo on the
-    // small signature table; production path is bucketed like t06)
+    // nearest simhash pairs: 4-bit Hamming bands + sorted-neighborhood
+    // window (same bounded-blocking as t06 — a pair with Hamming distance
+    // < 4 must agree exactly on at least one 4-bit band), then exact
+    // bit_count on the candidates only — never an unblocked cross join
     "t11_simhash_pairs" -> ((s, d) => {
-      val sh = docs(s, d).selectExpr("doc_id", s"$sparkSimhash AS h")
-      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
-        .selectExpr("x.doc_id AS a", "y.doc_id AS b",
-          "bit_count(x.h ^ y.h) AS ham")
+      import org.apache.spark.sql.expressions.Window
+      val sh = sigTable(s, d).selectExpr("doc_id", "simhash AS h")
+      val bands = sh.selectExpr("doc_id", "h",
+        s"stack(4, ${(0 until 4).map(t => s"$t, (h DIV ${1 << (4 * t)}) % 16").mkString(", ")}) AS (t, bh)")
+      val rn = row_number().over(Window.partitionBy("t", "bh").orderBy("doc_id"))
+      val b = bands.withColumn("rn", rn)
+      b.as("x").join(b.as("y"),
+          col("x.t") === col("y.t") && col("x.bh") === col("y.bh") &&
+            col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
+        .selectExpr("x.doc_id AS a", "y.doc_id AS b", "bit_count(x.h ^ y.h) AS ham")
+        .distinct()
         .orderBy(col("ham"), col("a"), col("b")).limit(20)
     }),
   )
@@ -260,7 +287,7 @@ object TextQueries {
 
     "t07_jaccard" ->
       s"""WITH cand AS (SELECT a, b FROM ${duckLshPairs(200)}),
-          sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+          sh AS (SELECT doc_id, dhl AS s FROM $duckHashed)
           SELECT c.a AS a, c.b AS b,
             CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
               / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jac
@@ -268,7 +295,8 @@ object TextQueries {
           ORDER BY jac DESC, a, b LIMIT 20""",
 
     "t08_simhash" ->
-      s"SELECT doc_id, $duckSimhash AS simhash FROM documents ORDER BY doc_id",
+      s"""SELECT doc_id, ${duckSimhashOf("dhl")} AS simhash FROM $duckHashed
+          ORDER BY doc_id""",
 
     "t09_fingerprint" ->
       s"SELECT doc_id, $duckFingerprint AS fp FROM documents ORDER BY doc_id",
@@ -281,9 +309,15 @@ object TextQueries {
          GROUP BY bg ORDER BY c DESC, bg LIMIT 20""",
 
     "t11_simhash_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, $duckSimhash AS h FROM documents)
-          SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.h, y.h)) AS ham
-          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      s"""WITH sh AS (SELECT doc_id, ${duckSimhashOf("dhl")} AS h FROM $duckHashed),
+          bands AS (SELECT doc_id, h, t,
+            CASE ${(0 until 4).map(t => s"WHEN t = $t THEN (h // ${1 << (4 * t)}) % 16").mkString(" ")} END AS bh
+            FROM sh, generate_series(0, 3) g(t)),
+          br AS (SELECT doc_id, h, t, bh,
+            row_number() OVER (PARTITION BY t, bh ORDER BY doc_id) AS rn FROM bands)
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.h, y.h)) AS ham
+          FROM br x JOIN br y
+            ON x.t = y.t AND x.bh = y.bh AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY ham, a, b LIMIT 20""",
   )
 }
