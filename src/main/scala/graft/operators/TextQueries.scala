@@ -230,10 +230,13 @@ object TextQueries {
     "t09_fingerprint" -> ((s, d) =>
       sigTable(s, d).select("doc_id", "fp").orderBy("doc_id")),
 
-    // word-bigram frequency profile, top-20
+    // word-bigram frequency profile, top-20. The token array is
+    // materialized behind an exchange first — inlined, the lambda would
+    // re-split the text twice per bigram
     "t10_bigrams" -> ((s, d) =>
-      docs(s, d)
-        .selectExpr("explode(transform(sequence(1, size(split(text, ' ')) - 1), i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))) AS bg")
+      docs(s, d).selectExpr("split(text, ' ') AS toks")
+        .repartition(col("toks"))
+        .selectExpr("explode(transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg")
         .groupBy("bg").agg(expr("CAST(count(*) AS BIGINT)").as("c"))
         .orderBy(col("c").desc, col("bg")).limit(20)),
 

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface (SURVEY §2.13 — new work, absent from the
+  * reference): event-time windowed aggregation with watermarks, and
+  * keyed stateful processing whose merge step reuses the same
+  * associative `combine` shape as the batch reduction engine (the one
+  * reference asset that carries over to streaming — a reduction's
+  * `combine` is a valid `GroupState` merge).
+  *
+  * Scale design: both operators are keyed by (window | user) and run as
+  * ordinary partitioned shuffles with incremental state — no global
+  * ordering anywhere, so a 1000-executor cluster partitions freely.
+  */
+object StreamOps {
+
+  final case class Ev(ts: Timestamp, user: Long, value: Double)
+  final case class UserTotal(user: Long, total: Double, n: Long)
+
+  /** Sliding event-time window counts/sums with a watermark: late rows
+    * beyond the watermark are dropped, windows finalize in append mode. */
+  def slidingStats(ev: Dataset[Ev], win: String = "10 seconds",
+                   slide: String = "5 seconds",
+                   watermark: String = "10 seconds"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .select(col("window.start").as("ws"), col("n"), col("s"))
+
+  /** Keyed running totals via mapGroupsWithState — the streaming analogue
+    * of the batch cumulative reduction: per-key state is the reduction
+    * buffer (total, n), merged exactly like `Aggregator.merge`. */
+  def runningTotals(ev: Dataset[Ev]): Dataset[UserTotal] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user)
+      .mapGroupsWithState[(Double, Long), UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[(Double, Long)]) =>
+          val (t0, n0) = state.getOption.getOrElse((0.0, 0L))
+          var t = t0; var n = n0
+          rows.foreach { e => t += e.value; n += 1 }
+          state.update((t, n))
+          UserTotal(user, math.round(t * 100).toDouble / 100, n)
+      }
+  }
+}

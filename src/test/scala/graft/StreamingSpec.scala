@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(sec: Int) = new Timestamp(sec * 1000L)
+
+  test("watermarked sliding window finalizes closed windows, drops late rows") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Ev]
+    val q = StreamOps.slidingStats(in.toDS())
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    try {
+      in.addData(Ev(ts(1), 1, 10.0), Ev(ts(3), 2, 20.0), Ev(ts(7), 1, 5.0))
+      q.processAllAvailable()
+      // push the watermark far ahead so earlier windows close
+      in.addData(Ev(ts(60), 3, 1.0))
+      q.processAllAvailable()
+      // a very late row: behind the watermark, must be dropped
+      in.addData(Ev(ts(2), 9, 999.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(120), 3, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw")
+        .selectExpr("CAST(ws AS LONG) AS w", "n", "s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // window [0,10) holds all three early events; [5,15) holds the t=7 row
+      assert(rows.contains((0L, 3L, 35.0)), s"got $rows")
+      assert(rows.contains((5L, 1L, 5.0)), s"got $rows")
+      // the late 999.0 row appears nowhere
+      assert(!rows.exists(_._3 == 999.0), s"late row leaked: $rows")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-key running totals across batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Ev]
+    val q = StreamOps.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("rt").outputMode("update").start()
+    try {
+      in.addData(Ev(ts(1), 1, 10.0), Ev(ts(2), 1, 5.0), Ev(ts(3), 2, 7.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(4), 1, 1.5))
+      q.processAllAvailable()
+      val last = spark.table("rt").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3) }
+      assert(last(1L) == ((1L, 16.5, 3L)), s"got $last")
+      assert(last(2L) == ((2L, 7.0, 1L)), s"got $last")
+    } finally q.stop()
+  }
+}
