@@ -79,6 +79,32 @@ object MatrixQueries {
     // chain contraction (A@B)@C — join+agg composes
     "m11_matmul_chain" -> ((s, d) =>
       A.spark(s).matmul(B.spark(s)).matmul(C.spark(s)).elements.orderBy("i", "j")),
+
+    // distributed TSQR (reference linalg/_qr.py:560): RᵀR must equal AᵀA —
+    // the oracle recomputes the gram directly, validating the whole
+    // two-level factorization numerically
+    "l01_tsqr_rtr" -> ((s, d) => {
+      val tallA = Tab(400, 6, "(i*7 + j*13) % 19 + (i % 5) * j")
+      val (_, r) = graft.linalg.TSQR.tsqr(s, tallA.spark(s), blockRows = 64)
+      val k = 6
+      val rows = for (i <- 0 until k; j <- 0 until k) yield {
+        var sum = 0.0
+        for (l <- 0 until k) sum += r(l * k + i) * r(l * k + j)
+        (i.toLong, j.toLong, math.round(sum * 10000).toDouble / 10000)
+      }
+      import s.implicits._
+      rows.toDF("i", "j", "v").orderBy("i", "j")
+    }),
+
+    // singular values via TSQR + Jacobi: sum of squares = squared
+    // Frobenius norm, which the oracle computes directly from A
+    "l02_svd_frobenius" -> ((s, d) => {
+      val tallA = Tab(300, 4, "(i*3 + j*11) % 17")
+      val sv = graft.linalg.TSQR.singularValues(s, tallA.spark(s))
+      import s.implicits._
+      Seq((math.round(math.sqrt(sv.map(x => x * x).sum) * 10000).toDouble / 10000,
+        sv.length.toLong)).toDF("frob", "k")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +149,15 @@ object MatrixQueries {
 
     "m11_matmul_chain" ->
       s"""${duckMatmul(s"(${duckMatmul(A.duck, B.duck)})", C.duck)} ORDER BY i, j""",
+
+    "l01_tsqr_rtr" ->
+      s"""SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 4) AS v
+          FROM ${Tab(400, 6, "(i*7 + j*13) % 19 + (i % 5) * j").duck} a
+          JOIN ${Tab(400, 6, "(i*7 + j*13) % 19 + (i % 5) * j").duck} b ON a.i = b.i
+          GROUP BY 1, 2 ORDER BY i, j""",
+
+    "l02_svd_frobenius" ->
+      s"""SELECT round(sqrt(sum(v * v)), 4) AS frob, CAST(4 AS BIGINT) AS k
+          FROM ${Tab(300, 4, "(i*3 + j*11) % 17").duck}""",
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.linalg.TSQR
+
+class TSQRSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def tall(n: Int, k: Int): DMatrix =
+    DMatrix.tabulate(spark, n, k, s"CAST((i*7 + j*13) % 19 AS DOUBLE) + CAST(i % 5 AS DOUBLE) * j")
+
+  test("localQR: A = QR, Q orthonormal, R upper-triangular") {
+    val m = 50; val k = 6
+    val a = Array.tabulate(m * k)(x => ((x * 37 + 11) % 23).toDouble)
+    val (q, r) = TSQR.localQR(a, m, k)
+    // R upper triangular
+    for (i <- 0 until k; j <- 0 until i)
+      assert(math.abs(r(i * k + j)) < 1e-10, s"R($i,$j) not zero")
+    // QᵀQ = I
+    for (c1 <- 0 until k; c2 <- 0 until k) {
+      var dot = 0.0
+      for (i <- 0 until m) dot += q(i * k + c1) * q(i * k + c2)
+      val want = if (c1 == c2) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-10, s"QtQ($c1,$c2)=$dot")
+    }
+    // A = QR
+    val qr = TSQR.mul(q, r, m, k, k)
+    for (x <- 0 until m * k)
+      assert(math.abs(qr(x) - a(x)) < 1e-9, s"QR mismatch at $x: ${qr(x)} vs ${a(x)}")
+  }
+
+  test("distributed tsqr: A = QR, Q orthonormal, multi-block") {
+    val n = 500; val k = 5
+    val a = tall(n, k)
+    val (q, r) = TSQR.tsqr(spark, a, blockRows = 64) // forces 8 blocks
+    // diag(R) >= 0 (deterministic normalization)
+    for (j <- 0 until k) assert(r(j * k + j) >= 0, s"R diag $j negative")
+    // QᵀQ = I via the distributed gram
+    val qtq = q.gram.elements.collect()
+    qtq.foreach { row =>
+      val (i, j, v) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(v - want) < 1e-8, s"QtQ($i,$j)=$v")
+    }
+    // A = Q·R elementwise
+    val rdf = spark.createDataFrame(
+      for (i <- 0 until k; j <- 0 until k)
+        yield (i.toLong, j.toLong, r(i * k + j))).toDF("i", "j", "v")
+    val qr = q.matmul(new DMatrix(rdf, k, k))
+    val diff = qr.zip(a, "abs(v1 - v2)").agg("max(v)" -> "mx").collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |QR - A| = $diff")
+  }
+
+  test("singular values match a known diagonal case") {
+    // diag-ish: A with orthogonal columns scaled 3 and 4 → sv = {4, 3}
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0L, 0L, 3.0), (1L, 1L, 4.0)).toDF("i", "j", "v")
+    val sv = TSQR.singularValues(spark, new DMatrix(df, 2, 2))
+    assert(math.abs(sv(0) - 4.0) < 1e-10 && math.abs(sv(1) - 3.0) < 1e-10,
+      s"got ${sv.toSeq}")
+  }
+
+  test("frobenius norm equals sqrt(sum sv^2)") {
+    val a = tall(300, 4)
+    val sv = TSQR.singularValues(spark, a)
+    val frobSv = math.sqrt(sv.map(x => x * x).sum)
+    val frobDirect = math.sqrt(
+      a.elements.selectExpr("sum(v * v) AS s").collect()(0).getDouble(0))
+    assert(math.abs(frobSv - frobDirect) < 1e-7, s"$frobSv vs $frobDirect")
+  }
+}
