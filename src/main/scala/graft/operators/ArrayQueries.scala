@@ -203,6 +203,39 @@ object ArrayQueries {
           "round(min(v), 8)" -> "lo",
           "round(max(v), 8)" -> "hi")),
 
+    // covariance / correlation of x with its own 1-step shift (reference
+    // `cov`/`corrcoef`, routines/_statistics.py:27,67)
+    "q39_cov_corr" -> ((s, d) => {
+      val a = events(s, d)
+      val x = a.slice(0, 900).elements.withColumnRenamed("v", "x")
+      val y = a.slice(1, 901).elements.withColumnRenamed("v", "y")
+      x.join(y, "idx")
+        .agg(round(covar_samp(col("x"), col("y")), 4).as("cov"),
+          round(corr(col("x"), col("y")), 6).as("r"))
+    }),
+
+    // weighted average (reference `average`, routines/_statistics.py:158)
+    "q40_weighted_avg" -> ((s, d) => {
+      val x = events(s, d)
+      val w = events(s, d).map("1 + v % 7")
+      x.elements.withColumnRenamed("v", "x")
+        .join(w.elements.withColumnRenamed("v", "w"), "idx")
+        .agg(round(expr("sum(w * x) / sum(w)"), 6).as("wavg"))
+    }),
+
+    // constant-pad both edges (reference `pad`, creation/_pad.py:17):
+    // unions of constant ranges — zero data movement
+    "q41_pad" -> ((s, d) =>
+      (DArray.linspace(s, d, -1, -1, 5) ++ events(s, d).slice(0, 50) ++
+        DArray.linspace(s, d, -1, -1, 5)).elements.orderBy("idx")),
+
+    // tile: whole-array repetition = self-concat (reference `tile`,
+    // creation/_tile.py:10)
+    "q42_tile" -> ((s, d) => {
+      val a = events(s, d).slice(0, 100)
+      (a ++ a).elements.orderBy("idx")
+    }),
+
     // Box-Muller normal from two LCG streams; distribution-level checks
     "q38_random_normal" -> ((s, d) => {
       val u1 = "(((1103515245 * (CAST(v AS BIGINT) + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0"
@@ -391,6 +424,30 @@ object ArrayQueries {
       """SELECT round(avg(u), 6) AS m, round(min(u), 8) AS lo, round(max(u), 8) AS hi
          FROM (SELECT ((1103515245 * (i + 12345) + 12345) % 2147483648) / 2147483648.0 AS u
                FROM range(20000) t(i))""",
+
+    "q39_cov_corr" ->
+      """SELECT round(covar_samp(x, y), 4) AS cov, round(corr(x, y), 6) AS r
+         FROM (SELECT a.value AS x, b.value AS y FROM events a
+               JOIN events b ON b.event_id = a.event_id + 1
+               WHERE a.event_id < 900)""",
+
+    "q40_weighted_avg" ->
+      """SELECT round(sum((1 + value % 7) * value) / sum(1 + value % 7), 6) AS wavg
+         FROM events""",
+
+    "q41_pad" ->
+      """SELECT CAST(i AS BIGINT) AS idx, -1.0 AS v FROM range(5) t(i)
+         UNION ALL
+         SELECT event_id + 5 AS idx, value AS v FROM events WHERE event_id < 50
+         UNION ALL
+         SELECT CAST(55 + i AS BIGINT) AS idx, -1.0 AS v FROM range(5) t(i)
+         ORDER BY idx""",
+
+    "q42_tile" ->
+      """SELECT event_id AS idx, value AS v FROM events WHERE event_id < 100
+         UNION ALL
+         SELECT event_id + 100 AS idx, value AS v FROM events WHERE event_id < 100
+         ORDER BY idx""",
 
     "q38_random_normal" ->
       """SELECT round(avg(z), 3) AS m, round(stddev_samp(z), 3) AS sd FROM (
