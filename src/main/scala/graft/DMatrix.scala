@@ -135,6 +135,74 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * `linalg/_qr.py`, `linalg/_svd.py:19-168`). */
   def gram: DMatrix = t.matmul(this)
 
+  /** Tiled matrix multiply — the BLAS3 scale path (reference blockwise
+    * contraction, `linalg/_tensordot.py:45` with `_sum_wo_cat`): elements
+    * are grouped into dense `tile x tile` blocks, block pairs meet in an
+    * equi-join on the contracted tile index, each pair runs an in-core
+    * row-major GEMM, and partial tiles sum by output coordinate. Per-row
+    * work is O(tile) multiplies instead of the element-join's O(1)-per-
+    * intermediate-row explosion: at equal FLOPs the shuffle volume drops
+    * by a factor of `tile`. Zero-absent semantics match [[matmul]] (absent
+    * cells are zeros). */
+  def matmulTiled(o: DMatrix, tile: Int = 512): DMatrix = {
+    require(cols == o.rows, s"matmul shape mismatch: $rows x $cols @ ${o.rows} x ${o.cols}")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val tL = tile.toLong
+
+    def tiles(m: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Array[Double])] =
+      m.selectExpr(s"i DIV $tL AS bi", s"j DIV $tL AS bj",
+          s"i % $tL AS ti", s"j % $tL AS tj", "v")
+        .groupBy("bi", "bj")
+        .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+        .as[(Long, Long, Array[(Long, Long, Double)])]
+        .map { case (bi, bj, cells) =>
+          val a = new Array[Double](tile * tile)
+          cells.foreach { case (ti, tj, v) => a(ti.toInt * tile + tj.toInt) = v }
+          (bi, bj, a)
+        }
+
+    val at = tiles(df).toDF("bi", "bk", "a")
+    val bt = tiles(o.df).toDF("bk", "bj", "b")
+    val partial = at.join(bt, "bk")
+      .as[(Long, Long, Array[Double], Long, Array[Double])]
+      .map { case (_, bi, a, bj, b) =>
+        // in-core GEMM on the dense tiles
+        val c = new Array[Double](tile * tile)
+        var i = 0
+        while (i < tile) {
+          var l = 0
+          while (l < tile) {
+            val av = a(i * tile + l)
+            if (av != 0.0) {
+              var j = 0
+              while (j < tile) { c(i * tile + j) += av * b(l * tile + j); j += 1 }
+            }
+            l += 1
+          }
+          i += 1
+        }
+        (bi, bj, c)
+      }.toDF("bi", "bj", "c")
+
+    // sum partial tiles, then re-emit non-zero elements
+    val out = partial.groupBy("bi", "bj")
+      .agg(expr("aggregate(collect_list(c), " +
+        s"array_repeat(CAST(0 AS DOUBLE), ${tile * tile}), " +
+        "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))").as("c"))
+      .as[(Long, Long, Array[Double])]
+      .flatMap { case (bi, bj, c) =>
+        for {
+          ti <- (0 until tile).iterator
+          tj <- (0 until tile).iterator
+          if c(ti * tile + tj) != 0.0
+        } yield (bi * tL + ti, bj * tL + tj, c(ti * tile + tj))
+      }.toDF("i", "j", "v")
+      .where(col("i") < rows && col("j") < o.cols)
+
+    new DMatrix(out, rows, o.cols)
+  }
+
   def elements: DataFrame = df
 }
 

@@ -80,6 +80,24 @@ object MatrixQueries {
     "m11_matmul_chain" -> ((s, d) =>
       A.spark(s).matmul(B.spark(s)).matmul(C.spark(s)).elements.orderBy("i", "j")),
 
+    // tiled BLAS3 matmul (same oracle as the element plan — the physical
+    // strategy differs, the algebra doesn't)
+    "m12_matmul_tiled" -> ((s, d) =>
+      A.spark(s).matmulTiled(B.spark(s), tile = 16).elements
+        .where("v <> 0").orderBy("i", "j")),
+
+    // einsum notation lowering to the same join+agg plans
+    "m13_einsum_matmul" -> ((s, d) =>
+      graft.Einsum("ij,jk->ik", A.spark(s), B.spark(s))
+        .withColumnRenamed("k", "j").orderBy("i", "j")),
+
+    "m14_einsum_trace" -> ((s, d) =>
+      graft.Einsum("ii->", Tab(50, 50, "(i*2 + j*5) % 9").spark(s))
+        .withColumnRenamed("v", "trace")),
+
+    "m15_einsum_dot" -> ((s, d) =>
+      graft.Einsum("ij,ij->", Sq.spark(s), Sq.spark(s))),
+
     // distributed TSQR (reference linalg/_qr.py:560): RᵀR must equal AᵀA —
     // the oracle recomputes the gram directly, validating the whole
     // two-level factorization numerically
@@ -149,6 +167,18 @@ object MatrixQueries {
 
     "m11_matmul_chain" ->
       s"""${duckMatmul(s"(${duckMatmul(A.duck, B.duck)})", C.duck)} ORDER BY i, j""",
+
+    "m12_matmul_tiled" ->
+      s"""SELECT * FROM (${duckMatmul(A.duck, B.duck)}) WHERE v <> 0 ORDER BY i, j""",
+
+    "m13_einsum_matmul" -> s"${duckMatmul(A.duck, B.duck)} ORDER BY i, j",
+
+    "m14_einsum_trace" ->
+      s"""SELECT sum(v) AS trace FROM ${Tab(50, 50, "(i*2 + j*5) % 9").duck} WHERE i = j""",
+
+    "m15_einsum_dot" ->
+      s"""SELECT sum(a.v * b.v) AS v FROM ${Sq.duck} a
+          JOIN ${Sq.duck} b ON a.i = b.i AND a.j = b.j""",
 
     "l01_tsqr_rtr" ->
       s"""SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 4) AS v

@@ -60,6 +60,15 @@ class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("tiled matmul matches element matmul, including non-tile-aligned shapes") {
+    val a = DMatrix.tabulate(spark, 45, 37, "(i * 7 + j * 3) % 11")
+    val b = DMatrix.tabulate(spark, 37, 29, "(i * 5 + j * 2) % 13")
+    // tiled emits only non-zero cells; align by filtering both sides
+    val want = a.matmul(b).elements.where("v <> 0").orderBy("i", "j").collect().toSeq
+    val got = a.matmulTiled(b, tile = 16).elements.where("v <> 0").orderBy("i", "j").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("reshape round-trips through ravel") {
     val a = DMatrix.tabulate(spark, 6, 8, "i * 8 + j")
     val r = a.reshape(8, 6).reshape(6, 8)
