@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property-based fuzzing of random operator chains against an in-process
+  * Scala oracle — the port of the reference's hypothesis suite
+  * (`tests/test_fuzz_optimize.py`): arange-based distinct values so index
+  * bugs change results; checks value parity, shape preservation, optimizer
+  * convergence, and content-addressed name stability. */
+class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- op model ------------------------------------------------------------
+  sealed trait Op
+  case class MapAffine(a: Int, b: Int) extends Op
+  case class Slice(loFrac: Double, hiFrac: Double) extends Op
+  case object Flip extends Op
+  case class Roll(s: Int) extends Op
+  case class Repeat(k: Int) extends Op
+  case class Diff(n: Int) extends Op
+
+  private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
+    case MapAffine(a, b) => v.map(x => x * a + b)
+    case Slice(lf, hf) =>
+      val lo = (lf * v.length).toInt
+      val hi = math.max(lo, (hf * v.length).toInt)
+      v.slice(lo, hi)
+    case Flip => v.reverse
+    case Roll(s) =>
+      val n = v.length
+      if (n == 0) v else Vector.tabulate(n)(j => v((((j - s) % n) + n) % n))
+    case Repeat(k) => v.flatMap(x => Vector.fill(k)(x))
+    case Diff(n) =>
+      if (v.length <= n) Vector.empty
+      else (n until v.length).map(i => v(i) - v(i - n)).toVector
+  }
+
+  private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
+    case MapAffine(a, b) => d.map(s"v * $a + $b")
+    case Slice(lf, hf) =>
+      val lo = (lf * len).toInt
+      val hi = math.max(lo, (hf * len).toInt)
+      d.slice(lo, hi)
+    case Flip      => d.flip
+    case Roll(s)   => d.roll(s)
+    case Repeat(k) => d.repeatEach(k)
+    case Diff(n)   => d.diff(n)
+  }
+
+  private val genOp: Gen[Op] = Gen.oneOf(
+    for { a <- Gen.choose(-3, 3); b <- Gen.choose(-5, 5) } yield MapAffine(a, b),
+    for { l <- Gen.choose(0.0, 0.6); h <- Gen.choose(0.4, 1.0) } yield Slice(l, h),
+    Gen.const(Flip),
+    Gen.choose(1, 7).map(Roll(_)),
+    Gen.choose(2, 3).map(Repeat(_)),
+    Gen.choose(1, 2).map(Diff(_)))
+
+  private val genCase: Gen[(Int, List[Op])] = for {
+    n <- Gen.choose(5, 40)
+    ops <- Gen.listOfN(4, genOp)
+  } yield (n, ops)
+
+  test("random op chains match the local oracle; optimizer is convergent and name-stable") {
+    val prop = Prop.forAll(genCase) { case (n, ops) =>
+      def build(): (DArray, Vector[Double]) =
+        ops.foldLeft((DArray.arange(spark, "/unused", 0, n, 1),
+            Vector.tabulate(n)(_.toDouble))) { case ((d, v), op) =>
+          (applyEngine(d, op, v.length), applyLocal(v, op))
+        }
+      val (d1, expect) = build()
+      val (d2, _) = build()
+
+      // content-addressed determinism (reference .ai-docs/testing.md)
+      val nameStable = d1.exprTree.name == d2.exprTree.name &&
+        d1.optimized.name == d2.optimized.name
+      // optimizer convergence: simplify(simplify(x)) == simplify(x)
+      val converged = graft.expr.Simplify(d1.optimized).name == d1.optimized.name
+
+      val got = d1.elements.orderBy("idx").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val gotDense = got.map(_._2).toVector
+      val idxDense = got.map(_._1).toVector == Vector.tabulate(got.length)(_.toLong)
+      val valsMatch = gotDense.length == expect.length &&
+        gotDense.zip(expect).forall { case (a, b) => math.abs(a - b) <= 1e-9 }
+
+      if (!(nameStable && converged && idxDense && valsMatch))
+        println(s"FUZZ FAIL n=$n ops=$ops\n got=$gotDense\n want=$expect " +
+          s"nameStable=$nameStable converged=$converged idxDense=$idxDense")
+      nameStable && converged && idxDense && valsMatch
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40).withWorkers(1), prop)
+    assert(res.passed, s"scalacheck: $res")
+  }
+}
