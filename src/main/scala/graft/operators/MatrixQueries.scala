@@ -98,6 +98,39 @@ object MatrixQueries {
     "m15_einsum_dot" -> ((s, d) =>
       graft.Einsum("ij,ij->", Sq.spark(s), Sq.spark(s))),
 
+    // real-input DFT over a single-chunk axis (reference fft.py:119 —
+    // FFT only along axes with one chunk, i.e. rechunk-to-one first; here
+    // the 64-point transform is a cos/sin matmul, complex-as-two-columns)
+    "f01_dft" -> ((s, d) => {
+      val n = 64
+      val x = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS j", "value AS x").where(s"j < $n")
+      val basis = s.range(n.toLong * n).selectExpr(
+        s"id DIV $n AS k", s"id % $n AS j",
+        s"cos(-2 * pi() * (id DIV $n) * (id % $n) / $n) AS c",
+        s"sin(-2 * pi() * (id DIV $n) * (id % $n) / $n) AS sn")
+      basis.join(broadcast(x), "j")
+        .groupBy("k")
+        .agg(round(sum(expr("x * c")), 2).as("re"),
+          round(sum(expr("x * sn")), 2).as("im"))
+        .orderBy("k")
+    }),
+
+    // 2-d stencil via neighbor join — map_overlap in two dimensions
+    // (reference `map_overlap`, _overlap.py:143): each cell averages its
+    // available 3x3 neighborhood; the 9-way shift-union is the halo
+    // exchange, partial agg sums it map-side
+    "m16_stencil_mean" -> ((s, d) => {
+      val a = Tab(40, 40, "(i*3 + j*7) % 15").spark(s)
+      val shifted = a.elements.selectExpr(
+        "explode(transform(sequence(0, 8), o -> struct(i + o DIV 3 - 1 AS i, j + o % 3 - 1 AS j))) AS tgt", "v")
+        .selectExpr("tgt.i AS i", "tgt.j AS j", "v")
+        .where("i >= 0 AND i < 40 AND j >= 0 AND j < 40")
+      shifted.groupBy("i", "j")
+        .agg((sum("v") / count(lit(1))).as("v"))
+        .orderBy("i", "j")
+    }),
+
     // distributed TSQR (reference linalg/_qr.py:560): RᵀR must equal AᵀA —
     // the oracle recomputes the gram directly, validating the whole
     // two-level factorization numerically
@@ -167,6 +200,20 @@ object MatrixQueries {
 
     "m11_matmul_chain" ->
       s"""${duckMatmul(s"(${duckMatmul(A.duck, B.duck)})", C.duck)} ORDER BY i, j""",
+
+    "f01_dft" ->
+      """SELECT k, round(sum(x * cos(-2 * pi() * k * j / 64)), 2) AS re,
+         round(sum(x * sin(-2 * pi() * k * j / 64)), 2) AS im
+         FROM (SELECT event_id AS j, value AS x FROM events WHERE event_id < 64),
+              range(64) t(k)
+         GROUP BY k ORDER BY k""",
+
+    "m16_stencil_mean" ->
+      s"""SELECT a.i AS i, a.j AS j, sum(b.v) / count(*) AS v
+          FROM ${Tab(40, 40, "(i*3 + j*7) % 15").duck} a
+          JOIN ${Tab(40, 40, "(i*3 + j*7) % 15").duck} b
+            ON b.i BETWEEN a.i - 1 AND a.i + 1 AND b.j BETWEEN a.j - 1 AND a.j + 1
+          GROUP BY 1, 2 ORDER BY i, j""",
 
     "m12_matmul_tiled" ->
       s"""SELECT * FROM (${duckMatmul(A.duck, B.duck)}) WHERE v <> 0 ORDER BY i, j""",
