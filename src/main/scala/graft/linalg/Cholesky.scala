@@ -1,0 +1,165 @@
+package graft.linalg
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.DMatrix
+
+/** Blocked Cholesky factorization A = L·Lᵀ (reference
+  * `dask_array/linalg/_cholesky.py:27` — recursive blocked algorithm with
+  * driver-coordinated stages; here the right-looking panel variant):
+  *
+  * per block-column k — (1) the diagonal tile is factored in-core on the
+  * driver, (2) the panel below it is collected (O(nb·T²) transient driver
+  * bytes — one block column, the same bound the reference's sequential
+  * recurrence accepts), solved against Lkkᵀ in-core, and re-distributed,
+  * (3) the trailing submatrix update A[i,j] -= L[i,k]·L[j,k]ᵀ runs
+  * DISTRIBUTED as a broadcast-map over the remaining tiles. The data-sized
+  * work (trailing updates, O(n³) total FLOPs) never leaves the cluster;
+  * only panels stream through the driver.
+  */
+object Cholesky {
+
+  /** In-core lower Cholesky of row-major SPD `a` (t×t). */
+  def localChol(a: Array[Double], t: Int): Array[Double] = {
+    val l = new Array[Double](t * t)
+    var j = 0
+    while (j < t) {
+      var d = a(j * t + j)
+      var k = 0
+      while (k < j) { d -= l(j * t + k) * l(j * t + k); k += 1 }
+      require(d > 0, s"matrix not positive definite at block row $j (d=$d)")
+      val ljj = math.sqrt(d)
+      l(j * t + j) = ljj
+      var i = j + 1
+      while (i < t) {
+        var s = a(i * t + j)
+        k = 0
+        while (k < j) { s -= l(i * t + k) * l(j * t + k); k += 1 }
+        l(i * t + j) = s / ljj
+        i += 1
+      }
+      j += 1
+    }
+    l
+  }
+
+  /** Solve X·Lᵀ = B in-core (B t×t row-major, L lower-triangular t×t):
+    * forward substitution per row of B. */
+  def localSolveXLt(b: Array[Double], l: Array[Double], t: Int): Array[Double] = {
+    val x = new Array[Double](t * t)
+    var i = 0
+    while (i < t) {
+      var j = 0
+      while (j < t) {
+        var s = b(i * t + j)
+        var k = 0
+        while (k < j) { s -= x(i * t + k) * l(j * t + k); k += 1 }
+        x(i * t + j) = s / l(j * t + j)
+        j += 1
+      }
+      i += 1
+    }
+    x
+  }
+
+  /** c -= a · bᵀ for t×t row-major tiles. */
+  private def subMulT(c: Array[Double], a: Array[Double], b: Array[Double], t: Int): Unit = {
+    var i = 0
+    while (i < t) {
+      var j = 0
+      while (j < t) {
+        var s = 0.0
+        var k = 0
+        while (k < t) { s += a(i * t + k) * b(j * t + k); k += 1 }
+        c(i * t + j) -= s
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Distributed blocked Cholesky. `a` must be symmetric positive definite;
+    * only the lower triangle is read. Returns lower-triangular L. */
+  def cholesky(s: SparkSession, a: DMatrix, tile: Int = 512): DMatrix = {
+    require(a.rows == a.cols, "cholesky needs a square matrix")
+    import s.implicits._
+    val n = a.rows
+    val t = tile
+    val tL = t.toLong
+    val nb = ((n + t - 1) / t).toInt
+
+    // lower-triangle tiles, densified; padded diagonal cells get 1.0 so
+    // partial edge tiles stay positive definite
+    var cur = a.df.where(col("i") >= col("j"))
+      .selectExpr(s"i DIV $tL AS bi", s"j DIV $tL AS bj",
+        s"i % $tL AS ti", s"j % $tL AS tj", "v")
+      .groupBy("bi", "bj")
+      .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+      .as[(Long, Long, Array[(Long, Long, Double)])]
+      .map { case (bi, bj, cells) =>
+        val arr = new Array[Double](t * t)
+        if (bi == bj) {
+          var d = 0
+          while (d < t) {
+            if (bi * tL + d >= n) arr(d * t + d) = 1.0
+            d += 1
+          }
+        }
+        cells.foreach { case (ti, tj, v) => arr(ti.toInt * t + tj.toInt) = v }
+        (bi, bj, arr)
+      }.persist()
+    cur.count()
+
+    val lPanels = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+
+    var k = 0
+    while (k < nb) {
+      // (1)+(2) collect block column k, factor in-core
+      val panel = cur.filter(r => r._2 == k).collect().sortBy(_._1)
+      val akk = panel.find(_._1 == k).get._3
+      val lkk = localChol(akk, t)
+      val lPanel: Map[Long, Array[Double]] =
+        panel.map { case (bi, _, arr) =>
+          bi -> (if (bi == k) lkk else localSolveXLt(arr, lkk, t))
+        }.toMap
+
+      // emit this panel of L as distributed elements (lower triangle only)
+      val kk = k
+      val rows = lPanel.toSeq.flatMap { case (bi, arr) =>
+        for {
+          ti <- 0 until t
+          tj <- 0 until t
+          i = bi * tL + ti
+          j = kk * tL + tj
+          if i < n && j < n && i >= j && arr(ti * t + tj) != 0.0
+        } yield (i, j, arr(ti * t + tj))
+      }
+      lPanels += s.createDataFrame(rows).toDF("i", "j", "v")
+
+      // (3) distributed trailing update on tiles with bj > k
+      if (k < nb - 1) {
+        val bc = s.sparkContext.broadcast(lPanel)
+        val next = cur.filter(r => r._2 > kk)
+          .map { case (bi, bj, arr) =>
+            val p = bc.value
+            val out = arr.clone()
+            (p.get(bi), p.get(bj)) match {
+              case (Some(lik), Some(ljk)) => subMulT(out, lik, ljk, t)
+              case _                      =>
+            }
+            (bi, bj, out)
+          }.persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+      k += 1
+    }
+
+    val lDF = lPanels.reduce(_ unionByName _)
+    new DMatrix(lDF, n, n)
+  }
+}

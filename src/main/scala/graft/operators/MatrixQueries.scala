@@ -147,6 +147,20 @@ object MatrixQueries {
       rows.toDF("i", "j", "v").orderBy("i", "j")
     }),
 
+    // blocked Cholesky (reference linalg/_cholesky.py:27): LLᵀ=A implies
+    // ‖L‖²_F = trace(A); the oracle computes trace(A) straight from A's
+    // construction, independently validating the factorization
+    "l03_cholesky_trace" -> ((s, d) => {
+      val n = 64
+      val m = DMatrix.tabulate(s, n, n, "((i*7 + j*13) % 19) - 9")
+      val g = m.matmul(m.t).map(s"v / 100")
+      val a = new graft.DMatrix(
+        g.elements.unionByName(DMatrix.eye(s, n).map(s"v * $n").elements)
+          .groupBy("i", "j").agg(sum("v").as("v")), n, n)
+      val l = graft.linalg.Cholesky.cholesky(s, a, tile = 16)
+      l.elements.agg(round(sum(expr("v * v")), 4).as("frob2"))
+    }),
+
     // singular values via TSQR + Jacobi: sum of squares = squared
     // Frobenius norm, which the oracle computes directly from A
     "l02_svd_frobenius" -> ((s, d) => {
@@ -236,5 +250,9 @@ object MatrixQueries {
     "l02_svd_frobenius" ->
       s"""SELECT round(sqrt(sum(v * v)), 4) AS frob, CAST(4 AS BIGINT) AS k
           FROM ${Tab(300, 4, "(i*3 + j*11) % 17").duck}""",
+
+    "l03_cholesky_trace" ->
+      s"""SELECT round(sum(v * v) / 100 + 64 * 64, 4) AS frob2
+          FROM ${Tab(64, 64, "((i*7 + j*13) % 19) - 9").duck}""",
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.linalg.Cholesky
+
+class CholeskySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  /** SPD test matrix: A = (M·Mᵀ)/100 + n·I, built distributedly. */
+  private def spd(n: Int): DMatrix = {
+    val m = DMatrix.tabulate(spark, n, n, "((i*7 + j*13) % 19) - 9")
+    val g = m.matmul(m.t).map(s"v / 100")
+    val withDiag = g.elements.unionByName(
+      DMatrix.eye(spark, n).map(s"v * $n").elements)
+      .groupBy("i", "j").agg(sum("v").as("v"))
+    new DMatrix(withDiag, n, n)
+  }
+
+  test("in-core chol: L·Lᵀ = A on a small SPD matrix") {
+    val t = 8
+    val a = new Array[Double](t * t)
+    for (i <- 0 until t; j <- 0 until t) {
+      var s = 0.0
+      for (k <- 0 until t) s += ((i * 3 + k) % 7) * ((j * 3 + k) % 7)
+      a(i * t + j) = s / 10.0 + (if (i == j) t else 0.0)
+    }
+    val l = Cholesky.localChol(a, t)
+    for (i <- 0 until t; j <- 0 until t) {
+      var s = 0.0
+      for (k <- 0 until t) s += l(i * t + k) * l(j * t + k)
+      assert(math.abs(s - a(i * t + j)) < 1e-9, s"LLt($i,$j)")
+    }
+  }
+
+  test("distributed blocked cholesky: L·Lᵀ = A across multiple tiles") {
+    val n = 96
+    val a = spd(n)
+    val l = Cholesky.cholesky(spark, a, tile = 32) // 3x3 tile grid
+    // L is lower triangular
+    assert(l.elements.where("j > i").count() == 0)
+    // L·Lᵀ = A elementwise (compare only lower triangle; A is symmetric)
+    val llt = l.matmul(l.t)
+    val diff = llt.elements.where("i >= j").withColumnRenamed("v", "x")
+      .join(a.elements.where("i >= j").withColumnRenamed("v", "y"), Seq("i", "j"), "full")
+      .selectExpr("abs(coalesce(x, 0) - coalesce(y, 0)) AS d")
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |LLt - A| = $diff")
+  }
+
+  test("non-tile-aligned size works (padded edge tiles)") {
+    val n = 45
+    val a = spd(n)
+    val l = Cholesky.cholesky(spark, a, tile = 16)
+    val llt = l.matmul(l.t)
+    val diff = llt.elements.where("i >= j").withColumnRenamed("v", "x")
+      .join(a.elements.where("i >= j").withColumnRenamed("v", "y"), Seq("i", "j"), "full")
+      .selectExpr("abs(coalesce(x, 0) - coalesce(y, 0)) AS d")
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |LLt - A| = $diff")
+  }
+}
