@@ -162,4 +162,74 @@ object Cholesky {
     val lDF = lPanels.reduce(_ unionByName _)
     new DMatrix(lDF, n, n)
   }
+
+  /** Solve L·y = b for lower-triangular L (reference `solve_triangular`,
+    * `dask_array/linalg/_solve.py:20`): block forward substitution — a
+    * driver loop over block rows; each step is one distributed gather of
+    * the O(T) solution slice plus local substitution. Returns the dense
+    * solution vector (driver-side, O(n) — the right-hand-side bound). */
+  def solveLower(s: SparkSession, l: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
+    require(l.rows == l.cols && b.length == l.rows, "shape mismatch")
+    val n = l.rows.toInt
+    val t = tile
+    val nb = (n + t - 1) / t
+    val y = b.clone()
+    // collect L block-row by block-row: O(row panel) driver bytes per step
+    var k = 0
+    while (k < nb) {
+      val r0 = k * t
+      val r1 = math.min(r0 + t, n)
+      val rows = l.df
+        .where(col("i") >= r0 && col("i") < r1 && col("j") < r1)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+      val cells = rows.groupBy(_._1)
+      var i = r0
+      while (i < r1) {
+        var s0 = y(i)
+        var dii = 0.0
+        cells.getOrElse(i, Array.empty).foreach { case (_, j, v) =>
+          if (j < i) s0 -= v * y(j) else if (j == i) dii = v
+        }
+        require(dii != 0.0, s"zero diagonal at $i")
+        y(i) = s0 / dii
+        i += 1
+      }
+      k += 1
+    }
+    y
+  }
+
+  /** Solve A·x = b for SPD A via Cholesky + two triangular solves
+    * (reference `solve`, `linalg/_solve.py:163`). */
+  def solveSPD(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
+    val l = cholesky(s, a, tile)
+    val y = solveLower(s, l, b, tile)
+    // backward solve Lᵀ x = y  ≡  forward solve on the transpose
+    val n = l.rows.toInt
+    val x = y.clone()
+    val lt = l.t
+    val t = tile
+    val nb = (n + t - 1) / t
+    var k = nb - 1
+    while (k >= 0) {
+      val r0 = k * t
+      val r1 = math.min(r0 + t, n)
+      val rows = lt.df
+        .where(col("i") >= r0 && col("i") < r1 && col("j") >= r0)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+      val cells = rows.groupBy(_._1)
+      var i = r1 - 1
+      while (i >= r0) {
+        var s0 = x(i)
+        var dii = 0.0
+        cells.getOrElse(i, Array.empty).foreach { case (_, j, v) =>
+          if (j > i) s0 -= v * x(j) else if (j == i) dii = v
+        }
+        x(i) = s0 / dii
+        i -= 1
+      }
+      k -= 1
+    }
+    x
+  }
 }

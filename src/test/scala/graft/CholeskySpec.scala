@@ -62,6 +62,23 @@ class CholeskySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff < 1e-8, s"max |LLt - A| = $diff")
   }
 
+  test("solveSPD: A·x = b round-trips") {
+    val n = 48
+    val a = spd(n)
+    val b = Array.tabulate(n)(i => ((i * 5) % 11).toDouble - 3)
+    val x = Cholesky.solveSPD(spark, a, b, tile = 16)
+    // check A·x = b by distributed mat-vec
+    val sp = spark
+    import sp.implicits._
+    val xdf = x.zipWithIndex.toSeq.map { case (v, j) => (j.toLong, v) }.toDF("j", "xv")
+    val ax = a.elements.join(broadcast(xdf), "j")
+      .groupBy("i").agg(sum(expr("v * xv")).as("axv"))
+      .collect().map(r => (r.getLong(0).toInt, r.getDouble(1)))
+    ax.foreach { case (i, v) =>
+      assert(math.abs(v - b(i)) < 1e-7, s"Ax($i)=$v vs b=${b(i)}")
+    }
+  }
+
   test("non-tile-aligned size works (padded edge tiles)") {
     val n = 45
     val a = spd(n)
