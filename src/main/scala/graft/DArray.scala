@@ -83,6 +83,17 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def sum(alias: String = "sum"): DataFrame  = reduce(s"sum(v)" -> alias)
   def mean(alias: String = "mean"): DataFrame = reduce(s"avg(v)" -> alias)
 
+  /** Positional gather (reference `take`,
+    * `dask_array/slicing/_basic.py:303`): output position p holds
+    * `x[indices[p]]` — an equi-join of the data against the (broadcast)
+    * index table, the reference's shuffle path for disordered indices. */
+  def take(indices: DArray): DataFrame =
+    elements.join(
+      broadcast(indices.elements
+        .select(col("idx").as("p"), col("v").cast("long").as("src"))),
+      col("idx") === col("src"))
+      .select(col("p").as("idx"), col("v"))
+
   /** Membership against a test set (reference `isin`,
     * `dask_array/routines/_search.py:101`): the reference broadcasts the
     * aggregated test set to every block; here it is a broadcast LEFT SEMI

@@ -236,6 +236,30 @@ object ArrayQueries {
       (a ++ a).elements.orderBy("idx")
     }),
 
+    // positional gather: x[[300, 297, 294, ...]] (reference `take`)
+    "q43_take" -> ((s, d) =>
+      events(s, d).take(
+        DArray.arange(s, d, 300, 0, -3).flip // 300, 297, ..., 3 reversed → ascending order trick
+      ).orderBy("idx")),
+
+    // set ops on element tables: intersect / except (reference union1d
+    // family; INTERSECT/EXCEPT are free on the element table)
+    "q44_set_ops" -> ((s, d) => {
+      val a = events(s, d).map("floor(v / 10)").uniqueValues
+      val b = DArray.arange(s, d, 0, 30, 1).uniqueValues
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(b.exceptAll(a).withColumn("op", lit("only_b")))
+        .orderBy("op", "v")
+    }),
+
+    // any / all as bool_or / bool_and (reference `any`/`all`,
+    // reductions/_common.py:141)
+    "q45_any_all" -> ((s, d) =>
+      events(s, d).reduce(
+        "bool_or(v > 400)" -> "any_gt400",
+        "bool_and(v >= 0)" -> "all_nonneg",
+        "bool_or(v > 10000)" -> "any_gt10k")),
+
     // Box-Muller normal from two LCG streams; distribution-level checks
     "q38_random_normal" -> ((s, d) => {
       val u1 = "(((1103515245 * (CAST(v AS BIGINT) + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0"
@@ -448,6 +472,25 @@ object ArrayQueries {
          UNION ALL
          SELECT event_id + 100 AS idx, value AS v FROM events WHERE event_id < 100
          ORDER BY idx""",
+
+    "q43_take" ->
+      """SELECT t.i AS idx, e.value AS v FROM range(100) t(i)
+         JOIN events e ON e.event_id = 3 + t.i * 3 ORDER BY idx""",
+
+    "q44_set_ops" ->
+      """SELECT v, 'both' AS op FROM (
+           SELECT DISTINCT floor(value / 10) AS v FROM events
+           INTERSECT SELECT CAST(i AS DOUBLE) AS v FROM range(30) t(i))
+         UNION ALL
+         SELECT v, 'only_b' AS op FROM (
+           SELECT CAST(i AS DOUBLE) AS v FROM range(30) t(i)
+           EXCEPT SELECT DISTINCT floor(value / 10) AS v FROM events)
+         ORDER BY op, v""",
+
+    "q45_any_all" ->
+      """SELECT bool_or(value > 400) AS any_gt400,
+         bool_and(value >= 0) AS all_nonneg,
+         bool_or(value > 10000) AS any_gt10k FROM events""",
 
     "q38_random_normal" ->
       """SELECT round(avg(z), 3) AS m, round(stddev_samp(z), 3) AS sd FROM (
