@@ -242,6 +242,33 @@ object TSQR {
     (new DMatrix(qDF, n, k), rFinal)
   }
 
+  /** Least squares min ‖Ax − b‖ via TSQR (reference `lstsq`,
+    * `dask_array/linalg/_solve.py:305` — QR-based): x = R⁻¹·(Qᵀb). Qᵀb is
+    * one distributed mat-vec (broadcast b); the k×k back-substitution runs
+    * on the driver. */
+  def lstsq(s: SparkSession, mat: DMatrix, b: Array[Double]): Array[Double] = {
+    require(b.length == mat.rows, "rhs length must match rows")
+    val k = mat.cols.toInt
+    val (q, r) = tsqr(s, mat)
+    import s.implicits._
+    val bdf = b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("i", "bv")
+    val qtb = new Array[Double](k)
+    q.elements.join(broadcast(bdf), "i")
+      .groupBy("j").agg(sum(expr("v * bv")).as("s"))
+      .collect().foreach(row => qtb(row.getLong(0).toInt) = row.getDouble(1))
+    // back-substitute R x = Qᵀb
+    val x = new Array[Double](k)
+    var i = k - 1
+    while (i >= 0) {
+      var acc = qtb(i)
+      var j = i + 1
+      while (j < k) { acc -= r(i * k + j) * x(j); j += 1 }
+      x(i) = acc / r(i * k + i)
+      i -= 1
+    }
+    x
+  }
+
   /** Singular values via TSQR: sv(A) = sv(R) = sqrt(eig(RᵀR)) (reference
     * `linalg/_svd.py:170` builds SVD from the same TSQR pieces). */
   def singularValues(s: SparkSession, mat: DMatrix): Array[Double] = {

@@ -75,6 +75,21 @@ class TSQRSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got ${sv.toSeq}")
   }
 
+  test("lstsq recovers planted coefficients on a consistent system") {
+    // b = A·x0 exactly → lstsq must return x0
+    val n = 200; val k = 4
+    val a = tall(n, k)
+    val x0 = Array(2.0, -1.5, 0.5, 3.0)
+    val cells = a.elements.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val b = new Array[Double](n)
+    cells.foreach { case (i, j, v) => b(i) += v * x0(j) }
+    val x = graft.linalg.TSQR.lstsq(spark, a, b)
+    x0.indices.foreach { j =>
+      assert(math.abs(x(j) - x0(j)) < 1e-8, s"x($j)=${x(j)} vs ${x0(j)}")
+    }
+  }
+
   test("frobenius norm equals sqrt(sum sv^2)") {
     val a = tall(300, 4)
     val sv = TSQR.singularValues(spark, a)
