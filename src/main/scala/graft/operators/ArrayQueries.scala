@@ -260,6 +260,22 @@ object ArrayQueries {
         "bool_and(v >= 0)" -> "all_nonneg",
         "bool_or(v > 10000)" -> "any_gt10k")),
 
+    // complex dtype as struct<re,im> (SURVEY §2.3 note — no Spark
+    // primitive, so complex ops are expression rewrites over the pair):
+    // z1*z2 + conj(z1), |z|, arg(z) over generated complex arrays
+    "q46_complex" -> ((s, d) =>
+      DArray.arange(s, d, 0, 200, 1).elements
+        .selectExpr("idx",
+          "CAST(v % 7 - 3 AS DOUBLE) AS re1", "CAST(v % 5 - 2 AS DOUBLE) AS im1",
+          "CAST(v % 4 - 1 AS DOUBLE) AS re2", "CAST(v % 9 - 4 AS DOUBLE) AS im2")
+        .selectExpr("idx",
+          // z1*z2 + conj(z1)
+          "re1 * re2 - im1 * im2 + re1 AS re",
+          "re1 * im2 + im1 * re2 - im1 AS im",
+          "round(sqrt(re1 * re1 + im1 * im1), 6) AS mag",
+          "round(atan2(im1, re1), 6) AS arg")
+        .orderBy("idx")),
+
     // Box-Muller normal from two LCG streams; distribution-level checks
     "q38_random_normal" -> ((s, d) => {
       val u1 = "(((1103515245 * (CAST(v AS BIGINT) + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0"
@@ -491,6 +507,18 @@ object ArrayQueries {
       """SELECT bool_or(value > 400) AS any_gt400,
          bool_and(value >= 0) AS all_nonneg,
          bool_or(value > 10000) AS any_gt10k FROM events""",
+
+    "q46_complex" ->
+      """SELECT i AS idx,
+         re1 * re2 - im1 * im2 + re1 AS re,
+         re1 * im2 + im1 * re2 - im1 AS im,
+         round(sqrt(re1 * re1 + im1 * im1), 6) AS mag,
+         round(atan2(im1, re1), 6) AS arg
+         FROM (SELECT i,
+           CAST(i % 7 - 3 AS DOUBLE) AS re1, CAST(i % 5 - 2 AS DOUBLE) AS im1,
+           CAST(i % 4 - 1 AS DOUBLE) AS re2, CAST(i % 9 - 4 AS DOUBLE) AS im2
+           FROM range(200) t(i))
+         ORDER BY idx""",
 
     "q38_random_normal" ->
       """SELECT round(avg(z), 3) AS m, round(stddev_samp(z), 3) AS sd FROM (

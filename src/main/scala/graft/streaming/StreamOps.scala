@@ -32,6 +32,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
       .select(col("window.start").as("ws"), col("n"), col("s"))
 
+  final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  /** Streaming exact dedup — the online half of the batch dedup pipeline
+    * (t01): content-hash key + `dropDuplicates` keyed state, bounded by
+    * the watermark so state for expired event-time is reclaimed. At scale
+    * this is a hash-partitioned stateful operator, the streaming twin of
+    * the hash-groupBy dedup. */
+  def dedupStream(docs: Dataset[Doc], watermark: String = "10 seconds"): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("h")
+      .select(col("ts"), col("doc_id"))
+
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
     * buffer (total, n), merged exactly like `Aggregator.merge`. */

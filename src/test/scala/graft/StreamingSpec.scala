@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each distinct text once across batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.dedupStream(in.toDS())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      in.addData(
+        StreamOps.Doc(ts(1), 1, "alpha"), StreamOps.Doc(ts(2), 2, "beta"),
+        StreamOps.Doc(ts(3), 3, "alpha")) // dup of doc 1 in-batch
+      q.processAllAvailable()
+      in.addData(StreamOps.Doc(ts(4), 4, "beta"), // dup across batches
+        StreamOps.Doc(ts(5), 5, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("dd").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(1L, 2L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running totals across batches") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
