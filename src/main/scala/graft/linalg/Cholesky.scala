@@ -163,6 +163,179 @@ object Cholesky {
     new DMatrix(lDF, n, n)
   }
 
+  /** In-core LU without pivoting (Doolittle; unit lower L). Suitable for
+    * diagonally dominant tiles — the no-global-pivoting constraint of the
+    * blocked algorithm (reference `linalg/_lu.py:27` confines pivoting to
+    * per-tile scopes for the same reason). */
+  def localLU(a: Array[Double], t: Int): (Array[Double], Array[Double]) = {
+    val l = new Array[Double](t * t)
+    val u = new Array[Double](t * t)
+    var i = 0
+    while (i < t) { l(i * t + i) = 1.0; i += 1 }
+    var k = 0
+    while (k < t) {
+      var j = k
+      while (j < t) { // U row k
+        var s = a(k * t + j)
+        var p = 0
+        while (p < k) { s -= l(k * t + p) * u(p * t + j); p += 1 }
+        u(k * t + j) = s
+        j += 1
+      }
+      require(math.abs(u(k * t + k)) > 1e-12, s"zero pivot at $k (needs pivoting)")
+      i = k + 1
+      while (i < t) { // L column k
+        var s = a(i * t + k)
+        var p = 0
+        while (p < k) { s -= l(i * t + p) * u(p * t + k); p += 1 }
+        l(i * t + k) = s / u(k * t + k)
+        i += 1
+      }
+      k += 1
+    }
+    (l, u)
+  }
+
+  /** Solve X·U = B in-core (U upper-triangular). */
+  def localSolveXU(b: Array[Double], u: Array[Double], t: Int): Array[Double] = {
+    val x = new Array[Double](t * t)
+    var i = 0
+    while (i < t) {
+      var j = 0
+      while (j < t) {
+        var s = b(i * t + j)
+        var k = 0
+        while (k < j) { s -= x(i * t + k) * u(k * t + j); k += 1 }
+        x(i * t + j) = s / u(j * t + j)
+        j += 1
+      }
+      i += 1
+    }
+    x
+  }
+
+  /** Solve L·X = B in-core (unit lower-triangular L). */
+  def localSolveLX(b: Array[Double], l: Array[Double], t: Int): Array[Double] = {
+    val x = new Array[Double](t * t)
+    var j = 0
+    while (j < t) {
+      var i = 0
+      while (i < t) {
+        var s = b(i * t + j)
+        var k = 0
+        while (k < i) { s -= l(i * t + k) * x(k * t + j); k += 1 }
+        x(i * t + j) = s / l(i * t + i)
+        i += 1
+      }
+      j += 1
+    }
+    x
+  }
+
+  /** c -= a · b (plain, row-major t×t). */
+  private def subMul(c: Array[Double], a: Array[Double], b: Array[Double], t: Int): Unit = {
+    var i = 0
+    while (i < t) {
+      var k = 0
+      while (k < t) {
+        val av = a(i * t + k)
+        if (av != 0.0) {
+          var j = 0
+          while (j < t) { c(i * t + j) -= av * b(k * t + j); j += 1 }
+        }
+        k += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Distributed blocked LU A = L·U without global pivoting (reference
+    * `lu`, `linalg/_lu.py:27` — same driver-panel + distributed-trailing
+    * shape as [[cholesky]]). Requires a numerically safe (e.g. diagonally
+    * dominant) matrix; the per-tile factorization asserts nonzero pivots. */
+  def lu(s: SparkSession, a: DMatrix, tile: Int = 512): (DMatrix, DMatrix) = {
+    require(a.rows == a.cols, "lu needs a square matrix")
+    import s.implicits._
+    val n = a.rows
+    val t = tile
+    val tL = t.toLong
+    val nb = ((n + t - 1) / t).toInt
+
+    var cur = a.df
+      .selectExpr(s"i DIV $tL AS bi", s"j DIV $tL AS bj",
+        s"i % $tL AS ti", s"j % $tL AS tj", "v")
+      .groupBy("bi", "bj")
+      .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+      .as[(Long, Long, Array[(Long, Long, Double)])]
+      .map { case (bi, bj, cells) =>
+        val arr = new Array[Double](t * t)
+        if (bi == bj) { // pad diagonal beyond n for partial edge tiles
+          var d = 0
+          while (d < t) { if (bi * tL + d >= n) arr(d * t + d) = 1.0; d += 1 }
+        }
+        cells.foreach { case (ti, tj, v) => arr(ti.toInt * t + tj.toInt) = v }
+        (bi, bj, arr)
+      }.persist()
+    cur.count()
+
+    val lParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val uParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+
+    def emit(buf: ArrayBuffer[org.apache.spark.sql.DataFrame],
+             tiles: Seq[(Long, Long, Array[Double])], lower: Boolean): Unit = {
+      val rows = tiles.flatMap { case (bi, bj, arr) =>
+        for {
+          ti <- 0 until t
+          tj <- 0 until t
+          i = bi * tL + ti
+          j = bj * tL + tj
+          if i < n && j < n && arr(ti * t + tj) != 0.0
+          if (lower && i >= j) || (!lower && j >= i)
+        } yield (i, j, arr(ti * t + tj))
+      }
+      buf += s.createDataFrame(rows).toDF("i", "j", "v")
+    }
+
+    var k = 0
+    while (k < nb) {
+      val kk = k
+      // collect block row + column k
+      val panel = cur.filter(r => r._1 == kk || r._2 == kk).collect()
+      val akk = panel.find(r => r._1 == kk && r._2 == kk).get._3
+      val (lkk, ukk) = localLU(akk, t)
+      val lCol: Map[Long, Array[Double]] = panel.collect {
+        case (bi, bj, arr) if bj == kk && bi > kk => bi -> localSolveXU(arr, ukk, t)
+      }.toMap + (kk.toLong -> lkk)
+      val uRow: Map[Long, Array[Double]] = panel.collect {
+        case (bi, bj, arr) if bi == kk && bj > kk => bj -> localSolveLX(arr, lkk, t)
+      }.toMap + (kk.toLong -> ukk)
+
+      emit(lParts, lCol.toSeq.map { case (bi, arr) => (bi, kk.toLong, arr) }, lower = true)
+      emit(uParts, uRow.toSeq.map { case (bj, arr) => (kk.toLong, bj, arr) }, lower = false)
+
+      if (k < nb - 1) {
+        val bcL = s.sparkContext.broadcast(lCol)
+        val bcU = s.sparkContext.broadcast(uRow)
+        val next = cur.filter(r => r._1 > kk && r._2 > kk)
+          .map { case (bi, bj, arr) =>
+            val out = arr.clone()
+            (bcL.value.get(bi), bcU.value.get(bj)) match {
+              case (Some(lik), Some(ukj)) => subMul(out, lik, ukj, t)
+              case _                      =>
+            }
+            (bi, bj, out)
+          }.persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+      k += 1
+    }
+
+    (new DMatrix(lParts.reduce(_ unionByName _), n, n),
+      new DMatrix(uParts.reduce(_ unionByName _), n, n))
+  }
+
   /** Solve L·y = b for lower-triangular L (reference `solve_triangular`,
     * `dask_array/linalg/_solve.py:20`): block forward substitution — a
     * driver loop over block rows; each step is one distributed gather of

@@ -62,6 +62,27 @@ class CholeskySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff < 1e-8, s"max |LLt - A| = $diff")
   }
 
+  test("blocked LU: L·U = A on a diagonally dominant matrix, multi-tile") {
+    val n = 80
+    // diagonally dominant: offdiag in [-4,4], diag = n
+    val base = DMatrix.tabulate(spark, n, n, "((i*5 + j*11) % 9) - 4")
+    val a = new DMatrix(
+      base.elements.unionByName(DMatrix.eye(spark, n).map(s"v * $n").elements)
+        .groupBy("i", "j").agg(sum("v").as("v")), n, n)
+    val (l, u) = Cholesky.lu(spark, a, tile = 32)
+    assert(l.elements.where("j > i").count() == 0, "L not lower")
+    assert(u.elements.where("i > j").count() == 0, "U not upper")
+    // unit diagonal on L
+    l.elements.where("i = j").collect().foreach(r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12))
+    val luProd = l.matmul(u)
+    val diff = luProd.elements.withColumnRenamed("v", "x")
+      .join(a.elements.withColumnRenamed("v", "y"), Seq("i", "j"), "full")
+      .selectExpr("abs(coalesce(x, 0) - coalesce(y, 0)) AS d")
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |LU - A| = $diff")
+  }
+
   test("solveSPD: A·x = b round-trips") {
     val n = 48
     val a = spd(n)
