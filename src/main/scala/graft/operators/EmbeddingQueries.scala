@@ -96,6 +96,40 @@ object EmbeddingQueries {
         .orderBy(col("sim").desc, col("a"), col("b")).limit(20)
     }),
 
+    // IVF search: per-label centroids are the coarse quantizer; each query
+    // probes its nearest centroid's cell only, then ranks exactly within
+    // it — the two-stage ANN plan (coarse assign = tiny broadcast,
+    // fine rank = cell-partitioned join, never a full scan per query)
+    "e07_ivf_search" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      // centroids as dense arrays (rounded so both engines agree)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy(col("label"), col("p"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(p, m))), s -> s.m)").as("cvec"))
+      val q = e.where("vec_id < 5")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      // coarse: nearest centroid per query
+      val assign = q.crossJoin(broadcast(cent))
+        .selectExpr("qid", "qe", "label",
+          s"round(${sparkDot("qe", "cvec")}, 4) AS cd")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cd").desc, col("label"))))
+        .where("rn = 1").select("qid", "qe", "label")
+      // fine: exact top-3 inside the probed cell
+      assign.join(e, Seq("label"))
+        .where("vec_id <> qid")
+        .selectExpr("qid", "label", "vec_id",
+          s"round(${sparkDot("embedding", "qe")}, 4) AS sim")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+        .where("rn <= 3")
+        .select("qid", "label", "rn", "vec_id", "sim").orderBy("qid", "rn")
+    }),
+
     // exact cosine top-pairs within a label block (IVF-style blocking)
     "e06_label_topk_pairs" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
@@ -137,6 +171,30 @@ object EmbeddingQueries {
             round(${duckDot("x.embedding", "y.embedding")}, 4) AS sim
           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           ORDER BY sim DESC, a, b LIMIT 20""",
+
+    "e07_ivf_search" ->
+      s"""WITH cent AS (
+            SELECT label, list(m ORDER BY p) AS cvec FROM (
+              SELECT label, g.p AS p, round(avg(CAST(embedding[g.p] AS DOUBLE)), 6) AS m
+              FROM embeddings, generate_series(1, $DIM) g(p) GROUP BY 1, 2)
+            GROUP BY label),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          assign AS (
+            SELECT qid, qe, label FROM (
+              SELECT q.qid, q.qe, cent.label,
+                row_number() OVER (PARTITION BY q.qid ORDER BY
+                  round(CAST(list_sum([CAST(q.qe[i] AS DOUBLE) * cvec[i]
+                    for i in generate_series(1, $DIM)]) AS DOUBLE), 4) DESC,
+                  cent.label) AS rn
+              FROM q, cent) WHERE rn = 1)
+          SELECT qid, label, CAST(rn AS INT) AS rn, vec_id, sim FROM (
+            SELECT a.qid, a.label, e.vec_id,
+              round(${duckDot("e.embedding", "a.qe")}, 4) AS sim,
+              row_number() OVER (PARTITION BY a.qid ORDER BY
+                round(${duckDot("e.embedding", "a.qe")}, 4) DESC, e.vec_id) AS rn
+            FROM assign a JOIN embeddings e ON e.label = a.label
+            WHERE e.vec_id <> a.qid)
+          WHERE rn <= 3 ORDER BY qid, rn""",
 
     "e06_label_topk_pairs" ->
       s"""SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
