@@ -114,6 +114,23 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
   /** Diagonal sum (reference `trace`, `reductions/_trace.py:4`). */
   def trace: DataFrame = diag(0).agg(sum(col("v")).as("trace"))
 
+  /** Apply an in-core kernel to each dense row — `apply_along_axis`
+    * (reference `routines/_apply.py:16`): rows are assembled from the
+    * sparse element table (absent cells are 0) and mapped per-partition;
+    * the kernel returns one double per row. */
+  def mapRows(kernel: Array[Double] => Double): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val k = cols.toInt
+    df.groupBy("i").agg(expr("collect_list(struct(j, v))").as("cells"))
+      .as[(Long, Array[(Long, Double)])]
+      .mapPartitions(_.map { case (i, cells) =>
+        val row = new Array[Double](k)
+        cells.foreach { case (j, v) => row(j.toInt) = v }
+        (i, kernel(row))
+      }).toDF("idx", "v")
+  }
+
   // ---- contraction ---------------------------------------------------------
   /** Matrix multiply — the join+agg SUMMA plan (reference `tensordot`/
     * `matmul`, `linalg/_tensordot.py:45,194`): equi-join on the contracted

@@ -69,6 +69,21 @@ class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == want)
   }
 
+  test("mapRows applies an in-core kernel per dense row (apply_along_axis)") {
+    val a = DMatrix.tabulate(spark, 20, 6, "i * 6 + j")
+    val got = a.mapRows(r => r.max - r.min).orderBy("idx")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq.fill(20)(5.0))
+  }
+
+  test("blocked cumsum plan uses a partitioned window for the data phase") {
+    val plan = DArray.arange(spark, "/unused", 0, 100000, 1).cumsum
+      .elements.queryExecution.executedPlan.toString
+    // the heavy per-element window must be partitioned by block
+    assert(plan.contains("partitionBy") || plan.contains("hashpartitioning(blk"),
+      s"no partitioned window found:\n${plan.take(1500)}")
+  }
+
   test("reshape round-trips through ravel") {
     val a = DMatrix.tabulate(spark, 6, 8, "i * 8 + j")
     val r = a.reshape(8, 6).reshape(6, 8)
