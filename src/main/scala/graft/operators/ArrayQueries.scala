@@ -22,6 +22,13 @@ object ArrayQueries {
   private def events(s: SparkSession, d: String): DArray =
     DArray.fromColumn(s, d, "events", "event_id", "value")
 
+  /** frexp exponent for v in (0, 1024): the e with 2^(e-1) <= v < 2^e,
+    * as an exact comparison cascade shared by kernel and oracle. */
+  private val frexpExponent: String =
+    "CAST(CASE " + (10 to 0 by -1).map(e =>
+      s"WHEN v >= ${math.pow(2.0, e - 1)} THEN $e").mkString(" ") +
+      " ELSE 0 END AS BIGINT)"
+
   /** Shared digitize edge grid — the Spark kernel and the oracle SQL are
     * generated from the same list so they cannot drift. */
   private val digitizeEdges: Seq[Double] = (0 until 10).map(_ * 50.0)
@@ -276,6 +283,23 @@ object ArrayQueries {
           "round(atan2(im1, re1), 6) AS arg")
         .orderBy("idx")),
 
+    // multi-output elemwise (reference `frexp`/`modf` DoubleOutputs,
+    // _ufunc.py:403): one struct-producing projection, then selects —
+    // v = mant * 2^ex with mant in [0.5, 1), plus modf's frac/whole split.
+    // The exponent uses an exact power-of-2 comparison cascade, not log2
+    // (log2 = ln(x)/ln(2) in Spark, which can flip floor() at exact
+    // powers of 2 vs DuckDB's std::log2)
+    "q47_frexp_modf" -> ((s, d) =>
+      events(s, d).slice(0, 500).map("v + 1").elements
+        .selectExpr("idx",
+          s"named_struct('ex', $frexpExponent, 'fr', v % 1, 'wh', floor(v)) AS o", "v")
+        .selectExpr("idx",
+          // division by 2^ex and v % 1 are exact double ops — rounding
+          // would CREATE half-way cases where engines' modes differ
+          "o.ex AS ex", "v / power(2, o.ex) AS mant",
+          "o.fr AS frac", "o.wh AS whole")
+        .orderBy("idx")),
+
     // Box-Muller normal from two LCG streams; distribution-level checks
     "q38_random_normal" -> ((s, d) => {
       val u1 = "(((1103515245 * (CAST(v AS BIGINT) + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0"
@@ -518,6 +542,14 @@ object ArrayQueries {
            CAST(i % 7 - 3 AS DOUBLE) AS re1, CAST(i % 5 - 2 AS DOUBLE) AS im1,
            CAST(i % 4 - 1 AS DOUBLE) AS re2, CAST(i % 9 - 4 AS DOUBLE) AS im2
            FROM range(200) t(i))
+         ORDER BY idx""",
+
+    "q47_frexp_modf" ->
+      s"""SELECT event_id AS idx,
+         $frexpExponent AS ex,
+         v / power(2, $frexpExponent) AS mant,
+         v % 1 AS frac, floor(v) AS whole
+         FROM (SELECT event_id, value + 1 AS v FROM events WHERE event_id < 500)
          ORDER BY idx""",
 
     "q38_random_normal" ->
