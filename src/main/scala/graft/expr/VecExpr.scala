@@ -44,11 +44,44 @@ sealed trait VecExpr {
   /** Realize as the element table `(idx BIGINT, v DOUBLE)`. */
   def eval(ctx: Ctx): DataFrame
 
+  /** (min, max) bytes this node moves across partition boundaries — the
+    * reference's `transfer_bytes` cost model (`dask_array/_expr.py:241-286`,
+    * per-op overrides e.g. `_blockwise.py:147`): narrow ops and pure alias
+    * routing cost (0, 0); shuffling ops cost one pass of their input at
+    * [[VecExpr.RowBytes]] per element (min 0 when the input may already be
+    * partitioned on the key). Unknown lengths propagate as -1 on the max
+    * side. Drives [[pprintCost]] and the plan-structural tests. */
+  def transferBytes: (Long, Long) = (0L, 0L)
+
   final def pprint(indent: Int = 0): String =
     (" " * indent) + token + "\n" + children.map(_.pprint(indent + 2)).mkString
+
+  /** Plan display with per-node transfer-cost annotations (reference
+    * `pprint` + `chunk_report`, `.ai-docs` §2.14). */
+  final def pprintCost(indent: Int = 0): String = {
+    val (lo, hi) = transferBytes
+    val hiS = if (hi < 0) "?" else hi.toString
+    (" " * indent) + f"$token  [moved: $lo..$hiS B]\n" +
+      children.map(_.pprintCost(indent + 2)).mkString
+
+  }
+
+  /** Total (min, max) moved bytes over the whole tree. */
+  final def totalTransfer: (Long, Long) = {
+    val own = transferBytes
+    children.map(_.totalTransfer).foldLeft(own) { case ((a, b), (c, d)) =>
+      (a + c, if (b < 0 || d < 0) -1L else b + d)
+    }
+  }
 }
 
 object VecExpr {
+  /** Bytes per element-table row (idx BIGINT + v DOUBLE). */
+  val RowBytes = 16L
+
+  /** max-side bytes for a full pass over `len` elements (-1 if unknown). */
+  def passBytes(len: Long): Long = if (len < 0) -1L else len * RowBytes
+
   def sha(s: String): String = {
     val d = MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
@@ -120,6 +153,10 @@ final case class ZipVec(left: VecExpr, right: VecExpr, exprSql: String) extends 
   def children: Seq[VecExpr] = Seq(left, right)
   def token: String = s"zip[$exprSql]"
   override def length: Long = if (left.length >= 0) left.length else right.length
+  override def transferBytes: (Long, Long) = {
+    val l = VecExpr.passBytes(left.length); val r = VecExpr.passBytes(right.length)
+    (0L, if (l < 0 || r < 0) -1L else l + r)
+  }
   def eval(ctx: Ctx): DataFrame = {
     val l = left.eval(ctx).withColumnRenamed("v", "v1")
     val r = right.eval(ctx).withColumnRenamed("v", "v2")
@@ -239,6 +276,8 @@ final case class CumVec(child: VecExpr, op: String) extends VecExpr {
   def children: Seq[VecExpr] = Seq(child)
   def token: String = s"cum[$op]"
   override def length: Long = child.length
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length))
   def eval(ctx: Ctx): DataFrame = {
     val base = Blocked.withBlk(child.eval(ctx))
     val wL = Blocked.wLocal
@@ -292,6 +331,8 @@ final case class CumVec(child: VecExpr, op: String) extends VecExpr {
 final case class DiffVec(child: VecExpr, n: Int) extends VecExpr {
   def children: Seq[VecExpr] = Seq(child)
   def token: String = s"diff[$n]"
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length))
   override def length: Long = if (child.length >= 0) math.max(child.length - n, 0) else -1
   def eval(ctx: Ctx): DataFrame = {
     // halo of n ghost rows from the preceding block feeds the lag; windows
@@ -313,6 +354,8 @@ final case class SlidingVec(child: VecExpr, w: Int, op: String, minCount: Int) e
   def children: Seq[VecExpr] = Seq(child)
   def token: String = s"sliding[$w,$op,$minCount]"
   override def length: Long = child.length
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length))
   def eval(ctx: Ctx): DataFrame = {
     // trailing frame fed by a (w-1)-row halo from the preceding block; the
     // banded per-block plan of the reference, with the halo as the band
@@ -342,6 +385,8 @@ final case class FfillVec(child: VecExpr) extends VecExpr {
   def children: Seq[VecExpr] = Seq(child)
   def token: String = "ffill"
   override def length: Long = child.length
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length))
   def eval(ctx: Ctx): DataFrame = {
     // per-block ffill (partitioned) + carry = last non-null of any earlier
     // block, ffilled over the tiny per-block summary and broadcast back
@@ -364,6 +409,8 @@ final case class CoarsenVec(child: VecExpr, k: Int, op: String) extends VecExpr 
   require(k > 0)
   def children: Seq[VecExpr] = Seq(child)
   def token: String = s"coarsen[$k,$op]"
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(length)) // map-side combine: only k-fold-reduced rows move
   override def length: Long =
     if (child.length >= 0) (child.length + k - 1) / k else -1
   def eval(ctx: Ctx): DataFrame =
@@ -412,6 +459,8 @@ final case class GradientVec(child: VecExpr) extends VecExpr {
   def children: Seq[VecExpr] = Seq(child)
   def token: String = "gradient"
   override def length: Long = child.length
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length))
   def eval(ctx: Ctx): DataFrame = {
     // bidirectional halo of 1: last row of each block ghosts into the next
     // block, first row into the previous — the stencil's ghost cells

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr._
+
+/** transfer_bytes cost-model tests (reference `test_transfer.py` /
+  * `_expr.py:241-286`): narrow chains move nothing; shuffling ops cost a
+  * pass; optimization never increases the modeled movement. */
+class CostSpec extends AnyFunSuite {
+
+  private val src = RangeVec(0, 1, 1000)
+
+  test("narrow elemwise/slice/concat chains move zero bytes") {
+    val e = ConcatVec(SliceVec(MapVec(src, "v * 2"), 10, 500), MapVec(src, "v + 1"))
+    assert(e.totalTransfer == ((0L, 0L)))
+  }
+
+  test("alignment join costs a pass of both sides at most") {
+    val e = ZipVec(src, MapVec(src, "v * 3"), "v1 + v2")
+    assert(e.totalTransfer == ((0L, 2 * 1000 * VecExpr.RowBytes)))
+  }
+
+  test("cumulative scan costs one pass; unknown lengths propagate as ?") {
+    assert(CumVec(src, "sum").totalTransfer == ((0L, 1000 * VecExpr.RowBytes)))
+    val unknown = CumVec(ColumnVec("events", "event_id", "value"), "sum")
+    assert(unknown.totalTransfer._2 == -1L)
+  }
+
+  test("optimization does not increase the modeled movement") {
+    val tree = SliceVec(MapVec(MapVec(src, "v * 2"), "v + 1"), 0, 100)
+    val before = tree.totalTransfer._2
+    val after = Simplify(tree).totalTransfer._2
+    assert(after <= before)
+  }
+
+  test("pprintCost annotates every node") {
+    val e = CumVec(MapVec(src, "v * 2"), "sum")
+    val out = e.pprintCost()
+    assert(out.linesIterator.forall(_.contains("[moved:")), out)
+  }
+}
