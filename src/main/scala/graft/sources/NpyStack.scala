@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `.npy`-stack source/sink (reference `from_npy_stack`/`to_npy_stack`,
+  * `dask_array/io/_from_npy_stack.py:13`, `io/_to_npy_stack.py:13`): a
+  * directory of NPY v1 files, one per block along axis 0, named `<blk>.npy`.
+  *
+  * The NPY header (magic + v1.0 + LE uint16 header length + python-dict
+  * literal, '<f8' little-endian float64) is emitted and parsed in pure
+  * Scala. Reading follows the reference's two-phase shape: block shapes
+  * come from an O(numBlocks) driver pass over the 128-byte headers (the
+  * reference reads `.npy` headers eagerly the same way), the payloads are
+  * decoded in one distributed `binaryFile` scan with the block-offset map
+  * broadcast — data bytes never touch the driver. */
+object NpyStack {
+
+  private val Magic: Array[Byte] =
+    Array(0x93.toByte, 'N', 'U', 'M', 'P', 'Y')
+
+  /** Serialize a float64 1-d array as NPY v1.0 bytes. */
+  def npyBytes(values: Array[Double]): Array[Byte] = {
+    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': (${values.length},), }"
+    // total header (magic+version+len+dict+pad+\n) must be 64-byte aligned
+    val base = Magic.length + 2 + 2
+    val pad = (64 - (base + dict.length + 1) % 64) % 64
+    val header = dict + (" " * pad) + "\n"
+    val buf = ByteBuffer.allocate(base + header.length + values.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Magic).put(1.toByte).put(0.toByte)
+    buf.putShort(header.length.toShort)
+    buf.put(header.getBytes("ASCII"))
+    values.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  /** Parse NPY v1.0 bytes → values (validates magic/dtype). */
+  def parseNpy(bytes: Array[Byte]): Array[Double] = {
+    require(bytes.length >= 10 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not an NPY file")
+    require(bytes(6) == 1, s"unsupported NPY version ${bytes(6)}")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(8)
+    val hlen = buf.getShort() & 0xffff
+    val header = new String(bytes, 10, hlen, "ASCII")
+    require(header.contains("'<f8'"), s"only '<f8' supported, got: $header")
+    require(header.contains("False"), "fortran_order not supported")
+    val n = (bytes.length - 10 - hlen) / 8
+    val out = new Array[Double](n)
+    buf.position(10 + hlen)
+    var i = 0
+    while (i < n) { out(i) = buf.getDouble(); i += 1 }
+    out
+  }
+
+  /** Parse only the element count from a header prefix (first 128 bytes). */
+  def parseCount(prefix: Array[Byte]): Long = {
+    val hlen = ((prefix(9) & 0xff) << 8) | (prefix(8) & 0xff)
+    val header = new String(prefix, 10, math.min(hlen, prefix.length - 10), "ASCII")
+    val m = "\\((\\d+),?\\)".r.findFirstMatchIn(header)
+      .getOrElse(throw new IllegalArgumentException(s"no shape in: $header"))
+    m.group(1).toLong
+  }
+
+  /** Write the element table as a stack of `<blk>.npy` files, `blockSize`
+    * elements per file (last file ragged). One task per block. */
+  def write(elements: DataFrame, dir: String, blockSize: Long): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val sess = elements.sparkSession
+    import sess.implicits._
+    elements.selectExpr(s"idx DIV $blockSize AS blk", "idx", "v")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (blk, it) =>
+        val vals = it.toArray.sortBy(_._2).map(_._3)
+        val path = Paths.get(dir, s"$blk.npy")
+        Files.write(path, npyBytes(vals))
+        (blk, vals.length.toLong)
+      }.collect() // drives the write job; returns O(numBlocks) stats
+    ()
+  }
+
+  /** Read a `.npy` stack back as the element table `(idx, v)`. */
+  def read(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // phase 1 (driver, O(numBlocks)): block counts from 128-byte headers
+    val files = Files.list(Paths.get(dir)).iterator()
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (files.hasNext) {
+      val p = files.next()
+      val name = p.getFileName.toString
+      if (name.endsWith(".npy")) {
+        val in = Files.newInputStream(p)
+        val prefix = in.readNBytes(128)
+        in.close()
+        counts += ((name.stripSuffix(".npy").toLong, parseCount(prefix)))
+      }
+    }
+    val sorted = counts.sortBy(_._1)
+    val starts: Map[Long, Long] = sorted.map(_._1).zip(
+      sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1)).toMap
+    val bc = s.sparkContext.broadcast(starts)
+
+    // phase 2 (distributed): decode payloads, emit (offset + i, v)
+    s.read.format("binaryFile").load(s"$dir/*.npy")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val blk = path.split("/").last.stripSuffix(".npy").toLong
+        val start = bc.value(blk)
+        parseNpy(content).iterator.zipWithIndex.map { case (v, i) => (start + i, v) }
+      }.toDF("idx", "v")
+  }
+}

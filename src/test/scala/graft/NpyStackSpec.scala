@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.NpyStack
+
+class NpyStackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  test("npy bytes round-trip through the pure-Scala codec") {
+    val vals = Array(1.5, -2.25, 3.0, 1e300, -0.0)
+    val bytes = NpyStack.npyBytes(vals)
+    assert(NpyStack.parseNpy(bytes).toSeq == vals.toSeq)
+    assert(NpyStack.parseCount(bytes.take(128)) == 5L)
+    // header block is 64-byte aligned like numpy's writer
+    assert((10 + ((bytes(9) & 0xff) << 8 | (bytes(8) & 0xff))) % 64 == 0)
+  }
+
+  test("write/read stack round-trips a ragged multi-block array") {
+    val dir = Files.createTempDirectory("npystack").toString
+    val n = 257 // 3 blocks of 100 + ragged 57
+    val src = DArray.arange(spark, "/unused", 0, n, 1).map("v * 1.5 - 3")
+    NpyStack.write(src.elements, dir, blockSize = 100)
+    assert(Files.list(java.nio.file.Paths.get(dir)).count() == 3)
+    val back = NpyStack.read(spark, dir).orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = src.elements.orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(back.toSeq == want.toSeq)
+  }
+}
