@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// small block size so EVERY spec exercises the multi-block carry/halo
+// paths of the windowed operators (production default is 4096)
+Test / javaOptions += "-Dgraft.block.size=64"
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

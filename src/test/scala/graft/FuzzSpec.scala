@@ -32,6 +32,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class Roll(s: Int) extends Op
   case class Repeat(k: Int) extends Op
   case class Diff(n: Int) extends Op
+  case object Cumsum extends Op
+  case class SlidingMax(w: Int) extends Op
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -47,6 +49,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case Diff(n) =>
       if (v.length <= n) Vector.empty
       else (n until v.length).map(i => v(i) - v(i - n)).toVector
+    case Cumsum => v.scanLeft(0.0)(_ + _).tail
+    case SlidingMax(w) =>
+      v.indices.map(i => v.slice(math.max(0, i - w + 1), i + 1).max).toVector
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -59,6 +64,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case Roll(s)   => d.roll(s)
     case Repeat(k) => d.repeatEach(k)
     case Diff(n)   => d.diff(n)
+    case Cumsum    => d.cumsum
+    case SlidingMax(w) => d.sliding(w, "max")
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -67,10 +74,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     Gen.const(Flip),
     Gen.choose(1, 7).map(Roll(_)),
     Gen.choose(2, 3).map(Repeat(_)),
-    Gen.choose(1, 2).map(Diff(_)))
+    Gen.choose(1, 2).map(Diff(_)),
+    Gen.const(Cumsum),
+    Gen.choose(2, 9).map(SlidingMax(_)))
 
+  // sizes above the test block size (-Dgraft.block.size=64) so the
+  // windowed ops' carry chains and halos run multi-block
   private val genCase: Gen[(Int, List[Op])] = for {
-    n <- Gen.choose(5, 40)
+    n <- Gen.choose(5, 200)
     ops <- Gen.listOfN(4, genOp)
   } yield (n, ops)
 
@@ -95,7 +106,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val gotDense = got.map(_._2).toVector
       val idxDense = got.map(_._1).toVector == Vector.tabulate(got.length)(_.toLong)
       val valsMatch = gotDense.length == expect.length &&
-        gotDense.zip(expect).forall { case (a, b) => math.abs(a - b) <= 1e-9 }
+        gotDense.zip(expect).forall { case (a, b) =>
+          math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)) // fp-order tolerance
+        }
 
       if (!(nameStable && converged && idxDense && valsMatch))
         println(s"FUZZ FAIL n=$n ops=$ops\n got=$gotDense\n want=$expect " +
