@@ -48,12 +48,25 @@ object GUFunc {
     bound.toMap
   }
 
-  /** Densified rows of each operand, aligned on the loop index. */
+  /** Densified rows of each operand, aligned on the loop index. Driven
+    * from the FULL loop range, not an inner join of present rows: under
+    * absent-cells-are-zero semantics an all-zero row has no cells, and an
+    * inner join would drop that loop position entirely — wrong for any
+    * kernel that maps zero input to nonzero output. Missing rows densify
+    * to empty cell lists (→ zero-filled arrays). */
   private def alignedRows(ops: Seq[DMatrix]): DataFrame = {
-    val rowDfs = ops.zipWithIndex.map { case (m, n) =>
-      m.df.groupBy("i").agg(expr("collect_list(struct(j, v))").as(s"c$n"))
+    val sess = ops.head.df.sparkSession
+    val rows = ops.head.rows
+    require(ops.forall(_.rows == rows),
+      s"loop dimension mismatch: ${ops.map(_.rows).mkString(",")}")
+    val base = sess.range(rows).toDF("i")
+    ops.zipWithIndex.foldLeft(base) { case (acc, (m, n)) =>
+      acc.join(
+          m.df.groupBy("i").agg(expr("collect_list(struct(j, v))").as(s"c$n")),
+          Seq("i"), "left")
+        .withColumn(s"c$n", coalesce(col(s"c$n"),
+          expr("CAST(array() AS ARRAY<STRUCT<j: BIGINT, v: DOUBLE>>)")))
     }
-    rowDfs.reduce((a, b) => a.join(b, "i"))
   }
 
   private def densify(cells: Seq[org.apache.spark.sql.Row], k: Int): Array[Double] = {

@@ -92,12 +92,23 @@ object Cholesky {
     val nb = ((n + t - 1) / t).toInt
 
     // lower-triangle tiles, densified; padded diagonal cells get 1.0 so
-    // partial edge tiles stay positive definite
-    var cur = a.df.where(col("i") >= col("j"))
+    // partial edge tiles stay positive definite. The tile grid is
+    // materialized from the FULL lower triangle of (bi, bj) — not just
+    // blocks with nonzero cells — because trailing updates create fill-in:
+    // an all-zero input block still receives A[i,j] -= L[i,k]·L[j,k]ᵀ and
+    // dropping it would silently corrupt the factorization (e.g. an
+    // arrowhead matrix whose interior blocks are zero).
+    val grid = s.range(nb.toLong * nb)
+      .selectExpr(s"id DIV $nb AS bi", s"id % $nb AS bj")
+      .where("bi >= bj")
+    val present = a.df.where(col("i") >= col("j"))
       .selectExpr(s"i DIV $tL AS bi", s"j DIV $tL AS bj",
         s"i % $tL AS ti", s"j % $tL AS tj", "v")
       .groupBy("bi", "bj")
       .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+    var cur = grid.join(present, Seq("bi", "bj"), "left")
+      .selectExpr("bi", "bj",
+        "coalesce(cells, CAST(array() AS ARRAY<STRUCT<ti: BIGINT, tj: BIGINT, v: DOUBLE>>)) AS cells")
       .as[(Long, Long, Array[(Long, Long, Double)])]
       .map { case (bi, bj, cells) =>
         val arr = new Array[Double](t * t)
@@ -261,11 +272,18 @@ object Cholesky {
     val tL = t.toLong
     val nb = ((n + t - 1) / t).toInt
 
-    var cur = a.df
+    // full (bi, bj) tile grid, zero-filled where the input has no cells —
+    // trailing updates fill in blocks that start all-zero (see cholesky)
+    val grid = s.range(nb.toLong * nb)
+      .selectExpr(s"id DIV $nb AS bi", s"id % $nb AS bj")
+    val present = a.df
       .selectExpr(s"i DIV $tL AS bi", s"j DIV $tL AS bj",
         s"i % $tL AS ti", s"j % $tL AS tj", "v")
       .groupBy("bi", "bj")
       .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+    var cur = grid.join(present, Seq("bi", "bj"), "left")
+      .selectExpr("bi", "bj",
+        "coalesce(cells, CAST(array() AS ARRAY<STRUCT<ti: BIGINT, tj: BIGINT, v: DOUBLE>>)) AS cells")
       .as[(Long, Long, Array[(Long, Long, Double)])]
       .map { case (bi, bj, cells) =>
         val arr = new Array[Double](t * t)

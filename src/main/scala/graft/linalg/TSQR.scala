@@ -175,10 +175,26 @@ object TSQR {
     (0 until n).map(i => a(i * n + i)).sortBy(-_).toArray
   }
 
+  /** Tree fan-in for the R-combine (reference tsqr recursion,
+    * `linalg/_qr.py:560`, split_every=16 per `.ai-docs/reductions.md`). */
+  val defaultSplitEvery = 16
+
   /** Distributed TSQR. Returns (Q as an element-table DMatrix, R row-major
-    * k×k on the driver). */
-  def tsqr(s: SparkSession, mat: DMatrix, blockRows: Int = defaultBlockRows)
-      : (DMatrix, Array[Double]) = {
+    * k×k on the driver).
+    *
+    * The R-combine is a TREE: each round groups `splitEvery` R factors,
+    * QRs the stack in one task, and keeps the per-child k×k Q chunks as a
+    * distributed level; only the final ≤ splitEvery factors reach the
+    * driver. A single-level collect of all per-block R factors would be
+    * O(numBlocks·k²) driver bytes — fine at p≈100, an OOM at p≈10⁶ fine
+    * blocks over 100 TB. Q factors then propagate back DOWN the levels as
+    * distributed k×k joins: factor(child) = chunk(child) · factor(parent).
+    *
+    * Blocks shorter than k rows (ragged tail, sparse row gaps) are
+    * zero-padded to k before the local QR — QR([A;0]) has the same R, and
+    * the padded Q rows are dropped on emit. */
+  def tsqr(s: SparkSession, mat: DMatrix, blockRows: Int = defaultBlockRows,
+           splitEvery: Int = defaultSplitEvery): (DMatrix, Array[Double]) = {
     import s.implicits._
     val k = mat.cols.toInt
     val n = mat.rows
@@ -194,22 +210,58 @@ object TSQR {
       .mapGroups { (b, it) =>
         val rs = it.toArray.sortBy(_._1)
         val m = rs.length
-        val a = new Array[Double](m * k)
+        val mp = math.max(m, k) // zero-pad short blocks up to k rows
+        val a = new Array[Double](mp * k)
         var i = 0
         while (i < m) {
           rs(i)._2.foreach { case (j, v) => a(i * k + j.toInt) = v }
           i += 1
         }
-        val (q, r) = localQR(a, m, k)
-        (b, rs.map(_._1), q, r)
+        val (q, r) = localQR(a, mp, k)
+        (b, rs.map(_._1), java.util.Arrays.copyOf(q, m * k), r)
       }
       .persist()
 
-    // driver: QR of the stacked R factors (p·k × k — tiny)
-    val rFactors = blockQR.map { case (b, _, _, r) => (b, r) }.collect().sortBy(_._1)
-    val p = rFactors.length
+    // dense ranks for tree addressing (block ids can be sparse); only the
+    // 8-byte ids reach the driver, never the k×k factors
+    val blockIds = blockQR.map(_._1).collect().sorted
+    val rankOf = blockIds.zipWithIndex.map { case (b, i) => (b, i.toLong) }.toMap
+    val bcRank = s.sparkContext.broadcast(rankOf)
+
+    // upward sweep: (rank, R) → grouped stacks, one level per round;
+    // each level keeps (childRank, parentRank, k×k chunk) distributed
+    val kk = k
+    var rs = blockQR.map { case (b, _, _, r) => (bcRank.value(b), r) }
+    var levels = List.empty[org.apache.spark.rdd.RDD[(Long, (Long, Array[Double]))]]
+    var width = blockIds.length.toLong
+    while (width > splitEvery) {
+      val lvl = rs.groupByKey(_._1 / splitEvery).mapGroups { (parent, it) =>
+        val ch = it.toArray.sortBy(_._1)
+        val g = ch.length
+        val stacked = new Array[Double](g * kk * kk)
+        ch.zipWithIndex.foreach { case ((_, r), i) =>
+          System.arraycopy(r, 0, stacked, i * kk * kk, kk * kk)
+        }
+        val (q2, rNew) = localQR(stacked, g * kk, kk)
+        val chunks = ch.zipWithIndex.map { case ((cr, _), i) =>
+          (cr, java.util.Arrays.copyOfRange(q2, i * kk * kk, (i + 1) * kk * kk))
+        }
+        (parent, rNew, chunks)
+      }.persist()
+      lvl.count()
+      // level edges keyed by parent for the downward join
+      levels = lvl.flatMap { case (p0, _, chunks) =>
+        chunks.map { case (cr, c) => (p0, (cr, c)) }
+      }.rdd :: levels
+      rs = lvl.map { case (p0, r, _) => (p0, r) }
+      width = (width + splitEvery - 1) / splitEvery
+    }
+
+    // final driver QR over the ≤ splitEvery surviving R factors
+    val top = rs.collect().sortBy(_._1)
+    val p = top.length
     val stacked = new Array[Double](p * k * k)
-    rFactors.zipWithIndex.foreach { case ((_, r), bi) =>
+    top.zipWithIndex.foreach { case ((_, r), bi) =>
       System.arraycopy(r, 0, stacked, bi * k * k, k * k)
     }
     val (q2all, rFinal) = localQR(stacked, p * k, k)
@@ -226,18 +278,29 @@ object TSQR {
       j += 1
     }
 
-    val blockIndex = rFactors.map(_._1).zipWithIndex.toMap
-    val q2b = s.sparkContext.broadcast((blockIndex, q2all, k))
+    // downward sweep: factor(child) = chunk(child) · factor(parent),
+    // one distributed join per level (node count shrinks 16× per level up,
+    // so every join is against the SMALLER upper level)
+    var factors: org.apache.spark.rdd.RDD[(Long, Array[Double])] =
+      s.sparkContext.parallelize(top.zipWithIndex.map { case ((rk, _), bi) =>
+        (rk, java.util.Arrays.copyOfRange(q2all, bi * k * k, (bi + 1) * k * k))
+      }.toSeq)
+    levels.foreach { lvl =>
+      factors = lvl.join(factors).map { case (_, ((childRank, chunk), fac)) =>
+        (childRank, mul(chunk, fac, kk, kk, kk))
+      }
+    }
 
-    // Q = Q_block · Q2_block, re-emitted as an element table
-    val qDF: DataFrame = blockQR.flatMap { case (b, ids, q, _) =>
-      val (bidx, q2, kk) = q2b.value
-      val bi = bidx(b)
-      val q2blk = java.util.Arrays.copyOfRange(q2, bi * kk * kk, (bi + 1) * kk * kk)
-      val qf = mul(q, q2blk, ids.length, kk, kk)
-      for (ri <- ids.indices.iterator; c <- (0 until kk).iterator)
-        yield (ids(ri), c.toLong, qf(ri * kk + c))
-    }.toDF("i", "j", "v")
+    // Q = Q_block · factor(block), re-emitted as an element table
+    val qRDD = blockQR.rdd
+      .map { case (b, ids, q, _) => (bcRank.value(b), (ids, q)) }
+      .join(factors)
+      .flatMap { case (_, ((ids, q), fac)) =>
+        val qf = mul(q, fac, ids.length, kk, kk)
+        for (ri <- ids.indices.iterator; c <- (0 until kk).iterator)
+          yield (ids(ri), c.toLong, qf(ri * kk + c))
+      }
+    val qDF: DataFrame = qRDD.toDF("i", "j", "v")
 
     (new DMatrix(qDF, n, k), rFinal)
   }

@@ -29,6 +29,15 @@ object ArrayQueries {
       s"WHEN v >= ${math.pow(2.0, e - 1)} THEN $e").mkString(" ") +
       " ELSE 0 END AS BIGINT)"
 
+  /** 2^frexpExponent as literal doubles from the same comparison cascade —
+    * dividing by an exact power-of-2 literal only shifts the exponent (no
+    * mantissa rounding), so `v / 2^e` is bit-identical across engines,
+    * unlike `power(2, e)` whose libm `pow` may be off by an ulp. */
+  private val frexpPow2: String =
+    "CASE " + (10 to 0 by -1).map(e =>
+      s"WHEN v >= ${math.pow(2.0, e - 1)} THEN ${math.pow(2.0, e)}").mkString(" ") +
+      " ELSE 1.0 END"
+
   /** Shared digitize edge grid — the Spark kernel and the oracle SQL are
     * generated from the same list so they cannot drift. */
   private val digitizeEdges: Seq[Double] = (0 until 10).map(_ * 50.0)
@@ -150,12 +159,17 @@ object ArrayQueries {
         "CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)" -> "nnz",
         "round(max(v) - min(v), 2)" -> "ptp")),
 
-    // exact quantiles (reference reductions/_common.py:922 — exact path)
-    "q28_quantiles" -> ((s, d) =>
-      events(s, d).reduce(
-        "round(percentile(v, 0.25), 4)" -> "q25",
-        "round(percentile(v, 0.5), 4)"  -> "med",
-        "round(percentile(v, 0.9), 4)"  -> "q90")),
+    // exact quantiles (reference reductions/_common.py:922 — exact path),
+    // computed by distributed rank selection (ExactQuantile): NO
+    // single-buffer `percentile` aggregate anywhere in the plan
+    "q28_quantiles" -> ((s, d) => {
+      val qs = ExactQuantile.quantiles(
+        events(s, d).elements, "v", Seq(0.25, 0.5, 0.9))
+      s.range(1).select(
+        round(lit(qs(0)), 4).as("q25"),
+        round(lit(qs(1)), 4).as("med"),
+        round(lit(qs(2)), 4).as("q90"))
+    }),
 
     // argwhere/nonzero: positions satisfying a predicate (unknown sizes —
     // Spark's native condition)
@@ -288,15 +302,16 @@ object ArrayQueries {
     // v = mant * 2^ex with mant in [0.5, 1), plus modf's frac/whole split.
     // The exponent uses an exact power-of-2 comparison cascade, not log2
     // (log2 = ln(x)/ln(2) in Spark, which can flip floor() at exact
-    // powers of 2 vs DuckDB's std::log2)
+    // powers of 2 vs DuckDB's std::log2); the mantissa divides by a
+    // power-of-2 LITERAL (exact exponent shift) and frac is v - floor(v)
+    // (one correctly-rounded IEEE op), because libm pow() and fmod() are
+    // the two places Spark and DuckDB legitimately differ by an ulp
     "q47_frexp_modf" -> ((s, d) =>
       events(s, d).slice(0, 500).map("v + 1").elements
         .selectExpr("idx",
-          s"named_struct('ex', $frexpExponent, 'fr', v % 1, 'wh', floor(v)) AS o", "v")
+          s"named_struct('ex', $frexpExponent, 'fr', v - floor(v), 'wh', floor(v)) AS o", "v")
         .selectExpr("idx",
-          // division by 2^ex and v % 1 are exact double ops — rounding
-          // would CREATE half-way cases where engines' modes differ
-          "o.ex AS ex", "v / power(2, o.ex) AS mant",
+          "o.ex AS ex", s"v / ($frexpPow2) AS mant",
           "o.fr AS frac", "o.wh AS whole")
         .orderBy("idx")),
 
@@ -547,8 +562,8 @@ object ArrayQueries {
     "q47_frexp_modf" ->
       s"""SELECT event_id AS idx,
          $frexpExponent AS ex,
-         v / power(2, $frexpExponent) AS mant,
-         v % 1 AS frac, floor(v) AS whole
+         v / ($frexpPow2) AS mant,
+         v - floor(v) AS frac, floor(v) AS whole
          FROM (SELECT event_id, value + 1 AS v FROM events WHERE event_id < 500)
          ORDER BY idx""",
 

@@ -22,6 +22,10 @@ object EmbeddingQueries {
 
   private val DIM = 64
 
+  /** Sorted-neighborhood bound on within-block pair joins (same guard as
+    * TextQueries.WINDOW): pair count per block is O(n·W), never O(n²). */
+  private val WINDOW = 16
+
   /** dot(a, b) in Spark SQL over two ARRAY<FLOAT> columns, double math. */
   private def sparkDot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
@@ -86,11 +90,19 @@ object EmbeddingQueries {
         .orderBy("label", "dim")),
 
     // bucketed ANN: cosine top-pairs within the same LSH bucket — the
-    // candidate join is bucket-partitioned, never an unblocked cross join
+    // candidate join is bucket-partitioned AND window-bounded: each vector
+    // pairs only with the next WINDOW vectors (by id) in its bucket, so a
+    // degenerate bucket of n vectors yields O(n·W) candidates, not O(n²)
+    // (the same sorted-neighborhood guard the t06 LSH pipeline uses)
     "e05_ann_bucketed" -> ((s, d) => {
-      val b = emb(s, d).selectExpr("vec_id", "embedding", s"$sparkBucket AS bucket")
+      import org.apache.spark.sql.expressions.Window
+      val b = emb(s, d)
+        .selectExpr("vec_id", "embedding", s"$sparkBucket AS bucket")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bucket").orderBy("vec_id")))
       b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+          col("x.bucket") === col("y.bucket") &&
+            col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
         .selectExpr("x.vec_id AS a", "y.vec_id AS b",
           s"round(${sparkDot("x.embedding", "y.embedding")}, 4) AS sim")
         .orderBy(col("sim").desc, col("a"), col("b")).limit(20)
@@ -130,11 +142,19 @@ object EmbeddingQueries {
         .select("qid", "label", "rn", "vec_id", "sim").orderBy("qid", "rn")
     }),
 
-    // exact cosine top-pairs within a label block (IVF-style blocking)
+    // cosine top-pairs within a label block (IVF-style blocking), window-
+    // bounded like e05: per-label sorted neighborhood caps pair generation
+    // at O(n·W) per label — an unbounded within-label all-pairs is O(n²)
+    // at fixed label cardinality and would not survive 100 TB
     "e06_label_topk_pairs" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy("vec_id")))
       e.as("x").join(e.as("y"),
-          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+          col("x.label") === col("y.label") &&
+            col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
         .selectExpr("x.label AS label", "x.vec_id AS a", "y.vec_id AS b",
           s"round(${sparkDot("x.embedding", "y.embedding")}, 4) AS sim")
         .orderBy(col("sim").desc, col("a"), col("b")).limit(10)
@@ -166,10 +186,13 @@ object EmbeddingQueries {
           GROUP BY 1, 2 ORDER BY label, dim""",
 
     "e05_ann_bucketed" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings)
+      s"""WITH b AS (SELECT vec_id, embedding, $duckBucket AS bucket,
+            row_number() OVER (PARTITION BY $duckBucket ORDER BY vec_id) AS rn
+          FROM embeddings)
           SELECT x.vec_id AS a, y.vec_id AS b,
             round(${duckDot("x.embedding", "y.embedding")}, 4) AS sim
-          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          FROM b x JOIN b y ON x.bucket = y.bucket
+            AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY sim DESC, a, b LIMIT 20""",
 
     "e07_ivf_search" ->
@@ -197,10 +220,13 @@ object EmbeddingQueries {
           WHERE rn <= 3 ORDER BY qid, rn""",
 
     "e06_label_topk_pairs" ->
-      s"""SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+            row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+          FROM embeddings)
+          SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
             round(${duckDot("x.embedding", "y.embedding")}, 4) AS sim
-          FROM embeddings x JOIN embeddings y
-            ON x.label = y.label AND x.vec_id < y.vec_id
+          FROM e x JOIN e y ON x.label = y.label
+            AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY sim DESC, a, b LIMIT 10""",
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed exact quantiles via range-partitioned sort + rank selection.
+  *
+  * Spark's built-in exact `percentile` is a TypedImperativeAggregate that
+  * buffers EVERY value into one final merge buffer — a single-task OOM at
+  * 100 TB. The reference's scale path merges per-chunk percentile sketches
+  * (reference dask_array/reductions/_percentile.py:151,256); this is the
+  * exact-answer equivalent built on Spark's distributed sort:
+  *
+  *   1. `repartitionByRange(v)` + in-partition sort — Spark's sampled range
+  *      partitioner, every partition holds a contiguous value range;
+  *   2. one count pass → per-partition offsets (O(numPartitions) driver
+  *      bytes, the same bound a global sort's range sampling already pays);
+  *   3. one selection pass that emits ONLY the ≤ 2·|ps| global ranks the
+  *      requested quantiles interpolate between.
+  *
+  * Interpolation matches Spark/DuckDB `percentile`(_cont_):
+  * `lo + (h - floor(h)) * (hi - lo)` at `h = p * (n-1)`.
+  */
+object ExactQuantile {
+
+  /** Exact p-quantiles of `df(valueCol)`; two distributed passes, driver
+    * traffic bounded by O(numPartitions + |ps|). */
+  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(parts, col("v"))
+      .sortWithinPartitions("v")
+      .persist()
+    try {
+      val rdd = sorted.rdd.map(_.getDouble(0))
+      val counts = rdd
+        .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val n = offsets.last
+      require(n > 0, "quantile of empty input")
+      val hs = ps.map(p => p * (n - 1))
+      val targets = hs.flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
+      val bc = spark.sparkContext.broadcast((offsets, targets))
+      val found = rdd.mapPartitionsWithIndex { case (i, it) =>
+        val (off, tg) = bc.value
+        val start = off(i)
+        it.zipWithIndex.collect { case (v, j) if tg.contains(start + j) => (start + j, v) }
+      }.collect().toMap
+      hs.map { h =>
+        val lo = found(math.floor(h).toLong)
+        val hi = found(math.ceil(h).toLong)
+        lo + (h - math.floor(h)) * (hi - lo)
+      }
+    } finally { sorted.unpersist(); () }
+  }
+}

@@ -100,19 +100,24 @@ object MatrixQueries {
 
     // real-input DFT over a single-chunk axis (reference fft.py:119 —
     // FFT only along axes with one chunk, i.e. rechunk-to-one first; here
-    // the 64-point transform is a cos/sin matmul, complex-as-two-columns)
+    // the 64-point transform is a cos/sin matmul, complex-as-two-columns).
+    // Both operands are quantized to BIGINT (x at 1e-2, basis at 1e-6) so
+    // the contraction is EXACT int64 arithmetic — order-independent, no
+    // ulp noise from differing partial-sum orders; the single final
+    // division is one correctly-rounded IEEE op, identical across engines
     "f01_dft" -> ((s, d) => {
       val n = 64
       val x = s.read.parquet(s"$d/events.parquet")
-        .selectExpr("event_id AS j", "value AS x").where(s"j < $n")
+        .selectExpr("event_id AS j",
+          "CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq").where(s"j < $n")
       val basis = s.range(n.toLong * n).selectExpr(
         s"id DIV $n AS k", s"id % $n AS j",
-        s"cos(-2 * pi() * (id DIV $n) * (id % $n) / $n) AS c",
-        s"sin(-2 * pi() * (id DIV $n) * (id % $n) / $n) AS sn")
+        s"CAST(floor(cos(-2 * pi() * (id DIV $n) * (id % $n) / $n) * 1000000 + 0.5) AS BIGINT) AS c",
+        s"CAST(floor(sin(-2 * pi() * (id DIV $n) * (id % $n) / $n) * 1000000 + 0.5) AS BIGINT) AS sn")
       basis.join(broadcast(x), "j")
         .groupBy("k")
-        .agg(round(sum(expr("x * c")), 2).as("re"),
-          round(sum(expr("x * sn")), 2).as("im"))
+        .agg(expr("CAST(sum(xq * c) AS DOUBLE) / CAST(100000000 AS DOUBLE)").as("re"),
+          expr("CAST(sum(xq * sn) AS DOUBLE) / CAST(100000000 AS DOUBLE)").as("im"))
         .orderBy("k")
     }),
 
@@ -216,9 +221,11 @@ object MatrixQueries {
       s"""${duckMatmul(s"(${duckMatmul(A.duck, B.duck)})", C.duck)} ORDER BY i, j""",
 
     "f01_dft" ->
-      """SELECT k, round(sum(x * cos(-2 * pi() * k * j / 64)), 2) AS re,
-         round(sum(x * sin(-2 * pi() * k * j / 64)), 2) AS im
-         FROM (SELECT event_id AS j, value AS x FROM events WHERE event_id < 64),
+      """SELECT k,
+         CAST(sum(xq * CAST(floor(cos(-2 * pi() * k * j / 64) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100000000 AS DOUBLE) AS re,
+         CAST(sum(xq * CAST(floor(sin(-2 * pi() * k * j / 64) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100000000 AS DOUBLE) AS im
+         FROM (SELECT event_id AS j, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+               FROM events WHERE event_id < 64),
               range(64) t(k)
          GROUP BY k ORDER BY k""",
 

@@ -67,21 +67,44 @@ object NpyStack {
   }
 
   /** Write the element table as a stack of `<blk>.npy` files, `blockSize`
-    * elements per file (last file ragged). One task per block. */
-  def write(elements: DataFrame, dir: String, blockSize: Long): Unit = {
+    * elements per file (last file ragged). One task per block.
+    *
+    * `n` is the logical array length: every block is densified to its
+    * exact `[blk*blockSize, min((blk+1)*blockSize, n))` range with values
+    * placed by `idx % blockSize` and gaps zero-filled — element tables are
+    * sparse (zeros dropped), and positioning by sort order would silently
+    * compact gaps and shift every subsequent value. Blocks with no
+    * elements at all are emitted as all-zero files from the driver loop
+    * below, so read-side offsets stay aligned. */
+  def write(elements: DataFrame, dir: String, blockSize: Long, n: Long): Unit = {
     Files.createDirectories(Paths.get(dir))
     val sess = elements.sparkSession
     import sess.implicits._
-    elements.selectExpr(s"idx DIV $blockSize AS blk", "idx", "v")
+    val numBlocks = ((n + blockSize - 1) / blockSize).max(0)
+    val written = elements
+      .where(col("idx") >= 0 && col("idx") < n)
+      .selectExpr(s"idx DIV $blockSize AS blk", "idx", "v")
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (blk, it) =>
-        val vals = it.toArray.sortBy(_._2).map(_._3)
+        val len = (math.min((blk + 1) * blockSize, n) - blk * blockSize).toInt
+        val vals = new Array[Double](len)
+        it.foreach { case (_, idx, v) => vals((idx % blockSize).toInt) = v }
         val path = Paths.get(dir, s"$blk.npy")
         Files.write(path, npyBytes(vals))
-        (blk, vals.length.toLong)
+        (blk, len.toLong)
       }.collect() // drives the write job; returns O(numBlocks) stats
-    ()
+    // blocks with zero surviving elements never reach mapGroups — emit
+    // their all-zero files here so the stack has no holes
+    val have = written.map(_._1).toSet
+    var blk = 0L
+    while (blk < numBlocks) {
+      if (!have.contains(blk)) {
+        val len = (math.min((blk + 1) * blockSize, n) - blk * blockSize).toInt
+        Files.write(Paths.get(dir, s"$blk.npy"), npyBytes(new Array[Double](len)))
+      }
+      blk += 1
+    }
   }
 
   /** Read a `.npy` stack back as the element table `(idx, v)`. */

@@ -35,14 +35,17 @@ object StreamOps {
   final case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
   /** Streaming exact dedup — the online half of the batch dedup pipeline
-    * (t01): content-hash key + `dropDuplicates` keyed state, bounded by
-    * the watermark so state for expired event-time is reclaimed. At scale
-    * this is a hash-partitioned stateful operator, the streaming twin of
-    * the hash-groupBy dedup. */
+    * (t01): content-hash key + `dropDuplicatesWithinWatermark` keyed
+    * state. Plain `dropDuplicates("h")` would keep every hash FOREVER
+    * (Spark only evicts dedup state when the event-time column is part of
+    * the key set); the within-watermark variant evicts each hash once the
+    * watermark passes its first-seen event time, so state is bounded on a
+    * real stream. At scale this is a hash-partitioned stateful operator,
+    * the streaming twin of the hash-groupBy dedup. */
   def dedupStream(docs: Dataset[Doc], watermark: String = "10 seconds"): DataFrame =
     docs.withColumn("h", md5(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("h")
+      .dropDuplicatesWithinWatermark("h")
       .select(col("ts"), col("doc_id"))
 
   /** Keyed running totals via mapGroupsWithState — the streaming analogue

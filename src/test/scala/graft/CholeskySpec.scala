@@ -100,6 +100,51 @@ class CholeskySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("arrowhead matrix: zero interior blocks receive trailing fill-in") {
+    // A = D + border: diagonal + first block-row/column only — every
+    // interior off-diagonal TILE of A is exactly zero, yet L has fill-in
+    // there (L[i,j] for i,j>0 gets -L[i,0]·L[j,0]ᵀ/..); a tile grid built
+    // only from nonzero input cells silently drops those updates
+    val n = 96; val t = 32
+    val sp = spark
+    import sp.implicits._
+    val cells = (
+      (0 until n).map(i => (i.toLong, i.toLong, (n * 4).toDouble)) ++ // heavy diag
+      (t until n).map(i => (i.toLong, (i % t).toLong, ((i * 7) % 13 + 1).toDouble)) ++
+      (t until n).map(i => ((i % t).toLong, i.toLong, ((i * 7) % 13 + 1).toDouble))
+    ).toDF("i", "j", "v").groupBy("i", "j").agg(sum("v").as("v"))
+    val a = new DMatrix(cells, n, n)
+    val l = Cholesky.cholesky(spark, a, tile = t)
+    // fill-in must exist in interior blocks (bi,bj >= 1, bi != bj)
+    assert(l.elements.where(s"i >= ${2 * t} AND j >= $t AND j < ${2 * t}").count() > 0,
+      "no fill-in emitted for an all-zero input tile")
+    val llt = l.matmul(l.t)
+    val diff = llt.elements.where("i >= j").withColumnRenamed("v", "x")
+      .join(a.elements.where("i >= j").withColumnRenamed("v", "y"), Seq("i", "j"), "full")
+      .selectExpr("abs(coalesce(x, 0) - coalesce(y, 0)) AS d")
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |LLt - A| = $diff")
+  }
+
+  test("LU arrowhead: zero interior blocks receive trailing fill-in") {
+    val n = 64; val t = 16
+    val sp = spark
+    import sp.implicits._
+    val cells = (
+      (0 until n).map(i => (i.toLong, i.toLong, (n * 4).toDouble)) ++
+      (t until n).map(i => (i.toLong, (i % t).toLong, ((i * 3) % 7 + 1).toDouble)) ++
+      (t until n).map(i => ((i % t).toLong, i.toLong, ((i * 5) % 7 + 1).toDouble))
+    ).toDF("i", "j", "v").groupBy("i", "j").agg(sum("v").as("v"))
+    val a = new DMatrix(cells, n, n)
+    val (l, u) = Cholesky.lu(spark, a, tile = t)
+    val luProd = l.matmul(u)
+    val diff = luProd.elements.withColumnRenamed("v", "x")
+      .join(a.elements.withColumnRenamed("v", "y"), Seq("i", "j"), "full")
+      .selectExpr("abs(coalesce(x, 0) - coalesce(y, 0)) AS d")
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |LU - A| = $diff")
+  }
+
   test("non-tile-aligned size works (padded edge tiles)") {
     val n = 45
     val a = spd(n)

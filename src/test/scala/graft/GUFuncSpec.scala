@@ -47,6 +47,21 @@ class GUFuncSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(centered.rows == 10 && centered.cols == 8)
   }
 
+  test("all-zero rows still reach the kernel (absent-cells-are-zero)") {
+    // rows 0..9 where odd rows are entirely zero → absent from the sparse
+    // element table; a kernel mapping zero to nonzero must still emit them
+    val sp = spark
+    import sp.implicits._
+    val cells = (0 until 10 by 2).flatMap(i =>
+      (0 until 4).map(j => (i.toLong, j.toLong, (i + j + 1).toDouble)))
+    val a = new DMatrix(cells.toDF("i", "j", "v"), 10, 4)
+    val got = GUFunc.applyScalar("(i)->()", a) { case Seq(x) => x.sum + 100.0 }
+      .orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10, s"expected all 10 loop positions, got ${got.length}")
+    assert(got(1) == ((1L, 100.0)) && got(3) == ((3L, 100.0)), "zero row lost")
+    assert(got(0)._2 == (1 + 2 + 3 + 4) + 100.0)
+  }
+
   test("core-dimension mismatch is rejected") {
     val a = DMatrix.tabulate(spark, 5, 4, "i + j")
     val b = DMatrix.tabulate(spark, 5, 3, "i + j")

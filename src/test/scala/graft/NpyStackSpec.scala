@@ -35,12 +35,29 @@ class NpyStackSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("npystack").toString
     val n = 257 // 3 blocks of 100 + ragged 57
     val src = DArray.arange(spark, "/unused", 0, n, 1).map("v * 1.5 - 3")
-    NpyStack.write(src.elements, dir, blockSize = 100)
+    NpyStack.write(src.elements, dir, blockSize = 100, n = n)
     assert(Files.list(java.nio.file.Paths.get(dir)).count() == 3)
     val back = NpyStack.read(spark, dir).orderBy("idx").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     val want = src.elements.orderBy("idx").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(back.toSeq == want.toSeq)
+  }
+
+  test("write densifies idx gaps and empty blocks (sparse element tables)") {
+    val dir = Files.createTempDirectory("npysparse").toString
+    val sp = spark
+    import sp.implicits._
+    // n=250, blockSize=100: block 0 has two scattered values, block 1 is
+    // entirely absent, ragged block 2 has one value — positions must be
+    // preserved by idx, never compacted by sort order
+    val el = Seq((3L, 7.5), (97L, -1.25), (240L, 9.0)).toDF("idx", "v")
+    NpyStack.write(el, dir, blockSize = 100, n = 250)
+    assert(Files.list(java.nio.file.Paths.get(dir)).count() == 3)
+    val back = NpyStack.read(spark, dir).orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(back.length == 250)
+    assert(back(3) == ((3L, 7.5)) && back(97) == ((97L, -1.25)) && back(240) == ((240L, 9.0)))
+    assert(back(4) == ((4L, 0.0)) && back(150) == ((150L, 0.0))) // gap + empty block
   }
 }

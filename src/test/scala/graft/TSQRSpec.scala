@@ -65,6 +65,43 @@ class TSQRSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff < 1e-8, s"max |QR - A| = $diff")
   }
 
+  test("tree combine: >100 blocks, multi-level fan-in, A = QR holds") {
+    // 130 blocks of 4 rows with splitEvery=4 → 4 tree levels; also
+    // exercises short blocks (blockRows=4 < k=5 → zero-padding path)
+    val n = 520; val k = 5
+    val a = tall(n, k)
+    val (q, r) = TSQR.tsqr(spark, a, blockRows = 4, splitEvery = 4)
+    for (j <- 0 until k) assert(r(j * k + j) >= 0, s"R diag $j negative")
+    val qtq = q.gram.elements.collect()
+    qtq.foreach { row =>
+      val (i, j, v) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(v - want) < 1e-8, s"QtQ($i,$j)=$v")
+    }
+    val rdf = spark.createDataFrame(
+      for (i <- 0 until k; j <- 0 until k)
+        yield (i.toLong, j.toLong, r(i * k + j))).toDF("i", "j", "v")
+    val qr = q.matmul(new DMatrix(rdf, k, k))
+    val diff = qr.zip(a, "abs(v1 - v2)").agg("max(v)" -> "mx").collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |QR - A| = $diff")
+    // tree result agrees with the single-level path
+    val (_, r1) = TSQR.tsqr(spark, a, blockRows = 128)
+    for (x <- 0 until k * k)
+      assert(math.abs(r(x) - r1(x)) < 1e-8, s"tree vs flat R mismatch at $x")
+  }
+
+  test("ragged short tail block (rows % blockRows < k) does not crash") {
+    val n = 103; val k = 4 // 64 + 32 + 7-row tail < k? no: tail 7 > 4; use blockRows 25 → tail 3
+    val a = tall(n, k)
+    val (q, r) = TSQR.tsqr(spark, a, blockRows = 25) // 4 full + 3-row tail
+    val rdf = spark.createDataFrame(
+      for (i <- 0 until k; j <- 0 until k)
+        yield (i.toLong, j.toLong, r(i * k + j))).toDF("i", "j", "v")
+    val qr = q.matmul(new DMatrix(rdf, k, k))
+    val diff = qr.zip(a, "abs(v1 - v2)").agg("max(v)" -> "mx").collect()(0).getDouble(0)
+    assert(diff < 1e-8, s"max |QR - A| = $diff")
+  }
+
   test("singular values match a known diagonal case") {
     // diag-ish: A with orthogonal columns scaled 3 and 4 → sv = {4, 3}
     val sp = spark
