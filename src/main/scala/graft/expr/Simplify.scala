@@ -79,6 +79,17 @@ object Simplify {
     case MapVec(c, "v")                                   => c
     case SliceVec(c, 0, hi) if c.length == hi             => c
 
+    // -- operand dedup / self-alignment fusion -------------------------------
+    // Zipping an expression with ITSELF is an elemwise map: content
+    // addressing makes the check one name comparison (the reference gets
+    // this free from `SingletonExpr` operand dedup, _expr.py:74). This
+    // deletes a whole alignment exchange — the engine's equivalent of an
+    // unpushed filter. Fires after zip-map fusion has pulled same-leaf
+    // maps into the kernel, so `f(x) ⊗ g(x)` also collapses to one scan.
+    case ZipVec(a, b, e) if a.name == b.name =>
+      simplifyNode(
+        MapVec(a, VecExpr.subst(VecExpr.subst(e, "v1", "v"), "v2", "v")), parents)
+
     // -- elemwise fusion ----------------------------------------------------
     case MapVec(MapVec(c, e1), e2) =>
       simplifyNode(MapVec(c, VecExpr.subst(e2, "v", e1)), parents)

@@ -235,13 +235,16 @@ object ArrayQueries {
           round(corr(col("x"), col("y")), 6).as("r"))
     }),
 
-    // weighted average (reference `average`, routines/_statistics.py:158)
+    // weighted average (reference `average`, routines/_statistics.py:158).
+    // Written as the natural x·w zip; the self-zip fusion rule collapses
+    // `zip(x, map(x))` to ONE scan-projection — no alignment join, no
+    // exchange (the old form shuffle-joined events with itself on idx)
     "q40_weighted_avg" -> ((s, d) => {
       val x = events(s, d)
-      val w = events(s, d).map("1 + v % 7")
-      x.elements.withColumnRenamed("v", "x")
-        .join(w.elements.withColumnRenamed("v", "w"), "idx")
-        .agg(round(expr("sum(w * x) / sum(w)"), 6).as("wavg"))
+      val w = x.map("1 + v % 7")
+      val num = x.zip(w, "v1 * v2").reduce("sum(v)" -> "n")
+      val den = w.reduce("sum(v)" -> "dn")
+      num.crossJoin(den).selectExpr("round(n / dn, 6) AS wavg")
     }),
 
     // constant-pad both edges (reference `pad`, creation/_pad.py:17):

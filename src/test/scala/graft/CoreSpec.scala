@@ -85,6 +85,18 @@ class SimplifySpec extends AnyFunSuite {
     assert(Simplify(e) == RangeVec(5.0, 0.5, 10))
   }
 
+  test("self-zip fuses to a map: the alignment join disappears") {
+    // x ⊗ x — operand dedup by content name (reference SingletonExpr)
+    val e = ZipVec(src, src, "v1 * v2")
+    assert(Simplify(e) == MapVec(src, "(v) * (v)"))
+    // f(x) ⊗ g(x): zip-map fusion pulls both kernels in, then self-zip
+    // collapses the join — one scan, no exchange
+    val e2 = ZipVec(src, MapVec(src, "1 + v % 7"), "v1 * v2")
+    val s2 = Simplify(e2)
+    assert(collect(s2) { case z: ZipVec => z }.isEmpty, s2.pprint())
+    assert(collect(s2) { case m: MapVec => m }.nonEmpty)
+  }
+
   test("content-addressed names: identical trees share a name") {
     val a = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
     val b = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")

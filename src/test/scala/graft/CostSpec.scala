@@ -27,6 +27,14 @@ class CostSpec extends AnyFunSuite {
     assert(unknown.totalTransfer._2 == -1L)
   }
 
+  test("self-zip fusion drops the modeled transfer to zero (q40 shape)") {
+    // x ⊗ map(x): before optimization the alignment join models a pass of
+    // both sides; after self-zip fusion nothing moves
+    val tree = ZipVec(src, MapVec(src, "1 + v % 7"), "v1 * v2")
+    assert(tree.totalTransfer._2 == 2 * 1000 * VecExpr.RowBytes)
+    assert(Simplify(tree).totalTransfer == ((0L, 0L)))
+  }
+
   test("optimization does not increase the modeled movement") {
     val tree = SliceVec(MapVec(MapVec(src, "v * 2"), "v + 1"), 0, 100)
     val before = tree.totalTransfer._2
