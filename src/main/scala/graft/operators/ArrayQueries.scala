@@ -328,7 +328,96 @@ object ArrayQueries {
           "round(avg(v), 3)" -> "m",
           "round(stddev_samp(v), 3)" -> "sd")
     }),
+
+    // exponential(λ=0.5) via inverse transform −ln(u)/λ on the position-
+    // keyed LCG stream (reference `RandomState.exponential`,
+    // random/_generator.py:207) — distribution-level checks like q38
+    "q48_random_exponential" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1)
+        .map(s"-ln(${unifKernel("CAST(v AS BIGINT)", 555)}) / 0.5")
+        .reduce(
+          "round(avg(v), 3)" -> "m",
+          "round(stddev_samp(v), 3)" -> "sd")),
+
+    // poisson(λ=4) by EXACT inverse-CDF: the cumulative probabilities are
+    // driver-computed literals shared with the oracle, and k = #{CDF < u}
+    // is pure integer counting — the histogram hash-matches exactly
+    // (reference `RandomState.poisson`, random/_generator.py:282)
+    "q49_random_poisson" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1)
+        .map(invCdfKernel(poissonCdf, unifKernel("CAST(v AS BIGINT)", 901)))
+        .elements
+        .groupBy(col("v").cast("long").as("k"))
+        .agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
+        .orderBy("k")),
+
+    // binomial(n=12, p=0.35), same exact inverse-CDF machinery
+    // (reference `RandomState.binomial`, random/_generator.py:100)
+    "q50_random_binomial" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1)
+        .map(invCdfKernel(binomialCdf, unifKernel("CAST(v AS BIGINT)", 333)))
+        .elements
+        .groupBy(col("v").cast("long").as("k"))
+        .agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
+        .orderBy("k")),
+
+    // choice with replacement from a literal option set: LCG-mod index →
+    // CASE cascade, exact per-element values (reference `choice`,
+    // random/_choice.py:107)
+    "q51_random_choice" -> ((s, d) =>
+      DArray.arange(s, d, 0, 600, 1)
+        .map(choiceKernel("CAST(v AS BIGINT)"))
+        .elements.orderBy("idx")),
+
+    // permutation of 0..n-1: composed affine maps with odd multipliers
+    // (bijective mod 2^13) — counter-based like everything above, so the
+    // oracle replays it exactly (reference `permutation`,
+    // random/_generator.py:346)
+    "q52_random_permutation" -> ((s, d) =>
+      DArray.arange(s, d, 0, 8192, 1)
+        .map(permKernel("CAST(v AS BIGINT)"))
+        .slice(0, 200).elements.orderBy("idx")),
   )
+
+  /** Position-keyed LCG uniform in (0,1): the repo's portable RNG core. */
+  private def unifKernel(iExpr: String, add: Long): String =
+    s"(((1103515245 * ($iExpr + $add) + 12345) % 2147483648) + 0.5) / 2147483648.0"
+
+  /** k = #{cdf values < u} — exact inverse-CDF sampling over literal
+    * cutoffs (identical text on both engines, so comparisons are exact). */
+  private def invCdfKernel(cdf: Seq[Double], uExpr: String): String =
+    "CAST(" + cdf.map(c => s"(CASE WHEN ($uExpr) > $c THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " AS DOUBLE)"
+
+  /** Cumulative Poisson(λ=4) probabilities, k = 0..19. */
+  private val poissonCdf: Seq[Double] = {
+    val lam = 4.0
+    val pmf = Iterator.iterate((math.exp(-lam), 0)) { case (p, k) =>
+      (p * lam / (k + 1), k + 1)
+    }.map(_._1).take(20).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Cumulative Binomial(n=12, p=0.35) probabilities, k = 0..12. */
+  private val binomialCdf: Seq[Double] = {
+    val n = 12; val p = 0.35
+    def c(n: Int, k: Int): Double =
+      (1 to k).map(i => (n - k + i).toDouble / i).product
+    val pmf = (0 to n).map(k => c(n, k) * math.pow(p, k) * math.pow(1 - p, n - k))
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  private val choiceOptions = Seq(2.5, -1.0, 7.25, 0.5, 3.75, -4.5, 9.0)
+  private def choiceKernel(iExpr: String): String = {
+    val pick = s"((1103515245 * ($iExpr + 42) + 12345) % 2147483648) % ${choiceOptions.length}"
+    "CASE " + choiceOptions.zipWithIndex.map { case (v, ix) =>
+      s"WHEN ($pick) = $ix THEN CAST($v AS DOUBLE)"
+    }.mkString(" ") + " END"
+  }
+
+  /** Two composed affine bijections mod 8192 (odd multipliers). */
+  private def permKernel(iExpr: String): String =
+    s"CAST(((($iExpr * 3125 + 4711) % 8192) * 1597 + 2027) % 8192 AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
     "q01_sum_revenue" ->
@@ -575,5 +664,26 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q48_random_exponential" ->
+      s"""SELECT round(avg(z), 3) AS m, round(stddev_samp(z), 3) AS sd FROM (
+           SELECT -ln(${unifKernel("i", 555)}) / 0.5 AS z FROM range(20000) t(i))""",
+
+    "q49_random_poisson" ->
+      s"""SELECT CAST(${invCdfKernel(poissonCdf, unifKernel("i", 901))} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS cnt
+           FROM range(20000) t(i) GROUP BY 1 ORDER BY k""",
+
+    "q50_random_binomial" ->
+      s"""SELECT CAST(${invCdfKernel(binomialCdf, unifKernel("i", 333))} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS cnt
+           FROM range(20000) t(i) GROUP BY 1 ORDER BY k""",
+
+    "q51_random_choice" ->
+      s"""SELECT i AS idx, ${choiceKernel("i")} AS v FROM range(600) t(i) ORDER BY idx""",
+
+    "q52_random_permutation" ->
+      s"""SELECT i AS idx, ${permKernel("i")} AS v FROM range(8192) t(i)
+          WHERE i < 200 ORDER BY idx""",
   )
 }

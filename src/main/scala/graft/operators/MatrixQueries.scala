@@ -121,6 +121,24 @@ object MatrixQueries {
         .orderBy("k")
     }),
 
+    // zarr round trips (reference from_zarr/to_zarr, io/_zarr.py:67,275):
+    // the engine writes a v2 store (distributed chunk encode) and reads it
+    // back (distributed binaryFile decode); the oracle recomputes the same
+    // values directly — codec bit-exactness is what's under test
+    "z01_zarr_roundtrip" -> ((s, d) => {
+      val dir = s"/tmp/graft_zarr_z01_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.Zarr.write1d(el, dir, 1000, chunk = 256, compressor = Some("zlib"))
+      graft.sources.Zarr.read1d(s, dir).orderBy("idx")
+    }),
+
+    "z02_zarr_2d" -> ((s, d) => {
+      val dir = s"/tmp/graft_zarr_z02_${new java.io.File(d).getName}"
+      graft.sources.Zarr.write2d(R.spark(s).df, dir, R.rows, R.cols, 7, 9)
+      graft.sources.Zarr.read2d(s, dir).where("v <> 0").orderBy("i", "j")
+    }),
+
     // 2-d stencil via neighbor join — map_overlap in two dimensions
     // (reference `map_overlap`, _overlap.py:143): each cell averages its
     // available 3x3 neighborhood; the 9-way shift-union is the halo
@@ -228,6 +246,13 @@ object MatrixQueries {
                FROM events WHERE event_id < 64),
               range(64) t(k)
          GROUP BY k ORDER BY k""",
+
+    "z01_zarr_roundtrip" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
+
+    "z02_zarr_2d" ->
+      s"""SELECT i, j, v FROM ${R.duck} WHERE v <> 0 ORDER BY i, j""",
 
     "m16_stencil_mean" ->
       s"""SELECT a.i AS i, a.j AS j, sum(b.v) / count(*) AS v

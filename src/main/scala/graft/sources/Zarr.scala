@@ -1,0 +1,296 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zarr v2 source/sink (reference `from_zarr`/`to_zarr`,
+  * `dask_array/io/_zarr.py:67,275`; the reference delegates byte-level IO
+  * to the `zarr` library, so the contract here is the FORMAT: a directory
+  * with a `.zarray` JSON descriptor plus one file per chunk, named by
+  * dot-separated grid coordinates, each holding a FULL C-order chunk —
+  * edge chunks padded to chunk shape — and absent chunk files meaning
+  * `fill_value` everywhere).
+  *
+  * Supported happy path (matches the reference's `tests/test_zarr.py`
+  * round-trip semantics): dtype `<f8`, order `C`, 1-d and 2-d arrays,
+  * compressor `null` (raw) or `zlib`. Blosc is not implementable without
+  * a native dependency and is rejected loudly.
+  *
+  * Scale shape, same as [[NpyStack]]: the driver touches only the
+  * O(numChunks) manifest (one small JSON + a directory listing); chunk
+  * payloads are decoded in one distributed `binaryFile` scan. Missing
+  * chunks surface as `fill_value` rows generated from `spark.range` —
+  * no data bytes ever pass through the driver.
+  */
+object Zarr {
+
+  final case class Meta(
+      shape: Seq[Long], chunks: Seq[Long], dtype: String,
+      fill: Double, compressor: Option[String], sep: String) {
+    def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+  }
+
+  // ---- .zarray JSON (hand-rolled: fixed schema, no library dependency) ----
+
+  private def jsonField(json: String, key: String): Option[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*").r.findFirstMatchIn(json)
+    m.map { mm =>
+      val rest = json.substring(mm.end).trim
+      if (rest.startsWith("[")) rest.substring(0, rest.indexOf(']') + 1)
+      else if (rest.startsWith("{")) rest.substring(0, rest.indexOf('}') + 1)
+      else if (rest.startsWith("\"")) rest.substring(0, rest.indexOf('"', 1) + 1)
+      else rest.takeWhile(c => c != ',' && c != '}' && c != '\n').trim
+    }
+  }
+
+  private def longList(s: String): Seq[Long] =
+    "-?\\d+".r.findAllIn(s).map(_.toLong).toSeq
+
+  def parseMeta(json: String): Meta = {
+    val shape = longList(jsonField(json, "shape").getOrElse(sys.error("no shape")))
+    val chunks = longList(jsonField(json, "chunks").getOrElse(sys.error("no chunks")))
+    val dtype = jsonField(json, "dtype").getOrElse("\"<f8\"").replace("\"", "")
+    require(dtype == "<f8", s"only dtype '<f8' supported, got $dtype")
+    val order = jsonField(json, "order").getOrElse("\"C\"").replace("\"", "")
+    require(order == "C", s"only C order supported, got $order")
+    val fill = jsonField(json, "fill_value").map(_.replace("\"", "")) match {
+      case None | Some("null") => 0.0
+      case Some("NaN")         => Double.NaN
+      case Some(x)             => x.toDouble
+    }
+    val compressor = jsonField(json, "compressor") match {
+      case None | Some("null") => None
+      case Some(obj) =>
+        val id = jsonField(obj, "id").map(_.replace("\"", ""))
+          .getOrElse(sys.error(s"compressor without id: $obj"))
+        require(id == "zlib", s"only zlib/null compressors supported, got $id")
+        Some(id)
+    }
+    val sep = jsonField(json, "dimension_separator")
+      .map(_.replace("\"", "")).getOrElse(".")
+    Meta(shape, chunks, dtype, fill, compressor, sep)
+  }
+
+  private def metaJson(m: Meta): String = {
+    val comp = m.compressor match {
+      case Some("zlib") => """{"id": "zlib", "level": 1}"""
+      case _            => "null"
+    }
+    s"""{
+       |    "chunks": [${m.chunks.mkString(", ")}],
+       |    "compressor": $comp,
+       |    "dtype": "<f8",
+       |    "fill_value": ${if (m.fill.isNaN) "\"NaN\"" else m.fill.toString},
+       |    "filters": null,
+       |    "order": "C",
+       |    "shape": [${m.shape.mkString(", ")}],
+       |    "zarr_format": 2
+       |}""".stripMargin
+  }
+
+  // ---- chunk codec ----------------------------------------------------------
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(1)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(comp)
+    val out = new Array[Byte](rawLen)
+    var off = 0
+    while (!inf.finished() && off < rawLen) off += inf.inflate(out, off, rawLen - off)
+    inf.end()
+    out
+  }
+
+  def encodeChunk(vals: Array[Double], compressor: Option[String]): Array[Byte] = {
+    val raw = new Array[Byte](vals.length * 8)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble)
+    if (compressor.contains("zlib")) deflate(raw) else raw
+  }
+
+  def decodeChunk(bytes: Array[Byte], nVals: Int, compressor: Option[String]): Array[Double] = {
+    val raw = if (compressor.contains("zlib")) inflate(bytes, nVals * 8) else bytes
+    require(raw.length >= nVals * 8, s"chunk too short: ${raw.length} < ${nVals * 8}")
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(nVals)(bb.getDouble)
+  }
+
+  def readMeta(dir: String): Meta =
+    parseMeta(new String(Files.readAllBytes(Paths.get(dir, ".zarray")), StandardCharsets.UTF_8))
+
+  private def listChunkNames(dir: String): Seq[String] = {
+    val it = Files.list(Paths.get(dir)).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val nm = it.next().getFileName.toString
+      if (nm.matches("\\d+(\\.\\d+)*")) names += nm
+    }
+    names.toSeq
+  }
+
+  // ---- 1-d -----------------------------------------------------------------
+
+  /** Read a 1-d zarr array as the element table `(idx, v)`. Present chunks
+    * decode distributedly; chunks with no file contribute `fill_value`
+    * rows generated from `spark.range` (skipped entirely when fill is 0 —
+    * the element table's implicit-zero convention). */
+  def read1d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(dir)
+    require(m.shape.length == 1, s"read1d on ${m.shape.length}-d array")
+    val n = m.shape.head
+    val c = m.chunks.head
+    val present = listChunkNames(dir).map(_.toLong).toSet
+    val bc = s.sparkContext.broadcast((m, n, c))
+
+    val decoded = s.read.format("binaryFile").load(s"$dir/*")
+      .where(not(col("path").endsWith(".zarray")))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val (meta, nn, cc) = bc.value
+        val blk = path.split("/").last.toLong
+        val start = blk * cc
+        val len = math.min(cc, nn - start).toInt // clip padded edge chunk
+        decodeChunk(content, cc.toInt, meta.compressor).iterator.take(len)
+          .zipWithIndex.map { case (v, i) => (start + i, v) }
+      }.toDF("idx", "v")
+
+    val nChunks = m.chunkGrid.head
+    val missing = (0L until nChunks).filterNot(present.contains)
+    if (missing.isEmpty || m.fill == 0.0) decoded
+    else {
+      val md = s.createDataset(missing).toDF("blk")
+        .join(s.range(c).toDF("off"))
+        .selectExpr(s"blk * $c + off AS idx", s"CAST(${m.fill} AS DOUBLE) AS v")
+        .where(col("idx") < n)
+      decoded.unionByName(md)
+    }
+  }
+
+  /** Write the element table as a 1-d zarr array of length `n`. Chunks
+    * densify by `idx` (gaps zero-filled); fully-absent chunks are written
+    * by the driver so the store is complete. */
+  def write1d(elements: DataFrame, dir: String, n: Long, chunk: Long,
+              compressor: Option[String] = None): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val m = Meta(Seq(n), Seq(chunk), "<f8", 0.0, compressor, ".")
+    Files.write(Paths.get(dir, ".zarray"), metaJson(m).getBytes(StandardCharsets.UTF_8))
+    val sess = elements.sparkSession
+    import sess.implicits._
+    val comp = compressor
+    val written = elements
+      .where(col("idx") >= 0 && col("idx") < n)
+      .selectExpr(s"idx DIV $chunk AS blk", "idx", "v")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (blk, it) =>
+        val vals = new Array[Double](chunk.toInt) // full chunk, edge padded
+        it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
+        Files.write(Paths.get(dir, blk.toString), encodeChunk(vals, comp))
+        blk
+      }.collect().toSet
+    var blk = 0L
+    val nChunks = (n + chunk - 1) / chunk
+    while (blk < nChunks) {
+      if (!written.contains(blk))
+        Files.write(Paths.get(dir, blk.toString),
+          encodeChunk(new Array[Double](chunk.toInt), comp))
+      blk += 1
+    }
+  }
+
+  // ---- 2-d -----------------------------------------------------------------
+
+  /** Read a 2-d zarr array as the cell table `(i, j, v)`. */
+  def read2d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(dir)
+    require(m.shape.length == 2, s"read2d on ${m.shape.length}-d array")
+    val Seq(rows, cols) = m.shape
+    val Seq(cr, cc) = m.chunks
+    val bc = s.sparkContext.broadcast(m)
+    val sepLit = java.util.regex.Pattern.quote(m.sep)
+
+    val decoded = s.read.format("binaryFile").load(s"$dir/*")
+      .where(not(col("path").endsWith(".zarray")))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val meta = bc.value
+        val Array(bi, bj) = path.split("/").last.split(sepLit).map(_.toLong)
+        val r0 = bi * cr; val c0 = bj * cc
+        val nr = math.min(cr, rows - r0).toInt
+        val nc = math.min(cc, cols - c0).toInt
+        val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor)
+        for {
+          ri <- (0 until nr).iterator
+          ci <- (0 until nc).iterator
+        } yield (r0 + ri, c0 + ci, vals(ri * cc.toInt + ci))
+      }.toDF("i", "j", "v")
+
+    if (m.fill == 0.0) decoded
+    else {
+      val present = listChunkNames(dir)
+        .map { nm => val Array(a, b) = nm.split(sepLit).map(_.toLong); (a, b) }.toSet
+      val Seq(gr, gc) = m.chunkGrid
+      val missing = for {
+        bi <- 0L until gr; bj <- 0L until gc if !present.contains((bi, bj))
+      } yield (bi, bj)
+      if (missing.isEmpty) decoded
+      else {
+        val md = s.createDataset(missing).toDF("bi", "bj")
+          .join(s.range(cr).toDF("ri")).join(s.range(cc).toDF("ci"))
+          .selectExpr(s"bi * $cr + ri AS i", s"bj * $cc + ci AS j",
+            s"CAST(${m.fill} AS DOUBLE) AS v")
+          .where(col("i") < rows && col("j") < cols)
+        decoded.unionByName(md)
+      }
+    }
+  }
+
+  /** Write a cell table `(i, j, v)` as a 2-d zarr array. */
+  def write2d(cells: DataFrame, dir: String, rows: Long, cols: Long,
+              chunkR: Long, chunkC: Long,
+              compressor: Option[String] = None): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val m = Meta(Seq(rows, cols), Seq(chunkR, chunkC), "<f8", 0.0, compressor, ".")
+    Files.write(Paths.get(dir, ".zarray"), metaJson(m).getBytes(StandardCharsets.UTF_8))
+    val sess = cells.sparkSession
+    import sess.implicits._
+    val comp = compressor
+    val written = cells
+      .where(col("i") >= 0 && col("i") < rows && col("j") >= 0 && col("j") < cols)
+      .selectExpr(s"i DIV $chunkR AS bi", s"j DIV $chunkC AS bj", "i", "j", "v")
+      .as[(Long, Long, Long, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Long, Double)]) =>
+        val (bi, bj) = key
+        val vals = new Array[Double]((chunkR * chunkC).toInt)
+        it.foreach { case (_, _, i, j, v) =>
+          vals(((i % chunkR) * chunkC + (j % chunkC)).toInt) = v
+        }
+        Files.write(Paths.get(dir, s"$bi.$bj"), encodeChunk(vals, comp))
+        (bi, bj)
+      }.collect().toSet
+    val gr = (rows + chunkR - 1) / chunkR
+    val gc = (cols + chunkC - 1) / chunkC
+    for (bi <- 0L until gr; bj <- 0L until gc if !written.contains((bi, bj)))
+      Files.write(Paths.get(dir, s"$bi.$bj"),
+        encodeChunk(new Array[Double]((chunkR * chunkC).toInt), comp))
+  }
+}
