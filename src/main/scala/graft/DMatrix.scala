@@ -131,6 +131,22 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
       }).toDF("idx", "v")
   }
 
+  /** Pointwise coordinate gather — `.vindex[[i0,i1,...], [j0,j1,...]]`
+    * (reference `slicing/_vindex.py:143`): output position p holds
+    * `this[pi(p), pj(p)]`. `points` is the (small, broadcast) coordinate
+    * table `(p, pi, pj)`. One broadcast-join scan of the data; positions
+    * whose cell is absent (implicit zero) are filled from the tiny
+    * points-minus-hits anti join — both sides of that join are O(|points|),
+    * so nothing large ever shuffles. */
+  def vindex(points: DataFrame): DataFrame = {
+    val pts = points.select(col("p"), col("pi"), col("pj"))
+    val hit = df.join(broadcast(pts), col("i") === col("pi") && col("j") === col("pj"))
+      .select(col("p").as("idx"), col("v"))
+    val missed = pts.join(broadcast(hit.select(col("idx").as("p"))), Seq("p"), "left_anti")
+      .select(col("p").as("idx"), lit(0.0).as("v"))
+    hit.unionByName(missed)
+  }
+
   // ---- contraction ---------------------------------------------------------
   /** Matrix multiply — the join+agg SUMMA plan (reference `tensordot`/
     * `matmul`, `linalg/_tensordot.py:45,194`): equi-join on the contracted

@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * — notation parser lowering to a single blockwise contraction; here the
   * lowering target is the join+agg plan of [[DMatrix.matmul]]).
   *
-  * Supported: one or two 2-d operands, index letters, repeated letters
+  * Supported: any number of 2-d operands, index letters, repeated letters
   * within an operand (diagonal extraction, `"ii->i"`), contraction over
   * any subset (`"ij,jk->ik"`, `"ij,ij->"`, `"ij->j"`), pure permutation
-  * (`"ij->ji"`). Every case plans as: per-operand coordinate projection
-  * (+ diagonal filter) → equi-join on shared letters → groupBy output
-  * letters + sum — all Catalyst-visible, broadcast/AQE apply as usual.
+  * (`"ij->ji"`), and n-ary chains (`"ij,jk,kl->il"`).
+  *
+  * N-ary plans fold left with EAGER intermediate contraction: after each
+  * join, any letter that appears in no remaining operand and not in the
+  * output is summed out immediately (groupBy + sum). For a matmul chain
+  * this reproduces the pairwise `(A·B)·C` plan — the intermediate stays
+  * O(rows·cols), never the O(rows·k·cols) unreduced product — which is
+  * the reference's `optimize=True` contraction-ordering win. Shared-letter
+  * joins are preferred over cross joins by reordering operands greedily.
   */
 object Einsum {
 
@@ -20,7 +26,7 @@ object Einsum {
     val Array(lhs, rhs) = spec.replace(" ", "").split("->", -1)
     val inSpecs = lhs.split(",").toSeq
     require(inSpecs.length == ops.length, s"$spec expects ${inSpecs.length} operands")
-    require(ops.nonEmpty && ops.length <= 2, "einsum supports 1 or 2 operands")
+    require(ops.nonEmpty, "einsum needs at least one operand")
     val outLetters = rhs.toSeq.map(_.toString)
 
     // per-operand: rename coords to letters, collapse repeated letters
@@ -34,29 +40,43 @@ object Einsum {
         m.df.select(col("i").as(a), col("j").as(b), col("v").as(vName))
     }
 
-    val prepped = inSpecs.zip(ops).zipWithIndex.map { case ((ls, m), n) =>
-      (prep(m, ls, s"v$n"), ls.distinct.map(_.toString).toSet)
+    var pending: List[(DataFrame, Set[String])] =
+      inSpecs.zip(ops).zipWithIndex.map { case ((ls, m), n) =>
+        (prep(m, ls, s"v$n").withColumnRenamed(s"v$n", "vr"), ls.distinct.map(_.toString).toSet)
+      }.toList
+
+    // fold: join one operand at a time (preferring shared letters), then
+    // sum out letters dead to the rest of the expression
+    var (acc, accLetters) = pending.head
+    pending = pending.tail
+    while (pending.nonEmpty) {
+      val idx = pending.indexWhere { case (_, ls) => (ls intersect accLetters).nonEmpty }
+      val pick = if (idx >= 0) idx else 0
+      val (d, ls) = pending(pick)
+      pending = pending.patch(pick, Nil, 1)
+      val shared = (accLetters intersect ls).toSeq.sorted
+      val joined =
+        if (shared.nonEmpty) acc.join(d.withColumnRenamed("vr", "vn"), shared)
+        else acc.crossJoin(d.withColumnRenamed("vr", "vn"))
+      val merged = joined.withColumn("vr", col("vr") * col("vn")).drop("vn")
+      accLetters = accLetters union ls
+      val live = pending.flatMap(_._2).toSet union outLetters.toSet
+      val dead = (accLetters diff live).toSeq.sorted
+      if (dead.nonEmpty && (accLetters diff dead.toSet).nonEmpty) {
+        val keep = (accLetters diff dead.toSet).toSeq.sorted
+        acc = merged.groupBy(keep.map(col): _*).agg(sum(col("vr")).as("vr"))
+        accLetters = keep.toSet
+      } else acc = merged
     }
 
-    val (joined, product): (DataFrame, Column) = prepped match {
-      case Seq((d0, _)) => (d0, col("v0"))
-      case Seq((d0, l0), (d1, l1)) =>
-        val shared = (l0 intersect l1).toSeq.sorted
-        val j =
-          if (shared.nonEmpty) d0.join(d1, shared)
-          else d0.crossJoin(d1)
-        (j, col("v0") * col("v1"))
-    }
-
-    val allLetters = prepped.flatMap(_._2).distinct
-    val contracted = allLetters.filterNot(outLetters.contains)
-
+    val contracted = accLetters.filterNot(outLetters.contains)
+    val product: Column = col("vr")
     if (contracted.isEmpty && outLetters.nonEmpty)
-      joined.select(outLetters.map(col) :+ product.as("v"): _*)
+      acc.select(outLetters.map(col) :+ product.as("v"): _*)
     else if (outLetters.isEmpty)
-      joined.agg(sum(product).as("v"))
+      acc.agg(sum(product).as("v"))
     else
-      joined.groupBy(outLetters.map(col): _*)
+      acc.groupBy(outLetters.map(col): _*)
         .agg(sum(product).as("v"))
   }
 }

@@ -354,6 +354,178 @@ object Cholesky {
       new DMatrix(uParts.reduce(_ unionByName _), n, n))
   }
 
+  /** Solve U·X = B in-core (U upper-triangular, t×t row-major): backward
+    * substitution per column of B. */
+  def localSolveUX(b: Array[Double], u: Array[Double], t: Int): Array[Double] = {
+    val x = new Array[Double](t * t)
+    var j = 0
+    while (j < t) {
+      var i = t - 1
+      while (i >= 0) {
+        var s = b(i * t + j)
+        var k = i + 1
+        while (k < t) { s -= u(i * t + k) * x(k * t + j); k += 1 }
+        x(i * t + j) = s / u(i * t + i)
+        i -= 1
+      }
+      j += 1
+    }
+    x
+  }
+
+  /** Full zero-filled tile grid of a DMatrix (rows×cols, t×t tiles), with
+    * `diagPad` on diagonal positions past the logical edge so triangular
+    * tiles stay solvable. Absent input tiles materialize as zero tiles —
+    * the trailing updates of the solves need them (same fill-in argument
+    * as [[cholesky]]). */
+  private def tileGrid(s: SparkSession, m: DMatrix, t: Int, diagPad: Boolean) = {
+    import s.implicits._
+    val tL = t.toLong
+    val nbr = ((m.rows + t - 1) / t).toInt
+    val nbc = ((m.cols + t - 1) / t).toInt
+    val n = m.rows
+    val grid = s.range(nbr.toLong * nbc)
+      .selectExpr(s"id DIV $nbc AS bi", s"id % $nbc AS bj")
+    val present = m.df
+      .selectExpr(s"i DIV $tL AS bi", s"j DIV $tL AS bj",
+        s"i % $tL AS ti", s"j % $tL AS tj", "v")
+      .groupBy("bi", "bj")
+      .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+    grid.join(present, Seq("bi", "bj"), "left")
+      .selectExpr("bi", "bj",
+        "coalesce(cells, CAST(array() AS ARRAY<STRUCT<ti: BIGINT, tj: BIGINT, v: DOUBLE>>)) AS cells")
+      .as[(Long, Long, Array[(Long, Long, Double)])]
+      .map { case (bi, bj, cells) =>
+        val arr = new Array[Double](t * t)
+        if (diagPad && bi == bj) {
+          var d0 = 0
+          while (d0 < t) { if (bi * tL + d0 >= n) arr(d0 * t + d0) = 1.0; d0 += 1 }
+        }
+        cells.foreach { case (ti, tj, v) => arr(ti.toInt * t + tj.toInt) = v }
+        (bi, bj, arr)
+      }
+  }
+
+  /** Collect one t×t tile block-column of a triangular factor to the
+    * driver: O(nb·t²) transient bytes — the same panel bound the
+    * factorizations accept. Diagonal tile padded to 1 past the edge. */
+  private def collectColPanel(f: DMatrix, k: Int, t: Int, lower: Boolean): Map[Long, Array[Double]] = {
+    val tL = t.toLong
+    val n = f.rows
+    val sel =
+      if (lower) f.df.where(col("j") >= k * tL && col("j") < (k + 1) * tL && col("i") >= k * tL)
+      else f.df.where(col("j") >= k * tL && col("j") < (k + 1) * tL && col("i") < (k + 1) * tL)
+    val rows = sel.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byTile = rows.groupBy(_._1 / tL)
+    byTile.map { case (bi, cs) =>
+      val arr = new Array[Double](t * t)
+      if (bi == k) {
+        var d0 = 0
+        while (d0 < t) { if (k * tL + d0 >= n) arr(d0 * t + d0) = 1.0; d0 += 1 }
+      }
+      cs.foreach { case (i, j, v) => arr(((i % tL) * tL + (j % tL)).toInt) = v }
+      (bi, arr)
+    }
+  }
+
+  /** Block forward substitution with a MATRIX right-hand side: X with
+    * L·X = B, both distributed tile sets (reference `solve_triangular`,
+    * `linalg/_solve.py:20` — lower=True path). Right-looking: per block
+    * step, the X block-row solves distributedly under a broadcast Lkk,
+    * then the trailing B rows take `B_i -= L_ik·X_k` as a broadcast map —
+    * the O(n³) work never leaves the cluster; only O(nb·t²) panels
+    * stream through the driver. */
+  def solveLowerTiles(s: SparkSession, l: DMatrix, b: DMatrix, tile: Int = 512): DMatrix = {
+    solveTriTiles(s, l, b, tile, lower = true)
+  }
+
+  /** Block backward substitution: X with U·X = B (upper path). */
+  def solveUpperTiles(s: SparkSession, u: DMatrix, b: DMatrix, tile: Int = 512): DMatrix = {
+    solveTriTiles(s, u, b, tile, lower = false)
+  }
+
+  private def solveTriTiles(s: SparkSession, f: DMatrix, b: DMatrix, tile: Int,
+                            lower: Boolean): DMatrix = {
+    require(f.rows == f.cols && f.rows == b.rows, "shape mismatch")
+    import s.implicits._
+    val t = tile
+    val tL = t.toLong
+    val n = f.rows
+    val m = b.cols
+    val nb = ((n + t - 1) / t).toInt
+    var cur = tileGrid(s, b, t, diagPad = false).persist()
+    cur.count()
+    val xParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val ks = if (lower) 0 until nb else (nb - 1) to 0 by -1
+    for (k <- ks) {
+      val kk = k.toLong
+      val panel = collectColPanel(f, k, t, lower) // block column k of the factor
+      val fkk = panel(kk)
+      val bcDiag = s.sparkContext.broadcast(fkk)
+      // X_k = Fkk⁻¹ B_k, one task per column tile of block row k
+      val xk = cur.filter(r => r._1 == kk)
+        .map { case (bi, bj, arr) =>
+          val x = if (lower) localSolveLX(arr, bcDiag.value, t)
+                  else localSolveUX(arr, bcDiag.value, t)
+          (bi, bj, x)
+        }.collect() // one block row: O(nbc·t²), the accepted panel bound
+      val rows = xk.flatMap { case (bi, bj, arr) =>
+        for {
+          ti <- 0 until t; tj <- 0 until t
+          i = bi * tL + ti; j = bj * tL + tj
+          if i < n && j < m && arr(ti * t + tj) != 0.0
+        } yield (i, j, arr(ti * t + tj))
+      }
+      xParts += s.createDataFrame(rows.toSeq).toDF("i", "j", "v")
+      // trailing update on unsolved block rows
+      val remaining = if (lower) (bi: Long) => bi > kk else (bi: Long) => bi < kk
+      if (ks.last != k) {
+        val bcPanel = s.sparkContext.broadcast(panel)
+        val bcXk = s.sparkContext.broadcast(xk.map { case (_, bj, arr) => bj -> arr }.toMap)
+        val next = cur.filter(r => remaining(r._1))
+          .map { case (bi, bj, arr) =>
+            (bcPanel.value.get(bi), bcXk.value.get(bj)) match {
+              case (Some(fik), Some(xkj)) =>
+                val out = arr.clone(); subMul(out, fik, xkj, t); (bi, bj, out)
+              case _ => (bi, bj, arr)
+            }
+          }.persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    new DMatrix(xParts.reduce(_ unionByName _), n, m)
+  }
+
+  /** Matrix inverse via LU (reference `inv`, `linalg/_solve.py:225` —
+    * `solve(a, eye)`): A⁻¹ = U⁻¹ L⁻¹ I by two blocked triangular solves
+    * with the identity as the right-hand side. The result is dense n² by
+    * nature; every heavy stage stays distributed. */
+  def inv(s: SparkSession, a: DMatrix, tile: Int = 512): DMatrix = {
+    require(a.rows == a.cols, "inv needs a square matrix")
+    val (l, u) = lu(s, a, tile)
+    val eye = DMatrix.eye(s, a.rows.toInt)
+    val y = solveLowerTiles(s, l, eye, tile)
+    solveUpperTiles(s, u, y, tile)
+  }
+
+  /** General (non-SPD) solve A·x = b via LU + two triangular solves
+    * (reference `solve`, `linalg/_solve.py:163`). */
+  def solveLU(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
+    val (l, u) = lu(s, a, tile)
+    val n = a.rows.toInt
+    val sess = s
+    import sess.implicits._
+    val bdf = new DMatrix(
+      b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, 0L, v) }.toDF("i", "j", "v"), n, 1)
+    val y = solveLowerTiles(s, l, bdf, tile)
+    val x = solveUpperTiles(s, u, y, tile)
+    val out = new Array[Double](n)
+    x.df.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(2))
+    out
+  }
+
   /** Solve L·y = b for lower-triangular L (reference `solve_triangular`,
     * `dask_array/linalg/_solve.py:20`): block forward substitution — a
     * driver loop over block rows; each step is one distributed gather of

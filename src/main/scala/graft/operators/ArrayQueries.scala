@@ -329,6 +329,17 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // 2-d histogram (reference `histogram2d`, _histogram.py:360): bucket
+    // both coordinates elemwise, ONE (bx,by) groupBy — partial aggregation
+    // bounds the shuffle at the bin-grid size. The y series derives from v
+    // by exact integer arithmetic so both engines bucket identically
+    "q53_histogram2d" -> ((s, d) =>
+      events(s, d).elements.selectExpr(
+          "least(greatest(CAST(floor(v / 50) AS BIGINT), 0), 9) AS bx",
+          "least(greatest((CAST(floor(v) AS BIGINT) * 7 + 13) % 400 DIV 40, 0), 9) AS by")
+        .groupBy("bx", "by").agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
+        .orderBy("bx", "by")),
+
     // exponential(λ=0.5) via inverse transform −ln(u)/λ on the position-
     // keyed LCG stream (reference `RandomState.exponential`,
     // random/_generator.py:207) — distribution-level checks like q38
@@ -664,6 +675,12 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q53_histogram2d" ->
+      """SELECT least(greatest(CAST(floor(value / 50) AS BIGINT), 0), 9) AS bx,
+         least(greatest((CAST(floor(value) AS BIGINT) * 7 + 13) % 400 // 40, 0), 9) AS by,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY bx, by""",
 
     "q48_random_exponential" ->
       s"""SELECT round(avg(z), 3) AS m, round(stddev_samp(z), 3) AS sd FROM (

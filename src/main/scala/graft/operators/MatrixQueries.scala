@@ -121,6 +121,42 @@ object MatrixQueries {
         .orderBy("k")
     }),
 
+    // batched matmul (reference batched dims, linalg/_tensordot.py:194):
+    // 4 batches contract in ONE (b,k) join + ONE (b,i,j) aggregation —
+    // batches spread across partitions, no per-batch driver loop
+    "m17_batched_matmul" -> ((s, d) => {
+      val x = graft.DTensor.tabulate(s, 4, 20, 15, "(b*3 + i*7 + j*3) % 11")
+      val y = graft.DTensor.tabulate(s, 4, 15, 10, "(b*5 + i*2 + j*9) % 13")
+      x.matmul(y).elements.orderBy("b", "i", "j")
+    }),
+
+    // 3-operand einsum chain: eager intermediate contraction makes this
+    // the pairwise (A·B)·C plan (reference _einsum.py:181 optimize=True)
+    "m18_einsum_chain" -> ((s, d) =>
+      graft.Einsum("ij,jk,kl->il", A.spark(s), B.spark(s), C.spark(s))
+        .orderBy("i", "l")),
+
+    // pointwise coordinate gather (reference `.vindex`,
+    // slicing/_vindex.py:143): 50 scattered (i,j) points from one
+    // broadcast-join scan; absent cells surface as implicit zeros
+    "m19_vindex" -> ((s, d) => {
+      val pts = s.range(50).selectExpr("id AS p", "(id * 7) % 40 AS pi", "(id * 11) % 30 AS pj")
+      A.spark(s).vindex(pts).orderBy("idx")
+    }),
+
+    // matrix inverse (reference `inv`, linalg/_solve.py:225): LU + two
+    // blocked triangular solves against the identity; the check is the
+    // defining property A·A⁻¹ = I — trace n and zero off-diagonal mass
+    "l04_inv" -> ((s, d) => {
+      val n = 48
+      val base = graft.DMatrix.tabulate(s, n, n,
+        s"((i*5 + j*11) % 9) - 4 + (CASE WHEN i = j THEN $n ELSE 0 END)")
+      val ainv = graft.linalg.Cholesky.inv(s, base, tile = 16)
+      base.matmul(ainv).elements
+        .agg(round(sum(expr("CASE WHEN i = j THEN v ELSE 0 END")), 6).as("tr"),
+          round(sum(expr("CASE WHEN i <> j THEN abs(v) ELSE 0 END")), 6).as("offmass"))
+    }),
+
     // zarr round trips (reference from_zarr/to_zarr, io/_zarr.py:67,275):
     // the engine writes a v2 store (distributed chunk encode) and reads it
     // back (distributed binaryFile decode); the oracle recomputes the same
@@ -246,6 +282,28 @@ object MatrixQueries {
                FROM events WHERE event_id < 64),
               range(64) t(k)
          GROUP BY k ORDER BY k""",
+
+    "m17_batched_matmul" ->
+      """WITH ta AS (SELECT x // 300 AS b, (x // 15) % 20 AS i, x % 15 AS j,
+              CAST(((x // 300)*3 + ((x // 15) % 20)*7 + (x % 15)*3) % 11 AS DOUBLE) AS v
+            FROM range(1200) t(x)),
+          tb AS (SELECT x // 150 AS b, (x // 10) % 15 AS i, x % 10 AS j,
+              CAST(((x // 150)*5 + ((x // 10) % 15)*2 + (x % 10)*9) % 13 AS DOUBLE) AS v
+            FROM range(600) t(x))
+          SELECT ta.b AS b, ta.i AS i, tb.j AS j, sum(ta.v * tb.v) AS v
+          FROM ta JOIN tb ON ta.b = tb.b AND ta.j = tb.i
+          GROUP BY 1, 2, 3 ORDER BY b, i, j""",
+
+    "m18_einsum_chain" ->
+      s"""SELECT i, j AS l, v FROM (${duckMatmul(s"(${duckMatmul(A.duck, B.duck)})", C.duck)})
+          ORDER BY i, l""",
+
+    "m19_vindex" ->
+      """SELECT p AS idx, CAST((((p * 7) % 40) * 7 + ((p * 11) % 30) * 3) % 11 AS DOUBLE) AS v
+         FROM range(50) t(p) ORDER BY idx""",
+
+    "l04_inv" ->
+      """SELECT CAST(48.0 AS DOUBLE) AS tr, CAST(0.0 AS DOUBLE) AS offmass""",
 
     "z01_zarr_roundtrip" ->
       """SELECT event_id AS idx, value AS v FROM events

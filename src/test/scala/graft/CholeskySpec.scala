@@ -145,6 +145,38 @@ class CholeskySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff < 1e-8, s"max |LU - A| = $diff")
   }
 
+  test("inv: A·A⁻¹ = I on a diagonally dominant matrix, multi-tile") {
+    val n = 48
+    val base = DMatrix.tabulate(spark, n, n, "((i*5 + j*11) % 9) - 4")
+    val a = new DMatrix(
+      base.elements.unionByName(DMatrix.eye(spark, n).map(s"v * $n").elements)
+        .groupBy("i", "j").agg(sum("v").as("v")), n, n)
+    val ainv = Cholesky.inv(spark, a, tile = 16)
+    val prod = a.matmul(ainv)
+    val offDiag = prod.elements.where("i <> j")
+      .agg(max(abs(col("v")))).collect()(0).getDouble(0)
+    assert(offDiag < 1e-9, s"max offdiag $offDiag")
+    prod.elements.where("i = j").collect().foreach(r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, s"diag ${r.getLong(0)}"))
+  }
+
+  test("solveLU: general A·x = b round-trips (non-SPD)") {
+    val n = 40
+    val base = DMatrix.tabulate(spark, n, n, "((i*7 + j*3) % 11) - 5")
+    val a = new DMatrix(
+      base.elements.unionByName(DMatrix.eye(spark, n).map(s"v * $n").elements)
+        .groupBy("i", "j").agg(sum("v").as("v")), n, n)
+    val b = Array.tabulate(n)(i => ((i * 3) % 13).toDouble - 6)
+    val x = Cholesky.solveLU(spark, a, b, tile = 16)
+    val sp = spark
+    import sp.implicits._
+    val xdf = x.zipWithIndex.toSeq.map { case (v, j) => (j.toLong, v) }.toDF("j", "xv")
+    val ax = a.elements.join(broadcast(xdf), "j")
+      .groupBy("i").agg(sum(expr("v * xv")).as("axv"))
+      .collect().map(r => (r.getLong(0).toInt, r.getDouble(1)))
+    ax.foreach { case (i, v) => assert(math.abs(v - b(i)) < 1e-7, s"Ax($i)=$v") }
+  }
+
   test("non-tile-aligned size works (padded edge tiles)") {
     val n = 45
     val a = spd(n)

@@ -90,4 +90,48 @@ class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.elements.orderBy("i", "j").collect().toSeq ==
       a.elements.orderBy("i", "j").collect().toSeq)
   }
+
+  test("batched matmul equals per-batch 2-d matmul") {
+    val x = DTensor.tabulate(spark, 3, 8, 6, "(b*3 + i*7 + j*3) % 11")
+    val y = DTensor.tabulate(spark, 3, 6, 5, "(b*5 + i*2 + j*9) % 13")
+    val got = x.matmul(y)
+    for (b <- 0 until 3) {
+      val want = x.slice(b).matmul(y.slice(b)).elements
+        .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val g = got.slice(b).elements
+        .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(g.toSeq == want.toSeq, s"batch $b")
+    }
+  }
+
+  test("DTensor stack + reduceBatch sum the batch axis") {
+    val a = DMatrix.tabulate(spark, 4, 3, "i + j")
+    val b = DMatrix.tabulate(spark, 4, 3, "2 * (i + j)")
+    val t3 = DTensor.stack(Seq(a, b))
+    val summed = t3.reduceBatch("sum(v)").elements.orderBy("i", "j")
+      .collect().map(_.getDouble(2))
+    val want = a.elements.orderBy("i", "j").collect().map(_.getDouble(2) * 3)
+    assert(summed.toSeq == want.toSeq)
+  }
+
+  test("3-operand einsum chain equals pairwise matmul") {
+    val a = DMatrix.tabulate(spark, 7, 5, "(i*7 + j*3) % 11")
+    val b = DMatrix.tabulate(spark, 5, 6, "(i*5 + j*2) % 13")
+    val c = DMatrix.tabulate(spark, 6, 4, "(i*2 + j*9) % 7")
+    val got = Einsum("ij,jk,kl->il", a, b, c).orderBy("i", "l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = a.matmul(b).matmul(c).elements.orderBy("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("3-operand einsum with full contraction to a scalar") {
+    val a = DMatrix.tabulate(spark, 4, 3, "i + j + 1")
+    val b = DMatrix.tabulate(spark, 3, 5, "i * 2 + j + 1")
+    val c = DMatrix.tabulate(spark, 5, 4, "i + 2 * j + 1")
+    // einsum("ij,jk,ki->") = trace(A·B·C)
+    val got = Einsum("ij,jk,ki->", a, b, c).collect()(0).getDouble(0)
+    val want = a.matmul(b).matmul(c).trace.collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+  }
 }
