@@ -57,6 +57,7 @@ object Simplify {
       case MapVec(c, x)        => MapVec(rewrite(c, parents), x)
       case ZipVec(a, b, x)     => ZipVec(rewrite(a, parents), rewrite(b, parents), x)
       case SliceVec(c, lo, hi) => SliceVec(rewrite(c, parents), lo, hi)
+      case ZipOffsetVec(c, o, x) => ZipOffsetVec(rewrite(c, parents), o, x)
       case FilterVec(c, p)     => FilterVec(rewrite(c, parents), p)
       case ConcatVec(a, b)     => ConcatVec(rewrite(a, parents), rewrite(b, parents))
       case SetItemVec(c, u)    => SetItemVec(rewrite(c, parents), u)
@@ -89,6 +90,20 @@ object Simplify {
     case ZipVec(a, b, e) if a.name == b.name =>
       simplifyNode(
         MapVec(a, VecExpr.subst(VecExpr.subst(e, "v1", "v"), "v2", "v")), parents)
+
+    // -- offset self-alignment fusion ----------------------------------------
+    // zip of two equal-length REGIONS of the same scan (the x[a:b] +
+    // x[a+k:b+k] interleave) fuses to one scan + one exchange via
+    // ZipOffsetVec — the unfused plan shuffle-joins the leaf with itself.
+    // Restricted to raw column leaves: the union-agg encoding needs
+    // non-NULL values, which raw scans guarantee.
+    case ZipVec(ColumnVec(t1, i1, x1, Some((a, b))),
+                ColumnVec(t2, i2, x2, Some((c, d))), e)
+        if t1 == t2 && i1 == i2 && x1 == x2 && (b - a) == (d - c) && a != c =>
+      def swap(k: String): String =
+        VecExpr.subst(VecExpr.subst(VecExpr.subst(k, "v1", "vSWP"), "v2", "v1"), "vSWP", "v2")
+      if (a < c) ZipOffsetVec(ColumnVec(t1, i1, x1, Some((a, d))), c - a, e)
+      else ZipOffsetVec(ColumnVec(t1, i1, x1, Some((c, b))), a - c, swap(e))
 
     // -- elemwise fusion ----------------------------------------------------
     case MapVec(MapVec(c, e1), e2) =>

@@ -111,6 +111,9 @@ final case class ColumnVec(
 ) extends VecExpr {
   def children: Seq[VecExpr] = Nil
   def token: String = s"column[$table,$idxSql,$valueSql,$region]"
+  /** A scoped region has a statically known length; a bare scan does not
+    * (the reference's nan-chunks condition). */
+  override def length: Long = region.map { case (lo, hi) => hi - lo }.getOrElse(-1L)
   def eval(ctx: Ctx): DataFrame = {
     val base = ctx.table(table)
     val scoped = region match {
@@ -161,6 +164,37 @@ final case class ZipVec(left: VecExpr, right: VecExpr, exprSql: String) extends 
     val l = left.eval(ctx).withColumnRenamed("v", "v1")
     val r = right.eval(ctx).withColumnRenamed("v", "v2")
     l.join(r, "idx").selectExpr("idx", s"CAST($exprSql AS DOUBLE) AS v")
+  }
+}
+
+/** Offset self-alignment `out[i] = f(x[i], x[i+offset])` — the fused form
+  * of `zip(x[a:b], x[a+off:b+off])` (reference interleaved alignment, the
+  * `x + roll(x, k)` case of chunk alignment `dask_array/_expr.py:723`).
+  * Where the unfused zip shuffle-JOINS two scans of the same leaf (two
+  * exchanges + sort), this plans as ONE union of two projections of one
+  * scan + ONE hash aggregation — half the movement, no sort, offset-size
+  * independent. Produced only by [[Simplify]]'s offset-zip rule (never
+  * user-built), and only over raw leaf scans, where a position's value is
+  * never NULL (the union-agg encoding uses NULL as "absent side"). */
+final case class ZipOffsetVec(child: VecExpr, offset: Long, exprSql: String) extends VecExpr {
+  require(offset > 0, s"offset must be positive, got $offset")
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"zipoffset[$offset,$exprSql]"
+  override def length: Long =
+    if (child.length >= 0) math.max(child.length - offset, 0) else -1
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length)) // one pass — vs ZipVec's two
+  def eval(ctx: Ctx): DataFrame = {
+    val base = child.eval(ctx)
+    val self = base.select(col("idx"), col("v").as("a1"),
+      lit(null).cast("double").as("a2"))
+    val part = base.where(col("idx") >= offset)
+      .select((col("idx") - offset).as("idx"),
+        lit(null).cast("double").as("a1"), col("v").as("a2"))
+    self.unionByName(part)
+      .groupBy("idx").agg(max(col("a1")).as("v1"), max(col("a2")).as("v2"))
+      .where(col("v1").isNotNull && col("v2").isNotNull)
+      .selectExpr("idx", s"CAST($exprSql AS DOUBLE) AS v")
   }
 }
 

@@ -175,6 +175,24 @@ object MatrixQueries {
       graft.sources.Zarr.read2d(s, dir).where("v <> 0").orderBy("i", "j")
     }),
 
+    // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
+    // bounded shuffles, no rechunk-to-one-task): verified against the
+    // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
+    // oracle can compute WITHOUT a DFT; rounding to hundreds clears the
+    // ~1e-4 absolute FFT error on a ~1e8 quantity by 6 orders
+    "f02_fft_parseval" -> ((s, d) => {
+      val n = 4096
+      val x = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS re", "CAST(0 AS DOUBLE) AS im")
+        .where(s"idx < $n")
+      graft.linalg.FFT.fft(s, x, n)
+        .agg(round(expr(s"sum(re*re + im*im) / $n"), -2).as("energy"))
+    }),
+
+    // fftfreq (reference fft.py:254): exact rational index arithmetic
+    "f03_fftfreq" -> ((s, d) =>
+      graft.linalg.FFT.fftfreq(s, 1000, d = 0.25).orderBy("idx")),
+
     // 2-d stencil via neighbor join — map_overlap in two dimensions
     // (reference `map_overlap`, _overlap.py:143): each cell averages its
     // available 3x3 neighborhood; the 9-way shift-union is the halo
@@ -311,6 +329,15 @@ object MatrixQueries {
 
     "z02_zarr_2d" ->
       s"""SELECT i, j, v FROM ${R.duck} WHERE v <> 0 ORDER BY i, j""",
+
+    "f02_fft_parseval" ->
+      """SELECT round(sum(value * value), -2) AS energy
+         FROM events WHERE event_id < 4096""",
+
+    "f03_fftfreq" ->
+      """SELECT i AS idx,
+         CAST(CASE WHEN i < 500 THEN i ELSE i - 1000 END AS DOUBLE) / (1000 * 0.25) AS v
+         FROM range(1000) t(i) ORDER BY idx""",
 
     "m16_stencil_mean" ->
       s"""SELECT a.i AS i, a.j AS j, sum(b.v) / count(*) AS v

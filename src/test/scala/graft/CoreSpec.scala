@@ -97,6 +97,20 @@ class SimplifySpec extends AnyFunSuite {
     assert(collect(s2) { case m: MapVec => m }.nonEmpty)
   }
 
+  test("offset self-alignment: zip of shifted slices fuses to one scan") {
+    // x[0:800] + x[100:900] — the interleaved-alignment shape (q12)
+    val e = ZipVec(SliceVec(src, 0, 800), SliceVec(src, 100, 900), "v1 + v2")
+    val s = Simplify(e)
+    assert(collect(s) { case z: ZipVec => z }.isEmpty, s.pprint())
+    val zo = collect(s) { case z: ZipOffsetVec => z }
+    assert(zo.length == 1 && zo.head.offset == 100, s.pprint())
+    // reversed operand order swaps the kernel, same fused plan
+    val r = Simplify(ZipVec(SliceVec(src, 100, 900), SliceVec(src, 0, 800), "v1 - v2"))
+    val zo2 = collect(r) { case z: ZipOffsetVec => z }
+    assert(zo2.length == 1 && zo2.head.offset == 100)
+    assert(zo2.head.exprSql.contains("v2") && zo2.head.exprSql.contains("v1"))
+  }
+
   test("content-addressed names: identical trees share a name") {
     val a = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
     val b = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")

@@ -35,6 +35,19 @@ class CostSpec extends AnyFunSuite {
     assert(Simplify(tree).totalTransfer == ((0L, 0L)))
   }
 
+  test("offset-zip fusion halves the modeled transfer (q12 shape)") {
+    val leaf = ColumnVec("events", "event_id", "value", Some((0L, 1000L)))
+    val tree = ZipVec(SliceVec(leaf, 0, 800), SliceVec(leaf, 100, 900), "v1 + v2")
+    val after = Simplify(tree)
+    val zo = after match {
+      case z: ZipOffsetVec => z
+      case other           => fail(s"expected ZipOffsetVec, got ${other.token}")
+    }
+    // one pass of the (fused) 900-element region vs two 800-element passes
+    assert(zo.totalTransfer._2 == 900 * VecExpr.RowBytes)
+    assert(zo.totalTransfer._2 < tree.totalTransfer._2)
+  }
+
   test("optimization does not increase the modeled movement") {
     val tree = SliceVec(MapVec(MapVec(src, "v * 2"), "v + 1"), 0, 100)
     val before = tree.totalTransfer._2

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.linalg.FFT
+
+class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  /** Naive O(n²) reference DFT. */
+  private def dft(xr: Array[Double], xi: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = xr.length
+    val or = new Array[Double](n); val oi = new Array[Double](n)
+    for (k <- 0 until n; j <- 0 until n) {
+      val ang = -2.0 * math.Pi * k * j / n
+      or(k) += xr(j) * math.cos(ang) - xi(j) * math.sin(ang)
+      oi(k) += xr(j) * math.sin(ang) + xi(j) * math.cos(ang)
+    }
+    (or, oi)
+  }
+
+  private def testSignal(n: Int): Array[Double] =
+    Array.tabulate(n)(j => ((j * 37 + 11) % 23).toDouble - 11)
+
+  test("in-core radix-2 matches the naive DFT") {
+    val n = 64
+    val xr = testSignal(n); val xi = Array.tabulate(n)(j => ((j * 13) % 7).toDouble)
+    val (wr, wi) = dft(xr, xi)
+    val re = xr.clone(); val im = xi.clone()
+    FFT.fftInPlace(re, im, inverse = false)
+    for (k <- 0 until n) {
+      assert(math.abs(re(k) - wr(k)) < 1e-9, s"re($k)")
+      assert(math.abs(im(k) - wi(k)) < 1e-9, s"im($k)")
+    }
+  }
+
+  test("distributed four-step FFT matches the naive DFT (n=256, n1*n2=16*16)") {
+    val n = 256
+    val xr = testSignal(n)
+    val sp = spark
+    import sp.implicits._
+    val df = xr.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v, 0.0) }
+      .toDF("idx", "re", "im")
+    val got = FFT.fft(spark, df, n).orderBy("idx").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val (wr, wi) = dft(xr, new Array[Double](n))
+    for (k <- 0 until n) {
+      assert(math.abs(got(k)._1 - wr(k)) < 1e-8, s"re($k): ${got(k)._1} vs ${wr(k)}")
+      assert(math.abs(got(k)._2 - wi(k)) < 1e-8, s"im($k)")
+    }
+  }
+
+  test("non-square split (n=128 → 8*16) also matches") {
+    val n = 128
+    val xr = testSignal(n)
+    val sp = spark
+    import sp.implicits._
+    val df = xr.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v, 0.0) }
+      .toDF("idx", "re", "im")
+    val got = FFT.fft(spark, df, n).orderBy("idx").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val (wr, wi) = dft(xr, new Array[Double](n))
+    for (k <- 0 until n)
+      assert(math.abs(got(k)._1 - wr(k)) < 1e-8 && math.abs(got(k)._2 - wi(k)) < 1e-8, s"k=$k")
+  }
+
+  test("ifft(fft(x)) round-trips") {
+    val n = 64
+    val xr = testSignal(n)
+    val sp = spark
+    import sp.implicits._
+    val df = xr.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v, 0.0) }
+      .toDF("idx", "re", "im")
+    val back = FFT.fft(spark, FFT.fft(spark, df, n), n, inverse = true)
+      .orderBy("idx").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    for (k <- 0 until n) {
+      assert(math.abs(back(k)._1 - xr(k)) < 1e-9, s"re($k)")
+      assert(math.abs(back(k)._2) < 1e-9, s"im($k)")
+    }
+  }
+
+  test("fftfreq and fftshift index math") {
+    val f = FFT.fftfreq(spark, 8, d = 0.5).orderBy("idx").collect().map(_.getDouble(1))
+    assert(f.toSeq == Seq(0.0, 0.25, 0.5, 0.75, -1.0, -0.75, -0.5, -0.25))
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 8).map(i => (i.toLong, i.toDouble, 0.0)).toDF("idx", "re", "im")
+    val sh = FFT.fftshift(df, 8).orderBy("idx").collect().map(_.getDouble(1))
+    assert(sh.toSeq == Seq(4.0, 5, 6, 7, 0, 1, 2, 3))
+  }
+}
