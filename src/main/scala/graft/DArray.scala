@@ -47,6 +47,37 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   // ---- shape ---------------------------------------------------------------
   def ++(o: DArray): DArray                = wrap(ConcatVec(exprTree, o.exprTree))
 
+  /** Extend both edges by `depth` ghost elements per the overlap boundary
+    * mode (reference `boundaries`, `dask_array/_overlap.py:715-792`):
+    * `constant` (fill `cv`), `periodic` (wrap), `reflect` (mirror incl.
+    * edge), `nearest` (repeat edge). Pure composition of slice/flip/
+    * repeat/range + concat — all narrow, zero-shuffle index remaps that
+    * [[Simplify]] pushes into the scans. Windowed ops over the extended
+    * array followed by `slice(depth, n+depth)` give the boundary-aware
+    * `map_overlap`; the same compositions ARE `pad`'s edge/wrap/reflect
+    * modes (reference `creation/_pad.py:17`). Needs a statically known
+    * length (slice first when the leaf is unbounded). */
+  def boundary(depth: Long, mode: String, cv: Double = 0.0): DArray = {
+    val n = exprTree.length
+    require(n >= 0, "boundary needs a statically known length — slice first")
+    require(depth <= n, s"depth $depth exceeds length $n")
+    val left = mode match {
+      case "constant" => wrap(RangeVec(cv, 0, depth))
+      case "periodic" => slice(n - depth, n)
+      case "reflect"  => slice(0, depth).flip
+      case "nearest"  => slice(0, 1).repeatEach(depth.toInt)
+      case other      => throw new IllegalArgumentException(s"boundary mode $other")
+    }
+    val right = mode match {
+      case "constant" => wrap(RangeVec(cv, 0, depth))
+      case "periodic" => slice(0, depth)
+      case "reflect"  => slice(n - depth, n).flip
+      case "nearest"  => slice(n - 1, n).repeatEach(depth.toInt)
+      case other      => throw new IllegalArgumentException(s"boundary mode $other")
+    }
+    left ++ this ++ right
+  }
+
   // ---- shape / layout --------------------------------------------------------
   def coarsen(k: Int, op: String): DArray  = wrap(CoarsenVec(exprTree, k, op))
   def flip: DArray                         = wrap(FlipVec(exprTree))
@@ -91,6 +122,20 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     elements.join(
       broadcast(indices.elements
         .select(col("idx").as("p"), col("v").cast("long").as("src"))),
+      col("idx") === col("src"))
+      .select(col("p").as("idx"), col("v"))
+
+  /** Gather with a LARGE indexer (reference `shuffle`,
+    * `dask_array/_shuffle.py:54`): `out[p] = x[indexer[p]]` where the
+    * indexer is itself a distributed array too big to broadcast — the
+    * partition-regrouping gather. Plans as a hash-partitioned equi-join
+    * of data against indexer on the source position: both sides shuffle
+    * once on the join key, which is exactly the reference's
+    * partition-group exchange. [[take]] is the broadcast-indexer fast
+    * path; this is the scale path. */
+  def takeLarge(indices: DArray): DataFrame =
+    elements.join(
+      indices.elements.select(col("idx").as("p"), col("v").cast("long").as("src")),
       col("idx") === col("src"))
       .select(col("p").as("idx"), col("v"))
 

@@ -329,6 +329,36 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // shuffle(indexer) — permutation gather with a DISTRIBUTED indexer
+    // (reference _shuffle.py:54): the affine-bijection permutation array
+    // drives a hash-join gather; no broadcast, both sides shuffle once
+    "q56_shuffle" -> ((s, d) => {
+      val x = events(s, d)
+      val perm = DArray.arange(s, d, 0, 8192, 1).map(permKernel("CAST(v AS BIGINT)"))
+      x.takeLarge(perm).orderBy("idx")
+    }),
+
+    // boundary-aware map_overlap (reference `boundaries`,
+    // _overlap.py:715-792): reflect ghosts extend the series, the sliding
+    // window runs over the extension, and the trim slice recovers the
+    // original domain — ghosts are narrow index remaps, never a shuffle
+    "q54_overlap_boundary" -> ((s, d) =>
+      events(s, d).slice(0, 500).boundary(2, "reflect")
+        .sliding(3, "mean").map("round(v, 4)").slice(2, 502)
+        .elements.orderBy("idx")),
+
+    // stat-mode pad (reference `pad` minimum/maximum/mean modes,
+    // creation/_pad.py:17): the pad value is a data-dependent aggregate,
+    // broadcast into constant ghost ranges — no driver round trip
+    "q55_pad_stat" -> ((s, d) => {
+      val el = events(s, d).slice(0, 100).elements
+      val m = broadcast(el.agg(round(avg("v"), 4).as("pv")))
+      val left = s.range(5).crossJoin(m).selectExpr("id AS idx", "pv AS v")
+      val mid = el.selectExpr("idx + 5 AS idx", "v")
+      val right = s.range(5).crossJoin(m).selectExpr("id + 105 AS idx", "pv AS v")
+      left.unionByName(mid).unionByName(right).orderBy("idx")
+    }),
+
     // 2-d histogram (reference `histogram2d`, _histogram.py:360): bucket
     // both coordinates elemwise, ONE (bx,by) groupBy — partial aggregation
     // bounds the shuffle at the bin-grid size. The y series derives from v
@@ -675,6 +705,29 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q56_shuffle" ->
+      s"""SELECT t.i AS idx, e.value AS v
+          FROM range(8192) t(i)
+          JOIN events e ON e.event_id = CAST(${permKernel("t.i")} AS BIGINT)
+          ORDER BY idx""",
+
+    "q54_overlap_boundary" ->
+      """WITH b AS (SELECT event_id AS p, value AS v FROM events WHERE event_id < 500),
+         ext AS (SELECT 1 - p AS e, v FROM b WHERE p < 2
+                 UNION ALL SELECT p + 2 AS e, v FROM b
+                 UNION ALL SELECT 502 + (499 - p) AS e, v FROM b WHERE p >= 498)
+         SELECT e - 2 AS idx,
+           round(round(avg(v) OVER (ORDER BY e ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4), 4) AS v
+         FROM ext QUALIFY e BETWEEN 2 AND 501 ORDER BY idx""",
+
+    "q55_pad_stat" ->
+      """WITH b AS (SELECT event_id AS idx, value AS v FROM events WHERE event_id < 100),
+         m AS (SELECT round(avg(v), 4) AS pv FROM b)
+         SELECT i AS idx, pv AS v FROM range(5) t(i), m
+         UNION ALL SELECT idx + 5 AS idx, v FROM b
+         UNION ALL SELECT i + 105 AS idx, pv AS v FROM range(5) t(i), m
+         ORDER BY idx""",
 
     "q53_histogram2d" ->
       """SELECT least(greatest(CAST(floor(value / 50) AS BIGINT), 0), 9) AS bx,

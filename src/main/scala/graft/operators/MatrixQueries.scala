@@ -121,6 +121,52 @@ object MatrixQueries {
         .orderBy("k")
     }),
 
+    // full SVD (reference svd, linalg/_svd.py:170): TSQR → in-core SVD of
+    // R → U = Q·U_R; checked by the defining identities (reconstruction,
+    // orthonormality, Parseval energy) so the oracle needs no SVD
+    "l05_svd_full" -> ((s, d) => {
+      val a = graft.DMatrix.tabulate(s, 400, 6,
+        "CAST((i*7 + j*13) % 19 AS DOUBLE) + CAST(i % 5 AS DOUBLE) * j")
+      val (u, sv, v) = graft.linalg.SVD.svd(s, a)
+      val k = 6
+      val svt = for (i <- 0 until k; j <- 0 until k; x = sv(i) * v(j * k + i) if x != 0.0)
+        yield (i.toLong, j.toLong, x)
+      val svtDM = new graft.DMatrix(s.createDataFrame(svt).toDF("i", "j", "v"), k, k)
+      val recon = u.matmul(svtDM)
+      val err = recon.elements.withColumnRenamed("v", "x")
+        .join(a.elements.withColumnRenamed("v", "y"), Seq("i", "j"), "full")
+        .selectExpr("abs(coalesce(x, 0) - coalesce(y, 0)) AS dr")
+        .agg(max("dr").as("reconerr"))
+      val orth = u.gram.elements
+        .selectExpr("abs(v - CASE WHEN i = j THEN 1.0 ELSE 0.0 END) AS do2")
+        .agg(max("do2").as("ortherr"))
+      val frob2 = a.elements.selectExpr("sum(v*v) AS f").agg(expr("sum(f)").as("f"))
+      err.crossJoin(orth).crossJoin(frob2)
+        .selectExpr("round(reconerr, 6) AS recon_err", "round(ortherr, 6) AS orth_err",
+          s"round(${sv.map(x => x * x).sum} / f, 6) AS energy_ratio")
+    }),
+
+    // randomized svd_compressed (reference linalg/_svd.py:329) on an
+    // exactly low-rank product — rank ≤ probe width means the randomized
+    // range capture is exact and the identities hold to machine precision
+    "l06_svd_compressed" -> ((s, d) => {
+      val x = graft.DMatrix.tabulate(s, 240, 4, "((i*7 + j*3) % 11) - 5")
+      val y = graft.DMatrix.tabulate(s, 80, 4, "((i*5 + j*9) % 13) - 6")
+      val a = x.matmul(y.t)
+      val (u, sv, v) = graft.linalg.SVD.svdCompressed(s, a, k = 4, oversample = 4)
+      val sDM = new graft.DMatrix(
+        s.createDataFrame((0 until 4).map(i => (i.toLong, i.toLong, sv(i)))).toDF("i", "j", "v"), 4, 4)
+      val recon = u.matmul(sDM).matmul(v.t)
+      val err = recon.elements.withColumnRenamed("v", "xx")
+        .join(a.elements.withColumnRenamed("v", "yy"), Seq("i", "j"), "full")
+        .selectExpr(s"abs(coalesce(xx, 0) - coalesce(yy, 0)) / ${sv.head} AS dr")
+        .agg(max("dr").as("relerr"))
+      val frob2 = a.elements.selectExpr("sum(v*v) AS f").agg(expr("sum(f)").as("f"))
+      err.crossJoin(frob2)
+        .selectExpr("round(relerr, 6) AS rel_err",
+          s"round(${sv.map(z => z * z).sum} / f, 6) AS energy_ratio")
+    }),
+
     // batched matmul (reference batched dims, linalg/_tensordot.py:194):
     // 4 batches contract in ONE (b,k) join + ONE (b,i,j) aggregation —
     // batches spread across partitions, no per-batch driver loop
@@ -322,6 +368,13 @@ object MatrixQueries {
 
     "l04_inv" ->
       """SELECT CAST(48.0 AS DOUBLE) AS tr, CAST(0.0 AS DOUBLE) AS offmass""",
+
+    "l05_svd_full" ->
+      """SELECT CAST(0.0 AS DOUBLE) AS recon_err, CAST(0.0 AS DOUBLE) AS orth_err,
+         CAST(1.0 AS DOUBLE) AS energy_ratio""",
+
+    "l06_svd_compressed" ->
+      """SELECT CAST(0.0 AS DOUBLE) AS rel_err, CAST(1.0 AS DOUBLE) AS energy_ratio""",
 
     "z01_zarr_roundtrip" ->
       """SELECT event_id AS idx, value AS v FROM events

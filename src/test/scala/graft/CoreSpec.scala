@@ -97,6 +97,24 @@ class SimplifySpec extends AnyFunSuite {
     assert(collect(s2) { case m: MapVec => m }.nonEmpty)
   }
 
+  test("boundary modes compose to the right ghost values") {
+    // on arange(0..9): depth-2 ghosts per mode
+    val ctxSpark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      def vals(mode: String): Seq[Double] = {
+        val a = graft.DArray.arange(ctxSpark, "/unused", 0, 10, 1)
+        a.boundary(2, mode, cv = -7.0).elements.orderBy("idx")
+          .collect().map(_.getDouble(1)).toSeq
+      }
+      val core = (0 until 10).map(_.toDouble)
+      assert(vals("constant") == Seq(-7.0, -7.0) ++ core ++ Seq(-7.0, -7.0))
+      assert(vals("periodic") == Seq(8.0, 9.0) ++ core ++ Seq(0.0, 1.0))
+      assert(vals("reflect") == Seq(1.0, 0.0) ++ core ++ Seq(9.0, 8.0))
+      assert(vals("nearest") == Seq(0.0, 0.0) ++ core ++ Seq(9.0, 9.0))
+    } finally ctxSpark.stop()
+  }
+
   test("offset self-alignment: zip of shifted slices fuses to one scan") {
     // x[0:800] + x[100:900] — the interleaved-alignment shape (q12)
     val e = ZipVec(SliceVec(src, 0, 800), SliceVec(src, 100, 900), "v1 + v2")
