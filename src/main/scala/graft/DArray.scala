@@ -79,6 +79,11 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   }
 
   // ---- shape / layout --------------------------------------------------------
+  /** Change the block grid for downstream windowed/sequential ops
+    * (reference `rechunk`, `dask_array/_rechunk.py:646`): a lazy metadata
+    * node — the exchange happens inside the next blocked op's shuffle,
+    * never as a standalone pass. */
+  def rechunk(blockSize: Long): DArray     = wrap(RechunkVec(exprTree, blockSize))
   def coarsen(k: Int, op: String): DArray  = wrap(CoarsenVec(exprTree, k, op))
   def flip: DArray                         = wrap(FlipVec(exprTree))
   def roll(s: Long): DArray                = wrap(RollVec(exprTree, s))

@@ -58,6 +58,7 @@ object Simplify {
       case ZipVec(a, b, x)     => ZipVec(rewrite(a, parents), rewrite(b, parents), x)
       case SliceVec(c, lo, hi) => SliceVec(rewrite(c, parents), lo, hi)
       case ZipOffsetVec(c, o, x) => ZipOffsetVec(rewrite(c, parents), o, x)
+      case RechunkVec(c, b)    => RechunkVec(rewrite(c, parents), b)
       case FilterVec(c, p)     => FilterVec(rewrite(c, parents), p)
       case ConcatVec(a, b)     => ConcatVec(rewrite(a, parents), rewrite(b, parents))
       case SetItemVec(c, u)    => SetItemVec(rewrite(c, parents), u)
@@ -114,6 +115,25 @@ object Simplify {
       simplifyNode(ZipVec(a, b, VecExpr.subst(e, "v1", VecExpr.subst(e1, "v", "v1"))), parents)
     case ZipVec(a, MapVec(b, e2), e) if !VecExpr.usesIdx(e2) =>
       simplifyNode(ZipVec(a, b, VecExpr.subst(e, "v2", VecExpr.subst(e2, "v", "v2"))), parents)
+
+    // -- rechunk collapsing + unify-chunks cost policy ------------------------
+    // adjacent rechunks collapse to the outermost grid; a rechunk to the
+    // grid the child already has is the identity
+    case RechunkVec(RechunkVec(c, _), b)      => simplifyNode(RechunkVec(c, b), parents)
+    case RechunkVec(c, b) if c.chunk == b     => c
+    // unify-chunks (reference §4.4 policy, `dask_array/_expr.py:723-905`):
+    // zip operands on different grids must realign; the transfer model
+    // picks the DIRECTION — re-grid the side with fewer modeled bytes
+    // (unknown-length sides count as infinite, so the known-smaller side
+    // moves). This is the first consumer of `transferBytes` that changes
+    // the plan rather than just reporting it.
+    case ZipVec(a, b, e) if a.chunk != b.chunk =>
+      val la = VecExpr.passBytes(a.length)
+      val lb = VecExpr.passBytes(b.length)
+      val aBytes = if (la < 0) Long.MaxValue else la
+      val bBytes = if (lb < 0) Long.MaxValue else lb
+      if (bBytes <= aBytes) ZipVec(a, RechunkVec(b, a.chunk), e)
+      else ZipVec(RechunkVec(a, b.chunk), b, e)
 
     // -- slice fusion & pushdown ---------------------------------------------
     case SliceVec(SliceVec(c, a, b), c2, d) =>

@@ -44,6 +44,15 @@ sealed trait VecExpr {
   /** Realize as the element table `(idx BIGINT, v DOUBLE)`. */
   def eval(ctx: Ctx): DataFrame
 
+  /** Block-grid size governing every downstream blocked/windowed plan —
+    * the element-table analogue of the reference's chunks tuple
+    * (`dask_array/_expr.py:221`). Propagates from children; leaves default
+    * to [[Blocked.B]]; [[RechunkVec]] overrides. The grid is VIRTUAL: it
+    * materializes as `idx DIV chunk` partitioning inside the consuming
+    * blocked op, so changing it costs nothing until a blocked op runs —
+    * the reference's lazy rechunk-task insertion, minus the extra pass. */
+  def chunk: Long = children.headOption.map(_.chunk).getOrElse(Blocked.B)
+
   /** (min, max) bytes this node moves across partition boundaries — the
     * reference's `transfer_bytes` cost model (`dask_array/_expr.py:241-286`,
     * per-op overrides e.g. `_blockwise.py:147`): narrow ops and pure alias
@@ -270,13 +279,15 @@ final case class SetItemVec(child: VecExpr, updates: Seq[(Long, Double)]) extend
   * window only on the numBlocks-row carry table (the reference runs the same
   * carry chain on the driver). */
 object Blocked {
-  /** Rows per block. Small enough that sf0.01 testdata (10k rows) already
-    * spans multiple blocks — the carry/halo paths are exercised by the
-    * correctness gate, not just at scale. Tunable via -Dgraft.block.size. */
+  /** Default rows per block. Small enough that sf0.01 testdata (10k rows)
+    * already spans multiple blocks — the carry/halo paths are exercised by
+    * the correctness gate, not just at scale. Tunable via
+    * -Dgraft.block.size; per-expression override via [[RechunkVec]]. */
   val B: Long = sys.props.getOrElse("graft.block.size", "4096").toLong
 
-  /** Attach the block id. */
-  def withBlk(df: DataFrame): DataFrame = df.withColumn("blk", expr(s"idx DIV $B"))
+  /** Attach the block id for grid size `b`. */
+  def withBlk(df: DataFrame, b: Long = B): DataFrame =
+    df.withColumn("blk", expr(s"idx DIV $b"))
 
   /** In-block running window (partitioned — scales horizontally). */
   def wLocal: org.apache.spark.sql.expressions.WindowSpec =
@@ -292,14 +303,31 @@ object Blocked {
     * positions of each block into its successor (`tblk = blk+1`) — the halo
     * exchange under `map_overlap` (reference `dask_array/_overlap.py:626`).
     * Requires halo < B. */
-  def withTrailingHalo(df: DataFrame, halo: Long): DataFrame = {
-    require(halo < B, s"halo $halo must be < block size $B")
-    val base = withBlk(df)
+  def withTrailingHalo(df: DataFrame, halo: Long, b: Long = B): DataFrame = {
+    require(halo < b, s"halo $halo must be < block size $b")
+    val base = withBlk(df, b)
     val own = base.withColumn("tblk", col("blk"))
     if (halo <= 0) own
     else own.unionByName(
-      base.where(expr(s"idx % $B >= ${B - halo}")).withColumn("tblk", col("blk") + 1))
+      base.where(expr(s"idx % $b >= ${b - halo}")).withColumn("tblk", col("blk") + 1))
   }
+}
+
+/** Explicit chunk-grid change (reference `rechunk`,
+  * `dask_array/_rechunk.py:646`): a pure metadata node — `eval` is the
+  * child's plan unchanged, and the new grid takes effect inside whichever
+  * blocked op consumes it (its `idx DIV chunk` partitioning). This is the
+  * element-table form of the reference's lazy rechunk: the data exchange
+  * happens once, inside the consumer's shuffle, never as a standalone
+  * pass. [[Simplify]] collapses adjacent rechunks and uses the transfer
+  * model to pick the realignment direction when zip operands disagree. */
+final case class RechunkVec(child: VecExpr, newChunk: Long) extends VecExpr {
+  require(newChunk > 0, s"chunk must be positive, got $newChunk")
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"rechunk[$newChunk]"
+  override def length: Long = child.length
+  override def chunk: Long = newChunk
+  def eval(ctx: Ctx): DataFrame = child.eval(ctx)
 }
 
 /** Cumulative scan (reference `CumReduction`,
@@ -313,7 +341,7 @@ final case class CumVec(child: VecExpr, op: String) extends VecExpr {
   override def transferBytes: (Long, Long) =
     (0L, VecExpr.passBytes(child.length))
   def eval(ctx: Ctx): DataFrame = {
-    val base = Blocked.withBlk(child.eval(ctx))
+    val base = Blocked.withBlk(child.eval(ctx), child.chunk)
     val wL = Blocked.wLocal
     val wC = Blocked.wCarry
     op match {
@@ -371,7 +399,7 @@ final case class DiffVec(child: VecExpr, n: Int) extends VecExpr {
   def eval(ctx: Ctx): DataFrame = {
     // halo of n ghost rows from the preceding block feeds the lag; windows
     // stay partitioned by block (assumes dense idx, as diff is positional)
-    val all = Blocked.withTrailingHalo(child.eval(ctx), n.toLong)
+    val all = Blocked.withTrailingHalo(child.eval(ctx), n.toLong, child.chunk)
     val w = Window.partitionBy("tblk").orderBy("idx")
     all.withColumn("pv", lag(col("v"), n).over(w))
       .where(col("tblk") === col("blk") && col("idx") >= n)
@@ -393,7 +421,7 @@ final case class SlidingVec(child: VecExpr, w: Int, op: String, minCount: Int) e
   def eval(ctx: Ctx): DataFrame = {
     // trailing frame fed by a (w-1)-row halo from the preceding block; the
     // banded per-block plan of the reference, with the halo as the band
-    val all = Blocked.withTrailingHalo(child.eval(ctx), (w - 1).toLong)
+    val all = Blocked.withTrailingHalo(child.eval(ctx), (w - 1).toLong, child.chunk)
     val frame = Window.partitionBy("tblk").orderBy("idx")
       .rowsBetween(-(w - 1), Window.currentRow)
     val agg = op match {
@@ -424,7 +452,7 @@ final case class FfillVec(child: VecExpr) extends VecExpr {
   def eval(ctx: Ctx): DataFrame = {
     // per-block ffill (partitioned) + carry = last non-null of any earlier
     // block, ffilled over the tiny per-block summary and broadcast back
-    val base = Blocked.withBlk(child.eval(ctx))
+    val base = Blocked.withBlk(child.eval(ctx), child.chunk)
     val local = base.withColumn("lv",
       last(col("v"), ignoreNulls = true).over(Blocked.wLocal))
     val carry = base.groupBy("blk")
@@ -498,11 +526,12 @@ final case class GradientVec(child: VecExpr) extends VecExpr {
   def eval(ctx: Ctx): DataFrame = {
     // bidirectional halo of 1: last row of each block ghosts into the next
     // block, first row into the previous — the stencil's ghost cells
-    val base = Blocked.withBlk(child.eval(ctx))
+    val gb = child.chunk
+    val base = Blocked.withBlk(child.eval(ctx), gb)
     val own = base.withColumn("tblk", col("blk"))
-    val gNext = base.where(expr(s"idx % ${Blocked.B} = ${Blocked.B - 1}"))
+    val gNext = base.where(expr(s"idx % $gb = ${gb - 1}"))
       .withColumn("tblk", col("blk") + 1)
-    val gPrev = base.where(expr(s"idx % ${Blocked.B} = 0 AND blk > 0"))
+    val gPrev = base.where(expr(s"idx % $gb = 0 AND blk > 0"))
       .withColumn("tblk", col("blk") - 1)
     val all = own.unionByName(gNext).unionByName(gPrev)
     val w = Window.partitionBy("tblk").orderBy("idx")

@@ -97,6 +97,42 @@ class SimplifySpec extends AnyFunSuite {
     assert(collect(s2) { case m: MapVec => m }.nonEmpty)
   }
 
+  test("rechunk: collapses, elides identity, and unify picks the cheap side") {
+    // adjacent rechunks collapse to the outer grid
+    assert(Simplify(RechunkVec(RechunkVec(src, 128), 256)) == RechunkVec(src, 256))
+    // rechunk to the existing grid is identity
+    assert(Simplify(RechunkVec(RangeVec(0, 1, 100), graft.expr.Blocked.B)) == RangeVec(0, 1, 100))
+    // unify-chunks: big side (10000 elems, grid 512) vs small side (100
+    // elems, default grid) — the SMALL side gets re-gridded, not the big
+    val big = RechunkVec(RangeVec(0, 1, 10000), 512)
+    val small = RangeVec(0, 1, 100)
+    Simplify(ZipVec(big, small, "v1 + v2")) match {
+      case ZipVec(l, RechunkVec(r, b), _) =>
+        assert(l == big && r == small && b == 512L)
+      case other => fail(s"expected small side rechunked: ${other.pprint()}")
+    }
+    // reversed operand order still moves the small side
+    Simplify(ZipVec(small, big, "v1 + v2")) match {
+      case ZipVec(RechunkVec(l, b), r, _) =>
+        assert(l == small && r == big && b == 512L)
+      case other => fail(s"expected small side rechunked: ${other.pprint()}")
+    }
+  }
+
+  test("rechunk changes the grid the blocked ops use, values unchanged") {
+    val ctxSpark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val a = graft.DArray.arange(ctxSpark, "/unused", 0, 1000, 1).map("v * 2")
+      val plain = a.cumsum.elements.orderBy("idx").collect().map(_.getDouble(1))
+      val re = a.rechunk(17).cumsum.elements.orderBy("idx").collect().map(_.getDouble(1))
+      assert(plain.toSeq == re.toSeq, "grid change must not change values")
+      // the 17-grid really is what the blocked plan partitions by
+      val plan = a.rechunk(17).cumsum.elements.queryExecution.optimizedPlan.toString
+      assert(plan.contains("17"), s"grid 17 absent from plan:\n${plan.take(800)}")
+    } finally ctxSpark.stop()
+  }
+
   test("boundary modes compose to the right ghost values") {
     // on arange(0..9): depth-2 ghosts per mode
     val ctxSpark = org.apache.spark.sql.SparkSession.builder()
