@@ -62,6 +62,11 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
   def flipCols: DMatrix = new DMatrix(
     df.select(col("i"), (lit(cols - 1) - col("j")).as("j"), col("v")), rows, cols)
 
+  /** Counterclockwise quarter rotation `out[i,j] = a[j, C-1-i]`
+    * (reference `rot90`, `manipulation/_flip.py:56`) — composed key
+    * projections, zero data movement. */
+  def rot90: DMatrix = t.flipRows
+
   /** Rectangular slice `[r0:r1, c0:c1)` with rebasing — the 2-d
     * `SliceSlicesIntegers` (reference `slicing/_basic.py:357`); the range
     * predicates push to the scan through every operator above. */

@@ -116,6 +116,14 @@ object FFT {
       }.toDF("idx", "re", "im")
   }
 
+  /** Real-input FFT keeping the non-negative-frequency half, bins
+    * 0..n/2 inclusive (reference `rfft`, fft.py:119 via fft_wrap): the
+    * negative-frequency bins of a real signal are conjugates, so the
+    * distributed transform just drops them. */
+  def rfft(s: SparkSession, real: DataFrame, n: Long): DataFrame =
+    fft(s, real.selectExpr("idx", "v AS re", "CAST(0 AS DOUBLE) AS im"), n)
+      .where(col("idx") <= n / 2)
+
   /** Sample frequencies (reference `fftfreq`, fft.py:254): exact rational
     * index arithmetic — [0..n/2-1, -n/2..-1] / (n·d). */
   def fftfreq(s: SparkSession, n: Long, d: Double = 1.0): DataFrame =

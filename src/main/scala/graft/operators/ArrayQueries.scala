@@ -329,6 +329,38 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // unique with return_inverse (reference `unique`,
+    // routines/_unique.py:167): each element mapped to the rank of its
+    // value among the distinct values — distinct + rank + join back
+    "q57_unique_inverse" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val el = events(s, d).map("floor(v / 100)").elements
+      val ranks = el.select("v").distinct()
+        .withColumn("inv", row_number().over(Window.orderBy("v")) - 1)
+      el.join(ranks, "v").select(col("idx"), col("inv")).orderBy("idx").limit(500)
+    }),
+
+    // insert/delete composed from slice + concat (reference
+    // routines/_insert_delete.py:19,64): delete [100,200) then insert 5
+    // sentinel values at position 50 — pure unions and index shifts
+    "q58_insert_delete" -> ((s, d) => {
+      val x = events(s, d).slice(0, 300)
+      val deleted = x.slice(0, 100) ++ x.slice(200, 300) // drop [100, 200)
+      val inserted = deleted.slice(0, 50) ++
+        DArray.linspace(s, d, -1, -1, 5) ++ deleted.slice(50, 200)
+      inserted.elements.orderBy("idx")
+    }),
+
+    // histogramdd: 3-coordinate bucket tuple (reference
+    // _histogram.py:593) — one partial-aggregated groupBy, like q53
+    "q59_histogramdd" -> ((s, d) =>
+      events(s, d).elements.selectExpr(
+          "least(greatest(CAST(floor(v / 100) AS BIGINT), 0), 4) AS bx",
+          "(CAST(floor(v) AS BIGINT) * 7 + 13) % 5 AS by",
+          "(CAST(floor(v) AS BIGINT) * 3 + 1) % 4 AS bz")
+        .groupBy("bx", "by", "bz").agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
+        .orderBy("bx", "by", "bz")),
+
     // shuffle(indexer) — permutation gather with a DISTRIBUTED indexer
     // (reference _shuffle.py:54): the affine-bijection permutation array
     // drives a hash-join gather; no broadcast, both sides shuffle once
@@ -705,6 +737,29 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q57_unique_inverse" ->
+      """WITH el AS (SELECT event_id AS idx, floor(value / 100) AS v FROM events),
+         ranks AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS INT) AS inv
+                   FROM (SELECT DISTINCT v FROM el))
+         SELECT el.idx AS idx, ranks.inv AS inv FROM el JOIN ranks USING (v)
+         ORDER BY idx LIMIT 500""",
+
+    "q58_insert_delete" ->
+      """WITH x AS (SELECT event_id AS p, value AS v FROM events WHERE event_id < 300),
+         del AS (SELECT p AS idx, v FROM x WHERE p < 100
+                 UNION ALL SELECT p - 100 AS idx, v FROM x WHERE p >= 200),
+         ins AS (SELECT idx, v FROM del WHERE idx < 50
+                 UNION ALL SELECT 50 + i AS idx, -1.0 AS v FROM range(5) t(i)
+                 UNION ALL SELECT idx + 5 AS idx, v FROM del WHERE idx >= 50)
+         SELECT idx, v FROM ins ORDER BY idx""",
+
+    "q59_histogramdd" ->
+      """SELECT least(greatest(CAST(floor(value / 100) AS BIGINT), 0), 4) AS bx,
+         (CAST(floor(value) AS BIGINT) * 7 + 13) % 5 AS by,
+         (CAST(floor(value) AS BIGINT) * 3 + 1) % 4 AS bz,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2, 3 ORDER BY bx, by, bz""",
 
     "q56_shuffle" ->
       s"""SELECT t.i AS idx, e.value AS v

@@ -239,6 +239,22 @@ object MatrixQueries {
     "f03_fftfreq" -> ((s, d) =>
       graft.linalg.FFT.fftfreq(s, 1000, d = 0.25).orderBy("idx")),
 
+    // rfft: half-spectrum of a real signal; verified by the REAL Parseval
+    // identity n·Σx² = |X₀|² + |X_{n/2}|² + 2·Σ_{0<k<n/2}|X_k|²
+    "f04_rfft_parseval" -> ((s, d) => {
+      val n = 2048
+      val x = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where(s"idx < $n")
+      graft.linalg.FFT.rfft(s, x, n)
+        .selectExpr(s"CASE WHEN idx = 0 OR idx = ${n / 2} THEN re*re + im*im " +
+          s"ELSE 2 * (re*re + im*im) END AS e")
+        .agg(round(expr(s"sum(e) / $n"), -2).as("energy"))
+    }),
+
+    // rot90 — composed transpose + row flip, zero movement
+    "m20_rot90" -> ((s, d) =>
+      A.spark(s).rot90.elements.orderBy("i", "j")),
+
     // 2-d stencil via neighbor join — map_overlap in two dimensions
     // (reference `map_overlap`, _overlap.py:143): each cell averages its
     // available 3x3 neighborhood; the 9-way shift-union is the halo
@@ -391,6 +407,13 @@ object MatrixQueries {
       """SELECT i AS idx,
          CAST(CASE WHEN i < 500 THEN i ELSE i - 1000 END AS DOUBLE) / (1000 * 0.25) AS v
          FROM range(1000) t(i) ORDER BY idx""",
+
+    "f04_rfft_parseval" ->
+      """SELECT round(sum(value * value), -2) AS energy
+         FROM events WHERE event_id < 2048""",
+
+    "m20_rot90" ->
+      s"""SELECT 29 - j AS i, i AS j, v FROM ${A.duck} ORDER BY i, j""",
 
     "m16_stencil_mean" ->
       s"""SELECT a.i AS i, a.j AS j, sum(b.v) / count(*) AS v
