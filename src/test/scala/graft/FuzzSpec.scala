@@ -34,6 +34,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class Diff(n: Int) extends Op
   case object Cumsum extends Op
   case class SlidingMax(w: Int) extends Op
+  case class Rechunk(b: Int) extends Op
+  case class Boundary(depth: Int, mode: String) extends Op
+  case class ZipShift(off: Int) extends Op // x[0:n-off] + x[off:n] — offset-zip fusion path
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -52,6 +55,28 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case Cumsum => v.scanLeft(0.0)(_ + _).tail
     case SlidingMax(w) =>
       v.indices.map(i => v.slice(math.max(0, i - w + 1), i + 1).max).toVector
+    case Rechunk(_) => v // grid change never changes values
+    case Boundary(d0, mode) =>
+      if (v.isEmpty) v
+      else {
+        val d = math.min(d0, v.length)
+        val left = mode match {
+          case "constant" => Vector.fill(d)(0.0)
+          case "periodic" => v.takeRight(d)
+          case "reflect"  => v.take(d).reverse
+          case "nearest"  => Vector.fill(d)(v.head)
+        }
+        val right = mode match {
+          case "constant" => Vector.fill(d)(0.0)
+          case "periodic" => v.take(d)
+          case "reflect"  => v.takeRight(d).reverse
+          case "nearest"  => Vector.fill(d)(v.last)
+        }
+        left ++ v ++ right
+      }
+    case ZipShift(off) =>
+      if (v.length <= off) Vector.empty
+      else (0 until v.length - off).map(i => v(i) + v(i + off)).toVector
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -66,6 +91,12 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case Diff(n)   => d.diff(n)
     case Cumsum    => d.cumsum
     case SlidingMax(w) => d.sliding(w, "max")
+    case Rechunk(b) => d.rechunk(b)
+    case Boundary(d0, mode) =>
+      if (len == 0) d else d.boundary(math.min(d0, len.toInt), mode)
+    case ZipShift(off) =>
+      if (len <= off) d.slice(0, 0)
+      else d.slice(0, len - off).zip(d.slice(off, len), "v1 + v2")
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -76,7 +107,11 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     Gen.choose(2, 3).map(Repeat(_)),
     Gen.choose(1, 2).map(Diff(_)),
     Gen.const(Cumsum),
-    Gen.choose(2, 9).map(SlidingMax(_)))
+    Gen.choose(2, 9).map(SlidingMax(_)),
+    Gen.oneOf(17, 50, 64, 100).map(Rechunk(_)),
+    for { d <- Gen.choose(1, 5)
+          m <- Gen.oneOf("constant", "periodic", "reflect", "nearest") } yield Boundary(d, m),
+    Gen.choose(1, 9).map(ZipShift(_)))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
   // windowed ops' carry chains and halos run multi-block
