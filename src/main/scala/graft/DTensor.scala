@@ -59,6 +59,15 @@ final class DTensor(val df: DataFrame, val batch: Long, val rows: Long, val cols
   def traces: DataFrame =
     df.where(col("i") === col("j")).groupBy("b").agg(sum("v").as("tr"))
 
+  /** Axis-subset reduction (reference axis tuples,
+    * `reductions/_reduction.py:89-95`): groupBy the KEPT coordinates —
+    * one partial-aggregated shuffle regardless of which axes collapse.
+    * `keep` is any subset of "b", "i", "j". */
+  def reduceAxes(keep: Seq[String], sqlAggOverV: String): DataFrame = {
+    require(keep.nonEmpty && keep.forall(Set("b", "i", "j")), s"bad axes $keep")
+    df.groupBy(keep.map(col): _*).agg(expr(sqlAggOverV).cast("double").as("v"))
+  }
+
   def elements: DataFrame = df
 }
 

@@ -329,6 +329,28 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // wider distribution family by inverse transform on the LCG stream
+    // (reference random/_generator.py:100-346): laplace, rayleigh,
+    // geometric, lognormal, standard_cauchy — one pass, five moment pairs.
+    // Cauchy has no mean, so its check is the exact count of |x| > 10
+    // (tail mass), integer-exact on both engines
+    "q60_random_more" -> ((s, d) => {
+      val u = unifKernel("CAST(v AS BIGINT)", 271)
+      val u2 = unifKernel("CAST(v AS BIGINT)", 977)
+      DArray.arange(s, d, 0, 20000, 1).elements.selectExpr(
+          s"CASE WHEN $u < 0.5 THEN ln(2 * ($u)) ELSE -ln(2 * (1 - ($u))) END AS lap",
+          s"sqrt(-2 * ln($u)) AS ray",
+          s"CAST(ceil(ln($u) / ln(0.75)) AS BIGINT) AS geo",
+          s"exp(sqrt(-2 * ln($u)) * cos(2 * pi() * ($u2))) AS logn",
+          s"tan(pi() * (($u) - 0.5)) AS cau")
+        .agg(
+          round(avg("lap"), 3).as("lap_m"), round(stddev_samp("lap"), 3).as("lap_sd"),
+          round(avg("ray"), 3).as("ray_m"),
+          round(avg("geo"), 3).as("geo_m"),
+          round(expr("avg(ln(logn))"), 3).as("logn_mu"),
+          expr("CAST(sum(CASE WHEN abs(cau) > 10 THEN 1 ELSE 0 END) AS BIGINT)").as("cau_tail"))
+    }),
+
     // unique with return_inverse (reference `unique`,
     // routines/_unique.py:167): each element mapped to the rank of its
     // value among the distinct values — distinct + rank + join back
@@ -737,6 +759,22 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q60_random_more" -> {
+      val u = unifKernel("i", 271)
+      val u2 = unifKernel("i", 977)
+      s"""SELECT round(avg(lap), 3) AS lap_m, round(stddev_samp(lap), 3) AS lap_sd,
+           round(avg(ray), 3) AS ray_m, round(avg(geo), 3) AS geo_m,
+           round(avg(ln(logn)), 3) AS logn_mu,
+           CAST(sum(CASE WHEN abs(cau) > 10 THEN 1 ELSE 0 END) AS BIGINT) AS cau_tail
+         FROM (SELECT
+           CASE WHEN $u < 0.5 THEN ln(2 * ($u)) ELSE -ln(2 * (1 - ($u))) END AS lap,
+           sqrt(-2 * ln($u)) AS ray,
+           CAST(ceil(ln($u) / ln(0.75)) AS BIGINT) AS geo,
+           exp(sqrt(-2 * ln($u)) * cos(2 * pi() * ($u2))) AS logn,
+           tan(pi() * (($u) - 0.5)) AS cau
+           FROM range(20000) t(i))"""
+    },
 
     "q57_unique_inverse" ->
       """WITH el AS (SELECT event_id AS idx, floor(value / 100) AS v FROM events),

@@ -255,6 +255,12 @@ object MatrixQueries {
     "m20_rot90" -> ((s, d) =>
       A.spark(s).rot90.elements.orderBy("i", "j")),
 
+    // 3-d axis-tuple reduction (reference reductions/_reduction.py:89):
+    // collapse (i, j), keep the batch axis — one partial-agg shuffle
+    "m21_tensor_axis_reduce" -> ((s, d) =>
+      graft.DTensor.tabulate(s, 6, 30, 20, "(b*7 + i*3 + j*11) % 17")
+        .reduceAxes(Seq("b"), "sum(v)").orderBy("b")),
+
     // 2-d stencil via neighbor join — map_overlap in two dimensions
     // (reference `map_overlap`, _overlap.py:143): each cell averages its
     // available 3x3 neighborhood; the 9-way shift-union is the halo
@@ -414,6 +420,13 @@ object MatrixQueries {
 
     "m20_rot90" ->
       s"""SELECT 29 - j AS i, i AS j, v FROM ${A.duck} ORDER BY i, j""",
+
+    "m21_tensor_axis_reduce" ->
+      """SELECT b, CAST(sum(v) AS DOUBLE) AS v FROM (
+           SELECT x // 600 AS b,
+             CAST(((x // 600)*7 + ((x // 20) % 30)*3 + (x % 20)*11) % 17 AS DOUBLE) AS v
+           FROM range(3600) t(x))
+         GROUP BY b ORDER BY b""",
 
     "m16_stencil_mean" ->
       s"""SELECT a.i AS i, a.j AS j, sum(b.v) / count(*) AS v

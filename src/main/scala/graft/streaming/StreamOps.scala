@@ -48,6 +48,17 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("h")
       .select(col("ts"), col("doc_id"))
 
+  /** Per-user session windows (gap-based): events within `gap` of each
+    * other merge into one session; a watermark closes sessions so state
+    * is bounded. Spark's native `session_window` — stateful, keyed by
+    * (user, session), partitioned freely across executors. */
+  def sessionStats(ev: Dataset[Ev], gap: String = "5 seconds",
+                   watermark: String = "10 seconds"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .select(col("session_window.start").as("ws"), col("user"), col("n"), col("s"))
+
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
     * buffer (total, n), merged exactly like `Aggregator.merge`. */

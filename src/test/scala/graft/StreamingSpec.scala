@@ -26,6 +26,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(sec: Int) = new Timestamp(sec * 1000L)
 
+  test("session windows merge gap-close events and split on gaps") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionStats(in.toDS(), gap = "5 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: events at 1s, 3s (one session), then 20s (a new session:
+      // gap > 5s); user 2: single event
+      in.addData(Ev(ts(1), 1, 10.0), Ev(ts(3), 1, 5.0), Ev(ts(20), 1, 2.0),
+        Ev(ts(2), 2, 7.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(120), 9, 0.0)) // advance watermark → close sessions
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT user, n, s FROM sess ORDER BY user, s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((1L, 1L, 2.0)), s"split session missing: ${rows.toSeq}")
+      assert(rows.contains((1L, 2L, 15.0)), s"merged session missing: ${rows.toSeq}")
+      assert(rows.contains((2L, 1L, 7.0)), s"user-2 session missing: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermarked sliding window finalizes closed windows, drops late rows") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
