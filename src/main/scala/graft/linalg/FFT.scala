@@ -124,6 +124,43 @@ object FFT {
     fft(s, real.selectExpr("idx", "v AS re", "CAST(0 AS DOUBLE) AS im"), n)
       .where(col("idx") <= n / 2)
 
+  /** Inverse of [[rfft]]: rebuild the negative-frequency bins by conjugate
+    * symmetry, run the inverse transform, return the real part. */
+  def irfft(s: SparkSession, half: DataFrame, n: Long): DataFrame = {
+    val mirror = half
+      .where(col("idx") > 0 && col("idx") < n - n / 2)
+      .selectExpr(s"$n - idx AS idx", "re", "-im AS im")
+    fft(s, half.unionByName(mirror), n, inverse = true)
+      .select(col("idx"), col("re").as("v"))
+  }
+
+  /** 2-d FFT of a complex cell table `(i, j, re, im)` with shape
+    * rows×cols, both powers of two (reference `fft2` via fft_wrap,
+    * fft.py:119): FFT each row, then each column — two grouped stages,
+    * each an independent in-core transform per line, so parallelism is
+    * rows (then cols) and no line ever crosses tasks. */
+  def fft2(s: SparkSession, df: DataFrame, rows: Long, cols: Long,
+           inverse: Boolean = false): DataFrame = {
+    import s.implicits._
+    val inv = inverse
+    val scale = if (inverse) 1.0 / (rows * cols) else 1.0
+    def pass(d: DataFrame, lineKey: String, posKey: String, lineLen: Long): DataFrame =
+      d.select(col(lineKey).as("lk"), col(posKey).as("pk"), col("re"), col("im"))
+        .as[(Long, Long, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (lk, it) =>
+          val re = new Array[Double](lineLen.toInt)
+          val im = new Array[Double](lineLen.toInt)
+          it.foreach { case (_, p, r, i0) => re(p.toInt) = r; im(p.toInt) = i0 }
+          fftInPlace(re, im, inv)
+          (0 until lineLen.toInt).iterator.map(p => (lk, p.toLong, re(p), im(p)))
+        }.toDF(lineKey, posKey, "re", "im")
+    val afterRows = pass(df, "i", "j", cols)
+    pass(afterRows, "j", "i", rows)
+      .select(col("i"), col("j"),
+        (col("re") * scale).as("re"), (col("im") * scale).as("im"))
+  }
+
   /** Sample frequencies (reference `fftfreq`, fft.py:254): exact rational
     * index arithmetic — [0..n/2-1, -n/2..-1] / (n·d). */
   def fftfreq(s: SparkSession, n: Long, d: Double = 1.0): DataFrame =

@@ -255,6 +255,18 @@ object MatrixQueries {
     "m20_rot90" -> ((s, d) =>
       A.spark(s).rot90.elements.orderBy("i", "j")),
 
+    // 2-d FFT (row FFTs then column FFTs), checked by 2-d Parseval —
+    // the oracle recomputes Σx² directly from the generator kernel
+    "f05_fft2_parseval" -> ((s, d) => {
+      val (r, c) = (64, 32)
+      val x = s.range(r.toLong * c).selectExpr(
+        s"id DIV $c AS i", s"id % $c AS j",
+        s"CAST((id DIV $c * 5 + id % $c * 11 + 3) % 13 - 6 AS DOUBLE) AS re",
+        "CAST(0 AS DOUBLE) AS im")
+      graft.linalg.FFT.fft2(s, x, r, c)
+        .agg(round(expr(s"sum(re*re + im*im) / ${r * c}"), 4).as("energy"))
+    }),
+
     // 3-d axis-tuple reduction (reference reductions/_reduction.py:89):
     // collapse (i, j), keep the batch axis — one partial-agg shuffle
     "m21_tensor_axis_reduce" -> ((s, d) =>
@@ -417,6 +429,11 @@ object MatrixQueries {
     "f04_rfft_parseval" ->
       """SELECT round(sum(value * value), -2) AS energy
          FROM events WHERE event_id < 2048""",
+
+    "f05_fft2_parseval" ->
+      """SELECT round(sum(v * v), 4) AS energy FROM (
+           SELECT CAST((x // 32 * 5 + x % 32 * 11 + 3) % 13 - 6 AS DOUBLE) AS v
+           FROM range(2048) t(x))""",
 
     "m20_rot90" ->
       s"""SELECT 29 - j AS i, i AS j, v FROM ${A.duck} ORDER BY i, j""",

@@ -92,6 +92,43 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("irfft(rfft(x)) recovers a real signal") {
+    val n = 64
+    val xr = testSignal(n)
+    val sp = spark
+    import sp.implicits._
+    val df = xr.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("idx", "v")
+    val back = FFT.irfft(spark, FFT.rfft(spark, df, n), n)
+      .orderBy("idx").collect().map(_.getDouble(1))
+    for (k <- 0 until n) assert(math.abs(back(k) - xr(k)) < 1e-9, s"k=$k")
+  }
+
+  test("fft2 matches the naive 2-d DFT and inverse round-trips") {
+    val rows = 16; val cols = 8
+    val x = Array.tabulate(rows, cols)((i, j) => ((i * 5 + j * 11 + 3) % 13).toDouble - 6)
+    val sp = spark
+    import sp.implicits._
+    val df = (for (i <- 0 until rows; j <- 0 until cols)
+      yield (i.toLong, j.toLong, x(i)(j), 0.0)).toDF("i", "j", "re", "im")
+    val got = FFT.fft2(spark, df, rows, cols).orderBy("i", "j").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    // naive 2-d DFT
+    for (k1 <- 0 until rows; k2 <- 0 until cols) {
+      var wr = 0.0; var wi = 0.0
+      for (j1 <- 0 until rows; j2 <- 0 until cols) {
+        val ang = -2.0 * math.Pi * (k1.toDouble * j1 / rows + k2.toDouble * j2 / cols)
+        wr += x(j1)(j2) * math.cos(ang)
+        wi += x(j1)(j2) * math.sin(ang)
+      }
+      val (gr, gi) = got(k1 * cols + k2)
+      assert(math.abs(gr - wr) < 1e-8 && math.abs(gi - wi) < 1e-8, s"($k1,$k2)")
+    }
+    val back = FFT.fft2(spark, FFT.fft2(spark, df, rows, cols), rows, cols, inverse = true)
+      .orderBy("i", "j").collect().map(_.getDouble(2))
+    for (k <- 0 until rows * cols)
+      assert(math.abs(back(k) - x(k / cols)(k % cols)) < 1e-9, s"roundtrip $k")
+  }
+
   test("fftfreq and fftshift index math") {
     val f = FFT.fftfreq(spark, 8, d = 0.5).orderBy("idx").collect().map(_.getDouble(1))
     assert(f.toSeq == Seq(0.0, 0.25, 0.5, 0.75, -1.0, -0.75, -0.5, -0.25))
