@@ -122,14 +122,18 @@ object Cholesky {
         cells.foreach { case (ti, tj, v) => arr(ti.toInt * t + tj.toInt) = v }
         (bi, bj, arr)
       }.persist()
-    cur.count()
 
     val lPanels = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    // deferred unpersist: each step's panel collect scans (and so
+    // materializes) the freshly-persisted `cur`, so the PREVIOUS
+    // generation can be dropped then — no standalone count() jobs
+    var prevGen: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])] = null
 
     var k = 0
     while (k < nb) {
       // (1)+(2) collect block column k, factor in-core
       val panel = cur.filter(r => r._2 == k).collect().sortBy(_._1)
+      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
       val akk = panel.find(_._1 == k).get._3
       val lkk = localChol(akk, t)
       val lPanel: Map[Long, Array[Double]] =
@@ -163,12 +167,13 @@ object Cholesky {
             }
             (bi, bj, out)
           }.persist()
-        next.count()
-        cur.unpersist()
+        prevGen = cur
         cur = next
       }
       k += 1
     }
+    cur.unpersist()
+    if (prevGen != null) prevGen.unpersist()
 
     val lDF = lPanels.reduce(_ unionByName _)
     new DMatrix(lDF, n, n)
@@ -294,10 +299,10 @@ object Cholesky {
         cells.foreach { case (ti, tj, v) => arr(ti.toInt * t + tj.toInt) = v }
         (bi, bj, arr)
       }.persist()
-    cur.count()
 
     val lParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val uParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    var prevGen: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])] = null
 
     def emit(buf: ArrayBuffer[org.apache.spark.sql.DataFrame],
              tiles: Seq[(Long, Long, Array[Double])], lower: Boolean): Unit = {
@@ -319,6 +324,7 @@ object Cholesky {
       val kk = k
       // collect block row + column k
       val panel = cur.filter(r => r._1 == kk || r._2 == kk).collect()
+      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
       val akk = panel.find(r => r._1 == kk && r._2 == kk).get._3
       val (lkk, ukk) = localLU(akk, t)
       val lCol: Map[Long, Array[Double]] = panel.collect {
@@ -343,12 +349,13 @@ object Cholesky {
             }
             (bi, bj, out)
           }.persist()
-        next.count()
-        cur.unpersist()
+        prevGen = cur
         cur = next
       }
       k += 1
     }
+    cur.unpersist()
+    if (prevGen != null) prevGen.unpersist()
 
     (new DMatrix(lParts.reduce(_ unionByName _), n, n),
       new DMatrix(uParts.reduce(_ unionByName _), n, n))
@@ -454,7 +461,7 @@ object Cholesky {
     val m = b.cols
     val nb = ((n + t - 1) / t).toInt
     var cur = tileGrid(s, b, t, diagPad = false).persist()
-    cur.count()
+    var prevGen: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])] = null
     val xParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val ks = if (lower) 0 until nb else (nb - 1) to 0 by -1
     for (k <- ks) {
@@ -469,6 +476,7 @@ object Cholesky {
                   else localSolveUX(arr, bcDiag.value, t)
           (bi, bj, x)
         }.collect() // one block row: O(nbc·t²), the accepted panel bound
+      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
       val rows = xk.flatMap { case (bi, bj, arr) =>
         for {
           ti <- 0 until t; tj <- 0 until t
@@ -490,11 +498,12 @@ object Cholesky {
               case _ => (bi, bj, arr)
             }
           }.persist()
-        next.count()
-        cur.unpersist()
+        prevGen = cur
         cur = next
       }
     }
+    cur.unpersist()
+    if (prevGen != null) prevGen.unpersist()
     new DMatrix(xParts.reduce(_ unionByName _), n, m)
   }
 

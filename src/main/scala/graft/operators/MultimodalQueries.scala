@@ -81,9 +81,36 @@ object MultimodalQueries {
       }.toDF()
   }
 
+  final case class ResizeRow(doc_id: Long, p0: Long, p1: Long, p2: Long, p3: Long,
+                             p4: Long, p5: Long, p6: Long, p7: Long)
+
+  /** Resize: nearest-neighbor downsample of the decoded payload to a fixed
+    * 8-wide grid — the image-resize kernel shape (pure index remap per
+    * element, batched partition-local, no shuffle). Source position for
+    * output cell k is `floor(k * len / 8)`. */
+  def resizeTo8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BATCH).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val n = payload.length
+            val p = Array.tabulate(8) { k =>
+              if (n == 0) 0L else payload((k * n / 8).toInt) & 0xffL
+            }
+            ResizeRow(id, p(0), p(1), p(2), p(3), p(4), p(5), p(6), p(7))
+          }
+        }
+      }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_features" -> ((s, d) =>
       extractFeatures(s, d).where("doc_id < 100").orderBy("doc_id")),
+
+    // resize plumbing: fixed-grid nearest-neighbor sampling per payload
+    "mm04_resize" -> ((s, d) =>
+      resizeTo8(s, d).where("doc_id < 100").orderBy("doc_id")),
 
     "mm02_frame_sample" -> ((s, d) =>
       sampleFrames(s, d).where("doc_id < 100").orderBy("doc_id")),
@@ -102,6 +129,13 @@ object MultimodalQueries {
         for i in generate_series(1, length(text))]) AS BIGINT) % $M)"""
 
   val oracles: Map[String, String] = Map(
+    "mm04_resize" ->
+      s"""SELECT doc_id,
+          ${(0 until 8).map(k =>
+            s"CAST(ascii(substring(text, ($k * length(text)) // 8 + 1, 1)) AS BIGINT) AS p$k")
+            .mkString(", ")}
+          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
     "mm01_features" ->
       s"""SELECT doc_id, ${(0 until 8).map(k => s"${duckFeat(k)} AS f$k").mkString(", ")}
           FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
