@@ -47,6 +47,31 @@ object EmbeddingQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** PQ codebook weight for (sub, code, dim): deterministic integer. */
+  private def pqW(sub: Int, c: String, d: String): String =
+    s"((($c) * 29 + ($d) * 13 + $sub * 7) % 19 - 9)"
+
+  /** Squared distance of subvector `sub` to code `c` — ascending-dim fold
+    * so accumulation order (hence every IEEE rounding) matches DuckDB. */
+  private def pqDistSpark(sub: Int, c: Int): String =
+    s"aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, d) -> acc + " +
+      s"(CAST(element_at(embedding, $sub * 8 + d + 1) AS DOUBLE) - ${pqW(sub, c.toString, "d")}) * " +
+      s"(CAST(element_at(embedding, $sub * 8 + d + 1) AS DOUBLE) - ${pqW(sub, c.toString, "d")}))"
+  private def pqDistDuck(sub: Int, c: Int): String =
+    s"CAST(list_sum([(CAST(embedding[$sub * 8 + d + 1] AS DOUBLE) - ${pqW(sub, c.toString, "d")}) * " +
+      s"(CAST(embedding[$sub * 8 + d + 1] AS DOUBLE) - ${pqW(sub, c.toString, "d")}) " +
+      s"for d in generate_series(0, 7)]) AS DOUBLE)"
+
+  /** argmin over the 16 codes (first-min tie break). */
+  private def pqCode(sub: Int): String = {
+    val arr = (0 until 16).map(c => pqDistSpark(sub, c)).mkString("array(", ", ", ")")
+    s"CAST(array_position($arr, array_min($arr)) - 1 AS BIGINT)"
+  }
+  private def pqCodeDuck(sub: Int): String = {
+    val arr = (0 until 16).map(c => pqDistDuck(sub, c)).mkString("[", ", ", "]")
+    s"CAST(list_position($arr, list_min($arr)) - 1 AS BIGINT)"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // vector norms — the elemwise/aggregate HOF baseline (≈1.0 everywhere
@@ -142,6 +167,25 @@ object EmbeddingQueries {
         .select("qid", "label", "rn", "vec_id", "sim").orderBy("qid", "rn")
     }),
 
+    // product quantization (the 100 TB ANN memory-compression tool —
+    // beyond the reference, like IVF): 64 dims → 8 subvectors × 16-code
+    // deterministic codebooks; per subvector each vector takes the
+    // argmin-distance code (ascending-dim accumulation on both engines, so
+    // distances are bit-identical and argmin is exact). Output: the
+    // (sub, code) histogram — the codebook balance a PQ index lives on.
+    // One narrow pass + one bin-bounded groupBy; codes are 4 bits, so the
+    // whole corpus compresses 64 floats → 8 nibbles
+    "e08_pq_codes" -> ((s, d) => {
+      val codes = emb(s, d).selectExpr(
+        (0 until 8).map(sub => s"${pqCode(sub)} AS c$sub"): _*)
+      // materialize codes behind an exchange so the stack generator reads
+      // values, not re-inlined distance expressions (CollapseProject)
+      codes.repartition(8)
+        .selectExpr(s"stack(8, ${(0 until 8).map(x => s"$x, c$x").mkString(", ")}) AS (sub, code)")
+        .groupBy("sub", "code").agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
+        .orderBy("sub", "code")
+    }),
+
     // cosine top-pairs within a label block (IVF-style blocking), window-
     // bounded like e05: per-label sorted neighborhood caps pair generation
     // at O(n·W) per label — an unbounded within-label all-pairs is O(n²)
@@ -218,6 +262,13 @@ object EmbeddingQueries {
             FROM assign a JOIN embeddings e ON e.label = a.label
             WHERE e.vec_id <> a.qid)
           WHERE rn <= 3 ORDER BY qid, rn""",
+
+    "e08_pq_codes" ->
+      s"""SELECT sub, code, CAST(count(*) AS BIGINT) AS cnt FROM (
+          ${(0 until 8).map(sub =>
+            s"SELECT $sub AS sub, ${pqCodeDuck(sub)} AS code FROM embeddings")
+            .mkString("\n UNION ALL ")})
+          GROUP BY 1, 2 ORDER BY sub, code""",
 
     "e06_label_topk_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding, label,
