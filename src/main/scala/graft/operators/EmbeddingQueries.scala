@@ -186,6 +186,31 @@ object EmbeddingQueries {
         .orderBy("sub", "code")
     }),
 
+    // PQ asymmetric-distance search (ADC): queries score against the
+    // 8-nibble codes via per-subvector lookup — dot(q_sub, codebook[code])
+    // summed over subs. At 100 TB the scan side touches ONLY the codes
+    // (16x smaller than floats); the lookup table is a broadcast literal.
+    // Top-3 per query by approximate similarity, ids ascending on ties
+    "e09_pq_adc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val codes = emb(s, d).selectExpr(
+        "vec_id" +: (0 until 8).map(sub => s"${pqCode(sub)} AS c$sub"): _*)
+      val q = emb(s, d).where("vec_id < 3")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      // ADC score: Σ_sub dot(q_sub, w(sub, code_sub)) — the code picks the
+      // codebook row, the q-side dot folds dims ascending (exact both sides)
+      val score = (0 until 8).map(sub =>
+        s"aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, d) -> acc + " +
+          s"CAST(element_at(qe, $sub * 8 + d + 1) AS DOUBLE) * ${pqW(sub, s"c$sub", "d")})")
+        .mkString("(", " + ", ")")
+      codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .selectExpr("qid", "vec_id", s"round($score, 4) AS adc")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+        .where("rn <= 3")
+        .select("qid", "rn", "vec_id", "adc").orderBy("qid", "rn")
+    }),
+
     // cosine top-pairs within a label block (IVF-style blocking), window-
     // bounded like e05: per-label sorted neighborhood caps pair generation
     // at O(n·W) per label — an unbounded within-label all-pairs is O(n²)
@@ -262,6 +287,23 @@ object EmbeddingQueries {
             FROM assign a JOIN embeddings e ON e.label = a.label
             WHERE e.vec_id <> a.qid)
           WHERE rn <= 3 ORDER BY qid, rn""",
+
+    "e09_pq_adc" -> {
+      val score = (0 until 8).map(sub =>
+        s"CAST(list_sum([CAST(qe[$sub * 8 + d + 1] AS DOUBLE) * ${pqW(sub, s"c$sub", "d")} " +
+          s"for d in generate_series(0, 7)]) AS DOUBLE)")
+        .mkString("(", " + ", ")")
+      s"""WITH codes AS (
+            SELECT vec_id, ${(0 until 8).map(sub => s"${pqCodeDuck(sub)} AS c$sub").mkString(", ")}
+            FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)
+          SELECT qid, CAST(rn AS INT) AS rn, vec_id, adc FROM (
+            SELECT q.qid, codes.vec_id, round($score, 4) AS adc,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY round($score, 4) DESC, codes.vec_id) AS rn
+            FROM codes, q WHERE codes.vec_id <> q.qid)
+          WHERE rn <= 3 ORDER BY qid, rn"""
+    },
 
     "e08_pq_codes" ->
       s"""SELECT sub, code, CAST(count(*) AS BIGINT) AS cnt FROM (

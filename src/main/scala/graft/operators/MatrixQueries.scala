@@ -288,6 +288,20 @@ object MatrixQueries {
         .orderBy("i", "j")
     }),
 
+    // periodic-boundary 2-d stencil (reference boundary modes,
+    // _overlap.py:715): ghost targets wrap mod n instead of truncating —
+    // every cell averages a FULL 3x3 neighborhood on the torus
+    "m22_stencil_periodic" -> ((s, d) => {
+      val n = 40
+      val a = Tab(n, n, "(i*3 + j*7) % 15").spark(s)
+      val shifted = a.elements.selectExpr(
+        s"explode(transform(sequence(0, 8), o -> struct((i + o DIV 3 - 1 + $n) % $n AS i, (j + o % 3 - 1 + $n) % $n AS j))) AS tgt", "v")
+        .selectExpr("tgt.i AS i", "tgt.j AS j", "v")
+      shifted.groupBy("i", "j")
+        .agg((sum("v") / lit(9.0)).as("v"))
+        .orderBy("i", "j")
+    }),
+
     // distributed TSQR (reference linalg/_qr.py:560): RᵀR must equal AᵀA —
     // the oracle recomputes the gram directly, validating the whole
     // two-level factorization numerically
@@ -444,6 +458,14 @@ object MatrixQueries {
              CAST(((x // 600)*7 + ((x // 20) % 30)*3 + (x % 20)*11) % 17 AS DOUBLE) AS v
            FROM range(3600) t(x))
          GROUP BY b ORDER BY b""",
+
+    "m22_stencil_periodic" ->
+      s"""SELECT a.i AS i, a.j AS j, sum(b.v) / 9.0 AS v
+          FROM ${Tab(40, 40, "(i*3 + j*7) % 15").duck} a
+          JOIN ${Tab(40, 40, "(i*3 + j*7) % 15").duck} b
+            ON ((b.i - a.i + 40) % 40) IN (0, 1, 39)
+           AND ((b.j - a.j + 40) % 40) IN (0, 1, 39)
+          GROUP BY 1, 2 ORDER BY i, j""",
 
     "m16_stencil_mean" ->
       s"""SELECT a.i AS i, a.j AS j, sum(b.v) / count(*) AS v
