@@ -329,6 +329,21 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // ufunc tail: hypot, copysign, nan_to_num, isclose, logaddexp
+    // (reference _ufunc.py:313-392) — shared kernel text on both engines;
+    // exact forms where possible (copysign via CASE, isclose as an integer
+    // count), rounded aggregates where libm enters (hypot, logaddexp)
+    "q61_ufunc_extras" -> ((s, d) =>
+      events(s, d).elements.selectExpr(
+          "v - 250 AS a", "300 - v AS b",
+          "CASE WHEN v % 10 < 1 THEN CAST('NaN' AS DOUBLE) ELSE v END AS maybenan")
+        .agg(
+          round(expr("sum(sqrt(a*a + b*b))"), 3).as("hyp"),
+          round(expr("sum(CASE WHEN b >= 0 THEN abs(a) ELSE -abs(a) END)"), 3).as("csgn"),
+          round(expr("sum(CASE WHEN isnan(maybenan) THEN 0 ELSE maybenan END)"), 3).as("n2n"),
+          expr("CAST(sum(CASE WHEN abs(a - b) <= 0.001 + 0.05 * abs(b) THEN 1 ELSE 0 END) AS BIGINT)").as("nclose"),
+          round(expr("sum(greatest(a/100, b/100) + ln(1 + exp(-abs(a/100 - b/100))))"), 2).as("lae"))),
+
     // wider distribution family by inverse transform on the LCG stream
     // (reference random/_generator.py:100-346): laplace, rayleigh,
     // geometric, lognormal, standard_cauchy — one pass, five moment pairs.
@@ -759,6 +774,16 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q61_ufunc_extras" ->
+      """SELECT round(sum(sqrt(a*a + b*b)), 3) AS hyp,
+         round(sum(CASE WHEN b >= 0 THEN abs(a) ELSE -abs(a) END), 3) AS csgn,
+         round(sum(CASE WHEN isnan(maybenan) THEN 0 ELSE maybenan END), 3) AS n2n,
+         CAST(sum(CASE WHEN abs(a - b) <= 0.001 + 0.05 * abs(b) THEN 1 ELSE 0 END) AS BIGINT) AS nclose,
+         round(sum(greatest(a/100, b/100) + ln(1 + exp(-abs(a/100 - b/100)))), 2) AS lae
+         FROM (SELECT value - 250 AS a, 300 - value AS b,
+           CASE WHEN value % 10 < 1 THEN CAST('NaN' AS DOUBLE) ELSE value END AS maybenan
+           FROM events)""",
 
     "q60_random_more" -> {
       val u = unifKernel("i", 271)

@@ -167,6 +167,24 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // TF-IDF feature extraction (the CountVectorizer/IDF step of a
+    // training pipeline): token counts per doc, document frequency per
+    // token, idf = ln(N/df) — two partial-agg shuffles + a broadcast of
+    // the tiny vocabulary; top-10 terms for doc 0 by rounded score
+    "t12_tfidf" -> ((s, d) => {
+      val dd = docs(s, d)
+      val toks = dd.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+        .where("w <> ''")
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = dd.agg(count(lit(1)).as("n"))
+      tf.where("doc_id = 0")
+        .join(broadcast(dfreq), "w").crossJoin(broadcast(n))
+        .selectExpr("w", "CAST(tf AS BIGINT) AS tf",
+          "round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score")
+        .orderBy(col("score").desc, col("w")).limit(10)
+    }),
+
     // exact dedup: content-hash groupBy, keep the smallest id per group
     "t01_exact_dedup" -> ((s, d) =>
       docsWithDups(s, d)
@@ -261,6 +279,20 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> ''),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT tf.w AS w, CAST(tf.tf AS BIGINT) AS tf,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score
+         FROM tf JOIN dfreq USING (w), n
+         WHERE tf.doc_id = 0
+         ORDER BY score DESC, w LIMIT 10""",
+
     "t01_exact_dedup" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS cnt FROM $duckDocsWithDups
           GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keep_id""",
