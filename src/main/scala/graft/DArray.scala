@@ -44,6 +44,17 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def mask(predOverV: String): DArray      = wrap(FilterVec(exprTree, predOverV))
   def setItems(updates: Seq[(Long, Double)]): DArray = wrap(SetItemVec(exprTree, updates))
 
+  /** Slice-valued assignment `x[lo:hi) = value` (reference `SetItem` with
+    * slice indices, `slicing/_setitem.py:294`): copy-on-write projection,
+    * no movement. */
+  def setSlice(lo: Long, hi: Long, value: Double): DArray =
+    map(s"CASE WHEN idx >= $lo AND idx < $hi THEN CAST($value AS DOUBLE) ELSE v END")
+
+  /** Mask-valued assignment `x[cond] = value` (reference boolean-mask
+    * SetItem): elemwise rewrite over the value predicate. */
+  def setWhere(predOverVIdx: String, value: Double): DArray =
+    map(s"CASE WHEN $predOverVIdx THEN CAST($value AS DOUBLE) ELSE v END")
+
   // ---- shape ---------------------------------------------------------------
   def ++(o: DArray): DArray                = wrap(ConcatVec(exprTree, o.exprTree))
 

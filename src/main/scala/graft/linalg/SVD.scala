@@ -166,14 +166,24 @@ object SVD {
     * LCG matrix — reproducible like every RNG in this engine. Returns
     * (U n×k distributed, S, V m×k distributed). */
   def svdCompressed(s: SparkSession, a: DMatrix, k: Int, oversample: Int = 8,
-                    blockRows: Int = TSQR.defaultBlockRows)
+                    powerIter: Int = 0, blockRows: Int = TSQR.defaultBlockRows)
       : (DMatrix, Array[Double], DMatrix) = {
     val l = math.min(k + oversample, math.min(a.cols, a.rows)).toInt
     require(l <= 64, s"probe width $l exceeds the in-core QR bound")
     // Ω: m×l pseudo-random ±[0,1) — LCG over the linear cell index
     val omega = DMatrix.tabulate(s, a.cols, l,
       "CAST(((1103515245 * (i * 64 + j + 99) + 12345) % 2147483648) AS DOUBLE) / 1073741824.0 - 1.0")
-    val y = a.matmul(omega)                       // n×l, distributed
+    var y = a.matmul(omega)                       // n×l, distributed
+    // power iterations sharpen the captured spectrum for slowly-decaying
+    // singular values (reference compression_matrix, _svd.py:254):
+    // Y ← A·(Aᵀ·Y), re-orthonormalized through TSQR each round to keep
+    // the probe numerically independent
+    var it = 0
+    while (it < powerIter) {
+      val (qy, _) = TSQR.tsqr(s, y, blockRows)
+      y = a.matmul(a.t.matmul(qy))
+      it += 1
+    }
     val (q, _) = TSQR.tsqr(s, y, blockRows)       // n×l orthonormal range
     val b = q.t.matmul(a)                         // l×m, distributed
     // small SVD of B via TSQR of Bᵀ (m×l tall): Bᵀ = Qb·Rb ⇒

@@ -329,6 +329,14 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // slice- and mask-valued assignment (reference SetItem slice/bool
+    // paths, slicing/_setitem.py:294): copy-on-write projections
+    "q62_setitem_slice_mask" -> ((s, d) =>
+      events(s, d).slice(0, 400)
+        .setSlice(50, 60, -5.0)
+        .setWhere("v > 400", 400.0)
+        .elements.orderBy("idx")),
+
     // ufunc tail: hypot, copysign, nan_to_num, isclose, logaddexp
     // (reference _ufunc.py:313-392) — shared kernel text on both engines;
     // exact forms where possible (copysign via CASE, isclose as an integer
@@ -774,6 +782,12 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q62_setitem_slice_mask" ->
+      """SELECT event_id AS idx,
+         CASE WHEN event_id >= 50 AND event_id < 60 THEN -5.0
+              WHEN value > 400 THEN 400.0 ELSE value END AS v
+         FROM events WHERE event_id < 400 ORDER BY idx""",
 
     "q61_ufunc_extras" ->
       """SELECT round(sum(sqrt(a*a + b*b)), 3) AS hyp,

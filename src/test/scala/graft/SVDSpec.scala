@@ -68,6 +68,23 @@ class SVDSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxAbsDiff(recon, a) < 1e-8)
   }
 
+  test("svd_compressed power iterations improve a full-spectrum tail") {
+    // full-rank 200×30 matrix: truncated rank-6 approximations — the
+    // power-iterated probe must capture at least as much spectral energy
+    val n = 200; val m = 30
+    val a = DMatrix.tabulate(spark, n, m, "((i*7 + j*13) % 19) + ((i + 2*j) % 5)")
+    def energy(powerIter: Int): Double = {
+      val (_, sv, _) = SVD.svdCompressed(spark, a, k = 6, oversample = 2,
+        powerIter = powerIter, blockRows = 64)
+      sv.map(x => x * x).sum
+    }
+    val e0 = energy(0)
+    val e2 = energy(2)
+    assert(e2 >= e0 - 1e-6, s"power iterations lost energy: $e2 < $e0")
+    val frob2 = a.elements.selectExpr("sum(v*v) AS s").collect()(0).getDouble(0)
+    assert(e2 <= frob2 + 1e-6)
+  }
+
   test("svd_compressed recovers an exactly low-rank matrix") {
     val n = 240; val m = 80; val rank = 4
     // A = X·Yᵀ, rank 4 by construction
