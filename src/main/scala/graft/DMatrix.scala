@@ -119,6 +119,23 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
   /** Diagonal sum (reference `trace`, `reductions/_trace.py:4`). */
   def trace: DataFrame = diag(0).agg(sum(col("v")).as("trace"))
 
+  /** Summed-area table (integral image): `out[i,j] = Σ_{p≤i, q≤j} v[p,q]`
+    * — `cumsum(axis=1)` then `cumsum(axis=0)` (reference cumulative
+    * reductions along an axis, `reductions/_cumulative.py:100`). Each pass
+    * is a window PARTITIONED BY the other coordinate, so parallelism is
+    * the line count — never a global single-partition sort. Dense input
+    * expected (absent cells are zero, so sparse inputs densify first
+    * if exact prefix sums over gaps matter). */
+  def integralImage: DMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    val byRow = Window.partitionBy("i").orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byCol = Window.partitionBy("j").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrap(df.withColumn("v", sum(col("v")).over(byRow))
+      .withColumn("v", sum(col("v")).over(byCol)))
+  }
+
   /** Apply an in-core kernel to each dense row — `apply_along_axis`
     * (reference `routines/_apply.py:16`): rows are assembled from the
     * sparse element table (absent cells are 0) and mapped per-partition;

@@ -288,6 +288,12 @@ object MatrixQueries {
         .orderBy("i", "j")
     }),
 
+    // summed-area table: two per-line partitioned window scans — the 2-d
+    // cumulative reduction; integer inputs keep prefix sums exact
+    "m23_integral_image" -> ((s, d) =>
+      Tab(50, 40, "(i*3 + j*7) % 15").spark(s).integralImage
+        .elements.orderBy("i", "j")),
+
     // periodic-boundary 2-d stencil (reference boundary modes,
     // _overlap.py:715): ghost targets wrap mod n instead of truncating —
     // every cell averages a FULL 3x3 neighborhood on the torus
@@ -458,6 +464,13 @@ object MatrixQueries {
              CAST(((x // 600)*7 + ((x // 20) % 30)*3 + (x % 20)*11) % 17 AS DOUBLE) AS v
            FROM range(3600) t(x))
          GROUP BY b ORDER BY b""",
+
+    "m23_integral_image" ->
+      s"""SELECT a.i AS i, a.j AS j, sum(b.v) AS v
+          FROM ${Tab(50, 40, "(i*3 + j*7) % 15").duck} a
+          JOIN ${Tab(50, 40, "(i*3 + j*7) % 15").duck} b
+            ON b.i <= a.i AND b.j <= a.j
+          GROUP BY 1, 2 ORDER BY i, j""",
 
     "m22_stencil_periodic" ->
       s"""SELECT a.i AS i, a.j AS j, sum(b.v) / 9.0 AS v
