@@ -123,16 +123,22 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * — `cumsum(axis=1)` then `cumsum(axis=0)` (reference cumulative
     * reductions along an axis, `reductions/_cumulative.py:100`). Each pass
     * is a window PARTITIONED BY the other coordinate, so parallelism is
-    * the line count — never a global single-partition sort. Dense input
-    * expected (absent cells are zero, so sparse inputs densify first
-    * if exact prefix sums over gaps matter). */
+    * the line count — never a global single-partition sort. The input is
+    * densified against the full grid first: element tables drop zero
+    * cells, and a window scan over a sparse line would silently skip the
+    * absent positions' carry (the output is inherently dense anyway). */
   def integralImage: DMatrix = {
     import org.apache.spark.sql.expressions.Window
+    val sess = df.sparkSession
+    val grid = sess.range(rows * cols)
+      .selectExpr(s"id DIV $cols AS i", s"id % $cols AS j")
+    val dense = grid.join(df, Seq("i", "j"), "left")
+      .select(col("i"), col("j"), coalesce(col("v"), lit(0.0)).as("v"))
     val byRow = Window.partitionBy("i").orderBy("j")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byCol = Window.partitionBy("j").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wrap(df.withColumn("v", sum(col("v")).over(byRow))
+    wrap(dense.withColumn("v", sum(col("v")).over(byRow))
       .withColumn("v", sum(col("v")).over(byCol)))
   }
 
@@ -161,12 +167,19 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * points-minus-hits anti join — both sides of that join are O(|points|),
     * so nothing large ever shuffles. */
   def vindex(points: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
     val pts = points.select(col("p"), col("pi"), col("pj"))
+    // ONE scan: the hit set is ≤ |points| rows by construction (points are
+    // small enough to broadcast), so it collects; re-deriving it lazily in
+    // both the union and the anti-join would scan the data twice
     val hit = df.join(broadcast(pts), col("i") === col("pi") && col("j") === col("pj"))
       .select(col("p").as("idx"), col("v"))
-    val missed = pts.join(broadcast(hit.select(col("idx").as("p"))), Seq("p"), "left_anti")
-      .select(col("p").as("idx"), lit(0.0).as("v"))
-    hit.unionByName(missed)
+      .as[(Long, Double)].collect()
+    val hitKeys = hit.map(_._1).toSet
+    val missed = pts.select(col("p")).as[Long].collect()
+      .filterNot(hitKeys).map(p => (p, 0.0))
+    sess.createDataFrame((hit ++ missed).toSeq).toDF("idx", "v")
   }
 
   // ---- contraction ---------------------------------------------------------

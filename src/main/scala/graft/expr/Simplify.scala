@@ -118,9 +118,13 @@ object Simplify {
 
     // -- rechunk collapsing + unify-chunks cost policy ------------------------
     // adjacent rechunks collapse to the outermost grid; a rechunk to the
-    // grid the child already has is the identity
+    // grid the child already has is the identity; slices commute through
+    // the pure-metadata rechunk node so region pushdown still reaches the
+    // scan underneath a re-gridded operand
     case RechunkVec(RechunkVec(c, _), b)      => simplifyNode(RechunkVec(c, b), parents)
     case RechunkVec(c, b) if c.chunk == b     => c
+    case SliceVec(RechunkVec(c, b), lo, hi) =>
+      simplifyNode(RechunkVec(simplifyNode(SliceVec(c, lo, hi), parents), b), parents)
     // unify-chunks (reference §4.4 policy, `dask_array/_expr.py:723-905`):
     // zip operands on different grids must realign; the transfer model
     // picks the DIRECTION — re-grid the side with fewer modeled bytes

@@ -168,8 +168,9 @@ object FFT {
       s"CAST(CASE WHEN id < ($n + 1) DIV 2 THEN id ELSE id - $n END AS DOUBLE) / (${n}L * $d) AS v")
 
   /** Swap half-spaces (reference `fftshift`, fft.py:301): pure index roll
-    * by ⌈n/2⌉ — no data movement beyond the remap. */
+    * by ⌊n/2⌋ (numpy's `roll(x, n//2)` — zero bin lands at position
+    * ⌊n/2⌋ for odd n too) — no data movement beyond the remap. */
   def fftshift(df: DataFrame, n: Long): DataFrame =
-    df.select((((col("idx") + (n + 1) / 2) % n).as("idx") +:
+    df.select((((col("idx") + n / 2) % n).as("idx") +:
       df.columns.filter(_ != "idx").map(col)): _*)
 }

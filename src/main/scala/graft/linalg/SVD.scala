@@ -177,14 +177,19 @@ object SVD {
     // power iterations sharpen the captured spectrum for slowly-decaying
     // singular values (reference compression_matrix, _svd.py:254):
     // Y ← A·(Aᵀ·Y), re-orthonormalized through TSQR each round to keep
-    // the probe numerically independent
+    // the probe numerically independent. Each round's tsqr materializes
+    // its Q, so the PREVIOUS round's (now-dead) Q cache is released here.
     var it = 0
+    var prevQ: DMatrix = null
     while (it < powerIter) {
       val (qy, _) = TSQR.tsqr(s, y, blockRows)
+      if (prevQ != null) prevQ.df.unpersist()
       y = a.matmul(a.t.matmul(qy))
+      prevQ = qy
       it += 1
     }
     val (q, _) = TSQR.tsqr(s, y, blockRows)       // n×l orthonormal range
+    if (prevQ != null) prevQ.df.unpersist()
     val b = q.t.matmul(a)                         // l×m, distributed
     // small SVD of B via TSQR of Bᵀ (m×l tall): Bᵀ = Qb·Rb ⇒
     // B = Rbᵀ·Qbᵀ; Rbᵀ = U₁·S·V₁ᵀ ⇒ U_B = U₁ (l×l), V_B = Qb·V₁ (m×l)

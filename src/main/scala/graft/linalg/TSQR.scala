@@ -233,6 +233,7 @@ object TSQR {
     val kk = k
     var rs = blockQR.map { case (b, _, _, r) => (bcRank.value(b), r) }
     var levels = List.empty[org.apache.spark.rdd.RDD[(Long, (Long, Array[Double]))]]
+    var cached = List[AnyRef](blockQR) // everything to free once Q is materialized
     var width = blockIds.length.toLong
     while (width > splitEvery) {
       val lvl = rs.groupByKey(_._1 / splitEvery).mapGroups { (parent, it) =>
@@ -249,6 +250,7 @@ object TSQR {
         (parent, rNew, chunks)
       }.persist()
       lvl.count()
+      cached ::= lvl
       // level edges keyed by parent for the downward join
       levels = lvl.flatMap { case (p0, _, chunks) =>
         chunks.map { case (cr, c) => (p0, (cr, c)) }
@@ -291,7 +293,11 @@ object TSQR {
       }
     }
 
-    // Q = Q_block · factor(block), re-emitted as an element table
+    // Q = Q_block · factor(block), re-emitted as an element table. The
+    // result is materialized HERE so every intermediate cache (blockQR +
+    // one dataset per tree level) can be released immediately — without
+    // this, repeated tsqr calls (e.g. svd_compressed power iterations)
+    // accumulate dead cached levels in executor storage.
     val qRDD = blockQR.rdd
       .map { case (b, ids, q, _) => (bcRank.value(b), (ids, q)) }
       .join(factors)
@@ -300,9 +306,79 @@ object TSQR {
         for (ri <- ids.indices.iterator; c <- (0 until kk).iterator)
           yield (ids(ri), c.toLong, qf(ri * kk + c))
       }
-    val qDF: DataFrame = qRDD.toDF("i", "j", "v")
+    val qDF: DataFrame = qRDD.toDF("i", "j", "v").persist()
+    qDF.count()
+    cached.foreach {
+      case d: org.apache.spark.sql.Dataset[_] => d.unpersist()
+      case _                                  =>
+    }
 
     (new DMatrix(qDF, n, k), rFinal)
+  }
+
+  /** R factor only — the upward tree sweep without Q materialization.
+    * Levels are single-use lineage here (no downward sweep), so nothing
+    * but the block stage is ever cached, and that is freed on return.
+    * Use when only R / singular values are needed. */
+  def rFactor(s: SparkSession, mat: DMatrix, blockRows: Int = defaultBlockRows,
+              splitEvery: Int = defaultSplitEvery): Array[Double] = {
+    import s.implicits._
+    val k = mat.cols.toInt
+    val rowDs = mat.df.groupBy("i")
+      .agg(expr("collect_list(struct(j, v))").as("cells"))
+      .as[(Long, Array[(Long, Double)])]
+    val kk = k
+    val blockR = rowDs
+      .groupByKey { case (i, _) => i / blockRows }
+      .mapGroups { (b, it) =>
+        val rs = it.toArray.sortBy(_._1)
+        val m = rs.length
+        val mp = math.max(m, kk)
+        val a = new Array[Double](mp * kk)
+        var i = 0
+        while (i < m) {
+          rs(i)._2.foreach { case (j, v) => a(i * kk + j.toInt) = v }
+          i += 1
+        }
+        (b, localQR(a, mp, kk)._2)
+      }
+    var rs0 = blockR.map { case (b, r) => (b, r) }
+    var width = -1L // unknown until first collect; loop until ≤ splitEvery
+    // tree-combine by re-keying on rank DIV splitEvery; block ids are
+    // already ordered keys, so DIV splitEvery groups contiguous runs
+    var done = false
+    var rounds = 0
+    while (!done) {
+      val cnt = rs0.count()
+      if (cnt <= splitEvery || rounds > 40) done = true
+      else {
+        rs0 = rs0.groupByKey(_._1 / splitEvery).mapGroups { (parent, it) =>
+          val ch = it.toArray.sortBy(_._1)
+          val stacked = new Array[Double](ch.length * kk * kk)
+          ch.zipWithIndex.foreach { case ((_, r), i) =>
+            System.arraycopy(r, 0, stacked, i * kk * kk, kk * kk)
+          }
+          (parent, localQR(stacked, ch.length * kk, kk)._2)
+        }
+        rounds += 1
+      }
+      width = cnt
+    }
+    val top = rs0.collect().sortBy(_._1)
+    val stacked = new Array[Double](top.length * k * k)
+    top.zipWithIndex.foreach { case ((_, r), bi) =>
+      System.arraycopy(r, 0, stacked, bi * k * k, k * k)
+    }
+    val (_, rFinal) = localQR(stacked, top.length * k, k)
+    var j = 0
+    while (j < k) {
+      if (rFinal(j * k + j) < 0) {
+        var c = j
+        while (c < k) { rFinal(j * k + c) = -rFinal(j * k + c); c += 1 }
+      }
+      j += 1
+    }
+    rFinal
   }
 
   /** Least squares min ‖Ax − b‖ via TSQR (reference `lstsq`,
@@ -333,10 +409,11 @@ object TSQR {
   }
 
   /** Singular values via TSQR: sv(A) = sv(R) = sqrt(eig(RᵀR)) (reference
-    * `linalg/_svd.py:170` builds SVD from the same TSQR pieces). */
+    * `linalg/_svd.py:170` builds SVD from the same TSQR pieces). Uses the
+    * R-only sweep — no Q is ever materialized. */
   def singularValues(s: SparkSession, mat: DMatrix): Array[Double] = {
     val k = mat.cols.toInt
-    val (_, r) = tsqr(s, mat)
+    val r = rFactor(s, mat)
     val rtr = new Array[Double](k * k)
     var i = 0
     while (i < k) {

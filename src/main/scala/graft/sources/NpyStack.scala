@@ -111,18 +111,20 @@ object NpyStack {
   def read(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // phase 1 (driver, O(numBlocks)): block counts from 128-byte headers
-    val files = Files.list(Paths.get(dir)).iterator()
+    val stream = Files.list(Paths.get(dir))
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    while (files.hasNext) {
-      val p = files.next()
-      val name = p.getFileName.toString
-      if (name.endsWith(".npy")) {
-        val in = Files.newInputStream(p)
-        val prefix = in.readNBytes(128)
-        in.close()
-        counts += ((name.stripSuffix(".npy").toLong, parseCount(prefix)))
+    try {
+      val files = stream.iterator()
+      while (files.hasNext) {
+        val p = files.next()
+        val name = p.getFileName.toString
+        if (name.endsWith(".npy")) {
+          val in = Files.newInputStream(p)
+          val prefix = try in.readNBytes(128) finally in.close()
+          counts += ((name.stripSuffix(".npy").toLong, parseCount(prefix)))
+        }
       }
-    }
+    } finally stream.close()
     val sorted = counts.sortBy(_._1)
     val starts: Map[Long, Long] = sorted.map(_._1).zip(
       sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1)).toMap

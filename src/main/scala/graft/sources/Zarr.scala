@@ -133,13 +133,16 @@ object Zarr {
     parseMeta(new String(Files.readAllBytes(Paths.get(dir, ".zarray")), StandardCharsets.UTF_8))
 
   private def listChunkNames(dir: String): Seq[String] = {
-    val it = Files.list(Paths.get(dir)).iterator()
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val nm = it.next().getFileName.toString
-      if (nm.matches("\\d+(\\.\\d+)*")) names += nm
-    }
-    names.toSeq
+    val stream = Files.list(Paths.get(dir))
+    try {
+      val it = stream.iterator()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val nm = it.next().getFileName.toString
+        if (nm.matches("\\d+(\\.\\d+)*")) names += nm
+      }
+      names.toSeq
+    } finally stream.close()
   }
 
   // ---- 1-d -----------------------------------------------------------------

@@ -97,6 +97,12 @@ class SimplifySpec extends AnyFunSuite {
     assert(collect(s2) { case m: MapVec => m }.nonEmpty)
   }
 
+  test("slice pushes through rechunk to the scan region") {
+    val e = SliceVec(RechunkVec(src, 512), 10, 20)
+    val s = Simplify(e)
+    assert(s == RechunkVec(ColumnVec("events", "event_id", "value", Some((10L, 20L))), 512), s.pprint())
+  }
+
   test("rechunk: collapses, elides identity, and unify picks the cheap side") {
     // adjacent rechunks collapse to the outer grid
     assert(Simplify(RechunkVec(RechunkVec(src, 128), 256)) == RechunkVec(src, 256))

@@ -137,5 +137,9 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = (0 until 8).map(i => (i.toLong, i.toDouble, 0.0)).toDF("idx", "re", "im")
     val sh = FFT.fftshift(df, 8).orderBy("idx").collect().map(_.getDouble(1))
     assert(sh.toSeq == Seq(4.0, 5, 6, 7, 0, 1, 2, 3))
+    // odd n: numpy roll(x, n//2) puts the zero bin at floor(n/2)
+    val df5 = (0 until 5).map(i => (i.toLong, i.toDouble, 0.0)).toDF("idx", "re", "im")
+    val sh5 = FFT.fftshift(df5, 5).orderBy("idx").collect().map(_.getDouble(1))
+    assert(sh5.toSeq == Seq(3.0, 4, 0, 1, 2), sh5.toSeq.toString)
   }
 }
