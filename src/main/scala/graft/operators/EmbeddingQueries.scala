@@ -62,14 +62,45 @@ object EmbeddingQueries {
       s"(CAST(embedding[$sub * 8 + d + 1] AS DOUBLE) - ${pqW(sub, c.toString, "d")}) " +
       s"for d in generate_series(0, 7)]) AS DOUBLE)"
 
-  /** argmin over the 16 codes (first-min tie break). */
-  private def pqCode(sub: Int): String = {
-    val arr = (0 until 16).map(c => pqDistSpark(sub, c)).mkString("array(", ", ", ")")
-    s"CAST(array_position($arr, array_min($arr)) - 1 AS BIGINT)"
-  }
+  /** argmin over the 16 codes (first-min tie break) — oracle form. */
   private def pqCodeDuck(sub: Int): String = {
     val arr = (0 until 16).map(c => pqDistDuck(sub, c)).mkString("[", ", ", "]")
     s"CAST(list_position($arr, list_min($arr)) - 1 AS BIGINT)"
+  }
+
+  /** PQ encode as a one-pass typed JVM kernel (Catalyst HOF lambdas are
+    * interpreted — the same ~50× lesson as the MinHash kernel; the SQL
+    * fragment lives on only as the DuckDB oracle). Distances accumulate
+    * in ascending dim order and ties keep the first min, bit-matching
+    * [[pqDistDuck]]/list_position. Returns (vec_id, c0..c7). */
+  private def pqCodesDF(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    emb(s, d).select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val codes = new Array[Long](8)
+          var sub = 0
+          while (sub < 8) {
+            var best = 0L; var bestD = Double.MaxValue
+            var c = 0
+            while (c < 16) {
+              var dist = 0.0
+              var d0 = 0
+              while (d0 < 8) {
+                val w = ((c * 29 + d0 * 13 + sub * 7) % 19 - 9).toDouble
+                val x = e(sub * 8 + d0).toDouble - w
+                dist += x * x
+                d0 += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c.toLong }
+              c += 1
+            }
+            codes(sub) = best
+            sub += 1
+          }
+          (id, codes(0), codes(1), codes(2), codes(3), codes(4), codes(5), codes(6), codes(7))
+        }
+      }.toDF("vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -175,16 +206,11 @@ object EmbeddingQueries {
     // (sub, code) histogram — the codebook balance a PQ index lives on.
     // One narrow pass + one bin-bounded groupBy; codes are 4 bits, so the
     // whole corpus compresses 64 floats → 8 nibbles
-    "e08_pq_codes" -> ((s, d) => {
-      val codes = emb(s, d).selectExpr(
-        (0 until 8).map(sub => s"${pqCode(sub)} AS c$sub"): _*)
-      // materialize codes behind an exchange so the stack generator reads
-      // values, not re-inlined distance expressions (CollapseProject)
-      codes.repartition(8)
+    "e08_pq_codes" -> ((s, d) =>
+      pqCodesDF(s, d)
         .selectExpr(s"stack(8, ${(0 until 8).map(x => s"$x, c$x").mkString(", ")}) AS (sub, code)")
         .groupBy("sub", "code").agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
-        .orderBy("sub", "code")
-    }),
+        .orderBy("sub", "code")),
 
     // PQ asymmetric-distance search (ADC): queries score against the
     // 8-nibble codes via per-subvector lookup — dot(q_sub, codebook[code])
@@ -193,8 +219,7 @@ object EmbeddingQueries {
     // Top-3 per query by approximate similarity, ids ascending on ties
     "e09_pq_adc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val codes = emb(s, d).selectExpr(
-        "vec_id" +: (0 until 8).map(sub => s"${pqCode(sub)} AS c$sub"): _*)
+      val codes = pqCodesDF(s, d)
       val q = emb(s, d).where("vec_id < 3")
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       // ADC score: Σ_sub dot(q_sub, w(sub, code_sub)) — the code picks the
