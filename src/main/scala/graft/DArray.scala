@@ -41,6 +41,12 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 
   // ---- slicing / masking ---------------------------------------------------
   def slice(lo: Long, hi: Long): DArray    = wrap(SliceVec(exprTree, lo, hi))
+
+  /** Strided slice `x[lo:hi:step]` (reference strided basic indexing):
+    * the bounded slice still pushes to the scan; the stride is a narrow
+    * reindexing filter above it. */
+  def slice(lo: Long, hi: Long, step: Long): DArray =
+    wrap(StrideVec(SliceVec(exprTree, lo, hi), step))
   def mask(predOverV: String): DArray      = wrap(FilterVec(exprTree, predOverV))
   def setItems(updates: Seq[(Long, Double)]): DArray = wrap(SetItemVec(exprTree, updates))
 

@@ -59,6 +59,7 @@ object Simplify {
       case SliceVec(c, lo, hi) => SliceVec(rewrite(c, parents), lo, hi)
       case ZipOffsetVec(c, o, x) => ZipOffsetVec(rewrite(c, parents), o, x)
       case RechunkVec(c, b)    => RechunkVec(rewrite(c, parents), b)
+      case StrideVec(c, st)    => StrideVec(rewrite(c, parents), st)
       case FilterVec(c, p)     => FilterVec(rewrite(c, parents), p)
       case ConcatVec(a, b)     => ConcatVec(rewrite(a, parents), rewrite(b, parents))
       case SetItemVec(c, u)    => SetItemVec(rewrite(c, parents), u)
@@ -80,6 +81,9 @@ object Simplify {
     // -- identity elision ---------------------------------------------------
     case MapVec(c, "v")                                   => c
     case SliceVec(c, 0, hi) if c.length == hi             => c
+    case StrideVec(c, 1)                                  => c
+    // stride/stride composes multiplicatively
+    case StrideVec(StrideVec(c, a), b)                    => StrideVec(c, a * b)
 
     // -- operand dedup / self-alignment fusion -------------------------------
     // Zipping an expression with ITSELF is an elemwise map: content

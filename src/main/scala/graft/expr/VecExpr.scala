@@ -220,6 +220,22 @@ final case class SliceVec(child: VecExpr, lo: Long, hi: Long) extends VecExpr {
       .select((col("idx") - lo).as("idx"), col("v"))
 }
 
+/** Stride view `x[::step]` over the child (reference strided basic
+  * slicing, `slicing/_basic.py:357` — step slices compose with the
+  * bounded slice below, which [[Simplify]] still pushes to the scan):
+  * keep every step-th position, reindex densely. Narrow filter +
+  * projection, no movement. */
+final case class StrideVec(child: VecExpr, step: Long) extends VecExpr {
+  require(step > 0, s"step must be positive, got $step")
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"stride[$step]"
+  override def length: Long =
+    if (child.length >= 0) (child.length + step - 1) / step else -1
+  def eval(ctx: Ctx): DataFrame =
+    child.eval(ctx).where(col("idx") % step === 0)
+      .select((col("idx") / step).cast("long").as("idx"), col("v"))
+}
+
 /** Boolean mask (reference `BooleanIndexFlattened`,
   * `dask_array/slicing/_bool_index.py:118`): value predicate over `v`/`idx`.
   * Keeps original positions (argwhere-style) — the compacting variant is

@@ -329,6 +329,24 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // strided slice x[100:900:7] (reference strided basic indexing):
+    // the range still reaches the scan as PushedFilters; the stride is a
+    // narrow modular filter + dense reindex above it
+    "q63_strided_slice" -> ((s, d) =>
+      events(s, d).slice(100, 900, 7).map("v * 2").elements.orderBy("idx")),
+
+    // domain-mixing sample (training-data source balancing): an LCG coin
+    // per doc keyed by doc_id — deterministic, partitioning-independent —
+    // keeps ~40%; per-source kept/total counts audit the mixture
+    "q64_source_sample" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .selectExpr("source",
+          "CASE WHEN ((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 10 < 4 THEN 1 ELSE 0 END AS keep")
+        .groupBy("source")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("total"),
+          expr("CAST(sum(keep) AS BIGINT)").as("kept"))
+        .orderBy("source")),
+
     // slice- and mask-valued assignment (reference SetItem slice/bool
     // paths, slicing/_setitem.py:294): copy-on-write projections
     "q62_setitem_slice_mask" -> ((s, d) =>
@@ -782,6 +800,17 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q63_strided_slice" ->
+      """SELECT (event_id - 100) // 7 AS idx, value * 2 AS v
+         FROM events
+         WHERE event_id >= 100 AND event_id < 900 AND (event_id - 100) % 7 = 0
+         ORDER BY idx""",
+
+    "q64_source_sample" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN ((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 10 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         FROM documents GROUP BY source ORDER BY source""",
 
     "q62_setitem_slice_mask" ->
       """SELECT event_id AS idx,

@@ -37,6 +37,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class Rechunk(b: Int) extends Op
   case class Boundary(depth: Int, mode: String) extends Op
   case class ZipShift(off: Int) extends Op // x[0:n-off] + x[off:n] — offset-zip fusion path
+  case class Stride(step: Int) extends Op
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -77,6 +78,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case ZipShift(off) =>
       if (v.length <= off) Vector.empty
       else (0 until v.length - off).map(i => v(i) + v(i + off)).toVector
+    case Stride(step) => v.indices.collect { case i if i % step == 0 => v(i) }.toVector
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -97,6 +99,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case ZipShift(off) =>
       if (len <= off) d.slice(0, 0)
       else d.slice(0, len - off).zip(d.slice(off, len), "v1 + v2")
+    case Stride(step) => d.slice(0, len, step)
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -111,7 +114,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     Gen.oneOf(17, 50, 64, 100).map(Rechunk(_)),
     for { d <- Gen.choose(1, 5)
           m <- Gen.oneOf("constant", "periodic", "reflect", "nearest") } yield Boundary(d, m),
-    Gen.choose(1, 9).map(ZipShift(_)))
+    Gen.choose(1, 9).map(ZipShift(_)),
+    Gen.choose(2, 5).map(Stride(_)))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
   // windowed ops' carry chains and halos run multi-block
