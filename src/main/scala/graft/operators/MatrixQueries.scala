@@ -288,6 +288,20 @@ object MatrixQueries {
         .orderBy("i", "j")
     }),
 
+    // correlation matrix (reference `corrcoef`, routines/_statistics.py:67
+    // — composed from mean/matmul exactly as here): per-column mean/std
+    // broadcast back, standardized gram / (n-1); k×k output
+    "m24_corrcoef" -> ((s, d) => {
+      val n = 200L; val k = 5
+      val x = Tab(n, k, "(i*7 + j*13) % 19 + (i % (j + 2))").spark(s)
+      val stats = x.df.groupBy("j")
+        .agg(avg("v").as("mu"), stddev_samp("v").as("sd"))
+      val z = new graft.DMatrix(
+        x.df.join(broadcast(stats), "j")
+          .selectExpr("i", "j", "(v - mu) / sd AS v"), n, k)
+      z.gram.map(s"round(v / ${n - 1}, 6)").elements.orderBy("i", "j")
+    }),
+
     // summed-area table: two per-line partitioned window scans — the 2-d
     // cumulative reduction; integer inputs keep prefix sums exact
     "m23_integral_image" -> ((s, d) =>
@@ -464,6 +478,13 @@ object MatrixQueries {
              CAST(((x // 600)*7 + ((x // 20) % 30)*3 + (x % 20)*11) % 17 AS DOUBLE) AS v
            FROM range(3600) t(x))
          GROUP BY b ORDER BY b""",
+
+    "m24_corrcoef" -> {
+      val t = Tab(200, 5, "(i*7 + j*13) % 19 + (i % (j + 2))").duck
+      s"""SELECT a.j AS i, b.j AS j, round(corr(a.v, b.v), 6) AS v
+          FROM $t a JOIN $t b ON a.i = b.i
+          GROUP BY 1, 2 ORDER BY i, j"""
+    },
 
     "m23_integral_image" ->
       s"""SELECT a.i AS i, a.j AS j, sum(b.v) AS v
