@@ -129,6 +129,15 @@ object Simplify {
     case RechunkVec(c, b) if c.chunk == b     => c
     case SliceVec(RechunkVec(c, b), lo, hi) =>
       simplifyNode(RechunkVec(simplifyNode(SliceVec(c, lo, hi), parents), b), parents)
+
+    // -- slice-through-stride -------------------------------------------------
+    // (stride∘slice)[k] = c[(lo+k)·s], so the bound commutes below the
+    // stride (scaled by s) and keeps pruning at the scan; gated like every
+    // pushdown so a shared stride isn't re-derived
+    case s0 @ SliceVec(st @ StrideVec(c, sp), lo, hi) if hi > lo =>
+      if (!allDependentsAreSlices(st, parents)) s0
+      else StrideVec(
+        simplifyNode(SliceVec(c, lo * sp, (hi - 1) * sp + 1), parents), sp)
     // unify-chunks (reference §4.4 policy, `dask_array/_expr.py:723-905`):
     // zip operands on different grids must realign; the transfer model
     // picks the DIRECTION — re-grid the side with fewer modeled bytes

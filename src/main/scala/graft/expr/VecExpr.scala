@@ -233,7 +233,7 @@ final case class StrideVec(child: VecExpr, step: Long) extends VecExpr {
     if (child.length >= 0) (child.length + step - 1) / step else -1
   def eval(ctx: Ctx): DataFrame =
     child.eval(ctx).where(col("idx") % step === 0)
-      .select((col("idx") / step).cast("long").as("idx"), col("v"))
+      .selectExpr(s"idx DIV $step AS idx", "v") // integer DIV: exact at any Long
 }
 
 /** Boolean mask (reference `BooleanIndexFlattened`,

@@ -341,7 +341,7 @@ object ArrayQueries {
     "q64_source_sample" -> ((s, d) =>
       s.read.parquet(s"$d/documents.parquet")
         .selectExpr("source",
-          "CASE WHEN ((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 10 < 4 THEN 1 ELSE 0 END AS keep")
+          "CASE WHEN ((1103515245 * (doc_id % 2147483648 + 7) + 12345) % 2147483648) % 10 < 4 THEN 1 ELSE 0 END AS keep")
         .groupBy("source")
         .agg(expr("CAST(count(*) AS BIGINT)").as("total"),
           expr("CAST(sum(keep) AS BIGINT)").as("kept"))
@@ -809,7 +809,7 @@ object ArrayQueries {
 
     "q64_source_sample" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS total,
-         CAST(sum(CASE WHEN ((1103515245 * (doc_id + 7) + 12345) % 2147483648) % 10 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         CAST(sum(CASE WHEN ((1103515245 * (doc_id % 2147483648 + 7) + 12345) % 2147483648) % 10 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS kept
          FROM documents GROUP BY source ORDER BY source""",
 
     "q62_setitem_slice_mask" ->

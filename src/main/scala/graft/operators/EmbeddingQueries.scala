@@ -47,16 +47,18 @@ object EmbeddingQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
-  /** PQ codebook weight for (sub, code, dim): deterministic integer. */
-  private def pqW(sub: Int, c: String, d: String): String =
+  /** PQ codebook weight for (sub, code, dim) — the JVM value. The SQL
+    * twin [[pqW]] must stay in algebraic lockstep (PQSpec asserts it). */
+  private[operators] def pqWeight(sub: Int, c: Int, d: Int): Int =
+    (c * 29 + d * 13 + sub * 7) % 19 - 9
+
+  /** PQ codebook weight as a SQL fragment over symbolic c/d — used by the
+    * e09 ADC score and both oracles; same formula as [[pqWeight]]. */
+  private[operators] def pqW(sub: Int, c: String, d: String): String =
     s"((($c) * 29 + ($d) * 13 + $sub * 7) % 19 - 9)"
 
-  /** Squared distance of subvector `sub` to code `c` — ascending-dim fold
-    * so accumulation order (hence every IEEE rounding) matches DuckDB. */
-  private def pqDistSpark(sub: Int, c: Int): String =
-    s"aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, d) -> acc + " +
-      s"(CAST(element_at(embedding, $sub * 8 + d + 1) AS DOUBLE) - ${pqW(sub, c.toString, "d")}) * " +
-      s"(CAST(element_at(embedding, $sub * 8 + d + 1) AS DOUBLE) - ${pqW(sub, c.toString, "d")}))"
+  /** Squared distance of subvector `sub` to code `c` in the oracle —
+    * ascending-dim fold so accumulation order matches the JVM kernel. */
   private def pqDistDuck(sub: Int, c: Int): String =
     s"CAST(list_sum([(CAST(embedding[$sub * 8 + d + 1] AS DOUBLE) - ${pqW(sub, c.toString, "d")}) * " +
       s"(CAST(embedding[$sub * 8 + d + 1] AS DOUBLE) - ${pqW(sub, c.toString, "d")}) " +
@@ -87,8 +89,7 @@ object EmbeddingQueries {
               var dist = 0.0
               var d0 = 0
               while (d0 < 8) {
-                val w = ((c * 29 + d0 * 13 + sub * 7) % 19 - 9).toDouble
-                val x = e(sub * 8 + d0).toDouble - w
+                val x = e(sub * 8 + d0).toDouble - pqWeight(sub, c, d0)
                 dist += x * x
                 d0 += 1
               }

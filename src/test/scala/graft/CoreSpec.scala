@@ -97,6 +97,13 @@ class SimplifySpec extends AnyFunSuite {
     assert(collect(s2) { case m: MapVec => m }.nonEmpty)
   }
 
+  test("slice pushes through stride to the scan region, scaled") {
+    // x[::7][0:100] must read ~700 rows, not the whole table
+    val e = SliceVec(StrideVec(src, 7), 0, 100)
+    val s = Simplify(e)
+    assert(s == StrideVec(ColumnVec("events", "event_id", "value", Some((0L, 694L))), 7), s.pprint())
+  }
+
   test("slice pushes through rechunk to the scan region") {
     val e = SliceVec(RechunkVec(src, 512), 10, 20)
     val s = Simplify(e)
