@@ -76,6 +76,18 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
         .select((col("i") - r0).as("i"), (col("j") - c0).as("j"), col("v")),
       r1 - r0, c1 - c0)
 
+  /** Strided rectangular slice `[r0:r1:sr, c0:c1:sc)` (reference strided
+    * basic indexing): the range predicates still push to the scan; the
+    * strides are modular filters + integer-DIV reindexing. */
+  def slice(r0: Long, r1: Long, sr: Long, c0: Long, c1: Long, sc: Long): DMatrix = {
+    require(sr > 0 && sc > 0, "steps must be positive")
+    new DMatrix(
+      df.where(col("i") >= r0 && col("i") < r1 && col("j") >= c0 && col("j") < c1)
+        .where((col("i") - r0) % sr === 0 && (col("j") - c0) % sc === 0)
+        .selectExpr(s"(i - $r0) DIV $sr AS i", s"(j - $c0) DIV $sc AS j", "v"),
+      (r1 - r0 + sr - 1) / sr, (c1 - c0 + sc - 1) / sc)
+  }
+
   /** Flatten C-order to a 1-d element table (reference `ravel`,
     * `manipulation/_reshape.py:709`): an affine index map, no shuffle. */
   def ravel: DataFrame = df.select((col("i") * cols + col("j")).as("idx"), col("v"))

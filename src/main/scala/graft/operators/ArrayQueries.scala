@@ -329,6 +329,19 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // nan-quantiles (reference `nanquantile`, reductions/_common.py:922):
+    // NaN→NULL values skipped by the distributed rank selection, same as
+    // the aggregate semantics — the oracle's percentile also skips NULLs
+    "q65_nanquantile" -> ((s, d) => {
+      val el = s.read.parquet(s"$d/events.parquet").selectExpr(
+        "event_id AS idx",
+        "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v")
+      val qs = ExactQuantile.quantiles(el, "v", Seq(0.25, 0.75))
+      s.range(1).select(
+        round(lit(qs(0)), 4).as("q25"),
+        round(lit(qs(1)), 4).as("q75"))
+    }),
+
     // strided slice x[100:900:7] (reference strided basic indexing):
     // the range still reaches the scan as PushedFilters; the stride is a
     // narrow modular filter + dense reindex above it
@@ -800,6 +813,11 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q65_nanquantile" ->
+      """SELECT round(quantile_cont(v, 0.25), 4) AS q25, round(quantile_cont(v, 0.75), 4) AS q75
+         FROM (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+               FROM events)""",
 
     "q63_strided_slice" ->
       """SELECT (event_id - 100) // 7 AS idx, value * 2 AS v

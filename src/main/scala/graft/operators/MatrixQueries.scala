@@ -288,6 +288,12 @@ object MatrixQueries {
         .orderBy("i", "j")
     }),
 
+    // strided 2-d slice: both steps are modular reindexing filters above
+    // a scan-pruned range
+    "m25_strided_2d" -> ((s, d) =>
+      Tab(50, 40, "(i*5 + j*3) % 21").spark(s)
+        .slice(4, 44, 3, 2, 38, 5).elements.orderBy("i", "j")),
+
     // correlation matrix (reference `corrcoef`, routines/_statistics.py:67
     // — composed from mean/matmul exactly as here): per-column mean/std
     // broadcast back, standardized gram / (n-1); k×k output
@@ -478,6 +484,13 @@ object MatrixQueries {
              CAST(((x // 600)*7 + ((x // 20) % 30)*3 + (x % 20)*11) % 17 AS DOUBLE) AS v
            FROM range(3600) t(x))
          GROUP BY b ORDER BY b""",
+
+    "m25_strided_2d" ->
+      s"""SELECT (i - 4) // 3 AS i, (j - 2) // 5 AS j, v
+          FROM ${Tab(50, 40, "(i*5 + j*3) % 21").duck}
+          WHERE i >= 4 AND i < 44 AND (i - 4) % 3 = 0
+            AND j >= 2 AND j < 38 AND (j - 2) % 5 = 0
+          ORDER BY i, j""",
 
     "m24_corrcoef" -> {
       val t = Tab(200, 5, "(i*7 + j*13) % 19 + (i % (j + 2))").duck
