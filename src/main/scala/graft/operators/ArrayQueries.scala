@@ -329,6 +329,31 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // histogram with DATA-DEPENDENT bins (reference delayed bins via
+    // LinspaceDelayed, _histogram.py:128): lo/hi come from a broadcast
+    // min/max aggregate, the bucket expression references them as columns
+    // — no driver round trip, the reference's delayed-bins path
+    "q66_histogram_auto" -> ((s, d) => {
+      val el = events(s, d).elements
+      val bounds = broadcast(el.agg(
+        expr("floor(min(v))").as("lo"), expr("ceil(max(v)) + 1").as("hi")))
+      el.crossJoin(bounds)
+        .selectExpr("least(greatest(CAST(floor((v - lo) / ((hi - lo) / 20)) AS BIGINT), 0L), 19L) AS bucket")
+        .groupBy("bucket").agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
+        .orderBy("bucket")
+    }),
+
+    // trim_zeros (reference routines/_misc.py): first/last nonzero found
+    // by one tiny aggregate, broadcast back as slice bounds — the
+    // unknown-sizes condition Spark handles natively
+    "q67_trim_zeros" -> ((s, d) => {
+      val el = events(s, d).map("CASE WHEN v < 10 THEN 0.0 ELSE v END").elements
+      val bounds = broadcast(el.where("v <> 0").agg(
+        min("idx").as("lo"), max("idx").as("hi")))
+      el.crossJoin(bounds).where("idx >= lo AND idx <= hi")
+        .selectExpr("idx - lo AS idx", "v").orderBy("idx").limit(300)
+    }),
+
     // nan-quantiles (reference `nanquantile`, reductions/_common.py:922):
     // NaN→NULL values skipped by the distributed rank selection, same as
     // the aggregate semantics — the oracle's percentile also skips NULLs
@@ -813,6 +838,19 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q66_histogram_auto" ->
+      """WITH b AS (SELECT floor(min(value)) AS lo, ceil(max(value)) + 1 AS hi FROM events)
+         SELECT least(greatest(CAST(floor((value - lo) / ((hi - lo) / 20)) AS BIGINT), 0), 19) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events, b GROUP BY 1 ORDER BY bucket""",
+
+    "q67_trim_zeros" ->
+      """WITH el AS (SELECT event_id AS idx,
+             CASE WHEN value < 10 THEN 0.0 ELSE value END AS v FROM events),
+         b AS (SELECT min(idx) AS lo, max(idx) AS hi FROM el WHERE v <> 0)
+         SELECT idx - lo AS idx, v FROM el, b WHERE idx >= lo AND idx <= hi
+         ORDER BY idx LIMIT 300""",
 
     "q65_nanquantile" ->
       """SELECT round(quantile_cont(v, 0.25), 4) AS q25, round(quantile_cont(v, 0.75), 4) AS q75

@@ -294,6 +294,16 @@ object MatrixQueries {
       Tab(50, 40, "(i*5 + j*3) % 21").spark(s)
         .slice(4, 44, 3, 2, 38, 5).elements.orderBy("i", "j")),
 
+    // 2-d roll: both coordinates shift mod shape — a pure key remap
+    // (reference `roll`, manipulation/_roll.py:8, axis tuple form)
+    "m26_roll_2d" -> ((s, d) => {
+      val (r, c) = (30L, 20L)
+      val a = Tab(r, c, "(i*5 + j*3) % 21").spark(s)
+      new graft.DMatrix(
+        a.df.selectExpr(s"(i + 7) % $r AS i", s"(j + 13) % $c AS j", "v"), r, c)
+        .elements.orderBy("i", "j")
+    }),
+
     // correlation matrix (reference `corrcoef`, routines/_statistics.py:67
     // — composed from mean/matmul exactly as here): per-column mean/std
     // broadcast back, standardized gram / (n-1); k×k output
@@ -484,6 +494,10 @@ object MatrixQueries {
              CAST(((x // 600)*7 + ((x // 20) % 30)*3 + (x % 20)*11) % 17 AS DOUBLE) AS v
            FROM range(3600) t(x))
          GROUP BY b ORDER BY b""",
+
+    "m26_roll_2d" ->
+      s"""SELECT (i + 7) % 30 AS i, (j + 13) % 20 AS j, v
+          FROM ${Tab(30, 20, "(i*5 + j*3) % 21").duck} ORDER BY i, j""",
 
     "m25_strided_2d" ->
       s"""SELECT (i - 4) // 3 AS i, (j - 2) // 5 AS j, v
