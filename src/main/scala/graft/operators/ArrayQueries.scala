@@ -329,6 +329,27 @@ object ArrayQueries {
           "round(stddev_samp(v), 3)" -> "sd")
     }),
 
+    // 1-d linear interpolation against a sorted sample table (numpy
+    // interp; the reference reaches it via map_blocks over gathered xp —
+    // here two broadcast bracket joins + the lerp, out-of-range clamped):
+    // per query point, greatest sample <= v and least sample > v
+    "q68_interp" -> ((s, d) => {
+      val q = events(s, d).slice(0, 500).elements
+      val samp = broadcast(s.range(20).selectExpr(
+        "id * 25.0 AS sx", "CAST((id * 7) % 13 AS DOUBLE) AS sy"))
+      val lo = q.join(samp, col("sx") <= col("v"))
+        .groupBy("idx", "v")
+        .agg(expr("max(sx)").as("x0"), expr("max_by(sy, sx)").as("y0"))
+      val hi = q.join(samp, col("sx") > col("v"), "left")
+        .groupBy("idx", "v")
+        .agg(expr("min(sx)").as("x1"), expr("min_by(sy, sx)").as("y1"))
+      lo.join(hi, Seq("idx", "v"))
+        .selectExpr("idx",
+          "round(CASE WHEN x1 IS NULL THEN y0 " +
+            "ELSE y0 + (v - x0) * (y1 - y0) / (x1 - x0) END, 6) AS y")
+        .orderBy("idx")
+    }),
+
     // histogram with DATA-DEPENDENT bins (reference delayed bins via
     // LinspaceDelayed, _histogram.py:128): lo/hi come from a broadcast
     // min/max aggregate, the bucket expression references them as columns
@@ -838,6 +859,19 @@ object ArrayQueries {
            SELECT sqrt(-2 * ln((((1103515245 * (i + 12345) + 12345) % 2147483648) + 0.5) / 2147483648.0))
                 * cos(2 * pi() * (((69069 * (i + 777) + 1) % 2147483648) + 0.5) / 2147483648.0) AS z
            FROM range(20000) t(i))""",
+
+    "q68_interp" ->
+      """WITH q AS (SELECT event_id AS idx, value AS v FROM events WHERE event_id < 500),
+         samp AS (SELECT i * 25.0 AS sx, CAST((i * 7) % 13 AS DOUBLE) AS sy
+                  FROM range(20) t(i)),
+         lo AS (SELECT idx, v, max(sx) AS x0, max_by(sy, sx) AS y0
+                FROM q JOIN samp ON sx <= v GROUP BY idx, v),
+         hi AS (SELECT idx, v, min(sx) AS x1, min_by(sy, sx) AS y1
+                FROM q LEFT JOIN samp ON sx > v GROUP BY idx, v)
+         SELECT lo.idx AS idx,
+           round(CASE WHEN x1 IS NULL THEN y0
+             ELSE y0 + (lo.v - x0) * (y1 - y0) / (x1 - x0) END, 6) AS y
+         FROM lo JOIN hi ON lo.idx = hi.idx ORDER BY idx""",
 
     "q66_histogram_auto" ->
       """WITH b AS (SELECT floor(min(value)) AS lo, ceil(max(value)) + 1 AS hi FROM events)
