@@ -102,6 +102,14 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
       nr, nc)
   }
 
+  /** Boolean mask over values/coords (2-d `x[mask]` analogue — keeps
+    * coordinates, argwhere-style). */
+  def mask(predOverVIJ: String): DMatrix = wrap(df.where(predOverVIJ))
+
+  /** Mask-valued assignment `x[cond] = value` (2-d SetItem bool path). */
+  def setWhere(predOverVIJ: String, value: Double): DMatrix =
+    map(s"CASE WHEN $predOverVIJ THEN CAST($value AS DOUBLE) ELSE v END")
+
   // ---- triangles / diagonal ------------------------------------------------
   /** Keep the upper triangle at offset k, zero-fill semantics by omission
     * (reference `triu`, `routines/_triangular.py:12`). */
@@ -325,4 +333,27 @@ object DMatrix {
     new DMatrix(
       vecElements.select(expr(s"idx DIV $cols").as("i"), (col("idx") % cols).as("j"), col("v")),
       rows, cols)
+
+  /** Assemble a block matrix from a nested grid (reference `block`,
+    * `stacking/_block.py:6`): pure unions with coordinate offsets — zero
+    * data movement, like concatenate. Row heights/column widths come from
+    * the first block of each band and must be consistent. */
+  def blockOf(grid: Seq[Seq[DMatrix]]): DMatrix = {
+    require(grid.nonEmpty && grid.forall(_.nonEmpty), "empty block grid")
+    val rowHeights = grid.map(_.head.rows)
+    val colWidths = grid.head.map(_.cols)
+    grid.foreach { band =>
+      require(band.length == colWidths.length, "ragged block grid")
+      band.zip(colWidths).foreach { case (m, w) => require(m.cols == w, "col width mismatch") }
+      require(band.forall(_.rows == band.head.rows), "row height mismatch in band")
+    }
+    val rowOffs = rowHeights.scanLeft(0L)(_ + _)
+    val colOffs = colWidths.scanLeft(0L)(_ + _)
+    val parts = for {
+      (band, bi) <- grid.zipWithIndex
+      (m, bj) <- band.zipWithIndex
+    } yield m.df.select(
+      (col("i") + rowOffs(bi)).as("i"), (col("j") + colOffs(bj)).as("j"), col("v"))
+    new DMatrix(parts.reduce(_ unionByName _), rowOffs.last, colOffs.last)
+  }
 }

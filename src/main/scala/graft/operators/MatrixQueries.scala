@@ -294,6 +294,24 @@ object MatrixQueries {
       Tab(50, 40, "(i*5 + j*3) % 21").spark(s)
         .slice(4, 44, 3, 2, 38, 5).elements.orderBy("i", "j")),
 
+    // block assembly [[A, B], [C, D]] — pure unions with offsets, zero
+    // movement (reference `block`, stacking/_block.py:6)
+    "m27_block_assembly" -> ((s, d) => {
+      val a = Tab(10, 15, "(i + j) % 7").spark(s)
+      val b = Tab(10, 5, "(i * 2 + j) % 5").spark(s)
+      val c = Tab(6, 15, "(i * 3 + j) % 4").spark(s)
+      val e = Tab(6, 5, "(i + j * 2) % 3").spark(s)
+      graft.DMatrix.blockOf(Seq(Seq(a, b), Seq(c, e)))
+        .elements.where("v <> 0").orderBy("i", "j")
+    }),
+
+    // 2-d boolean mask + mask-valued assignment (SetItem bool path)
+    "m28_mask_set" -> ((s, d) =>
+      Tab(30, 20, "(i*5 + j*3) % 21").spark(s)
+        .setWhere("v > 15", -1.0)
+        .mask("i % 3 = 0 AND v <> 0")
+        .elements.orderBy("i", "j")),
+
     // 2-d roll: both coordinates shift mod shape — a pure key remap
     // (reference `roll`, manipulation/_roll.py:8, axis tuple form)
     "m26_roll_2d" -> ((s, d) => {
@@ -498,6 +516,20 @@ object MatrixQueries {
     "m26_roll_2d" ->
       s"""SELECT (i + 7) % 30 AS i, (j + 13) % 20 AS j, v
           FROM ${Tab(30, 20, "(i*5 + j*3) % 21").duck} ORDER BY i, j""",
+
+    "m27_block_assembly" ->
+      s"""SELECT i, j, v FROM (
+            SELECT i, j, v FROM ${Tab(10, 15, "(i + j) % 7").duck}
+            UNION ALL SELECT i, j + 15 AS j, v FROM ${Tab(10, 5, "(i * 2 + j) % 5").duck}
+            UNION ALL SELECT i + 10 AS i, j, v FROM ${Tab(6, 15, "(i * 3 + j) % 4").duck}
+            UNION ALL SELECT i + 10 AS i, j + 15 AS j, v FROM ${Tab(6, 5, "(i + j * 2) % 3").duck})
+          WHERE v <> 0 ORDER BY i, j""",
+
+    "m28_mask_set" ->
+      s"""SELECT i, j, CASE WHEN v > 15 THEN -1.0 ELSE v END AS v
+          FROM ${Tab(30, 20, "(i*5 + j*3) % 21").duck}
+          WHERE i % 3 = 0 AND (CASE WHEN v > 15 THEN -1.0 ELSE v END) <> 0
+          ORDER BY i, j""",
 
     "m25_strided_2d" ->
       s"""SELECT (i - 4) // 3 AS i, (j - 2) // 5 AS j, v
