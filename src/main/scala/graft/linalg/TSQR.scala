@@ -408,6 +408,28 @@ object TSQR {
     x
   }
 
+  /** lstsq with the reference's full outputs (reference `LstsqRank`/
+    * `LstsqSingular`, `linalg/_solve.py:305`): solution, squared residual
+    * ‖Ax−b‖² (one distributed pass), numerical rank, singular values.
+    * Requires full column rank for the solution itself (QR-based). */
+  def lstsqFull(s: SparkSession, mat: DMatrix, b: Array[Double])
+      : (Array[Double], Double, Int, Array[Double]) = {
+    val x = lstsq(s, mat, b)
+    val sv = singularValues(s, mat)
+    val tol = sv.headOption.getOrElse(0.0) * 1e-12 * math.max(mat.rows, mat.cols)
+    val rank = sv.count(_ > tol)
+    import s.implicits._
+    val xdf = x.zipWithIndex.toSeq.map { case (v, j) => (j.toLong, v) }.toDF("j", "xv")
+    val bdf = b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("i", "bv")
+    // residual over ALL rows incl. zero rows of A: left join Ax onto b
+    val ax = mat.df.join(broadcast(xdf), "j")
+      .groupBy("i").agg(sum(expr("v * xv")).as("axv"))
+    val res = bdf.join(ax, Seq("i"), "left")
+      .selectExpr("power(bv - coalesce(axv, 0.0), 2) AS r2")
+      .agg(sum("r2")).collect()(0).getDouble(0)
+    (x, res, rank, sv)
+  }
+
   /** Singular values via TSQR: sv(A) = sv(R) = sqrt(eig(RᵀR)) (reference
     * `linalg/_svd.py:170` builds SVD from the same TSQR pieces). Uses the
     * R-only sweep — no Q is ever materialized. */

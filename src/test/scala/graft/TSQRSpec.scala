@@ -127,6 +127,38 @@ class TSQRSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lstsqFull: zero residual on consistent, positive on perturbed; full rank") {
+    val n = 200; val k = 4
+    val a = tall(n, k)
+    val x0 = Array(1.5, -2.0, 0.25, 3.0)
+    val cells = a.elements.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val b = new Array[Double](n)
+    cells.foreach { case (i, j, v) => b(i) += v * x0(j) }
+    val (x, res, rank, sv) = TSQR.lstsqFull(spark, a, b)
+    assert(rank == k && sv.length == k)
+    assert(res < 1e-12, s"consistent system residual $res")
+    x0.indices.foreach(j => assert(math.abs(x(j) - x0(j)) < 1e-8))
+    // perturb one b entry: residual must be ≈ the projection of the bump
+    val b2 = b.clone(); b2(7) += 10.0
+    val (_, res2, _, _) = TSQR.lstsqFull(spark, a, b2)
+    assert(res2 > 1.0 && res2 <= 100.0 + 1e-6, s"perturbed residual $res2")
+  }
+
+  test("rank deficiency shows in the singular values") {
+    // duplicate column: rank 2 in a 3-column matrix
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 100).flatMap { i =>
+      val x = ((i * 7) % 13).toDouble + 1
+      val y = ((i * 5) % 11).toDouble + 1
+      Seq((i.toLong, 0L, x), (i.toLong, 1L, y), (i.toLong, 2L, x)) // col2 = col0
+    }
+    val a = new DMatrix(rows.toDF("i", "j", "v"), 100, 3)
+    val sv = TSQR.singularValues(spark, a)
+    assert(sv(2) < sv(0) * 1e-10, s"expected vanishing third sv, got ${sv.toSeq}")
+  }
+
   test("frobenius norm equals sqrt(sum sv^2)") {
     val a = tall(300, 4)
     val sv = TSQR.singularValues(spark, a)
