@@ -74,7 +74,7 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     new DMatrix(
       df.where(col("i") >= r0 && col("i") < r1 && col("j") >= c0 && col("j") < c1)
         .select((col("i") - r0).as("i"), (col("j") - c0).as("j"), col("v")),
-      r1 - r0, c1 - c0)
+      math.max(0L, r1 - r0), math.max(0L, c1 - c0)) // empty, never negative
 
   /** Strided rectangular slice `[r0:r1:sr, c0:c1:sc)` (reference strided
     * basic indexing): the range predicates still push to the scan; the
@@ -85,7 +85,7 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
       df.where(col("i") >= r0 && col("i") < r1 && col("j") >= c0 && col("j") < c1)
         .where((col("i") - r0) % sr === 0 && (col("j") - c0) % sc === 0)
         .selectExpr(s"(i - $r0) DIV $sr AS i", s"(j - $c0) DIV $sc AS j", "v"),
-      (r1 - r0 + sr - 1) / sr, (c1 - c0 + sc - 1) / sc)
+      math.max(0L, (r1 - r0 + sr - 1) / sr), math.max(0L, (c1 - c0 + sc - 1) / sc))
   }
 
   /** Flatten C-order to a 1-d element table (reference `ravel`,
@@ -102,11 +102,27 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
       nr, nc)
   }
 
+  /** Materialize every grid cell, zero-filling absent ones — the bridge
+    * from the sparse element-table convention to dense numpy semantics.
+    * Needed before [[mask]]/[[setWhere]] when the predicate can match
+    * v = 0 (absent cells are implicit zeros and are otherwise not
+    * visited), and used internally by [[integralImage]]. */
+  def densify: DMatrix = {
+    val sess = df.sparkSession
+    val grid = sess.range(rows * cols)
+      .selectExpr(s"id DIV $cols AS i", s"id % $cols AS j")
+    wrap(grid.join(df, Seq("i", "j"), "left")
+      .select(col("i"), col("j"), coalesce(col("v"), lit(0.0)).as("v")))
+  }
+
   /** Boolean mask over values/coords (2-d `x[mask]` analogue — keeps
-    * coordinates, argwhere-style). */
+    * coordinates, argwhere-style). Operates on PRESENT cells: a predicate
+    * that should match implicit zeros needs [[densify]] first. */
   def mask(predOverVIJ: String): DMatrix = wrap(df.where(predOverVIJ))
 
-  /** Mask-valued assignment `x[cond] = value` (2-d SetItem bool path). */
+  /** Mask-valued assignment `x[cond] = value` (2-d SetItem bool path).
+    * Rewrites PRESENT cells; to assign where implicit zeros match,
+    * [[densify]] first. */
   def setWhere(predOverVIJ: String, value: Double): DMatrix =
     map(s"CASE WHEN $predOverVIJ THEN CAST($value AS DOUBLE) ELSE v END")
 
@@ -149,11 +165,7 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * absent positions' carry (the output is inherently dense anyway). */
   def integralImage: DMatrix = {
     import org.apache.spark.sql.expressions.Window
-    val sess = df.sparkSession
-    val grid = sess.range(rows * cols)
-      .selectExpr(s"id DIV $cols AS i", s"id % $cols AS j")
-    val dense = grid.join(df, Seq("i", "j"), "left")
-      .select(col("i"), col("j"), coalesce(col("v"), lit(0.0)).as("v"))
+    val dense = densify.df
     val byRow = Window.partitionBy("i").orderBy("j")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byCol = Window.partitionBy("j").orderBy("i")

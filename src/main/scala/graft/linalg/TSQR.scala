@@ -395,6 +395,7 @@ object TSQR {
     q.elements.join(broadcast(bdf), "i")
       .groupBy("j").agg(sum(expr("v * bv")).as("s"))
       .collect().foreach(row => qtb(row.getLong(0).toInt) = row.getDouble(1))
+    q.df.unpersist() // Q served its one purpose; free the tsqr cache
     // back-substitute R x = Qᵀb
     val x = new Array[Double](k)
     var i = k - 1
@@ -411,20 +412,54 @@ object TSQR {
   /** lstsq with the reference's full outputs (reference `LstsqRank`/
     * `LstsqSingular`, `linalg/_solve.py:305`): solution, squared residual
     * ‖Ax−b‖² (one distributed pass), numerical rank, singular values.
-    * Requires full column rank for the solution itself (QR-based). */
+    * ONE TSQR sweep serves everything — x comes from its R + Qᵀb, the
+    * singular values from the SAME R (sv(A) = sv(R)) — and the Q cache is
+    * released before returning. Requires full column rank for the
+    * solution itself (QR-based). */
   def lstsqFull(s: SparkSession, mat: DMatrix, b: Array[Double])
       : (Array[Double], Double, Int, Array[Double]) = {
-    val x = lstsq(s, mat, b)
-    val sv = singularValues(s, mat)
+    require(b.length == mat.rows, "rhs length must match rows")
+    val k = mat.cols.toInt
+    val (q, r) = tsqr(s, mat)
+    import s.implicits._
+    val bdf0 = b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("i", "bv")
+    val qtb = new Array[Double](k)
+    q.elements.join(broadcast(bdf0), "i")
+      .groupBy("j").agg(sum(expr("v * bv")).as("s"))
+      .collect().foreach(row => qtb(row.getLong(0).toInt) = row.getDouble(1))
+    q.df.unpersist() // tsqr materializes Q; nothing below needs it
+    // back-substitute R x = Qᵀb
+    val x = new Array[Double](k)
+    var i = k - 1
+    while (i >= 0) {
+      var acc = qtb(i)
+      var j = i + 1
+      while (j < k) { acc -= r(i * k + j) * x(j); j += 1 }
+      x(i) = acc / r(i * k + i)
+      i -= 1
+    }
+    // sv(A) = sv(R): reuse the R already in hand
+    val rtr = new Array[Double](k * k)
+    i = 0
+    while (i < k) {
+      var j = 0
+      while (j < k) {
+        var sum0 = 0.0
+        var l = 0
+        while (l < k) { sum0 += r(l * k + i) * r(l * k + j); l += 1 }
+        rtr(i * k + j) = sum0
+        j += 1
+      }
+      i += 1
+    }
+    val sv = symEigvals(rtr, k).map(e => math.sqrt(math.max(e, 0.0)))
     val tol = sv.headOption.getOrElse(0.0) * 1e-12 * math.max(mat.rows, mat.cols)
     val rank = sv.count(_ > tol)
-    import s.implicits._
     val xdf = x.zipWithIndex.toSeq.map { case (v, j) => (j.toLong, v) }.toDF("j", "xv")
-    val bdf = b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("i", "bv")
     // residual over ALL rows incl. zero rows of A: left join Ax onto b
     val ax = mat.df.join(broadcast(xdf), "j")
       .groupBy("i").agg(sum(expr("v * xv")).as("axv"))
-    val res = bdf.join(ax, Seq("i"), "left")
+    val res = bdf0.join(ax, Seq("i"), "left")
       .selectExpr("power(bv - coalesce(axv, 0.0), 2) AS r2")
       .agg(sum("r2")).collect()(0).getDouble(0)
     (x, res, rank, sv)

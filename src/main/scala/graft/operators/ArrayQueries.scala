@@ -331,13 +331,13 @@ object ArrayQueries {
 
     // 1-d linear interpolation against a sorted sample table (numpy
     // interp; the reference reaches it via map_blocks over gathered xp —
-    // here two broadcast bracket joins + the lerp, out-of-range clamped):
+    // here two broadcast bracket joins + the lerp; BOTH out-of-range sides clamp to the endpoint samples):
     // per query point, greatest sample <= v and least sample > v
     "q68_interp" -> ((s, d) => {
       val q = events(s, d).slice(0, 500).elements
       val samp = broadcast(s.range(20).selectExpr(
         "id * 25.0 AS sx", "CAST((id * 7) % 13 AS DOUBLE) AS sy"))
-      val lo = q.join(samp, col("sx") <= col("v"))
+      val lo = q.join(samp, col("sx") <= col("v"), "left")
         .groupBy("idx", "v")
         .agg(expr("max(sx)").as("x0"), expr("max_by(sy, sx)").as("y0"))
       val hi = q.join(samp, col("sx") > col("v"), "left")
@@ -345,7 +345,7 @@ object ArrayQueries {
         .agg(expr("min(sx)").as("x1"), expr("min_by(sy, sx)").as("y1"))
       lo.join(hi, Seq("idx", "v"))
         .selectExpr("idx",
-          "round(CASE WHEN x1 IS NULL THEN y0 " +
+          "round(CASE WHEN x0 IS NULL THEN y1 WHEN x1 IS NULL THEN y0 " +
             "ELSE y0 + (v - x0) * (y1 - y0) / (x1 - x0) END, 6) AS y")
         .orderBy("idx")
     }),
@@ -865,11 +865,11 @@ object ArrayQueries {
          samp AS (SELECT i * 25.0 AS sx, CAST((i * 7) % 13 AS DOUBLE) AS sy
                   FROM range(20) t(i)),
          lo AS (SELECT idx, v, max(sx) AS x0, max_by(sy, sx) AS y0
-                FROM q JOIN samp ON sx <= v GROUP BY idx, v),
+                FROM q LEFT JOIN samp ON sx <= v GROUP BY idx, v),
          hi AS (SELECT idx, v, min(sx) AS x1, min_by(sy, sx) AS y1
                 FROM q LEFT JOIN samp ON sx > v GROUP BY idx, v)
          SELECT lo.idx AS idx,
-           round(CASE WHEN x1 IS NULL THEN y0
+           round(CASE WHEN x0 IS NULL THEN y1 WHEN x1 IS NULL THEN y0
              ELSE y0 + (lo.v - x0) * (y1 - y0) / (x1 - x0) END, 6) AS y
          FROM lo JOIN hi ON lo.idx = hi.idx ORDER BY idx""",
 
