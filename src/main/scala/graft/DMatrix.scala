@@ -214,6 +214,20 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     sess.createDataFrame((hit ++ missed).toSeq).toDF("idx", "v")
   }
 
+  /** Kronecker product `kron(this, o)` (reference composes it from
+    * blockwise outer products): every cell pair meets in a broadcast
+    * cross join — the small operand ships to every task, the big side
+    * never shuffles — with pure index arithmetic for the placement. */
+  def kron(o: DMatrix): DMatrix = {
+    val b = o.df.select(col("i").as("bi"), col("j").as("bj"), col("v").as("bv"))
+    new DMatrix(
+      df.crossJoin(broadcast(b))
+        .select((col("i") * o.rows + col("bi")).as("i"),
+          (col("j") * o.cols + col("bj")).as("j"),
+          (col("v") * col("bv")).as("v")),
+      rows * o.rows, cols * o.cols)
+  }
+
   // ---- contraction ---------------------------------------------------------
   /** Matrix multiply — the join+agg SUMMA plan (reference `tensordot`/
     * `matmul`, `linalg/_tensordot.py:45,194`): equi-join on the contracted

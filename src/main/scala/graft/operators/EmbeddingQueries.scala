@@ -213,6 +213,19 @@ object EmbeddingQueries {
         .groupBy("sub", "code").agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
         .orderBy("sub", "code")),
 
+    // renormalization (the embedding-hygiene step every ingest pipeline
+    // runs): scale each vector to unit L2 — a real array-in/array-out
+    // transform — then verify by recomputing the norm of the NEW array;
+    // per-element division + in-order summation are identical IEEE ops
+    // on both engines, so round(·, 6) is pure safety margin
+    "e10_renormalize" -> ((s, d) =>
+      emb(s, d).where("vec_id < 200")
+        .selectExpr("vec_id",
+          s"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${sparkDot("embedding", "embedding")})) AS ne")
+        .selectExpr("vec_id",
+          "round(sqrt(aggregate(zip_with(ne, ne, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)), 6) AS nrm")
+        .orderBy("vec_id")),
+
     // PQ asymmetric-distance search (ADC): queries score against the
     // 8-nibble codes via per-subvector lookup — dot(q_sub, codebook[code])
     // summed over subs. At 100 TB the scan side touches ONLY the codes
@@ -313,6 +326,15 @@ object EmbeddingQueries {
             FROM assign a JOIN embeddings e ON e.label = a.label
             WHERE e.vec_id <> a.qid)
           WHERE rn <= 3 ORDER BY qid, rn""",
+
+    "e10_renormalize" ->
+      s"""SELECT vec_id, round(sqrt(CAST(list_sum([ne[i] * ne[i]
+            for i in generate_series(1, $DIM)]) AS DOUBLE)), 6) AS nrm
+          FROM (SELECT vec_id,
+            [CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})
+             for i in generate_series(1, $DIM)] AS ne
+            FROM embeddings WHERE vec_id < 200)
+          ORDER BY vec_id""",
 
     "e09_pq_adc" -> {
       val score = (0 until 8).map(sub =>

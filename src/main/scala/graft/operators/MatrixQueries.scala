@@ -294,6 +294,28 @@ object MatrixQueries {
       Tab(50, 40, "(i*5 + j*3) % 21").spark(s)
         .slice(4, 44, 3, 2, 38, 5).elements.orderBy("i", "j")),
 
+    // Kronecker product: broadcast cross join + index arithmetic — the
+    // big side never shuffles
+    "m29_kron" -> ((s, d) => {
+      val a = Tab(6, 5, "(i*3 + j*2) % 7 + 1").spark(s)
+      val b = Tab(4, 3, "(i + j*5) % 6 + 1").spark(s)
+      a.kron(b).elements.orderBy("i", "j")
+    }),
+
+    // ediff1d: diff of the raveled matrix (reference
+    // routines/_insert_delete.py:31) — ravel then the same blocked
+    // halo-window diff plan DiffVec uses (no global sort)
+    "m30_ediff1d" -> ((s, d) => {
+      val a = Tab(8, 10, "(i*7 + j*3) % 13").spark(s)
+      val halo = graft.expr.Blocked.withTrailingHalo(a.ravel, 1)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("tblk").orderBy("idx")
+      halo.withColumn("pv", lag(col("v"), 1).over(w))
+        .where(col("tblk") === col("blk") && col("idx") >= 1)
+        .select((col("idx") - 1).as("idx"), (col("v") - col("pv")).as("v"))
+        .orderBy("idx")
+    }),
+
     // block assembly [[A, B], [C, D]] — pure unions with offsets, zero
     // movement (reference `block`, stacking/_block.py:6)
     "m27_block_assembly" -> ((s, d) => {
@@ -516,6 +538,17 @@ object MatrixQueries {
     "m26_roll_2d" ->
       s"""SELECT (i + 7) % 30 AS i, (j + 13) % 20 AS j, v
           FROM ${Tab(30, 20, "(i*5 + j*3) % 21").duck} ORDER BY i, j""",
+
+    "m29_kron" ->
+      s"""SELECT a.i * 4 + b.i AS i, a.j * 3 + b.j AS j, a.v * b.v AS v
+          FROM ${Tab(6, 5, "(i*3 + j*2) % 7 + 1").duck} a,
+               ${Tab(4, 3, "(i + j*5) % 6 + 1").duck} b
+          ORDER BY i, j""",
+
+    "m30_ediff1d" ->
+      s"""SELECT li - 1 AS idx, v - lag(v) OVER (ORDER BY li) AS v
+          FROM (SELECT i * 10 + j AS li, v FROM ${Tab(8, 10, "(i*7 + j*3) % 13").duck})
+          QUALIFY li >= 1 ORDER BY idx""",
 
     "m27_block_assembly" ->
       s"""SELECT i, j, v FROM (
