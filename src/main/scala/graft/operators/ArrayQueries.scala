@@ -315,7 +315,9 @@ object ArrayQueries {
           s"named_struct('ex', $frexpExponent, 'fr', v - floor(v), 'wh', floor(v)) AS o", "v")
         .selectExpr("idx",
           "o.ex AS ex", s"v / ($frexpPow2) AS mant",
-          "o.fr AS frac", "o.wh AS whole")
+          // Spark floor() yields BIGINT while DuckDB's yields DOUBLE —
+          // cast so both sides hash the same float64 column
+          "o.fr AS frac", "CAST(o.wh AS DOUBLE) AS whole")
         .orderBy("idx")),
 
     // Box-Muller normal from two LCG streams; distribution-level checks
