@@ -100,8 +100,9 @@ object Simplify {
     // zip of two equal-length REGIONS of the same scan (the x[a:b] +
     // x[a+k:b+k] interleave) fuses to one scan + one exchange via
     // ZipOffsetVec — the unfused plan shuffle-joins the leaf with itself.
-    // Restricted to raw column leaves: the union-agg encoding needs
-    // non-NULL values, which raw scans guarantee.
+    // Restricted to raw column leaves so "same scan" is one leaf-equality
+    // check; NULL-valued leaves are safe (ZipOffsetVec tracks side
+    // presence with flag columns, not value-NULL sentinels).
     case ZipVec(ColumnVec(t1, i1, x1, Some((a, b))),
                 ColumnVec(t2, i2, x2, Some((c, d))), e)
         if t1 == t2 && i1 == i2 && x1 == x2 && (b - a) == (d - c) && a != c =>

@@ -183,8 +183,10 @@ final case class ZipVec(left: VecExpr, right: VecExpr, exprSql: String) extends 
   * exchanges + sort), this plans as ONE union of two projections of one
   * scan + ONE hash aggregation — half the movement, no sort, offset-size
   * independent. Produced only by [[Simplify]]'s offset-zip rule (never
-  * user-built), and only over raw leaf scans, where a position's value is
-  * never NULL (the union-agg encoding uses NULL as "absent side"). */
+  * user-built). Side presence is encoded with explicit flag columns (not
+  * value-NULL sentinels), so NULL-valued positions — a supported leaf
+  * state, e.g. a CASE→NULL kernel feeding ffill — survive the join with
+  * the same semantics as the unfused [[ZipVec]]. */
 final case class ZipOffsetVec(child: VecExpr, offset: Long, exprSql: String) extends VecExpr {
   require(offset > 0, s"offset must be positive, got $offset")
   def children: Seq[VecExpr] = Seq(child)
@@ -196,13 +198,16 @@ final case class ZipOffsetVec(child: VecExpr, offset: Long, exprSql: String) ext
   def eval(ctx: Ctx): DataFrame = {
     val base = child.eval(ctx)
     val self = base.select(col("idx"), col("v").as("a1"),
-      lit(null).cast("double").as("a2"))
+      lit(null).cast("double").as("a2"), lit(1).as("p1"), lit(0).as("p2"))
     val part = base.where(col("idx") >= offset)
       .select((col("idx") - offset).as("idx"),
-        lit(null).cast("double").as("a1"), col("v").as("a2"))
+        lit(null).cast("double").as("a1"), col("v").as("a2"),
+        lit(0).as("p1"), lit(1).as("p2"))
     self.unionByName(part)
-      .groupBy("idx").agg(max(col("a1")).as("v1"), max(col("a2")).as("v2"))
-      .where(col("v1").isNotNull && col("v2").isNotNull)
+      .groupBy("idx").agg(
+        max(col("a1")).as("v1"), max(col("a2")).as("v2"),
+        max(col("p1")).as("h1"), max(col("p2")).as("h2"))
+      .where(col("h1") === 1 && col("h2") === 1)
       .selectExpr("idx", s"CAST($exprSql AS DOUBLE) AS v")
   }
 }

@@ -317,9 +317,11 @@ object TSQR {
   }
 
   /** R factor only — the upward tree sweep without Q materialization.
-    * Levels are single-use lineage here (no downward sweep), so nothing
-    * but the block stage is ever cached, and that is freed on return.
-    * Use when only R / singular values are needed. */
+    * The tree DEPTH is derived arithmetically from the max block id (ids
+    * live in [0, span); each round divides the span by splitEvery), so the
+    * sweep chains its rounds lazily and the whole lineage — block QRs
+    * included — evaluates exactly ONCE, at the final collect. No per-round
+    * action, no cache. Use when only R / singular values are needed. */
   def rFactor(s: SparkSession, mat: DMatrix, blockRows: Int = defaultBlockRows,
               splitEvery: Int = defaultSplitEvery): Array[Double] = {
     import s.implicits._
@@ -343,26 +345,21 @@ object TSQR {
         (b, localQR(a, mp, kk)._2)
       }
     var rs0 = blockR.map { case (b, r) => (b, r) }
-    var width = -1L // unknown until first collect; loop until ≤ splitEvery
-    // tree-combine by re-keying on rank DIV splitEvery; block ids are
-    // already ordered keys, so DIV splitEvery groups contiguous runs
-    var done = false
-    var rounds = 0
-    while (!done) {
-      val cnt = rs0.count()
-      if (cnt <= splitEvery || rounds > 40) done = true
-      else {
-        rs0 = rs0.groupByKey(_._1 / splitEvery).mapGroups { (parent, it) =>
-          val ch = it.toArray.sortBy(_._1)
-          val stacked = new Array[Double](ch.length * kk * kk)
-          ch.zipWithIndex.foreach { case ((_, r), i) =>
-            System.arraycopy(r, 0, stacked, i * kk * kk, kk * kk)
-          }
-          (parent, localQR(stacked, ch.length * kk, kk)._2)
+    // block ids lie in [0, span); grouping on id DIV splitEvery maps that
+    // to [0, ceil(span/splitEvery)) per round — span is an upper bound on
+    // the surviving width even when ids are sparse, so the round count is
+    // known up front (the 8-byte max(i) aggregate is the only extra job)
+    var span = mat.df.agg(max(col("i"))).as[Long].head() / blockRows + 1
+    while (span > splitEvery) {
+      rs0 = rs0.groupByKey(_._1 / splitEvery).mapGroups { (parent, it) =>
+        val ch = it.toArray.sortBy(_._1)
+        val stacked = new Array[Double](ch.length * kk * kk)
+        ch.zipWithIndex.foreach { case ((_, r), i) =>
+          System.arraycopy(r, 0, stacked, i * kk * kk, kk * kk)
         }
-        rounds += 1
+        (parent, localQR(stacked, ch.length * kk, kk)._2)
       }
-      width = cnt
+      span = (span + splitEvery - 1) / splitEvery
     }
     val top = rs0.collect().sortBy(_._1)
     val stacked = new Array[Double](top.length * k * k)

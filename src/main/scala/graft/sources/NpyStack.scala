@@ -1,8 +1,8 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * come from an O(numBlocks) driver pass over the 128-byte headers (the
   * reference reads `.npy` headers eagerly the same way), the payloads are
   * decoded in one distributed `binaryFile` scan with the block-offset map
-  * broadcast — data bytes never touch the driver. */
+  * broadcast — data bytes never touch the driver. All store IO routes
+  * through [[StoreIO]] (Hadoop FileSystem), so the stack may live on any
+  * configured scheme, not just a driver-shared local filesystem. */
 object NpyStack {
 
   private val Magic: Array[Byte] =
@@ -77,7 +79,8 @@ object NpyStack {
     * elements at all are emitted as all-zero files from the driver loop
     * below, so read-side offsets stay aligned. */
   def write(elements: DataFrame, dir: String, blockSize: Long, n: Long): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    val (fs0, base0) = StoreIO.fsOf(dir)
+    fs0.mkdirs(base0)
     val sess = elements.sparkSession
     import sess.implicits._
     val numBlocks = ((n + blockSize - 1) / blockSize).max(0)
@@ -90,8 +93,8 @@ object NpyStack {
         val len = (math.min((blk + 1) * blockSize, n) - blk * blockSize).toInt
         val vals = new Array[Double](len)
         it.foreach { case (_, idx, v) => vals((idx % blockSize).toInt) = v }
-        val path = Paths.get(dir, s"$blk.npy")
-        Files.write(path, npyBytes(vals))
+        val (fs, base) = StoreIO.fsOf(dir) // executor-side, from the URI
+        StoreIO.writeFile(fs, new Path(base, s"$blk.npy"), npyBytes(vals))
         (blk, len.toLong)
       }.collect() // drives the write job; returns O(numBlocks) stats
     // blocks with zero surviving elements never reach mapGroups — emit
@@ -101,7 +104,8 @@ object NpyStack {
     while (blk < numBlocks) {
       if (!have.contains(blk)) {
         val len = (math.min((blk + 1) * blockSize, n) - blk * blockSize).toInt
-        Files.write(Paths.get(dir, s"$blk.npy"), npyBytes(new Array[Double](len)))
+        StoreIO.writeFile(fs0, new Path(base0, s"$blk.npy"),
+          npyBytes(new Array[Double](len)))
       }
       blk += 1
     }
@@ -111,20 +115,14 @@ object NpyStack {
   def read(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // phase 1 (driver, O(numBlocks)): block counts from 128-byte headers
-    val stream = Files.list(Paths.get(dir))
+    val (fs, base) = StoreIO.fsOf(dir)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    try {
-      val files = stream.iterator()
-      while (files.hasNext) {
-        val p = files.next()
-        val name = p.getFileName.toString
-        if (name.endsWith(".npy")) {
-          val in = Files.newInputStream(p)
-          val prefix = try in.readNBytes(128) finally in.close()
-          counts += ((name.stripSuffix(".npy").toLong, parseCount(prefix)))
-        }
+    StoreIO.listNames(dir).foreach { name =>
+      if (name.endsWith(".npy")) {
+        val prefix = StoreIO.readPrefix(fs, new Path(base, name), 128)
+        counts += ((name.stripSuffix(".npy").toLong, parseCount(prefix)))
       }
-    } finally stream.close()
+    }
     val sorted = counts.sortBy(_._1)
     val starts: Map[Long, Long] = sorted.map(_._1).zip(
       sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1)).toMap

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Store IO for the chunked-file connectors ([[Zarr]], [[NpyStack]]),
+  * routed through the Hadoop FileSystem API so a store may live on any
+  * configured scheme — local disk, HDFS, or an object store — rather than
+  * a filesystem shared between driver and executors. Executors resolve
+  * the FileSystem from the path's own URI with a default `Configuration`
+  * (the standard deployment shape: core-site.xml on the classpath);
+  * bulk chunk READS never come through here — they ride Spark's
+  * distributed `binaryFile` source. */
+object StoreIO {
+
+  def fsOf(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    // stores are self-describing chunk files; the local ChecksumFileSystem's
+    // .crc sidecars would litter the chunk namespace other readers list
+    fs.setWriteChecksum(false)
+    (fs, p)
+  }
+
+  def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Read a whole (small) file — metadata descriptors only. */
+  def readFile(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** Read the first `k` bytes of a file — header sniffing. */
+  def readPrefix(fs: FileSystem, p: Path, k: Int): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readNBytes(k) finally in.close()
+  }
+
+  /** Names of directory entries (no recursion). */
+  def listNames(dir: String): Seq[String] = {
+    val (fs, base) = fsOf(dir)
+    fs.listStatus(base).toSeq.map(_.getPath.getName)
+  }
+}

@@ -2,9 +2,9 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.zip.{Deflater, Inflater}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * payloads are decoded in one distributed `binaryFile` scan. Missing
   * chunks surface as `fill_value` rows generated from `spark.range` —
   * no data bytes ever pass through the driver.
+  *
+  * All store IO goes through the Hadoop FileSystem API (reads via Spark's
+  * `binaryFile` source, metadata/chunk writes via `Path.getFileSystem`),
+  * so the store may live on any configured scheme — local disk, HDFS, or
+  * an object store — not just a filesystem shared with the driver.
+  * Executors resolve the FileSystem from the chunk path's own URI with a
+  * default `Configuration`, the standard cluster deployment shape
+  * (core-site.xml on the executor classpath).
   */
 object Zarr {
 
@@ -110,8 +118,22 @@ object Zarr {
     inf.setInput(comp)
     val out = new Array[Byte](rawLen)
     var off = 0
-    while (!inf.finished() && off < rawLen) off += inf.inflate(out, off, rawLen - off)
-    inf.end()
+    try {
+      while (!inf.finished() && off < rawLen) {
+        val n =
+          try inf.inflate(out, off, rawLen - off)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw new java.io.IOException(s"corrupt zlib chunk: ${e.getMessage}", e)
+          }
+        // a truncated chunk makes inflate return 0 with the stream
+        // unfinished — fail loudly instead of spinning an executor forever
+        if (n == 0 && !inf.finished())
+          throw new java.io.IOException(
+            s"corrupt zlib chunk: inflate stalled at $off/$rawLen bytes" +
+              (if (inf.needsInput()) " (truncated input)" else ""))
+        off += n
+      }
+    } finally inf.end()
     out
   }
 
@@ -129,21 +151,16 @@ object Zarr {
     Array.fill(nVals)(bb.getDouble)
   }
 
-  def readMeta(dir: String): Meta =
-    parseMeta(new String(Files.readAllBytes(Paths.get(dir, ".zarray")), StandardCharsets.UTF_8))
+  import StoreIO.{fsOf, writeFile}
 
-  private def listChunkNames(dir: String): Seq[String] = {
-    val stream = Files.list(Paths.get(dir))
-    try {
-      val it = stream.iterator()
-      val names = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val nm = it.next().getFileName.toString
-        if (nm.matches("\\d+(\\.\\d+)*")) names += nm
-      }
-      names.toSeq
-    } finally stream.close()
+  def readMeta(dir: String): Meta = {
+    val (fs, base) = fsOf(dir)
+    parseMeta(new String(StoreIO.readFile(fs, new Path(base, ".zarray")),
+      StandardCharsets.UTF_8))
   }
+
+  private def listChunkNames(dir: String): Seq[String] =
+    StoreIO.listNames(dir).filter(_.matches("\\d+(\\.\\d+)*"))
 
   // ---- 1-d -----------------------------------------------------------------
 
@@ -190,9 +207,11 @@ object Zarr {
     * by the driver so the store is complete. */
   def write1d(elements: DataFrame, dir: String, n: Long, chunk: Long,
               compressor: Option[String] = None): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    val (fs0, base0) = fsOf(dir)
+    fs0.mkdirs(base0)
     val m = Meta(Seq(n), Seq(chunk), "<f8", 0.0, compressor, ".")
-    Files.write(Paths.get(dir, ".zarray"), metaJson(m).getBytes(StandardCharsets.UTF_8))
+    writeFile(fs0, new Path(base0, ".zarray"),
+      metaJson(m).getBytes(StandardCharsets.UTF_8))
     val sess = elements.sparkSession
     import sess.implicits._
     val comp = compressor
@@ -204,14 +223,15 @@ object Zarr {
       .mapGroups { (blk, it) =>
         val vals = new Array[Double](chunk.toInt) // full chunk, edge padded
         it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
-        Files.write(Paths.get(dir, blk.toString), encodeChunk(vals, comp))
+        val (fs, base) = fsOf(dir) // executor-side: resolved from the URI
+        writeFile(fs, new Path(base, blk.toString), encodeChunk(vals, comp))
         blk
       }.collect().toSet
     var blk = 0L
     val nChunks = (n + chunk - 1) / chunk
     while (blk < nChunks) {
       if (!written.contains(blk))
-        Files.write(Paths.get(dir, blk.toString),
+        writeFile(fs0, new Path(base0, blk.toString),
           encodeChunk(new Array[Double](chunk.toInt), comp))
       blk += 1
     }
@@ -270,9 +290,11 @@ object Zarr {
   def write2d(cells: DataFrame, dir: String, rows: Long, cols: Long,
               chunkR: Long, chunkC: Long,
               compressor: Option[String] = None): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    val (fs0, base0) = fsOf(dir)
+    fs0.mkdirs(base0)
     val m = Meta(Seq(rows, cols), Seq(chunkR, chunkC), "<f8", 0.0, compressor, ".")
-    Files.write(Paths.get(dir, ".zarray"), metaJson(m).getBytes(StandardCharsets.UTF_8))
+    writeFile(fs0, new Path(base0, ".zarray"),
+      metaJson(m).getBytes(StandardCharsets.UTF_8))
     val sess = cells.sparkSession
     import sess.implicits._
     val comp = compressor
@@ -287,13 +309,14 @@ object Zarr {
         it.foreach { case (_, _, i, j, v) =>
           vals(((i % chunkR) * chunkC + (j % chunkC)).toInt) = v
         }
-        Files.write(Paths.get(dir, s"$bi.$bj"), encodeChunk(vals, comp))
+        val (fs, base) = fsOf(dir) // executor-side: resolved from the URI
+        writeFile(fs, new Path(base, s"$bi.$bj"), encodeChunk(vals, comp))
         (bi, bj)
       }.collect().toSet
     val gr = (rows + chunkR - 1) / chunkR
     val gc = (cols + chunkC - 1) / chunkC
     for (bi <- 0L until gr; bj <- 0L until gc if !written.contains((bi, bj)))
-      Files.write(Paths.get(dir, s"$bi.$bj"),
+      writeFile(fs0, new Path(base0, s"$bi.$bj"),
         encodeChunk(new Array[Double]((chunkR * chunkC).toInt), comp))
   }
 }

@@ -178,6 +178,27 @@ class SimplifySpec extends AnyFunSuite {
     assert(zo2.head.exprSql.contains("v2") && zo2.head.exprSql.contains("v1"))
   }
 
+  test("offset-zip fusion preserves NULL-valued positions") {
+    // NULL-valued ColumnVec leaves are a supported state (the q11_ffill
+    // CASE→NULL shape); the fused ZipOffsetVec must keep those rows and
+    // emit NULL exactly like the unfused ZipVec join — presence is a flag
+    // column, never a value-NULL sentinel.
+    val ctx = graft.expr.Ctx(TestSpark.spark, TestSpark.sf)
+    val leaf = ColumnVec("events", "event_id",
+      "CASE WHEN value < 200 THEN NULL ELSE value END")
+    val e = ZipVec(SliceVec(leaf, 0, 800), SliceVec(leaf, 100, 900), "v1 + v2")
+    val fused = Simplify(e)
+    assert(collect(fused) { case z: ZipOffsetVec => z }.nonEmpty, fused.pprint())
+    def rows(x: VecExpr): Seq[(Long, Option[Double])] =
+      x.eval(ctx).orderBy("idx").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    val unfused = rows(e)
+    val got = rows(fused)
+    assert(unfused.exists(_._2.isEmpty), "fixture must contain NULL-valued positions")
+    assert(got == unfused,
+      s"fused ${got.size} rows != unfused ${unfused.size} rows")
+  }
+
   test("content-addressed names: identical trees share a name") {
     val a = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
     val b = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")

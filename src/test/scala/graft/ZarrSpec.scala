@@ -108,6 +108,14 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back(2) == 5.0 && back(205) == -1.0 && back(3) == 0.0 && back(150) == 0.0)
   }
 
+  test("truncated zlib chunk fails loudly instead of hanging") {
+    val full = Zarr.encodeChunk(Array.tabulate(64)(_.toDouble), Some("zlib"))
+    val truncated = full.take(full.length / 2)
+    val e = intercept[java.io.IOException](
+      Zarr.decodeChunk(truncated, 64, Some("zlib")))
+    assert(e.getMessage.contains("corrupt zlib chunk"), e.getMessage)
+  }
+
   test("blosc compressor is rejected loudly") {
     val json =
       """{"chunks": [4], "compressor": {"id": "blosc", "cname": "lz4"},
