@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lazy N-dimensional array of arbitrary rank as an element table
+  * `(c0 BIGINT, …, c{r-1} BIGINT, v DOUBLE)` — the general form of the
+  * reference's chunked N-d array (reference `dask_array/_expr.py:221`,
+  * chunks as a rank-length tuple; axis-tuple reductions
+  * `reductions/_reduction.py:89-95`; transpose
+  * `manipulation/_transpose.py:14`; reshape `_reshape.py:132`).
+  *
+  * [[DArray]] (rank 1, with its own slice-pushdown expression layer),
+  * [[DMatrix]] (rank 2) and [[DTensor]] (batch×rows×cols) stay the tuned
+  * fast paths; NdArray covers every higher rank with the same element-table
+  * design: each coordinate is its own BIGINT column, so
+  *  - transpose is a pure column-rename projection (zero movement),
+  *  - an axis-subset reduction is ONE groupBy on the kept coordinate
+  *    columns — one partial-aggregated shuffle no matter how many axes
+  *    collapse at once,
+  *  - slicing is a conjunctive range predicate Catalyst pushes to the scan,
+  *  - reshape is exact integer ravel/unravel arithmetic in a projection,
+  *  - tensordot joins on the contracted coordinates and aggregates over
+  *    the kept ones — the SUMMA join+agg plan at any rank.
+  * All ops stay fully declarative: Catalyst sees plain projections, range
+  * predicates, equi-joins and groupBys, so pushdown/pruning/AQE apply
+  * unchanged at any rank.
+  */
+final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
+  require(shape.nonEmpty && shape.forall(_ > 0), s"bad shape $shape")
+
+  def rank: Int = shape.length
+  def size: Long = shape.product
+  private def coords: Seq[String] = (0 until rank).map(i => s"c$i")
+
+  /** Row-major strides: stride(i) = product of shape(i+1..). */
+  private def strides(s: Seq[Long]): Seq[Long] =
+    s.scanRight(1L)(_ * _).tail
+
+  // ---- elemwise ------------------------------------------------------------
+
+  def map(sqlOverV: String): NdArray =
+    new NdArray(df.selectExpr(coords :+ s"CAST($sqlOverV AS DOUBLE) AS v": _*), shape)
+
+  /** Aligned elemwise combine — equi-join on all coordinates. */
+  def zip(o: NdArray, sqlOverV1V2: String): NdArray = {
+    require(shape == o.shape, s"shape mismatch $shape vs ${o.shape}")
+    val l = df.withColumnRenamed("v", "v1")
+    val r = o.df.withColumnRenamed("v", "v2")
+    new NdArray(
+      l.join(r, coords).selectExpr(coords :+ s"CAST($sqlOverV1V2 AS DOUBLE) AS v": _*),
+      shape)
+  }
+
+  // ---- shape ---------------------------------------------------------------
+
+  /** Axis permutation (numpy `transpose(perm)`): output axis a reads input
+    * axis perm(a) — a pure projection, no data movement. */
+  def transpose(perm: Seq[Int]): NdArray = {
+    require(perm.sorted == (0 until rank), s"bad permutation $perm for rank $rank")
+    val proj = perm.zipWithIndex.map { case (src, dst) => s"c$src AS c$dst" } :+ "v"
+    new NdArray(df.selectExpr(proj: _*), perm.map(shape))
+  }
+
+  /** Rectangular slice: per-axis half-open bounds, coordinates rebased to
+    * zero. Bounds are a conjunction of range predicates — Catalyst pushes
+    * them through any stack of NdArray projections to the scan. */
+  def slice(bounds: Seq[(Long, Long)]): NdArray = {
+    require(bounds.length == rank, s"need $rank bounds")
+    bounds.zip(shape).foreach { case ((lo, hi), n) =>
+      require(lo >= 0 && lo < hi && hi <= n, s"bad bounds $bounds for $shape")
+    }
+    val pred = bounds.zipWithIndex.map { case ((lo, hi), a) =>
+      s"c$a >= $lo AND c$a < $hi"
+    }.mkString(" AND ")
+    val rebased = bounds.zipWithIndex.map { case ((lo, _), a) => s"c$a - $lo AS c$a" } :+ "v"
+    new NdArray(df.where(pred).selectExpr(rebased: _*),
+      bounds.map { case (lo, hi) => hi - lo })
+  }
+
+  /** Row-major reshape (reference `_reshape.py:132`): exact integer
+    * ravel on the old strides, unravel on the new — one projection. */
+  def reshape(newShape: Seq[Long]): NdArray = {
+    require(newShape.product == size, s"reshape $shape -> $newShape size mismatch")
+    val flat = coords.zip(strides(shape))
+      .map { case (c, st) => s"$c * ${st}L" }.mkString(" + ")
+    val nst = strides(newShape)
+    val proj = newShape.indices.map { a =>
+      s"(($flat) DIV ${nst(a)}L) % ${newShape(a)}L AS c$a"
+    } :+ "v"
+    new NdArray(df.selectExpr(proj: _*), newShape)
+  }
+
+  /** Flatten to the 1-d element table `(idx, v)`. */
+  def ravel: DataFrame = {
+    val flat = coords.zip(strides(shape))
+      .map { case (c, st) => s"$c * ${st}L" }.mkString(" + ")
+    df.selectExpr(s"($flat) AS idx", "v")
+  }
+
+  /** Drop a size-1 axis / insert one — coordinate projections. */
+  def squeeze(axis: Int): NdArray = {
+    require(shape(axis) == 1, s"axis $axis has extent ${shape(axis)}")
+    val kept = (0 until rank).filterNot(_ == axis)
+    val proj = kept.zipWithIndex.map { case (src, dst) => s"c$src AS c$dst" } :+ "v"
+    new NdArray(df.selectExpr(proj: _*), kept.map(shape))
+  }
+  def expandDims(axis: Int): NdArray = {
+    require(axis >= 0 && axis <= rank)
+    val proj = (0 until rank + 1).map { a =>
+      if (a < axis) s"c$a" else if (a == axis) s"CAST(0 AS BIGINT) AS c$a"
+      else s"c${a - 1} AS c$a"
+    } :+ "v"
+    new NdArray(df.selectExpr(proj: _*),
+      (shape.take(axis) :+ 1L) ++ shape.drop(axis))
+  }
+
+  // ---- reductions ----------------------------------------------------------
+
+  /** Reduce away the given axes (numpy `sum(axis=(…))`, reference axis
+    * tuples `reductions/_reduction.py:89-95`): ONE groupBy on the kept
+    * coordinates, renamed densely — a single partial-aggregated shuffle
+    * regardless of how many axes collapse. Reducing all axes yields a
+    * rank-0 single-row frame (column `v` only). */
+  def reduceAxes(drop: Seq[Int], sqlAggOverV: String): NdArray = {
+    require(drop.nonEmpty && drop.forall(a => a >= 0 && a < rank) &&
+      drop.distinct.length == drop.length, s"bad axes $drop")
+    val kept = (0 until rank).filterNot(drop.contains)
+    if (kept.isEmpty)
+      new NdArray(
+        df.agg(expr(sqlAggOverV).cast("double").as("v"))
+          .selectExpr("CAST(0 AS BIGINT) AS c0", "v"), Seq(1L))
+    else {
+      val agged = df.groupBy(kept.map(a => col(s"c$a")): _*)
+        .agg(expr(sqlAggOverV).cast("double").as("v"))
+      val proj = kept.zipWithIndex.map { case (src, dst) => s"c$src AS c$dst" } :+ "v"
+      new NdArray(agged.selectExpr(proj: _*), kept.map(shape))
+    }
+  }
+
+  // ---- contraction ---------------------------------------------------------
+
+  /** General tensordot (reference `linalg/_tensordot.py:194-316`):
+    * contract this array's axes `axesA` against `o`'s `axesB` (matching
+    * extents, pairwise). The plan is rank-generic SUMMA: equi-join on the
+    * contracted coordinate pairs, groupBy the kept coordinates of both
+    * sides (this array's kept axes first, then `o`'s), sum of products —
+    * one shuffle per side + one partial-aggregated shuffle out. */
+  def tensordot(o: NdArray, axesA: Seq[Int], axesB: Seq[Int]): NdArray = {
+    require(axesA.length == axesB.length && axesA.nonEmpty, "axis lists must match")
+    axesA.zip(axesB).foreach { case (a, b) =>
+      require(shape(a) == o.shape(b),
+        s"contracted extents differ: axis $a (${shape(a)}) vs $b (${o.shape(b)})")
+    }
+    val keptA = (0 until rank).filterNot(axesA.contains)
+    val keptB = (0 until o.rank).filterNot(axesB.contains)
+    // prefix-rename to avoid column collisions, join keys k0..k{m-1}
+    val l = df.selectExpr(
+      (axesA.zipWithIndex.map { case (a, m) => s"c$a AS k$m" } ++
+        keptA.zipWithIndex.map { case (a, d) => s"c$a AS la$d" } :+ "v AS va"): _*)
+    val r = o.df.selectExpr(
+      (axesB.zipWithIndex.map { case (b, m) => s"c$b AS k$m" } ++
+        keptB.zipWithIndex.map { case (b, d) => s"c$b AS rb$d" } :+ "v AS vb"): _*)
+    val keys = axesA.indices.map(m => s"k$m")
+    val outCols = keptA.indices.map(d => s"la$d") ++ keptB.indices.map(d => s"rb$d")
+    val joined = l.join(r, keys)
+    val agged =
+      if (outCols.isEmpty)
+        joined.agg(sum(expr("va * vb")).as("v"))
+          .selectExpr("CAST(0 AS BIGINT) AS c0", "v")
+      else joined.groupBy(outCols.map(col): _*).agg(sum(expr("va * vb")).as("v"))
+        .selectExpr(outCols.zipWithIndex.map { case (c, d) => s"$c AS c$d" } :+ "v": _*)
+    val outShape =
+      if (outCols.isEmpty) Seq(1L) else keptA.map(shape) ++ keptB.map(o.shape)
+    new NdArray(agged, outShape)
+  }
+
+  def elements: DataFrame = df
+}
+
+object NdArray {
+  /** Generator over the full coordinate grid — one `spark.range` scan with
+    * exact unravel arithmetic; the kernel sees `c0 … c{r-1}`. */
+  def tabulate(spark: SparkSession, shape: Seq[Long], sqlOverCoords: String): NdArray = {
+    val strides = shape.scanRight(1L)(_ * _).tail
+    val proj = shape.indices.map { a =>
+      s"(id DIV ${strides(a)}L) % ${shape(a)}L AS c$a"
+    }
+    new NdArray(
+      spark.range(shape.product).selectExpr(proj: _*)
+        .selectExpr((shape.indices.map(a => s"c$a") :+
+          s"CAST($sqlOverCoords AS DOUBLE) AS v"): _*),
+      shape)
+  }
+
+  /** Wrap a flat element table `(idx, v)` as an N-d array (row-major). */
+  def fromFlat(flat: DataFrame, shape: Seq[Long]): NdArray = {
+    val strides = shape.scanRight(1L)(_ * _).tail
+    val proj = shape.indices.map { a =>
+      s"(idx DIV ${strides(a)}L) % ${shape(a)}L AS c$a"
+    } :+ "v"
+    new NdArray(flat.selectExpr(proj: _*), shape)
+  }
+}

@@ -14,11 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ArrayQueries.queries ++ MatrixQueries.queries ++ TextQueries.queries ++
-      EmbeddingQueries.queries ++ MultimodalQueries.queries
+      EmbeddingQueries.queries ++ MultimodalQueries.queries ++ NdQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ArrayQueries.oracles ++ MatrixQueries.oracles ++ TextQueries.oracles ++
-      EmbeddingQueries.oracles ++ MultimodalQueries.oracles
+      EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++ NdQueries.oracles
 }

@@ -134,6 +134,18 @@ object FFT {
       .select(col("idx"), col("re").as("v"))
   }
 
+  /** FFT of a signal with Hermitian symmetry, given as its half-spectrum
+    * `(idx, re, im)` for bins 0..n/2 — real output of length n (reference
+    * `hfft`, fft.py:254-316): `hfft(a, n) = n · irfft(conj(a), n)`. */
+  def hfft(s: SparkSession, half: DataFrame, n: Long): DataFrame =
+    irfft(s, half.selectExpr("idx", "re", "-im AS im"), n)
+      .selectExpr("idx", s"v * CAST($n AS DOUBLE) AS v")
+
+  /** Inverse of [[hfft]] (reference `ihfft`): `conj(rfft(a)) / n`. */
+  def ihfft(s: SparkSession, real: DataFrame, n: Long): DataFrame =
+    rfft(s, real, n).selectExpr("idx",
+      s"re / CAST($n AS DOUBLE) AS re", s"-im / CAST($n AS DOUBLE) AS im")
+
   /** 2-d FFT of a complex cell table `(i, j, re, im)` with shape
     * rows×cols, both powers of two (reference `fft2` via fft_wrap,
     * fft.py:119): FFT each row, then each column — two grouped stages,

@@ -171,6 +171,28 @@ object ArrayQueries {
         round(lit(qs(2)), 4).as("q90"))
     }),
 
+    // approximate quantiles — the 100 TB scale path (mergeable GK sketch,
+    // reference merge-percentiles/t-digest _percentile.py:151,256). The
+    // estimates themselves are engine-specific, so the oracle is the RANK
+    // GUARANTEE: each estimate's empirical rank must sit within the
+    // sketch's error bound of the requested p (identity-property oracle,
+    // like l04/l05). accuracy=1000 bounds rank error by n/1000; the check
+    // allows 5x slack plus the 1/n discretization.
+    "q69_approx_quantile" -> ((s, d) => {
+      val el = events(s, d).elements
+      val est = ExactQuantile.approx(el, "v", Seq(0.25, 0.5, 0.9), 1000)
+      el.crossJoin(broadcast(est))
+        .agg(
+          (sum(when(col("v") <= col("est")(0), 1).otherwise(0)) / first("n")).as("r25"),
+          (sum(when(col("v") <= col("est")(1), 1).otherwise(0)) / first("n")).as("r50"),
+          (sum(when(col("v") <= col("est")(2), 1).otherwise(0)) / first("n")).as("r90"),
+          (lit(5.0 / 1000) + lit(1.0) / first("n")).as("eps"))
+        .selectExpr(
+          "abs(r25 - 0.25) <= eps AS ok25",
+          "abs(r50 - 0.5) <= eps AS ok50",
+          "abs(r90 - 0.9) <= eps AS ok90")
+    }),
+
     // argwhere/nonzero: positions satisfying a predicate (unknown sizes —
     // Spark's native condition)
     "q29_nonzero" -> ((s, d) =>
@@ -745,6 +767,9 @@ object ArrayQueries {
       """SELECT round(quantile_cont(value, 0.25), 4) AS q25,
          round(quantile_cont(value, 0.5), 4) AS med,
          round(quantile_cont(value, 0.9), 4) AS q90 FROM events""",
+
+    "q69_approx_quantile" ->
+      "SELECT true AS ok25, true AS ok50, true AS ok90",
 
     "q29_nonzero" ->
       "SELECT event_id AS idx FROM events WHERE value > 300 ORDER BY idx",

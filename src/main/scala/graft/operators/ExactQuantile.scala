@@ -56,4 +56,21 @@ object ExactQuantile {
       }
     } finally { sorted.unpersist(); () }
   }
+
+  /** Approximate quantiles via Spark's mergeable QuantileSummaries (GK)
+    * sketch — `approx_percentile` — the engine's analogue of the
+    * reference's merge-percentiles / t-digest scale path
+    * (`reductions/_percentile.py:151,256`). ONE partial+final aggregation:
+    * each partition keeps an O(accuracy) summary, summaries merge on the
+    * reduce side, no value ever buffers whole. Rank error is bounded by
+    * n/accuracy. Returns one row: `est` (array, one per p) and `n`. */
+  def approx(df: DataFrame, valueCol: String, ps: Seq[Double],
+             accuracy: Int = 10000): DataFrame = {
+    val arr = ps.map(p => s"${p}D").mkString(", ")
+    df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .agg(
+        expr(s"approx_percentile(v, array($arr), $accuracy)").as("est"),
+        count(col("v")).as("n"))
+  }
 }

@@ -251,6 +251,18 @@ object MatrixQueries {
         .agg(round(expr(s"sum(e) / $n"), -2).as("energy"))
     }),
 
+    // hfft/ihfft (reference fft.py:254-316): hfft(ihfft(x)) must recover
+    // the real signal exactly (up to fp noise) — identity-property oracle
+    "f06_hfft_roundtrip" -> ((s, d) => {
+      val n = 1024
+      val x = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where(s"idx < $n")
+      val back = graft.linalg.FFT.hfft(s, graft.linalg.FFT.ihfft(s, x, n), n)
+      back.withColumnRenamed("v", "rv").join(x, "idx")
+        .agg(expr("max(abs(rv - v)) < 1e-6").as("ok"), count(lit(1)).as("n_rows"))
+        .selectExpr("ok", "CAST(n_rows AS BIGINT) AS n_rows")
+    }),
+
     // rot90 — composed transpose + row flip, zero movement
     "m20_rot90" -> ((s, d) =>
       A.spark(s).rot90.elements.orderBy("i", "j")),
@@ -524,6 +536,9 @@ object MatrixQueries {
       """SELECT round(sum(v * v), 4) AS energy FROM (
            SELECT CAST((x // 32 * 5 + x % 32 * 11 + 3) % 13 - 6 AS DOUBLE) AS v
            FROM range(2048) t(x))""",
+
+    "f06_hfft_roundtrip" ->
+      "SELECT true AS ok, CAST(1024 AS BIGINT) AS n_rows",
 
     "m20_rot90" ->
       s"""SELECT 29 - j AS i, i AS j, v FROM ${A.duck} ORDER BY i, j""",

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.NdArray
+
+/** General N-d array queries (SURVEY §2.11 N-d beyond the batched 3-d
+  * [[graft.DTensor]]): axis-tuple reductions, axis permutations, rank
+  * changes, rectangular slices and rank-generic tensordot, all over
+  * rank-4 fixtures.
+  *
+  * Like [[MatrixQueries]], inputs are integer-arithmetic `tabulate`
+  * kernels shared verbatim with the DuckDB oracle — values are exact in
+  * double, no rounding anywhere.
+  */
+object NdQueries {
+
+  /** Rank-4 fixture: coordinates from one range scan, same unravel
+    * arithmetic on both sides. */
+  private final case class Tab4(s0: Long, s1: Long, s2: Long, s3: Long, kernel: String) {
+    def shape = Seq(s0, s1, s2, s3)
+    def spark(s: SparkSession): NdArray = NdArray.tabulate(s, shape, kernel)
+    def duck: String = {
+      val n = s0 * s1 * s2 * s3
+      s"""(SELECT c0, c1, c2, c3, CAST($kernel AS DOUBLE) AS v FROM
+          (SELECT x // ${s1 * s2 * s3} AS c0, (x // ${s2 * s3}) % $s1 AS c1,
+                  (x // $s3) % $s2 AS c2, x % $s3 AS c3 FROM range($n) t(x)))"""
+    }
+  }
+
+  private val A4 = Tab4(3, 4, 5, 6, "(c0*7 + c1*5 + c2*3 + c3) % 11")
+  private val B4 = Tab4(2, 3, 4, 5, "(c0*9 + c1*4 + c2*5 + c3*2) % 13")
+  private val C4 = Tab4(2, 3, 4, 5, "(c0*3 + c1*8 + c2 + c3*6) % 7")
+
+  // 3-d pair for tensordot: contract A3 axes (1,2) with B3 axes (1,0)
+  private val A3k = "(c0*5 + c1*3 + c2*2) % 9"
+  private val B3k = "(c0*4 + c1*7 + c2) % 8"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // axis-TUPLE reduction (numpy sum(axis=(1,3))): one groupBy on the
+    // kept coordinates — a single partial-aggregated shuffle
+    "n01_nd_axis_reduce" -> ((s, d) =>
+      A4.spark(s).reduceAxes(Seq(1, 3), "sum(v)").elements.orderBy("c0", "c1")),
+
+    // transpose (pure projection) → rectangular slice (range predicates
+    // pushed through the permutation) → row-major ravel
+    "n02_nd_transpose_slice" -> ((s, d) =>
+      A4.spark(s).transpose(Seq(2, 0, 3, 1))
+        .slice(Seq((1L, 4L), (0L, 3L), (2L, 5L), (1L, 3L)))
+        .ravel.orderBy("idx")),
+
+    // reshape is exact ravel/unravel arithmetic: (3,4,5,6) -> (15,24),
+    // then slice rows of the reshaped view
+    "n03_nd_reshape" -> ((s, d) =>
+      A4.spark(s).reshape(Seq(15L, 24L))
+        .slice(Seq((5L, 10L), (0L, 24L)))
+        .ravel.orderBy("idx")),
+
+    // rank-generic tensordot: contract (5,6)-extent axis pairs of two 3-d
+    // arrays — equi-join on contracted coords + groupBy kept coords
+    "n04_nd_tensordot" -> ((s, d) => {
+      val a = NdArray.tabulate(s, Seq(4L, 5L, 6L), A3k)
+      val b = NdArray.tabulate(s, Seq(6L, 5L, 3L), B3k)
+      a.tensordot(b, Seq(1, 2), Seq(1, 0)).elements.orderBy("c0", "c1")
+    }),
+
+    // rank-4 aligned elemwise zip + full reduction to a scalar
+    "n05_nd_zip_reduce" -> ((s, d) =>
+      B4.spark(s).zip(C4.spark(s), "v1 * v2 + v1")
+        .reduceAxes(Seq(0, 1, 2, 3), "sum(v)").elements))
+
+  val oracles: Map[String, String] = Map(
+    "n01_nd_axis_reduce" ->
+      s"""SELECT c0, c2 AS c1, sum(v) AS v FROM ${A4.duck}
+          GROUP BY 1, 2 ORDER BY c0, c1""",
+
+    // transposed coords (b0,b1,b2,b3) = (c2,c0,c3,c1); slice bounds on the
+    // transposed axes; ravel with the sliced shape's strides (3,3,3,2)
+    "n02_nd_transpose_slice" ->
+      s"""SELECT (c2 - 1) * 18 + c0 * 6 + (c3 - 2) * 2 + (c1 - 1) AS idx, v
+          FROM ${A4.duck}
+          WHERE c2 >= 1 AND c2 < 4 AND c0 >= 0 AND c0 < 3
+            AND c3 >= 2 AND c3 < 5 AND c1 >= 1 AND c1 < 3
+          ORDER BY idx""",
+
+    // flat index is invariant under reshape; slicing reshaped rows 5..10
+    // of width 24 keeps flat positions [120, 240), rebased by -120
+    "n03_nd_reshape" ->
+      s"""SELECT (c0 * 120 + c1 * 30 + c2 * 6 + c3) - 120 AS idx, v
+          FROM ${A4.duck}
+          WHERE c0 * 120 + c1 * 30 + c2 * 6 + c3 >= 120
+            AND c0 * 120 + c1 * 30 + c2 * 6 + c3 < 240
+          ORDER BY idx""",
+
+    "n04_nd_tensordot" ->
+      s"""SELECT a.c0 AS c0, b.c2 AS c1, sum(a.v * b.v) AS v FROM
+          (SELECT c0, c1, c2, CAST($A3k AS DOUBLE) AS v FROM
+            (SELECT x // 30 AS c0, (x // 6) % 5 AS c1, x % 6 AS c2
+             FROM range(120) t(x))) a
+          JOIN
+          (SELECT c0, c1, c2, CAST($B3k AS DOUBLE) AS v FROM
+            (SELECT x // 15 AS c0, (x // 3) % 5 AS c1, x % 3 AS c2
+             FROM range(90) t(x))) b
+          ON a.c1 = b.c1 AND a.c2 = b.c0
+          GROUP BY 1, 2 ORDER BY c0, c1""",
+
+    "n05_nd_zip_reduce" ->
+      s"""SELECT CAST(0 AS BIGINT) AS c0, sum(a.v * b.v + a.v) AS v
+          FROM ${B4.duck} a JOIN ${C4.duck} b
+          ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.c3 = b.c3""")
+}

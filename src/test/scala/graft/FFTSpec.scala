@@ -103,6 +103,27 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (k <- 0 until n) assert(math.abs(back(k) - xr(k)) < 1e-9, s"k=$k")
   }
 
+  test("hfft(ihfft(x)) recovers a real signal, scaled DFT identity holds") {
+    val n = 64
+    val xr = testSignal(n)
+    val sp = spark
+    import sp.implicits._
+    val df = xr.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("idx", "v")
+    val back = FFT.hfft(spark, FFT.ihfft(spark, df, n), n)
+      .orderBy("idx").collect().map(_.getDouble(1))
+    for (k <- 0 until n) assert(math.abs(back(k) - xr(k)) < 1e-9, s"k=$k")
+    // hfft of a REAL half-spectrum (im=0) equals the even extension's DFT
+    // real part: spot-check bin 0 = a0 + 2*sum(interior) + a_{n/2}
+    val half = (0 to n / 2).map(i => (i.toLong, (i % 5).toDouble, 0.0))
+      .toDF("idx", "re", "im")
+    val h = FFT.hfft(spark, half, n).orderBy("idx").collect().map(_.getDouble(1))
+    val expected0 = (0 to n / 2).map { i =>
+      val w = if (i == 0 || i == n / 2) 1.0 else 2.0
+      w * (i % 5).toDouble
+    }.sum
+    assert(math.abs(h(0) - expected0) < 1e-9, s"${h(0)} vs $expected0")
+  }
+
   test("fft2 matches the naive 2-d DFT and inverse round-trips") {
     val rows = 16; val cols = 8
     val x = Array.tabulate(rows, cols)((i, j) => ((i * 5 + j * 11 + 3) % 13).toDouble - 6)

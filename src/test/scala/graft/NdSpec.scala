@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NdArray structural properties: shape algebra round-trips and the
+  * rank-generic tensordot against the tuned 2-d matmul. */
+class NdSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def values(a: NdArray): Seq[Double] =
+    a.ravel.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+
+  test("transpose composed with its inverse is the identity") {
+    val a = NdArray.tabulate(spark, Seq(2L, 3L, 4L, 5L), "(c0*7 + c1*5 + c2*3 + c3) % 11")
+    val perm = Seq(2, 0, 3, 1)
+    val inv = perm.zipWithIndex.sortBy(_._1).map(_._2)
+    val back = a.transpose(perm).transpose(inv)
+    assert(back.shape == a.shape)
+    assert(values(back) == values(a))
+  }
+
+  test("reshape round-trips and preserves row-major order") {
+    val a = NdArray.tabulate(spark, Seq(3L, 4L, 5L), "(c0*13 + c1*7 + c2) % 17")
+    val r = a.reshape(Seq(6L, 10L))
+    assert(r.shape == Seq(6L, 10L))
+    assert(values(r) == values(a)) // flat order invariant
+    assert(values(r.reshape(Seq(3L, 4L, 5L))) == values(a))
+  }
+
+  test("squeeze / expandDims are inverse projections") {
+    val a = NdArray.tabulate(spark, Seq(3L, 4L), "(c0*3 + c1) % 5")
+    val e = a.expandDims(1)
+    assert(e.shape == Seq(3L, 1L, 4L))
+    assert(values(e.squeeze(1)) == values(a))
+  }
+
+  test("slice rebases coordinates and prunes the grid") {
+    val a = NdArray.tabulate(spark, Seq(4L, 5L, 6L), "c0*30 + c1*6 + c2")
+    val s = a.slice(Seq((1L, 3L), (2L, 5L), (0L, 6L)))
+    assert(s.shape == Seq(2L, 3L, 6L))
+    val got = values(s)
+    val expected = for {
+      i <- 1 until 3; j <- 2 until 5; k <- 0 until 6
+    } yield (i * 30 + j * 6 + k).toDouble
+    assert(got == expected)
+  }
+
+  test("rank-2 tensordot equals DMatrix matmul") {
+    val a2 = NdArray.tabulate(spark, Seq(6L, 4L), "(c0*7 + c1*3) % 11")
+    val b2 = NdArray.tabulate(spark, Seq(4L, 5L), "(c0*5 + c1*2) % 13")
+    val nd = a2.tensordot(b2, Seq(1), Seq(0))
+    assert(nd.shape == Seq(6L, 5L))
+    val am = DMatrix.tabulate(spark, 6, 4, "(i*7 + j*3) % 11")
+    val bm = DMatrix.tabulate(spark, 4, 5, "(i*5 + j*2) % 13")
+    val mm = am.matmul(bm).ravel.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    assert(values(nd) == mm)
+  }
+
+  test("full contraction and full reduction agree (scalar results)") {
+    val a = NdArray.tabulate(spark, Seq(3L, 4L), "(c0 + c1*2) % 5")
+    val dot = a.tensordot(a, Seq(0, 1), Seq(0, 1)) // sum of squares
+    val viaReduce = a.map("v * v").reduceAxes(Seq(0, 1), "sum(v)")
+    assert(values(dot) == values(viaReduce))
+  }
+}
