@@ -221,6 +221,17 @@ object MatrixQueries {
       graft.sources.Zarr.read2d(s, dir).where("v <> 0").orderBy("i", "j")
     }),
 
+    // zarr v3 round trip (zarr.json metadata, c/-prefixed chunk keys,
+    // bytes+gzip codec chain) — same codec-bit-exactness contract as z01
+    "z03_zarr_v3" -> ((s, d) => {
+      val dir = s"/tmp/graft_zarr_z03_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.Zarr.write1d(el, dir, 1000, chunk = 256,
+        compressor = Some("gzip"), format = 3)
+      graft.sources.Zarr.read1d(s, dir).orderBy("idx")
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -518,6 +529,10 @@ object MatrixQueries {
 
     "z02_zarr_2d" ->
       s"""SELECT i, j, v FROM ${R.duck} WHERE v <> 0 ORDER BY i, j""",
+
+    "z03_zarr_v3" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
 
     "f02_fft_parseval" ->
       """SELECT round(sum(value * value), -2) AS energy

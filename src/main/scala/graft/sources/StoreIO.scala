@@ -50,4 +50,11 @@ object StoreIO {
     val (fs, base) = fsOf(dir)
     fs.listStatus(base).toSeq.map(_.getPath.getName)
   }
+
+  /** Full path strings matching a glob pattern relative to `dir`. */
+  def glob(dir: String, pattern: String): Seq[String] = {
+    val (fs, base) = fsOf(dir)
+    Option(fs.globStatus(new Path(base, pattern)))
+      .map(_.toSeq.map(_.getPath.toString)).getOrElse(Nil)
+  }
 }

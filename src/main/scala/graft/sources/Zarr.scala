@@ -8,18 +8,21 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Zarr v2 source/sink (reference `from_zarr`/`to_zarr`,
+/** Zarr v2 + v3 source/sink (reference `from_zarr`/`to_zarr`,
   * `dask_array/io/_zarr.py:67,275`; the reference delegates byte-level IO
   * to the `zarr` library, so the contract here is the FORMAT: a directory
-  * with a `.zarray` JSON descriptor plus one file per chunk, named by
-  * dot-separated grid coordinates, each holding a FULL C-order chunk —
-  * edge chunks padded to chunk shape — and absent chunk files meaning
-  * `fill_value` everywhere).
+  * with a JSON descriptor (`.zarray` for v2, `zarr.json` for v3) plus one
+  * object per chunk — v2 names chunks by dot-separated grid coordinates,
+  * v3 under the `c/` key prefix — each holding a FULL C-order chunk (edge
+  * chunks padded to chunk shape), absent chunks meaning `fill_value`
+  * everywhere).
   *
   * Supported happy path (matches the reference's `tests/test_zarr.py`
-  * round-trip semantics): dtype `<f8`, order `C`, 1-d and 2-d arrays,
-  * compressor `null` (raw) or `zlib`. Blosc is not implementable without
-  * a native dependency and is rejected loudly.
+  * round-trip semantics): float64, order `C`, 1-d and 2-d arrays;
+  * compressors `null`/`zlib` (v2) and the `bytes`(little)+optional `gzip`
+  * codec chain (v3). Blosc/zstd need native libraries and the v3
+  * `sharding_indexed` codec is out of scope — all three are rejected
+  * loudly, never silently misread.
   *
   * Scale shape, same as [[NpyStack]]: the driver touches only the
   * O(numChunks) manifest (one small JSON + a directory listing); chunk
@@ -39,8 +42,13 @@ object Zarr {
 
   final case class Meta(
       shape: Seq[Long], chunks: Seq[Long], dtype: String,
-      fill: Double, compressor: Option[String], sep: String) {
+      fill: Double, compressor: Option[String], sep: String,
+      format: Int = 2) {
     def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    /** Chunk key for grid coordinates: v2 `0.1`, v3 `c/0/1` (prefix `c`,
+      * default `/` separator — the v3 "default" chunk_key_encoding). */
+    def keyOf(coords: Seq[Long]): String =
+      if (format == 3) "c" + sep + coords.mkString(sep) else coords.mkString(sep)
   }
 
   // ---- .zarray JSON (hand-rolled: fixed schema, no library dependency) ----
@@ -81,7 +89,33 @@ object Zarr {
     }
     val sep = jsonField(json, "dimension_separator")
       .map(_.replace("\"", "")).getOrElse(".")
-    Meta(shape, chunks, dtype, fill, compressor, sep)
+    Meta(shape, chunks, dtype, fill, compressor, sep, 2)
+  }
+
+  /** zarr v3 `zarr.json` (reference `io/_zarr.py` v3 path; format spec:
+    * shape + regular chunk_grid + default chunk_key_encoding + codecs).
+    * Supported: `float64`, `bytes` codec (little endian) with optional
+    * `gzip`; the `sharding_indexed` codec and binary compressors that
+    * need native libs (blosc/zstd) are rejected loudly. */
+  def parseMetaV3(json: String): Meta = {
+    require(!json.contains("\"sharding_indexed\""),
+      "sharding_indexed codec not supported")
+    require(!json.contains("\"blosc\"") && !json.contains("\"zstd\""),
+      "only bytes/gzip codecs supported")
+    val shape = longList(jsonField(json, "shape").getOrElse(sys.error("no shape")))
+    val chunks = longList(jsonField(json, "chunk_shape")
+      .getOrElse(sys.error("no chunk_grid.chunk_shape")))
+    val dt = jsonField(json, "data_type").getOrElse(sys.error("no data_type"))
+      .replace("\"", "")
+    require(dt == "float64", s"only data_type float64 supported, got $dt")
+    val fill = jsonField(json, "fill_value").map(_.replace("\"", "")) match {
+      case None | Some("null") => 0.0
+      case Some("NaN")         => Double.NaN
+      case Some(x)             => x.toDouble
+    }
+    val comp = if (json.contains("\"gzip\"")) Some("gzip") else None
+    val sep = jsonField(json, "separator").map(_.replace("\"", "")).getOrElse("/")
+    Meta(shape, chunks, "<f8", fill, comp, sep, 3)
   }
 
   private def metaJson(m: Meta): String = {
@@ -98,6 +132,22 @@ object Zarr {
        |    "order": "C",
        |    "shape": [${m.shape.mkString(", ")}],
        |    "zarr_format": 2
+       |}""".stripMargin
+  }
+
+  private def metaJsonV3(m: Meta): String = {
+    val codecs = """{"name": "bytes", "configuration": {"endian": "little"}}""" +
+      (if (m.compressor.contains("gzip"))
+        """, {"name": "gzip", "configuration": {"level": 1}}""" else "")
+    s"""{
+       |    "zarr_format": 3,
+       |    "node_type": "array",
+       |    "shape": [${m.shape.mkString(", ")}],
+       |    "data_type": "float64",
+       |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
+       |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "${m.sep}"}},
+       |    "fill_value": ${if (m.fill.isNaN) "\"NaN\"" else m.fill.toString},
+       |    "codecs": [$codecs]
        |}""".stripMargin
   }
 
@@ -137,15 +187,44 @@ object Zarr {
     out
   }
 
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(raw); g.close()
+    bos.toByteArray
+  }
+
+  private def gunzip(comp: Array[Byte], rawLen: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(comp))
+    try {
+      val out = new Array[Byte](rawLen)
+      var off = 0
+      var n = in.read(out, off, rawLen - off)
+      while (n > 0 && off < rawLen) { off += n; n = in.read(out, off, rawLen - off) }
+      if (off < rawLen)
+        throw new java.io.IOException(
+          s"corrupt gzip chunk: only $off/$rawLen bytes")
+      out
+    } finally in.close()
+  }
+
   def encodeChunk(vals: Array[Double], compressor: Option[String]): Array[Byte] = {
     val raw = new Array[Byte](vals.length * 8)
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     vals.foreach(bb.putDouble)
-    if (compressor.contains("zlib")) deflate(raw) else raw
+    compressor match {
+      case Some("zlib") => deflate(raw)
+      case Some("gzip") => gzipBytes(raw)
+      case _            => raw
+    }
   }
 
   def decodeChunk(bytes: Array[Byte], nVals: Int, compressor: Option[String]): Array[Double] = {
-    val raw = if (compressor.contains("zlib")) inflate(bytes, nVals * 8) else bytes
+    val raw = compressor match {
+      case Some("zlib") => inflate(bytes, nVals * 8)
+      case Some("gzip") => gunzip(bytes, nVals * 8)
+      case _            => bytes
+    }
     require(raw.length >= nVals * 8, s"chunk too short: ${raw.length} < ${nVals * 8}")
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     Array.fill(nVals)(bb.getDouble)
@@ -155,12 +234,56 @@ object Zarr {
 
   def readMeta(dir: String): Meta = {
     val (fs, base) = fsOf(dir)
-    parseMeta(new String(StoreIO.readFile(fs, new Path(base, ".zarray")),
-      StandardCharsets.UTF_8))
+    val v2 = new Path(base, ".zarray")
+    if (fs.exists(v2))
+      parseMeta(new String(StoreIO.readFile(fs, v2), StandardCharsets.UTF_8))
+    else {
+      val v3 = new Path(base, "zarr.json")
+      require(fs.exists(v3), s"no .zarray or zarr.json under $dir")
+      parseMetaV3(new String(StoreIO.readFile(fs, v3), StandardCharsets.UTF_8))
+    }
   }
 
-  private def listChunkNames(dir: String): Seq[String] =
-    StoreIO.listNames(dir).filter(_.matches("\\d+(\\.\\d+)*"))
+  /** Glob (relative to the store dir) matching exactly the rank-`rank`
+    * chunk objects for this meta's key encoding. */
+  private def chunkGlob(m: Meta, rank: Int): String = {
+    val stars = Seq.fill(rank)("*")
+    if (m.format == 3)
+      (if (m.sep == "/") "c/" + stars.mkString("/")
+       else "c" + m.sep + stars.mkString(m.sep))
+    else stars.mkString(m.sep)
+  }
+
+  /** Grid coordinates from a chunk path, or None for non-chunk entries
+    * (metadata files, checksum litter) — the inverse of [[Meta.keyOf]]. */
+  private def chunkCoords(m: Meta, rank: Int, path: String): Option[Seq[Long]] = {
+    val parts = path.split("/")
+    val raw: Option[Seq[String]] =
+      if (m.sep == "/") {
+        val tail = parts.takeRight(rank)
+        if (m.format == 3) {
+          if (parts.length > rank && parts(parts.length - rank - 1) == "c")
+            Some(tail.toSeq)
+          else None
+        } else Some(tail.toSeq)
+      } else {
+        val name = parts.last
+        val core =
+          if (m.format == 3) {
+            if (name.startsWith("c" + m.sep)) Some(name.drop(1 + m.sep.length)) else None
+          } else Some(name)
+        core.map(_.split(java.util.regex.Pattern.quote(m.sep)).toSeq)
+      }
+    raw.flatMap { cs =>
+      if (cs.length == rank && cs.forall(_.matches("\\d+"))) Some(cs.map(_.toLong))
+      else None
+    }
+  }
+
+  /** All present chunk coordinates (driver, O(numChunks) listing). */
+  private def presentChunks(dir: String, m: Meta, rank: Int): Seq[Seq[Long]] =
+    StoreIO.glob(dir, chunkGlob(m, rank))
+      .flatMap(p => chunkCoords(m, rank, p))
 
   // ---- 1-d -----------------------------------------------------------------
 
@@ -174,20 +297,23 @@ object Zarr {
     require(m.shape.length == 1, s"read1d on ${m.shape.length}-d array")
     val n = m.shape.head
     val c = m.chunks.head
-    val present = listChunkNames(dir).map(_.toLong).toSet
+    val present = presentChunks(dir, m, 1).map(_.head).toSet
     val bc = s.sparkContext.broadcast((m, n, c))
 
-    val decoded = s.read.format("binaryFile").load(s"$dir/*")
-      .where(not(col("path").endsWith(".zarray")))
+    val decoded = s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 1)}")
+      .where(not(col("path").endsWith(".zarray")) &&
+        not(col("path").endsWith("zarr.json")))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         val (meta, nn, cc) = bc.value
-        val blk = path.split("/").last.toLong
-        val start = blk * cc
-        val len = math.min(cc, nn - start).toInt // clip padded edge chunk
-        decodeChunk(content, cc.toInt, meta.compressor).iterator.take(len)
-          .zipWithIndex.map { case (v, i) => (start + i, v) }
+        chunkCoords(meta, 1, path).iterator.flatMap { coords =>
+          val blk = coords.head
+          val start = blk * cc
+          val len = math.min(cc, nn - start).toInt // clip padded edge chunk
+          decodeChunk(content, cc.toInt, meta.compressor).iterator.take(len)
+            .zipWithIndex.map { case (v, i) => (start + i, v) }
+        }
       }.toDF("idx", "v")
 
     val nChunks = m.chunkGrid.head
@@ -204,17 +330,18 @@ object Zarr {
 
   /** Write the element table as a 1-d zarr array of length `n`. Chunks
     * densify by `idx` (gaps zero-filled); fully-absent chunks are written
-    * by the driver so the store is complete. */
+    * by the driver so the store is complete. `format` 2 writes a
+    * `.zarray` store (zlib/raw), 3 a `zarr.json` store (gzip/raw). */
   def write1d(elements: DataFrame, dir: String, n: Long, chunk: Long,
-              compressor: Option[String] = None): Unit = {
+              compressor: Option[String] = None, format: Int = 2): Unit = {
     val (fs0, base0) = fsOf(dir)
     fs0.mkdirs(base0)
-    val m = Meta(Seq(n), Seq(chunk), "<f8", 0.0, compressor, ".")
-    writeFile(fs0, new Path(base0, ".zarray"),
-      metaJson(m).getBytes(StandardCharsets.UTF_8))
+    val m = metaFor(format, Seq(n), Seq(chunk), compressor)
+    writeMeta(fs0, base0, m)
     val sess = elements.sparkSession
     import sess.implicits._
     val comp = compressor
+    val bcm = sess.sparkContext.broadcast(m)
     val written = elements
       .where(col("idx") >= 0 && col("idx") < n)
       .selectExpr(s"idx DIV $chunk AS blk", "idx", "v")
@@ -224,18 +351,38 @@ object Zarr {
         val vals = new Array[Double](chunk.toInt) // full chunk, edge padded
         it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
         val (fs, base) = fsOf(dir) // executor-side: resolved from the URI
-        writeFile(fs, new Path(base, blk.toString), encodeChunk(vals, comp))
+        writeFile(fs, new Path(base, bcm.value.keyOf(Seq(blk))), encodeChunk(vals, comp))
         blk
       }.collect().toSet
     var blk = 0L
     val nChunks = (n + chunk - 1) / chunk
     while (blk < nChunks) {
       if (!written.contains(blk))
-        writeFile(fs0, new Path(base0, blk.toString),
+        writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
           encodeChunk(new Array[Double](chunk.toInt), comp))
       blk += 1
     }
   }
+
+  /** Shared by the writers: format-correct Meta + metadata document. */
+  private def metaFor(format: Int, shape: Seq[Long], chunks: Seq[Long],
+                      compressor: Option[String]): Meta = format match {
+    case 2 =>
+      require(compressor.forall(_ == "zlib"), s"v2 supports zlib/null, got $compressor")
+      Meta(shape, chunks, "<f8", 0.0, compressor, ".", 2)
+    case 3 =>
+      require(compressor.forall(_ == "gzip"), s"v3 supports gzip/null, got $compressor")
+      Meta(shape, chunks, "<f8", 0.0, compressor, "/", 3)
+    case other => sys.error(s"unsupported zarr format $other")
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, base: Path, m: Meta): Unit =
+    if (m.format == 3)
+      writeFile(fs, new Path(base, "zarr.json"),
+        metaJsonV3(m).getBytes(StandardCharsets.UTF_8))
+    else
+      writeFile(fs, new Path(base, ".zarray"),
+        metaJson(m).getBytes(StandardCharsets.UTF_8))
 
   // ---- 2-d -----------------------------------------------------------------
 
@@ -247,29 +394,30 @@ object Zarr {
     val Seq(rows, cols) = m.shape
     val Seq(cr, cc) = m.chunks
     val bc = s.sparkContext.broadcast(m)
-    val sepLit = java.util.regex.Pattern.quote(m.sep)
 
-    val decoded = s.read.format("binaryFile").load(s"$dir/*")
-      .where(not(col("path").endsWith(".zarray")))
+    val decoded = s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 2)}")
+      .where(not(col("path").endsWith(".zarray")) &&
+        not(col("path").endsWith("zarr.json")))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         val meta = bc.value
-        val Array(bi, bj) = path.split("/").last.split(sepLit).map(_.toLong)
-        val r0 = bi * cr; val c0 = bj * cc
-        val nr = math.min(cr, rows - r0).toInt
-        val nc = math.min(cc, cols - c0).toInt
-        val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor)
-        for {
-          ri <- (0 until nr).iterator
-          ci <- (0 until nc).iterator
-        } yield (r0 + ri, c0 + ci, vals(ri * cc.toInt + ci))
+        chunkCoords(meta, 2, path).iterator.flatMap { case Seq(bi, bj) =>
+          val r0 = bi * cr; val c0 = bj * cc
+          val nr = math.min(cr, rows - r0).toInt
+          val nc = math.min(cc, cols - c0).toInt
+          val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor)
+          for {
+            ri <- (0 until nr).iterator
+            ci <- (0 until nc).iterator
+          } yield (r0 + ri, c0 + ci, vals(ri * cc.toInt + ci))
+        }
       }.toDF("i", "j", "v")
 
     if (m.fill == 0.0) decoded
     else {
-      val present = listChunkNames(dir)
-        .map { nm => val Array(a, b) = nm.split(sepLit).map(_.toLong); (a, b) }.toSet
+      val present = presentChunks(dir, m, 2)
+        .map { case Seq(a, b) => (a, b) }.toSet
       val Seq(gr, gc) = m.chunkGrid
       val missing = for {
         bi <- 0L until gr; bj <- 0L until gc if !present.contains((bi, bj))
@@ -289,15 +437,15 @@ object Zarr {
   /** Write a cell table `(i, j, v)` as a 2-d zarr array. */
   def write2d(cells: DataFrame, dir: String, rows: Long, cols: Long,
               chunkR: Long, chunkC: Long,
-              compressor: Option[String] = None): Unit = {
+              compressor: Option[String] = None, format: Int = 2): Unit = {
     val (fs0, base0) = fsOf(dir)
     fs0.mkdirs(base0)
-    val m = Meta(Seq(rows, cols), Seq(chunkR, chunkC), "<f8", 0.0, compressor, ".")
-    writeFile(fs0, new Path(base0, ".zarray"),
-      metaJson(m).getBytes(StandardCharsets.UTF_8))
+    val m = metaFor(format, Seq(rows, cols), Seq(chunkR, chunkC), compressor)
+    writeMeta(fs0, base0, m)
     val sess = cells.sparkSession
     import sess.implicits._
     val comp = compressor
+    val bcm = sess.sparkContext.broadcast(m)
     val written = cells
       .where(col("i") >= 0 && col("i") < rows && col("j") >= 0 && col("j") < cols)
       .selectExpr(s"i DIV $chunkR AS bi", s"j DIV $chunkC AS bj", "i", "j", "v")
@@ -310,13 +458,13 @@ object Zarr {
           vals(((i % chunkR) * chunkC + (j % chunkC)).toInt) = v
         }
         val (fs, base) = fsOf(dir) // executor-side: resolved from the URI
-        writeFile(fs, new Path(base, s"$bi.$bj"), encodeChunk(vals, comp))
+        writeFile(fs, new Path(base, bcm.value.keyOf(Seq(bi, bj))), encodeChunk(vals, comp))
         (bi, bj)
       }.collect().toSet
     val gr = (rows + chunkR - 1) / chunkR
     val gc = (cols + chunkC - 1) / chunkC
     for (bi <- 0L until gr; bj <- 0L until gc if !written.contains((bi, bj)))
-      writeFile(fs0, new Path(base0, s"$bi.$bj"),
+      writeFile(fs0, new Path(base0, m.keyOf(Seq(bi, bj))),
         encodeChunk(new Array[Double]((chunkR * chunkC).toInt), comp))
   }
 }

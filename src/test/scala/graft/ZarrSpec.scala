@@ -108,6 +108,71 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back(2) == 5.0 && back(205) == -1.0 && back(3) == 0.0 && back(150) == 0.0)
   }
 
+  test("v3 1-d round trip with gzip codec") {
+    val dir = Files.createTempDirectory("zarr3").toString
+    val sp = spark
+    import sp.implicits._
+    val el = (0L until 700L).map(i => (i, (i * 3 % 17).toDouble)).toDF("idx", "v")
+    Zarr.write1d(el, dir, 700, chunk = 256, compressor = Some("gzip"), format = 3)
+    assert(Files.exists(Paths.get(dir, "zarr.json")))
+    assert(Files.exists(Paths.get(dir, "c", "0")), "v3 chunks live under c/")
+    val m = Zarr.readMeta(dir)
+    assert(m.format == 3 && m.compressor.contains("gzip") && m.chunkGrid == Seq(3L))
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect().map(_.getDouble(1))
+    assert(back.length == 700)
+    for (i <- 0 until 700) assert(back(i) == (i * 3 % 17).toDouble, s"i=$i")
+  }
+
+  test("v3 2-d round trip, raw bytes codec") {
+    val dir = Files.createTempDirectory("zarr3b").toString
+    val m0 = DMatrix.tabulate(spark, 11, 13, "(i * 31 + j * 17 + 1) % 23")
+    Zarr.write2d(m0.df, dir, 11, 13, 4, 5, format = 3)
+    assert(Files.exists(Paths.get(dir, "c", "0", "0")))
+    val back = Zarr.read2d(spark, dir).orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(back.length == 11 * 13)
+    for ((i, j, v) <- back) assert(v == ((i * 31 + j * 17 + 1) % 23).toDouble, s"($i,$j)")
+  }
+
+  test("externally-written v3 store: hand-crafted zarr.json, fill_value, missing chunk") {
+    val dir = Files.createTempDirectory("zarr3x").toString
+    val meta =
+      """{"zarr_format": 3, "node_type": "array", "shape": [10],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 2.5,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    Files.write(Paths.get(dir, "zarr.json"), meta.getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(dir, "c"))
+    def chunk(vals: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putDouble); b.array()
+    }
+    Files.write(Paths.get(dir, "c", "0"), chunk(Seq(1, 2, 3, 4)))
+    // chunk c/1 missing; c/2 covers idx 8,9 (+2 pad values ignored)
+    Files.write(Paths.get(dir, "c", "2"), chunk(Seq(9, 10, 999, 999)))
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(back.toSeq == Seq(
+      (0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 4.0),
+      (4L, 2.5), (5L, 2.5), (6L, 2.5), (7L, 2.5),
+      (8L, 9.0), (9L, 10.0)))
+  }
+
+  test("v3 sharding and native codecs are rejected loudly") {
+    val shard =
+      """{"zarr_format": 3, "shape": [8], "data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {}}]}""".stripMargin
+    assert(intercept[IllegalArgumentException](
+      Zarr.parseMetaV3(shard)).getMessage.contains("sharding"))
+    val zstd = shard.replace("sharding_indexed", "zstd")
+    assert(intercept[IllegalArgumentException](
+      Zarr.parseMetaV3(zstd)).getMessage.contains("codec"))
+  }
+
   test("truncated zlib chunk fails loudly instead of hanging") {
     val full = Zarr.encodeChunk(Array.tabulate(64)(_.toDouble), Some("zlib"))
     val truncated = full.take(full.length / 2)
