@@ -195,6 +195,7 @@ object TSQR {
     * the padded Q rows are dropped on emit. */
   def tsqr(s: SparkSession, mat: DMatrix, blockRows: Int = defaultBlockRows,
            splitEvery: Int = defaultSplitEvery): (DMatrix, Array[Double]) = {
+    require(splitEvery >= 2, s"splitEvery must be >= 2, got $splitEvery")
     import s.implicits._
     val k = mat.cols.toInt
     val n = mat.rows
@@ -344,12 +345,13 @@ object TSQR {
         }
         (b, localQR(a, mp, kk)._2)
       }
+    require(splitEvery >= 2, s"splitEvery must be >= 2, got $splitEvery")
     var rs0 = blockR.map { case (b, r) => (b, r) }
     // block ids lie in [0, span); grouping on id DIV splitEvery maps that
     // to [0, ceil(span/splitEvery)) per round — span is an upper bound on
     // the surviving width even when ids are sparse, so the round count is
-    // known up front (the 8-byte max(i) aggregate is the only extra job)
-    var span = mat.df.agg(max(col("i"))).as[Long].head() / blockRows + 1
+    // known up front from the STATIC row count (no extra job at all)
+    var span = (mat.rows + blockRows - 1) / blockRows
     while (span > splitEvery) {
       rs0 = rs0.groupByKey(_._1 / splitEvery).mapGroups { (parent, it) =>
         val ch = it.toArray.sortBy(_._1)

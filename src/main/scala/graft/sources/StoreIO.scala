@@ -13,12 +13,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * distributed `binaryFile` source. */
 object StoreIO {
 
+  /** One Configuration per JVM — the XML default-resource parse is paid
+    * once, not per chunk (executors classload this object once). */
+  private lazy val conf = new Configuration()
+
   def fsOf(dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
-    // stores are self-describing chunk files; the local ChecksumFileSystem's
-    // .crc sidecars would litter the chunk namespace other readers list
-    fs.setWriteChecksum(false)
+    val fs = p.getFileSystem(conf) match {
+      // stores are self-describing chunk files; the local
+      // ChecksumFileSystem's .crc sidecars would litter the chunk
+      // namespace other readers list. Unwrap to the raw filesystem for
+      // OUR paths only — never mutate the JVM-cached instance's global
+      // checksum setting, which other writers (parquet, checkpoints)
+      // share.
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f                                          => f
+    }
     (fs, p)
   }
 

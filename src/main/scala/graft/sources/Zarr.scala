@@ -98,10 +98,6 @@ object Zarr {
     * `gzip`; the `sharding_indexed` codec and binary compressors that
     * need native libs (blosc/zstd) are rejected loudly. */
   def parseMetaV3(json: String): Meta = {
-    require(!json.contains("\"sharding_indexed\""),
-      "sharding_indexed codec not supported")
-    require(!json.contains("\"blosc\"") && !json.contains("\"zstd\""),
-      "only bytes/gzip codecs supported")
     val shape = longList(jsonField(json, "shape").getOrElse(sys.error("no shape")))
     val chunks = longList(jsonField(json, "chunk_shape")
       .getOrElse(sys.error("no chunk_grid.chunk_shape")))
@@ -113,8 +109,24 @@ object Zarr {
       case Some("NaN")         => Double.NaN
       case Some(x)             => x.toDouble
     }
-    val comp = if (json.contains("\"gzip\"")) Some("gzip") else None
-    val sep = jsonField(json, "separator").map(_.replace("\"", "")).getOrElse("/")
+    // codec chain: parse names from the `codecs` ARRAY only — matching on
+    // the whole document would let an attribute string flip detection
+    val codecNames: Seq[String] = jsonField(json, "codecs").toSeq.flatMap { arr =>
+      "\"name\"\\s*:\\s*\"(\\w+)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+    }
+    codecNames.foreach { c =>
+      require(c == "bytes" || c == "gzip",
+        s"unsupported codec '$c' (only bytes/gzip; sharding/blosc/zstd need native support)")
+    }
+    val comp = if (codecNames.contains("gzip")) Some("gzip") else None
+    // chunk_key_encoding: only the "default" (c/-prefixed) scheme is laid
+    // out the way keyOf/chunkGlob address chunks — reject others loudly
+    val cke = jsonField(json, "chunk_key_encoding")
+    val ckeName = cke.flatMap(o => jsonField(o, "name")).map(_.replace("\"", ""))
+    require(ckeName.forall(_ == "default"),
+      s"unsupported chunk_key_encoding '${ckeName.get}' (only 'default')")
+    val sep = cke.flatMap(o => jsonField(o, "separator"))
+      .map(_.replace("\"", "")).getOrElse("/")
     Meta(shape, chunks, "<f8", fill, comp, sep, 3)
   }
 
@@ -285,6 +297,14 @@ object Zarr {
     StoreIO.glob(dir, chunkGlob(m, rank))
       .flatMap(p => chunkCoords(m, rank, p))
 
+  /** `fill_value` as a Spark SQL literal — NaN/±Infinity have no bare
+    * numeric literal form and must go through a string cast. */
+  private def fillSql(f: Double): String =
+    if (f.isNaN) "CAST('NaN' AS DOUBLE)"
+    else if (f == Double.PositiveInfinity) "CAST('Infinity' AS DOUBLE)"
+    else if (f == Double.NegativeInfinity) "CAST('-Infinity' AS DOUBLE)"
+    else s"CAST($f AS DOUBLE)"
+
   // ---- 1-d -----------------------------------------------------------------
 
   /** Read a 1-d zarr array as the element table `(idx, v)`. Present chunks
@@ -300,21 +320,26 @@ object Zarr {
     val present = presentChunks(dir, m, 1).map(_.head).toSet
     val bc = s.sparkContext.broadcast((m, n, c))
 
-    val decoded = s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 1)}")
-      .where(not(col("path").endsWith(".zarray")) &&
-        not(col("path").endsWith("zarr.json")))
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
-        val (meta, nn, cc) = bc.value
-        chunkCoords(meta, 1, path).iterator.flatMap { coords =>
-          val blk = coords.head
-          val start = blk * cc
-          val len = math.min(cc, nn - start).toInt // clip padded edge chunk
-          decodeChunk(content, cc.toInt, meta.compressor).iterator.take(len)
-            .zipWithIndex.map { case (v, i) => (start + i, v) }
-        }
-      }.toDF("idx", "v")
+    // a store may legitimately have NO chunk objects (every chunk deferred
+    // to fill_value) — binaryFile refuses an empty glob, so skip the scan
+    val decoded =
+      if (present.isEmpty)
+        s.range(0).selectExpr("id AS idx", "CAST(0 AS DOUBLE) AS v")
+      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 1)}")
+        .where(not(col("path").endsWith(".zarray")) &&
+          not(col("path").endsWith("zarr.json")))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val (meta, nn, cc) = bc.value
+          chunkCoords(meta, 1, path).iterator.flatMap { coords =>
+            val blk = coords.head
+            val start = blk * cc
+            val len = math.min(cc, nn - start).toInt // clip padded edge chunk
+            decodeChunk(content, cc.toInt, meta.compressor).iterator.take(len)
+              .zipWithIndex.map { case (v, i) => (start + i, v) }
+          }
+        }.toDF("idx", "v")
 
     val nChunks = m.chunkGrid.head
     val missing = (0L until nChunks).filterNot(present.contains)
@@ -322,7 +347,7 @@ object Zarr {
     else {
       val md = s.createDataset(missing).toDF("blk")
         .join(s.range(c).toDF("off"))
-        .selectExpr(s"blk * $c + off AS idx", s"CAST(${m.fill} AS DOUBLE) AS v")
+        .selectExpr(s"blk * $c + off AS idx", s"${fillSql(m.fill)} AS v")
         .where(col("idx") < n)
       decoded.unionByName(md)
     }
@@ -394,30 +419,33 @@ object Zarr {
     val Seq(rows, cols) = m.shape
     val Seq(cr, cc) = m.chunks
     val bc = s.sparkContext.broadcast(m)
+    val present = presentChunks(dir, m, 2)
+      .map { case Seq(a, b) => (a, b) }.toSet
 
-    val decoded = s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 2)}")
-      .where(not(col("path").endsWith(".zarray")) &&
-        not(col("path").endsWith("zarr.json")))
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, content) =>
-        val meta = bc.value
-        chunkCoords(meta, 2, path).iterator.flatMap { case Seq(bi, bj) =>
-          val r0 = bi * cr; val c0 = bj * cc
-          val nr = math.min(cr, rows - r0).toInt
-          val nc = math.min(cc, cols - c0).toInt
-          val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor)
-          for {
-            ri <- (0 until nr).iterator
-            ci <- (0 until nc).iterator
-          } yield (r0 + ri, c0 + ci, vals(ri * cc.toInt + ci))
-        }
-      }.toDF("i", "j", "v")
+    val decoded =
+      if (present.isEmpty)
+        s.range(0).selectExpr("id AS i", "id AS j", "CAST(0 AS DOUBLE) AS v")
+      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 2)}")
+        .where(not(col("path").endsWith(".zarray")) &&
+          not(col("path").endsWith("zarr.json")))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val meta = bc.value
+          chunkCoords(meta, 2, path).iterator.flatMap { case Seq(bi, bj) =>
+            val r0 = bi * cr; val c0 = bj * cc
+            val nr = math.min(cr, rows - r0).toInt
+            val nc = math.min(cc, cols - c0).toInt
+            val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor)
+            for {
+              ri <- (0 until nr).iterator
+              ci <- (0 until nc).iterator
+            } yield (r0 + ri, c0 + ci, vals(ri * cc.toInt + ci))
+          }
+        }.toDF("i", "j", "v")
 
     if (m.fill == 0.0) decoded
     else {
-      val present = presentChunks(dir, m, 2)
-        .map { case Seq(a, b) => (a, b) }.toSet
       val Seq(gr, gc) = m.chunkGrid
       val missing = for {
         bi <- 0L until gr; bj <- 0L until gc if !present.contains((bi, bj))
@@ -427,7 +455,7 @@ object Zarr {
         val md = s.createDataset(missing).toDF("bi", "bj")
           .join(s.range(cr).toDF("ri")).join(s.range(cc).toDF("ci"))
           .selectExpr(s"bi * $cr + ri AS i", s"bj * $cc + ci AS j",
-            s"CAST(${m.fill} AS DOUBLE) AS v")
+            s"${fillSql(m.fill)} AS v")
           .where(col("i") < rows && col("j") < cols)
         decoded.unionByName(md)
       }

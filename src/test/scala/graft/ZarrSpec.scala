@@ -173,6 +173,50 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
       Zarr.parseMetaV3(zstd)).getMessage.contains("codec"))
   }
 
+  test("store with ALL chunks absent reads as pure fill (incl. NaN fill)") {
+    // lazily-written stores may defer every chunk to fill_value — the
+    // reader must not die on the empty chunk glob
+    val dir = Files.createTempDirectory("zarrf").toString
+    val meta =
+      """{"zarr_format": 3, "node_type": "array", "shape": [6],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": "NaN",
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    Files.write(Paths.get(dir, "zarr.json"), meta.getBytes(StandardCharsets.UTF_8))
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+    assert(back.length == 6)
+    assert(back.forall(r => r.getDouble(1).isNaN))
+    // zero-fill variant: reads as the EMPTY element table (implicit zeros)
+    val dir0 = Files.createTempDirectory("zarrf0").toString
+    Files.write(Paths.get(dir0, ".zarray"),
+      """{"chunks": [4], "compressor": null, "dtype": "<f8", "fill_value": 0,
+        |"filters": null, "order": "C", "shape": [6], "zarr_format": 2}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    assert(Zarr.read1d(spark, dir0).count() == 0)
+  }
+
+  test("non-default v3 chunk_key_encoding is rejected loudly") {
+    val json =
+      """{"zarr_format": 3, "shape": [8], "data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"chunk_key_encoding": {"name": "v2", "configuration": {"separator": "."}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](Zarr.parseMetaV3(json))
+    assert(e.getMessage.contains("chunk_key_encoding"), e.getMessage)
+  }
+
+  test("codec detection reads the codecs array, not stray attribute strings") {
+    val json =
+      """{"zarr_format": 3, "shape": [8], "data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"fill_value": 0, "attributes": {"note": "exported via gzip pipeline"},
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    assert(Zarr.parseMetaV3(json).compressor.isEmpty)
+  }
+
   test("truncated zlib chunk fails loudly instead of hanging") {
     val full = Zarr.encodeChunk(Array.tabulate(64)(_.toDouble), Some("zlib"))
     val truncated = full.take(full.length / 2)
