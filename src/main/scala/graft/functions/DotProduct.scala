@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst dot product over two array columns — the hot kernel of
+  * every embedding operator (brute kNN, LSH projections, ANN ranking,
+  * renormalization).
+  *
+  * Catalyst's higher-order `aggregate`/`zip_with` lambdas are INTERPRETED
+  * per element; this expression participates in whole-stage codegen with
+  * a primitive `for` loop (`doGenCode`), the preference order the engine
+  * follows everywhere: native Expression > typed kernel > HOF > UDF.
+  * Semantics match the HOF form exactly: ascending-index fold, every
+  * element widened to double — so DuckDB oracles (`list_sum` ascending)
+  * keep hash-matching (reference einsum/tensordot contraction kernels,
+  * `dask_array/linalg/_tensordot.py:45`; the reference gets this codegen
+  * for free from numpy's compiled dot).
+  *
+  * Accepts float and double arrays on either side (embeddings are
+  * `ARRAY<FLOAT>`, derived centroids `ARRAY<DOUBLE>`). If lengths differ
+  * the shorter bound wins, matching `zip_with`'s NULL-free prefix.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot needs array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val af = isFloat(left); val bf = isFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $getA * $getB; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for the native expressions (idempotent). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      { exprs =>
+        require(exprs.length == 2, s"graft_dot takes 2 args, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      },
+      "built-in")
+}

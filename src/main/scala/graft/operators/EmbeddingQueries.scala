@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * (`vec_id BIGINT, embedding ARRAY<FLOAT>, label INT`; vectors are
   * L2-normalized so cosine similarity = dot product).
   *
-  * Scale design (100 TB): the vector math is all codegen'd higher-order
-  * functions over the array column (`aggregate`/`zip_with`/`transform`) —
-  * no UDFs, no driver collection. Brute-force scans are bounded to a
-  * broadcast query set (the ANN baseline); the scale path is the
-  * random-hyperplane LSH bucketing (e03/e05): one projection pass, then a
-  * bucket-partitioned shuffle, the embedding analogue of MinHash banding.
+  * Scale design (100 TB): the vector math runs through the native
+  * codegen'd [[graft.functions.DotProduct]] Catalyst expression
+  * (`graft_dot` — a primitive loop inside whole-stage codegen; Catalyst
+  * HOF lambdas are interpreted per element, ~an order of magnitude slower
+  * on this hot path) — no UDFs, no driver collection. Brute-force scans
+  * are bounded to a broadcast query set (the ANN baseline); the scale
+  * path is the random-hyperplane LSH bucketing (e03/e05): one projection
+  * pass, then a bucket-partitioned shuffle, the embedding analogue of
+  * MinHash banding.
   *
   * Portability: hyperplanes are integer-arithmetic pseudo-random
   * (`((p*73 + d*37) % 19) - 9`), so the DuckDB oracle reproduces them
@@ -26,26 +29,34 @@ object EmbeddingQueries {
     * TextQueries.WINDOW): pair count per block is O(n·W), never O(n²). */
   private val WINDOW = 16
 
-  /** dot(a, b) in Spark SQL over two ARRAY<FLOAT> columns, double math. */
+  /** dot(a, b) over two array columns — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (registered per session in
+    * [[emb]]); same ascending-index double fold as the DuckDB oracle. */
   private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    s"graft_dot($a, $b)"
   private def duckDot(a: String, b: String): String =
     s"CAST(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, $DIM)]) AS DOUBLE)"
 
-  /** Signed projection onto deterministic pseudo-random hyperplane p. */
-  private def sparkProj(p: String): String =
-    s"aggregate(sequence(1, $DIM), CAST(0 AS DOUBLE), (acc, d) -> acc + CAST(element_at(embedding, d) AS DOUBLE) * ((($p * 73 + (d - 1) * 37) % 19) - 9))"
+  /** Signed projection onto deterministic pseudo-random hyperplane p —
+    * the weight vector folds to an array literal, so the projection is
+    * one codegen'd dot, not an interpreted per-element lambda. */
+  private def sparkProj(p: Int): String = {
+    val w = (0 until DIM).map(d => s"CAST(${(p * 73 + d * 37) % 19 - 9} AS DOUBLE)")
+    s"graft_dot(embedding, array(${w.mkString(", ")}))"
+  }
   private def duckProj(p: String): String =
     s"CAST(list_sum([CAST(embedding[d] AS DOUBLE) * ((($p * 73 + (d - 1) * 37) % 19) - 9) for d in generate_series(1, $DIM)]) AS DOUBLE)"
 
   /** 8-bit hyperplane LSH bucket. */
   private val sparkBucket: String =
-    (0 until 8).map(p => s"(CASE WHEN round(${sparkProj(p.toString)}, 6) > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+    (0 until 8).map(p => s"(CASE WHEN round(${sparkProj(p)}, 6) > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
   private val duckBucket: String =
     (0 until 8).map(p => s"(CASE WHEN round(${duckProj(p.toString)}, 6) > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // idempotent per session
     s.read.parquet(s"$d/embeddings.parquet")
+  }
 
   /** PQ codebook weight for (sub, code, dim) — the JVM value. The SQL
     * twin [[pqW]] must stay in algebraic lockstep (PQSpec asserts it). */

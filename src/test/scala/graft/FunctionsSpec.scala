@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Native Catalyst expression surface: graft_dot must bit-match the
+  * interpreted HOF fold it replaces and stay inside whole-stage codegen. */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def hofDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+
+  test("graft_dot bit-matches the HOF fold on float arrays") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 200).map { i =>
+      (i.toLong,
+        Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6) / 3.0f),
+        Array.tabulate(64)(d => ((i * 17 + d * 5) % 11 - 5) / 7.0f))
+    }.toDF("id", "a", "b")
+    val rows = df.selectExpr("graft_dot(a, b) AS fast", s"${hofDot("a", "b")} AS slow")
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"$r")
+    }
+  }
+
+  test("mixed float/double arrays and literal weight vectors work") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0))).toDF("f", "d")
+    val v = df.selectExpr("graft_dot(f, d) AS x").head().getDouble(0)
+    assert(v == 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)
+    // literal array (double) against the float column
+    val w = df.selectExpr(
+      "graft_dot(f, array(CAST(2 AS DOUBLE), CAST(0 AS DOUBLE), CAST(-1 AS DOUBLE))) AS x")
+      .head().getDouble(0)
+    assert(w == 2.0 - 3.0)
+  }
+
+  test("null input yields null; bad types fail analysis") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((Option.empty[Array[Float]], Array(1.0f))).toDF("a", "b")
+    assert(df.selectExpr("graft_dot(a, b) AS x").head().isNullAt(0))
+    val bad = intercept[Exception](
+      Seq((1, 2)).toDF("a", "b").selectExpr("graft_dot(a, b)").head())
+    assert(bad.getMessage.toLowerCase.contains("graft_dot") ||
+      bad.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
+  test("graft_dot stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // range source so ConvertToLocalRelation can't fold the plan away
+    val df = spark.range(100).selectExpr(
+      "id", "transform(sequence(0, 7), d -> CAST(id + d AS FLOAT)) AS e")
+    val q = df.selectExpr("graft_dot(e, e) AS x")
+    val plan = q.queryExecution.executedPlan.toString
+    // the '*' stage marker = operator runs inside WholeStageCodegen
+    val dotLine = plan.linesIterator.find(_.contains("graft_dot")).getOrElse("")
+    assert(dotLine.trim.startsWith("*"), s"graft_dot outside codegen:\n$plan")
+    assert(q.agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0) > 0)
+  }
+}
