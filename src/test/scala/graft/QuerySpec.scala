@@ -8,7 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * locally by scripts/check_oracle.py); these specs assert executability,
   * schema and basic invariants for every declared query. */
 object TestSpark {
-  lazy val spark: SparkSession = {
+  /** Self-reviving shared session: suites that build their own session
+    * via getOrCreate receive THIS one when it is already active, and
+    * their afterAll stop() kills the shared context — so hand out a
+    * fresh session whenever the previous one has been stopped. */
+  def spark: SparkSession = synchronized {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
