@@ -216,9 +216,12 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   /** Insertion index against a sorted (small, broadcast) array (reference
     * `searchsorted`, `dask_array/routines/_search.py:20` — the reference
     * also gathers the sorted side whole per block). */
-  def searchsorted(sorted: DArray): DataFrame = {
+  def searchsorted(sorted: DArray, side: String = "right"): DataFrame = {
+    require(side == "left" || side == "right", s"side must be left/right, got $side")
     val edges = broadcast(sorted.elements.select(col("v").as("edge")))
-    elements.join(edges, col("edge") <= col("v"), "left")
+    // numpy: side='right' → count(edge <= v); side='left' → count(edge < v)
+    val cmp = if (side == "left") col("edge") < col("v") else col("edge") <= col("v")
+    elements.join(edges, cmp, "left")
       .groupBy("idx", "v").agg(count(col("edge")).as("pos"))
       .select(col("idx"), col("pos"))
   }

@@ -132,6 +132,24 @@ object ArrayQueries {
     "q18_searchsorted" -> ((s, d) =>
       events(s, d).searchsorted(DArray.arange(s, d, 0, 500, 25)).orderBy("idx")),
 
+    // searchsorted side='left' (numpy's default; q18 is the 'right' form)
+    "q70_searchsorted_left" -> ((s, d) =>
+      events(s, d).searchsorted(DArray.arange(s, d, 0, 500, 25), "left")
+        .orderBy("idx")),
+
+    // allclose / array_equal (reference isclose/allclose ufuncs): one
+    // fused scan (self-zip fusion collapses the two projections of the
+    // same leaf), two boolean reductions
+    "q71_allclose" -> ((s, d) => {
+      val a = events(s, d).map("v * 3 + 1")
+      val b = events(s, d).map("(v * 3 + 1) * (1 + 1e-12)")
+      a.zip(b, "CASE WHEN abs(v1 - v2) <= 1e-8 + 1e-9 * abs(v2) THEN 1.0 ELSE 0.0 END")
+        .reduce("CAST(min(v) AS BOOLEAN)" -> "all_close")
+        .crossJoin(
+          a.zip(b, "CASE WHEN v1 = v2 THEN 1.0 ELSE 0.0 END")
+            .reduce("CAST(min(v) AS BOOLEAN)" -> "arr_equal"))
+    }),
+
     "q19_argmax" -> ((s, d) => events(s, d).argmax),
     "q20_argmin" -> ((s, d) => events(s, d).argmin),
 
@@ -725,6 +743,18 @@ object ArrayQueries {
          LEFT JOIN (SELECT CAST(i * 25 AS DOUBLE) AS edge FROM range(20) t(i))
            ON edge <= value
          GROUP BY event_id ORDER BY idx""",
+
+    "q70_searchsorted_left" ->
+      """SELECT event_id AS idx, count(edge) AS pos FROM events
+         LEFT JOIN (SELECT CAST(i * 25 AS DOUBLE) AS edge FROM range(20) t(i))
+           ON edge < value
+         GROUP BY event_id ORDER BY idx""",
+
+    "q71_allclose" ->
+      """WITH t AS (SELECT value * 3 + 1 AS a,
+                    (value * 3 + 1) * (1 + 1e-12) AS b FROM events)
+         SELECT bool_and(abs(a - b) <= 1e-8 + 1e-9 * abs(b)) AS all_close,
+                bool_and(a = b) AS arr_equal FROM t""",
 
     "q19_argmax" ->
       "SELECT event_id AS idx, value AS v FROM events ORDER BY v DESC, idx LIMIT 1",

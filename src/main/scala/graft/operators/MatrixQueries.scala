@@ -387,6 +387,28 @@ object MatrixQueries {
       Tab(50, 40, "(i*3 + j*7) % 15").spark(s).integralImage
         .elements.orderBy("i", "j")),
 
+    // per-row median (apply_along_axis + median, reference
+    // _arg_reduction/_percentile composition): the groupBy buffer is
+    // bounded by the ROW width — the axis being reduced — so the exact
+    // percentile aggregate is safe here, unlike the global-quantile case
+    // q28 avoids (even-width rows exercise the midpoint interpolation)
+    "m31_row_median" -> ((s, d) =>
+      T.spark(s).df.groupBy("i")
+        .agg(expr("percentile(v, 0.5)").as("med"))
+        .orderBy("i")),
+
+    // full covariance MATRIX (reference cov, routines/_cov.py): center
+    // each column, gram, /(n-1) — same standardize+gram plan as m24's
+    // correlation, one broadcast of the k column means
+    "m32_cov_matrix" -> ((s, d) => {
+      val n = 200L; val k = 5
+      val x = Tab(n, k, "(i*7 + j*13) % 19 + (i % (j + 2))").spark(s)
+      val mu = x.df.groupBy("j").agg(avg("v").as("mu"))
+      val z = new graft.DMatrix(
+        x.df.join(broadcast(mu), "j").selectExpr("i", "j", "v - mu AS v"), n, k)
+      z.gram.map(s"round(v / ${n - 1}, 6)").elements.orderBy("i", "j")
+    }),
+
     // periodic-boundary 2-d stencil (reference boundary modes,
     // _overlap.py:715): ghost targets wrap mod n instead of truncating —
     // every cell averages a FULL 3x3 neighborhood on the torus
@@ -604,6 +626,17 @@ object MatrixQueries {
     "m24_corrcoef" -> {
       val t = Tab(200, 5, "(i*7 + j*13) % 19 + (i % (j + 2))").duck
       s"""SELECT a.j AS i, b.j AS j, round(corr(a.v, b.v), 6) AS v
+          FROM $t a JOIN $t b ON a.i = b.i
+          GROUP BY 1, 2 ORDER BY i, j"""
+    },
+
+    "m31_row_median" ->
+      s"""SELECT i, quantile_cont(v, 0.5) AS med FROM ${T.duck}
+          GROUP BY i ORDER BY i""",
+
+    "m32_cov_matrix" -> {
+      val t = Tab(200, 5, "(i*7 + j*13) % 19 + (i % (j + 2))").duck
+      s"""SELECT a.j AS i, b.j AS j, round(covar_samp(a.v, b.v), 6) AS v
           FROM $t a JOIN $t b ON a.i = b.i
           GROUP BY 1, 2 ORDER BY i, j"""
     },
