@@ -48,6 +48,30 @@ class CostSpec extends AnyFunSuite {
     assert(zo.totalTransfer._2 < tree.totalTransfer._2)
   }
 
+  test("cross-IO zip on matching grids inserts no rechunk (BASELINE.md row 9)") {
+    // the reference's cross_io case: two independent scans, compatible
+    // grids — the aligned join needs NO realignment pass; inserting one
+    // was the 879 MiB regression its rechunk-insertion rule fixed
+    val a = ColumnVec("events", "event_id", "value", Some((0L, 1000L)))
+    val b = ColumnVec("events", "event_id", "value * 2", Some((0L, 1000L)))
+    val s = Simplify(ZipVec(a, b, "v1 + v2"))
+    def rechunks(e: VecExpr): Int =
+      (if (e.isInstanceOf[RechunkVec]) 1 else 0) + e.children.map(rechunks).sum
+    assert(rechunks(s) == 0, s.pprint())
+  }
+
+  test("roll feeding a narrow consumer stays narrow (BASELINE.md row 10)") {
+    // negative_control: roll(x,1).sum() — rechunk insertion here would be
+    // a pure 2x loss; the roll is an index remap whose exchange rides the
+    // consumer, and nothing in the optimized tree adds a standalone pass
+    val tree = MapVec(RollVec(src, 1), "v * 2")
+    val s = Simplify(tree)
+    def rechunks(e: VecExpr): Int =
+      (if (e.isInstanceOf[RechunkVec]) 1 else 0) + e.children.map(rechunks).sum
+    assert(rechunks(s) == 0, s.pprint())
+    assert(s.totalTransfer == ((0L, 0L)), "roll+map must model zero standalone movement")
+  }
+
   test("optimization does not increase the modeled movement") {
     val tree = SliceVec(MapVec(MapVec(src, "v * 2"), "v + 1"), 0, 100)
     val before = tree.totalTransfer._2
