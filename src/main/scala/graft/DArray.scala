@@ -202,6 +202,16 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
         .agg(expr("count(*)").as("cnt"), expr("sum(wt)").as("wsum"))
   }
 
+  /** Weighted bincount where both the bucket and the weight derive from
+    * THIS array: one scan + one partial-aggregated shuffle — the
+    * two-array `bincount(Some(w))` form would shuffle-join the leaf with
+    * itself on idx (the same whole-exchange-that-shouldn't-exist shape
+    * self-zip fusion removes in the expression layer, applied here at the
+    * aggregation API level). */
+  def bincountBy(bucketSqlOverV: String, weightSqlOverV: String): DataFrame =
+    elements.groupBy(expr(s"CAST($bucketSqlOverV AS BIGINT)").as("value"))
+      .agg(expr("count(*)").as("cnt"), expr(s"sum($weightSqlOverV)").as("wsum"))
+
   /** Fixed-bin histogram (reference `histogram`,
     * `dask_array/_histogram.py:41`): bucket index per element + count —
     * the per-block `np.histogram` + tree-sum collapses into Spark's

@@ -118,13 +118,13 @@ object ArrayQueries {
       events(s, d).map("floor(v / 25)").uniqueCounts.orderBy("v")),
 
     // weighted bincount (reference routines/_bincount.py): values bucketed,
-    // weighted by the raw value — count + weight-sum per bucket
-    "q16_bincount_weighted" -> ((s, d) => {
-      val x = events(s, d).map("floor(v / 25)")
-      x.bincount(Some(events(s, d)))
+    // weighted by the raw value — count + weight-sum per bucket; bucket
+    // and weight derive from the SAME leaf, so this is ONE scan + one
+    // partial-agg shuffle (bincountBy), not a self-join on idx
+    "q16_bincount_weighted" -> ((s, d) =>
+      events(s, d).bincountBy("floor(v / 25)", "v")
         .select(col("value"), col("cnt"), round(col("wsum"), 2).as("wsum"))
-        .orderBy("value")
-    }),
+        .orderBy("value")),
 
     "q17_histogram" -> ((s, d) =>
       events(s, d).histogram(0.0, 500.0, 25).orderBy("bucket")),
