@@ -493,6 +493,24 @@ object ArrayQueries {
           expr("CAST(sum(CASE WHEN abs(cau) > 10 THEN 1 ELSE 0 END) AS BIGINT)").as("cau_tail"))
     }),
 
+    // four more closed-form inverse-CDF distributions (reference
+    // random/_generator.py:100-346): weibull, pareto, gumbel, logistic —
+    // same counter-based LCG, one pass, moment checks rounded to clear
+    // libm ulp noise in the transcendental kernels
+    "q73_random_tail2" -> ((s, d) => {
+      val u = unifKernel("CAST(v AS BIGINT)", 431)
+      DArray.arange(s, d, 0, 20000, 1).elements.selectExpr(
+          s"power(-ln(1 - ($u)), 1.0 / 1.5) * 2 AS wei",
+          s"power(1 - ($u), -1.0 / 2.5) - 1 AS par",
+          s"-ln(-ln($u)) AS gum",
+          s"ln(($u) / (1 - ($u))) AS logi")
+        .agg(
+          round(avg("wei"), 3).as("wei_m"), round(stddev_samp("wei"), 3).as("wei_sd"),
+          round(avg("par"), 3).as("par_m"),
+          round(avg("gum"), 3).as("gum_m"),
+          round(avg("logi"), 3).as("logi_m"), round(stddev_samp("logi"), 3).as("logi_sd"))
+    }),
+
     // unique with return_inverse (reference `unique`,
     // routines/_unique.py:167): each element mapped to the rank of its
     // value among the distinct values — distinct + rank + join back
@@ -988,6 +1006,19 @@ object ArrayQueries {
            CAST(ceil(ln($u) / ln(0.75)) AS BIGINT) AS geo,
            exp(sqrt(-2 * ln($u)) * cos(2 * pi() * ($u2))) AS logn,
            tan(pi() * (($u) - 0.5)) AS cau
+           FROM range(20000) t(i))"""
+    },
+
+    "q73_random_tail2" -> {
+      val u = unifKernel("i", 431)
+      s"""SELECT round(avg(wei), 3) AS wei_m, round(stddev_samp(wei), 3) AS wei_sd,
+           round(avg(par), 3) AS par_m, round(avg(gum), 3) AS gum_m,
+           round(avg(logi), 3) AS logi_m, round(stddev_samp(logi), 3) AS logi_sd
+         FROM (SELECT
+           power(-ln(1 - ($u)), 1.0 / 1.5) * 2 AS wei,
+           power(1 - ($u), -1.0 / 2.5) - 1 AS par,
+           -ln(-ln($u)) AS gum,
+           ln(($u) / (1 - ($u))) AS logi
            FROM range(20000) t(i))"""
     },
 

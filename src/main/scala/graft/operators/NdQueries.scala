@@ -67,7 +67,18 @@ object NdQueries {
     // rank-4 aligned elemwise zip + full reduction to a scalar
     "n05_nd_zip_reduce" -> ((s, d) =>
       B4.spark(s).zip(C4.spark(s), "v1 * v2 + v1")
-        .reduceAxes(Seq(0, 1, 2, 3), "sum(v)").elements))
+        .reduceAxes(Seq(0, 1, 2, 3), "sum(v)").elements),
+
+    // unravel_index / ravel_multi_index round trip over REAL data: wrap a
+    // parquet column as a rank-3 array (flat idx -> coords), then ravel
+    // back — both directions are exact integer stride arithmetic
+    "n06_nd_unravel" -> ((s, d) => {
+      val flat = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 360")
+      NdArray.fromFlat(flat, Seq(5L, 8L, 9L)).elements
+        .selectExpr("c0", "c1", "c2", "v", "c0 * 72 + c1 * 9 + c2 AS flat")
+        .orderBy("flat")
+    }))
 
   val oracles: Map[String, String] = Map(
     "n01_nd_axis_reduce" ->
@@ -107,5 +118,10 @@ object NdQueries {
     "n05_nd_zip_reduce" ->
       s"""SELECT CAST(0 AS BIGINT) AS c0, sum(a.v * b.v + a.v) AS v
           FROM ${B4.duck} a JOIN ${C4.duck} b
-          ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.c3 = b.c3""")
+          ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.c3 = b.c3""",
+
+    "n06_nd_unravel" ->
+      """SELECT event_id // 72 AS c0, (event_id // 9) % 8 AS c1,
+            event_id % 9 AS c2, value AS v, event_id AS flat
+         FROM events WHERE event_id < 360 ORDER BY flat""")
 }
