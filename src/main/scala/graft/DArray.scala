@@ -226,10 +226,11 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   /** Insertion index against a sorted (small, broadcast) array (reference
     * `searchsorted`, `dask_array/routines/_search.py:20` — the reference
     * also gathers the sorted side whole per block). */
-  def searchsorted(sorted: DArray, side: String = "right"): DataFrame = {
+  def searchsorted(sorted: DArray, side: String = "left"): DataFrame = {
     require(side == "left" || side == "right", s"side must be left/right, got $side")
     val edges = broadcast(sorted.elements.select(col("v").as("edge")))
-    // numpy: side='right' → count(edge <= v); side='left' → count(edge < v)
+    // numpy semantics (default side='left', same as numpy's):
+    // left → count(edge < v); right → count(edge <= v)
     val cmp = if (side == "left") col("edge") < col("v") else col("edge") <= col("v")
     elements.join(edges, cmp, "left")
       .groupBy("idx", "v").agg(count(col("edge")).as("pos"))

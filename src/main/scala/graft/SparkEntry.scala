@@ -11,10 +11,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_sum_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ArrayQueries.queries ++ MatrixQueries.queries ++ TextQueries.queries ++
+  /** One entry per implemented operator from SURVEY.md §2. Every query
+    * runs behind session setup (native-function registration) so no
+    * entry depends on another helper having run first. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = ArrayQueries.queries ++ MatrixQueries.queries ++ TextQueries.queries ++
       EmbeddingQueries.queries ++ MultimodalQueries.queries ++ NdQueries.queries
+    all.map { case (name, fn) =>
+      name -> ((s: SparkSession, d: String) => {
+        graft.functions.GraftFunctions.register(s)
+        fn(s, d)
+      })
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

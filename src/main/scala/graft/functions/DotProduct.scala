@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * for free from numpy's compiled dot).
   *
   * Accepts float and double arrays on either side (embeddings are
-  * `ARRAY<FLOAT>`, derived centroids `ARRAY<DOUBLE>`). If lengths differ
-  * the shorter bound wins, matching `zip_with`'s NULL-free prefix.
+  * `ARRAY<FLOAT>`, derived centroids `ARRAY<DOUBLE>`). Degenerate inputs
+  * keep the HOF's NULL semantics exactly: a NULL element on either side
+  * or a length mismatch yields NULL (zip_with pads the shorter array
+  * with NULLs and `acc + NULL` poisons the fold) — a malformed vector
+  * surfaces as NULL instead of a plausible-looking partial similarity.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,11 +53,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val af = isFloat(left); val bf = isFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -62,6 +67,8 @@ case class DotProduct(left: Expression, right: Expression)
     }
     acc
   }
+
+  override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -71,9 +78,16 @@ case class DotProduct(left: Expression, right: Expression)
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += $getA * $getB; }
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getA * $getB;
+         |  }
+         |}
          |${ev.value} = $acc;
        """.stripMargin
     })

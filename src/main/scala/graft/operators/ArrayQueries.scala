@@ -130,24 +130,26 @@ object ArrayQueries {
       events(s, d).histogram(0.0, 500.0, 25).orderBy("bucket")),
 
     "q18_searchsorted" -> ((s, d) =>
-      events(s, d).searchsorted(DArray.arange(s, d, 0, 500, 25)).orderBy("idx")),
+      events(s, d).searchsorted(DArray.arange(s, d, 0, 500, 25), "right").orderBy("idx")),
 
     // searchsorted side='left' (numpy's default; q18 is the 'right' form)
     "q70_searchsorted_left" -> ((s, d) =>
       events(s, d).searchsorted(DArray.arange(s, d, 0, 500, 25), "left")
         .orderBy("idx")),
 
-    // allclose / array_equal (reference isclose/allclose ufuncs): one
+    // allclose / array_equal (reference isclose/allclose ufuncs): ONE
     // fused scan (self-zip fusion collapses the two projections of the
-    // same leaf), two boolean reductions
+    // same leaf) carrying both per-element flags bit-packed in the single
+    // value column, then one aggregation unpacks them into two booleans
     "q71_allclose" -> ((s, d) => {
       val a = events(s, d).map("v * 3 + 1")
       val b = events(s, d).map("(v * 3 + 1) * (1 + 1e-12)")
-      a.zip(b, "CASE WHEN abs(v1 - v2) <= 1e-8 + 1e-9 * abs(v2) THEN 1.0 ELSE 0.0 END")
-        .reduce("CAST(min(v) AS BOOLEAN)" -> "all_close")
-        .crossJoin(
-          a.zip(b, "CASE WHEN v1 = v2 THEN 1.0 ELSE 0.0 END")
-            .reduce("CAST(min(v) AS BOOLEAN)" -> "arr_equal"))
+      a.zip(b,
+          "(CASE WHEN abs(v1 - v2) <= 1e-8 + 1e-9 * abs(v2) THEN 1.0 ELSE 0.0 END) + " +
+            "(CASE WHEN v1 = v2 THEN 2.0 ELSE 0.0 END)")
+        .reduce(
+          "CAST(min(v % 2) AS BOOLEAN)" -> "all_close",
+          "CAST(min(floor(v / 2)) AS BOOLEAN)" -> "arr_equal")
     }),
 
     "q19_argmax" -> ((s, d) => events(s, d).argmax),

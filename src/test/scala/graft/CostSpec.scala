@@ -11,6 +11,9 @@ class CostSpec extends AnyFunSuite {
 
   private val src = RangeVec(0, 1, 1000)
 
+  private def rechunks(e: VecExpr): Int =
+    (if (e.isInstanceOf[RechunkVec]) 1 else 0) + e.children.map(rechunks).sum
+
   test("narrow elemwise/slice/concat chains move zero bytes") {
     val e = ConcatVec(SliceVec(MapVec(src, "v * 2"), 10, 500), MapVec(src, "v + 1"))
     assert(e.totalTransfer == ((0L, 0L)))
@@ -55,8 +58,6 @@ class CostSpec extends AnyFunSuite {
     val a = ColumnVec("events", "event_id", "value", Some((0L, 1000L)))
     val b = ColumnVec("events", "event_id", "value * 2", Some((0L, 1000L)))
     val s = Simplify(ZipVec(a, b, "v1 + v2"))
-    def rechunks(e: VecExpr): Int =
-      (if (e.isInstanceOf[RechunkVec]) 1 else 0) + e.children.map(rechunks).sum
     assert(rechunks(s) == 0, s.pprint())
   }
 
@@ -66,8 +67,6 @@ class CostSpec extends AnyFunSuite {
     // consumer, and nothing in the optimized tree adds a standalone pass
     val tree = MapVec(RollVec(src, 1), "v * 2")
     val s = Simplify(tree)
-    def rechunks(e: VecExpr): Int =
-      (if (e.isInstanceOf[RechunkVec]) 1 else 0) + e.children.map(rechunks).sum
     assert(rechunks(s) == 0, s.pprint())
     assert(s.totalTransfer == ((0L, 0L)), "roll+map must model zero standalone movement")
   }

@@ -55,6 +55,28 @@ class FunctionsSpec extends AnyFunSuite {
       bad.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
 
+  test("null elements and length mismatches yield NULL like the HOF fold") {
+    GraftFunctions.register(spark)
+    // both interpreted eval (LocalTableScan) and the codegen path (range
+    // source) must agree with zip_with's NULL-poisoning semantics
+    val nullElem = spark.sql(
+      "SELECT graft_dot(array(CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE)), " +
+        "array(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE))) AS x")
+    assert(nullElem.head().isNullAt(0), "null element must poison the dot")
+    val shortArr = spark.sql(
+      "SELECT graft_dot(array(CAST(1 AS DOUBLE)), " +
+        "array(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE))) AS x")
+    assert(shortArr.head().isNullAt(0), "length mismatch must yield NULL")
+    // codegen path: per-row arrays built from range
+    val cg = spark.range(4).selectExpr(
+      "graft_dot(transform(sequence(0, 2), d -> CASE WHEN d = 2 AND id = 1 " +
+        "THEN CAST(NULL AS DOUBLE) ELSE CAST(d AS DOUBLE) END), " +
+        "array(CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(1 AS DOUBLE))) AS x")
+      .collect()
+    assert(cg.count(_.isNullAt(0)) == 1, "exactly the poisoned row is NULL")
+    assert(cg.filter(!_.isNullAt(0)).forall(_.getDouble(0) == 3.0))
+  }
+
   test("graft_dot stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range source so ConvertToLocalRelation can't fold the plan away

@@ -21,6 +21,12 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    // getOrCreate may return a session another suite created with
+    // DIFFERENT builder configs (builder configs apply only at creation) —
+    // re-assert the runtime-settable ones this harness depends on
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -61,6 +67,21 @@ class QuerySpec extends AnyFunSuite {
     val lastCum = ds.cumsum.elements.orderBy(org.apache.spark.sql.functions.col("idx").desc)
       .limit(1).selectExpr("round(v, 2)").collect()(0).getDouble(0)
     assert(math.abs(total - lastCum) < 1e-6)
+  }
+
+  test("two-array weighted bincount (distinct leaves) joins on idx") {
+    // the join form exists for weights from a DIFFERENT array — q16 now
+    // uses the one-scan bincountBy, so this branch needs its own coverage
+    val buckets = DArray.arange(spark, sf, 0, 100, 1).map("floor(v / 10)")
+    val weights = DArray.arange(spark, sf, 0, 100, 1).map("v * 2")
+    val out = buckets.bincount(Some(weights)).orderBy("value").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == 10, s"bucket $k count")
+      // weights 2v over v in [10k, 10k+10): 2 * (100k + 45)
+      assert(r.getDouble(2) == 2.0 * (100 * k + 45), s"bucket $k wsum")
+    }
   }
 
   test("slice pushdown reaches the parquet scan (PushedFilters)") {
