@@ -174,6 +174,27 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
       .withColumn("v", sum(col("v")).over(byCol)))
   }
 
+  /** Central-difference gradient along axis 0 (reference `gradient`,
+    * `routines/_gradient.py:16` with axis=0): interior
+    * `(x[i+1,j] - x[i-1,j]) / 2`, one-sided at the row edges. Densifies
+    * first (a sparse line's lag/lead would skip absent positions), then
+    * runs per-COLUMN partitioned windows — parallelism is the column
+    * count, each line in-core, the 2-d sibling of the 1-d blocked
+    * GradientVec (use that for tall single-column shapes). */
+  def gradientRows: DMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("j").orderBy("i")
+    val prev = lag(col("v"), 1).over(w)
+    val next = lead(col("v"), 1).over(w)
+    wrap(densify.df.select(col("i"), col("j"),
+      when(prev.isNull, next - col("v"))
+        .when(next.isNull, col("v") - prev)
+        .otherwise((next - prev) / 2.0).as("v")))
+  }
+
+  /** Gradient along axis 1 — the transpose composition. */
+  def gradientCols: DMatrix = t.gradientRows.t
+
   /** Apply an in-core kernel to each dense row — `apply_along_axis`
     * (reference `routines/_apply.py:16`): rows are assembled from the
     * sparse element table (absent cells are 0) and mapped per-partition;

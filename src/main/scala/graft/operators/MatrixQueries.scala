@@ -387,6 +387,11 @@ object MatrixQueries {
       Tab(50, 40, "(i*3 + j*7) % 15").spark(s).integralImage
         .elements.orderBy("i", "j")),
 
+    // 2-d central-difference gradient along axis 0 (reference gradient
+    // axis form): per-column partitioned windows, one-sided row edges
+    "m33_gradient2d" -> ((s, d) =>
+      A.spark(s).gradientRows.elements.orderBy("i", "j")),
+
     // per-row median (apply_along_axis + median, reference
     // _arg_reduction/_percentile composition): the groupBy buffer is
     // bounded by the ROW width — the axis being reduced — so the exact
@@ -633,6 +638,17 @@ object MatrixQueries {
     "m31_row_median" ->
       s"""SELECT i, quantile_cont(v, 0.5) AS med FROM ${T.duck}
           GROUP BY i ORDER BY i""",
+
+    "m33_gradient2d" ->
+      s"""SELECT i, j, CASE
+            WHEN pv IS NULL THEN nv - v
+            WHEN nv IS NULL THEN v - pv
+            ELSE (nv - pv) / 2.0 END AS v
+          FROM (SELECT i, j, v,
+            lag(v) OVER (PARTITION BY j ORDER BY i) AS pv,
+            lead(v) OVER (PARTITION BY j ORDER BY i) AS nv
+            FROM ${A.duck})
+          ORDER BY i, j""",
 
     "m32_cov_matrix" -> {
       val t = Tab(200, 5, "(i*7 + j*13) % 19 + (i % (j + 2))").duck

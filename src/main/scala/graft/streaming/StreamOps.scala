@@ -59,6 +59,24 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
       .select(col("session_window.start").as("ws"), col("user"), col("n"), col("s"))
 
+  /** Windowed approximate quantiles on the stream — the online form of
+    * the batch GK-sketch path (`ExactQuantile.approx`, reference
+    * merge-percentiles `_percentile.py:151`): `approx_percentile` is a
+    * mergeable partial aggregate, so it runs incrementally inside a
+    * watermarked event-time window with O(accuracy) state per window —
+    * never buffering the window's raw values. */
+  def windowedQuantiles(ev: Dataset[Ev], ps: Seq[Double],
+                        win: String = "10 seconds",
+                        watermark: String = "10 seconds",
+                        accuracy: Int = 1000): DataFrame = {
+    val arr = ps.map(p => s"${p}D").mkString(", ")
+    ev.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win))
+      .agg(expr(s"approx_percentile(value, array($arr), $accuracy)").as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("qs"), col("n"))
+  }
+
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
     * buffer (total, n), merged exactly like `Aggregator.merge`. */

@@ -77,6 +77,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(cg.filter(!_.isNullAt(0)).forall(_.getDouble(0) == 3.0))
   }
 
+  test("GraftExtensions installs graft_dot via spark.sql.extensions") {
+    // spark.sql.extensions only applies at session CREATION — recycle the
+    // context so the builder conf is honored (suites run sequentially in
+    // the forked test JVM; later suites revive via TestSpark)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val v = s.sql(
+        "SELECT graft_dot(array(CAST(2 AS DOUBLE), CAST(3 AS DOUBLE)), " +
+          "array(CAST(4 AS DOUBLE), CAST(5 AS DOUBLE))) AS x").head().getDouble(0)
+      assert(v == 2.0 * 4 + 3.0 * 5)
+    } finally s.stop()
+  }
+
   test("graft_dot stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range source so ConvertToLocalRelation can't fold the plan away

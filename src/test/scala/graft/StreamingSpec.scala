@@ -98,6 +98,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("windowed approx quantiles finalize per window with bounded sketch state") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[Ev]
+    val q = StreamOps.windowedQuantiles(in.toDS(), Seq(0.5))
+      .writeStream.format("memory").queryName("wq").outputMode("append").start()
+    try {
+      // window [0,10): values 1..9 → exact median 5 (GK at accuracy 1000
+      // is exact for 9 values)
+      in.addData((1 to 9).map(i => Ev(ts(i), i.toLong, i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData(Ev(ts(60), 1, 100.0)) // advance watermark, close [0,10)
+      q.processAllAvailable()
+      in.addData(Ev(ts(120), 1, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wq")
+        .selectExpr("CAST(ws AS LONG) AS w", "qs[0] AS med", "n").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(rows.exists { case (w, med, n) => w == 0L && n == 9L && med == 5.0 },
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running totals across batches") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
