@@ -158,4 +158,73 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       SCTest.Parameters.default.withMinSuccessfulTests(40).withWorkers(1), prop)
     assert(res.passed, s"scalacheck: $res")
   }
+
+  test("NdArray shape algebra fuzz: transpose/slice/reshape vs an in-core model") {
+    // random rank-3/4 shapes: random permutation + random rectangular
+    // slice + reshape-to-flat must agree with the straightforward local
+    // evaluation of the same composition
+    val shapeGen = Gen.choose(2, 4).flatMap(r =>
+      Gen.listOfN(r, Gen.choose(1, 5)).map(_.map(_.toLong)))
+    val prop = Prop.forAll(shapeGen, Gen.choose(0L, Long.MaxValue)) { (shape, seed0) =>
+      val r = shape.length
+      val rnd = new scala.util.Random(seed0)
+      val perm = rnd.shuffle((0 until r).toList)
+      val bounds = shape.indices.map { a =>
+        val n = perm.map(shape)(a)
+        val lo = rnd.nextInt(n.toInt)
+        val hi = lo + 1 + rnd.nextInt(n.toInt - lo)
+        (lo.toLong, hi.toLong)
+      }
+      // engine: tabulate(flat index value) → transpose → slice → ravel
+      val nd = NdArray.tabulate(spark, shape,
+          shape.indices.map(a => s"c$a * ${shape.drop(a + 1).product}L").mkString(" + "))
+        .transpose(perm).slice(bounds)
+      val got = nd.ravel.orderBy("idx").collect().map(_.getDouble(1)).toVector
+      // local model over the same composition
+      def coordsOf(flat: Long, sh: Seq[Long]): Seq[Long] = {
+        val strides = sh.scanRight(1L)(_ * _).tail
+        sh.indices.map(a => (flat / strides(a)) % sh(a))
+      }
+      val tShape = perm.map(shape)
+      val sShape = bounds.map { case (lo, hi) => hi - lo }
+      val expect = (0L until sShape.product).map { flat =>
+        val sc = coordsOf(flat, sShape)
+        val tc = sc.zip(bounds).map { case (c, (lo, _)) => c + lo } // unslice
+        val oc = new Array[Long](r) // invert the permutation
+        perm.zipWithIndex.foreach { case (src, dst) => oc(src) = tc(dst) }
+        // original value = row-major flat index of oc in `shape`
+        oc.toSeq.zip(shape.scanRight(1L)(_ * _).tail)
+          .map { case (c, st) => c * st }.sum.toDouble
+      }.toVector
+      val ok = got == expect
+      if (!ok) println(s"ND FUZZ FAIL shape=$shape perm=$perm bounds=$bounds\n got=$got\n want=$expect")
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(1), prop)
+    assert(res.passed, s"scalacheck: $res")
+  }
+
+  test("approx quantiles respect the sketch's rank guarantee vs exact") {
+    val sp = spark
+    import sp.implicits._
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    val vals = Vector.fill(n)(rnd.nextDouble() * 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("idx", "v")
+    val ps = Seq(0.1, 0.5, 0.99)
+    val row = graft.operators.ExactQuantile.approx(df, "v", ps, accuracy = 1000).head()
+    val est = row.getSeq[Double](0)
+    val exact = graft.operators.ExactQuantile.quantiles(df, "v", ps)
+    val sorted = vals.sorted
+    ps.indices.foreach { k =>
+      val rank = sorted.count(_ <= est(k)).toDouble / n
+      assert(math.abs(rank - ps(k)) <= 5.0 / 1000 + 1.0 / n,
+        s"p=${ps(k)}: est rank $rank outside the sketch bound")
+      // and the estimate is inside the exact neighbors' range
+      assert(est(k) >= sorted.head && est(k) <= sorted.last)
+      assert(math.abs(est(k) - exact(k)) <= (sorted.last - sorted.head) * 0.02,
+        s"p=${ps(k)}: approx ${est(k)} far from exact ${exact(k)}")
+    }
+  }
 }
