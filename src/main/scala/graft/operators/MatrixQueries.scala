@@ -203,6 +203,64 @@ object MatrixQueries {
           round(sum(expr("CASE WHEN i <> j THEN abs(v) ELSE 0 END")), 6).as("offmass"))
     }),
 
+    // lstsq on a CONSISTENT overdetermined system (reference lstsq,
+    // linalg/_solve.py:305): b = A·x0 exactly, so the QR solution
+    // recovers x0 to fp noise — the oracle is x0 itself
+    "l07_lstsq" -> ((s, d) => {
+      val rows = 120; val k = 4
+      def kern(i: Int, j: Int): Double = ((i * 3 + j * 11) % 17 - 8).toDouble
+      val x0 = Array(1.0, -2.0, 3.0, 0.5)
+      val a = graft.DMatrix.tabulate(s, rows, k, "(i*3 + j*11) % 17 - 8")
+      val b = Array.tabulate(rows)(i => (0 until k).map(j => kern(i, j) * x0(j)).sum)
+      val x = graft.linalg.TSQR.lstsq(s, a, b)
+      s.range(1).select(
+        round(lit(x(0)), 8).as("x0"), round(lit(x(1)), 8).as("x1"),
+        round(lit(x(2)), 8).as("x2"), round(lit(x(3)), 8).as("x3"))
+    }),
+
+    // general (non-SPD) solve via blocked LU (reference solve,
+    // linalg/_solve.py:163): diagonally dominant fixture, known solution
+    "l08_solve_lu" -> ((s, d) => {
+      val n = 48
+      def kern(i: Int, j: Int): Double =
+        ((i * 5 + j * 11) % 9 - 4 + (if (i == j) n else 0)).toDouble
+      val x0 = Array.tabulate(n)(j => ((j * 7) % 5 - 2).toDouble)
+      val a = graft.DMatrix.tabulate(s, n, n,
+        s"(i*5 + j*11) % 9 - 4 + (CASE WHEN i = j THEN $n ELSE 0 END)")
+      val b = Array.tabulate(n)(i => (0 until n).map(j => kern(i, j) * x0(j)).sum)
+      val x = graft.linalg.Cholesky.solveLU(s, a, b, tile = 16)
+      val maxErr = x.zip(x0).map { case (xi, x0i) => math.abs(xi - x0i) }.max
+      s.range(1).select(
+        lit(maxErr < 1e-8).as("ok"),
+        round(lit(x.sum), 6).as("sx"))
+    }),
+
+    // blocked LU factorization property: L·U reconstructs A and L has a
+    // unit diagonal (reference lu, linalg/_lu.py:27 — tile-confined
+    // pivoting, diagonally dominant fixture keeps it stable)
+    "l09_lu_reconstruct" -> ((s, d) => {
+      val n = 48
+      val a = graft.DMatrix.tabulate(s, n, n,
+        s"(i*7 + j*3) % 11 - 5 + (CASE WHEN i = j THEN $n ELSE 0 END)")
+      val (l, u) = graft.linalg.Cholesky.lu(s, a, tile = 16)
+      val err = l.matmul(u).elements.withColumnRenamed("v", "lu")
+        .join(a.elements.withColumnRenamed("v", "av"), Seq("i", "j"), "full")
+        .agg(expr("max(abs(coalesce(lu, 0) - coalesce(av, 0)))").as("e"))
+      val ltr = l.elements.where("i = j").agg(round(sum("v"), 6).as("ltr"))
+      err.crossJoin(ltr).selectExpr("e < 1e-8 AS ok", "ltr")
+    }),
+
+    // npy-stack round trip (reference from_npy_stack/to_npy_stack,
+    // io/_from_npy_stack.py:13): distributed densifying write + two-phase
+    // header-manifest read — codec bit-exactness under the oracle gate
+    "np01_npy_roundtrip" -> ((s, d) => {
+      val dir = s"/tmp/graft_npy_np01_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.NpyStack.write(el, dir, blockSize = 256, n = 1000)
+      graft.sources.NpyStack.read(s, dir).orderBy("idx")
+    }),
+
     // zarr round trips (reference from_zarr/to_zarr, io/_zarr.py:67,275):
     // the engine writes a v2 store (distributed chunk encode) and reads it
     // back (distributed binaryFile decode); the oracle recomputes the same
@@ -558,6 +616,23 @@ object MatrixQueries {
       s"""SELECT i, j, v FROM ${R.duck} WHERE v <> 0 ORDER BY i, j""",
 
     "z03_zarr_v3" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
+
+    "l07_lstsq" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS x0, CAST(-2.0 AS DOUBLE) AS x1,
+         CAST(3.0 AS DOUBLE) AS x2, CAST(0.5 AS DOUBLE) AS x3""",
+
+    "l08_solve_lu" -> {
+      // sum of x0_j = sum over j of ((j*7)%5 - 2) for j in 0..47
+      val sx = (0 until 48).map(j => (j * 7) % 5 - 2).sum
+      s"""SELECT true AS ok, CAST($sx AS DOUBLE) AS sx"""
+    },
+
+    "l09_lu_reconstruct" ->
+      """SELECT true AS ok, CAST(48.0 AS DOUBLE) AS ltr""",
+
+    "np01_npy_roundtrip" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
 
