@@ -235,6 +235,22 @@ object MatrixQueries {
         round(lit(x.sum), 6).as("sx"))
     }),
 
+    // SPD solve via the blocked Cholesky path (reference solve with
+    // sym_pos, linalg/_solve.py:163): A = min(i,j)+1 is the Gram of the
+    // all-ones lower-triangular matrix — exactly SPD, known solution
+    "l10_solve_spd" -> ((s, d) => {
+      val n = 48
+      def kern(i: Int, j: Int): Double = (math.min(i, j) + 1).toDouble
+      val x0 = Array.tabulate(n)(j => ((j * 3) % 7 - 3).toDouble)
+      val a = graft.DMatrix.tabulate(s, n, n, "least(i, j) + 1")
+      val b = Array.tabulate(n)(i => (0 until n).map(j => kern(i, j) * x0(j)).sum)
+      val x = graft.linalg.Cholesky.solveSPD(s, a, b, tile = 16)
+      val maxErr = x.zip(x0).map { case (xi, x0i) => math.abs(xi - x0i) }.max
+      s.range(1).select(
+        lit(maxErr < 1e-6).as("ok"),
+        round(lit(x.sum), 6).as("sx"))
+    }),
+
     // blocked LU factorization property: L·U reconstructs A and L has a
     // unit diagonal (reference lu, linalg/_lu.py:27 — tile-confined
     // pivoting, diagonally dominant fixture keeps it stable)
@@ -631,6 +647,11 @@ object MatrixQueries {
 
     "l09_lu_reconstruct" ->
       """SELECT true AS ok, CAST(48.0 AS DOUBLE) AS ltr""",
+
+    "l10_solve_spd" -> {
+      val sx = (0 until 48).map(j => (j * 3) % 7 - 3).sum
+      s"""SELECT true AS ok, CAST($sx AS DOUBLE) AS sx"""
+    },
 
     "np01_npy_roundtrip" ->
       """SELECT event_id AS idx, value AS v FROM events
