@@ -44,9 +44,21 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 
   /** Strided slice `x[lo:hi:step]` (reference strided basic indexing):
     * the bounded slice still pushes to the scan; the stride is a narrow
-    * reindexing filter above it. */
-  def slice(lo: Long, hi: Long, step: Long): DArray =
-    wrap(StrideVec(SliceVec(exprTree, lo, hi), step))
+    * reindexing filter above it. A NEGATIVE step composes as the numpy
+    * view algebra does — stride by |step| starting from the high end,
+    * then reverse (`x[lo:hi:-k]` ≡ `flip(x[lo:hi:k] shifted to end on a
+    * k-grid)`): out[t] = x[hi-1-t·|step|], still zero-movement. */
+  def slice(lo: Long, hi: Long, step: Long): DArray = {
+    require(step != 0, "slice step must be nonzero")
+    if (step > 0) wrap(StrideVec(SliceVec(exprTree, lo, hi), step))
+    else {
+      val k = -step
+      // positions hit (descending from hi-1): hi-1, hi-1-k, ... — i.e.
+      // the ASCENDING k-grid anchored at (hi-1-lo) % k, then reversed
+      val anchor = (hi - 1 - lo) % k
+      wrap(FlipVec(StrideVec(SliceVec(exprTree, lo + anchor, hi), k)))
+    }
+  }
   def mask(predOverV: String): DArray      = wrap(FilterVec(exprTree, predOverV))
   def setItems(updates: Seq[(Long, Double)]): DArray = wrap(SetItemVec(exprTree, updates))
 
@@ -78,19 +90,25 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     val n = exprTree.length
     require(n >= 0, "boundary needs a statically known length — slice first")
     require(depth <= n, s"depth $depth exceeds length $n")
+    require(mode != "reflect_strict" || depth < n,
+      s"reflect_strict needs depth < length ($depth >= $n)")
     val left = mode match {
-      case "constant" => wrap(RangeVec(cv, 0, depth))
-      case "periodic" => slice(n - depth, n)
-      case "reflect"  => slice(0, depth).flip
-      case "nearest"  => slice(0, 1).repeatEach(depth.toInt)
-      case other      => throw new IllegalArgumentException(s"boundary mode $other")
+      case "constant"              => wrap(RangeVec(cv, 0, depth))
+      case "periodic"              => slice(n - depth, n)
+      // dask-overlap "reflect" includes the edge element — numpy calls
+      // this SYMMETRIC; numpy's strict reflect excludes the edge
+      case "reflect" | "symmetric" => slice(0, depth).flip
+      case "reflect_strict"        => slice(1, depth + 1).flip
+      case "nearest"               => slice(0, 1).repeatEach(depth.toInt)
+      case other                   => throw new IllegalArgumentException(s"boundary mode $other")
     }
     val right = mode match {
-      case "constant" => wrap(RangeVec(cv, 0, depth))
-      case "periodic" => slice(0, depth)
-      case "reflect"  => slice(n - depth, n).flip
-      case "nearest"  => slice(n - 1, n).repeatEach(depth.toInt)
-      case other      => throw new IllegalArgumentException(s"boundary mode $other")
+      case "constant"              => wrap(RangeVec(cv, 0, depth))
+      case "periodic"              => slice(0, depth)
+      case "reflect" | "symmetric" => slice(n - depth, n).flip
+      case "reflect_strict"        => slice(n - depth - 1, n - 1).flip
+      case "nearest"               => slice(n - 1, n).repeatEach(depth.toInt)
+      case other                   => throw new IllegalArgumentException(s"boundary mode $other")
     }
     left ++ this ++ right
   }

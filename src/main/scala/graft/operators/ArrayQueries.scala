@@ -575,6 +575,34 @@ object ArrayQueries {
       left.unionByName(mid).unionByName(right).orderBy("idx")
     }),
 
+    // negative-step strided slice x[10:107:-3] (reference strided basic
+    // indexing with step < 0): composes as ascending k-grid + flip —
+    // still a pure index remap, zero movement
+    "q74_negative_stride" -> ((s, d) =>
+      events(s, d).slice(10, 107, -3).elements.orderBy("idx")),
+
+    // linear_ramp pad (reference creation/_pad.py linear_ramp mode):
+    // 5-wide ramps from end_value 0 to the edge values, edges fetched by
+    // one broadcast min_by/max_by aggregate — same shape as q55's stat pad
+    "q75_pad_linear_ramp" -> ((s, d) => {
+      val el = events(s, d).slice(0, 100).elements
+      val edges = broadcast(el.agg(
+        expr("min_by(v, idx)").as("v0"), expr("max_by(v, idx)").as("v1")))
+      val left = s.range(5).crossJoin(edges)
+        .selectExpr("id AS idx", "v0 * (CAST(id AS DOUBLE) / 5) AS v")
+      val mid = el.selectExpr("idx + 5 AS idx", "v")
+      val right = s.range(5).crossJoin(edges)
+        .selectExpr("id + 105 AS idx",
+          "v1 + (0 - v1) * (CAST(id + 1 AS DOUBLE) / 5) AS v")
+      left.unionByName(mid).unionByName(right).orderBy("idx")
+    }),
+
+    // numpy-strict reflect boundary (edge element EXCLUDED — the engine's
+    // "reflect"/"symmetric" is the dask-overlap edge-included form, q54)
+    "q76_boundary_strict" -> ((s, d) =>
+      events(s, d).slice(0, 50).boundary(3, "reflect_strict")
+        .elements.orderBy("idx")),
+
     // 2-d histogram (reference `histogram2d`, _histogram.py:360): bucket
     // both coordinates elemwise, ONE (bx,by) groupBy — partial aggregation
     // bounds the shuffle at the bin-grid size. The y series derives from v
@@ -1061,6 +1089,32 @@ object ArrayQueries {
          SELECT e - 2 AS idx,
            round(round(avg(v) OVER (ORDER BY e ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4), 4) AS v
          FROM ext QUALIFY e BETWEEN 2 AND 501 ORDER BY idx""",
+
+    "q74_negative_stride" ->
+      """SELECT CAST((106 - event_id) / 3 AS BIGINT) AS idx, value AS v
+         FROM events
+         WHERE event_id >= 10 AND event_id <= 106 AND (106 - event_id) % 3 = 0
+         ORDER BY idx""",
+
+    "q75_pad_linear_ramp" ->
+      """WITH e AS (SELECT min_by(value, event_id) AS v0, max_by(value, event_id) AS v1
+                    FROM events WHERE event_id < 100)
+         SELECT idx, v FROM (
+           SELECT i AS idx, (SELECT v0 FROM e) * (CAST(i AS DOUBLE) / 5) AS v
+           FROM range(5) t(i)
+           UNION ALL
+           SELECT event_id + 5 AS idx, value AS v FROM events WHERE event_id < 100
+           UNION ALL
+           SELECT i + 105 AS idx,
+             (SELECT v1 FROM e) + (0 - (SELECT v1 FROM e)) * (CAST(i + 1 AS DOUBLE) / 5) AS v
+           FROM range(5) t(i))
+         ORDER BY idx""",
+
+    "q76_boundary_strict" ->
+      """WITH pos AS (SELECT t, CASE WHEN t < 3 THEN 3 - t
+             WHEN t < 53 THEN t - 3 ELSE 101 - t END AS src FROM range(56) r(t))
+         SELECT t AS idx, value AS v FROM pos JOIN events ON event_id = src
+         ORDER BY idx""",
 
     "q55_pad_stat" ->
       """WITH b AS (SELECT event_id AS idx, value AS v FROM events WHERE event_id < 100),
