@@ -98,6 +98,45 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     df.selectExpr(s"($flat) AS idx", "v")
   }
 
+  /** Reverse one axis — pure coordinate remap (reference `flip`,
+    * `manipulation/_flip.py:10`). */
+  def flip(axis: Int): NdArray = {
+    require(axis >= 0 && axis < rank)
+    val proj = (0 until rank).map { a =>
+      if (a == axis) s"${shape(a) - 1}L - c$a AS c$a" else s"c$a"
+    } :+ "v"
+    new NdArray(df.selectExpr(proj: _*), shape)
+  }
+
+  /** Circular shift along one axis — coordinate remap (reference `roll`,
+    * `manipulation/_roll.py:8`). */
+  def roll(axis: Int, s: Long): NdArray = {
+    require(axis >= 0 && axis < rank)
+    val n = shape(axis)
+    val sh = ((s % n) + n) % n
+    val proj = (0 until rank).map { a =>
+      if (a == axis) s"(c$a + ${sh}L) % ${n}L AS c$a" else s"c$a"
+    } :+ "v"
+    new NdArray(df.selectExpr(proj: _*), shape)
+  }
+
+  /** Concatenate along one axis — zero-movement union with an offset on
+    * the concat axis (reference `Concatenate`,
+    * `stacking/_concatenate.py:20`); all other extents must match. */
+  def concat(o: NdArray, axis: Int): NdArray = {
+    require(o.rank == rank && axis >= 0 && axis < rank)
+    (0 until rank).foreach { a =>
+      require(a == axis || shape(a) == o.shape(a),
+        s"concat axis $axis: extent mismatch at axis $a ($shape vs ${o.shape})")
+    }
+    val off = shape(axis)
+    val shifted = o.df.selectExpr((0 until rank).map { a =>
+      if (a == axis) s"c$a + ${off}L AS c$a" else s"c$a"
+    } :+ "v": _*)
+    new NdArray(df.unionByName(shifted),
+      shape.updated(axis, shape(axis) + o.shape(axis)))
+  }
+
   /** Drop a size-1 axis / insert one — coordinate projections. */
   def squeeze(axis: Int): NdArray = {
     require(shape(axis) == 1, s"axis $axis has extent ${shape(axis)}")

@@ -72,6 +72,15 @@ object NdQueries {
     // unravel_index / ravel_multi_index round trip over REAL data: wrap a
     // parquet column as a rank-3 array (flat idx -> coords), then ravel
     // back — both directions are exact integer stride arithmetic
+    // flip + roll + concat along an axis — all pure coordinate remaps /
+    // offset unions; the reduce proves values landed at the right coords
+    "n07_nd_flip_roll_concat" -> ((s, d) => {
+      val a = NdArray.tabulate(s, Seq(3L, 4L, 5L), "(c0*7 + c1*3 + c2) % 9")
+      val b = NdArray.tabulate(s, Seq(3L, 2L, 5L), "(c0*2 + c1*5 + c2*4) % 7")
+      a.flip(1).roll(2, 2).concat(b, 1)
+        .reduceAxes(Seq(2), "sum(v)").elements.orderBy("c0", "c1")
+    }),
+
     "n06_nd_unravel" -> ((s, d) => {
       val flat = s.read.parquet(s"$d/events.parquet")
         .selectExpr("event_id AS idx", "value AS v").where("idx < 360")
@@ -123,5 +132,18 @@ object NdQueries {
     "n06_nd_unravel" ->
       """SELECT event_id // 72 AS c0, (event_id // 9) % 8 AS c1,
             event_id % 9 AS c2, value AS v, event_id AS flat
-         FROM events WHERE event_id < 360 ORDER BY flat""")
+         FROM events WHERE event_id < 360 ORDER BY flat""",
+
+    // flip maps out c1 = 3 - src c1; the roll permutes within the summed
+    // axis (sum-invariant); b lands at c1 + 4
+    "n07_nd_flip_roll_concat" ->
+      """SELECT c0, c1, sum(v) AS v FROM (
+           SELECT c0, 3 - c1 AS c1, CAST((c0*7 + c1*3 + c2) % 9 AS DOUBLE) AS v
+           FROM (SELECT x // 20 AS c0, (x // 5) % 4 AS c1, x % 5 AS c2
+                 FROM range(60) t(x))
+           UNION ALL
+           SELECT c0, c1 + 4 AS c1, CAST((c0*2 + c1*5 + c2*4) % 7 AS DOUBLE) AS v
+           FROM (SELECT x // 10 AS c0, (x // 5) % 2 AS c1, x % 5 AS c2
+                 FROM range(30) t(x)))
+         GROUP BY c0, c1 ORDER BY c0, c1""")
 }
