@@ -77,6 +77,14 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("qs"), col("n"))
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension table (e.g. a user→segment map read once from parquet).
+    * Stateless on the stream side — Spark re-plans the static side per
+    * micro-batch and broadcasts it when small, so at scale this is the
+    * streaming twin of the batch broadcast-hash enrichment join. */
+  def enrich(ev: Dataset[Ev], dim: DataFrame, key: String = "user"): DataFrame =
+    ev.join(broadcast(dim), key)
+
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
     * buffer (total, n), merged exactly like `Aggregator.merge`. */

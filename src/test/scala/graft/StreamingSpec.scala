@@ -98,6 +98,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "segment")
+    val in = MemoryStream[Ev]
+    val q = StreamOps.enrich(in.toDS(), dim)
+      .select("user", "segment", "value")
+      .writeStream.format("memory").queryName("en").outputMode("append").start()
+    try {
+      in.addData(Ev(ts(1), 1, 10.0), Ev(ts(2), 2, 20.0), Ev(ts(3), 3, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("en").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      // inner join: the unmapped user 3 drops; mapped users carry segments
+      assert(rows == Set((1L, "gold", 10.0), (2L, "silver", 20.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("windowed approx quantiles finalize per window with bounded sketch state") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
