@@ -44,18 +44,22 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 
   /** Strided slice `x[lo:hi:step]` (reference strided basic indexing):
     * the bounded slice still pushes to the scan; the stride is a narrow
-    * reindexing filter above it. A NEGATIVE step composes as the numpy
-    * view algebra does — stride by |step| starting from the high end,
-    * then reverse (`x[lo:hi:-k]` ≡ `flip(x[lo:hi:k] shifted to end on a
-    * k-grid)`): out[t] = x[hi-1-t·|step|], still zero-movement. */
+    * reindexing filter above it. A NEGATIVE step walks the SAME [lo, hi)
+    * range downward from its high end — out[t] = x[hi-1-t·|step|] — i.e.
+    * numpy's `x[hi-1 : lo-1 : -k]` (numpy's literal `x[lo:hi:-k]` with
+    * lo < hi is the empty slice; this range-downward form is what the
+    * range-plus-direction call signature means here). Composes as the
+    * ascending k-grid anchored at the high end plus a flip: still a pure
+    * index remap, zero movement. */
   def slice(lo: Long, hi: Long, step: Long): DArray = {
     require(step != 0, "slice step must be nonzero")
     if (step > 0) wrap(StrideVec(SliceVec(exprTree, lo, hi), step))
+    else if (hi <= lo) wrap(SliceVec(exprTree, lo, lo)) // empty, like x[lo:lo]
     else {
       val k = -step
       // positions hit (descending from hi-1): hi-1, hi-1-k, ... — i.e.
       // the ASCENDING k-grid anchored at (hi-1-lo) % k, then reversed
-      val anchor = (hi - 1 - lo) % k
+      val anchor = (hi - 1 - lo) % k // hi > lo ⇒ dividend >= 0 ⇒ anchor >= 0
       wrap(FlipVec(StrideVec(SliceVec(exprTree, lo + anchor, hi), k)))
     }
   }

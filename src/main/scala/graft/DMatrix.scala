@@ -183,6 +183,7 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * GradientVec (use that for tall single-column shapes). */
   def gradientRows: DMatrix = {
     import org.apache.spark.sql.expressions.Window
+    require(rows >= 2, s"gradient needs at least 2 rows along the axis, got $rows")
     val w = Window.partitionBy("j").orderBy("i")
     val prev = lag(col("v"), 1).over(w)
     val next = lead(col("v"), 1).over(w)

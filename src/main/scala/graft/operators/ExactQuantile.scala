@@ -64,13 +64,19 @@ object ExactQuantile {
     * each partition keeps an O(accuracy) summary, summaries merge on the
     * reduce side, no value ever buffers whole. Rank error is bounded by
     * n/accuracy. Returns one row: `est` (array, one per p) and `n`. */
-  def approx(df: DataFrame, valueCol: String, ps: Seq[Double],
-             accuracy: Int = 10000): DataFrame = {
+  /** The `approx_percentile` SQL fragment shared by the batch and
+    * streaming quantile paths — one construction site so the literal
+    * formatting cannot drift between them. */
+  def approxPercentileExpr(valueCol: String, ps: Seq[Double], accuracy: Int): String = {
     val arr = ps.map(p => s"${p}D").mkString(", ")
+    s"approx_percentile($valueCol, array($arr), $accuracy)"
+  }
+
+  def approx(df: DataFrame, valueCol: String, ps: Seq[Double],
+             accuracy: Int = 10000): DataFrame =
     df.select(col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
       .agg(
-        expr(s"approx_percentile(v, array($arr), $accuracy)").as("est"),
+        expr(approxPercentileExpr("v", ps, accuracy)).as("est"),
         count(col("v")).as("n"))
-  }
 }

@@ -68,14 +68,13 @@ object StreamOps {
   def windowedQuantiles(ev: Dataset[Ev], ps: Seq[Double],
                         win: String = "10 seconds",
                         watermark: String = "10 seconds",
-                        accuracy: Int = 1000): DataFrame = {
-    val arr = ps.map(p => s"${p}D").mkString(", ")
+                        accuracy: Int = 1000): DataFrame =
     ev.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), win))
-      .agg(expr(s"approx_percentile(value, array($arr), $accuracy)").as("qs"),
+      .agg(expr(graft.operators.ExactQuantile
+          .approxPercentileExpr("value", ps, accuracy)).as("qs"),
         count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("qs"), col("n"))
-  }
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension table (e.g. a user→segment map read once from parquet).

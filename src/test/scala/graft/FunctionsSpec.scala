@@ -80,8 +80,11 @@ class FunctionsSpec extends AnyFunSuite {
   test("GraftExtensions installs graft_dot via spark.sql.extensions") {
     // spark.sql.extensions only applies at session CREATION — recycle the
     // context so the builder conf is honored (suites run sequentially in
-    // the forked test JVM; later suites revive via TestSpark)
+    // the forked test JVM; later suites revive via TestSpark). Stop BOTH
+    // the thread-local active session and the process default: a prior
+    // suite's session may be default-only on this executor thread.
     org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+    org.apache.spark.sql.SparkSession.getDefaultSession.foreach(_.stop())
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")

@@ -69,6 +69,18 @@ class QuerySpec extends AnyFunSuite {
     assert(math.abs(total - lastCum) < 1e-6)
   }
 
+  test("negative-step slice: values, empty ranges, single element") {
+    val x = DArray.arange(spark, sf, 0, 50, 1)
+    def vals(lo: Long, hi: Long, st: Long): Seq[Double] =
+      x.slice(lo, hi, st).elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    // out[t] = x[hi-1-t*k]
+    assert(vals(10, 20, -3) == Seq(19.0, 16.0, 13.0, 10.0))
+    assert(vals(10, 19, -3) == Seq(18.0, 15.0, 12.0))
+    assert(vals(5, 5, -2).isEmpty, "hi == lo must be empty")
+    assert(vals(0, 0, -2).isEmpty, "hi == lo == 0 must be empty")
+    assert(vals(7, 8, -4) == Seq(7.0), "single-element range")
+  }
+
   test("two-array weighted bincount (distinct leaves) joins on idx") {
     // the join form exists for weights from a DIFFERENT array — q16 now
     // uses the one-scan bincountBy, so this branch needs its own coverage
