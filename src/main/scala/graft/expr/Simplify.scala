@@ -158,6 +158,35 @@ object Simplify {
       val (lo, hi) = graft.core.Chunks.fuseSlice(a, b, c2, d)
       simplifyNode(SliceVec(c, lo, hi), parents)
 
+    // flip∘flip is the identity
+    case FlipVec(FlipVec(c)) => c
+
+    // slice-through-flip: x.flip[lo:hi] = x[n-hi:n-lo].flip — the bound
+    // keeps pruning at the scan under the pure index reversal (reference
+    // slice pushdown through coordinate remaps); gated like every push
+    case s0 @ SliceVec(f @ FlipVec(c), lo, hi)
+        if c.length >= 0 && hi <= c.length =>
+      if (!allDependentsAreSlices(f, parents)) s0
+      else {
+        val n = c.length
+        FlipVec(simplifyNode(SliceVec(c, n - hi, n - lo), parents))
+      }
+
+    // slice-through-concat: prune sides the bound cannot touch — a slice
+    // entirely inside one input deletes the other input's SCAN from the
+    // plan (reference slice-through-Concatenate); straddling bounds split
+    case s0 @ SliceVec(cc @ ConcatVec(a, b), lo, hi) if a.length >= 0 =>
+      if (!allDependentsAreSlices(cc, parents)) s0
+      else {
+        val na = a.length
+        if (hi <= na) simplifyNode(SliceVec(a, lo, hi), parents)
+        else if (lo >= na)
+          simplifyNode(SliceVec(b, lo - na, hi - na), parents)
+        else ConcatVec(
+          simplifyNode(SliceVec(a, lo, na), parents),
+          simplifyNode(SliceVec(b, 0, hi - na), parents))
+      }
+
     case s @ SliceVec(m @ MapVec(c, e1), lo, hi) =>
       if (!allDependentsAreSlices(m, parents)) s // sharing gate
       else {

@@ -199,6 +199,40 @@ class SimplifySpec extends AnyFunSuite {
       s"fused ${got.size} rows != unfused ${unfused.size} rows")
   }
 
+  test("slice pushes through flip to the scan region") {
+    val leaf = ColumnVec("events", "event_id", "value", Some((0L, 1000L)))
+    val s = Simplify(SliceVec(FlipVec(leaf), 100, 300))
+    // x.flip[100:300] = x[700:900].flip — the region reaches the leaf
+    s match {
+      case FlipVec(ColumnVec(_, _, _, Some((lo, hi)))) =>
+        assert(lo == 700L && hi == 900L, s"region ($lo,$hi)")
+      case other => fail(s"expected FlipVec(region leaf): ${other.pprint()}")
+    }
+    // flip∘flip elides
+    assert(Simplify(FlipVec(FlipVec(leaf))) == leaf)
+  }
+
+  test("slice through concat prunes the untouched side's scan") {
+    val a = ColumnVec("events", "event_id", "value", Some((0L, 400L)))
+    val b = ColumnVec("events", "event_id", "value * 2", Some((0L, 600L)))
+    // fully inside the LEFT input: the right scan disappears
+    Simplify(SliceVec(ConcatVec(a, b), 50, 300)) match {
+      case ColumnVec(_, _, v, Some((50L, 300L))) => assert(v == "value")
+      case other => fail(s"left-only slice kept extra plan: ${other.pprint()}")
+    }
+    // fully inside the RIGHT input, rebased
+    Simplify(SliceVec(ConcatVec(a, b), 400, 700)) match {
+      case ColumnVec(_, _, v, Some((0L, 300L))) => assert(v == "value * 2")
+      case other => fail(s"right-only slice kept extra plan: ${other.pprint()}")
+    }
+    // straddling: both sides trimmed to their touched ranges
+    Simplify(SliceVec(ConcatVec(a, b), 300, 500)) match {
+      case ConcatVec(ColumnVec(_, _, _, Some((300L, 400L))),
+                     ColumnVec(_, _, _, Some((0L, 100L)))) => ()
+      case other => fail(s"straddle not split: ${other.pprint()}")
+    }
+  }
+
   test("content-addressed names: identical trees share a name") {
     val a = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
     val b = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
