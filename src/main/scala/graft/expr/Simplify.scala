@@ -161,6 +161,17 @@ object Simplify {
     // flip∘flip is the identity
     case FlipVec(FlipVec(c)) => c
 
+    // adjacent-piece concat coalescing (reference concat-of-slices
+    // simplification): two touching regions of the same scan, or two
+    // contiguous arithmetic ranges, are ONE leaf — half the scans
+    case ConcatVec(ColumnVec(t1, i1, v1, Some((a, b))),
+                   ColumnVec(t2, i2, v2, Some((c, d))))
+        if t1 == t2 && i1 == i2 && v1 == v2 && c == b =>
+      ColumnVec(t1, i1, v1, Some((a, d)))
+    case ConcatVec(RangeVec(s1, st1, n1), RangeVec(s2, st2, n2))
+        if st1 == st2 && s2 == s1 + st1 * n1 =>
+      RangeVec(s1, st1, n1 + n2)
+
     // slice-through-flip: x.flip[lo:hi] = x[n-hi:n-lo].flip — the bound
     // keeps pruning at the scan under the pure index reversal (reference
     // slice pushdown through coordinate remaps); gated like every push

@@ -233,6 +233,29 @@ class SimplifySpec extends AnyFunSuite {
     }
   }
 
+  test("adjacent-piece concat coalesces to one leaf") {
+    val a = ColumnVec("events", "event_id", "value", Some((100L, 400L)))
+    val b = ColumnVec("events", "event_id", "value", Some((400L, 900L)))
+    Simplify(ConcatVec(a, b)) match {
+      case ColumnVec(_, _, _, Some((100L, 900L))) => ()
+      case other => fail(s"regions not coalesced: ${other.pprint()}")
+    }
+    // contiguous ranges merge; non-contiguous stay a union
+    Simplify(ConcatVec(RangeVec(0, 2, 50), RangeVec(100, 2, 30))) match {
+      case RangeVec(0, 2, 80) => ()
+      case other => fail(s"ranges not coalesced: ${other.pprint()}")
+    }
+    Simplify(ConcatVec(RangeVec(0, 2, 50), RangeVec(777, 2, 30))) match {
+      case ConcatVec(_, _) => ()
+      case other => fail(s"non-adjacent must stay concat: ${other.pprint()}")
+    }
+    // self-concat (tile) must NOT coalesce — the pieces overlap
+    Simplify(ConcatVec(a, a)) match {
+      case ConcatVec(_, _) => ()
+      case other => fail(s"tile self-concat wrongly coalesced: ${other.pprint()}")
+    }
+  }
+
   test("content-addressed names: identical trees share a name") {
     val a = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
     val b = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
