@@ -273,6 +273,53 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def topk(k: Int): DataFrame =
     elements.orderBy(col("v").desc, col("idx").asc).limit(k)
 
+  /** Positions of the k largest values as an explicit rank → position map
+    * (reference `argtopk`, `dask_array/routines/_topk.py:52`): the same
+    * TakeOrdered tree as [[topk]]; the rank window runs over the k
+    * surviving rows only (driver-bounded), never over the data. */
+  def argtopk(k: Int): DataFrame =
+    topk(k).selectExpr(
+      "CAST(row_number() OVER (ORDER BY v DESC, idx ASC) AS BIGINT) - 1 AS rank",
+      "idx")
+
+  /** NaN-skipping arg reductions (reference `nanargmax`/`nanargmin`,
+    * `dask_array/reductions/_arg_reduction.py:131`; NaN ≙ NULL per the
+    * q33 convention) — missing positions simply leave the TakeOrdered
+    * race. */
+  def nanargmax: DataFrame = mask("v IS NOT NULL").argmax
+  def nanargmin: DataFrame = mask("v IS NOT NULL").argmin
+
+  /** NaN-as-identity cumulatives (reference `nancumsum`/`nancumprod`,
+    * `dask_array/reductions/_cumulative.py:208`): NULL contributes the
+    * identity but every position still emits its running value — numpy
+    * semantics, same blocked two-phase carry as cumsum/cumprod. */
+  def nancumsum: DArray  = map("coalesce(v, 0.0)").cumsum
+  def nancumprod: DArray = map("coalesce(v, 1.0)").cumprod
+
+  /** vdot (reference `vdot`: ravel both sides, conjugate dot; the real
+    * case is a plain dot product): one aligned zip + full reduce — when
+    * both sides project the same leaf, self-zip fusion collapses the
+    * alignment join to a single scan. */
+  def vdot(o: DArray): DataFrame = zip(o, "v1 * v2").reduce("sum(v)" -> "vdot")
+
+  /** sliding_window_view (reference `sliding_window_view`,
+    * `dask_array/reductions/_sliding_window.py:52`): the window table
+    * `(pos, off, v)` with `v = x[pos + off]`, `0 <= off < w` — each
+    * element fans out to the ≤w windows containing it via a generator
+    * projection, so the expansion is NARROW (no shuffle, no self-join)
+    * and windows stay grouped with their source block exactly like the
+    * reference's per-chunk view. Needs a statically known length. */
+  def slidingWindowView(w: Int): DataFrame = {
+    require(w > 0, "window must be positive")
+    val n = exprTree.length
+    require(n >= 0, "sliding_window_view needs a known length — slice first")
+    elements
+      .selectExpr("idx", "v",
+        s"explode(sequence(CAST(0 AS BIGINT), CAST(${w - 1} AS BIGINT))) AS off")
+      .selectExpr("idx - off AS pos", "off", "v")
+      .where(s"pos >= 0 AND pos <= ${n - w}")
+  }
+
   def pprint: String = exprTree.pprint()
   def pprintOptimized: String = optimized.pprint()
 }

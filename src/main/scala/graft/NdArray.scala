@@ -62,6 +62,33 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     new NdArray(df.selectExpr(proj: _*), perm.map(shape))
   }
 
+  /** swapaxes (reference `manipulation/_transpose.py:63`): the 2-cycle
+    * special case of [[transpose]] — still a pure projection. */
+  def swapaxes(a: Int, b: Int): NdArray = {
+    require(a >= 0 && a < rank && b >= 0 && b < rank, s"bad axes ($a,$b) for rank $rank")
+    val p = (0 until rank).toArray
+    p(a) = b; p(b) = a
+    transpose(p.toSeq)
+  }
+
+  /** moveaxis(src, dst) (reference `manipulation/_transpose.py:24`):
+    * remove axis `src`, reinsert it at position `dst` — numpy's
+    * order-insertion construction over [[transpose]]. */
+  def moveaxis(src: Int, dst: Int): NdArray = {
+    require(src >= 0 && src < rank && dst >= 0 && dst < rank, s"bad move $src->$dst")
+    val rest = (0 until rank).filterNot(_ == src)
+    transpose((rest.take(dst) :+ src) ++ rest.drop(dst))
+  }
+
+  /** apply_over_axes (reference `routines/_apply.py:10`): reduce the
+    * given axes but KEEP them as size-1 dims — numpy's keepdims contract.
+    * Still ONE groupBy shuffle ([[reduceAxes]]); the size-1 axes come
+    * back as constant-coordinate projections ([[expandDims]]). */
+  def applyOverAxes(axes: Seq[Int], sqlAggOverV: String): NdArray = {
+    val reduced = reduceAxes(axes, sqlAggOverV)
+    axes.sorted.foldLeft(reduced)((a, ax) => a.expandDims(ax))
+  }
+
   /** Rectangular slice: per-axis half-open bounds, coordinates rebased to
     * zero. Bounds are a conjunction of range predicates — Catalyst pushes
     * them through any stack of NdArray projections to the scan. */

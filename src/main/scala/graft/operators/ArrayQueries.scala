@@ -22,6 +22,13 @@ object ArrayQueries {
   private def events(s: SparkSession, d: String): DArray =
     DArray.fromColumn(s, d, "events", "event_id", "value")
 
+  /** events with NULL (≙ NaN) at error rows — the nullable leaf the
+    * nan-variant operators are exercised against (same construction as
+    * q11's ffill input). */
+  private def nullableEvents(s: SparkSession, d: String): DArray =
+    DArray.fromColumn(s, d, "events", "event_id",
+      "CASE WHEN event_type = 'error' THEN NULL ELSE value END")
+
   /** frexp exponent for v in (0, 1024): the e with 2^(e-1) <= v < 2^e,
     * as an exact comparison cascade shared by kernel and oracle. */
   private val frexpExponent: String =
@@ -154,6 +161,47 @@ object ArrayQueries {
 
     "q19_argmax" -> ((s, d) => events(s, d).argmax),
     "q20_argmin" -> ((s, d) => events(s, d).argmin),
+
+    // argtopk: rank → position map of the 10 largest (the rank window
+    // runs over the 10 surviving rows, never the data)
+    "q77_argtopk" -> ((s, d) => events(s, d).argtopk(10)),
+
+    // nan-skipping arg reductions over a nullable leaf (NaN ≙ NULL)
+    "q78_nanarg" -> ((s, d) => {
+      val a = nullableEvents(s, d)
+      a.nanargmax.selectExpr("'max' AS which", "idx", "v")
+        .unionAll(a.nanargmin.selectExpr("'min' AS which", "idx", "v"))
+        .orderBy("which")
+    }),
+
+    // nancumsum: NULL contributes 0 but still emits its running value
+    "q79_nancumsum" -> ((s, d) =>
+      nullableEvents(s, d).nancumsum.elements
+        .select(col("idx"), round(col("v"), 2).as("v")).orderBy("idx")),
+
+    // nancumprod over exact ±1 factors (NULL ≙ NaN contributes identity 1)
+    "q80_nancumprod" -> ((s, d) =>
+      nullableEvents(s, d).slice(0, 500)
+        .map("CASE WHEN v IS NULL THEN NULL WHEN v > 250 THEN -1.0 ELSE 1.0 END")
+        .nancumprod.elements.orderBy("idx")),
+
+    // vdot + ufunc tail (sinc, hypot-by-formula, logaddexp): vdot is one
+    // fused self-zip scan; x = v/512 is an exact binary rescale so only
+    // the libm-backed kernels (sin/exp/ln) need two-sided rounding
+    "q81_vdot_sinc" -> ((s, d) => {
+      val a = events(s, d)
+      val x = a.map("v / 512")
+      val tails = x.reduce(
+        "round(sum(CASE WHEN v = 0 THEN 1.0 ELSE sin(pi() * v) / (pi() * v) END), 6)" -> "sinc_sum",
+        "round(sum(sqrt(v * v + (1 - v) * (1 - v))), 6)" -> "hypot_sum",
+        "round(sum(ln(exp(v) + exp(-v))), 6)" -> "logaddexp_sum")
+      a.vdot(x).selectExpr("round(vdot, 2) AS vdot").crossJoin(tails)
+    }),
+
+    // sliding_window_view: the (pos, off, v) window table — a narrow
+    // generator expansion, no shuffle/self-join
+    "q82_sliding_window_view" -> ((s, d) =>
+      events(s, d).slice(0, 300).slidingWindowView(7).orderBy("pos", "off")),
 
     "q21_roll" -> ((s, d) => events(s, d).roll(137).elements.orderBy("idx")),
     "q22_flip" -> ((s, d) => events(s, d).flip.elements.orderBy("idx")),
@@ -808,6 +856,46 @@ object ArrayQueries {
       "SELECT event_id AS idx, value AS v FROM events ORDER BY v DESC, idx LIMIT 1",
     "q20_argmin" ->
       "SELECT event_id AS idx, value AS v FROM events ORDER BY v ASC, idx LIMIT 1",
+
+    "q77_argtopk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) - 1 AS rank,
+         event_id AS idx FROM events ORDER BY rank LIMIT 10""",
+
+    "q78_nanarg" ->
+      """SELECT * FROM (
+           (SELECT 'max' AS which, event_id AS idx, value AS v FROM events
+            WHERE event_type <> 'error' ORDER BY value DESC, event_id LIMIT 1)
+           UNION ALL
+           (SELECT 'min' AS which, event_id AS idx, value AS v FROM events
+            WHERE event_type <> 'error' ORDER BY value ASC, event_id LIMIT 1))
+         ORDER BY which""",
+
+    "q79_nancumsum" ->
+      """SELECT event_id AS idx,
+         round(sum(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END)
+           OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v
+         FROM events ORDER BY idx""",
+
+    "q80_nancumprod" ->
+      """SELECT event_id AS idx,
+         CASE WHEN sum(CASE WHEN event_type <> 'error' AND value > 250 THEN 1 ELSE 0 END)
+              OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              % 2 = 1 THEN -1.0 ELSE 1.0 END AS v
+         FROM events WHERE event_id < 500 ORDER BY idx""",
+
+    "q81_vdot_sinc" ->
+      """SELECT round(sum(value * (value / 512)), 2) AS vdot,
+         round(sum(CASE WHEN value / 512 = 0 THEN 1.0
+                        ELSE sin(pi() * (value / 512)) / (pi() * (value / 512)) END), 6) AS sinc_sum,
+         round(sum(sqrt((value / 512) * (value / 512) + (1 - value / 512) * (1 - value / 512))), 6) AS hypot_sum,
+         round(sum(ln(exp(value / 512) + exp(-(value / 512)))), 6) AS logaddexp_sum
+         FROM events""",
+
+    "q82_sliding_window_view" ->
+      """SELECT e.event_id - o.i AS pos, o.i AS off, e.value AS v
+         FROM events e CROSS JOIN range(7) o(i)
+         WHERE e.event_id < 300 AND e.event_id - o.i >= 0 AND e.event_id - o.i <= 293
+         ORDER BY pos, off""",
 
     "q21_roll" ->
       """SELECT (event_id + 137) % (SELECT count(*) FROM events) AS idx,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for the dedup pipeline (beyond-reference,
+  * BASELINE north star): near-duplicate CLUSTERING — LSH candidate pairs
+  * are only edges; a training-data dedup has to group them into connected
+  * components and keep one canonical document per component.
+  *
+  * The algorithm is min-label propagation with POINTER JUMPING (the
+  * hash-to-min family, Rastogi et al. 2013 "Finding Connected Components
+  * in Map-Reduce in Logarithmic Rounds"): each round (a) every node takes
+  * the min label over itself and its neighbors — one join + one partial
+  * aggregated shuffle, and (b) labels chase their own label's label
+  * (`lbl := lbl(lbl)`) — one self-join. Neighbor-min alone converges in
+  * O(diameter) rounds, which is linear on the chain-shaped clusters that
+  * sorted-neighborhood LSH windows produce; the jumping step doubles the
+  * pointer distance per round, so convergence is O(log n) rounds — the
+  * property that makes this runnable at 100 TB where a component can span
+  * millions of docs.
+  */
+object GraphOps {
+
+  /** Connected components of an undirected edge list `(a, b)` (BIGINT
+    * ids): returns `(id, lbl)` where `lbl` is the component's minimum id.
+    *
+    * Each round is a fixed number of shuffles on the edge/label tables;
+    * `localCheckpoint` truncates the per-round lineage so the plan stays
+    * O(1) deep (on a cluster this would be a DFS checkpoint). The loop
+    * stops at a fixpoint — the convergence check is one count per round,
+    * O(log n) rounds total. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // symmetric neighbor view: x's neighbors y in both directions
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+
+    var lbl = sym.select(col("x").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      // (a) neighbor-min: min label over the neighborhood (incl. self)
+      val nbrMin = sym
+        .join(lbl.select(col("id").as("y"), col("lbl").as("ylbl")), "y")
+        .groupBy(col("x").as("id")).agg(min("ylbl").as("nlbl"))
+      val stepped = lbl.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // (b) pointer jumping: lbl := min(lbl, lbl(lbl))
+      val jumped = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("ll")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(lbl.select(col("id"), col("lbl").as("old")), "id")
+        .where("lbl <> old").count()
+      lbl = jumped
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    lbl
+  }
+}

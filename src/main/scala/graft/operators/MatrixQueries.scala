@@ -466,6 +466,16 @@ object MatrixQueries {
     "m33_gradient2d" -> ((s, d) =>
       A.spark(s).gradientRows.elements.orderBy("i", "j")),
 
+    // tril_indices(k=-1) / triu_indices(k=1) (reference
+    // `routines/_triangular.py` index generators): coordinate predicates
+    // over a generated grid — zero IO, zero shuffle
+    "m34_tri_indices" -> ((s, d) => {
+      val m = graft.DMatrix.tabulate(s, 25, 25, "CAST(0 AS DOUBLE)")
+      m.tril(-1).elements.selectExpr("'l' AS which", "i", "j")
+        .unionAll(m.triu(1).elements.selectExpr("'u' AS which", "i", "j"))
+        .orderBy("which", "i", "j")
+    }),
+
     // per-row median (apply_along_axis + median, reference
     // _arg_reduction/_percentile composition): the groupBy buffer is
     // bounded by the ROW width — the axis being reduced — so the exact
@@ -734,6 +744,15 @@ object MatrixQueries {
     "m31_row_median" ->
       s"""SELECT i, quantile_cont(v, 0.5) AS med FROM ${T.duck}
           GROUP BY i ORDER BY i""",
+
+    "m34_tri_indices" ->
+      """WITH g AS (SELECT a.i AS i, b.i AS j
+                    FROM range(25) a(i) CROSS JOIN range(25) b(i))
+         SELECT * FROM (
+           SELECT 'l' AS which, i, j FROM g WHERE j - i <= -1
+           UNION ALL
+           SELECT 'u' AS which, i, j FROM g WHERE j - i >= 1)
+         ORDER BY which, i, j""",
 
     "m33_gradient2d" ->
       s"""SELECT i, j, CASE

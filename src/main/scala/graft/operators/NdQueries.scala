@@ -81,6 +81,13 @@ object NdQueries {
         .reduceAxes(Seq(2), "sum(v)").elements.orderBy("c0", "c1")
     }),
 
+    // moveaxis (pure projection: (3,4,5,6) → axis 3 to front = (6,3,4,5))
+    // then apply_over_axes over the new axes (0,2): one groupBy shuffle,
+    // reduced axes kept as size-1 dims (numpy keepdims contract)
+    "n08_moveaxis_applyover" -> ((s, d) =>
+      A4.spark(s).moveaxis(3, 0)
+        .applyOverAxes(Seq(0, 2), "sum(v)").elements.orderBy("c1", "c3")),
+
     "n06_nd_unravel" -> ((s, d) => {
       val flat = s.read.parquet(s"$d/events.parquet")
         .selectExpr("event_id AS idx", "value AS v").where("idx < 360")
@@ -128,6 +135,14 @@ object NdQueries {
       s"""SELECT CAST(0 AS BIGINT) AS c0, sum(a.v * b.v + a.v) AS v
           FROM ${B4.duck} a JOIN ${C4.duck} b
           ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.c3 = b.c3""",
+
+    // moveaxis(3,0) makes old axes (c3,c0,c1,c2); apply_over_axes (0,2)
+    // sums out old c3 and c1, keeping old c0 (as c1) and old c2 (as c3)
+    // with size-1 axes at 0 and 2
+    "n08_moveaxis_applyover" ->
+      s"""SELECT CAST(0 AS BIGINT) AS c0, c0 AS c1, CAST(0 AS BIGINT) AS c2,
+            c2 AS c3, sum(v) AS v
+          FROM ${A4.duck} GROUP BY 2, 4 ORDER BY c1, c3""",
 
     "n06_nd_unravel" ->
       """SELECT event_id // 72 AS c0, (event_id // 9) % 8 AS c1,

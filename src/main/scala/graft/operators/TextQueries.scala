@@ -227,6 +227,18 @@ object TextQueries {
     // LSH banding: candidate pairs by shared-band count, top-50
     "t06_lsh_candidates" -> ((s, d) => lshPairsDF(s, d, 50)),
 
+    // near-dup CLUSTERING: connected components over the LSH candidate
+    // graph ([[GraphOps.connectedComponents]] — min-label propagation
+    // with pointer jumping, O(log n) rounds); one row per cluster with
+    // its representative (= min doc_id), size, and max member
+    "t13_dedup_clusters" -> ((s, d) => {
+      val pairs = lshPairsDF(s, d, 200).select("a", "b")
+      GraphOps.connectedComponents(pairs)
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("sz"), max("id").as("max_id"))
+        .orderBy("cluster")
+    }),
+
     // exact n-gram Jaccard over the distinct-hash sets, LSH-bounded
     // (never unblocked O(n^2))
     "t07_jaccard" -> ((s, d) => {
@@ -319,6 +331,19 @@ object TextQueries {
 
     "t06_lsh_candidates" ->
       s"SELECT * FROM ${duckLshPairs(50)}",
+
+    "t13_dedup_clusters" ->
+      s"""WITH RECURSIVE sym AS (
+            SELECT a AS x, b AS y FROM ${duckLshPairs(200)} p
+            UNION ALL
+            SELECT b AS x, a AS y FROM ${duckLshPairs(200)} p2),
+          r AS (
+            SELECT DISTINCT x AS id, x AS lbl FROM sym
+            UNION
+            SELECT s.y AS id, r.lbl FROM r JOIN sym s ON s.x = r.id)
+          SELECT cluster, CAST(count(*) AS BIGINT) AS sz, max(id) AS max_id
+          FROM (SELECT id, min(lbl) AS cluster FROM r GROUP BY id)
+          GROUP BY cluster ORDER BY cluster""",
 
     "t07_jaccard" ->
       s"""WITH cand AS (SELECT a, b FROM ${duckLshPairs(200)}),

@@ -27,6 +27,28 @@ class NdSpec extends AnyFunSuite {
     assert(values(r.reshape(Seq(3L, 4L, 5L))) == values(a))
   }
 
+  test("swapaxes is its own inverse; moveaxis matches the transpose it names") {
+    val a = NdArray.tabulate(spark, Seq(2L, 3L, 4L, 5L), "(c0*3 + c1*9 + c2*5 + c3) % 13")
+    val sw = a.swapaxes(1, 3)
+    assert(sw.shape == Seq(2L, 5L, 4L, 3L))
+    assert(values(sw.swapaxes(1, 3)) == values(a))
+    // moveaxis(3, 0) == transpose((3,0,1,2))
+    assert(values(a.moveaxis(3, 0)) == values(a.transpose(Seq(3, 0, 1, 2))))
+    assert(a.moveaxis(3, 0).shape == Seq(5L, 2L, 3L, 4L))
+    // moveaxis(0, 2) == transpose((1,2,0,3))
+    assert(values(a.moveaxis(0, 2)) == values(a.transpose(Seq(1, 2, 0, 3))))
+  }
+
+  test("applyOverAxes keeps reduced axes as size-1 dims (keepdims)") {
+    val a = NdArray.tabulate(spark, Seq(3L, 4L, 5L), "(c0*7 + c1*3 + c2) % 11")
+    val k = a.applyOverAxes(Seq(0, 2), "sum(v)")
+    assert(k.shape == Seq(1L, 4L, 1L))
+    // same values as the plain axis-tuple reduction
+    assert(values(k) == values(a.reduceAxes(Seq(0, 2), "sum(v)")))
+    // keepdims makes the result zip-broadcastable... squeeze recovers rank-1
+    assert(k.squeeze(2).squeeze(0).shape == Seq(4L))
+  }
+
   test("squeeze / expandDims are inverse projections") {
     val a = NdArray.tabulate(spark, Seq(3L, 4L), "(c0*3 + c1) % 5")
     val e = a.expandDims(1)

@@ -96,6 +96,21 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("sliding_window_view is a narrow generator expansion (no Exchange)") {
+    val da = DArray.fromColumn(spark, sf, "events", "event_id", "value")
+      .slice(0, 300)
+    val win = da.slidingWindowView(5)
+    val plan = win.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free window view:\n$plan")
+    // spot-check values: pos p, off o holds x[p+o]
+    val rows = win.orderBy("pos", "off").collect()
+    assert(rows.length == (300 - 5 + 1) * 5)
+    val base = da.elements.orderBy("idx").collect().map(_.getDouble(1))
+    rows.foreach { r =>
+      assert(r.getDouble(2) == base((r.getLong(0) + r.getLong(1)).toInt))
+    }
+  }
+
   test("slice pushdown reaches the parquet scan (PushedFilters)") {
     val da = DArray.fromColumn(spark, sf, "events", "event_id", "value")
       .slice(100, 200).map("v * 2")

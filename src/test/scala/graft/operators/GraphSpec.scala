@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[GraphOps.connectedComponents]] — correctness on adversarial shapes
+  * and the logarithmic-round bound that makes it viable at scale. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def components(pairs: (Long, Long)*): Map[Long, Long] =
+    GraphOps.connectedComponents(edges(pairs: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint components get their min ids as labels") {
+    val c = components((5L, 3L), (3L, 9L), (20L, 21L))
+    assert(c == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("chain graph converges (pointer jumping beats O(diameter))") {
+    // a 64-node path — sorted-neighborhood LSH produces exactly this
+    // shape; plain neighbor-min would need 63 rounds, the jumping step
+    // must close it within the 25-round bound
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val c = components(path: _*)
+    assert(c.size == 64 && c.values.forall(_ == 0L))
+  }
+
+  test("star, cycle and self-contained cluster shapes") {
+    val star = (1L to 10L).map(i => (100L, 100L + i))
+    val cycle = Seq((200L, 201L), (201L, 202L), (202L, 203L), (203L, 200L))
+    val c = components(star ++ cycle: _*)
+    assert(c.filter(_._1 >= 200L).values.toSet == Set(200L))
+    assert(c.filter(_._1 < 200L).values.toSet == Set(100L))
+  }
+}
