@@ -42,13 +42,22 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
   def map(sqlOverV: String): NdArray =
     new NdArray(df.selectExpr(coords :+ s"CAST($sqlOverV AS DOUBLE) AS v": _*), shape)
 
-  /** Aligned elemwise combine — equi-join on all coordinates. */
+  /** Aligned elemwise combine — equi-join on all coordinates. The join is
+    * FULL OUTER with absent cells coalesced to 0.0, honoring the repo-wide
+    * implicit-zero element-table convention ([[DMatrix]] densify, vindex
+    * fill): a gapped table built via [[NdArray.fromFlat]] combines as if
+    * its missing positions held zero instead of silently dropping the
+    * other side's elements. Dense inputs plan identically to an inner
+    * join (no absent keys → no extra rows). */
   def zip(o: NdArray, sqlOverV1V2: String): NdArray = {
     require(shape == o.shape, s"shape mismatch $shape vs ${o.shape}")
     val l = df.withColumnRenamed("v", "v1")
     val r = o.df.withColumnRenamed("v", "v2")
+    // USING-column full outer join coalesces the coordinate keys
+    val joined = l.join(r, coords, "full_outer")
+      .na.fill(0.0, Seq("v1", "v2"))
     new NdArray(
-      l.join(r, coords).selectExpr(coords :+ s"CAST($sqlOverV1V2 AS DOUBLE) AS v": _*),
+      joined.selectExpr(coords :+ s"CAST($sqlOverV1V2 AS DOUBLE) AS v": _*),
       shape)
   }
 
@@ -214,6 +223,14 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     * one shuffle per side + one partial-aggregated shuffle out. */
   def tensordot(o: NdArray, axesA: Seq[Int], axesB: Seq[Int]): NdArray = {
     require(axesA.length == axesB.length && axesA.nonEmpty, "axis lists must match")
+    // numpy rejects repeated or out-of-range contraction axes; a duplicate
+    // here would pass the extent check yet compute a different contraction
+    require(axesA.distinct.length == axesA.length &&
+      axesA.forall(a => a >= 0 && a < rank),
+      s"bad axesA $axesA for rank $rank (must be distinct, in [0,$rank))")
+    require(axesB.distinct.length == axesB.length &&
+      axesB.forall(b => b >= 0 && b < o.rank),
+      s"bad axesB $axesB for rank ${o.rank} (must be distinct, in [0,${o.rank}))")
     axesA.zip(axesB).foreach { case (a, b) =>
       require(shape(a) == o.shape(b),
         s"contracted extents differ: axis $a (${shape(a)}) vs $b (${o.shape(b)})")

@@ -79,11 +79,14 @@ object NpyStack {
     * elements at all are emitted as all-zero files from the driver loop
     * below, so read-side offsets stay aligned. */
   def write(elements: DataFrame, dir: String, blockSize: Long, n: Long): Unit = {
-    val (fs0, base0) = StoreIO.fsOf(dir)
-    fs0.mkdirs(base0)
     val sess = elements.sparkSession
+    val (fs0, base0) = StoreIO.fsOf(dir, sess.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(base0)
     import sess.implicits._
     val numBlocks = ((n + blockSize - 1) / blockSize).max(0)
+    // ship the DRIVER's hadoop conf (carries spark.hadoop.* credentials)
+    val bconf = sess.sparkContext.broadcast(
+      new SerializableHadoopConf(sess.sparkContext.hadoopConfiguration))
     val written = elements
       .where(col("idx") >= 0 && col("idx") < n)
       .selectExpr(s"idx DIV $blockSize AS blk", "idx", "v")
@@ -93,7 +96,7 @@ object NpyStack {
         val len = (math.min((blk + 1) * blockSize, n) - blk * blockSize).toInt
         val vals = new Array[Double](len)
         it.foreach { case (_, idx, v) => vals((idx % blockSize).toInt) = v }
-        val (fs, base) = StoreIO.fsOf(dir) // executor-side, from the URI
+        val (fs, base) = StoreIO.fsOf(dir, bconf.value.value) // driver's conf
         StoreIO.writeFile(fs, new Path(base, s"$blk.npy"), npyBytes(vals))
         (blk, len.toLong)
       }.collect() // drives the write job; returns O(numBlocks) stats
@@ -115,9 +118,10 @@ object NpyStack {
   def read(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // phase 1 (driver, O(numBlocks)): block counts from 128-byte headers
-    val (fs, base) = StoreIO.fsOf(dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val (fs, base) = StoreIO.fsOf(dir, hconf)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    StoreIO.listNames(dir).foreach { name =>
+    StoreIO.listNames(dir, hconf).foreach { name =>
       if (name.endsWith(".npy")) {
         val prefix = StoreIO.readPrefix(fs, new Path(base, name), 128)
         counts += ((name.stripSuffix(".npy").toLong, parseCount(prefix)))

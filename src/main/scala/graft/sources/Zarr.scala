@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * `binaryFile` source, metadata/chunk writes via `Path.getFileSystem`),
   * so the store may live on any configured scheme — local disk, HDFS, or
   * an object store — not just a filesystem shared with the driver.
-  * Executors resolve the FileSystem from the chunk path's own URI with a
-  * default `Configuration`, the standard cluster deployment shape
-  * (core-site.xml on the executor classpath).
+  * Executors resolve the FileSystem from the chunk path's own URI with the
+  * DRIVER's `hadoopConfiguration`, serialized into the write closures via
+  * [[SerializableHadoopConf]] — so `spark.hadoop.*` settings (the usual
+  * home of object-store credentials) apply to chunk writes, matching the
+  * `binaryFile` read path.
   */
 object Zarr {
 
@@ -53,12 +55,37 @@ object Zarr {
 
   // ---- .zarray JSON (hand-rolled: fixed schema, no library dependency) ----
 
+  /** Prefix of `s` covering one balanced `open…close` JSON value —
+    * depth-counted and string-aware, so nested objects/arrays (e.g. a
+    * `chunk_key_encoding` whose `configuration` object precedes `name`)
+    * extract whole regardless of key order. */
+  private def balancedPrefix(s: String, open: Char, close: Char): String = {
+    var depth = 0; var i = 0; var inStr = false; var esc = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else {
+        if (c == '"') inStr = true
+        else if (c == open) depth += 1
+        else if (c == close) {
+          depth -= 1
+          if (depth == 0) return s.substring(0, i + 1)
+        }
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced JSON value: ${s.take(80)}")
+  }
+
   private def jsonField(json: String, key: String): Option[String] = {
     val m = ("\"" + key + "\"\\s*:\\s*").r.findFirstMatchIn(json)
     m.map { mm =>
       val rest = json.substring(mm.end).trim
-      if (rest.startsWith("[")) rest.substring(0, rest.indexOf(']') + 1)
-      else if (rest.startsWith("{")) rest.substring(0, rest.indexOf('}') + 1)
+      if (rest.startsWith("[")) balancedPrefix(rest, '[', ']')
+      else if (rest.startsWith("{")) balancedPrefix(rest, '{', '}')
       else if (rest.startsWith("\"")) rest.substring(0, rest.indexOf('"', 1) + 1)
       else rest.takeWhile(c => c != ',' && c != '}' && c != '\n').trim
     }
@@ -123,6 +150,10 @@ object Zarr {
     // out the way keyOf/chunkGlob address chunks — reject others loudly
     val cke = jsonField(json, "chunk_key_encoding")
     val ckeName = cke.flatMap(o => jsonField(o, "name")).map(_.replace("\"", ""))
+    // if the document declares an encoding it MUST name one we can check —
+    // a name we failed to extract must not silently pass as "default"
+    require(cke.isEmpty || ckeName.isDefined,
+      s"chunk_key_encoding without a name: ${cke.get}")
     require(ckeName.forall(_ == "default"),
       s"unsupported chunk_key_encoding '${ckeName.get}' (only 'default')")
     val sep = cke.flatMap(o => jsonField(o, "separator"))
@@ -243,9 +274,12 @@ object Zarr {
   }
 
   import StoreIO.{fsOf, writeFile}
+  import org.apache.hadoop.conf.Configuration
 
-  def readMeta(dir: String): Meta = {
-    val (fs, base) = fsOf(dir)
+  def readMeta(dir: String): Meta = readMeta(dir, new Configuration())
+
+  def readMeta(dir: String, conf: Configuration): Meta = {
+    val (fs, base) = fsOf(dir, conf)
     val v2 = new Path(base, ".zarray")
     if (fs.exists(v2))
       parseMeta(new String(StoreIO.readFile(fs, v2), StandardCharsets.UTF_8))
@@ -293,8 +327,9 @@ object Zarr {
   }
 
   /** All present chunk coordinates (driver, O(numChunks) listing). */
-  private def presentChunks(dir: String, m: Meta, rank: Int): Seq[Seq[Long]] =
-    StoreIO.glob(dir, chunkGlob(m, rank))
+  private def presentChunks(dir: String, m: Meta, rank: Int,
+                            conf: Configuration): Seq[Seq[Long]] =
+    StoreIO.glob(dir, chunkGlob(m, rank), conf)
       .flatMap(p => chunkCoords(m, rank, p))
 
   /** `fill_value` as a Spark SQL literal — NaN/±Infinity have no bare
@@ -313,11 +348,12 @@ object Zarr {
     * the element table's implicit-zero convention). */
   def read1d(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = readMeta(dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val m = readMeta(dir, hconf)
     require(m.shape.length == 1, s"read1d on ${m.shape.length}-d array")
     val n = m.shape.head
     val c = m.chunks.head
-    val present = presentChunks(dir, m, 1).map(_.head).toSet
+    val present = presentChunks(dir, m, 1, hconf).map(_.head).toSet
     val bc = s.sparkContext.broadcast((m, n, c))
 
     // a store may legitimately have NO chunk objects (every chunk deferred
@@ -359,14 +395,16 @@ object Zarr {
     * `.zarray` store (zlib/raw), 3 a `zarr.json` store (gzip/raw). */
   def write1d(elements: DataFrame, dir: String, n: Long, chunk: Long,
               compressor: Option[String] = None, format: Int = 2): Unit = {
-    val (fs0, base0) = fsOf(dir)
+    val sess = elements.sparkSession
+    val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
     fs0.mkdirs(base0)
     val m = metaFor(format, Seq(n), Seq(chunk), compressor)
     writeMeta(fs0, base0, m)
-    val sess = elements.sparkSession
     import sess.implicits._
     val comp = compressor
-    val bcm = sess.sparkContext.broadcast(m)
+    // ship the DRIVER's hadoop conf (carries spark.hadoop.* credentials)
+    val bcm = sess.sparkContext.broadcast(
+      (m, new SerializableHadoopConf(sess.sparkContext.hadoopConfiguration)))
     val written = elements
       .where(col("idx") >= 0 && col("idx") < n)
       .selectExpr(s"idx DIV $chunk AS blk", "idx", "v")
@@ -375,8 +413,9 @@ object Zarr {
       .mapGroups { (blk, it) =>
         val vals = new Array[Double](chunk.toInt) // full chunk, edge padded
         it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
-        val (fs, base) = fsOf(dir) // executor-side: resolved from the URI
-        writeFile(fs, new Path(base, bcm.value.keyOf(Seq(blk))), encodeChunk(vals, comp))
+        val (meta, sconf) = bcm.value
+        val (fs, base) = fsOf(dir, sconf.value) // executor-side, driver's conf
+        writeFile(fs, new Path(base, meta.keyOf(Seq(blk))), encodeChunk(vals, comp))
         blk
       }.collect().toSet
     var blk = 0L
@@ -414,12 +453,13 @@ object Zarr {
   /** Read a 2-d zarr array as the cell table `(i, j, v)`. */
   def read2d(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = readMeta(dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val m = readMeta(dir, hconf)
     require(m.shape.length == 2, s"read2d on ${m.shape.length}-d array")
     val Seq(rows, cols) = m.shape
     val Seq(cr, cc) = m.chunks
     val bc = s.sparkContext.broadcast(m)
-    val present = presentChunks(dir, m, 2)
+    val present = presentChunks(dir, m, 2, hconf)
       .map { case Seq(a, b) => (a, b) }.toSet
 
     val decoded =
@@ -466,14 +506,16 @@ object Zarr {
   def write2d(cells: DataFrame, dir: String, rows: Long, cols: Long,
               chunkR: Long, chunkC: Long,
               compressor: Option[String] = None, format: Int = 2): Unit = {
-    val (fs0, base0) = fsOf(dir)
+    val sess = cells.sparkSession
+    val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
     fs0.mkdirs(base0)
     val m = metaFor(format, Seq(rows, cols), Seq(chunkR, chunkC), compressor)
     writeMeta(fs0, base0, m)
-    val sess = cells.sparkSession
     import sess.implicits._
     val comp = compressor
-    val bcm = sess.sparkContext.broadcast(m)
+    // ship the DRIVER's hadoop conf (carries spark.hadoop.* credentials)
+    val bcm = sess.sparkContext.broadcast(
+      (m, new SerializableHadoopConf(sess.sparkContext.hadoopConfiguration)))
     val written = cells
       .where(col("i") >= 0 && col("i") < rows && col("j") >= 0 && col("j") < cols)
       .selectExpr(s"i DIV $chunkR AS bi", s"j DIV $chunkC AS bj", "i", "j", "v")
@@ -485,8 +527,9 @@ object Zarr {
         it.foreach { case (_, _, i, j, v) =>
           vals(((i % chunkR) * chunkC + (j % chunkC)).toInt) = v
         }
-        val (fs, base) = fsOf(dir) // executor-side: resolved from the URI
-        writeFile(fs, new Path(base, bcm.value.keyOf(Seq(bi, bj))), encodeChunk(vals, comp))
+        val (meta, sconf) = bcm.value
+        val (fs, base) = fsOf(dir, sconf.value) // executor-side, driver's conf
+        writeFile(fs, new Path(base, meta.keyOf(Seq(bi, bj))), encodeChunk(vals, comp))
         (bi, bj)
       }.collect().toSet
     val gr = (rows + chunkR - 1) / chunkR

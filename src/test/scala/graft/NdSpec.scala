@@ -84,4 +84,38 @@ class NdSpec extends AnyFunSuite {
     val viaReduce = a.map("v * v").reduceAxes(Seq(0, 1), "sum(v)")
     assert(values(dot) == values(viaReduce))
   }
+
+  test("tensordot rejects duplicate and out-of-range contraction axes") {
+    val a = NdArray.tabulate(spark, Seq(3L, 3L, 4L), "c0 + c1 + c2")
+    val b = NdArray.tabulate(spark, Seq(3L, 3L, 4L), "c0 * c1 + c2")
+    // numpy: "repeated axis in `axes` argument" — extents pair up (3,3)
+    // so only the distinctness check can catch this
+    assert(intercept[IllegalArgumentException](
+      a.tensordot(b, Seq(0, 0), Seq(0, 1))).getMessage.contains("axesA"))
+    assert(intercept[IllegalArgumentException](
+      a.tensordot(b, Seq(0, 1), Seq(1, 1))).getMessage.contains("axesB"))
+    assert(intercept[IllegalArgumentException](
+      a.tensordot(b, Seq(3), Seq(0))).getMessage.contains("axesA"))
+    assert(intercept[IllegalArgumentException](
+      a.tensordot(b, Seq(0), Seq(-1))).getMessage.contains("axesB"))
+  }
+
+  test("zip honors the implicit-zero convention on gapped element tables") {
+    val s = spark // stable identifier for the implicits import
+    import s.implicits._
+    // dense 2x3 of ones vs a gapped table holding only positions 0 and 4
+    val dense = NdArray.tabulate(spark, Seq(2L, 3L), "1")
+    val gapped = NdArray.fromFlat(
+      Seq((0L, 10.0), (4L, 40.0)).toDF("idx", "v"), Seq(2L, 3L))
+    val sum = dense.zip(gapped, "v1 + v2")
+    // absent gapped cells combine as zero — NOT dropped
+    assert(values(sum) == Seq(11.0, 1.0, 1.0, 1.0, 41.0, 1.0))
+    // symmetric: gapped on the left
+    assert(values(gapped.zip(dense, "v1 + v2")) == Seq(11.0, 1.0, 1.0, 1.0, 41.0, 1.0))
+    // both sides gapped, disjoint keys — union of positions survives
+    val g2 = NdArray.fromFlat(Seq((1L, 2.0)).toDF("idx", "v"), Seq(2L, 3L))
+    val s2 = gapped.zip(g2, "v1 + v2")
+    val cells = s2.ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(cells.toSeq == Seq((0L, 10.0), (1L, 2.0), (4L, 40.0)))
+  }
 }

@@ -233,4 +233,31 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException](Zarr.parseMeta(json))
     assert(e.getMessage.contains("zlib"))
   }
+
+  test("v3 metadata parsing is key-order independent (nested objects)") {
+    // chunk_key_encoding with its configuration object BEFORE the name: a
+    // first-}-terminated extractor would truncate at the inner brace, lose
+    // the name, and silently read a non-default encoding as default
+    val reordered =
+      """{"zarr_format": 3, "shape": [8], "data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"chunk_key_encoding": {"configuration": {"separator": "."}, "name": "v2"},
+        |"fill_value": 0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](Zarr.parseMetaV3(reordered))
+    assert(e.getMessage.contains("chunk_key_encoding"), e.getMessage)
+    // same ordering with the default encoding parses fine, separator kept
+    val ok = reordered.replace("\"name\": \"v2\"", "\"name\": \"default\"")
+    val m = Zarr.parseMetaV3(ok)
+    assert(m.sep == ".")
+    // an encoding object with NO extractable name must not pass vacuously
+    val anon =
+      """{"zarr_format": 3, "shape": [8], "data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"chunk_key_encoding": {"configuration": {"separator": "."}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    assert(intercept[IllegalArgumentException](
+      Zarr.parseMetaV3(anon)).getMessage.contains("without a name"))
+  }
 }

@@ -10,7 +10,8 @@ class GraphSpec extends AnyFunSuite {
   import TestSpark.spark
 
   private def edges(pairs: (Long, Long)*) = {
-    import spark.implicits._
+    val s = spark // stable identifier for the implicits import
+    import s.implicits._
     pairs.toDF("a", "b")
   }
 
