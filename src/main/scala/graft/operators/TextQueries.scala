@@ -288,6 +288,56 @@ object TextQueries {
         .distinct()
         .orderBy(col("ham"), col("a"), col("b")).limit(20)
     }),
+
+    // train/eval CONTAMINATION detection (the decontamination step of a
+    // training pipeline: flag training docs sharing n-gram content with a
+    // held-out benchmark). Eval set = doc_id % 7 = 3; score = fraction of
+    // a training doc's DISTINCT char-3-gram hashes that appear anywhere
+    // in the eval set. Scale shape: the eval side collapses to its
+    // distinct hash set (bounded by the hash space, broadcastable at any
+    // corpus size); the training side is one explode + one broadcast
+    // join + one partial-aggregated groupBy — no pair join at all.
+    "t14_contamination" -> ((s, d) => {
+      val sig = sigTable(s, d).select("doc_id", "dhl")
+      val train = sig.where("doc_id % 7 <> 3")
+        .selectExpr("doc_id AS tid", "size(dhl) AS nt", "explode(dhl) AS h")
+      val evalH = sig.where("doc_id % 7 = 3")
+        .selectExpr("explode(dhl) AS h").distinct()
+      train.join(broadcast(evalH), "h")
+        .groupBy("tid", "nt")
+        .agg(count(lit(1)).as("shared"))
+        .selectExpr("tid", "CAST(shared AS BIGINT) AS shared",
+          "round(CAST(shared AS DOUBLE) / nt, 4) AS ratio")
+        .orderBy(col("ratio").desc, col("tid")).limit(20)
+    }),
+
+    // SEQUENCE PACKING (concat-and-chunk): documents concatenated in
+    // doc_id order and split into fixed 2048-token windows; a doc's bin
+    // is the window its first token lands in. The global running offset
+    // uses the engine's blocked two-phase carry (same shape as CumVec):
+    // an in-block prefix sum partitioned by a 1000-doc block plus an
+    // O(numBlocks) carry table — never a global Window.orderBy over the
+    // corpus. One scan, one block-partitioned exchange, one broadcast.
+    "t15_seq_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, d).selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS nt", "doc_id DIV 1000 AS blk")
+      val within = t.withColumn("wi",
+        sum("nt").over(Window.partitionBy("blk").orderBy("doc_id")))
+      val carry = t.groupBy("blk").agg(sum("nt").as("bt"))
+        .withColumn("carry", coalesce(sum("bt").over(
+          Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("blk", "carry")
+      within.join(broadcast(carry), "blk")
+        .selectExpr("doc_id", "nt", "(carry + wi - nt) DIV 2048 AS bin")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("toks"),
+          min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+        .selectExpr("bin", "CAST(n_docs AS BIGINT) AS n_docs",
+          "CAST(toks AS BIGINT) AS toks", "first_id", "last_id")
+        .orderBy("bin")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,5 +429,25 @@ object TextQueries {
           FROM br x JOIN br y
             ON x.t = y.t AND x.bh = y.bh AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY ham, a, b LIMIT 20""",
+
+    "t14_contamination" ->
+      s"""WITH sig AS (SELECT doc_id, dhl FROM $duckHashed),
+          tr AS (SELECT doc_id AS tid, len(dhl) AS nt, unnest(dhl) AS h
+                 FROM sig WHERE doc_id % 7 <> 3),
+          ev AS (SELECT DISTINCT unnest(dhl) AS h FROM sig WHERE doc_id % 7 = 3)
+          SELECT tid, CAST(count(*) AS BIGINT) AS shared,
+            round(CAST(count(*) AS DOUBLE) / nt, 4) AS ratio
+          FROM tr JOIN ev USING (h)
+          GROUP BY tid, nt ORDER BY ratio DESC, tid LIMIT 20""",
+
+    "t15_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+          c AS (SELECT doc_id, nt,
+            CAST(sum(nt) OVER (ORDER BY doc_id) - nt AS BIGINT) AS pos FROM t)
+          SELECT CAST(pos // 2048 AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS toks,
+            min(doc_id) AS first_id, max(doc_id) AS last_id
+          FROM c GROUP BY 1 ORDER BY bin""",
   )
 }
