@@ -21,6 +21,10 @@ import scala.annotation.tailrec
   *      (reference `FromArray._accept_slice`, `dask_array/io/_from_array.py`)
   *   7. slice-into-range        — affine refit (slice of arange is arange)
   *   8. identity elision        — `Map(x,"v") → x`, `Slice(x, 0, len) → x`
+  *   9. slice-through-repeat/-setitem — bounds keep pruning at the scan
+  *      below partial repeats and copy-on-write point updates
+  *  10. map-through-concat      — same idx-free kernel both sides pulls
+  *      above the union so adjacent-piece coalescing can fuse the scans
   *
   * Sharing gate (reference `_slice_pushdown`, `dask_array/_expr.py:431-468`):
   * a slice only pushes below a node all of whose dependents are slices —
@@ -196,6 +200,41 @@ object Simplify {
         else ConcatVec(
           simplifyNode(SliceVec(a, lo, na), parents),
           simplifyNode(SliceVec(b, 0, hi - na), parents))
+      }
+
+    // map-through-concat (same idx-free kernel both sides): pulling the
+    // map ABOVE the union lets adjacent-piece coalescing fuse the scans
+    // underneath — `x[0:100].map(f) ++ x[100:200].map(f)` becomes one
+    // scan + one kernel (reference blockwise-over-Concatenate fusion)
+    case ConcatVec(MapVec(a, e1), MapVec(b, e2))
+        if e1 == e2 && !VecExpr.usesIdx(e1) =>
+      simplifyNode(MapVec(simplifyNode(ConcatVec(a, b), parents), e1), parents)
+
+    // slice-through-repeat: out[p] = c[p div k], so [lo,hi) needs child
+    // rows [lo div k, (hi-1) div k]. Fires only when that child range is
+    // strictly narrower (otherwise it rewrites to itself forever); the
+    // residual outer slice trims the partial first/last repeats.
+    case s0 @ SliceVec(rp @ RepeatVec(c, k), lo, hi) if hi > lo && lo >= 0 =>
+      val cl = lo / k
+      val ch = (hi - 1) / k + 1
+      val shrinks = cl > 0 || (c.length >= 0 && ch < c.length)
+      if (!allDependentsAreSlices(rp, parents) || !shrinks) s0
+      else simplifyNode(
+        SliceVec(RepeatVec(simplifyNode(SliceVec(c, cl, ch), parents), k),
+          lo - cl * k, hi - cl * k), parents)
+
+    // slice-through-setitem: keep only the point updates the bound can
+    // see, rebased — the slice keeps pruning at the scan below the
+    // copy-on-write projection (reference SetItem is blockwise, so slice
+    // pushdown passes it like any elemwise)
+    case s0 @ SliceVec(si @ SetItemVec(c, updates), lo, hi) =>
+      if (!allDependentsAreSlices(si, parents)) s0
+      else {
+        val kept = updates.collect {
+          case (i, x) if i >= lo && i < hi => (i - lo, x)
+        }
+        val sliced = simplifyNode(SliceVec(c, lo, hi), parents)
+        if (kept.isEmpty) sliced else SetItemVec(sliced, kept)
       }
 
     case s @ SliceVec(m @ MapVec(c, e1), lo, hi) =>

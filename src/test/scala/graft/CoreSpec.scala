@@ -256,6 +256,53 @@ class SimplifySpec extends AnyFunSuite {
     }
   }
 
+  test("slice pushes through repeat: partial repeats trim, scan prunes") {
+    // x.repeatEach(3)[7:13) reads child rows 2..4 only; the residual
+    // outer slice trims the partial first/last repeats
+    val e = SliceVec(RepeatVec(src, 3), 7, 13)
+    Simplify(e) match {
+      case SliceVec(RepeatVec(ColumnVec(_, _, _, Some((2L, 5L))), 3), 1, 7) => ()
+      case other => fail(s"repeat not pruned: ${other.pprint()}")
+    }
+    // whole-range slice over a known-length child must not loop or rewrite
+    val whole = SliceVec(RepeatVec(RangeVec(0, 1, 10), 3), 0, 30)
+    Simplify(whole) match {
+      case RepeatVec(RangeVec(0, 1, 10), 3) => () // identity elision only
+      case other => fail(s"unexpected: ${other.pprint()}")
+    }
+  }
+
+  test("slice pushes through setitem: updates filter and rebase") {
+    val e = SliceVec(
+      SetItemVec(src, Seq((5L, 9.0), (15L, 3.0), (25L, 1.0))), 10, 20)
+    Simplify(e) match {
+      case SetItemVec(ColumnVec(_, _, _, Some((10L, 20L))), Seq((5L, 3.0))) => ()
+      case other => fail(s"setitem not pushed: ${other.pprint()}")
+    }
+    // no surviving updates → the setitem node disappears entirely
+    val e2 = SliceVec(SetItemVec(src, Seq((5L, 9.0))), 10, 20)
+    Simplify(e2) match {
+      case ColumnVec(_, _, _, Some((10L, 20L))) => ()
+      case other => fail(s"empty setitem kept: ${other.pprint()}")
+    }
+  }
+
+  test("concat of same-kernel maps fuses to one scan") {
+    val a = MapVec(ColumnVec("events", "event_id", "value", Some((0L, 100L))), "v * 2")
+    val b = MapVec(ColumnVec("events", "event_id", "value", Some((100L, 200L))), "v * 2")
+    Simplify(ConcatVec(a, b)) match {
+      case MapVec(ColumnVec(_, _, _, Some((0L, 200L))), "v * 2") => ()
+      case other => fail(s"maps not pulled above concat: ${other.pprint()}")
+    }
+    // idx-dependent kernels must NOT pull up (right side positions shift)
+    val ai = MapVec(ColumnVec("events", "event_id", "value", Some((0L, 100L))), "v + idx")
+    val bi = MapVec(ColumnVec("events", "event_id", "value", Some((100L, 200L))), "v + idx")
+    Simplify(ConcatVec(ai, bi)) match {
+      case ConcatVec(_, _) => ()
+      case other => fail(s"idx kernel wrongly pulled up: ${other.pprint()}")
+    }
+  }
+
   test("content-addressed names: identical trees share a name") {
     val a = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")
     val b = MapVec(ColumnVec("events", "event_id", "value"), "v * 2")

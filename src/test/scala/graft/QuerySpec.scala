@@ -111,6 +111,39 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("t14 contamination: eval hash set joins as broadcast (no pair join)") {
+    val df = SparkEntry.queries("t14_contamination")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast of the eval hash set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"contamination must not shuffle-join the corpus:\n$plan")
+  }
+
+  test("t15 sequence packing: block-partitioned prefix sum + broadcast carry") {
+    val df = SparkEntry.queries("t15_seq_packing")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the data-sized window runs per 1000-doc block, never globally
+    assert(plan.contains("windowspecdefinition(blk"),
+      s"expected blk-partitioned prefix-sum window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the O(numBlocks) carry table broadcast back:\n$plan")
+    // values match the single-window definition (fine at sf0.001 scale)
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS nt")
+      .selectExpr("doc_id", "nt",
+        "sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS pos")
+      .selectExpr("pos DIV 2048 AS bin", "nt", "doc_id")
+      .groupBy("bin")
+      .agg(
+        org.apache.spark.sql.functions.expr("CAST(count(*) AS BIGINT)").as("n_docs"),
+        org.apache.spark.sql.functions.expr("CAST(sum(nt) AS BIGINT)").as("toks"),
+        org.apache.spark.sql.functions.expr("min(doc_id)").as("first_id"),
+        org.apache.spark.sql.functions.expr("max(doc_id)").as("last_id"))
+      .orderBy("bin")
+    assert(df.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("slice pushdown reaches the parquet scan (PushedFilters)") {
     val da = DArray.fromColumn(spark, sf, "events", "event_id", "value")
       .slice(100, 200).map("v * 2")
