@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lazy N-dimensional array of arbitrary rank as an element table
@@ -211,6 +211,61 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
       val proj = kept.zipWithIndex.map { case (src, dst) => s"c$src AS c$dst" } :+ "v"
       new NdArray(agged.selectExpr(proj: _*), kept.map(shape))
     }
+  }
+
+  /** Cumulative reduction along one axis at any rank (numpy
+    * `cumsum/cummin/cummax(axis=k)`; reference
+    * `reductions/_cumulative.py:100` runs the same per-block scan + carry
+    * chain per line). Scale shape: each "line" (fixed other coordinates)
+    * is cut into `blockSize` pieces — the in-line prefix scan runs in a
+    * window partitioned by (line, block), so no window group ever exceeds
+    * `blockSize` rows no matter how long the axis is; block totals carry
+    * forward through a window partitioned by line over the
+    * O(axisLen/blockSize) block rows. Never a whole-line (let alone
+    * global) unpartitioned sort. Requires a DENSE element table along the
+    * axis (like [[NdArray.fromFlat]] outputs); absent cells would break
+    * the running value's positions. */
+  def cumAxis(axis: Int, op: String = "sum", blockSize: Long = 1024L): NdArray = {
+    require(axis >= 0 && axis < rank, s"bad axis $axis for rank $rank")
+    import org.apache.spark.sql.expressions.Window
+    val others = (0 until rank).filterNot(_ == axis).map(a => s"c$a")
+    val (aggF, combine): (Column => Column, (Column, Column) => Column) = op match {
+      case "sum" => ((c: Column) => sum(c),
+        (l: Column, cr: Column) => l + coalesce(cr, lit(0.0)))
+      case "min" => ((c: Column) => min(c),
+        (l: Column, cr: Column) => when(cr.isNull, l).otherwise(least(l, cr)))
+      case "max" => ((c: Column) => max(c),
+        (l: Column, cr: Column) => when(cr.isNull, l).otherwise(greatest(l, cr)))
+      case other => throw new IllegalArgumentException(s"cumAxis op $other")
+    }
+    val base = df.withColumn("blk", expr(s"c$axis DIV $blockSize"))
+    val grp = "blk" +: others
+    val wLocal = Window.partitionBy(grp.map(col): _*).orderBy(col(s"c$axis"))
+    val local = base.withColumn("lv", aggF(col("v")).over(wLocal))
+    val wCarry = Window.partitionBy(others.map(col): _*).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy(grp.map(col): _*).agg(aggF(col("v")).as("bt"))
+      .withColumn("cr", aggF(col("bt")).over(wCarry))
+      .select(grp.map(col) :+ col("cr"): _*)
+    val joined = local.join(carry, grp)
+    new NdArray(
+      joined.select(coords.map(col) :+
+        combine(col("lv"), col("cr")).cast("double").as("v"): _*),
+      shape)
+  }
+
+  /** Difference along one axis (numpy `diff(axis=k)`): a pure composition
+    * of two rectangular slices and the aligned zip —
+    * `out[…,c,…] = x[…,c+1,…] - x[…,c,…]`, axis extent shrinks by 1.
+    * Both slices are range predicates pushed to the scan; the zip is one
+    * coordinate-aligned join. */
+  def diffAxis(axis: Int): NdArray = {
+    require(axis >= 0 && axis < rank, s"bad axis $axis for rank $rank")
+    require(shape(axis) >= 2, s"axis $axis extent ${shape(axis)} too short to diff")
+    val full = shape.map(n => (0L, n))
+    val hi = slice(full.updated(axis, (1L, shape(axis))))
+    val lo = slice(full.updated(axis, (0L, shape(axis) - 1)))
+    hi.zip(lo, "v1 - v2")
   }
 
   // ---- contraction ---------------------------------------------------------

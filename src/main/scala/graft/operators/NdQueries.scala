@@ -94,7 +94,19 @@ object NdQueries {
       NdArray.fromFlat(flat, Seq(5L, 8L, 9L)).elements
         .selectExpr("c0", "c1", "c2", "v", "c0 * 72 + c1 * 9 + c2 AS flat")
         .orderBy("flat")
-    }))
+    }),
+
+    // cumulative sum along ONE axis of a rank-4 array: per-line blocked
+    // prefix scan + per-line block-carry — no window group ever exceeds
+    // the block size (blockSize forced tiny so the carry path is what
+    // this query exercises)
+    "n09_nd_cum_axis" -> ((s, d) =>
+      A4.spark(s).cumAxis(2, "sum", blockSize = 2L).ravel.orderBy("idx")),
+
+    // diff along one axis: two pushed rectangular slices + one aligned
+    // zip (out[…,c,…] = x[…,c+1,…] - x[…,c,…])
+    "n10_nd_diff_axis" -> ((s, d) =>
+      A4.spark(s).diffAxis(1).ravel.orderBy("idx")))
 
   val oracles: Map[String, String] = Map(
     "n01_nd_axis_reduce" ->
@@ -148,6 +160,22 @@ object NdQueries {
       """SELECT event_id // 72 AS c0, (event_id // 9) % 8 AS c1,
             event_id % 9 AS c2, value AS v, event_id AS flat
          FROM events WHERE event_id < 360 ORDER BY flat""",
+
+    // running sum over c2 per (c0,c1,c3) line; ravel strides (120,30,6,1)
+    "n09_nd_cum_axis" ->
+      s"""SELECT CAST(c0 * 120 + c1 * 30 + c2 * 6 + c3 AS BIGINT) AS idx,
+            CAST(sum(v) OVER (PARTITION BY c0, c1, c3 ORDER BY c2) AS DOUBLE) AS v
+          FROM ${A4.duck} ORDER BY idx""",
+
+    // out c1 in 0..2 holds x[c1+1] - x[c1]; result shape (3,3,5,6),
+    // strides (90,30,6,1)
+    "n10_nd_diff_axis" ->
+      s"""SELECT CAST(c0 * 90 + c1 * 30 + c2 * 6 + c3 AS BIGINT) AS idx,
+            CAST(nv - v AS DOUBLE) AS v FROM (
+            SELECT c0, c1, c2, c3, v,
+              lead(v) OVER (PARTITION BY c0, c2, c3 ORDER BY c1) AS nv
+            FROM ${A4.duck})
+          WHERE c1 < 3 ORDER BY idx""",
 
     // flip maps out c1 = 3 - src c1; the roll permutes within the summed
     // axis (sum-invariant); b lands at c1 + 4

@@ -100,6 +100,33 @@ class NdSpec extends AnyFunSuite {
       a.tensordot(b, Seq(0), Seq(-1))).getMessage.contains("axesB"))
   }
 
+  test("cumAxis: blocked carry matches a direct per-line scan (sum/min/max)") {
+    val a = NdArray.tabulate(spark, Seq(2L, 7L, 3L), "((c0*11 + c1*5 + c2*3) % 9) - 4")
+    // tiny blocks force the carry path; direct = single-window reference
+    def direct(op: String): Seq[Double] = {
+      val agg = op match {
+        case "sum" => "sum(v)"; case "min" => "min(v)"; case "max" => "max(v)"
+      }
+      a.df.selectExpr("c0", "c1", "c2",
+        s"$agg OVER (PARTITION BY c0, c2 ORDER BY c1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v")
+        .selectExpr("c0 * 21 + c1 * 3 + c2 AS idx", "CAST(v AS DOUBLE) AS v")
+        .orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    }
+    for (op <- Seq("sum", "min", "max"))
+      assert(values(a.cumAxis(1, op, blockSize = 2L)) == direct(op), op)
+  }
+
+  test("diffAxis shrinks the axis and matches elementwise differences") {
+    val a = NdArray.tabulate(spark, Seq(3L, 4L, 5L), "(c0*7 + c1*3 + c2) % 11")
+    val d = a.diffAxis(2)
+    assert(d.shape == Seq(3L, 4L, 4L))
+    val base = values(a) // row-major: c2 fastest
+    val exp = for {
+      i <- 0 until 12; j <- 0 until 4
+    } yield base(i * 5 + j + 1) - base(i * 5 + j)
+    assert(values(d) == exp)
+  }
+
   test("zip honors the implicit-zero convention on gapped element tables") {
     val s = spark // stable identifier for the implicits import
     import s.implicits._
