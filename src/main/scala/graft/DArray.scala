@@ -320,6 +320,16 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
       .where(s"pos >= 0 AND pos <= ${n - w}")
   }
 
+  /** Binary reinterpret to int64 (reference `view('i8')` — same buffer,
+    * new dtype): the raw IEEE-754 bit pattern of every element, via the
+    * native codegen'd `graft_bits` expression ([[graft.functions.BitsOf]]);
+    * a pure projection, zero movement. Bit patterns exceed double's
+    * 53-bit exact-integer range, so the result is a BIGINT DataFrame
+    * rather than a DOUBLE-valued DArray. Needs
+    * `GraftFunctions.register(spark)` (every SparkEntry query runs
+    * behind it). */
+  def viewBits: DataFrame = elements.selectExpr("idx", "graft_bits(v) AS bits")
+
   def pprint: String = exprTree.pprint()
   def pprintOptimized: String = optimized.pprint()
 }

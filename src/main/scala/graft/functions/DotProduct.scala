@@ -99,7 +99,7 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration for the native expressions (idempotent). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       { exprs =>
@@ -107,4 +107,19 @@ object GraftFunctions {
         DotProduct(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bits",
+      { exprs =>
+        require(exprs.length == 1, s"graft_bits takes 1 arg, got ${exprs.length}")
+        BitsOf(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_from_bits",
+      { exprs =>
+        require(exprs.length == 1, s"graft_from_bits takes 1 arg, got ${exprs.length}")
+        FromBits(exprs.head)
+      },
+      "built-in")
+  }
 }

@@ -203,6 +203,19 @@ object ArrayQueries {
     "q82_sliding_window_view" -> ((s, d) =>
       events(s, d).slice(0, 300).slidingWindowView(7).orderBy("pos", "off")),
 
+    // view / binary reinterpret (reference `view`: same buffer, new
+    // dtype): float64 -> int64 raw IEEE-754 bits via the native codegen'd
+    // graft_bits / graft_from_bits expressions; the oracle reconstructs
+    // the bit patterns with exact integer arithmetic (values 1..200 have
+    // <= 8 significant bits, so the mantissa product is exact)
+    "q83_view" -> ((s, d) =>
+      graft.DArray.arange(s, d, 1.0, 201.0, 1.0).elements.selectExpr(
+        "idx",
+        "graft_bits(v) AS bits",
+        "graft_bits(-v) AS nbits",
+        "CAST(graft_from_bits(graft_bits(v)) AS BIGINT) AS back")
+        .orderBy("idx")),
+
     "q21_roll" -> ((s, d) => events(s, d).roll(137).elements.orderBy("idx")),
     "q22_flip" -> ((s, d) => events(s, d).flip.elements.orderBy("idx")),
 
@@ -896,6 +909,22 @@ object ArrayQueries {
          FROM events e CROSS JOIN range(7) o(i)
          WHERE e.event_id < 300 AND e.event_id - o.i >= 0 AND e.event_id - o.i <= 293
          ORDER BY pos, off""",
+
+    "q83_view" ->
+      """WITH t AS (SELECT x AS idx, CAST(x + 1 AS DOUBLE) AS v,
+            CASE WHEN x + 1 >= 128 THEN 7 WHEN x + 1 >= 64 THEN 6
+                 WHEN x + 1 >= 32 THEN 5 WHEN x + 1 >= 16 THEN 4
+                 WHEN x + 1 >= 8 THEN 3 WHEN x + 1 >= 4 THEN 2
+                 WHEN x + 1 >= 2 THEN 1 ELSE 0 END AS e
+            FROM range(200) r(x)),
+          b AS (SELECT idx, v,
+            CAST((1023 + e) * 4503599627370496 +
+              CAST((v / power(2, e) - 1) * 4503599627370496 AS BIGINT)
+              AS BIGINT) AS bits FROM t)
+          SELECT idx, bits,
+            CAST(bits + (-9223372036854775807 - 1) AS BIGINT) AS nbits,
+            CAST(v AS BIGINT) AS back
+          FROM b ORDER BY idx""",
 
     "q21_roll" ->
       """SELECT (event_id + 137) % (SELECT count(*) FROM events) AS idx,

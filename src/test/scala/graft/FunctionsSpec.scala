@@ -99,6 +99,32 @@ class FunctionsSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("graft_bits/graft_from_bits: raw-bit round trip, NaN payloads, signed zero") {
+    GraftFunctions.register(spark)
+    val rows = spark.range(1).selectExpr(
+      "graft_bits(CAST(1 AS DOUBLE)) AS one",          // 0x3FF0000000000000
+      "graft_bits(CAST(-2 AS DOUBLE)) AS negTwo",      // sign bit + 0x4000...
+      "graft_bits(CAST('-0.0' AS DOUBLE)) AS negZero", // just the sign bit
+      "graft_from_bits(9221120237041090561) AS nanBack", // NaN w/ payload 1
+      "graft_bits(graft_from_bits(9221120237041090561)) AS nanBits" // raw-preserved
+    ).head()
+    assert(rows.getLong(0) == java.lang.Double.doubleToRawLongBits(1.0))
+    assert(rows.getLong(1) == java.lang.Double.doubleToRawLongBits(-2.0))
+    assert(rows.getLong(2) == java.lang.Long.MIN_VALUE) // -0.0 = sign bit only
+    assert(rows.getDouble(3).isNaN)
+    // the payload survives the round trip — buffer semantics, not value
+    assert(rows.getLong(4) == 9221120237041090561L)
+  }
+
+  test("graft_bits stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val q = spark.range(100).selectExpr("graft_bits(CAST(id AS DOUBLE)) AS b")
+    val plan = q.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_bits")).getOrElse("")
+    assert(line.trim.startsWith("*"), s"graft_bits outside codegen:\n$plan")
+    assert(q.where("b <> 0").count() == 99) // bits(0.0) == 0
+  }
+
   test("graft_dot stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range source so ConvertToLocalRelation can't fold the plan away
