@@ -84,6 +84,53 @@ object StreamOps {
   def enrich(ev: Dataset[Ev], dim: DataFrame, key: String = "user"): DataFrame =
     ev.join(broadcast(dim), key)
 
+  final case class SigDoc(ts: Timestamp, doc_id: Long, band: Int, bh: Long, sig: Long)
+  final case class CandPair(a: Long, b: Long, ham: Int)
+
+  /** Streaming NEAR-duplicate candidate detection — the online half of
+    * the batch LSH pipeline (t06/t11): documents arrive with their band
+    * bucket (band, bh) and signature (e.g. simhash); each doc pairs with
+    * the ≤ `w` most recent docs in its bucket and reports the exact
+    * Hamming distance. State per bucket is a bounded `w`-deep list (the
+    * streaming twin of the batch sorted-neighborhood window — the same
+    * O(n·w) pair bound a 100 TB ingest needs), evicted by event-time
+    * timeout once the watermark passes `evictAfterMs` beyond the bucket's
+    * last arrival — state can never grow with stream length. A pair that
+    * collides in several bands can be emitted once per band; downstream
+    * consumers dedup exactly like the batch pipeline's DISTINCT. */
+  def nearDupCandidates(docs: Dataset[SigDoc], w: Int = 8,
+                        watermark: String = "10 seconds",
+                        evictAfterMs: Long = 30000L): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    docs.withWatermark("ts", watermark)
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[List[(Long, Long)], CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var recent = state.getOption.getOrElse(Nil) // newest first, ≤ w
+            val out = List.newBuilder[CandPair]
+            var maxTs = 0L
+            // arrival order within the batch: event time, then id — makes
+            // the emitted pair set deterministic for a given batch split
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              recent.foreach { case (id, sig) =>
+                if (id != d.doc_id)
+                  out += CandPair(math.min(id, d.doc_id), math.max(id, d.doc_id),
+                    java.lang.Long.bitCount(sig ^ d.sig))
+              }
+              recent = ((d.doc_id, d.sig) :: recent).take(w)
+              maxTs = math.max(maxTs, d.ts.getTime)
+            }
+            state.update(recent)
+            state.setTimeoutTimestamp(maxTs + evictAfterMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
     * buffer (total, n), merged exactly like `Aggregator.merge`. */

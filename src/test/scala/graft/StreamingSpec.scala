@@ -160,4 +160,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last(2L) == ((2L, 7.0, 1L)), s"got $last")
     } finally q.stop()
   }
+
+  test("streaming near-dup candidates: bucket-windowed pairs, bounded state") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.SigDoc
+    val in = MemoryStream[SigDoc]
+    // w = 2: each doc pairs with at most the 2 most recent in its bucket
+    val q = StreamOps.nearDupCandidates(in.toDS(), w = 2)
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      // bucket (0,5): docs 1, 2 with signatures 2 bits apart; bucket
+      // (1,9): doc 3 alone — no cross-bucket pairs
+      in.addData(
+        SigDoc(ts(1), 1L, 0, 5L, 0xF0L),
+        SigDoc(ts(2), 2L, 0, 5L, 0xF3L),
+        SigDoc(ts(2), 3L, 1, 9L, 0xF0L))
+      q.processAllAvailable()
+      // same bucket, later: doc 4 pairs with docs 3..eh, with the last 2
+      // = (2, 1); then doc 5 pairs with (4, 2) only — doc 1 fell out of
+      // the w=2 window, proving the state bound
+      in.addData(SigDoc(ts(3), 4L, 0, 5L, 0xF0L))
+      q.processAllAvailable()
+      in.addData(SigDoc(ts(4), 5L, 0, 5L, 0xF3L))
+      q.processAllAvailable()
+      val pairs = sp.table("nd").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs == Set(
+        (1L, 2L, 2),  // batch 1, shared bucket
+        (1L, 4L, 0), (2L, 4L, 2), // doc 4 vs the last two
+        (2L, 5L, 0), (4L, 5L, 2)  // doc 5 vs the last two — NOT doc 1
+      ), s"got $pairs")
+    } finally q.stop()
+  }
 }
