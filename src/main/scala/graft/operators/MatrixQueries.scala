@@ -295,6 +295,20 @@ object MatrixQueries {
       graft.sources.Zarr.read2d(s, dir).where("v <> 0").orderBy("i", "j")
     }),
 
+    // N-d zarr round trip (the reference is N-d throughout): a rank-3
+    // array with UNEVEN edge chunks written via the rank-generic writer
+    // (one task per chunk, C-order, edge padding) and read back through
+    // readNd → NdArray; zero cells drop per the implicit-zero convention,
+    // so both sides filter v <> 0
+    "z04_zarr_nd" -> ((s, d) => {
+      val dir = s"/tmp/graft_zarr_z04_${new java.io.File(d).getName}"
+      val a = graft.NdArray.tabulate(s, Seq(6L, 5L, 4L), "(c0*7 + c1*3 + c2) % 11")
+      graft.sources.Zarr.writeNd(a, dir, Seq(4L, 2L, 3L),
+        compressor = Some("gzip"), format = 3)
+      graft.sources.Zarr.readNd(s, dir).elements
+        .where("v <> 0").orderBy("c0", "c1", "c2")
+    }),
+
     // zarr v3 round trip (zarr.json metadata, c/-prefixed chunk keys,
     // bytes+gzip codec chain) — same codec-bit-exactness contract as z01
     "z03_zarr_v3" -> ((s, d) => {
@@ -644,6 +658,12 @@ object MatrixQueries {
     "z03_zarr_v3" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    "z04_zarr_nd" ->
+      """SELECT c0, c1, c2, CAST((c0*7 + c1*3 + c2) % 11 AS DOUBLE) AS v
+         FROM (SELECT x // 20 AS c0, (x // 4) % 5 AS c1, x % 4 AS c2
+               FROM range(120) t(x))
+         WHERE (c0*7 + c1*3 + c2) % 11 <> 0 ORDER BY c0, c1, c2""",
 
     "l07_lstsq" ->
       """SELECT CAST(1.0 AS DOUBLE) AS x0, CAST(-2.0 AS DOUBLE) AS x1,

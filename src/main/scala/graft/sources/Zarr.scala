@@ -502,6 +502,143 @@ object Zarr {
     }
   }
 
+  // ---- N-d (any rank) ------------------------------------------------------
+
+  /** Read a zarr array of ANY rank as a [[graft.NdArray]] (the reference
+    * is N-d throughout; 1-d/2-d above stay the tuned element/cell-table
+    * fast paths). Same scale shape: O(numChunks) driver manifest, one
+    * distributed `binaryFile` scan, chunk payloads decoded to flat
+    * row-major positions (exact integer stride arithmetic) and rebuilt as
+    * the coordinate table via `NdArray.fromFlat`. Missing chunks
+    * contribute `fill_value` rows generated from `spark.range` (skipped
+    * when fill is 0 — implicit-zero convention). */
+  def readNd(s: SparkSession, dir: String): graft.NdArray = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val m = readMeta(dir, hconf)
+    val rank = m.shape.length
+    val present = presentChunks(dir, m, rank, hconf).map(_.toVector).toSet
+    val bc = s.sparkContext.broadcast(m)
+    // row-major strides over the FULL shape and the chunk shape
+    def stridesOf(sh: Seq[Long]): Seq[Long] = sh.scanRight(1L)(_ * _).tail
+    val st = stridesOf(m.shape)
+    val cst = stridesOf(m.chunks)
+    val chunkVol = m.chunks.product
+
+    val decoded: DataFrame =
+      if (present.isEmpty)
+        s.range(0).selectExpr("id AS idx", "CAST(0 AS DOUBLE) AS v")
+      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, rank)}")
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val meta = bc.value
+          val r = meta.shape.length
+          val cs = meta.chunks
+          val lst = cs.scanRight(1L)(_ * _).tail
+          val fst = meta.shape.scanRight(1L)(_ * _).tail
+          chunkCoords(meta, r, path).iterator.flatMap { bcoords =>
+            val nVals = cs.product.toInt
+            val vals = decodeChunk(content, nVals, meta.compressor)
+            (0 until nVals).iterator.flatMap { p =>
+              var flat = 0L; var ok = true; var a = 0
+              while (a < r && ok) {
+                val coord = bcoords(a) * cs(a) + (p / lst(a)) % cs(a)
+                if (coord >= meta.shape(a)) ok = false // padded edge cell
+                else flat += coord * fst(a)
+                a += 1
+              }
+              if (ok) Iterator.single((flat, vals(p))) else Iterator.empty
+            }
+          }
+        }.toDF("idx", "v")
+
+    val grid = m.chunkGrid
+    val gst = stridesOf(grid)
+    val missing = (for {
+      i <- 0L until grid.product
+      bcoords = grid.indices.map(a => (i / gst(a)) % grid(a))
+      if !present.contains(bcoords.toVector)
+    } yield i).toSeq
+    val withFill =
+      if (missing.isEmpty || m.fill == 0.0) decoded
+      else {
+        // per-axis coords from (missing block flat idx, in-chunk position),
+        // all exact integer arithmetic in one projection
+        val coordSql = grid.indices.map { a =>
+          s"((b DIV ${gst(a)}L) % ${grid(a)}L) * ${m.chunks(a)}L + (p DIV ${cst(a)}L) % ${m.chunks(a)}L"
+        }
+        val flatSql = coordSql.zip(st).map { case (c, sa) => s"($c) * ${sa}L" }.mkString(" + ")
+        val boundPred = coordSql.zip(m.shape).map { case (c, n) => s"($c) < $n" }.mkString(" AND ")
+        val md = s.createDataset(missing).toDF("b")
+          .join(s.range(chunkVol).toDF("p"))
+          .where(boundPred)
+          .selectExpr(s"$flatSql AS idx", s"${fillSql(m.fill)} AS v")
+        decoded.unionByName(md)
+      }
+    graft.NdArray.fromFlat(withFill, m.shape)
+  }
+
+  /** Write a [[graft.NdArray]] of any rank as a zarr store with the given
+    * chunk shape — rank-generic twin of write1d/write2d: one task per
+    * chunk (groupBy the flat block index), full C-order chunks with edge
+    * padding, absent blocks filled by the driver so the store is
+    * complete. */
+  def writeNd(nd: graft.NdArray, dir: String, chunks: Seq[Long],
+              compressor: Option[String] = None, format: Int = 2): Unit = {
+    val shape = nd.shape
+    require(chunks.length == shape.length && chunks.forall(_ > 0),
+      s"bad chunk shape $chunks for $shape")
+    val sess = nd.df.sparkSession
+    val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(base0)
+    val m = metaFor(format, shape, chunks, compressor)
+    writeMeta(fs0, base0, m)
+    import sess.implicits._
+    val comp = compressor
+    val rank = shape.length
+    val grid = m.chunkGrid
+    def stridesOf(sh: Seq[Long]): Seq[Long] = sh.scanRight(1L)(_ * _).tail
+    val gst = stridesOf(grid)
+    val cst = stridesOf(chunks)
+    val chunkVol = chunks.product
+    require(chunkVol <= Int.MaxValue, s"chunk too large: $chunkVol")
+    // flat block index + in-chunk C-order position, exact integer projections
+    val bSql = (0 until rank)
+      .map(a => s"(c$a DIV ${chunks(a)}L) * ${gst(a)}L").mkString(" + ")
+    val pSql = (0 until rank)
+      .map(a => s"(c$a % ${chunks(a)}L) * ${cst(a)}L").mkString(" + ")
+    val bcm = sess.sparkContext.broadcast(
+      (m, new SerializableHadoopConf(sess.sparkContext.hadoopConfiguration)))
+    val inBounds = (0 until rank).map(a => s"c$a >= 0 AND c$a < ${shape(a)}")
+      .mkString(" AND ")
+    val written = nd.df
+      .where(inBounds)
+      .selectExpr(s"($bSql) AS b", s"($pSql) AS p", "v")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val vals = new Array[Double](chunkVol.toInt) // full chunk, edge padded
+        it.foreach { case (_, p, v) => vals(p.toInt) = v }
+        val (meta, sconf) = bcm.value
+        val g = meta.chunkGrid
+        val gs = g.scanRight(1L)(_ * _).tail
+        val bcoords = g.indices.map(a => (b / gs(a)) % g(a))
+        val (fs, base) = fsOf(dir, sconf.value) // executor-side, driver's conf
+        writeFile(fs, new Path(base, meta.keyOf(bcoords)), encodeChunk(vals, comp))
+        b
+      }.collect().toSet
+    var b = 0L
+    while (b < grid.product) {
+      if (!written.contains(b)) {
+        val bcoords = grid.indices.map(a => (b / gst(a)) % grid(a))
+        writeFile(fs0, new Path(base0, m.keyOf(bcoords)),
+          encodeChunk(new Array[Double](chunkVol.toInt), comp))
+      }
+      b += 1
+    }
+  }
+
   /** Write a cell table `(i, j, v)` as a 2-d zarr array. */
   def write2d(cells: DataFrame, dir: String, rows: Long, cols: Long,
               chunkR: Long, chunkC: Long,

@@ -234,6 +234,48 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("zlib"))
   }
 
+  test("rank-3 writeNd/readNd round trip with uneven edge chunks") {
+    val dir = Files.createTempDirectory("zarrNd").toString
+    // (5,4,3) with chunks (2,3,2): every axis has a ragged edge chunk
+    val a = graft.NdArray.tabulate(spark, Seq(5L, 4L, 3L),
+      "(c0*11 + c1*5 + c2*3) % 13 + 1") // +1: no zeros, full round trip
+    sources.Zarr.writeNd(a, dir, Seq(2L, 3L, 2L), compressor = Some("zlib"))
+    val back = sources.Zarr.readNd(spark, dir)
+    assert(back.shape == Seq(5L, 4L, 3L))
+    val exp = a.ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = back.ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == exp.toSeq)
+    // v3+gzip through the same rank-generic path
+    val dir3 = Files.createTempDirectory("zarrNd3").toString
+    sources.Zarr.writeNd(a, dir3, Seq(4L, 4L, 3L), compressor = Some("gzip"), format = 3)
+    assert(Files.exists(Paths.get(dir3, "c", "0", "0", "0")))
+    val got3 = sources.Zarr.readNd(spark, dir3).ravel.orderBy("idx")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got3.toSeq == exp.toSeq)
+  }
+
+  test("readNd fills missing chunks at any rank (non-zero fill)") {
+    val dir = Files.createTempDirectory("zarrNdF").toString
+    val meta =
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 4],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 7.5,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    Files.write(Paths.get(dir, "zarr.json"), meta.getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(dir, "c", "0"))
+    val b = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 2.0, 3.0, 4.0).foreach(b.putDouble)
+    Files.write(Paths.get(dir, "c", "0", "0"), b.array()) // chunk (0,0) only
+    val got = sources.Zarr.readNd(spark, dir).elements
+      .orderBy("c0", "c1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1.0), (0L, 1L, 2.0), (0L, 2L, 7.5), (0L, 3L, 7.5),
+      (1L, 0L, 3.0), (1L, 1L, 4.0), (1L, 2L, 7.5), (1L, 3L, 7.5)))
+  }
+
   test("v3 metadata parsing is key-order independent (nested objects)") {
     // chunk_key_encoding with its configuration object BEFORE the name: a
     // first-}-terminated extractor would truncate at the inner brace, lose
