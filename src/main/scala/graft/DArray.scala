@@ -191,6 +191,23 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     elements.join(broadcast(test.elements.select(col("v")).distinct()), Seq("v"), "left_semi")
       .select(col("idx"), col("v"))
 
+  /** numpy `piecewise` (reference `routines/_select.py` select/piecewise
+    * family): first matching condition picks its kernel; positions
+    * matching no condition take the optional default kernel (numpy's
+    * default otherwise: 0). Pure elemwise — one chained CASE projection,
+    * folded by Catalyst into the enclosing codegen stage. */
+  def piecewise(condsOverV: Seq[String], kernels: Seq[String]): DArray = {
+    require(kernels.length == condsOverV.length ||
+      kernels.length == condsOverV.length + 1,
+      s"need ${condsOverV.length} or ${condsOverV.length + 1} kernels, got ${kernels.length}")
+    val cases = condsOverV.zip(kernels)
+      .map { case (c, k) => s"WHEN $c THEN CAST($k AS DOUBLE)" }.mkString(" ")
+    val dflt =
+      if (kernels.length > condsOverV.length) s"CAST(${kernels.last} AS DOUBLE)"
+      else "CAST(0 AS DOUBLE)"
+    map(s"CASE $cases ELSE $dflt END")
+  }
+
   /** Bucket index per element against fixed increasing edges (reference
     * `digitize`, `dask_array/routines/_select.py:12`): pure elemwise — the
     * count of edges <= v, a chain Catalyst folds into one projection. */

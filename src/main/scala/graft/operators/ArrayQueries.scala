@@ -203,6 +203,16 @@ object ArrayQueries {
     "q82_sliding_window_view" -> ((s, d) =>
       events(s, d).slice(0, 300).slidingWindowView(7).orderBy("pos", "off")),
 
+    // numpy piecewise: first-match CASE chain with value kernels per
+    // piece and the numpy zero default for unmatched positions — one
+    // codegen'd projection (integer-exact kernels, no rounding needed)
+    "q84_piecewise" -> ((s, d) =>
+      events(s, d).map("floor(v)")
+        .piecewise(
+          Seq("v < 100", "v < 200"),
+          Seq("v * 2", "v + 1000"))
+        .elements.orderBy("idx")),
+
     // view / binary reinterpret (reference `view`: same buffer, new
     // dtype): float64 -> int64 raw IEEE-754 bits via the native codegen'd
     // graft_bits / graft_from_bits expressions; the oracle reconstructs
@@ -909,6 +919,13 @@ object ArrayQueries {
          FROM events e CROSS JOIN range(7) o(i)
          WHERE e.event_id < 300 AND e.event_id - o.i >= 0 AND e.event_id - o.i <= 293
          ORDER BY pos, off""",
+
+    "q84_piecewise" ->
+      """SELECT event_id AS idx,
+         CAST(CASE WHEN floor(value) < 100 THEN floor(value) * 2
+              WHEN floor(value) < 200 THEN floor(value) + 1000
+              ELSE 0 END AS DOUBLE) AS v
+         FROM events ORDER BY idx""",
 
     "q83_view" ->
       """WITH t AS (SELECT x AS idx, CAST(x + 1 AS DOUBLE) AS v,
