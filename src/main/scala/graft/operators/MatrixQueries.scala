@@ -277,6 +277,15 @@ object MatrixQueries {
       graft.sources.NpyStack.read(s, dir).orderBy("idx")
     }),
 
+    // N-d npy stack round trip (reference to_npy_stack/from_npy_stack
+    // stack N-d blocks along axis 0): rank-3 with a ragged last block
+    "np02_npy_nd" -> ((s, d) => {
+      val dir = s"/tmp/graft_npy_np02_${new java.io.File(d).getName}"
+      val a = graft.NdArray.tabulate(s, Seq(7L, 3L, 2L), "(c0*5 + c1*3 + c2) % 9 + 1")
+      graft.sources.NpyStack.writeNd(a, dir, blockRows = 3)
+      graft.sources.NpyStack.readNd(s, dir).elements.orderBy("c0", "c1", "c2")
+    }),
+
     // zarr round trips (reference from_zarr/to_zarr, io/_zarr.py:67,275):
     // the engine writes a v2 store (distributed chunk encode) and reads it
     // back (distributed binaryFile decode); the oracle recomputes the same
@@ -658,6 +667,12 @@ object MatrixQueries {
     "z03_zarr_v3" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    "np02_npy_nd" ->
+      """SELECT c0, c1, c2, CAST((c0*5 + c1*3 + c2) % 9 + 1 AS DOUBLE) AS v
+         FROM (SELECT x // 6 AS c0, (x // 2) % 3 AS c1, x % 2 AS c2
+               FROM range(42) t(x))
+         ORDER BY c0, c1, c2""",
 
     "z04_zarr_nd" ->
       """SELECT c0, c1, c2, CAST((c0*7 + c1*3 + c2) % 11 AS DOUBLE) AS v

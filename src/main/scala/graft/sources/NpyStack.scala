@@ -25,8 +25,17 @@ object NpyStack {
     Array(0x93.toByte, 'N', 'U', 'M', 'P', 'Y')
 
   /** Serialize a float64 1-d array as NPY v1.0 bytes. */
-  def npyBytes(values: Array[Double]): Array[Byte] = {
-    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': (${values.length},), }"
+  def npyBytes(values: Array[Double]): Array[Byte] =
+    npyBytesNd(values, Seq(values.length.toLong))
+
+  /** Serialize a C-order float64 block of any shape as NPY v1.0 bytes
+    * (numpy's `(n,)` 1-tuple form for rank 1). */
+  def npyBytesNd(values: Array[Double], shape: Seq[Long]): Array[Byte] = {
+    require(values.length.toLong == shape.product,
+      s"${values.length} values for shape $shape")
+    val shapeStr =
+      if (shape.length == 1) s"(${shape.head},)" else shape.mkString("(", ", ", ")")
+    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': $shapeStr, }"
     // total header (magic+version+len+dict+pad+\n) must be 64-byte aligned
     val base = Magic.length + 2 + 2
     val pad = (64 - (base + dict.length + 1) % 64) % 64
@@ -60,12 +69,17 @@ object NpyStack {
   }
 
   /** Parse only the element count from a header prefix (first 128 bytes). */
-  def parseCount(prefix: Array[Byte]): Long = {
+  def parseCount(prefix: Array[Byte]): Long = parseShape(prefix).product
+
+  /** Parse the shape tuple from a header prefix. */
+  def parseShape(prefix: Array[Byte]): Seq[Long] = {
     val hlen = ((prefix(9) & 0xff) << 8) | (prefix(8) & 0xff)
     val header = new String(prefix, 10, math.min(hlen, prefix.length - 10), "ASCII")
-    val m = "\\((\\d+),?\\)".r.findFirstMatchIn(header)
+    val m = "\\(([\\d,\\s]*)\\)".r.findFirstMatchIn(header)
       .getOrElse(throw new IllegalArgumentException(s"no shape in: $header"))
-    m.group(1).toLong
+    val dims = "\\d+".r.findAllIn(m.group(1)).map(_.toLong).toSeq
+    if (dims.isEmpty) throw new IllegalArgumentException(s"empty shape in: $header")
+    dims
   }
 
   /** Write the element table as a stack of `<blk>.npy` files, `blockSize`
@@ -112,6 +126,92 @@ object NpyStack {
       }
       blk += 1
     }
+  }
+
+  /** Write an N-d array as a `.npy` stack split along AXIS 0 (the
+    * reference's `to_npy_stack` contract, `io/_to_npy_stack.py:13`:
+    * `blockRows` rows of the leading axis per file, each file a full
+    * C-order N-d block, last file ragged). One task per block; blocks
+    * with no surviving elements are emitted all-zero by the driver. */
+  def writeNd(nd: graft.NdArray, dir: String, blockRows: Long): Unit = {
+    val shape = nd.shape
+    val rank = shape.length
+    val rest = shape.tail
+    val restVol = rest.product
+    val sess = nd.df.sparkSession
+    val (fs0, base0) = StoreIO.fsOf(dir, sess.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(base0)
+    import sess.implicits._
+    val rows = shape.head
+    val numBlocks = ((rows + blockRows - 1) / blockRows).max(0)
+    val restStrides = rest.scanRight(1L)(_ * _).tail
+    val pSql = (s"(c0 % $blockRows) * $restVol" +:
+      (1 until rank).map(a => s"c$a * ${restStrides(a - 1)}L")).mkString(" + ")
+    val inBounds = (0 until rank).map(a => s"c$a >= 0 AND c$a < ${shape(a)}")
+      .mkString(" AND ")
+    val bconf = sess.sparkContext.broadcast(
+      new SerializableHadoopConf(sess.sparkContext.hadoopConfiguration))
+    val written = nd.df
+      .where(inBounds)
+      .selectExpr(s"c0 DIV $blockRows AS b", s"($pSql) AS p", "v")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val len = math.min((b + 1) * blockRows, rows) - b * blockRows
+        val vals = new Array[Double]((len * restVol).toInt)
+        it.foreach { case (_, p, v) => vals(p.toInt) = v }
+        val (fs, base) = StoreIO.fsOf(dir, bconf.value.value)
+        StoreIO.writeFile(fs, new Path(base, s"$b.npy"),
+          npyBytesNd(vals, len +: rest))
+        b
+      }.collect().toSet
+    var b = 0L
+    while (b < numBlocks) {
+      if (!written.contains(b)) {
+        val len = math.min((b + 1) * blockRows, rows) - b * blockRows
+        StoreIO.writeFile(fs0, new Path(base0, s"$b.npy"),
+          npyBytesNd(new Array[Double]((len * restVol).toInt), len +: rest))
+      }
+      b += 1
+    }
+  }
+
+  /** Read an N-d `.npy` stack back as a [[graft.NdArray]]: the driver
+    * reads each block's shape tuple (O(numBlocks) header prefixes, all
+    * trailing extents must agree), payloads decode distributedly to flat
+    * row-major positions. */
+  def readNd(s: SparkSession, dir: String): graft.NdArray = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val (fs, base) = StoreIO.fsOf(dir, hconf)
+    val shapes = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    StoreIO.listNames(dir, hconf).foreach { name =>
+      if (name.endsWith(".npy")) {
+        val prefix = StoreIO.readPrefix(fs, new Path(base, name), 256)
+        shapes += ((name.stripSuffix(".npy").toLong, parseShape(prefix)))
+      }
+    }
+    require(shapes.nonEmpty, s"no .npy blocks under $dir")
+    val sorted = shapes.sortBy(_._1)
+    val rest = sorted.head._2.tail
+    sorted.foreach { case (b, sh) =>
+      require(sh.tail == rest, s"block $b trailing shape ${sh.tail} != $rest")
+    }
+    val restVol = rest.product
+    val totalRows = sorted.map(_._2.head).sum
+    val rowStarts: Map[Long, Long] = sorted.map(_._1).zip(
+      sorted.scanLeft(0L) { case (acc, (_, sh)) => acc + sh.head }.dropRight(1)).toMap
+    val bc = s.sparkContext.broadcast((rowStarts, restVol))
+    val flat = s.read.format("binaryFile").load(s"$dir/*.npy")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val (starts, rv) = bc.value
+        val blk = path.split("/").last.stripSuffix(".npy").toLong
+        val off = starts(blk) * rv
+        parseNpy(content).iterator.zipWithIndex.map { case (v, i) => (off + i, v) }
+      }.toDF("idx", "v")
+    graft.NdArray.fromFlat(flat, totalRows +: rest)
   }
 
   /** Read a `.npy` stack back as the element table `(idx, v)`. */

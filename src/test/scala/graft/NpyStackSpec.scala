@@ -44,6 +44,24 @@ class NpyStackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.toSeq == want.toSeq)
   }
 
+  test("rank-3 writeNd/readNd round trip with a ragged last block") {
+    val dir = java.nio.file.Files.createTempDirectory("npyNd").toString
+    val a = NdArray.tabulate(spark, Seq(5L, 2L, 3L), "(c0*7 + c1*4 + c2) % 10 + 1")
+    sources.NpyStack.writeNd(a, dir, blockRows = 2) // blocks of 2,2,1 rows
+    val back = sources.NpyStack.readNd(spark, dir)
+    assert(back.shape == Seq(5L, 2L, 3L))
+    val exp = a.ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = back.ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == exp.toSeq)
+    // 1-d files written by the N-d path read back through the 1-d path
+    val dir1 = java.nio.file.Files.createTempDirectory("npyNd1").toString
+    val a1 = NdArray.tabulate(spark, Seq(9L), "c0 * 2 + 1")
+    sources.NpyStack.writeNd(a1, dir1, blockRows = 4)
+    val got1 = sources.NpyStack.read(spark, dir1).orderBy("idx")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got1 == (0 until 9).map(i => i * 2.0 + 1))
+  }
+
   test("write densifies idx gaps and empty blocks (sparse element tables)") {
     val dir = Files.createTempDirectory("npysparse").toString
     val sp = spark
