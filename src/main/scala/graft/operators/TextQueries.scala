@@ -289,6 +289,29 @@ object TextQueries {
         .orderBy(col("ham"), col("a"), col("b")).limit(20)
     }),
 
+    // n-gram LANGUAGE-MODEL quality scoring (the KenLM-style perplexity
+    // filter of a pretraining pipeline): score(doc) = mean log-prob of
+    // its word bigrams under the corpus unigram-normalized bigram model
+    // P(bg) = C(bg)/N. Two partial-aggregated shuffles build the model
+    // (bigram counts + total), the bounded vocabulary broadcasts back,
+    // one groupBy scores — the same scale shape as t12's TF-IDF. ln() is
+    // libm: round(,3) on a ~100-term mean clears ulp noise both sides.
+    "t16_lm_score" -> ((s, d) => {
+      val bgRows = docs(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .repartition(col("doc_id")) // pin toks: explode must not re-split per bigram
+        .selectExpr("doc_id",
+          "explode(transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg")
+      val counts = bgRows.groupBy("bg").agg(count(lit(1)).as("c"))
+      val total = bgRows.agg(count(lit(1)).as("n"))
+      bgRows.where("doc_id < 50")
+        .join(broadcast(counts), "bg").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(expr("round(avg(ln(CAST(c AS DOUBLE) / n)), 3)").as("lm_score"),
+          expr("CAST(count(*) AS BIGINT)").as("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // train/eval CONTAMINATION detection (the decontamination step of a
     // training pipeline: flag training docs sharing n-gram content with a
     // held-out benchmark). Eval set = doc_id % 7 = 3; score = fraction of
@@ -429,6 +452,19 @@ object TextQueries {
           FROM br x JOIN br y
             ON x.t = y.t AND x.bh = y.bh AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY ham, a, b LIMIT 20""",
+
+    "t16_lm_score" ->
+      """WITH bg AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+           FROM documents),
+         cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+         tot AS (SELECT count(*) AS n FROM bg)
+         SELECT doc_id, round(avg(ln(CAST(c AS DOUBLE) / n)), 3) AS lm_score,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+         FROM bg JOIN cnt USING (bg), tot
+         WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""",
 
     "t14_contamination" ->
       s"""WITH sig AS (SELECT doc_id, dhl FROM $duckHashed),
