@@ -38,6 +38,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class Boundary(depth: Int, mode: String) extends Op
   case class ZipShift(off: Int) extends Op // x[0:n-off] + x[off:n] — offset-zip fusion path
   case class Stride(step: Int) extends Op
+  case class SetIdx(frac: Double, value: Int) extends Op // point update — setitem pushdown path
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -79,6 +80,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (v.length <= off) Vector.empty
       else (0 until v.length - off).map(i => v(i) + v(i + off)).toVector
     case Stride(step) => v.indices.collect { case i if i % step == 0 => v(i) }.toVector
+    case SetIdx(frac, value) =>
+      if (v.isEmpty) v else v.updated((frac * v.length).toInt, value.toDouble)
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -100,6 +103,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (len <= off) d.slice(0, 0)
       else d.slice(0, len - off).zip(d.slice(off, len), "v1 + v2")
     case Stride(step) => d.slice(0, len, step)
+    case SetIdx(frac, value) =>
+      if (len == 0) d
+      else d.setItems(Seq(((frac * len).toLong, value.toDouble)))
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -115,7 +121,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     for { d <- Gen.choose(1, 5)
           m <- Gen.oneOf("constant", "periodic", "reflect", "nearest") } yield Boundary(d, m),
     Gen.choose(1, 9).map(ZipShift(_)),
-    Gen.choose(2, 5).map(Stride(_)))
+    Gen.choose(2, 5).map(Stride(_)),
+    for { f <- Gen.choose(0.0, 0.99); x <- Gen.choose(-9, 9) } yield SetIdx(f, x))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
   // windowed ops' carry chains and halos run multi-block
