@@ -303,7 +303,9 @@ object TextQueries {
         .selectExpr("doc_id",
           "explode(transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg")
       val counts = bgRows.groupBy("bg").agg(count(lit(1)).as("c"))
-      val total = bgRows.agg(count(lit(1)).as("n"))
+      // N = Σ C(bg): derived from the tiny counts table, NOT a third
+      // scan of the corpus
+      val total = counts.agg(sum("c").as("n"))
       bgRows.where("doc_id < 50")
         .join(broadcast(counts), "bg").crossJoin(broadcast(total))
         .groupBy("doc_id")
