@@ -43,6 +43,16 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("no query plans a CartesianProduct (every cross join is broadcast)") {
+    // a CartesianProduct is the O(parts^2) task explosion AQE can't save;
+    // scalar/tiny cross joins must go through broadcast (BNLJ)
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.toSeq.sorted}")
+  }
+
   test("every query has an oracle or is explicitly exempt") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
