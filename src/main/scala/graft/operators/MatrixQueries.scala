@@ -98,6 +98,11 @@ object MatrixQueries {
     "m15_einsum_dot" -> ((s, d) =>
       graft.Einsum("ij,ij->", Sq.spark(s), Sq.spark(s))),
 
+    // repeated-index DIAGONAL einsum ("ii->i"): collapses to a coordinate
+    // predicate + projection — no join, no shuffle beyond the output sort
+    "m35_einsum_diag" -> ((s, d) =>
+      graft.Einsum("ii->i", Sq.spark(s)).orderBy("i")),
+
     // real-input DFT over a single-chunk axis (reference fft.py:119 —
     // FFT only along axes with one chunk, i.e. rechunk-to-one first; here
     // the 64-point transform is a cos/sin matmul, complex-as-two-columns).
@@ -840,6 +845,9 @@ object MatrixQueries {
     "m15_einsum_dot" ->
       s"""SELECT sum(a.v * b.v) AS v FROM ${Sq.duck} a
           JOIN ${Sq.duck} b ON a.i = b.i AND a.j = b.j""",
+
+    "m35_einsum_diag" ->
+      s"""SELECT i, v FROM ${Sq.duck} WHERE i = j ORDER BY i""",
 
     "l01_tsqr_rtr" ->
       s"""SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 4) AS v
