@@ -173,6 +173,49 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
       shape.updated(axis, shape(axis) + o.shape(axis)))
   }
 
+  /** Constant-pad one axis (numpy `pad` constant mode at any rank —
+    * reference `creation/_pad.py:17`): `before`/`after` hyperslabs of
+    * `cv` concatenated along the axis. Zero fill adds NOTHING to the
+    * element table (implicit-zero convention) — the pads are pure
+    * coordinate shifts; nonzero fill generates the two slabs from
+    * `spark.range` tabulates. */
+  def padAxis(axis: Int, before: Long, after: Long, cv: Double = 0.0): NdArray = {
+    require(axis >= 0 && axis < rank && before >= 0 && after >= 0)
+    val spark = df.sparkSession
+    def slab(extent: Long): Option[NdArray] =
+      if (extent == 0) None
+      else Some(NdArray.tabulate(spark, shape.updated(axis, extent), cv.toString))
+    if (cv == 0.0) {
+      // pads are implicit zeros: just shift the axis coordinate
+      val proj = (0 until rank).map { a =>
+        if (a == axis) s"c$a + ${before}L AS c$a" else s"c$a"
+      } :+ "v"
+      new NdArray(df.selectExpr(proj: _*),
+        shape.updated(axis, before + shape(axis) + after))
+    } else {
+      val mid = this
+      val withBefore = slab(before).map(_.concat(mid, axis)).getOrElse(mid)
+      slab(after).map(withBefore.concat(_, axis)).getOrElse(withBefore)
+    }
+  }
+
+  /** Broadcast a size-1 axis to extent `n` (numpy broadcasting /
+    * reference `broadcast_to`): a generated cross join against
+    * `spark.range(n)` — the same BroadcastTrick shape as the 2-d outer
+    * pattern; Spark broadcasts the tiny range side. */
+  def broadcastAxis(axis: Int, n: Long): NdArray = {
+    require(axis >= 0 && axis < rank && shape(axis) == 1,
+      s"axis $axis extent ${shape(axis)} must be 1 to broadcast")
+    require(n > 0)
+    val spark = df.sparkSession
+    val reps = org.apache.spark.sql.functions.broadcast(
+      spark.range(n).toDF("rep__"))
+    val proj = (0 until rank).map { a =>
+      if (a == axis) s"rep__ AS c$a" else s"c$a"
+    } :+ "v"
+    new NdArray(df.crossJoin(reps).selectExpr(proj: _*), shape.updated(axis, n))
+  }
+
   /** Drop a size-1 axis / insert one — coordinate projections. */
   def squeeze(axis: Int): NdArray = {
     require(shape(axis) == 1, s"axis $axis has extent ${shape(axis)}")

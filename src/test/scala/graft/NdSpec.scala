@@ -127,6 +127,35 @@ class NdSpec extends AnyFunSuite {
     assert(values(d) == exp)
   }
 
+  test("padAxis: zero pads are coordinate shifts, constant pads concatenate") {
+    val a = NdArray.tabulate(spark, Seq(2L, 3L), "(c0*3 + c1) % 5 + 1") // no zeros
+    val p = a.padAxis(1, 2, 1, cv = 9.0)
+    assert(p.shape == Seq(2L, 6L))
+    assert(values(p) == Seq(
+      9.0, 9.0, 1.0, 2.0, 3.0, 9.0,
+      9.0, 9.0, 4.0, 5.0, 1.0, 9.0))
+    // zero fill: the element table holds ONLY the shifted originals —
+    // implicit zeros stay unmaterialized, coordinates move by `before`
+    val z = a.padAxis(0, 1, 1, cv = 0.0)
+    assert(z.shape == Seq(4L, 3L))
+    val cells = z.elements.orderBy("c0", "c1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cells.toSeq == Seq(
+      (1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 3.0),
+      (2L, 0L, 4.0), (2L, 1L, 5.0), (2L, 2L, 1.0)))
+  }
+
+  test("broadcastAxis expands a size-1 axis; zip against the broadcast works") {
+    val row = NdArray.tabulate(spark, Seq(1L, 4L), "c1 + 1") // (1,4): 1 2 3 4
+    val b = row.broadcastAxis(0, 3)
+    assert(b.shape == Seq(3L, 4L))
+    assert(values(b) == Seq(1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0))
+    // the classic broadcast-add: (3,4) + broadcast (1,4) row
+    val m = NdArray.tabulate(spark, Seq(3L, 4L), "c0 * 10")
+    assert(values(m.zip(b, "v1 + v2")) ==
+      (for (i <- 0 until 3; j <- 0 until 4) yield i * 10.0 + j + 1))
+  }
+
   test("zip honors the implicit-zero convention on gapped element tables") {
     val s = spark // stable identifier for the implicits import
     import s.implicits._
