@@ -200,6 +200,21 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * (reference `routines/_apply.py:16`): rows are assembled from the
     * sparse element table (absent cells are 0) and mapped per-partition;
     * the kernel returns one double per row. */
+  /** Sort each row's values ascending (numpy `sort(axis=-1)`; the
+    * reference sorts along an axis per chunk the same way): the rank
+    * within the row becomes the new column index. A row-partitioned
+    * window — bounded by row width, never a global sort; deterministic
+    * tie-break on the source column. Requires a DENSE cell table
+    * (tabulate-style); on gapped tables absent cells would not take part
+    * in the ranking. */
+  def sortRows: DMatrix = {
+    import org.apache.spark.sql.expressions.Window
+    wrap(df
+      .withColumn("j2",
+        row_number().over(Window.partitionBy("i").orderBy("v", "j")).cast("long") - 1)
+      .select(col("i"), col("j2").as("j"), col("v")))
+  }
+
   def mapRows(kernel: Array[Double] => Double): DataFrame = {
     val sess = df.sparkSession
     import sess.implicits._

@@ -103,6 +103,11 @@ object MatrixQueries {
     "m35_einsum_diag" -> ((s, d) =>
       graft.Einsum("ii->i", Sq.spark(s)).orderBy("i")),
 
+    // per-row sort (numpy sort(axis=-1)): rank-within-row becomes the new
+    // column index — a row-partitioned window bounded by row width
+    "m36_row_sort" -> ((s, d) =>
+      Sq.spark(s).sortRows.df.orderBy("i", "j")),
+
     // real-input DFT over a single-chunk axis (reference fft.py:119 —
     // FFT only along axes with one chunk, i.e. rechunk-to-one first; here
     // the 64-point transform is a cos/sin matmul, complex-as-two-columns).
@@ -848,6 +853,10 @@ object MatrixQueries {
 
     "m35_einsum_diag" ->
       s"""SELECT i, v FROM ${Sq.duck} WHERE i = j ORDER BY i""",
+
+    "m36_row_sort" ->
+      s"""SELECT i, row_number() OVER (PARTITION BY i ORDER BY v, j) - 1 AS j, v
+          FROM ${Sq.duck} ORDER BY i, j""",
 
     "l01_tsqr_rtr" ->
       s"""SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 4) AS v
