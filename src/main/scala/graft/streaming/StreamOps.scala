@@ -131,6 +131,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming decontamination — the online half of the batch t14
+    * pipeline: drop arriving documents whose content hash appears in a
+    * static benchmark/eval set. A stream-static broadcast LEFT ANTI join:
+    * stateless on the stream side, the (bounded) eval hash set re-plans
+    * per micro-batch and broadcasts — no streaming state at all, so it
+    * composes freely ahead of the stateful dedup/near-dup stages. */
+  def filterContaminated(docs: Dataset[Doc], evalHashes: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .join(broadcast(evalHashes.select(col("h"))), Seq("h"), "left_anti")
+      .select(col("ts"), col("doc_id"), col("text"))
+
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
     * buffer (total, n), merged exactly like `Aggregator.merge`. */

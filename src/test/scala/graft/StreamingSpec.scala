@@ -161,6 +161,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs whose hash is in the eval set") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.Doc
+    val in = MemoryStream[Doc]
+    val evalSet = sp.createDataset(Seq("held-out benchmark item")).toDF("text")
+      .selectExpr("md5(text) AS h")
+    val q = StreamOps.filterContaminated(in.toDS(), evalSet)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      in.addData(
+        Doc(ts(1), 1L, "ordinary training text"),
+        Doc(ts(2), 2L, "held-out benchmark item"), // contaminated — dropped
+        Doc(ts(3), 3L, "another clean doc"))
+      q.processAllAvailable()
+      val kept = sp.table("decon").collect().map(_.getLong(1)).sorted
+      assert(kept.toSeq == Seq(1L, 3L), s"got ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates: bucket-windowed pairs, bounded state") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
