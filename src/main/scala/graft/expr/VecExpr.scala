@@ -388,10 +388,13 @@ final case class CumVec(child: VecExpr, op: String) extends VecExpr {
         val zeros = when(col("v") === 0.0, 1).otherwise(0)
         val negs  = when(col("v") < 0.0, 1).otherwise(0)
         val logs  = when(col("v") =!= 0.0, log(abs(col("v")))).otherwise(0.0)
-        val local = base
-          .withColumn("lz", sum(zeros).over(wL))
-          .withColumn("ln", sum(negs).over(wL))
-          .withColumn("ll", sum(logs).over(wL))
+        // one select → one Window operator for all three running columns
+        // (chained withColumn would interleave Projects and plan three
+        // sequential Window passes over the same spec)
+        val local = base.select(col("*"),
+          sum(zeros).over(wL).as("lz"),
+          sum(negs).over(wL).as("ln"),
+          sum(logs).over(wL).as("ll"))
         val carry = base.groupBy("blk")
           .agg(sum(zeros).as("bz"), sum(negs).as("bn"), sum(logs).as("bl"))
           .select(col("blk"),
