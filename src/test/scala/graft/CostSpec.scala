@@ -78,6 +78,18 @@ class CostSpec extends AnyFunSuite {
     assert(after <= before)
   }
 
+  test("round-5 pushdown rules keep the modeled movement monotone") {
+    val col0 = ColumnVec("events", "event_id", "value", Some((0L, 100L)))
+    val col1 = ColumnVec("events", "event_id", "value", Some((100L, 200L)))
+    val trees = Seq[VecExpr](
+      SliceVec(RepeatVec(src, 3), 7, 13),                       // slice-through-repeat
+      SliceVec(SetItemVec(src, Seq((5L, 9.0), (15L, 3.0))), 10, 20), // slice-through-setitem
+      ConcatVec(MapVec(col0, "v * 2"), MapVec(col1, "v * 2")))  // map-through-concat
+    trees.foreach { t =>
+      assert(Simplify(t).totalTransfer._2 <= t.totalTransfer._2, t.pprint())
+    }
+  }
+
   test("pprintCost annotates every node") {
     val e = CumVec(MapVec(src, "v * 2"), "sum")
     val out = e.pprintCost()
