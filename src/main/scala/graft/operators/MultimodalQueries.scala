@@ -104,7 +104,31 @@ object MultimodalQueries {
       }.toDF()
   }
 
+  final case class WinRow(doc_id: Long, win: Long, energy: Long)
+
+  /** Audio-framing shape: payload bytes as samples, fixed 64-sample
+    * windows, per-window energy (modular sum of squares) — decode →
+    * frame → per-frame feature in ONE narrow pass; frames emit grouped
+    * with their source row, no shuffle, fan-out bounded by payload/64. */
+  def windowEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          payload.grouped(64).zipWithIndex.map { case (w, k) =>
+            var e = 0L; var i = 0
+            while (i < w.length) { val b = w(i) & 0xffL; e += b * b; i += 1 }
+            WinRow(id, k.toLong, e % M)
+          }
+        }
+      }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // audio-path framing: per-window energy over the sample stream
+    "mm05_window_energy" -> ((s, d) =>
+      windowEnergy(s, d).where("doc_id < 30").orderBy("doc_id", "win")),
+
     "mm01_features" -> ((s, d) =>
       extractFeatures(s, d).where("doc_id < 100").orderBy("doc_id")),
 
@@ -129,6 +153,16 @@ object MultimodalQueries {
         for i in generate_series(1, length(text))]) AS BIGINT) % $M)"""
 
   val oracles: Map[String, String] = Map(
+    "mm05_window_energy" ->
+      s"""WITH w AS (
+            SELECT doc_id, text,
+              unnest(generate_series(0, (length(text) - 1) // 64)) AS win
+            FROM documents WHERE doc_id < 30)
+          SELECT doc_id, win,
+            CAST(list_sum([ascii(substring(text, i, 1)) * ascii(substring(text, i, 1))
+              for i in generate_series(win * 64 + 1, least((win + 1) * 64, length(text)))]) AS BIGINT) % $M AS energy
+          FROM w ORDER BY doc_id, win""",
+
     "mm04_resize" ->
       s"""SELECT doc_id,
           ${(0 until 8).map(k =>
