@@ -106,7 +106,21 @@ object NdQueries {
     // diff along one axis: two pushed rectangular slices + one aligned
     // zip (out[…,c,…] = x[…,c+1,…] - x[…,c,…])
     "n10_nd_diff_axis" -> ((s, d) =>
-      A4.spark(s).diffAxis(1).ravel.orderBy("idx")))
+      A4.spark(s).diffAxis(1).ravel.orderBy("idx")),
+
+    // numpy broadcasting: a (1,40) row broadcast to (30,40) via the
+    // generated broadcast cross join, then the classic broadcast-add zip
+    "n11_broadcast_add" -> ((s, d) => {
+      val m = NdArray.tabulate(s, Seq(30L, 40L), "c0 * 3 + c1")
+      val row = NdArray.tabulate(s, Seq(1L, 40L), "c1 * 2 + 1").broadcastAxis(0, 30)
+      m.zip(row, "v1 + v2").elements.orderBy("c0", "c1")
+    }),
+
+    // constant pad along one axis (nonzero fill): generated slabs
+    // concatenated, originals shifted
+    "n12_pad_axis" -> ((s, d) =>
+      NdArray.tabulate(s, Seq(5L, 6L), "(c0*5 + c1) % 7 + 1")
+        .padAxis(1, 2, 1, cv = 2.5).elements.orderBy("c0", "c1")))
 
   val oracles: Map[String, String] = Map(
     "n01_nd_axis_reduce" ->
@@ -176,6 +190,18 @@ object NdQueries {
               lead(v) OVER (PARTITION BY c0, c2, c3 ORDER BY c1) AS nv
             FROM ${A4.duck})
           WHERE c1 < 3 ORDER BY idx""",
+
+    "n11_broadcast_add" ->
+      """SELECT c0, c1, CAST(c0 * 3 + c1 + c1 * 2 + 1 AS DOUBLE) AS v
+         FROM (SELECT x // 40 AS c0, x % 40 AS c1 FROM range(1200) t(x))
+         ORDER BY c0, c1""",
+
+    "n12_pad_axis" ->
+      """SELECT c0, c1,
+           CAST(CASE WHEN c1 < 2 OR c1 >= 8 THEN 2.5
+                ELSE (c0 * 5 + (c1 - 2)) % 7 + 1 END AS DOUBLE) AS v
+         FROM (SELECT x // 9 AS c0, x % 9 AS c1 FROM range(45) t(x))
+         ORDER BY c0, c1""",
 
     // flip maps out c1 = 3 - src c1; the roll permutes within the summed
     // axis (sum-invariant); b lands at c1 + 4
