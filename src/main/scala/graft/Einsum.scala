@@ -79,4 +79,70 @@ object Einsum {
       acc.groupBy(outLetters.map(col): _*)
         .agg(sum(product).as("v"))
   }
+
+  /** einsum over [[NdArray]] operands of ANY rank (the reference's einsum
+    * is N-dimensional; `"bij,bjk->bik"` is one call, not a special-cased
+    * batch op). Same plan algorithm as the 2-d form — rename coordinate
+    * columns to index letters, fold with shared-letter joins and EAGER
+    * intermediate contraction — the letter count per operand is just its
+    * rank. Repeated letters within an operand take the diagonal
+    * (equality predicate over the repeated coordinates). Output columns
+    * are the `->` letters plus `v`. */
+  def nd(spec: String, ops: NdArray*): DataFrame = {
+    val Array(lhs, rhs) = spec.replace(" ", "").split("->", -1)
+    val inSpecs = lhs.split(",").toSeq
+    require(inSpecs.length == ops.length, s"$spec expects ${inSpecs.length} operands")
+    require(ops.nonEmpty, "einsum needs at least one operand")
+    val outLetters = rhs.toSeq.map(_.toString)
+
+    def prep(a: NdArray, letters: String, vName: String): DataFrame = {
+      require(letters.length == a.rank,
+        s"operand spec '$letters' is rank ${letters.length}, array is rank ${a.rank}")
+      val ls = letters.map(_.toString)
+      // diagonal collapse: all positions of a repeated letter must agree
+      val firstPos = ls.zipWithIndex.groupBy(_._1).map { case (l, g) => l -> g.head._2 }
+      val pred = ls.zipWithIndex.collect {
+        case (l, p) if firstPos(l) != p => s"c${firstPos(l)} = c$p"
+      }.mkString(" AND ")
+      val filtered = if (pred.isEmpty) a.df else a.df.where(pred)
+      filtered.selectExpr(
+        firstPos.toSeq.map { case (l, p) => s"c$p AS $l" } :+ s"v AS $vName": _*)
+    }
+
+    var pending: List[(DataFrame, Set[String])] =
+      inSpecs.zip(ops).zipWithIndex.map { case ((ls, a), n) =>
+        (prep(a, ls, s"v$n").withColumnRenamed(s"v$n", "vr"),
+          ls.distinct.map(_.toString).toSet)
+      }.toList
+
+    var (acc, accLetters) = pending.head
+    pending = pending.tail
+    while (pending.nonEmpty) {
+      val idx = pending.indexWhere { case (_, ls) => (ls intersect accLetters).nonEmpty }
+      val pick = if (idx >= 0) idx else 0
+      val (d, ls) = pending(pick)
+      pending = pending.patch(pick, Nil, 1)
+      val shared = (accLetters intersect ls).toSeq.sorted
+      val joined =
+        if (shared.nonEmpty) acc.join(d.withColumnRenamed("vr", "vn"), shared)
+        else acc.crossJoin(d.withColumnRenamed("vr", "vn"))
+      val merged = joined.withColumn("vr", col("vr") * col("vn")).drop("vn")
+      accLetters = accLetters union ls
+      val live = pending.flatMap(_._2).toSet union outLetters.toSet
+      val dead = (accLetters diff live).toSeq.sorted
+      if (dead.nonEmpty && (accLetters diff dead.toSet).nonEmpty) {
+        val keep = (accLetters diff dead.toSet).toSeq.sorted
+        acc = merged.groupBy(keep.map(col): _*).agg(sum(col("vr")).as("vr"))
+        accLetters = keep.toSet
+      } else acc = merged
+    }
+
+    val contracted = accLetters.filterNot(outLetters.contains)
+    if (contracted.isEmpty && outLetters.nonEmpty)
+      acc.select(outLetters.map(col) :+ col("vr").as("v"): _*)
+    else if (outLetters.isEmpty)
+      acc.agg(sum(col("vr")).as("v"))
+    else
+      acc.groupBy(outLetters.map(col): _*).agg(sum(col("vr")).as("v"))
+  }
 }

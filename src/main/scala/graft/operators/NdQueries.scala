@@ -120,7 +120,15 @@ object NdQueries {
     // concatenated, originals shifted
     "n12_pad_axis" -> ((s, d) =>
       NdArray.tabulate(s, Seq(5L, 6L), "(c0*5 + c1) % 7 + 1")
-        .padAxis(1, 2, 1, cv = 2.5).elements.orderBy("c0", "c1")))
+        .padAxis(1, 2, 1, cv = 2.5).elements.orderBy("c0", "c1")),
+
+    // N-d einsum: batched matmul as ONE einsum call ("bij,bjk->bik") —
+    // the rank-generic letter-join fold; the batch letter rides the join
+    "n13_einsum_nd" -> ((s, d) => {
+      val a = NdArray.tabulate(s, Seq(2L, 6L, 4L), "(c0*9 + c1*7 + c2*3) % 11")
+      val b = NdArray.tabulate(s, Seq(2L, 4L, 5L), "(c0*5 + c1*2 + c2) % 13")
+      graft.Einsum.nd("bij,bjk->bik", a, b).orderBy("b", "i", "k")
+    }))
 
   val oracles: Map[String, String] = Map(
     "n01_nd_axis_reduce" ->
@@ -202,6 +210,18 @@ object NdQueries {
                 ELSE (c0 * 5 + (c1 - 2)) % 7 + 1 END AS DOUBLE) AS v
          FROM (SELECT x // 9 AS c0, x % 9 AS c1 FROM range(45) t(x))
          ORDER BY c0, c1""",
+
+    "n13_einsum_nd" ->
+      """SELECT a.c0 AS b, a.c1 AS i, bb.c2 AS k, sum(a.v * bb.v) AS v FROM
+          (SELECT c0, c1, c2, CAST((c0*9 + c1*7 + c2*3) % 11 AS DOUBLE) AS v FROM
+            (SELECT x // 24 AS c0, (x // 4) % 6 AS c1, x % 4 AS c2
+             FROM range(48) t(x))) a
+          JOIN
+          (SELECT c0, c1, c2, CAST((c0*5 + c1*2 + c2) % 13 AS DOUBLE) AS v FROM
+            (SELECT x // 20 AS c0, (x // 5) % 4 AS c1, x % 5 AS c2
+             FROM range(40) t(x))) bb
+          ON a.c0 = bb.c0 AND a.c2 = bb.c1
+          GROUP BY 1, 2, 3 ORDER BY b, i, k""",
 
     // flip maps out c1 = 3 - src c1; the roll permutes within the summed
     // axis (sum-invariant); b lands at c1 + 4

@@ -67,6 +67,26 @@ class NdSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("N-d einsum: batched matmul per batch equals DMatrix matmul; bii->bi diag") {
+    val ak = "(c0*9 + c1*7 + c2*3) % 11"
+    val bk = "(c0*5 + c1*2 + c2) % 13"
+    val a = NdArray.tabulate(spark, Seq(2L, 6L, 4L), ak)
+    val b = NdArray.tabulate(spark, Seq(2L, 4L, 5L), bk)
+    val got = Einsum.nd("bij,bjk->bik", a, b)
+      .orderBy("b", "i", "k").collect().map(_.getDouble(3)).toSeq
+    val perBatch = (0 until 2).flatMap { bt =>
+      val am = DMatrix.tabulate(spark, 6, 4, s"($bt*9 + i*7 + j*3) % 11")
+      val bm = DMatrix.tabulate(spark, 4, 5, s"($bt*5 + i*2 + j) % 13")
+      am.matmul(bm).ravel.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    }
+    assert(got == perBatch)
+    // repeated-letter diagonal at rank 3
+    val sq = NdArray.tabulate(spark, Seq(2L, 3L, 3L), "c0*100 + c1*10 + c2")
+    val diag = Einsum.nd("bii->bi", sq).orderBy("b", "i").collect()
+      .map(_.getDouble(2)).toSeq
+    assert(diag == Seq(0.0, 11.0, 22.0, 100.0, 111.0, 122.0))
+  }
+
   test("rank-2 tensordot equals DMatrix matmul") {
     val a2 = NdArray.tabulate(spark, Seq(6L, 4L), "(c0*7 + c1*3) % 11")
     val b2 = NdArray.tabulate(spark, Seq(4L, 5L), "(c0*5 + c1*2) % 13")
