@@ -192,7 +192,9 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
       .select(col("idx"), col("v"))
 
   /** numpy `piecewise` (reference `routines/_select.py` select/piecewise
-    * family): first matching condition picks its kernel; positions
+    * family): numpy assigns `out[cond] = f(x[cond])` sequentially over the
+    * condition list, so on overlap the LAST matching condition wins — the
+    * CASE chain is therefore built over the reversed pairs. Positions
     * matching no condition take the optional default kernel (numpy's
     * default otherwise: 0). Pure elemwise — one chained CASE projection,
     * folded by Catalyst into the enclosing codegen stage. */
@@ -200,12 +202,46 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     require(kernels.length == condsOverV.length ||
       kernels.length == condsOverV.length + 1,
       s"need ${condsOverV.length} or ${condsOverV.length + 1} kernels, got ${kernels.length}")
-    val cases = condsOverV.zip(kernels)
+    val cases = condsOverV.zip(kernels).reverse
       .map { case (c, k) => s"WHEN $c THEN CAST($k AS DOUBLE)" }.mkString(" ")
     val dflt =
       if (kernels.length > condsOverV.length) s"CAST(${kernels.last} AS DOUBLE)"
       else "CAST(0 AS DOUBLE)"
     map(s"CASE $cases ELSE $dflt END")
+  }
+
+  /** numpy `select(condlist, choicelist, default)` (reference exports
+    * `select` from its routines; np.select semantics): the FIRST matching
+    * condition wins — the dual of `piecewise`'s sequential-assignment
+    * last-match rule. Pure elemwise CASE chain, one codegen'd
+    * projection. */
+  def select(condsOverV: Seq[String], kernels: Seq[String],
+             default: String = "0"): DArray = {
+    require(condsOverV.length == kernels.length,
+      s"need ${condsOverV.length} kernels, got ${kernels.length}")
+    val cases = condsOverV.zip(kernels)
+      .map { case (c, k) => s"WHEN $c THEN CAST($k AS DOUBLE)" }.mkString(" ")
+    map(s"CASE $cases ELSE CAST($default AS DOUBLE) END")
+  }
+
+  /** numpy `choose(a, choices)` (reference `routines/_select.py:42`,
+    * variadic elemwise over np.choose): this array holds the integer
+    * selector per position; the k choice arrays align on idx and the
+    * selector picks one value per position. k aligned equi-joins on idx —
+    * the same alignment-join family as any elemwise zip; out-of-range
+    * selectors raise in numpy, here they yield NULL (filtered upstream if
+    * the caller wants raise semantics). */
+  def choose(choices: Seq[DArray]): DArray = {
+    require(choices.nonEmpty, "choose needs at least one choice array")
+    // carry (selector, picked) as a struct through the zip chain — folding
+    // over the value column alone would let a picked value that happens to
+    // equal a later index be re-replaced
+    val start = map("named_struct('s', CAST(v AS INT), 'o', CAST(NULL AS DOUBLE))")
+    val folded = choices.zipWithIndex.foldLeft(start) { case (acc, (c, i)) =>
+      acc.zip(c,
+        s"named_struct('s', v1.s, 'o', CASE WHEN v1.s = $i THEN v2 ELSE v1.o END)")
+    }
+    folded.map("v.o")
   }
 
   /** Bucket index per element against fixed increasing edges (reference

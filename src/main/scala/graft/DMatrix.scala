@@ -196,10 +196,6 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
   /** Gradient along axis 1 — the transpose composition. */
   def gradientCols: DMatrix = t.gradientRows.t
 
-  /** Apply an in-core kernel to each dense row — `apply_along_axis`
-    * (reference `routines/_apply.py:16`): rows are assembled from the
-    * sparse element table (absent cells are 0) and mapped per-partition;
-    * the kernel returns one double per row. */
   /** Sort each row's values ascending (numpy `sort(axis=-1)`; the
     * reference sorts along an axis per chunk the same way): the rank
     * within the row becomes the new column index. A row-partitioned
@@ -215,6 +211,10 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
       .select(col("i"), col("j2").as("j"), col("v")))
   }
 
+  /** Apply an in-core kernel to each dense row — `apply_along_axis`
+    * (reference `routines/_apply.py:16`): rows are assembled from the
+    * sparse element table (absent cells are 0) and mapped per-partition;
+    * the kernel returns one double per row. */
   def mapRows(kernel: Array[Double] => Double): DataFrame = {
     val sess = df.sparkSession
     import sess.implicits._

@@ -203,9 +203,25 @@ object ArrayQueries {
     "q82_sliding_window_view" -> ((s, d) =>
       events(s, d).slice(0, 300).slidingWindowView(7).orderBy("pos", "off")),
 
-    // numpy piecewise: first-match CASE chain with value kernels per
-    // piece and the numpy zero default for unmatched positions — one
-    // codegen'd projection (integer-exact kernels, no rounding needed)
+    // numpy choose + select chained: the selector (floor(v) % 3) picks
+    // elementwise among three derived arrays (a 3-way alignment-zip chain
+    // that self-zip fusion collapses to ONE scan — all operands share the
+    // events leaf), then np.select (FIRST-match, the dual of piecewise's
+    // last-match) post-processes. Integer-exact kernels throughout.
+    "q85_select_choose" -> ((s, d) => {
+      // CAST back to DOUBLE once: Spark's floor(double) returns BIGINT,
+      // and bigint + a 1000.0 literal would promote the whole kernel
+      // chain to DECIMAL arithmetic (DuckDB's floor stays double)
+      val base = events(s, d).map("CAST(floor(v) AS DOUBLE)")
+      val sel = base.map("CAST(v AS INT) % 3")
+      val chosen = sel.choose(Seq(base * 2.0, base + 1000.0, base.negate))
+      chosen.select(Seq("v < 0", "v >= 1000"), Seq("-v", "v - 1000"), "v")
+        .elements.orderBy("idx")
+    }),
+
+    // numpy piecewise: sequential-assignment semantics (last matching
+    // condition wins on overlap, zero default for unmatched positions) —
+    // one codegen'd projection (integer-exact kernels, no rounding needed)
     "q84_piecewise" -> ((s, d) =>
       events(s, d).map("floor(v)")
         .piecewise(
@@ -920,10 +936,20 @@ object ArrayQueries {
          WHERE e.event_id < 300 AND e.event_id - o.i >= 0 AND e.event_id - o.i <= 293
          ORDER BY pos, off""",
 
+    "q85_select_choose" ->
+      """WITH b AS (SELECT event_id AS idx, floor(value) AS v FROM events),
+          c AS (SELECT idx,
+            CASE CAST(v AS INT) % 3 WHEN 0 THEN v * 2
+                 WHEN 1 THEN v + 1000 ELSE -v END AS v FROM b)
+          SELECT idx,
+            CAST(CASE WHEN v < 0 THEN -v WHEN v >= 1000 THEN v - 1000
+                 ELSE v END AS DOUBLE) AS v
+          FROM c ORDER BY idx""",
+
     "q84_piecewise" ->
       """SELECT event_id AS idx,
-         CAST(CASE WHEN floor(value) < 100 THEN floor(value) * 2
-              WHEN floor(value) < 200 THEN floor(value) + 1000
+         CAST(CASE WHEN floor(value) < 200 THEN floor(value) + 1000
+              WHEN floor(value) < 100 THEN floor(value) * 2
               ELSE 0 END AS DOUBLE) AS v
          FROM events ORDER BY idx""",
 

@@ -524,6 +524,11 @@ object Zarr {
     val st = stridesOf(m.shape)
     val cst = stridesOf(m.chunks)
     val chunkVol = m.chunks.product
+    // same driver-side guard writeNd applies: a store whose metadata
+    // declares an oversized chunk would otherwise silently truncate the
+    // Long→Int product in the decode loop (wrong size / negative alloc)
+    require(chunkVol <= Int.MaxValue,
+      s"zarr chunk too large to decode: ${m.chunks.mkString("x")} = $chunkVol values")
 
     val decoded: DataFrame =
       if (present.isEmpty)

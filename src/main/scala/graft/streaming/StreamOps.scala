@@ -125,7 +125,12 @@ object StreamOps {
               maxTs = math.max(maxTs, d.ts.getTime)
             }
             state.update(recent)
-            state.setTimeoutTimestamp(maxTs + evictAfterMs)
+            // Spark requires the timeout to sit strictly beyond the current
+            // watermark (IllegalArgumentException fails the whole stream
+            // otherwise) — reachable whenever evictAfterMs < the watermark
+            // delay, both caller-chosen. Clamp to watermark + 1 ms.
+            state.setTimeoutTimestamp(
+              math.max(maxTs + evictAfterMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

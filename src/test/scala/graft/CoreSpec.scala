@@ -333,3 +333,39 @@ class SimplifySpec extends AnyFunSuite {
   private def collect[T](e: VecExpr)(pf: PartialFunction[VecExpr, T]): List[T] =
     (if (pf.isDefinedAt(e)) List(pf(e)) else Nil) ++ e.children.flatMap(collect(_)(pf))
 }
+
+/** numpy selection-family semantics: piecewise assigns sequentially
+  * (LAST matching condition wins), select is first-match, choose gathers
+  * by integer selector — including the value/index collision case a
+  * naive value-rewriting fold would get wrong. */
+class SelectionSpec extends AnyFunSuite {
+  test("piecewise: last matching condition wins on overlap") {
+    val s = TestSpark.spark
+    val a = graft.DArray.arange(s, "/unused", 0, 10, 1)
+      .piecewise(Seq("v < 8", "v < 5"), Seq("v * 10", "v + 100"))
+    val got = a.elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    // v<5: both conds true -> LAST (v+100); 5<=v<8: first only -> v*10; else 0
+    assert(got == Seq(100.0, 101.0, 102.0, 103.0, 104.0, 50.0, 60.0, 70.0, 0.0, 0.0))
+  }
+
+  test("select: first matching condition wins (np.select)") {
+    val s = TestSpark.spark
+    val a = graft.DArray.arange(s, "/unused", 0, 10, 1)
+      .select(Seq("v < 8", "v < 5"), Seq("v * 10", "v + 100"), "-1")
+    val got = a.elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, -1.0, -1.0))
+  }
+
+  test("choose: picked values colliding with later indices are not re-replaced") {
+    val s = TestSpark.spark
+    // selector alternates 0,1; choice0 = 1 everywhere (collides with
+    // index 1), choice1 = 7 everywhere. A value-rewriting fold would turn
+    // the picked 1.0 into 7.0 at the second step.
+    val sel = graft.DArray.arange(s, "/unused", 0, 6, 1).map("CAST(v AS INT) % 2")
+    val c0 = graft.DArray.arange(s, "/unused", 0, 6, 1).map("1.0")
+    val c1 = graft.DArray.arange(s, "/unused", 0, 6, 1).map("7.0")
+    val got = sel.choose(Seq(c0, c1)).elements.orderBy("idx")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(1.0, 7.0, 1.0, 7.0, 1.0, 7.0))
+  }
+}
