@@ -357,9 +357,42 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
   }
 
   def elements: DataFrame = df
+
+  /** numpy `atleast_1d/2d/3d` (reference `routines/_misc.py` atleast
+    * family): promote rank by prepending/appending size-1 axes with
+    * numpy's exact placement — 1-d → (1, N) for 2d; 1-d → (1, N, 1) and
+    * 2-d → (M, N, 1) for 3d. Pure coordinate projections. */
+  def atleast2d: NdArray = if (rank >= 2) this else expandDims(0)
+  def atleast3d: NdArray = rank match {
+    case r if r >= 3 => this
+    case 2           => expandDims(2)
+    case 1           => expandDims(0).expandDims(2)
+    case _           => expandDims(0).expandDims(2) // rank-0 scalar table
+  }
 }
 
 object NdArray {
+  /** numpy `stack(arrays, axis)` (reference `stacking/_stack.py`): insert
+    * a new axis and concatenate along it — expandDims + the zero-movement
+    * offset union `concat` provides. */
+  def stack(arrays: Seq[NdArray], axis: Int = 0): NdArray = {
+    require(arrays.nonEmpty, "stack needs at least one array")
+    require(arrays.forall(_.shape == arrays.head.shape),
+      "stack: all arrays must share a shape")
+    arrays.map(_.expandDims(axis)).reduce(_.concat(_, axis))
+  }
+
+  /** numpy `vstack`/`hstack`/`dstack` (reference `stacking/_simple.py:6,24,43`):
+    * the standard promote-then-concat compositions. */
+  def vstack(arrays: Seq[NdArray]): NdArray = {
+    val promoted = arrays.map(a => if (a.rank == 1) a.expandDims(0) else a)
+    promoted.reduce(_.concat(_, 0))
+  }
+  def hstack(arrays: Seq[NdArray]): NdArray =
+    if (arrays.head.rank == 1) arrays.reduce(_.concat(_, 0))
+    else arrays.reduce(_.concat(_, 1))
+  def dstack(arrays: Seq[NdArray]): NdArray =
+    arrays.map(_.atleast3d).reduce(_.concat(_, 2))
   /** Generator over the full coordinate grid — one `spark.range` scan with
     * exact unravel arithmetic; the kernel sees `c0 … c{r-1}`. */
   def tabulate(spark: SparkSession, shape: Seq[Long], sqlOverCoords: String): NdArray = {

@@ -194,4 +194,42 @@ class NdSpec extends AnyFunSuite {
     val cells = s2.ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(cells.toSeq == Seq((0L, 10.0), (1L, 2.0), (4L, 40.0)))
   }
+
+  test("stack/vstack/hstack/dstack match numpy's promote-then-concat shapes") {
+    val a = NdArray.tabulate(spark, Seq(4L), "c0 + 1")        // [1,2,3,4]
+    val b = NdArray.tabulate(spark, Seq(4L), "10 * (c0 + 1)") // [10,20,30,40]
+    // stack axis 0: (2,4), rows a then b
+    val st0 = NdArray.stack(Seq(a, b), 0)
+    assert(st0.shape == Seq(2L, 4L))
+    assert(values(st0) == Seq(1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0))
+    // stack axis 1: (4,2), interleaved columns
+    val st1 = NdArray.stack(Seq(a, b), 1)
+    assert(st1.shape == Seq(4L, 2L))
+    assert(values(st1) == Seq(1.0, 10.0, 2.0, 20.0, 3.0, 30.0, 4.0, 40.0))
+    // vstack of 1-d: (2,4) like stack axis 0
+    assert(values(NdArray.vstack(Seq(a, b))) == values(st0))
+    // hstack of 1-d concatenates: (8)
+    val h = NdArray.hstack(Seq(a, b))
+    assert(h.shape == Seq(8L))
+    assert(values(h) == Seq(1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0))
+    // dstack of 1-d: (1,4,2)
+    val d = NdArray.dstack(Seq(a, b))
+    assert(d.shape == Seq(1L, 4L, 2L))
+    assert(values(d) == Seq(1.0, 10.0, 2.0, 20.0, 3.0, 30.0, 4.0, 40.0))
+    // 2-d vstack/hstack concat on axis 0/1
+    val m = NdArray.tabulate(spark, Seq(2L, 3L), "c0 * 3 + c1")
+    assert(NdArray.vstack(Seq(m, m)).shape == Seq(4L, 3L))
+    assert(NdArray.hstack(Seq(m, m)).shape == Seq(2L, 6L))
+    assert(NdArray.dstack(Seq(m, m)).shape == Seq(2L, 3L, 2L))
+  }
+
+  test("atleast2d/atleast3d use numpy's exact axis placement") {
+    val a = NdArray.tabulate(spark, Seq(4L), "c0")
+    assert(a.atleast2d.shape == Seq(1L, 4L))
+    assert(a.atleast3d.shape == Seq(1L, 4L, 1L))
+    val m = NdArray.tabulate(spark, Seq(2L, 3L), "c0 + c1")
+    assert(m.atleast2d.shape == Seq(2L, 3L))
+    assert(m.atleast3d.shape == Seq(2L, 3L, 1L))
+    assert(values(m.atleast3d) == values(m))
+  }
 }
