@@ -164,15 +164,18 @@ object EmbeddingQueries {
     // (the same sorted-neighborhood guard the t06 LSH pipeline uses)
     "e05_ann_bucketed" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val b = emb(s, d)
+      // W lead(struct) columns in one window pass replace the rn
+      // self-join — one scan of the embeddings, one bucket shuffle; the
+      // struct carries the partner's embedding for the exact dot product
+      val w = Window.partitionBy("bucket").orderBy("vec_id")
+      emb(s, d)
         .selectExpr("vec_id", "embedding", s"$sparkBucket AS bucket")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("bucket").orderBy("vec_id")))
-      b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
-        .selectExpr("x.vec_id AS a", "y.vec_id AS b",
-          s"round(${sparkDot("x.embedding", "y.embedding")}, 4) AS sim")
+        .withColumn("nbrs",
+          array((1 to WINDOW).map(i => lead(struct(col("vec_id"), col("embedding")), i).over(w)): _*))
+        .selectExpr("vec_id AS a", "embedding AS ea", "explode(nbrs) AS nb")
+        .where("nb IS NOT NULL")
+        .selectExpr("a", "nb.vec_id AS b",
+          s"round(${sparkDot("ea", "nb.embedding")}, 4) AS sim")
         .orderBy(col("sim").desc, col("a"), col("b")).limit(20)
     }),
 
@@ -267,15 +270,16 @@ object EmbeddingQueries {
     // at fixed label cardinality and would not survive 100 TB
     "e06_label_topk_pairs" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = emb(s, d)
+      // same one-pass lead(struct) neighborhood as e05, label-partitioned
+      val w = Window.partitionBy("label").orderBy("vec_id")
+      emb(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("label").orderBy("vec_id")))
-      e.as("x").join(e.as("y"),
-          col("x.label") === col("y.label") &&
-            col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
-        .selectExpr("x.label AS label", "x.vec_id AS a", "y.vec_id AS b",
-          s"round(${sparkDot("x.embedding", "y.embedding")}, 4) AS sim")
+        .withColumn("nbrs",
+          array((1 to WINDOW).map(i => lead(struct(col("vec_id"), col("embedding")), i).over(w)): _*))
+        .selectExpr("label", "vec_id AS a", "embedding AS ea", "explode(nbrs) AS nb")
+        .where("nb IS NOT NULL")
+        .selectExpr("label", "a", "nb.vec_id AS b",
+          s"round(${sparkDot("ea", "nb.embedding")}, 4) AS sim")
         .orderBy(col("sim").desc, col("a"), col("b")).limit(10)
     }),
   )

@@ -146,13 +146,17 @@ object TextQueries {
   private val WINDOW = 8
   private def lshPairsDF(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rn = row_number().over(
-      Window.partitionBy("t", "bh").orderBy("doc_id"))
-    val b = bandsDF(s, d).withColumn("rn", rn)
-    b.as("x").join(b.as("y"),
-        col("x.t") === col("y.t") && col("x.bh") === col("y.bh") &&
-          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // the W bucket-successors come from W lead() columns in ONE window
+    // pass — not a rn self-join, which would run the signature kernel and
+    // the window TWICE (once per join side) and shuffle the band table
+    // again for the join. Same pair set: (x, y) with y among the next W
+    // docs of x's bucket. One kernel scan, one shuffle.
+    val w = Window.partitionBy("t", "bh").orderBy("doc_id")
+    bandsDF(s, d)
+      .withColumn("nbrs", array((1 to WINDOW).map(i => lead(col("doc_id"), i).over(w)): _*))
+      .selectExpr("doc_id AS a", "explode(nbrs) AS b")
+      .where("b IS NOT NULL")
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("nshared"))
       .orderBy(col("nshared").desc, col("a"), col("b")).limit(k)
   }
@@ -262,11 +266,14 @@ object TextQueries {
 
     // word-bigram frequency profile, top-20. The token array is
     // materialized behind an exchange first — inlined, the lambda would
-    // re-split the text twice per bigram
+    // re-split the text twice per bigram. The size(toks) > 1 guard
+    // matters: Spark's sequence(1, 0) is the DESCENDING [1, 0] (step
+    // defaults to -1), so an unguarded single-token doc would hit
+    // element_at(toks, 0) and fail the whole query at runtime.
     "t10_bigrams" -> ((s, d) =>
       docs(s, d).selectExpr("split(text, ' ') AS toks")
         .repartition(col("toks"))
-        .selectExpr("explode(transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg")
+        .selectExpr("explode(CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) ELSE array() END) AS bg")
         .groupBy("bg").agg(expr("CAST(count(*) AS BIGINT)").as("c"))
         .orderBy(col("c").desc, col("bg")).limit(20)),
 
@@ -279,12 +286,16 @@ object TextQueries {
       val sh = sigTable(s, d).selectExpr("doc_id", "simhash AS h")
       val bands = sh.selectExpr("doc_id", "h",
         s"stack(4, ${(0 until 4).map(t => s"$t, (h DIV ${1 << (4 * t)}) % 16").mkString(", ")}) AS (t, bh)")
-      val rn = row_number().over(Window.partitionBy("t", "bh").orderBy("doc_id"))
-      val b = bands.withColumn("rn", rn)
-      b.as("x").join(b.as("y"),
-          col("x.t") === col("y.t") && col("x.bh") === col("y.bh") &&
-            col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + WINDOW)
-        .selectExpr("x.doc_id AS a", "y.doc_id AS b", "bit_count(x.h ^ y.h) AS ham")
+      // W lead(struct) columns in one window pass replace the rn
+      // self-join (which ran the signature kernel twice) — the struct
+      // carries the partner's simhash for the exact Hamming distance
+      val w = Window.partitionBy("t", "bh").orderBy("doc_id")
+      bands
+        .withColumn("nbrs",
+          array((1 to WINDOW).map(i => lead(struct(col("doc_id"), col("h")), i).over(w)): _*))
+        .selectExpr("doc_id AS a", "h AS ha", "explode(nbrs) AS nb")
+        .where("nb IS NOT NULL")
+        .selectExpr("a", "nb.doc_id AS b", "bit_count(ha ^ nb.h) AS ham")
         .distinct()
         .orderBy(col("ham"), col("a"), col("b")).limit(20)
     }),
@@ -300,8 +311,10 @@ object TextQueries {
       val bgRows = docs(s, d)
         .selectExpr("doc_id", "split(text, ' ') AS toks")
         .repartition(col("doc_id")) // pin toks: explode must not re-split per bigram
+        // guarded as in t10: sequence(1, 0) = [1, 0] would crash on a
+        // single-token doc where DuckDB's generate_series(1, 0) is empty
         .selectExpr("doc_id",
-          "explode(transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg")
+          "explode(CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) ELSE array() END) AS bg")
       val counts = bgRows.groupBy("bg").agg(count(lit(1)).as("c"))
       // N = Σ C(bg): derived from the tiny counts table, NOT a third
       // scan of the corpus

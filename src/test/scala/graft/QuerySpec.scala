@@ -130,6 +130,19 @@ class QuerySpec extends AnyFunSuite {
       s"contamination must not shuffle-join the corpus:\n$plan")
   }
 
+  test("sorted-neighborhood pair queries plan ONE pass — no self-join") {
+    // t06/t11/e05/e06 generate bucket-window pairs from W lead() columns
+    // in a single window pass; a rn self-join would run the signature
+    // kernel / embedding scan twice and shuffle the table again
+    for (q <- Seq("t06_lsh_candidates", "t11_simhash_pairs",
+                  "e05_ann_bucketed", "e06_label_topk_pairs")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q must not self-join the pair table:\n$plan")
+      assert(plan.contains("Window"), s"$q should use the lead() window pass:\n$plan")
+    }
+  }
+
   test("t15 sequence packing: block-partitioned prefix sum + broadcast carry") {
     val df = SparkEntry.queries("t15_seq_packing")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
