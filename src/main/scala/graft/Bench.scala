@@ -13,17 +13,37 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: pay parquet footer reads + codegen/JIT outside the timings.
-    // One query per structural family (scan+agg, window, shuffle join,
-    // kernel mapPartitions) — a single warmup query leaves the first few
-    // measured queries absorbing whole-stage-codegen JIT for every other
-    // operator shape.
-    val warmups = Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul",
-      "t05_minhash").flatMap(SparkEntry.queries.get) ++
-      SparkEntry.queries.headOption.map(_._2)
-    warmups.foreach { fn =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // warmup: pay parquet footer reads + whole-stage-codegen/JIT outside
+    // the timings. Isolated runs show 3-9s first-execution vs 0.7-1.7s
+    // steady-state for identical plans, so un-warmed numbers measure JIT,
+    // not the engine. Running EVERY query once against the tiny sf0.001
+    // dir compiles every codegen shape cheaply; fall back to one query
+    // per structural family on the bench dir if no sibling exists.
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+      .orElse {
+        val sib = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+        if (sib != sfDir && new java.io.File(sib).isDirectory) Some(sib) else None
+      }
+    // broad-shape families first, then as many tiny-SF warmups as fit a
+    // fixed wall budget (keeps the whole bench inside the driver's run
+    // window even with 180+ queries)
+    val familyWarm = Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul",
+      "t05_minhash").flatMap(SparkEntry.queries.get)
+    val warmBudgetMs = sys.env.getOrElse("SPARK_GRAFT_WARMUP_MS", "120000").toLong
+    val warmDeadline = System.nanoTime() + warmBudgetMs * 1000000L
+    warmupDir match {
+      case Some(wd) =>
+        (familyWarm.iterator ++ SparkEntry.queries.valuesIterator)
+          .takeWhile(_ => System.nanoTime() < warmDeadline)
+          .foreach { fn =>
+            try fn(spark, wd).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+          }
+      case None =>
+        familyWarm.foreach { fn =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
