@@ -244,13 +244,21 @@ object TextQueries {
     }),
 
     // exact n-gram Jaccard over the distinct-hash sets, LSH-bounded
-    // (never unblocked O(n^2))
+    // (never unblocked O(n^2)). Each candidate pair explodes to its two
+    // member edges, and ONE broadcast join against the signature table
+    // attaches both sides' hash sets — so the signature kernel runs
+    // TWICE total (bands pass inside the broadcast side + one scan on
+    // the join side), where the old per-side joins ran it three times.
+    // A k-bounded groupBy re-pairs the edges.
     "t07_jaccard" -> ((s, d) => {
-      val cand = lshPairsDF(s, d, 200).select("a", "b")
-      val sh = sigTable(s, d).select("doc_id", "dhl")
-      cand
-        .join(sh.select(col("doc_id").as("a"), col("dhl").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("dhl").as("sb")), "b")
+      val edges = lshPairsDF(s, d, 200).select("a", "b")
+        .selectExpr("a", "b", "explode(array(a, b)) AS doc_id")
+      val joined = sigTable(s, d).select("doc_id", "dhl")
+        .join(broadcast(edges), Seq("doc_id"))
+      joined.groupBy("a", "b")
+        .agg(
+          first(expr("CASE WHEN doc_id = a THEN dhl END"), ignoreNulls = true).as("sa"),
+          first(expr("CASE WHEN doc_id = b THEN dhl END"), ignoreNulls = true).as("sb"))
         .selectExpr("a", "b",
           "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / (size(sa) + size(sb) - size(array_intersect(sa, sb))) AS jac")
         .orderBy(col("jac").desc, col("a"), col("b")).limit(20)
