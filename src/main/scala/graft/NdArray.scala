@@ -71,6 +71,16 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     new NdArray(df.selectExpr(proj: _*), perm.map(shape))
   }
 
+  /** numpy `rollaxis(a, axis, start)` (reference exports it alongside
+    * moveaxis): roll `axis` until it lies before position `start` —
+    * numpy's quirky rule reduces to a moveaxis with the destination
+    * shifted down by one when the axis starts left of `start`. */
+  def rollaxis(axis: Int, start: Int = 0): NdArray = {
+    require(axis >= 0 && axis < rank && start >= 0 && start <= rank)
+    val dst = if (axis < start) start - 1 else start
+    if (dst == axis) this else moveaxis(axis, dst)
+  }
+
   /** swapaxes (reference `manipulation/_transpose.py:63`): the 2-cycle
     * special case of [[transpose]] — still a pure projection. */
   def swapaxes(a: Int, b: Int): NdArray = {

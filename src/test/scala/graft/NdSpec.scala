@@ -232,4 +232,17 @@ class NdSpec extends AnyFunSuite {
     assert(m.atleast3d.shape == Seq(2L, 3L, 1L))
     assert(values(m.atleast3d) == values(m))
   }
+
+  test("rollaxis matches numpy's before-start placement rule") {
+    val a = NdArray.tabulate(spark, Seq(3L, 4L, 5L, 6L), "c0 + c1 * 2 + c2 * 3 + c3")
+    // np.rollaxis(a, 3, 0).shape == (6,3,4,5)
+    assert(a.rollaxis(3, 0).shape == Seq(6L, 3L, 4L, 5L))
+    // np.rollaxis(a, 0, 4).shape == (4,5,6,3)
+    assert(a.rollaxis(0, 4).shape == Seq(4L, 5L, 6L, 3L))
+    // np.rollaxis(a, 1, 4).shape == (3,5,6,4)
+    assert(a.rollaxis(1, 4).shape == Seq(3L, 5L, 6L, 4L))
+    // rolling to its own position is the identity
+    assert(values(a.rollaxis(2, 2)) == values(a))
+    assert(values(a.rollaxis(3, 0)) == values(a.moveaxis(3, 0)))
+  }
 }

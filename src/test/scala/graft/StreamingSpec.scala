@@ -215,4 +215,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ), s"got $pairs")
     } finally q.stop()
   }
+
+  test("near-dup eviction timeout clamps above the watermark (evictAfterMs < delay)") {
+    // evictAfterMs far below the 10s watermark delay: unclamped, the
+    // timeout would land at-or-before the current watermark and Spark
+    // would fail the stream with IllegalArgumentException on the next
+    // batch. The clamp must keep the query running and still emit pairs.
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.SigDoc
+    val in = MemoryStream[SigDoc]
+    val q = StreamOps.nearDupCandidates(in.toDS(), w = 2, evictAfterMs = 1L)
+      .writeStream.format("memory").queryName("ndclamp").outputMode("append").start()
+    try {
+      in.addData(
+        SigDoc(ts(1), 1L, 0, 5L, 0xF0L),
+        SigDoc(ts(2), 2L, 0, 5L, 0xF3L))
+      q.processAllAvailable()
+      // advance the watermark well past batch 1's state timeouts, then
+      // keep feeding the same bucket — the stream must survive the
+      // timeout handling and keep emitting
+      in.addData(SigDoc(ts(60), 3L, 0, 5L, 0xF0L))
+      q.processAllAvailable()
+      in.addData(SigDoc(ts(61), 4L, 0, 5L, 0xF1L))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+      val pairs = sp.table("ndclamp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"got $pairs")
+      assert(pairs.contains((3L, 4L)), s"got $pairs")
+    } finally q.stop()
+  }
 }
