@@ -155,6 +155,20 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     elements.agg(cols.head, cols.tail: _*)
   }
 
+  /** PUBLIC custom-reduction surface (reference `reduction(chunk, combine,
+    * aggregate)`, `dask_array/reductions/_reduction.py:259`): a typed Spark
+    * `Aggregator[Double, B, O]` IS the reference's 3-function contract —
+    * `zero`/`reduce` ≙ chunk, `merge` ≙ combine, `finish` ≙ aggregate —
+    * and Catalyst plans it as the same partial (map-side) + final tree the
+    * reference builds from its chunk/combine/aggregate layers; arbitrary
+    * buffer types ride the Aggregator's own encoders. */
+  def reduction[B, O](agg: org.apache.spark.sql.expressions.Aggregator[Double, B, O],
+                      name: String = "v"): DataFrame = {
+    val sess = elements.sparkSession
+    import sess.implicits._
+    elements.select(col("v")).as[Double].select(agg.toColumn.name(name)).toDF
+  }
+
   def sum(alias: String = "sum"): DataFrame  = reduce(s"sum(v)" -> alias)
   def mean(alias: String = "mean"): DataFrame = reduce(s"avg(v)" -> alias)
 

@@ -369,3 +369,33 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == Seq(1.0, 7.0, 1.0, 7.0, 1.0, 7.0))
   }
 }
+
+/** The public custom-reduction surface: an Aggregator with a user buffer
+  * runs as Spark's partial+final tree — the reference's
+  * chunk/combine/aggregate contract (`reductions/_reduction.py:259`). */
+class CustomReductionSpec extends AnyFunSuite {
+  test("geometric mean via a (count, sumlog) buffer matches exp(mean(ln))") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val geomean = new Aggregator[Double, (Long, Double), Double] {
+      def zero: (Long, Double) = (0L, 0.0)                                  // chunk identity
+      def reduce(b: (Long, Double), v: Double): (Long, Double) =
+        (b._1 + 1, b._2 + math.log(v))                                      // chunk
+      def merge(a: (Long, Double), b: (Long, Double)): (Long, Double) =
+        (a._1 + b._1, a._2 + b._2)                                          // combine
+      def finish(b: (Long, Double)): Double =
+        if (b._1 == 0) Double.NaN else math.exp(b._2 / b._1)                // aggregate
+      def bufferEncoder: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+    val a = graft.DArray.arange(s, "/unused", 1, 101, 1)
+    val df = a.reduction(geomean, "gm")
+    // partial+final: the plan must aggregate in two phases, not one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"expected a partial aggregation phase:\n$plan")
+    val got = df.collect()(0).getDouble(0)
+    val want = math.exp((1 to 100).map(i => math.log(i.toDouble)).sum / 100.0)
+    assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+  }
+}
