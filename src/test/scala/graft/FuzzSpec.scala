@@ -39,6 +39,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class ZipShift(off: Int) extends Op // x[0:n-off] + x[off:n] — offset-zip fusion path
   case class Stride(step: Int) extends Op
   case class SetIdx(frac: Double, value: Int) extends Op // point update — setitem pushdown path
+  case class PiecewiseFz(t1: Int, t2: Int) extends Op // sequential assignment: LAST match wins
+  case class SelectFz(t1: Int, t2: Int) extends Op    // np.select: FIRST match wins
+  case object ChooseFz extends Op                      // parity selector over two derived choices
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -82,6 +85,17 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case Stride(step) => v.indices.collect { case i if i % step == 0 => v(i) }.toVector
     case SetIdx(frac, value) =>
       if (v.isEmpty) v else v.updated((frac * v.length).toInt, value.toDouble)
+    case PiecewiseFz(t1, t2) =>
+      v.map { x =>
+        var r = 0.0
+        if (x < t1) r = x + 1
+        if (x < t2) r = x - 1 // sequential: overwrites where both hold
+        r
+      }
+    case SelectFz(t1, t2) =>
+      v.map(x => if (x < t1) x + 1 else if (x < t2) x - 1 else 0.0)
+    case ChooseFz =>
+      v.map(x => if (math.abs(x).toLong % 2 == 0) x * 2 else x + 10)
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -106,6 +120,12 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case SetIdx(frac, value) =>
       if (len == 0) d
       else d.setItems(Seq(((frac * len).toLong, value.toDouble)))
+    case PiecewiseFz(t1, t2) =>
+      d.piecewise(Seq(s"v < $t1", s"v < $t2"), Seq("v + 1", "v - 1"))
+    case SelectFz(t1, t2) =>
+      d.select(Seq(s"v < $t1", s"v < $t2"), Seq("v + 1", "v - 1"))
+    case ChooseFz =>
+      d.map("CAST(abs(v) AS BIGINT) % 2").choose(Seq(d * 2.0, d + 10.0))
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -122,7 +142,10 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           m <- Gen.oneOf("constant", "periodic", "reflect", "nearest") } yield Boundary(d, m),
     Gen.choose(1, 9).map(ZipShift(_)),
     Gen.choose(2, 5).map(Stride(_)),
-    for { f <- Gen.choose(0.0, 0.99); x <- Gen.choose(-9, 9) } yield SetIdx(f, x))
+    for { f <- Gen.choose(0.0, 0.99); x <- Gen.choose(-9, 9) } yield SetIdx(f, x),
+    for { t1 <- Gen.choose(-50, 150); t2 <- Gen.choose(-50, 150) } yield PiecewiseFz(t1, t2),
+    for { t1 <- Gen.choose(-50, 150); t2 <- Gen.choose(-50, 150) } yield SelectFz(t1, t2),
+    Gen.const(ChooseFz))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
   // windowed ops' carry chains and halos run multi-block
