@@ -162,7 +162,10 @@ object MatrixQueries {
     "l06_svd_compressed" -> ((s, d) => {
       val x = graft.DMatrix.tabulate(s, 240, 4, "((i*7 + j*3) % 11) - 5")
       val y = graft.DMatrix.tabulate(s, 80, 4, "((i*5 + j*9) % 13) - 6")
-      val a = x.matmul(y.t)
+      // the shuffle-produced input is consumed by FOUR downstream plans
+      // (range probe, B projection, reconstruction error, Frobenius);
+      // persist materializes the matmul once — LRU eviction reclaims it
+      val a = new graft.DMatrix(x.matmul(y.t).df.persist(), 240, 80)
       val (u, sv, v) = graft.linalg.SVD.svdCompressed(s, a, k = 4, oversample = 4)
       val sDM = new graft.DMatrix(
         s.createDataFrame((0 until 4).map(i => (i.toLong, i.toLong, sv(i)))).toDF("i", "j", "v"), 4, 4)
