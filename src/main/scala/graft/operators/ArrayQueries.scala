@@ -203,6 +203,30 @@ object ArrayQueries {
     "q82_sliding_window_view" -> ((s, d) =>
       events(s, d).slice(0, 300).slidingWindowView(7).orderBy("pos", "off")),
 
+    // PUBLIC custom-reduction surface under the oracle gate: a user
+    // Aggregator with a (count, sumlog) buffer — the reference's
+    // reduction(chunk, combine, aggregate) contract — computing the
+    // geometric mean, which Spark has no built-in for. Planned as the
+    // partial+final tree; round(6) clears log-accumulation order noise.
+    "q86_custom_reduction" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Aggregator
+      import org.apache.spark.sql.{Encoder, Encoders}
+      val geomean = new Aggregator[Double, (Long, Double), Double] {
+        def zero: (Long, Double) = (0L, 0.0)
+        def reduce(b: (Long, Double), v: Double): (Long, Double) =
+          (b._1 + 1, b._2 + math.log(v))
+        def merge(a: (Long, Double), b: (Long, Double)): (Long, Double) =
+          (a._1 + b._1, a._2 + b._2)
+        def finish(b: (Long, Double)): Double =
+          if (b._1 == 0) Double.NaN else math.exp(b._2 / b._1)
+        def bufferEncoder: Encoder[(Long, Double)] =
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+        def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }
+      events(s, d).map("v + 1.0").reduction(geomean, "gm")
+        .selectExpr("round(gm, 6) AS gm")
+    }),
+
     // numpy choose + select chained: the selector (floor(v) % 3) picks
     // elementwise among three derived arrays (a 3-way alignment-zip chain
     // that self-zip fusion collapses to ONE scan — all operands share the
@@ -935,6 +959,9 @@ object ArrayQueries {
          FROM events e CROSS JOIN range(7) o(i)
          WHERE e.event_id < 300 AND e.event_id - o.i >= 0 AND e.event_id - o.i <= 293
          ORDER BY pos, off""",
+
+    "q86_custom_reduction" ->
+      """SELECT round(exp(avg(ln(value + 1.0))), 6) AS gm FROM events""",
 
     "q85_select_choose" ->
       """WITH b AS (SELECT event_id AS idx, floor(value) AS v FROM events),
