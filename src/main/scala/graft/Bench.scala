@@ -29,7 +29,7 @@ object Bench {
     // window even with 180+ queries)
     val familyWarm = Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul",
       "t05_minhash").flatMap(SparkEntry.queries.get)
-    val warmBudgetMs = sys.env.getOrElse("SPARK_GRAFT_WARMUP_MS", "120000").toLong
+    val warmBudgetMs = sys.env.getOrElse("SPARK_GRAFT_WARMUP_MS", "150000").toLong
     val warmDeadline = System.nanoTime() + warmBudgetMs * 1000000L
     warmupDir match {
       case Some(wd) =>
