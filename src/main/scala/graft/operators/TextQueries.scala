@@ -315,6 +315,50 @@ object TextQueries {
     // (bigram counts + total), the bounded vocabulary broadcasts back,
     // one groupBy scores — the same scale shape as t12's TF-IDF. ln() is
     // libm: round(,3) on a ~100-term mean clears ulp noise both sides.
+    // PII detection + redaction (the scrubbing step of a pretraining
+    // pipeline). The synthetic corpus carries no natural PII, so a
+    // deterministic injection (same expression on both engines) plants
+    // emails/phone numbers in every 7th doc; the scrubber then counts and
+    // redacts them. Pure per-row projections — regexp_count/replace run
+    // inside whole-stage codegen, one scan, no shuffle before the final
+    // order. Patterns stay in the Java∩RE2 regex intersection so Spark
+    // and DuckDB agree.
+    "t17_pii_scrub" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("doc_id",
+          """CASE WHEN doc_id % 7 = 0
+               THEN concat(text, ' contact user', CAST(doc_id AS STRING),
+                           '@example.com or 555-',
+                           CAST(1000 + doc_id % 9000 AS STRING))
+               ELSE text END AS text""")
+        .selectExpr("doc_id",
+          "CAST(regexp_count(text, '[a-z0-9._]+@[a-z0-9.]+') AS BIGINT) AS n_email",
+          "CAST(regexp_count(text, '555-[0-9]{4}') AS BIGINT) AS n_phone",
+          """md5(regexp_replace(regexp_replace(text,
+               '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'),
+               '555-[0-9]{4}', '<PHONE>')) AS scrubbed_md5""")
+        .where("doc_id < 50").orderBy("doc_id")),
+
+    // Within-doc repetition scoring (the Gopher/C4-family quality rule:
+    // drop documents dominated by repeated tokens). Per doc: token count,
+    // distinct-token count, the repetition ratio 1 - uniq/n, and the top
+    // word's share — one explode + one partial-aggregated groupBy per
+    // doc, no cross-doc shuffle beyond the per-doc aggregation.
+    "t18_repetition" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").as("n_tok"),
+          count(lit(1)).as("n_uniq"),
+          max("c").as("top_c"))
+        .selectExpr("doc_id", "CAST(n_tok AS BIGINT) AS n_tok",
+          "CAST(n_uniq AS BIGINT) AS n_uniq",
+          "round(1.0 - CAST(n_uniq AS DOUBLE) / n_tok, 6) AS rep_ratio",
+          "round(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_share")
+        .where("doc_id < 50").orderBy("doc_id")),
+
     "t16_lm_score" -> ((s, d) => {
       val bgRows = docs(s, d)
         .selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -488,6 +532,32 @@ object TextQueries {
            CAST(count(*) AS BIGINT) AS n_bigrams
          FROM bg JOIN cnt USING (bg), tot
          WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""",
+
+    "t17_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@example.com or 555-' ||
+                   CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE text END AS text
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+            md5(regexp_replace(regexp_replace(text,
+              '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+              '555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+          FROM t WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "t18_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+          c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+            CAST(count(*) AS BIGINT) AS n_uniq,
+            round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS rep_ratio,
+            round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+          FROM c WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""",
 
     "t14_contamination" ->
       s"""WITH sig AS (SELECT doc_id, dhl FROM $duckHashed),
