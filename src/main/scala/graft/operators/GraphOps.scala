@@ -43,24 +43,24 @@ object GraphOps {
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
-      // (a) neighbor-min: min label over the neighborhood (incl. self)
+      // (a) neighbor-min: min label over the neighborhood (incl. self);
+      // the round's starting label rides along as `old` so convergence
+      // needs no extra join back against the previous generation
       val nbrMin = sym
         .join(lbl.select(col("id").as("y"), col("lbl").as("ylbl")), "y")
         .groupBy(col("x").as("id")).agg(min("ylbl").as("nlbl"))
       val stepped = lbl.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // (b) pointer jumping: lbl := min(lbl, lbl(lbl))
       val jumped = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("ll")),
           Seq("lbl"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = jumped
-        .join(lbl.select(col("id"), col("lbl").as("old")), "id")
-        .where("lbl <> old").count()
-      lbl = jumped
+      changed = jumped.where("lbl <> old").count()
+      lbl = jumped.select("id", "lbl")
       it += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
