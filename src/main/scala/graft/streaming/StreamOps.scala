@@ -48,6 +48,36 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("h")
       .select(col("ts"), col("doc_id"))
 
+  final case class SrcDoc(ts: Timestamp, doc_id: Long, source: String, text: String)
+  final case class PackedDoc(source: String, doc_id: Long, n_tok: Long, bin: Long)
+
+  /** Streaming sequence packing — the online half of the batch t15
+    * concat-and-chunk: per source, a running token offset assigns every
+    * arriving document to the fixed-width bin its start offset lands in
+    * (`offset DIV window`, the batch query's exact rule). State is ONE
+    * Long per source — bounded regardless of stream length — and the
+    * operator is keyed by source, so a 1000-executor cluster partitions
+    * freely; ordering within a micro-batch is (event time, doc_id), the
+    * same determinism rule the near-dup operator uses. */
+  def packSequences(docs: Dataset[SrcDoc], window: Long = 2048L): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = List.newBuilder[PackedDoc]
+          rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+            val nt = d.text.split(' ').count(_.nonEmpty).toLong
+            out += PackedDoc(src, d.doc_id, nt, off / window)
+            off += nt
+          }
+          state.update(off)
+          out.result().iterator
+      }
+  }
+
   /** Per-user session windows (gap-based): events within `gap` of each
     * other merge into one session; a watermark closes sessions so state
     * is bounded. Spark's native `session_window` — stateful, keyed by

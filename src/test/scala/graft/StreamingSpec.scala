@@ -247,4 +247,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pairs.contains((3L, 4L)), s"got $pairs")
     } finally q.stop()
   }
+
+  test("streaming sequence packing: per-source running offset, one-Long state") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.SrcDoc
+    val in = MemoryStream[SrcDoc]
+    // window of 5 tokens so bins roll over quickly
+    val q = StreamOps.packSequences(in.toDS(), window = 5L)
+      .writeStream.format("memory").queryName("pack").outputMode("append").start()
+    try {
+      // source A: 3 + 4 tokens; source B: 2 tokens — independent offsets
+      in.addData(
+        SrcDoc(ts(1), 1L, "A", "a b c"),
+        SrcDoc(ts(2), 2L, "A", "d e f g"),
+        SrcDoc(ts(1), 10L, "B", "x y"))
+      q.processAllAvailable()
+      // batch 2 continues A's offset (3+4=7 -> doc 3 starts at 7, bin 1;
+      // then 7+6=13 -> doc 4 starts bin 2) and B's (2 -> bin 0)
+      in.addData(
+        SrcDoc(ts(3), 3L, "A", "h i j k l m"),
+        SrcDoc(ts(4), 4L, "A", "n"),
+        SrcDoc(ts(3), 11L, "B", "z w v"))
+      q.processAllAvailable()
+      val got = sp.table("pack").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        ("A", 1L, 3L, 0L),  // starts at 0   -> bin 0
+        ("A", 2L, 4L, 0L),  // starts at 3   -> bin 0
+        ("A", 3L, 6L, 1L),  // starts at 7   -> bin 1
+        ("A", 4L, 1L, 2L),  // starts at 13  -> bin 2
+        ("B", 10L, 2L, 0L), // starts at 0   -> bin 0
+        ("B", 11L, 3L, 0L)  // starts at 2   -> bin 0
+      ), s"got $got")
+    } finally q.stop()
+  }
 }
