@@ -279,8 +279,8 @@ object TextQueries {
     // defaults to -1), so an unguarded single-token doc would hit
     // element_at(toks, 0) and fail the whole query at runtime.
     "t10_bigrams" -> ((s, d) =>
-      docs(s, d).selectExpr("split(text, ' ') AS toks")
-        .repartition(col("toks"))
+      docs(s, d).selectExpr("doc_id", "split(text, ' ') AS toks")
+        .repartition(col("doc_id")) // pin toks behind an exchange; doc_id hashes cheaper than the array
         .selectExpr("explode(CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) ELSE array() END) AS bg")
         .groupBy("bg").agg(expr("CAST(count(*) AS BIGINT)").as("c"))
         .orderBy(col("c").desc, col("bg")).limit(20)),
