@@ -312,6 +312,26 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
       .groupBy("bucket").agg(expr("count(*)").as("cnt"))
   }
 
+  /** Weighted + density histogram (reference `histogram(weights=,
+    * density=)`, `dask_array/_histogram.py:41` — per-block weighted counts
+    * + tree-sum, density normalized by total weight × bin width): the
+    * weight is any SQL kernel over the position `idx` and value `v`;
+    * density(b) = W(b) / (ΣW · binWidth). One partial-aggregated shuffle,
+    * same as the unweighted form. */
+  def histogramWeighted(lo: Double, hi: Double, nBins: Int,
+                        weightSql: String): DataFrame = {
+    val w = (hi - lo) / nBins
+    val binned = elements
+      .selectExpr(
+        s"least(greatest(CAST(floor((v - $lo) / $w) AS BIGINT), 0L), ${nBins - 1}L) AS bucket",
+        s"CAST($weightSql AS DOUBLE) AS wt")
+      .groupBy("bucket").agg(expr("sum(wt)").as("wsum"))
+    // total weight joins back as a broadcast scalar (the q66 delayed-bins
+    // pattern) — the normalizer is an aggregate of the tiny binned table
+    binned.crossJoin(broadcast(binned.agg(expr("sum(wsum)").as("tw"))))
+      .selectExpr("bucket", "wsum", s"wsum / (tw * $w) AS density")
+  }
+
   /** Insertion index against a sorted (small, broadcast) array (reference
     * `searchsorted`, `dask_array/routines/_search.py:20` — the reference
     * also gathers the sorted side whole per block). */

@@ -136,6 +136,15 @@ object ArrayQueries {
     "q17_histogram" -> ((s, d) =>
       events(s, d).histogram(0.0, 500.0, 25).orderBy("bucket")),
 
+    // weighted + density histogram (reference histogram(weights=,
+    // density=)): integer-valued weights keep the sums exact, so the
+    // single density division is bit-identical across engines
+    "q87_histogram_density" -> ((s, d) =>
+      events(s, d)
+        .histogramWeighted(0.0, 500.0, 25, "1.0 + CAST(idx % 5 AS DOUBLE)")
+        .selectExpr("bucket", "round(wsum, 6) AS wsum", "round(density, 9) AS density")
+        .orderBy("bucket")),
+
     "q18_searchsorted" -> ((s, d) =>
       events(s, d).searchsorted(DArray.arange(s, d, 0, 500, 25), "right").orderBy("idx")),
 
@@ -962,6 +971,15 @@ object ArrayQueries {
 
     "q86_custom_reduction" ->
       """SELECT round(exp(avg(ln(value + 1.0))), 6) AS gm FROM events""",
+
+    "q87_histogram_density" ->
+      """WITH h AS (SELECT
+            least(greatest(CAST(floor(value / 20) AS BIGINT), 0), 24) AS bucket,
+            1.0 + CAST(event_id % 5 AS DOUBLE) AS wt FROM events),
+          tot AS (SELECT sum(wt) AS tw FROM h)
+          SELECT bucket, round(sum(wt), 6) AS wsum,
+            round(sum(wt) / (tw * 20), 9) AS density
+          FROM h, tot GROUP BY bucket, tw ORDER BY bucket""",
 
     "q85_select_choose" ->
       """WITH b AS (SELECT event_id AS idx, floor(value) AS v FROM events),
