@@ -342,6 +342,18 @@ object MatrixQueries {
       graft.sources.Zarr.read1d(s, dir).orderBy("idx")
     }),
 
+    // zarr v3 with the zstd codec (the compressor real-world v3 stores
+    // default to; zstd-jni ships with Spark) — distributed write,
+    // distributed read, same chunk-manifest scale shape as z01-z04
+    "z05_zarr_zstd" -> ((s, d) => {
+      val dir = s"/tmp/graft_zarr_z05_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 900")
+      graft.sources.Zarr.write1d(el, dir, 900, chunk = 200,
+        compressor = Some("zstd"), format = 3)
+      graft.sources.Zarr.read1d(s, dir).orderBy("idx")
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -680,6 +692,10 @@ object MatrixQueries {
     "z03_zarr_v3" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    "z05_zarr_zstd" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 900 ORDER BY idx""",
 
     "np02_npy_nd" ->
       """SELECT c0, c1, c2, CAST((c0*5 + c1*3 + c2) % 9 + 1 AS DOUBLE) AS v

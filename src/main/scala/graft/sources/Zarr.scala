@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Supported happy path (matches the reference's `tests/test_zarr.py`
   * round-trip semantics): float64, order `C`, 1-d and 2-d arrays;
-  * compressors `null`/`zlib` (v2) and the `bytes`(little)+optional `gzip`
-  * codec chain (v3). Blosc/zstd need native libraries and the v3
-  * `sharding_indexed` codec is out of scope — all three are rejected
+  * compressors `null`/`zlib`/`zstd` (v2) and the `bytes`(little) +
+  * optional `gzip`/`zstd` codec chain (v3; zstd via the zstd-jni Spark
+  * ships). Blosc and the v3 `sharding_indexed` codec are rejected
   * loudly, never silently misread.
   *
   * Scale shape, same as [[NpyStack]]: the driver touches only the
@@ -111,7 +111,8 @@ object Zarr {
       case Some(obj) =>
         val id = jsonField(obj, "id").map(_.replace("\"", ""))
           .getOrElse(sys.error(s"compressor without id: $obj"))
-        require(id == "zlib", s"only zlib/null compressors supported, got $id")
+        require(id == "zlib" || id == "zstd",
+          s"only zlib/zstd/null compressors supported, got $id")
         Some(id)
     }
     val sep = jsonField(json, "dimension_separator")
@@ -122,8 +123,8 @@ object Zarr {
   /** zarr v3 `zarr.json` (reference `io/_zarr.py` v3 path; format spec:
     * shape + regular chunk_grid + default chunk_key_encoding + codecs).
     * Supported: `float64`, `bytes` codec (little endian) with optional
-    * `gzip`; the `sharding_indexed` codec and binary compressors that
-    * need native libs (blosc/zstd) are rejected loudly. */
+    * `gzip` or `zstd` (zstd-jni ships with Spark); the `sharding_indexed`
+    * codec and blosc are rejected loudly. */
   def parseMetaV3(json: String): Meta = {
     val shape = longList(jsonField(json, "shape").getOrElse(sys.error("no shape")))
     val chunks = longList(jsonField(json, "chunk_shape")
@@ -142,10 +143,13 @@ object Zarr {
       "\"name\"\\s*:\\s*\"(\\w+)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
     }
     codecNames.foreach { c =>
-      require(c == "bytes" || c == "gzip",
-        s"unsupported codec '$c' (only bytes/gzip; sharding/blosc/zstd need native support)")
+      require(c == "bytes" || c == "gzip" || c == "zstd",
+        s"unsupported codec '$c' (only bytes/gzip/zstd; sharding/blosc unsupported)")
     }
-    val comp = if (codecNames.contains("gzip")) Some("gzip") else None
+    val comp =
+      if (codecNames.contains("zstd")) Some("zstd")
+      else if (codecNames.contains("gzip")) Some("gzip")
+      else None
     // chunk_key_encoding: only the "default" (c/-prefixed) scheme is laid
     // out the way keyOf/chunkGlob address chunks — reject others loudly
     val cke = jsonField(json, "chunk_key_encoding")
@@ -164,6 +168,7 @@ object Zarr {
   private def metaJson(m: Meta): String = {
     val comp = m.compressor match {
       case Some("zlib") => """{"id": "zlib", "level": 1}"""
+      case Some("zstd") => """{"id": "zstd", "level": 3}"""
       case _            => "null"
     }
     s"""{
@@ -181,7 +186,10 @@ object Zarr {
   private def metaJsonV3(m: Meta): String = {
     val codecs = """{"name": "bytes", "configuration": {"endian": "little"}}""" +
       (if (m.compressor.contains("gzip"))
-        """, {"name": "gzip", "configuration": {"level": 1}}""" else "")
+        """, {"name": "gzip", "configuration": {"level": 1}}"""
+      else if (m.compressor.contains("zstd"))
+        """, {"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+      else "")
     s"""{
        |    "zarr_format": 3,
        |    "node_type": "array",
@@ -258,6 +266,7 @@ object Zarr {
     compressor match {
       case Some("zlib") => deflate(raw)
       case Some("gzip") => gzipBytes(raw)
+      case Some("zstd") => com.github.luben.zstd.Zstd.compress(raw, 3)
       case _            => raw
     }
   }
@@ -266,6 +275,11 @@ object Zarr {
     val raw = compressor match {
       case Some("zlib") => inflate(bytes, nVals * 8)
       case Some("gzip") => gunzip(bytes, nVals * 8)
+      case Some("zstd") =>
+        try com.github.luben.zstd.Zstd.decompress(bytes, nVals * 8)
+        catch { case e: com.github.luben.zstd.ZstdException =>
+          throw new java.io.IOException(s"corrupt zstd chunk: ${e.getMessage}", e)
+        }
       case _            => bytes
     }
     require(raw.length >= nVals * 8, s"chunk too short: ${raw.length} < ${nVals * 8}")
@@ -432,10 +446,12 @@ object Zarr {
   private def metaFor(format: Int, shape: Seq[Long], chunks: Seq[Long],
                       compressor: Option[String]): Meta = format match {
     case 2 =>
-      require(compressor.forall(_ == "zlib"), s"v2 supports zlib/null, got $compressor")
+      require(compressor.forall(c => c == "zlib" || c == "zstd"),
+        s"v2 supports zlib/zstd/null, got $compressor")
       Meta(shape, chunks, "<f8", 0.0, compressor, ".", 2)
     case 3 =>
-      require(compressor.forall(_ == "gzip"), s"v3 supports gzip/null, got $compressor")
+      require(compressor.forall(c => c == "gzip" || c == "zstd"),
+        s"v3 supports gzip/zstd/null, got $compressor")
       Meta(shape, chunks, "<f8", 0.0, compressor, "/", 3)
     case other => sys.error(s"unsupported zarr format $other")
   }

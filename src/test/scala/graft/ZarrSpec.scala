@@ -168,9 +168,31 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
         |"codecs": [{"name": "sharding_indexed", "configuration": {}}]}""".stripMargin
     assert(intercept[IllegalArgumentException](
       Zarr.parseMetaV3(shard)).getMessage.contains("sharding"))
-    val zstd = shard.replace("sharding_indexed", "zstd")
+    val blosc = shard.replace("sharding_indexed", "blosc")
     assert(intercept[IllegalArgumentException](
-      Zarr.parseMetaV3(zstd)).getMessage.contains("codec"))
+      Zarr.parseMetaV3(blosc)).getMessage.contains("codec"))
+    // zstd moved from rejected to supported (zstd-jni ships with Spark)
+    val zstd = shard.replace("sharding_indexed", "zstd")
+    assert(Zarr.parseMetaV3(zstd).compressor.contains("zstd"))
+  }
+
+  test("zstd compressor round trip, v2 and v3, real zstd frames on disk") {
+    val sp = spark
+    import sp.implicits._
+    for (fmt <- Seq(2, 3)) {
+      val dir = Files.createTempDirectory(s"zarrzstd$fmt").toString
+      val el = (0 until 300).map(i => (i.toLong, (i % 11).toDouble)).toDF("idx", "v")
+      Zarr.write1d(el, dir, 300, chunk = 128, compressor = Some("zstd"), format = fmt)
+      assert(Zarr.readMeta(dir).compressor.contains("zstd"))
+      val chunk0 = if (fmt == 3) Paths.get(dir, "c", "0") else Paths.get(dir, "0")
+      val head = Files.readAllBytes(chunk0).take(4)
+      // standard zstd frame magic 0xFD2FB528 (little-endian on disk)
+      assert(head.toSeq == Seq(0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte),
+        s"v$fmt chunk is not a zstd frame: ${head.toSeq}")
+      assert(Files.size(chunk0) < 1024L) // compressible data actually compressed
+      val back = Zarr.read1d(spark, dir).orderBy("idx").collect().map(_.getDouble(1))
+      assert(back.toSeq == (0 until 300).map(i => (i % 11).toDouble))
+    }
   }
 
   test("store with ALL chunks absent reads as pure fill (incl. NaN fill)") {
