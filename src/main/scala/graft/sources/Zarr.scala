@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * everywhere).
   *
   * Supported happy path (matches the reference's `tests/test_zarr.py`
-  * round-trip semantics): float64, order `C`, 1-d and 2-d arrays;
+  * round-trip semantics): float64 (write+read) plus int64/int32/float32
+  * on the READ side (surfaced as exact doubles), order `C`;
   * compressors `null`/`zlib`/`zstd` (v2) and the `bytes`(little) +
   * optional `gzip`/`zstd` codec chain (v3; zstd via the zstd-jni Spark
   * ships). Blosc and the v3 `sharding_indexed` codec are rejected
@@ -98,7 +99,8 @@ object Zarr {
     val shape = longList(jsonField(json, "shape").getOrElse(sys.error("no shape")))
     val chunks = longList(jsonField(json, "chunks").getOrElse(sys.error("no chunks")))
     val dtype = jsonField(json, "dtype").getOrElse("\"<f8\"").replace("\"", "")
-    require(dtype == "<f8", s"only dtype '<f8' supported, got $dtype")
+    require(Set("<f8", "<i8", "<i4", "<f4").contains(dtype),
+      s"only dtypes <f8/<i8/<i4/<f4 supported, got $dtype")
     val order = jsonField(json, "order").getOrElse("\"C\"").replace("\"", "")
     require(order == "C", s"only C order supported, got $order")
     val fill = jsonField(json, "fill_value").map(_.replace("\"", "")) match {
@@ -131,7 +133,13 @@ object Zarr {
       .getOrElse(sys.error("no chunk_grid.chunk_shape")))
     val dt = jsonField(json, "data_type").getOrElse(sys.error("no data_type"))
       .replace("\"", "")
-    require(dt == "float64", s"only data_type float64 supported, got $dt")
+    val dtCode = dt match {
+      case "float64" => "<f8"
+      case "int64"   => "<i8"
+      case "int32"   => "<i4"
+      case "float32" => "<f4"
+      case other     => sys.error(s"only float64/int64/int32/float32 supported, got $other")
+    }
     val fill = jsonField(json, "fill_value").map(_.replace("\"", "")) match {
       case None | Some("null") => 0.0
       case Some("NaN")         => Double.NaN
@@ -162,7 +170,7 @@ object Zarr {
       s"unsupported chunk_key_encoding '${ckeName.get}' (only 'default')")
     val sep = cke.flatMap(o => jsonField(o, "separator"))
       .map(_.replace("\"", "")).getOrElse("/")
-    Meta(shape, chunks, "<f8", fill, comp, sep, 3)
+    Meta(shape, chunks, dtCode, fill, comp, sep, 3)
   }
 
   private def metaJson(m: Meta): String = {
@@ -271,20 +279,34 @@ object Zarr {
     }
   }
 
-  def decodeChunk(bytes: Array[Byte], nVals: Int, compressor: Option[String]): Array[Double] = {
+  private def itemSize(dtype: String): Int = dtype match {
+    case "<f8" | "<i8" => 8
+    case "<f4" | "<i4" => 4
+    case other         => sys.error(s"unsupported dtype $other")
+  }
+
+  def decodeChunk(bytes: Array[Byte], nVals: Int, compressor: Option[String],
+                  dtype: String = "<f8"): Array[Double] = {
+    val isz = itemSize(dtype)
     val raw = compressor match {
-      case Some("zlib") => inflate(bytes, nVals * 8)
-      case Some("gzip") => gunzip(bytes, nVals * 8)
+      case Some("zlib") => inflate(bytes, nVals * isz)
+      case Some("gzip") => gunzip(bytes, nVals * isz)
       case Some("zstd") =>
-        try com.github.luben.zstd.Zstd.decompress(bytes, nVals * 8)
+        try com.github.luben.zstd.Zstd.decompress(bytes, nVals * isz)
         catch { case e: com.github.luben.zstd.ZstdException =>
           throw new java.io.IOException(s"corrupt zstd chunk: ${e.getMessage}", e)
         }
       case _            => bytes
     }
-    require(raw.length >= nVals * 8, s"chunk too short: ${raw.length} < ${nVals * 8}")
+    require(raw.length >= nVals * isz, s"chunk too short: ${raw.length} < ${nVals * isz}")
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-    Array.fill(nVals)(bb.getDouble)
+    // int64 is exact in a double up to 2^53 — the element-table value type
+    dtype match {
+      case "<f8" => Array.fill(nVals)(bb.getDouble)
+      case "<i8" => Array.fill(nVals)(bb.getLong.toDouble)
+      case "<i4" => Array.fill(nVals)(bb.getInt.toDouble)
+      case "<f4" => Array.fill(nVals)(bb.getFloat.toDouble)
+    }
   }
 
   import StoreIO.{fsOf, writeFile}
@@ -386,7 +408,7 @@ object Zarr {
             val blk = coords.head
             val start = blk * cc
             val len = math.min(cc, nn - start).toInt // clip padded edge chunk
-            decodeChunk(content, cc.toInt, meta.compressor).iterator.take(len)
+            decodeChunk(content, cc.toInt, meta.compressor, meta.dtype).iterator.take(len)
               .zipWithIndex.map { case (v, i) => (start + i, v) }
           }
         }.toDF("idx", "v")
@@ -492,7 +514,7 @@ object Zarr {
             val r0 = bi * cr; val c0 = bj * cc
             val nr = math.min(cr, rows - r0).toInt
             val nc = math.min(cc, cols - c0).toInt
-            val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor)
+            val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor, meta.dtype)
             for {
               ri <- (0 until nr).iterator
               ci <- (0 until nc).iterator
@@ -560,7 +582,7 @@ object Zarr {
           val fst = meta.shape.scanRight(1L)(_ * _).tail
           chunkCoords(meta, r, path).iterator.flatMap { bcoords =>
             val nVals = cs.product.toInt
-            val vals = decodeChunk(content, nVals, meta.compressor)
+            val vals = decodeChunk(content, nVals, meta.compressor, meta.dtype)
             (0 until nVals).iterator.flatMap { p =>
               var flat = 0L; var ok = true; var a = 0
               while (a < r && ok) {

@@ -324,4 +324,45 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException](
       Zarr.parseMetaV3(anon)).getMessage.contains("without a name"))
   }
+
+  test("int64/float32 external stores read as exact doubles") {
+    // a numpy writer's <i8 store (raw LE) — int64 is exact in a double
+    // up to 2^53, the element-table value type
+    val d1 = Files.createTempDirectory("zarri8").toString
+    Files.write(Paths.get(d1, ".zarray"),
+      """{"chunks": [3], "compressor": null, "dtype": "<i8", "fill_value": 0,
+        |"filters": null, "order": "C", "shape": [5], "zarr_format": 2}"""
+        .stripMargin.getBytes(StandardCharsets.UTF_8))
+    def i8chunk(vals: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putLong); b.array()
+    }
+    Files.write(Paths.get(d1, "0"), i8chunk(Seq(1L, -7L, 4503599627370496L)))
+    Files.write(Paths.get(d1, "1"), i8chunk(Seq(42L, 5L, 0L)))
+    val b1 = Zarr.read1d(spark, d1).orderBy("idx").collect().map(_.getDouble(1))
+    assert(b1.toSeq == Seq(1.0, -7.0, 4503599627370496.0, 42.0, 5.0))
+
+    // a <f4 store: 4-byte items, padded edge chunk
+    val d2 = Files.createTempDirectory("zarrf4").toString
+    Files.write(Paths.get(d2, ".zarray"),
+      """{"chunks": [4], "compressor": null, "dtype": "<f4", "fill_value": 0,
+        |"filters": null, "order": "C", "shape": [6], "zarr_format": 2}"""
+        .stripMargin.getBytes(StandardCharsets.UTF_8))
+    def f4chunk(vals: Seq[Float]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putFloat); b.array()
+    }
+    Files.write(Paths.get(d2, "0"), f4chunk(Seq(1.5f, -2.25f, 3f, 4f)))
+    Files.write(Paths.get(d2, "1"), f4chunk(Seq(5.5f, 6f, 0f, 0f)))
+    val b2 = Zarr.read1d(spark, d2).orderBy("idx").collect().map(_.getDouble(1))
+    assert(b2.toSeq == Seq(1.5, -2.25, 3.0, 4.0, 5.5, 6.0))
+
+    // v3 int64 data_type maps to the same decode path
+    val m3 = Zarr.parseMetaV3(
+      """{"zarr_format": 3, "shape": [8], "data_type": "int64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    assert(m3.dtype == "<i8")
+  }
 }
