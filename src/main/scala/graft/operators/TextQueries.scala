@@ -368,11 +368,14 @@ object TextQueries {
         .selectExpr("doc_id",
           "explode(CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) ELSE array() END) AS bg")
       val counts = bgRows.groupBy("bg").agg(count(lit(1)).as("c"))
-      // N = Σ C(bg): derived from the tiny counts table, NOT a third
-      // scan of the corpus
+      // N = Σ C(bg): derived from the counts table, NOT a third scan of
+      // the corpus
       val total = counts.agg(sum("c").as("n"))
+      // the bigram model is vocab²-sized — NOT broadcastable at corpus
+      // scale; score via a bigram-keyed shuffle join (the scored side is
+      // already filtered) and broadcast only the scalar total
       bgRows.where("doc_id < 50")
-        .join(broadcast(counts), "bg").crossJoin(broadcast(total))
+        .join(counts, "bg").crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(expr("round(avg(ln(CAST(c AS DOUBLE) / n)), 3)").as("lm_score"),
           expr("CAST(count(*) AS BIGINT)").as("n_bigrams"))
