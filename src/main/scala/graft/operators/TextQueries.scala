@@ -173,8 +173,10 @@ object TextQueries {
 
     // TF-IDF feature extraction (the CountVectorizer/IDF step of a
     // training pipeline): token counts per doc, document frequency per
-    // token, idf = ln(N/df) — two partial-agg shuffles + a broadcast of
-    // the tiny vocabulary; top-10 terms for doc 0 by rounded score
+    // token, idf = ln(N/df) — two partial-agg shuffles; the vocabulary
+    // joins by a plain word-keyed equi-join (web-scale vocab with its
+    // junk-token tail is NOT broadcast-safe), only the scalar N is
+    // broadcast
     "t12_tfidf" -> ((s, d) => {
       val dd = docs(s, d)
       val toks = dd.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
@@ -183,7 +185,7 @@ object TextQueries {
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val n = dd.agg(count(lit(1)).as("n"))
       tf.where("doc_id = 0")
-        .join(broadcast(dfreq), "w").crossJoin(broadcast(n))
+        .join(dfreq, "w").crossJoin(broadcast(n))
         .selectExpr("w", "CAST(tf AS BIGINT) AS tf",
           "round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score")
         .orderBy(col("score").desc, col("w")).limit(10)
