@@ -179,10 +179,22 @@ object FFT {
     s.range(n).selectExpr("id AS idx",
       s"CAST(CASE WHEN id < ($n + 1) DIV 2 THEN id ELSE id - $n END AS DOUBLE) / (${n}L * $d) AS v")
 
+  /** Real-input sample frequencies (reference `rfftfreq`, fft.py:272):
+    * the half-spectrum grid [0..n/2] / (n·d). */
+  def rfftfreq(s: SparkSession, n: Long, d: Double = 1.0): DataFrame =
+    s.range(n / 2 + 1).selectExpr("id AS idx",
+      s"CAST(id AS DOUBLE) / (${n}L * $d) AS v")
+
   /** Swap half-spaces (reference `fftshift`, fft.py:301): pure index roll
     * by ⌊n/2⌋ (numpy's `roll(x, n//2)` — zero bin lands at position
     * ⌊n/2⌋ for odd n too) — no data movement beyond the remap. */
   def fftshift(df: DataFrame, n: Long): DataFrame =
     df.select((((col("idx") + n / 2) % n).as("idx") +:
+      df.columns.filter(_ != "idx").map(col)): _*)
+
+  /** Inverse shift (reference `ifftshift`, fft.py:316): roll by ⌈n/2⌉, so
+    * `ifftshift(fftshift(x)) == x` for odd n as well. */
+  def ifftshift(df: DataFrame, n: Long): DataFrame =
+    df.select((((col("idx") + (n + 1) / 2) % n).as("idx") +:
       df.columns.filter(_ != "idx").map(col)): _*)
 }

@@ -163,4 +163,19 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh5 = FFT.fftshift(df5, 5).orderBy("idx").collect().map(_.getDouble(1))
     assert(sh5.toSeq == Seq(3.0, 4, 0, 1, 2), sh5.toSeq.toString)
   }
+
+  test("rfftfreq and ifftshift match numpy's grids (odd and even n)") {
+    val s = TestSpark.spark
+    // np.fft.rfftfreq(8, d=0.5) = [0, .25, .5, .75, 1.0]
+    val rf = graft.linalg.FFT.rfftfreq(s, 8, 0.5).orderBy("idx")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(rf == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // ifftshift inverts fftshift for odd n: roll ceil(n/2) after floor(n/2)
+    for (n <- Seq(6L, 7L)) {
+      val base = s.range(n).selectExpr("id AS idx", "CAST(id AS DOUBLE) AS v")
+      val round2 = graft.linalg.FFT.ifftshift(graft.linalg.FFT.fftshift(base, n), n)
+        .orderBy("idx").collect().map(_.getDouble(1)).toSeq
+      assert(round2 == (0L until n).map(_.toDouble), s"n=$n: $round2")
+    }
+  }
 }
