@@ -247,15 +247,17 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     * the caller wants raise semantics). */
   def choose(choices: Seq[DArray]): DArray = {
     require(choices.nonEmpty, "choose needs at least one choice array")
-    // carry (selector, picked) as a struct through the zip chain — folding
-    // over the value column alone would let a picked value that happens to
-    // equal a later index be re-replaced
-    val start = map("named_struct('s', CAST(v AS INT), 'o', CAST(NULL AS DOUBLE))")
-    val folded = choices.zipWithIndex.foldLeft(start) { case (acc, (c, i)) =>
-      acc.zip(c,
-        s"named_struct('s', v1.s, 'o', CASE WHEN v1.s = $i THEN v2 ELSE v1.o END)")
+    // per-choice NULL-masked picks folded with coalesce: every
+    // intermediate stays a plain DOUBLE (struct carriers break when
+    // fusion pushes them into an eval that casts its kernel to DOUBLE),
+    // and because each pick tests the ORIGINAL selector, a picked value
+    // equal to a later index can never be re-replaced. The selector is
+    // consumed once per choice, but all picks share one leaf — self-zip
+    // fusion collapses the chain to a single scan.
+    val picks = choices.zipWithIndex.map { case (c, i) =>
+      zip(c, s"CASE WHEN CAST(v1 AS INT) = $i THEN v2 END")
     }
-    folded.map("v.o")
+    picks.reduce((a, b) => a.zip(b, "coalesce(v1, v2)"))
   }
 
   /** Bucket index per element against fixed increasing edges (reference

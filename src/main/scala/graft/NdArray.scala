@@ -39,8 +39,35 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
 
   // ---- elemwise ------------------------------------------------------------
 
-  def map(sqlOverV: String): NdArray =
-    new NdArray(df.selectExpr(coords :+ s"CAST($sqlOverV AS DOUBLE) AS v": _*), shape)
+  /** Elemwise kernel. The element table is SPARSE (absent cells read as
+    * zero — the repo-wide implicit-zero convention), so a kernel with
+    * f(0) ≠ 0 must see the absent cells too: the kernel is probed once on
+    * a one-row frame driver-side, and only zero-preserving kernels take
+    * the narrow sparse projection; others densify first (their output is
+    * a dense grid regardless, so the fill is inherent, not overhead). */
+  def map(sqlOverV: String): NdArray = {
+    val f0 = df.sparkSession.range(1)
+      .selectExpr("CAST(0.0 AS DOUBLE) AS v")
+      .selectExpr(s"CAST($sqlOverV AS DOUBLE) AS r").collect()(0)
+    val zeroPreserving = f0.isNullAt(0) || f0.getDouble(0) == 0.0
+    val base = if (zeroPreserving) df else densify.df
+    new NdArray(base.selectExpr(coords :+ s"CAST($sqlOverV AS DOUBLE) AS v": _*), shape)
+  }
+
+  /** Materialize every grid cell: absent cells become explicit 0.0 rows.
+    * A generated full-grid left join — the bridge from the sparse
+    * convention to numpy's dense semantics when an operator needs to
+    * touch the zeros. */
+  def densify: NdArray = {
+    val spark = df.sparkSession
+    val st = strides(shape)
+    val grid = spark.range(size).selectExpr(
+      shape.indices.map(a => s"(id DIV ${st(a)}L) % ${shape(a)}L AS c$a"): _*)
+    new NdArray(
+      grid.join(df, coords, "left")
+        .selectExpr(coords :+ "coalesce(v, CAST(0.0 AS DOUBLE)) AS v": _*),
+      shape)
+  }
 
   /** Aligned elemwise combine — equi-join on all coordinates. The join is
     * FULL OUTER with absent cells coalesced to 0.0, honoring the repo-wide
