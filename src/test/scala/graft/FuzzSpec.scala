@@ -185,7 +185,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       nameStable && converged && idxDense && valsMatch
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(40).withWorkers(1), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(40).withWorkers(1)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260813L)), prop)
     assert(res.passed, s"scalacheck: $res")
   }
 
@@ -231,7 +232,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       ok
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(1), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(1)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260814L)), prop)
     assert(res.passed, s"scalacheck: $res")
   }
 

@@ -162,7 +162,8 @@ class NdFuzzSpec extends AnyFunSuite {
         println(s"ND FUZZ FAIL dims=$dims ops=$ops\n got=$got\n want=$wantDense shape ${ndF.shape} vs ${lF.shape}")
       shapeOk && valsOk
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260815L)), prop)
     assert(res.passed, res.status.toString)
   }
 }
