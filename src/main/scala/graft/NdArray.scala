@@ -46,10 +46,12 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     * the narrow sparse projection; others densify first (their output is
     * a dense grid regardless, so the fill is inherent, not overhead). */
   def map(sqlOverV: String): NdArray = {
-    val f0 = df.sparkSession.range(1)
-      .selectExpr("CAST(0.0 AS DOUBLE) AS v")
-      .selectExpr(s"CAST($sqlOverV AS DOUBLE) AS r").collect()(0)
-    val zeroPreserving = f0.isNullAt(0) || f0.getDouble(0) == 0.0
+    val zeroPreserving = NdArray.zeroProbe.computeIfAbsent(sqlOverV, { k =>
+      val f0 = df.sparkSession.range(1)
+        .selectExpr("CAST(0.0 AS DOUBLE) AS v")
+        .selectExpr(s"CAST($k AS DOUBLE) AS r").collect()(0)
+      java.lang.Boolean.valueOf(f0.isNullAt(0) || f0.getDouble(0) == 0.0)
+    })
     val base = if (zeroPreserving) df else densify.df
     new NdArray(base.selectExpr(coords :+ s"CAST($sqlOverV AS DOUBLE) AS v": _*), shape)
   }
@@ -409,6 +411,11 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
 }
 
 object NdArray {
+  /** Memoized driver-side probe results: kernel SQL → does it map 0 to
+    * 0/NULL? One tiny local evaluation per distinct kernel per JVM. */
+  private[graft] val zeroProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** numpy `stack(arrays, axis)` (reference `stacking/_stack.py`): insert
     * a new axis and concatenate along it — expandDims + the zero-movement
     * offset union `concat` provides. */
