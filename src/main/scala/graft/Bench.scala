@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line with steady-state timings.
+  *
+  * Measurement scheme (round-7 rework): each query runs TWICE against the
+  * bench dir. The first execution pays parquet footer reads and
+  * whole-stage-codegen JIT (isolated runs show 3-9s first-execution vs
+  * 0.7-1.7s steady-state for identical plans); the second execution — after
+  * a `clearCache()` so no leaked persist from run 1 can hide work — is the
+  * steady-state number we report. Both are written to `bench_detail.json`
+  * so first-run JIT debt stays visible without polluting the headline.
+  * (The previous scheme warmed all 191 queries on sf0.001 under a wall
+  * budget; the l/m/e families build inputs with tabulate/range and ignore
+  * the dir, so "warming" them ran the full-cost query and burned the budget
+  * before most q/n/t queries were reached — round 6's numbers measured the
+  * harness's own JIT debt, not plan quality.)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,60 +29,48 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: pay parquet footer reads + whole-stage-codegen/JIT outside
-    // the timings. Isolated runs show 3-9s first-execution vs 0.7-1.7s
-    // steady-state for identical plans, so un-warmed numbers measure JIT,
-    // not the engine. Running EVERY query once against the tiny sf0.001
-    // dir compiles every codegen shape cheaply; fall back to one query
-    // per structural family on the bench dir if no sibling exists.
-    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR")
-      .orElse {
-        val sib = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
-        if (sib != sfDir && new java.io.File(sib).isDirectory) Some(sib) else None
-      }
-    // broad-shape families first, then as many tiny-SF warmups as fit a
-    // fixed wall budget (keeps the whole bench inside the driver's run
-    // window even with 180+ queries)
-    val familyWarm = Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul",
-      "t05_minhash").flatMap(SparkEntry.queries.get)
-    val warmBudgetMs = sys.env.getOrElse("SPARK_GRAFT_WARMUP_MS", "150000").toLong
-    val warmDeadline = System.nanoTime() + warmBudgetMs * 1000000L
-    warmupDir match {
-      case Some(wd) =>
-        (familyWarm.iterator ++ SparkEntry.queries.valuesIterator)
-          .takeWhile(_ => System.nanoTime() < warmDeadline)
-          .foreach { fn =>
-            try fn(spark, wd).write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => () }
-          }
-      case None =>
-        familyWarm.foreach { fn =>
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-        }
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // noop sink: forces full computation of every output column
+    // (count() would let column pruning skip the projections under test)
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: forces full computation of every output column
-      // (count() would let column pruning skip the projections under test)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // Broad codegen-shape warmup so even the very first query's run-1 isn't
+    // dominated by cold-JVM class loading (one representative per family).
+    Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul", "t05_minhash")
+      .flatMap(SparkEntry.queries.get).foreach(runOnce)
+    spark.catalog.clearCache()
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val first = runOnce(fn)
+      // unpersist anything run 1 leaked so run 2 can't skip real work
+      spark.catalog.clearCache()
+      val steady = runOnce(fn)
+      spark.catalog.clearCache()
+      name -> (first, steady)
+    }
+    val total = results.values.map(_._2).sum
+    val firstTotal = results.values.map(_._1).sum
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query detail → a file (the harness tail buffer holds only
-    // the last ~2000 chars of stdout, so a 177-query map never fits there).
-    val allQs = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // the last ~2000 chars of stdout, so a 191-query map never fits there).
+    val bySteady = results.toSeq.sortBy { case (_, (_, s)) => -s }
+    val detailQs = bySteady.map { case (k, (f, s)) =>
+      s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) + "}"
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${allQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
-    // Stdout line: headline queries only (slowest first), capped so the
-    // whole JSON line stays well inside the 2000-char tail window.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"first_run_total":${fmt(firstTotal)},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    // Stdout line: steady-state only, slowest first, capped so the whole
+    // JSON line stays well inside the 2000-char tail window.
     val budget = 1500
     val head = new StringBuilder
-    allQs.foreach { q =>
+    bySteady.foreach { case (k, (_, s)) =>
+      val q = s"\"" + k + "\":" + fmt(s)
       if (head.length + q.length + 1 <= budget) {
         if (head.nonEmpty) head.append(',')
         head.append(q)

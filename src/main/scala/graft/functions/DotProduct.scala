@@ -100,6 +100,11 @@ case class DotProduct(left: Expression, right: Expression)
 /** Session registration for the native expressions (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    // Skip when already registered: createOrReplaceTempFunction logs a
+    // "replaced a previously registered function" WARN per call, and every
+    // SparkEntry query calls register, so a 191-query run floods the log.
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       { exprs =>

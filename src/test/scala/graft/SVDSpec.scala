@@ -47,7 +47,7 @@ class SVDSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("full svd: A = U·S·Vᵀ, U orthonormal, S matches singularValues") {
     val n = 300; val k = 5
     val a = DMatrix.tabulate(spark, n, k, "CAST((i*7 + j*13) % 19 AS DOUBLE) + CAST(i % 5 AS DOUBLE) * j")
-    val (u, sv, v) = SVD.svd(spark, a, blockRows = 64)
+    val (u, sv, v, release) = SVD.svd(spark, a, blockRows = 64)
     // UᵀU = I
     u.gram.elements.collect().foreach { r =>
       val want = if (r.getLong(0) == r.getLong(1)) 1.0 else 0.0
@@ -66,6 +66,7 @@ class SVDSpec extends AnyFunSuite with BeforeAndAfterAll {
         yield (i.toLong, j.toLong, svt(i * k + j))).toDF("i", "j", "v"), k, k)
     val recon = u.matmul(svtDM)
     assert(maxAbsDiff(recon, a) < 1e-8)
+    release()
   }
 
   test("svd_compressed power iterations improve a full-spectrum tail") {
@@ -74,8 +75,9 @@ class SVDSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = 200; val m = 30
     val a = DMatrix.tabulate(spark, n, m, "((i*7 + j*13) % 19) + ((i + 2*j) % 5)")
     def energy(powerIter: Int): Double = {
-      val (_, sv, _) = SVD.svdCompressed(spark, a, k = 6, oversample = 2,
+      val (_, sv, _, release) = SVD.svdCompressed(spark, a, k = 6, oversample = 2,
         powerIter = powerIter, blockRows = 64)
+      release()
       sv.map(x => x * x).sum
     }
     val e0 = energy(0)
@@ -91,7 +93,7 @@ class SVDSpec extends AnyFunSuite with BeforeAndAfterAll {
     val x = DMatrix.tabulate(spark, n, rank, "((i*7 + j*3) % 11) - 5")
     val y = DMatrix.tabulate(spark, m, rank, "((i*5 + j*9) % 13) - 6")
     val a = x.matmul(y.t)
-    val (u, sv, v) = SVD.svdCompressed(spark, a, k = rank, oversample = 4, blockRows = 64)
+    val (u, sv, v, release) = SVD.svdCompressed(spark, a, k = rank, oversample = 4, blockRows = 64)
     assert(sv.length == rank && sv.forall(_ >= 0))
     // A ≈ U S Vᵀ to near machine precision (exact rank ≤ probe width)
     val sp = spark
@@ -104,5 +106,6 @@ class SVDSpec extends AnyFunSuite with BeforeAndAfterAll {
     // frobenius preserved: Σ sv² = ‖A‖²
     val frob2 = a.elements.selectExpr("sum(v*v) AS s").collect()(0).getDouble(0)
     assert(math.abs(sv.map(s0 => s0 * s0).sum - frob2) / frob2 < 1e-9)
+    release()
   }
 }
