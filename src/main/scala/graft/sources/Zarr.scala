@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Supported happy path (matches the reference's `tests/test_zarr.py`
   * round-trip semantics): float64 (write+read) plus int64/int32/float32
-  * on the READ side (surfaced as exact doubles), order `C`;
-  * compressors `null`/`zlib`/`zstd` (v2) and the `bytes`(little) +
-  * optional `gzip`/`zstd` codec chain (v3; zstd via the zstd-jni Spark
-  * ships). Blosc and the v3 `sharding_indexed` codec are rejected
-  * loudly, never silently misread.
+  * on the READ side (int64 exactly via [[read1dLong]], the rest as exact
+  * doubles), order `C`; compressors `null`/`zlib`/`zstd`/`blosc` (v2 —
+  * blosc is the real-world default, decoded by the self-describing
+  * [[Blosc]] frame codec) and the `bytes`(little) + optional
+  * `gzip`/`zstd`/`blosc` codec chain (v3), plus READ support for the v3
+  * `sharding_indexed` codec (offset/nbytes index + crc32c, inner chunks
+  * through the same codec chain). Bit-shuffled blosc and blosclz are
+  * rejected loudly, never silently misread.
   *
   * Scale shape, same as [[NpyStack]]: the driver touches only the
   * O(numChunks) manifest (one small JSON + a directory listing); chunk
@@ -46,7 +49,11 @@ object Zarr {
   final case class Meta(
       shape: Seq[Long], chunks: Seq[Long], dtype: String,
       fill: Double, compressor: Option[String], sep: String,
-      format: Int = 2) {
+      format: Int = 2,
+      // v3 sharding_indexed: inner chunk shape + index location. When set,
+      // `chunks` is the SHARD shape (= the chunk_grid unit, so chunk
+      // addressing is unchanged) and each chunk object is a shard file.
+      shard: Option[Seq[Long]] = None, indexLoc: String = "end") {
     def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     /** Chunk key for grid coordinates: v2 `0.1`, v3 `c/0/1` (prefix `c`,
       * default `/` separator — the v3 "default" chunk_key_encoding). */
@@ -113,8 +120,8 @@ object Zarr {
       case Some(obj) =>
         val id = jsonField(obj, "id").map(_.replace("\"", ""))
           .getOrElse(sys.error(s"compressor without id: $obj"))
-        require(id == "zlib" || id == "zstd",
-          s"only zlib/zstd/null compressors supported, got $id")
+        require(id == "zlib" || id == "zstd" || id == "blosc",
+          s"only zlib/zstd/blosc/null compressors supported, got $id")
         Some(id)
     }
     val sep = jsonField(json, "dimension_separator")
@@ -147,16 +154,38 @@ object Zarr {
     }
     // codec chain: parse names from the `codecs` ARRAY only — matching on
     // the whole document would let an attribute string flip detection
-    val codecNames: Seq[String] = jsonField(json, "codecs").toSeq.flatMap { arr =>
+    val codecsArr = jsonField(json, "codecs")
+    def namesIn(arr: String): Seq[String] =
       "\"name\"\\s*:\\s*\"(\\w+)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
-    }
+    val outerNames = codecsArr.toSeq.flatMap(namesIn)
+    // sharding_indexed: the array-level codec is a shard container; the
+    // DATA codec chain lives in its configuration. Nested names also show
+    // up in outerNames (the regex scans the whole array), so branch first.
+    val (codecNames, shard, indexLoc) =
+      if (outerNames.headOption.contains("sharding_indexed")) {
+        val cfg = codecsArr.flatMap(a => jsonField(a, "configuration"))
+          .getOrElse(sys.error("sharding_indexed without configuration"))
+        val inner = longList(jsonField(cfg, "chunk_shape")
+          .getOrElse(sys.error("sharding_indexed without chunk_shape")))
+        val innerNames = jsonField(cfg, "codecs").toSeq.flatMap(namesIn)
+        val idxNames = jsonField(cfg, "index_codecs").toSeq.flatMap(namesIn)
+        idxNames.foreach { c =>
+          require(c == "bytes" || c == "crc32c",
+            s"unsupported shard index codec '$c' (only bytes/crc32c)")
+        }
+        val loc = jsonField(cfg, "index_location")
+          .map(_.replace("\"", "")).getOrElse("end")
+        require(loc == "end" || loc == "start", s"bad index_location '$loc'")
+        (innerNames, Some(inner), loc)
+      } else (outerNames, None, "end")
     codecNames.foreach { c =>
-      require(c == "bytes" || c == "gzip" || c == "zstd",
-        s"unsupported codec '$c' (only bytes/gzip/zstd; sharding/blosc unsupported)")
+      require(c == "bytes" || c == "gzip" || c == "zstd" || c == "blosc",
+        s"unsupported codec '$c' (only bytes/gzip/zstd/blosc)")
     }
     val comp =
       if (codecNames.contains("zstd")) Some("zstd")
       else if (codecNames.contains("gzip")) Some("gzip")
+      else if (codecNames.contains("blosc")) Some("blosc")
       else None
     // chunk_key_encoding: only the "default" (c/-prefixed) scheme is laid
     // out the way keyOf/chunkGlob address chunks — reject others loudly
@@ -170,19 +199,26 @@ object Zarr {
       s"unsupported chunk_key_encoding '${ckeName.get}' (only 'default')")
     val sep = cke.flatMap(o => jsonField(o, "separator"))
       .map(_.replace("\"", "")).getOrElse("/")
-    Meta(shape, chunks, dtCode, fill, comp, sep, 3)
+    shard.foreach { inner =>
+      require(inner.length == chunks.length &&
+        inner.zip(chunks).forall { case (i, c) => i > 0 && c % i == 0 },
+        s"shard inner chunk shape $inner must divide the shard shape $chunks")
+    }
+    Meta(shape, chunks, dtCode, fill, comp, sep, 3, shard, indexLoc)
   }
 
   private def metaJson(m: Meta): String = {
     val comp = m.compressor match {
-      case Some("zlib") => """{"id": "zlib", "level": 1}"""
-      case Some("zstd") => """{"id": "zstd", "level": 3}"""
-      case _            => "null"
+      case Some("zlib")  => """{"id": "zlib", "level": 1}"""
+      case Some("zstd")  => """{"id": "zstd", "level": 3}"""
+      case Some("blosc") =>
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      case _             => "null"
     }
     s"""{
        |    "chunks": [${m.chunks.mkString(", ")}],
        |    "compressor": $comp,
-       |    "dtype": "<f8",
+       |    "dtype": "${m.dtype}",
        |    "fill_value": ${if (m.fill.isNaN) "\"NaN\"" else m.fill.toString},
        |    "filters": null,
        |    "order": "C",
@@ -197,12 +233,14 @@ object Zarr {
         """, {"name": "gzip", "configuration": {"level": 1}}"""
       else if (m.compressor.contains("zstd"))
         """, {"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+      else if (m.compressor.contains("blosc"))
+        """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5, "shuffle": "shuffle", "typesize": 8, "blocksize": 0}}"""
       else "")
     s"""{
        |    "zarr_format": 3,
        |    "node_type": "array",
        |    "shape": [${m.shape.mkString(", ")}],
-       |    "data_type": "float64",
+       |    "data_type": "${if (m.dtype == "<i8") "int64" else "float64"}",
        |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
        |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "${m.sep}"}},
        |    "fill_value": ${if (m.fill.isNaN) "\"NaN\"" else m.fill.toString},
@@ -272,10 +310,11 @@ object Zarr {
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     vals.foreach(bb.putDouble)
     compressor match {
-      case Some("zlib") => deflate(raw)
-      case Some("gzip") => gzipBytes(raw)
-      case Some("zstd") => com.github.luben.zstd.Zstd.compress(raw, 3)
-      case _            => raw
+      case Some("zlib")  => deflate(raw)
+      case Some("gzip")  => gzipBytes(raw)
+      case Some("zstd")  => com.github.luben.zstd.Zstd.compress(raw, 3)
+      case Some("blosc") => Blosc.compress(raw, 8)
+      case _             => raw
     }
   }
 
@@ -285,28 +324,120 @@ object Zarr {
     case other         => sys.error(s"unsupported dtype $other")
   }
 
-  def decodeChunk(bytes: Array[Byte], nVals: Int, compressor: Option[String],
-                  dtype: String = "<f8"): Array[Double] = {
-    val isz = itemSize(dtype)
+  /** Decompressed chunk payload bytes (shared by the double and exact-long
+    * value decoders). */
+  private def rawChunk(bytes: Array[Byte], nVals: Int, compressor: Option[String],
+                       isz: Int): Array[Byte] = {
     val raw = compressor match {
-      case Some("zlib") => inflate(bytes, nVals * isz)
-      case Some("gzip") => gunzip(bytes, nVals * isz)
-      case Some("zstd") =>
+      case Some("zlib")  => inflate(bytes, nVals * isz)
+      case Some("gzip")  => gunzip(bytes, nVals * isz)
+      case Some("zstd")  =>
         try com.github.luben.zstd.Zstd.decompress(bytes, nVals * isz)
         catch { case e: com.github.luben.zstd.ZstdException =>
           throw new java.io.IOException(s"corrupt zstd chunk: ${e.getMessage}", e)
         }
-      case _            => bytes
+      case Some("blosc") => Blosc.decompress(bytes)
+      case _             => bytes
     }
     require(raw.length >= nVals * isz, s"chunk too short: ${raw.length} < ${nVals * isz}")
+    raw
+  }
+
+  def decodeChunk(bytes: Array[Byte], nVals: Int, compressor: Option[String],
+                  dtype: String = "<f8"): Array[Double] = {
+    val isz = itemSize(dtype)
+    val raw = rawChunk(bytes, nVals, compressor, isz)
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-    // int64 is exact in a double up to 2^53 — the element-table value type
+    // int64 is exact in a double up to 2^53 — the element-table value type;
+    // beyond that use the exact read1dLong path
     dtype match {
       case "<f8" => Array.fill(nVals)(bb.getDouble)
       case "<i8" => Array.fill(nVals)(bb.getLong.toDouble)
       case "<i4" => Array.fill(nVals)(bb.getInt.toDouble)
       case "<f4" => Array.fill(nVals)(bb.getFloat.toDouble)
     }
+  }
+
+  /** Exact int64 chunk decode — no pass through double, values above 2^53
+    * survive bit-for-bit. */
+  def decodeChunkLong(bytes: Array[Byte], nVals: Int,
+                      compressor: Option[String], dtype: String): Array[Long] = {
+    val isz = itemSize(dtype)
+    val raw = rawChunk(bytes, nVals, compressor, isz)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case "<i8" => Array.fill(nVals)(bb.getLong)
+      case "<i4" => Array.fill(nVals)(bb.getInt.toLong)
+      case other => sys.error(s"decodeChunkLong on non-integer dtype $other")
+    }
+  }
+
+  def encodeChunkLong(vals: Array[Long], compressor: Option[String]): Array[Byte] = {
+    val raw = new Array[Byte](vals.length * 8)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putLong)
+    compressor match {
+      case Some("zlib")  => deflate(raw)
+      case Some("gzip")  => gzipBytes(raw)
+      case Some("zstd")  => com.github.luben.zstd.Zstd.compress(raw, 3)
+      case Some("blosc") => Blosc.compress(raw, 8)
+      case _             => raw
+    }
+  }
+
+  /** Decode one chunk OBJECT to the full dense C-order chunk values — a
+    * plain chunk, or (v3 `sharding_indexed`) a shard file: the
+    * `(offset: u64, nbytes: u64)` index is read from `index_location`,
+    * crc32c-verified, and each present inner chunk decodes through the
+    * same data codec chain; absent inner chunks (offset = 2⁶⁴−1) take
+    * `fill_value`. */
+  def decodeChunkFull(content: Array[Byte], m: Meta): Array[Double] = m.shard match {
+    case None => decodeChunk(content, m.chunks.product.toInt, m.compressor, m.dtype)
+    case Some(inner) =>
+      val chunkVol = m.chunks.product.toInt
+      val innerVol = inner.product.toInt
+      val grid = m.chunks.zip(inner).map { case (c, i) => c / i }
+      val nEntries = grid.product.toInt
+      val idxBytes = nEntries * 16 + 4 // entries + crc32c of them
+      require(content.length >= idxBytes,
+        s"shard shorter than its index: ${content.length} < $idxBytes")
+      val idxOff = if (m.indexLoc == "start") 0 else content.length - idxBytes
+      val crc = new java.util.zip.CRC32C
+      crc.update(content, idxOff, nEntries * 16)
+      val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getInt(idxOff + nEntries * 16) == crc.getValue.toInt,
+        "shard index crc32c mismatch")
+      val out = Array.fill(chunkVol)(m.fill)
+      def stridesOf(sh: Seq[Long]): Seq[Long] = sh.scanRight(1L)(_ * _).tail
+      val cst = stridesOf(m.chunks) // within-shard C-order strides
+      val ist = stridesOf(inner)    // within-inner-chunk strides
+      val gst = stridesOf(grid)     // inner-chunk grid strides
+      var e = 0
+      while (e < nEntries) {
+        val offset = bb.getLong(idxOff + e * 16)
+        val nb = bb.getLong(idxOff + e * 16 + 8)
+        if (offset != -1L) { // 2^64-1 = missing inner chunk
+          require(offset >= 0 && nb >= 0 && offset + nb <= content.length,
+            s"shard entry $e out of bounds: $offset+$nb/${content.length}")
+          val vals = decodeChunk(
+            java.util.Arrays.copyOfRange(content, offset.toInt, (offset + nb).toInt),
+            innerVol, m.compressor, m.dtype)
+          var p = 0
+          while (p < innerVol) {
+            var pos = 0L
+            var a = 0
+            while (a < grid.length) {
+              val coord = ((e / gst(a)) % grid(a)) * inner(a) + (p / ist(a)) % inner(a)
+              pos += coord * cst(a)
+              a += 1
+            }
+            out(pos.toInt) = vals(p)
+            p += 1
+          }
+        }
+        e += 1
+      }
+      out
   }
 
   import StoreIO.{fsOf, writeFile}
@@ -408,7 +539,7 @@ object Zarr {
             val blk = coords.head
             val start = blk * cc
             val len = math.min(cc, nn - start).toInt // clip padded edge chunk
-            decodeChunk(content, cc.toInt, meta.compressor, meta.dtype).iterator.take(len)
+            decodeChunkFull(content, meta).iterator.take(len)
               .zipWithIndex.map { case (v, i) => (start + i, v) }
           }
         }.toDF("idx", "v")
@@ -464,16 +595,100 @@ object Zarr {
     }
   }
 
+  /** Read a 1-d int64/int32 zarr array EXACTLY as a `(idx, v: BIGINT)`
+    * element table — no pass through double, so int64 values above 2^53
+    * survive bit-for-bit (the reference carries real dtypes,
+    * `_expr.py:213-219`; the double-valued [[read1d]] is exact only to
+    * 2^53). Same scale shape: O(numChunks) driver manifest, one
+    * distributed `binaryFile` scan. */
+  def read1dLong(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val m = readMeta(dir, hconf)
+    require(m.shape.length == 1, s"read1dLong on ${m.shape.length}-d array")
+    require(m.dtype == "<i8" || m.dtype == "<i4",
+      s"read1dLong needs an integer dtype, got ${m.dtype}")
+    require(m.shard.isEmpty, "read1dLong does not support sharded stores yet")
+    val n = m.shape.head
+    val c = m.chunks.head
+    val present = presentChunks(dir, m, 1, hconf).map(_.head).toSet
+    val bc = s.sparkContext.broadcast((m, n, c))
+    val decoded =
+      if (present.isEmpty)
+        s.range(0).selectExpr("id AS idx", "CAST(0 AS BIGINT) AS v")
+      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 1)}")
+        .where(not(col("path").endsWith(".zarray")) &&
+          not(col("path").endsWith("zarr.json")))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val (meta, nn, cc) = bc.value
+          chunkCoords(meta, 1, path).iterator.flatMap { coords =>
+            val start = coords.head * cc
+            val len = math.min(cc, nn - start).toInt
+            decodeChunkLong(content, cc.toInt, meta.compressor, meta.dtype)
+              .iterator.take(len)
+              .zipWithIndex.map { case (v, i) => (start + i, v) }
+          }
+        }.toDF("idx", "v")
+    val missing = (0L until m.chunkGrid.head).filterNot(present.contains)
+    if (missing.isEmpty || m.fill == 0.0) decoded
+    else {
+      val fillL = m.fill.toLong
+      val md = s.createDataset(missing).toDF("blk")
+        .join(s.range(c).toDF("off"))
+        .selectExpr(s"blk * $c + off AS idx", s"CAST($fillL AS BIGINT) AS v")
+        .where(col("idx") < n)
+      decoded.unionByName(md)
+    }
+  }
+
+  /** Write a `(idx, v: BIGINT)` element table as a 1-d int64 zarr array —
+    * exact twin of [[write1d]] for values beyond double precision. */
+  def write1dLong(elements: DataFrame, dir: String, n: Long, chunk: Long,
+                  compressor: Option[String] = None, format: Int = 2): Unit = {
+    val sess = elements.sparkSession
+    val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(base0)
+    val m = metaFor(format, Seq(n), Seq(chunk), compressor).copy(dtype = "<i8")
+    writeMeta(fs0, base0, m)
+    import sess.implicits._
+    val comp = compressor
+    val bcm = sess.sparkContext.broadcast(
+      (m, new SerializableHadoopConf(sess.sparkContext.hadoopConfiguration)))
+    val written = elements
+      .where(col("idx") >= 0 && col("idx") < n)
+      .selectExpr(s"idx DIV $chunk AS blk", "idx", "CAST(v AS BIGINT) AS v")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (blk, it) =>
+        val vals = new Array[Long](chunk.toInt)
+        it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
+        val (meta, sconf) = bcm.value
+        val (fs, base) = fsOf(dir, sconf.value)
+        writeFile(fs, new Path(base, meta.keyOf(Seq(blk))), encodeChunkLong(vals, comp))
+        blk
+      }.collect().toSet
+    var blk = 0L
+    val nChunks = (n + chunk - 1) / chunk
+    while (blk < nChunks) {
+      if (!written.contains(blk))
+        writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
+          encodeChunkLong(new Array[Long](chunk.toInt), comp))
+      blk += 1
+    }
+  }
+
   /** Shared by the writers: format-correct Meta + metadata document. */
   private def metaFor(format: Int, shape: Seq[Long], chunks: Seq[Long],
                       compressor: Option[String]): Meta = format match {
     case 2 =>
-      require(compressor.forall(c => c == "zlib" || c == "zstd"),
-        s"v2 supports zlib/zstd/null, got $compressor")
+      require(compressor.forall(c => c == "zlib" || c == "zstd" || c == "blosc"),
+        s"v2 supports zlib/zstd/blosc/null, got $compressor")
       Meta(shape, chunks, "<f8", 0.0, compressor, ".", 2)
     case 3 =>
-      require(compressor.forall(c => c == "gzip" || c == "zstd"),
-        s"v3 supports gzip/zstd/null, got $compressor")
+      require(compressor.forall(c => c == "gzip" || c == "zstd" || c == "blosc"),
+        s"v3 supports gzip/zstd/blosc/null, got $compressor")
       Meta(shape, chunks, "<f8", 0.0, compressor, "/", 3)
     case other => sys.error(s"unsupported zarr format $other")
   }
@@ -514,7 +729,7 @@ object Zarr {
             val r0 = bi * cr; val c0 = bj * cc
             val nr = math.min(cr, rows - r0).toInt
             val nc = math.min(cc, cols - c0).toInt
-            val vals = decodeChunk(content, (cr * cc).toInt, meta.compressor, meta.dtype)
+            val vals = decodeChunkFull(content, meta)
             for {
               ri <- (0 until nr).iterator
               ci <- (0 until nc).iterator
@@ -582,7 +797,7 @@ object Zarr {
           val fst = meta.shape.scanRight(1L)(_ * _).tail
           chunkCoords(meta, r, path).iterator.flatMap { bcoords =>
             val nVals = cs.product.toInt
-            val vals = decodeChunk(content, nVals, meta.compressor, meta.dtype)
+            val vals = decodeChunkFull(content, meta)
             (0 until nVals).iterator.flatMap { p =>
               var flat = 0L; var ok = true; var a = 0
               while (a < r && ok) {

@@ -160,20 +160,31 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
       (8L, 9.0), (9L, 10.0)))
   }
 
-  test("v3 sharding and native codecs are rejected loudly") {
-    val shard =
+  test("v3 codec parsing: zstd/blosc accepted, unknown + bad sharding rejected") {
+    val tpl =
       """{"zarr_format": 3, "shape": [8], "data_type": "float64",
         |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
         |"fill_value": 0,
-        |"codecs": [{"name": "sharding_indexed", "configuration": {}}]}""".stripMargin
+        |"codecs": [{"name": "CODEC", "configuration": {}}]}""".stripMargin
+    // sharding without a chunk_shape must fail loudly, not guess
+    assert(intercept[RuntimeException](
+      Zarr.parseMetaV3(tpl.replace("CODEC", "sharding_indexed")))
+      .getMessage.contains("chunk_shape"))
+    assert(Zarr.parseMetaV3(tpl.replace("CODEC", "blosc")).compressor.contains("blosc"))
+    assert(Zarr.parseMetaV3(tpl.replace("CODEC", "zstd")).compressor.contains("zstd"))
     assert(intercept[IllegalArgumentException](
-      Zarr.parseMetaV3(shard)).getMessage.contains("sharding"))
-    val blosc = shard.replace("sharding_indexed", "blosc")
+      Zarr.parseMetaV3(tpl.replace("CODEC", "lzma"))).getMessage.contains("codec"))
+    // sharding whose inner shape does not divide the shard shape
+    val badShard =
+      """{"zarr_format": 3, "shape": [8], "data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {
+        |  "chunk_shape": [3],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}}]}"""
+        .stripMargin
     assert(intercept[IllegalArgumentException](
-      Zarr.parseMetaV3(blosc)).getMessage.contains("codec"))
-    // zstd moved from rejected to supported (zstd-jni ships with Spark)
-    val zstd = shard.replace("sharding_indexed", "zstd")
-    assert(Zarr.parseMetaV3(zstd).compressor.contains("zstd"))
+      Zarr.parseMetaV3(badShard)).getMessage.contains("divide"))
   }
 
   test("zstd compressor round trip, v2 and v3, real zstd frames on disk") {
@@ -247,13 +258,170 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("corrupt zlib chunk"), e.getMessage)
   }
 
-  test("blosc compressor is rejected loudly") {
+  test("v2 blosc accepted (real-world default); unknown compressor rejected") {
     val json =
       """{"chunks": [4], "compressor": {"id": "blosc", "cname": "lz4"},
         |"dtype": "<f8", "fill_value": 0, "filters": null, "order": "C",
         |"shape": [8], "zarr_format": 2}""".stripMargin
-    val e = intercept[IllegalArgumentException](Zarr.parseMeta(json))
-    assert(e.getMessage.contains("zlib"))
+    assert(Zarr.parseMeta(json).compressor.contains("blosc"))
+    val e = intercept[IllegalArgumentException](
+      Zarr.parseMeta(json.replace("\"blosc\"", "\"lzma\"")))
+    assert(e.getMessage.contains("compressors"))
+  }
+
+  test("v2 blosc-lz4 store round trip; chunks are real blosc frames") {
+    val dir = Files.createTempDirectory("zarrblosc").toString
+    val sp = spark
+    import sp.implicits._
+    val n = 600
+    val el = (0 until n).map(i => (i.toLong, math.sin(i / 9.0) * 50)).toDF("idx", "v")
+    Zarr.write1d(el, dir, n, chunk = 256, compressor = Some("blosc"))
+    val m = Zarr.readMeta(dir)
+    assert(m.compressor.contains("blosc"))
+    // on-disk chunk carries the 16-byte blosc header: cbytes == file size
+    val chunk0 = Files.readAllBytes(Paths.get(dir, "0"))
+    val bb = ByteBuffer.wrap(chunk0).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(4) == 256 * 8, "nbytes field")
+    assert(bb.getInt(12) == chunk0.length, "cbytes field")
+    assert(chunk0.length < 256 * 8, "smooth doubles must compress")
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+    assert(back.length == n)
+    back.foreach(r => assert(r.getDouble(1) == math.sin(r.getLong(0) / 9.0) * 50))
+  }
+
+  test("sharded v3 store reads: index at end, missing inner chunk takes fill") {
+    // shape [16], one shard of 8 per file, inner chunks of 4 — shard c/1
+    // has its second inner chunk ABSENT (offset/nbytes = 2^64-1) → fill 5.0
+    val dir = Files.createTempDirectory("zarrshard").toString
+    Files.write(Paths.get(dir, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [16],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 5.0,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {
+        |  "chunk_shape": [4],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |                   {"name": "crc32c"}],
+        |  "index_location": "end"}}]}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(dir, "c"))
+    def chunkBytes(vals: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putDouble); b.array()
+    }
+    def shardFile(chunks: Seq[Option[Seq[Double]]]): Array[Byte] = {
+      val data = new java.io.ByteArrayOutputStream()
+      val index = ByteBuffer.allocate(chunks.length * 16 + 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var off = 0L
+      chunks.foreach {
+        case Some(vals) =>
+          val enc = chunkBytes(vals)
+          index.putLong(off); index.putLong(enc.length.toLong)
+          data.write(enc); off += enc.length
+        case None =>
+          index.putLong(-1L); index.putLong(-1L)
+      }
+      val crc = new java.util.zip.CRC32C
+      crc.update(index.array(), 0, chunks.length * 16)
+      index.putInt(chunks.length * 16, crc.getValue.toInt)
+      data.write(index.array())
+      data.toByteArray
+    }
+    Files.write(Paths.get(dir, "c", "0"),
+      shardFile(Seq(Some(Seq(1.0, 2, 3, 4)), Some(Seq(5.0, 6, 7, 8)))))
+    Files.write(Paths.get(dir, "c", "1"),
+      shardFile(Seq(Some(Seq(9.0, 10, 11, 12)), None)))
+    val m = Zarr.readMeta(dir)
+    assert(m.shard.contains(Seq(4L)) && m.chunks == Seq(8L))
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect().map(_.getDouble(1))
+    assert(back.toSeq ==
+      (1 to 12).map(_.toDouble) ++ Seq(5.0, 5.0, 5.0, 5.0))
+    // corrupt index crc must fail loudly
+    val f = Paths.get(dir, "c", "0")
+    val bytes = Files.readAllBytes(f)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7f).toByte
+    Files.write(f, bytes)
+    val err = intercept[org.apache.spark.SparkException](
+      Zarr.read1d(spark, dir).collect())
+    assert(err.getMessage.contains("crc32c") ||
+      Option(err.getCause).exists(_.getMessage.contains("crc32c")))
+  }
+
+  test("sharded v3 2-d store via readNd, index at start, gzip inner codec") {
+    val dir = Files.createTempDirectory("zarrshard2d").toString
+    // shape [4,6], shards [4,3] (grid 1x2), inner chunks [2,3] (2 per shard)
+    Files.write(Paths.get(dir, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 6],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 3]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 0.0,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {
+        |  "chunk_shape": [2, 3],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |             {"name": "gzip", "configuration": {"level": 1}}],
+        |  "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+        |  "index_location": "start"}}]}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(dir, "c", "0"))
+    def gzipped(vals: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putDouble)
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b.array()); g.close()
+      bos.toByteArray
+    }
+    // want[i][j] = i*10 + j over the 4x6 array; shard (0,s) holds cols
+    // 3s..3s+2; inner chunk e within shard holds rows 2e..2e+1
+    def shardFile(colBase: Int): Array[Byte] = {
+      val encs = (0 until 2).map { e =>
+        gzipped(for (r <- 2 * e until 2 * e + 2; c <- 0 until 3)
+          yield (r * 10 + colBase + c).toDouble)
+      }
+      val idxBytes = 2 * 16 + 4
+      val index = ByteBuffer.allocate(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
+      var off = idxBytes.toLong // data follows the leading index
+      encs.foreach { enc =>
+        index.putLong(off); index.putLong(enc.length.toLong); off += enc.length
+      }
+      val crc = new java.util.zip.CRC32C
+      crc.update(index.array(), 0, 32)
+      index.putInt(32, crc.getValue.toInt)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(index.array()); encs.foreach(out.write)
+      out.toByteArray
+    }
+    Files.write(Paths.get(dir, "c", "0", "0"), shardFile(0))
+    Files.write(Paths.get(dir, "c", "0", "1"), shardFile(3))
+    val nd = Zarr.readNd(spark, dir)
+    assert(nd.shape == Seq(4L, 6L))
+    val got = nd.elements.orderBy("c0", "c1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 24)
+    got.foreach { case (i, j, v) => assert(v == i * 10 + j, s"($i,$j)") }
+  }
+
+  test("int64 exact round trip above 2^53 (write1dLong/read1dLong)") {
+    val dir = Files.createTempDirectory("zarri8").toString
+    val sp = spark
+    import sp.implicits._
+    val base = 9007199254740993L // 2^53 + 1: not representable as a double
+    val n = 300
+    val el = (0 until n).map(i => (i.toLong, base + 7L * i)).toDF("idx", "v")
+    Zarr.write1dLong(el, dir, n, chunk = 128, compressor = Some("blosc"))
+    assert(Zarr.readMeta(dir).dtype == "<i8")
+    val back = Zarr.read1dLong(spark, dir).orderBy("idx").collect()
+    assert(back.length == n)
+    back.foreach { r =>
+      assert(r.getLong(1) == base + 7L * r.getLong(0), s"idx ${r.getLong(0)}")
+    }
+    // the double path would corrupt odd values up here: prove the test is
+    // sharp (2^53 + 1 has no double representation; 7·i keeps ~half odd)
+    assert(base.toDouble.toLong != base)
   }
 
   test("rank-3 writeNd/readNd round trip with uneven edge chunks") {
