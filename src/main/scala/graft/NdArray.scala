@@ -350,6 +350,85 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     hi.zip(lo, "v1 - v2")
   }
 
+  // ---- stencils ------------------------------------------------------------
+
+  /** Ghost-extend one axis by `h` cells on each side (the rank-generic
+    * halo primitive behind [[stencilSum]]): the axis coordinate shifts up
+    * by `h` and two ghost slabs join the union, each a BIJECTIVE
+    * coordinate remap of a border slab — `reflect` (numpy 'symmetric':
+    * ghost at distance d reads the d-th cell from the edge) or `wrap`
+    * (periodic). Pure narrow projections + union: no shuffle, matching
+    * the 1-d/2-d halo design (`VecExpr.withTrailingHalo`). Folding this
+    * per axis composes corner ghosts automatically (a later axis extends
+    * the earlier axis's ghosts too). */
+  private def ghostAxis(a: Int, h: Long, mode: String): NdArray = {
+    val n = shape(a)
+    require(h <= n, s"halo $h exceeds axis $a extent $n")
+    val core = df.selectExpr((0 until rank).map { x =>
+      if (x == a) s"c$a + ${h}L AS c$a" else s"c$x"
+    } :+ "v": _*)
+    val (lo, hi) = mode match {
+      case "reflect" => (
+        // sources s in [0,h) -> ghost position h-1-s
+        df.where(s"c$a < $h").selectExpr((0 until rank).map { x =>
+          if (x == a) s"${h - 1}L - c$a AS c$a" else s"c$x"
+        } :+ "v": _*),
+        // sources s in [n-h,n) -> ghost position (h+n) + (n-1-s)
+        df.where(s"c$a >= ${n - h}").selectExpr((0 until rank).map { x =>
+          if (x == a) s"${h + 2 * n - 1}L - c$a AS c$a" else s"c$x"
+        } :+ "v": _*))
+      case "wrap" => (
+        // sources s in [n-h,n) -> ghost position s-(n-h)
+        df.where(s"c$a >= ${n - h}").selectExpr((0 until rank).map { x =>
+          if (x == a) s"c$a - ${n - h}L AS c$a" else s"c$x"
+        } :+ "v": _*),
+        // sources s in [0,h) -> ghost position h+n+s
+        df.where(s"c$a < $h").selectExpr((0 until rank).map { x =>
+          if (x == a) s"c$a + ${h + n}L AS c$a" else s"c$x"
+        } :+ "v": _*))
+      case other => sys.error(s"unsupported ghost mode '$other' (reflect/wrap)")
+    }
+    new NdArray(core.unionByName(lo).unionByName(hi),
+      shape.updated(a, n + 2 * h))
+  }
+
+  /** Rank-generic weighted-sum stencil — `map_overlap` at ANY rank for
+    * linear kernels (Laplacian, Sobel, box sums; the reference's
+    * `map_overlap` is rank-generic, `_overlap.py:143`):
+    * `out[c] = Σ_k w_k · x[b(c + off_k)]` with boundary `b` one of
+    * `constant` (out-of-domain reads contribute 0), `reflect`, `wrap`.
+    *
+    * Scale shape: ghost slabs are narrow per-axis coordinate remaps (no
+    * shuffle), each stencil tap is a coordinate-shift projection of the
+    * same extended table, and the taps union into ONE partial-aggregated
+    * groupBy — a single shuffle regardless of rank or stencil size,
+    * never a per-tap join chain. */
+  def stencilSum(taps: Seq[(Seq[Long], Double)],
+                 boundary: String = "constant"): NdArray = {
+    require(taps.nonEmpty && taps.forall(_._1.length == rank),
+      s"taps must carry one offset per axis (rank $rank)")
+    val halos = (0 until rank).map(a => taps.map { case (off, _) => math.abs(off(a)) }.max)
+    val ext =
+      if (boundary == "constant") this
+      else (0 until rank).foldLeft(this) { (arr, a) =>
+        if (halos(a) == 0) arr else arr.ghostAxis(a, halos(a), boundary)
+      }
+    val shift = if (boundary == "constant") Seq.fill(rank)(0L) else halos.map(_.toLong)
+    val inBounds = (0 until rank).map(a => s"c$a >= 0 AND c$a < ${shape(a)}")
+      .mkString(" AND ")
+    val pieces = taps.map { case (off, w) =>
+      ext.df.selectExpr((0 until rank).map { a =>
+        s"c$a - ${shift(a) + off(a)}L AS c$a"
+      } :+ s"v * CAST($w AS DOUBLE) AS v": _*)
+        .where(inBounds)
+    }
+    val unioned = pieces.reduce(_.unionByName(_))
+    new NdArray(
+      unioned.groupBy(coords.map(col): _*)
+        .agg(sum("v").cast("double").as("v")),
+      shape)
+  }
+
   // ---- contraction ---------------------------------------------------------
 
   /** General tensordot (reference `linalg/_tensordot.py:194-316`):

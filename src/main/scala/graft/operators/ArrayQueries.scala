@@ -788,11 +788,123 @@ object ArrayQueries {
       DArray.arange(s, d, 0, 8192, 1)
         .map(permKernel("CAST(v AS BIGINT)"))
         .slice(0, 200).elements.orderBy("idx")),
+
+    // Generator parity, continuous families (reference Generator,
+    // random/_generator.py:100-346): gamma / standard_gamma (integer
+    // shape = sum of exponentials), chisquare, beta (Gamma ratio),
+    // standard_t (normal over scaled chi), f (chi ratio), power
+    // (inverse-CDF), triangular (piecewise inverse-CDF), wald
+    // (Michael-Schucany-Haas transform), integers — all over the same
+    // counter-based position-keyed uniform streams, one scan, moment
+    // checks like q60/q73 (integers sums exactly)
+    "q89_random_gen_cont" -> ((s, d) =>
+      gen1Layered(DArray.arange(s, d, 0, 20000, 1).elements)
+        .agg(
+          round(avg("gam"), 2).as("gam_m"), round(stddev_samp("gam"), 2).as("gam_sd"),
+          round(avg("chi"), 2).as("chi_m"),
+          round(avg("bet"), 2).as("bet_m"),
+          round(avg("tst"), 2).as("tst_m"), round(stddev_samp("tst"), 2).as("tst_sd"),
+          round(avg("fds"), 2).as("fds_m"),
+          round(avg("pw"), 2).as("pw_m"),
+          round(avg("tri"), 2).as("tri_m"),
+          round(avg("wld"), 2).as("wld_m"), round(stddev_samp("wld"), 2).as("wld_sd"),
+          expr("CAST(sum(itg) AS BIGINT)").as("itg_sum"))),
+
+    // Generator parity, discrete families via EXACT inverse-CDF over
+    // driver-computed literal cutoffs (shared verbatim with the oracle):
+    // zipf, logseries, negative_binomial, hypergeometric — integer sums
+    // and head counts hash exactly (reference random/_generator.py:345,
+    // 218, 248, 170)
+    "q90_random_gen_disc" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1).elements.selectExpr(
+          s"1 + ${invCdfCount(zipfCdf, unif2Kernel("CAST(v AS BIGINT)", 9301))} AS zk",
+          s"1 + ${invCdfCount(logseriesCdf, unif2Kernel("CAST(v AS BIGINT)", 9407))} AS lk",
+          s"${invCdfCount(negBinCdf, unif2Kernel("CAST(v AS BIGINT)", 9511))} AS nk",
+          s"${invCdfCount(hyperCdf, unif2Kernel("CAST(v AS BIGINT)", 9613))} AS hk")
+        .agg(
+          expr("CAST(sum(zk) AS BIGINT)").as("zipf_sum"),
+          expr("CAST(sum(CASE WHEN zk = 1 THEN 1 ELSE 0 END) AS BIGINT)").as("zipf_ones"),
+          expr("CAST(sum(lk) AS BIGINT)").as("logser_sum"),
+          expr("CAST(sum(nk) AS BIGINT)").as("negbin_sum"),
+          expr("CAST(max(nk) AS BIGINT)").as("negbin_max"),
+          expr("CAST(sum(hk) AS BIGINT)").as("hyper_sum"))),
+
+    // choice with PROBABILITIES (reference choice(p=...),
+    // random/_choice.py:107): weighted pick via the literal cumulative-
+    // probability cascade; the full 20000-draw histogram hashes exactly
+    "q91_random_choice_p" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1)
+        .map(choicePKernel("CAST(v AS BIGINT)"))
+        .elements
+        .groupBy(col("v")).agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
+        .orderBy("v")),
   )
+
+  /** q89's kernel layers, shared (as SQL text) with the oracle: layer 1
+    * evaluates the uniform streams, layer 2 the wald intermediate x, layer
+    * 3 the final wald branch. `df` must expose BIGINT `v` = the position. */
+  private def gen1Layered(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.selectExpr(gen1Layer1("CAST(v AS BIGINT)"): _*)
+      .selectExpr(gen1Layer2: _*)
+      .selectExpr(gen1Layer3: _*)
+
+  private def gen1Layer1(iExpr: String): Seq[String] = {
+    def u(a: Long) = unif2Kernel(iExpr, a)
+    val z = s"sqrt(-2 * ln(${u(8101)})) * cos(2 * pi() * (${u(8102)}))"
+    val zw = s"sqrt(-2 * ln(${u(8124)})) * cos(2 * pi() * (${u(8125)}))"
+    val x23 = s"-ln((${u(8108)}) * (${u(8109)}))"
+    val y23 = s"-ln((${u(8110)}) * (${u(8111)}) * (${u(8112)}))"
+    val ch6 = s"-2.0 * ln((${u(8113)}) * (${u(8114)}) * (${u(8115)}))"
+    val c4 = s"-2.0 * ln((${u(8116)}) * (${u(8117)}))"
+    val c8 = s"-2.0 * ln((${u(8118)}) * (${u(8119)}) * (${u(8120)}) * (${u(8121)}))"
+    val ut = u(8123)
+    Seq(
+      s"-2.0 * ln((${u(8103)}) * (${u(8104)}) * (${u(8105)})) AS gam",
+      s"-2.0 * ln((${u(8106)}) * (${u(8107)})) AS chi",
+      s"($x23) / (($x23) + ($y23)) AS bet",
+      s"($z) * sqrt(6.0 / ($ch6)) AS tst",
+      s"(($c4) / 4.0) / (($c8) / 8.0) AS fds",
+      s"power(${u(8122)}, 1.0 / 3.0) AS pw",
+      s"CASE WHEN ($ut) < 0.3 THEN sqrt(($ut) * 30.0) " +
+        s"ELSE 10.0 - sqrt((1.0 - ($ut)) * 70.0) END AS tri",
+      s"power($zw, 2) AS wy",
+      s"(${u(8126)}) AS wu",
+      s"CAST(10 + floor((${u(8127)}) * 40.0) AS BIGINT) AS itg")
+  }
+
+  private val gen1Layer2: Seq[String] = Seq(
+    "gam", "chi", "bet", "tst", "fds", "pw", "tri", "itg", "wu",
+    "1.0 + wy / 2.0 - sqrt(4.0 * wy + wy * wy) / 2.0 AS wx")
+
+  private val gen1Layer3: Seq[String] = Seq(
+    "gam", "chi", "bet", "tst", "fds", "pw", "tri", "itg",
+    "CASE WHEN wu <= 1.0 / (1.0 + wx) THEN wx ELSE 1.0 / wx END AS wld")
 
   /** Position-keyed LCG uniform in (0,1): the repo's portable RNG core. */
   private def unifKernel(iExpr: String, add: Long): String =
     s"(((1103515245 * ($iExpr + $add) + 12345) % 2147483648) + 0.5) / 2147483648.0"
+
+  /** Stream-keyed uniform with a NONLINEAR (product) mixer. [[unifKernel]]
+    * streams are shifted copies of one affine map — fine for a single
+    * stream, but any kernel COMBINING streams (Box-Muller, gamma sums,
+    * chi ratios, the Wald branch) needs cross-stream independence, and
+    * compositions of affine maps stay affine. Multiplying two distinct
+    * affine states mod 2^31 breaks the linearity (the q89 Wald moment
+    * check catches the difference: 0.75 under the affine streams, the
+    * theoretical 1.0 under this mixer). Pure `*`/`+`/`%` over positive
+    * BIGINTs: identical text runs on Spark and DuckDB with exact results.
+    */
+  private def unif2Kernel(iExpr: String, s: Long): String = {
+    val a = s"((1103515245 * ($iExpr + $s) + 12345) % 2147483648)"
+    val b = s"((69069 * ($iExpr) + ${s * s} + $s * 2654435761) % 2147483648)"
+    // CAST the integer state to DOUBLE before the fractional arithmetic:
+    // Spark types bare `0.5`/`2147483648.0` literals as DECIMAL, and a
+    // DECIMAL(35,13) u collapses to DECIMAL(38,6) the moment two streams
+    // multiply — a 1e-6 quantization DuckDB (all-DOUBLE literals) never
+    // applies, which diverges every multi-stream kernel. The cast makes
+    // the whole fragment DOUBLE on both engines.
+    s"(CAST(($a * $b) % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0"
+  }
 
   /** k = #{cdf values < u} — exact inverse-CDF sampling over literal
     * cutoffs (identical text on both engines, so comparisons are exact). */
@@ -816,6 +928,59 @@ object ArrayQueries {
       (1 to k).map(i => (n - k + i).toDouble / i).product
     val pmf = (0 to n).map(k => c(n, k) * math.pow(p, k) * math.pow(1 - p, n - k))
     pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Like [[invCdfKernel]] but yielding the raw BIGINT count (discrete
+    * samplers whose sums must hash exactly). */
+  private def invCdfCount(cdf: Seq[Double], uExpr: String): String =
+    "(" + cdf.map(c => s"(CASE WHEN ($uExpr) > $c THEN 1 ELSE 0 END)")
+      .mkString(" + ") + ")"
+
+  /** Cumulative zipf(a=2.5) probabilities, k = 1..30 (tail beyond 30 —
+    * total mass ~2e-4 — lands on k=31; the cutoffs are literals shared
+    * with the oracle, so the truncation is part of the sampler). */
+  private val zipfCdf: Seq[Double] = {
+    val a = 2.5
+    val zeta = (1 to 2000000).iterator.map(k => math.pow(k.toDouble, -a)).sum
+    (1 to 30).map(k => math.pow(k.toDouble, -a) / zeta).scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Cumulative logseries(p=0.4) probabilities, k = 1..20. */
+  private val logseriesCdf: Seq[Double] = {
+    val p = 0.4
+    (1 to 20).map(k => -math.pow(p, k) / (k * math.log(1 - p)))
+      .scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Cumulative negative_binomial(n=5, p=0.5) probabilities (numpy
+    * convention: k = number of failures), k = 0..30. */
+  private val negBinCdf: Seq[Double] = {
+    val n = 5; val p = 0.5
+    def comb(a: Int, b: Int): Double =
+      (1 to b).map(i => (a - b + i).toDouble / i).product
+    (0 to 30).map(k => comb(k + n - 1, k) * math.pow(p, n) * math.pow(1 - p, k))
+      .scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Cumulative hypergeometric(ngood=7, nbad=13, nsample=8) probabilities,
+    * cutoffs k = 0..6 (exact finite support 0..7). */
+  private val hyperCdf: Seq[Double] = {
+    def comb(a: Int, b: Int): Double =
+      if (b < 0 || b > a) 0.0 else (1 to b).map(i => (a - b + i).toDouble / i).product
+    val tot = comb(20, 8)
+    (0 to 6).map(k => comb(7, k) * comb(13, 8 - k) / tot)
+      .scanLeft(0.0)(_ + _).tail
+  }
+
+  /** choice with probabilities: cumulative-weight CASE cascade. */
+  private val choicePOptions = Seq(2.5, -1.0, 7.25, 0.5, 3.75, -4.5)
+  private val choicePWeights = Seq(0.1, 0.25, 0.3, 0.15, 0.12, 0.08)
+  private def choicePKernel(iExpr: String): String = {
+    val u = unif2Kernel(iExpr, 7477)
+    val cum = choicePWeights.scanLeft(0.0)(_ + _).tail
+    "CASE " + choicePOptions.init.zip(cum.init).map { case (v, c) =>
+      s"WHEN ($u) < $c THEN CAST($v AS DOUBLE)"
+    }.mkString(" ") + s" ELSE CAST(${choicePOptions.last} AS DOUBLE) END"
   }
 
   private val choiceOptions = Seq(2.5, -1.0, 7.25, 0.5, 3.75, -4.5, 9.0)
@@ -1261,6 +1426,43 @@ object ArrayQueries {
            -ln(-ln($u)) AS gum,
            ln(($u) / (1 - ($u))) AS logi
            FROM range(20000) t(i))"""
+    },
+
+    "q89_random_gen_cont" -> {
+      val l1 = gen1Layer1("i").mkString(",\n             ")
+      val l2 = gen1Layer2.mkString(", ")
+      val l3 = gen1Layer3.mkString(", ")
+      s"""SELECT round(avg(gam), 2) AS gam_m, round(stddev_samp(gam), 2) AS gam_sd,
+           round(avg(chi), 2) AS chi_m, round(avg(bet), 2) AS bet_m,
+           round(avg(tst), 2) AS tst_m, round(stddev_samp(tst), 2) AS tst_sd,
+           round(avg(fds), 2) AS fds_m, round(avg(pw), 2) AS pw_m,
+           round(avg(tri), 2) AS tri_m,
+           round(avg(wld), 2) AS wld_m, round(stddev_samp(wld), 2) AS wld_sd,
+           CAST(sum(itg) AS BIGINT) AS itg_sum
+         FROM (SELECT $l3 FROM (SELECT $l2 FROM (
+           SELECT $l1 FROM range(20000) t(i))))"""
+    },
+
+    "q90_random_gen_disc" -> {
+      val zk = invCdfCount(zipfCdf, unif2Kernel("i", 9301))
+      val lk = invCdfCount(logseriesCdf, unif2Kernel("i", 9407))
+      val nk = invCdfCount(negBinCdf, unif2Kernel("i", 9511))
+      val hk = invCdfCount(hyperCdf, unif2Kernel("i", 9613))
+      s"""SELECT CAST(sum(zk) AS BIGINT) AS zipf_sum,
+           CAST(sum(CASE WHEN zk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS zipf_ones,
+           CAST(sum(lk) AS BIGINT) AS logser_sum,
+           CAST(sum(nk) AS BIGINT) AS negbin_sum,
+           CAST(max(nk) AS BIGINT) AS negbin_max,
+           CAST(sum(hk) AS BIGINT) AS hyper_sum
+         FROM (SELECT 1 + $zk AS zk, 1 + $lk AS lk, $nk AS nk, $hk AS hk
+           FROM range(20000) t(i))"""
+    },
+
+    "q91_random_choice_p" -> {
+      val pick = choicePKernel("i")
+      s"""SELECT v, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT $pick AS v FROM range(20000) t(i))
+          GROUP BY v ORDER BY v"""
     },
 
     "q57_unique_inverse" ->

@@ -128,6 +128,21 @@ object NdQueries {
       val a = NdArray.tabulate(s, Seq(2L, 6L, 4L), "(c0*9 + c1*7 + c2*3) % 11")
       val b = NdArray.tabulate(s, Seq(2L, 4L, 5L), "(c0*5 + c1*2 + c2) % 13")
       graft.Einsum.nd("bij,bjk->bik", a, b).orderBy("b", "i", "k")
+    }),
+
+    // rank-3 boundary-aware stencil (map_overlap at rank ≥ 3; reference
+    // _overlap.py:143 is rank-generic): 7-point Laplacian with reflect
+    // ghosts — per-axis halo slabs are narrow coordinate remaps, the 7
+    // taps union into ONE partial-aggregated groupBy (a single shuffle
+    // regardless of rank or stencil size)
+    "n14_nd_stencil3d" -> ((s, d) => {
+      val x = NdArray.tabulate(s, Seq(12L, 10L, 8L), "(c0*7 + c1*3 + c2*5) % 11 - 3")
+      val taps = Seq(
+        (Seq(0L, 0L, 0L), -6.0),
+        (Seq(1L, 0L, 0L), 1.0), (Seq(-1L, 0L, 0L), 1.0),
+        (Seq(0L, 1L, 0L), 1.0), (Seq(0L, -1L, 0L), 1.0),
+        (Seq(0L, 0L, 1L), 1.0), (Seq(0L, 0L, -1L), 1.0))
+      x.stencilSum(taps, boundary = "reflect").elements.orderBy("c0", "c1", "c2")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +237,24 @@ object NdQueries {
              FROM range(40) t(x))) bb
           ON a.c0 = bb.c0 AND a.c2 = bb.c1
           GROUP BY 1, 2, 3 ORDER BY b, i, k""",
+
+    // the oracle replays the stencil from the generating formula with
+    // inline reflect-index arithmetic — no joins needed
+    "n14_nd_stencil3d" -> {
+      def r(t: String, n: Int) =
+        s"(CASE WHEN ($t) < 0 THEN -($t)-1 WHEN ($t) >= $n THEN ${2 * n - 1}-($t) ELSE ($t) END)"
+      def f(a: String, b: String, c: String) =
+        s"((($a)*7 + ($b)*3 + ($c)*5) % 11 - 3)"
+      s"""SELECT c0, c1, c2, CAST(
+           -6 * ${f("c0", "c1", "c2")}
+           + ${f(r("c0-1", 12), "c1", "c2")} + ${f(r("c0+1", 12), "c1", "c2")}
+           + ${f("c0", r("c1-1", 10), "c2")} + ${f("c0", r("c1+1", 10), "c2")}
+           + ${f("c0", "c1", r("c2-1", 8))} + ${f("c0", "c1", r("c2+1", 8))}
+           AS DOUBLE) AS v
+         FROM (SELECT x // 80 AS c0, (x // 8) % 10 AS c1, x % 8 AS c2
+               FROM range(960) t(x))
+         ORDER BY c0, c1, c2"""
+    },
 
     // flip maps out c1 = 3 - src c1; the roll permutes within the summed
     // axis (sum-invariant); b lands at c1 + 4

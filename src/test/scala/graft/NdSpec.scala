@@ -245,4 +245,44 @@ class NdSpec extends AnyFunSuite {
     assert(values(a.rollaxis(2, 2)) == values(a))
     assert(values(a.rollaxis(3, 0)) == values(a.moveaxis(3, 0)))
   }
+
+  test("stencilSum matches a local oracle under all three boundary modes") {
+    val shape = Seq(5L, 6L, 4L)
+    def f(c: Seq[Long]): Double = ((c(0) * 7 + c(1) * 3 + c(2) * 5) % 11 - 3).toDouble
+    val a = NdArray.tabulate(spark, shape, "(c0*7 + c1*3 + c2*5) % 11 - 3")
+    val taps = Seq(
+      (Seq(0L, 0L, 0L), -6.0),
+      (Seq(1L, 0L, 0L), 1.0), (Seq(-1L, 0L, 0L), 1.0),
+      (Seq(0L, 1L, 0L), 1.0), (Seq(0L, -1L, 0L), 1.0),
+      (Seq(0L, 0L, 1L), 1.0), (Seq(0L, 0L, -1L), 1.0))
+    def bound(mode: String)(t: Long, n: Long): Option[Long] = mode match {
+      case "constant" => if (t < 0 || t >= n) None else Some(t)
+      case "reflect"  => Some(if (t < 0) -t - 1 else if (t >= n) 2 * n - 1 - t else t)
+      case "wrap"     => Some(((t % n) + n) % n)
+    }
+    for (mode <- Seq("constant", "reflect", "wrap")) {
+      val got = a.stencilSum(taps, mode).elements
+        .orderBy("c0", "c1", "c2").collect()
+        .map(r => (Seq(r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      for (i <- 0L until 5L; j <- 0L until 6L; k <- 0L until 4L) {
+        val want = taps.map { case (off, w) =>
+          val src = Seq(i + off(0), j + off(1), k + off(2))
+          val read = src.zip(shape).map { case (t, n) => bound(mode)(t, n) }
+          if (read.exists(_.isEmpty)) 0.0 else w * f(read.map(_.get))
+        }.sum
+        val gotV = got.getOrElse(Seq(i, j, k), 0.0) // implicit zero
+        assert(gotV == want, s"$mode ($i,$j,$k): $gotV != $want")
+      }
+    }
+  }
+
+  test("stencilSum plans ONE shuffle (a single Exchange for the final groupBy)") {
+    val a = NdArray.tabulate(spark, Seq(8L, 8L, 8L), "(c0 + c1 + c2) % 5")
+    val taps = Seq((Seq(0L, 0L, 0L), 2.0), (Seq(1L, 1L, 1L), 1.0), (Seq(-1L, 0L, 1L), 1.0))
+    val plan = a.stencilSum(taps, "reflect").elements
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one shuffle, got $exchanges:\n$plan")
+  }
 }
