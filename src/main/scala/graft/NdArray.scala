@@ -416,15 +416,29 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     val shift = if (boundary == "constant") Seq.fill(rank)(0L) else halos.map(_.toLong)
     val inBounds = (0 until rank).map(a => s"c$a >= 0 AND c$a < ${shape(a)}")
       .mkString(" AND ")
-    val pieces = taps.map { case (off, w) =>
-      ext.df.selectExpr((0 until rank).map { a =>
-        s"c$a - ${shift(a) + off(a)}L AS c$a"
-      } :+ s"v * CAST($w AS DOUBLE) AS v": _*)
-        .where(inBounds)
+    // ONE scan of the (ghost-extended) input: broadcast the tiny tap table
+    // and let each input cell emit all its tap contributions — a per-tap
+    // union would re-scan the 3^rank ghost union once per tap (the first
+    // cut did exactly that: 7 taps × 27 branches = 189 scans of the same
+    // table, and Catalyst paid for every one in planning + codegen)
+    val spark = df.sparkSession
+    val tapRows = taps.map { case (off, w) =>
+      org.apache.spark.sql.Row.fromSeq(off ++ Seq(w))
     }
-    val unioned = pieces.reduce(_.unionByName(_))
+    val tapSchema = org.apache.spark.sql.types.StructType(
+      (0 until rank).map(a => org.apache.spark.sql.types.StructField(
+        s"off$a", org.apache.spark.sql.types.LongType, nullable = false)) :+
+        org.apache.spark.sql.types.StructField(
+          "w", org.apache.spark.sql.types.DoubleType, nullable = false))
+    val tapDf = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(tapRows, 1), tapSchema))
+    val contrib = ext.df.crossJoin(tapDf)
+      .selectExpr((0 until rank).map { a =>
+        s"c$a - ${shift(a)}L - off$a AS c$a"
+      } :+ "v * w AS v": _*)
+      .where(inBounds)
     new NdArray(
-      unioned.groupBy(coords.map(col): _*)
+      contrib.groupBy(coords.map(col): _*)
         .agg(sum("v").cast("double").as("v")),
       shape)
   }

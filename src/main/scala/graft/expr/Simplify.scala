@@ -43,6 +43,28 @@ object Simplify {
     if (next.name == e.name || fuel == 0) next else fixpoint(next, fuel - 1)
   }
 
+  /** One trace entry per fixpoint round that changed the plan. */
+  final case class TraceStep(round: Int, before: String, after: String)
+
+  /** The rewrite trail (reference `trace_rewrites`,
+    * `diagnostics/_diagnostics.py`): runs the SAME fixpoint loop as
+    * [[apply]] but records each round's before/after `pprint`. Returns
+    * the simplified root plus the trail — driver-side only, no jobs. */
+  def trace(root: VecExpr): (VecExpr, Seq[TraceStep]) = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[TraceStep]
+    var e = root
+    var round = 0
+    var changed = true
+    while (changed && round < 20) {
+      val next = rewrite(e, dependents(e))
+      changed = next.name != e.name
+      if (changed) steps += TraceStep(round, e.pprint(), next.pprint())
+      e = next
+      round += 1
+    }
+    (e, steps.toSeq)
+  }
+
   /** name → set of parent tokens (for the sharing gate). */
   private def dependents(root: VecExpr): Map[String, List[VecExpr]] = {
     val acc = scala.collection.mutable.Map[String, List[VecExpr]]().withDefaultValue(Nil)

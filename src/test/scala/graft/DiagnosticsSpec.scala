@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr._
+
+/** Diagnostics surface (reference expr_flow/expr_table/trace_rewrites,
+  * `diagnostics/_expr_flow.py:554`, `_diagnostics.py`): pure driver-side
+  * walks — no spark session, no jobs. */
+class DiagnosticsSpec extends AnyFunSuite {
+
+  private val src = RangeVec(0, 1, 1000)
+
+  test("exprTable: one row per DISTINCT node; shared subtree counted once") {
+    val shared = MapVec(src, "v * 2")
+    val tree = ZipVec(SliceVec(shared, 0, 500), SliceVec(shared, 100, 600), "v1 + v2")
+    val table = Diagnostics.exprTable(tree)
+    val lines = table.split("\n")
+    assert(lines.head.contains("id") && lines.head.contains("moved B"))
+    // nodes: zip, 2 distinct slices, ONE shared map, range = 5 (+header)
+    assert(lines.length == 6, table)
+    // the shared map shows both consumers
+    val mapRow = lines.find(_.contains("map[")).getOrElse(fail(table))
+    assert(mapRow.split("\\s{2,}")(3) == "2", s"expected 2 uses:\n$table")
+  }
+
+  test("flowDot: valid DOT with one node per distinct subtree, edges child->parent") {
+    val shared = MapVec(src, "v * 2")
+    val tree = ZipVec(shared, SliceVec(shared, 0, 500), "v1 + v2")
+    val dot = Diagnostics.flowDot(tree)
+    assert(dot.startsWith("digraph exprflow {") && dot.endsWith("}\n"))
+    // 4 distinct nodes: zip, slice, map, range
+    assert("\\[shape=box".r.findAllIn(dot).length == 4, dot)
+    assert("->".r.findAllIn(dot).length == 4, dot) // range->map, map->zip, map->slice, slice->zip
+    assert(dot.contains("moved"), "cost annotations missing")
+  }
+
+  test("trace records the rewrite trail and lands on the same plan as apply") {
+    // self-zip shape: fuses in a couple of rounds
+    val tree = ZipVec(src, MapVec(src, "1 + v % 7"), "v1 * v2")
+    val (simplified, steps) = Simplify.trace(tree)
+    assert(simplified.name == Simplify(tree).name)
+    assert(steps.nonEmpty, "expected at least one rewrite round")
+    assert(steps.head.before != steps.head.after)
+    assert(steps.map(_.round) == steps.map(_.round).sorted)
+    // an already-simplified plan traces to an empty trail
+    val (again, none) = Simplify.trace(simplified)
+    assert(again.name == simplified.name && none.isEmpty)
+  }
+}

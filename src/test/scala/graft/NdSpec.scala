@@ -277,12 +277,18 @@ class NdSpec extends AnyFunSuite {
     }
   }
 
-  test("stencilSum plans ONE shuffle (a single Exchange for the final groupBy)") {
+  test("stencilSum plans ONE shuffle and ONE scan of the extended input") {
     val a = NdArray.tabulate(spark, Seq(8L, 8L, 8L), "(c0 + c1 + c2) % 5")
     val taps = Seq((Seq(0L, 0L, 0L), 2.0), (Seq(1L, 1L, 1L), 1.0), (Seq(-1L, 0L, 1L), 1.0))
     val plan = a.stencilSum(taps, "reflect").elements
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges <= 1, s"expected at most one shuffle, got $exchanges:\n$plan")
+    // taps ride a BroadcastExchange; the groupBy is the only SHUFFLE
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length +
+      "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected at most one shuffle, got $shuffles:\n$plan")
+    // one scan per ghost branch (3^rank max), NOT per tap: with a per-tap
+    // union the 27-branch ghost union would appear |taps| times over
+    val ranges = "Range \\(0".r.findAllIn(plan).length
+    assert(ranges <= 27, s"extended input scanned per tap? $ranges Range scans")
   }
 }

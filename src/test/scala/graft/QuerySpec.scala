@@ -167,6 +167,35 @@ class QuerySpec extends AnyFunSuite {
     assert(df.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("perf tripwire: steady-state per-query time stays inside budget") {
+    // Plan-regression guard (round-6 lesson: a 54x q05 surprise shipped
+    // because nothing asserted on time). Every query already ran once in
+    // the first test, so JIT/codegen is warm; this times ONE more
+    // execution against a generous checked-in ceiling — local[4] sf0.001
+    // steady state is <1s/query, so the default 15s ceiling only trips on
+    // a collapsed plan (driver loop, global sort, cartesian blowup), not
+    // on machine noise. The 2s soft report surfaces drift before it
+    // becomes a failure.
+    val budgetSec = Map( // driver-coordinated linalg chains run many jobs
+      "l06_svd_compressed" -> 60.0, "l05_svd_full" -> 30.0,
+      "l03_cholesky_trace" -> 30.0, "l09_lu_reconstruct" -> 30.0,
+      "l08_solve_lu" -> 30.0, "l10_solve_spd" -> 30.0, "l04_inv" -> 30.0
+    ).withDefaultValue(15.0)
+    val times = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      fn(spark, sf).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val slow = times.filter(_._2 > 2.0).sortBy(-_._2)
+    if (slow.nonEmpty)
+      info("steady-state over 2s: " +
+        slow.map { case (n, t) => f"$n=$t%.1fs" }.mkString(", "))
+    val over = times.filter { case (n, t) => t > budgetSec(n) }
+    assert(over.isEmpty, "queries exceeded their steady-state ceiling: " +
+      over.map { case (n, t) => f"$n=$t%.1fs" }.mkString(", "))
+  }
+
   test("slice pushdown reaches the parquet scan (PushedFilters)") {
     val da = DArray.fromColumn(spark, sf, "events", "event_id", "value")
       .slice(100, 200).map("v * 2")
