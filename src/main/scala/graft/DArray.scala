@@ -66,6 +66,32 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def mask(predOverV: String): DArray      = wrap(FilterVec(exprTree, predOverV))
   def setItems(updates: Seq[(Long, Double)]): DArray = wrap(SetItemVec(exprTree, updates))
 
+  // ---- numpy.ma surface ------------------------------------------------------
+  // The reference flows np.ma.masked_array chunks through its generic
+  // machinery (register_chunk_type, `_chunk_types.py:31`; np.ma lookups,
+  // `_dispatch.py:248-263`). Here mask ≙ NULL, which gives np.ma's
+  // contract for free: masked cells propagate through arithmetic
+  // (NULL ⊕ x = NULL = mask union under zip), and Spark aggregates skip
+  // NULLs exactly like np.ma reductions skip masked cells. All four ops
+  // are single codegen'd projections.
+
+  /** `ma.masked_where(cond, x)`: mask the cells where the predicate
+    * holds. The predicate sees `v` (and `idx`). */
+  def maskedWhere(predOverV: String): DArray =
+    map(s"CASE WHEN $predOverV THEN CAST(NULL AS DOUBLE) ELSE v END")
+
+  /** `ma.masked_invalid(x)`: mask NaN/Inf cells. */
+  def maskedInvalid: DArray =
+    maskedWhere("isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE)")
+
+  /** `ma.filled(x, fill)`: replace masked cells with a fill value. */
+  def filled(fill: Double): DArray =
+    map(s"coalesce(v, CAST($fill AS DOUBLE))")
+
+  /** `ma.getmaskarray(x)`: the mask as a 0/1 array. */
+  def getmask: DArray =
+    map("CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END")
+
   /** Slice-valued assignment `x[lo:hi) = value` (reference `SetItem` with
     * slice indices, `slicing/_setitem.py:294`): copy-on-write projection,
     * no movement. */

@@ -838,6 +838,35 @@ object ArrayQueries {
         .elements
         .groupBy(col("v")).agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
         .orderBy("v")),
+
+    // numpy.ma surface, part 1 (reference flows np.ma.masked_array chunks
+    // through register_chunk_type, _chunk_types.py:31, _dispatch.py:248):
+    // masked_where → reductions skip masked (count/sum/mean = np.ma
+    // semantics via NULL), filled() restores a dense array — one scan
+    "q92_masked_stats" -> ((s, d) => {
+      val x = events(s, d).maskedWhere("v > 300")
+      val filledSum = x.filled(-1.0).elements.agg(round(sum("v"), 2).as("filled_sum"))
+      val maskCnt = x.getmask.elements.agg(
+        expr("CAST(sum(v) AS BIGINT)").as("n_masked"))
+      x.elements.agg(
+          expr("CAST(count(v) AS BIGINT)").as("cnt"),
+          round(sum("v"), 2).as("s"),
+          round(avg("v"), 4).as("m"))
+        .crossJoin(filledSum).crossJoin(maskCnt)
+    }),
+
+    // numpy.ma part 2: mask UNION through a binary op (NULL ⊕ x = NULL),
+    // exactly np.ma's propagation — the zip is the standard aligned join,
+    // the masks ride the value column for free
+    "q93_masked_binop" -> ((s, d) => {
+      val a = events(s, d).maskedWhere("v > 300")
+      val b = events(s, d).map("v * 2").maskedWhere("v < 100")
+      val c = a.zip(b, "v1 + v2")
+      c.elements.agg(
+        expr("CAST(count(v) AS BIGINT)").as("unmasked"),
+        round(sum("v"), 2).as("s"),
+        expr("CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)").as("masked"))
+    }),
   )
 
   /** q89's kernel layers, shared (as SQL text) with the oracle: layer 1
@@ -1464,6 +1493,20 @@ object ArrayQueries {
           FROM (SELECT $pick AS v FROM range(20000) t(i))
           GROUP BY v ORDER BY v"""
     },
+
+    "q92_masked_stats" ->
+      """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,
+           round(sum(CASE WHEN NOT m THEN value END), 2) AS s,
+           round(avg(CASE WHEN NOT m THEN value END), 4) AS m,
+           round(sum(CASE WHEN m THEN -1.0 ELSE value END), 2) AS filled_sum,
+           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+         FROM (SELECT value, value > 300 AS m FROM events)""",
+
+    "q93_masked_binop" ->
+      """SELECT CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS unmasked,
+           round(sum(CASE WHEN ok THEN value + value * 2 END), 2) AS s,
+           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS masked
+         FROM (SELECT value, NOT (value > 300 OR value * 2 < 100) AS ok FROM events)""",
 
     "q57_unique_inverse" ->
       """WITH el AS (SELECT event_id AS idx, floor(value / 100) AS v FROM events),
