@@ -240,7 +240,11 @@ object Zarr {
        |    "zarr_format": 3,
        |    "node_type": "array",
        |    "shape": [${m.shape.mkString(", ")}],
-       |    "data_type": "${if (m.dtype == "<i8") "int64" else "float64"}",
+       |    "data_type": "${m.dtype match {
+            case "<i8" => "int64"
+            case "<f4" => "float32"
+            case _     => "float64"
+          }}",
        |    "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
        |    "chunk_key_encoding": {"name": "default", "configuration": {"separator": "${m.sep}"}},
        |    "fill_value": ${if (m.fill.isNaN) "\"NaN\"" else m.fill.toString},
@@ -305,10 +309,15 @@ object Zarr {
     } finally in.close()
   }
 
-  def encodeChunk(vals: Array[Double], compressor: Option[String]): Array[Byte] = {
-    val raw = new Array[Byte](vals.length * 8)
+  def encodeChunk(vals: Array[Double], compressor: Option[String],
+                  dtype: String = "<f8"): Array[Byte] = {
+    val raw = new Array[Byte](vals.length * itemSize(dtype))
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-    vals.foreach(bb.putDouble)
+    dtype match {
+      case "<f8" => vals.foreach(bb.putDouble)
+      case "<f4" => vals.foreach(v => bb.putFloat(v.toFloat))
+      case other => sys.error(s"encodeChunk supports <f8/<f4, got $other")
+    }
     compressor match {
       case Some("zlib")  => deflate(raw)
       case Some("gzip")  => gzipBytes(raw)
@@ -561,11 +570,12 @@ object Zarr {
     * by the driver so the store is complete. `format` 2 writes a
     * `.zarray` store (zlib/raw), 3 a `zarr.json` store (gzip/raw). */
   def write1d(elements: DataFrame, dir: String, n: Long, chunk: Long,
-              compressor: Option[String] = None, format: Int = 2): Unit = {
+              compressor: Option[String] = None, format: Int = 2,
+              dtype: String = "<f8"): Unit = {
     val sess = elements.sparkSession
     val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
     fs0.mkdirs(base0)
-    val m = metaFor(format, Seq(n), Seq(chunk), compressor)
+    val m = metaFor(format, Seq(n), Seq(chunk), compressor).copy(dtype = dtype)
     writeMeta(fs0, base0, m)
     import sess.implicits._
     val comp = compressor
@@ -582,7 +592,8 @@ object Zarr {
         it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
         val (meta, sconf) = bcm.value
         val (fs, base) = fsOf(dir, sconf.value) // executor-side, driver's conf
-        writeFile(fs, new Path(base, meta.keyOf(Seq(blk))), encodeChunk(vals, comp))
+        writeFile(fs, new Path(base, meta.keyOf(Seq(blk))),
+          encodeChunk(vals, comp, meta.dtype))
         blk
       }.collect().toSet
     var blk = 0L
@@ -590,7 +601,7 @@ object Zarr {
     while (blk < nChunks) {
       if (!written.contains(blk))
         writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
-          encodeChunk(new Array[Double](chunk.toInt), comp))
+          encodeChunk(new Array[Double](chunk.toInt), comp, dtype))
       blk += 1
     }
   }

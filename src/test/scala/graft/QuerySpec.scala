@@ -167,6 +167,24 @@ class QuerySpec extends AnyFunSuite {
     assert(df.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("distinct ranks plan has no single-partition window (q57 engine)") {
+    // unique(return_inverse) ranks distinct values via range-partitioned
+    // sort + per-partition offsets; a Window.orderBy here would collapse
+    // the distinct set onto one task (the round-6 scale-killer boundary
+    // case). Assert the engine itself plans no Window at all.
+    val el = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id AS idx", "floor(value / 100) AS v")
+    val (ranks, release) = graft.operators.DistinctRank.distinctRanks(el, "v")
+    try {
+      val plan = ranks.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window in distinct-rank plan:\n$plan")
+      // ranks are dense 0..k-1 ascending by value
+      val rows = ranks.orderBy("inv").collect()
+      assert(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong))
+      assert(rows.map(_.getDouble(0)).toSeq == rows.map(_.getDouble(0)).sorted.toSeq)
+    } finally release()
+  }
+
   test("perf tripwire: steady-state per-query time stays inside budget") {
     // Plan-regression guard (round-6 lesson: a 54x q05 surprise shipped
     // because nothing asserted on time). Every query already ran once in

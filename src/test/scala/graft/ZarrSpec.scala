@@ -405,6 +405,31 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (i, j, v) => assert(v == i * 10 + j, s"($i,$j)") }
   }
 
+  test("float32 storage round trip (dtype='<f4' write path)") {
+    val dir = Files.createTempDirectory("zarrf4w").toString
+    val sp = spark
+    import sp.implicits._
+    val n = 300
+    // multiples of 0.25 are exactly representable in float32
+    val el = (0 until n).map(i => (i.toLong, i * 0.25 - 10)).toDF("idx", "v")
+    Zarr.write1d(el, dir, n, chunk = 128, compressor = Some("zstd"), dtype = "<f4")
+    val m = Zarr.readMeta(dir)
+    assert(m.dtype == "<f4")
+    // on-disk chunk is 4 bytes/value (decompressed)
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+    assert(back.length == n)
+    back.foreach(r => assert(r.getDouble(1) == r.getLong(0) * 0.25 - 10))
+    // v3 f4 store writes float32 data_type
+    val dir3 = Files.createTempDirectory("zarrf4w3").toString
+    Zarr.write1d(el, dir3, n, chunk = 128, compressor = Some("gzip"),
+      format = 3, dtype = "<f4")
+    val meta3 = new String(Files.readAllBytes(Paths.get(dir3, "zarr.json")),
+      StandardCharsets.UTF_8)
+    assert(meta3.contains("\"float32\""))
+    val back3 = Zarr.read1d(spark, dir3).orderBy("idx").collect()
+    back3.foreach(r => assert(r.getDouble(1) == r.getLong(0) * 0.25 - 10))
+  }
+
   test("int64 exact round trip above 2^53 (write1dLong/read1dLong)") {
     val dir = Files.createTempDirectory("zarri8").toString
     val sp = spark
