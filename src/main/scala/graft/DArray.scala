@@ -92,6 +92,22 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def getmask: DArray =
     map("CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END")
 
+  /** `ma.average(x, weights=w)` (reference defers to np.ma.average via the
+    * masked dispatch, `_dispatch.py:248-263`): weighted mean over unmasked
+    * cells. A masked cell drops BOTH its value and its weight from the
+    * normalizer — np.ma's contract. ONE aligned equi-join + ONE
+    * partial+final aggregate computing both sums in the same pass (a
+    * ZipVec formulation would need two kernel arrays and join twice).
+    * Returns the 1-row (avg_w, cnt) frame. */
+  def maskedAverage(w: DArray): DataFrame = {
+    val l = elements.withColumnRenamed("v", "v1")
+    val r = w.elements.withColumnRenamed("v", "v2")
+    l.join(r, "idx").agg(
+      expr("round(sum(v1 * v2) / sum(CASE WHEN v1 IS NULL THEN NULL ELSE v2 END), 6)")
+        .as("avg_w"),
+      expr("CAST(count(v1) AS BIGINT)").as("cnt"))
+  }
+
   /** Slice-valued assignment `x[lo:hi) = value` (reference `SetItem` with
     * slice indices, `slicing/_setitem.py:294`): copy-on-write projection,
     * no movement. */

@@ -867,6 +867,16 @@ object ArrayQueries {
         round(sum("v"), 2).as("s"),
         expr("CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)").as("masked"))
     }),
+
+    // numpy.ma part 3: ma.average(x, weights=w) — a masked cell drops both
+    // its value and its weight from the normalizer. One aligned join + one
+    // two-sum aggregate (never two passes over the pair)
+    "q94_masked_average" -> ((s, d) => {
+      val x = events(s, d).maskedWhere("v > 300")
+      val w = DArray.fromColumn(s, d, "events", "event_id",
+        "CAST(event_id % 10 + 1 AS DOUBLE)")
+      x.maskedAverage(w)
+    }),
   )
 
   /** q89's kernel layers, shared (as SQL text) with the oracle: layer 1
@@ -1507,6 +1517,12 @@ object ArrayQueries {
            round(sum(CASE WHEN ok THEN value + value * 2 END), 2) AS s,
            CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS masked
          FROM (SELECT value, NOT (value > 300 OR value * 2 < 100) AS ok FROM events)""",
+
+    "q94_masked_average" ->
+      """SELECT round(sum(CASE WHEN value > 300 THEN NULL ELSE value * (event_id % 10 + 1) END)
+                 / sum(CASE WHEN value > 300 THEN NULL ELSE CAST(event_id % 10 + 1 AS DOUBLE) END), 6) AS avg_w,
+           CAST(count(CASE WHEN value > 300 THEN NULL ELSE 1 END) AS BIGINT) AS cnt
+         FROM events""",
 
     "q57_unique_inverse" ->
       """WITH el AS (SELECT event_id AS idx, floor(value / 100) AS v FROM events),
