@@ -240,6 +240,28 @@ object EmbeddingQueries {
           "round(sqrt(aggregate(zip_with(ne, ne, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)), 6) AS nrm")
         .orderBy("vec_id")),
 
+    // SemDeDup (semantic near-dup removal): cluster cells = the coarse
+    // `label` assignment, then pairwise cosine INSIDE each cell only; a
+    // vector is a near-dup if an earlier same-cell vector sits above the
+    // threshold. The pair generator is an equi-join on the cell id — pair
+    // work is O(Σ|cell|²) with |cell| ≈ n/k held constant by scaling the
+    // cluster count k with n (how SemDeDup is deployed); never a cross
+    // join. Vectors are L2-normalized, so cosine = the codegen'd dot.
+    "e11_semdedup" -> ((s, d) => {
+      val e = emb(s, d).select("vec_id", "label", "embedding")
+      val a = e.selectExpr("label", "vec_id AS aid", "embedding AS ae")
+      val b = e.selectExpr("label", "vec_id AS bid", "embedding AS be")
+      val dup = a.join(b, "label").where("aid < bid")
+        .where(expr(s"${sparkDot("ae", "be")} >= 0.3"))
+        .select("label", "bid").distinct()
+      e.groupBy("label").agg(count(lit(1)).as("n"))
+        .join(dup.groupBy("label").agg(count(lit(1)).as("n_dup")), Seq("label"), "left")
+        .selectExpr("label", "CAST(n AS BIGINT) AS n",
+          "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup",
+          "CAST(n - coalesce(n_dup, 0) AS BIGINT) AS kept")
+        .orderBy("label")
+    }),
+
     // PQ asymmetric-distance search (ADC): queries score against the
     // 8-nibble codes via per-subvector lookup — dot(q_sub, codebook[code])
     // summed over subs. At 100 TB the scan side touches ONLY the codes
@@ -350,6 +372,18 @@ object EmbeddingQueries {
              for i in generate_series(1, $DIM)] AS ne
             FROM embeddings WHERE vec_id < 200)
           ORDER BY vec_id""",
+
+    "e11_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+          dup AS (SELECT DISTINCT a.label AS label, b.vec_id AS bid
+                  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                  WHERE ${duckDot("a.embedding", "b.embedding")} >= 0.3),
+          t AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label),
+          dc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_dup FROM dup GROUP BY label)
+          SELECT t.label AS label, t.n, CAST(coalesce(dc.n_dup, 0) AS BIGINT) AS n_dup,
+            CAST(t.n - coalesce(dc.n_dup, 0) AS BIGINT) AS kept
+          FROM t LEFT JOIN dc ON t.label = dc.label
+          ORDER BY t.label""",
 
     "e09_pq_adc" -> {
       val score = (0 until 8).map(sub =>

@@ -361,6 +361,26 @@ object TextQueries {
           "round(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_share")
         .where("doc_id < 50").orderBy("doc_id")),
 
+    // deterministic source-mixture resampling (the domain-reweighting step
+    // of a training-data pipeline: downsample overrepresented web sources,
+    // keep rare languages whole). The keep decision is a position-keyed
+    // LCG coin — reproducible, no RNG state, no shuffle for the sampling
+    // itself; ONE scan + ONE bounded groupBy(source). At 100 TB the kept
+    // subset is a pushdown-friendly filter, never a sorted sample.
+    "t19_mixture_sample" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("source",
+          "CASE WHEN source IN ('src1', 'src2', 'src3') THEN 0.25 " +
+            "WHEN lang <> 'en' THEN 1.0 ELSE 0.6 END AS rate",
+          "((1103515245 * doc_id + 12345) % 2147483648) / 2147483648.0 AS u")
+        .groupBy("source")
+        .agg(
+          expr("CAST(count(*) AS BIGINT)").as("total"),
+          expr("CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)").as("kept"))
+        .selectExpr("source", "total", "kept",
+          "round(CAST(kept AS DOUBLE) / total, 4) AS achieved")
+        .orderBy("source")),
+
     "t16_lm_score" -> ((s, d) => {
       val bgRows = docs(s, d)
         .selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -563,6 +583,17 @@ object TextQueries {
             round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS rep_ratio,
             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
           FROM c WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""",
+
+    "t19_mixture_sample" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           round(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS achieved
+         FROM (SELECT source,
+             CASE WHEN source IN ('src1', 'src2', 'src3') THEN 0.25
+                  WHEN lang <> 'en' THEN 1.0 ELSE 0.6 END AS rate,
+             ((1103515245 * doc_id + 12345) % 2147483648) / 2147483648.0 AS u
+           FROM documents)
+         GROUP BY source ORDER BY source""",
 
     "t14_contamination" ->
       s"""WITH sig AS (SELECT doc_id, dhl FROM $duckHashed),
