@@ -381,6 +381,34 @@ object TextQueries {
           "round(CAST(kept AS DOUBLE) / total, 4) AS achieved")
         .orderBy("source")),
 
+    // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
+    // keep only each span's globally-first occurrence (ordered by doc then
+    // position), drop the rest — the "repeated three-sentence span"
+    // filter generalized to token windows. ONE explode + ONE span-keyed
+    // groupBy + ONE span-keyed join; the span string is the shuffle key
+    // here because the oracle needs exact equality — at 100 TB you'd key
+    // the same two shuffles on a 128-bit span hash instead (same plan
+    // shape, narrower exchange).
+    "t20_span_dedup" -> ((s, d) => {
+      val spans = docsWithDups(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "posexplode(transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT) - 1), " +
+            "p -> concat_ws(' ', slice(toks, p * 8 + 1, 8)))) AS (p, span)")
+        .where("length(span) > 0")
+      val firsts = spans.groupBy("span")
+        .agg(min(expr("doc_id * 10000 + p")).as("fk"))
+      spans.join(firsts, "span")
+        .groupBy("doc_id")
+        .agg(
+          expr("CAST(count(*) AS BIGINT)").as("n_span"),
+          expr("CAST(sum(CASE WHEN doc_id * 10000 + p = fk THEN 1 ELSE 0 END) AS BIGINT)").as("n_kept"))
+        .where("doc_id < 30 OR (doc_id >= 100000 AND doc_id < 100030)")
+        .selectExpr("doc_id", "n_span", "n_kept",
+          "round(CAST(n_kept AS DOUBLE) / n_span, 4) AS keep_ratio")
+        .orderBy("doc_id")
+    }),
+
     "t16_lm_score" -> ((s, d) => {
       val bgRows = docs(s, d)
         .selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -594,6 +622,21 @@ object TextQueries {
              ((1103515245 * doc_id + 12345) % 2147483648) / 2147483648.0 AS u
            FROM documents)
          GROUP BY source ORDER BY source""",
+
+    "t20_span_dedup" ->
+      s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM $duckDocsWithDups),
+          s0 AS (SELECT doc_id, unnest([{'p': p, 'span': array_to_string(list_slice(toks, p * 8 + 1, p * 8 + 8), ' ')}
+                   for p in generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)], recursive := true)
+                 FROM l),
+          s AS (SELECT doc_id, p, span FROM s0 WHERE length(span) > 0),
+          f AS (SELECT span, min(doc_id * 10000 + p) AS fk FROM s GROUP BY span)
+          SELECT s.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_span,
+            CAST(sum(CASE WHEN s.doc_id * 10000 + s.p = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            round(sum(CASE WHEN s.doc_id * 10000 + s.p = f.fk THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS keep_ratio
+          FROM s JOIN f USING (span)
+          WHERE s.doc_id < 30 OR (s.doc_id >= 100000 AND s.doc_id < 100030)
+          GROUP BY s.doc_id ORDER BY doc_id""",
 
     "t14_contamination" ->
       s"""WITH sig AS (SELECT doc_id, dhl FROM $duckHashed),
