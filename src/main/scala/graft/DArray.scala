@@ -64,6 +64,8 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     }
   }
   def mask(predOverV: String): DArray      = wrap(FilterVec(exprTree, predOverV))
+  /** numpy name: `np.extract(cond, x)` ≡ boolean-mask compress. */
+  def extract(predOverV: String): DArray   = mask(predOverV)
   def setItems(updates: Seq[(Long, Double)]): DArray = wrap(SetItemVec(exprTree, updates))
 
   // ---- numpy.ma surface ------------------------------------------------------
@@ -472,6 +474,12 @@ object DArray {
   def fromColumn(spark: SparkSession, dir: String, table: String,
                  idxSql: String, valueSql: String): DArray =
     new DArray(ColumnVec(table, idxSql, valueSql), Ctx(spark, dir))
+
+  /** numpy name: `asarray` — the from_array alias (reference re-exports
+    * both; any positioned column IS already an array here). */
+  def asarray(spark: SparkSession, dir: String, table: String,
+              idxSql: String, valueSql: String): DArray =
+    fromColumn(spark, dir, table, idxSql, valueSql)
 
   /** arange (reference `dask_array/creation/_arange.py:16`). */
   def arange(spark: SparkSession, dir: String, start: Double, stop: Double, step: Double): DArray = {

@@ -61,6 +61,9 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     df.select((lit(rows - 1) - col("i")).as("i"), col("j"), col("v")), rows, cols)
   def flipCols: DMatrix = new DMatrix(
     df.select(col("i"), (lit(cols - 1) - col("j")).as("j"), col("v")), rows, cols)
+  /** numpy names (reference `flipud`/`fliplr`, `manipulation/_flip.py`). */
+  def flipud: DMatrix = flipRows
+  def fliplr: DMatrix = flipCols
 
   /** Counterclockwise quarter rotation `out[i,j] = a[j, C-1-i]`
     * (reference `rot90`, `manipulation/_flip.py:56`) — composed key

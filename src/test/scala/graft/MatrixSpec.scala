@@ -134,4 +134,14 @@ class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = a.matmul(b).matmul(c).trace.collect()(0).getDouble(0)
     assert(math.abs(got - want) < 1e-9, s"$got vs $want")
   }
+
+  test("numpy alias names: flipud/fliplr delegate to the flip projections") {
+    val m = DMatrix.tabulate(spark, 3, 4, "i * 10 + j")
+    def cells(x: DMatrix) =
+      x.elements.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cells(m.flipud) == cells(m.flipRows))
+    assert(cells(m.fliplr) == cells(m.flipCols))
+    // flipud[i,j] = m[R-1-i,j]
+    assert(cells(m.flipud) == cells(DMatrix.tabulate(spark, 3, 4, "(2 - i) * 10 + j")))
+  }
 }
