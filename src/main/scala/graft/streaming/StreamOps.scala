@@ -177,6 +177,43 @@ object StreamOps {
       .join(broadcast(evalHashes.select(col("h"))), Seq("h"), "left_anti")
       .select(col("ts"), col("doc_id"), col("text"))
 
+  /** Streaming source-mixture resampling — the online twin of the batch
+    * t19 domain-reweighting sampler. The keep decision is the same
+    * position-keyed LCG coin against a per-source rate, so it is
+    * STATELESS (a pure row filter: no watermark, no keyed state, no
+    * shuffle) and gives bit-identical keep sets to the batch pass over
+    * the same ids — replaying a stream reproduces the sample. */
+  def mixtureSample(docs: Dataset[SrcDoc], rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("u",
+        (((lit(1103515245L) * col("doc_id") + 12345L) % 2147483648L)
+          / lit(2147483648.0)))
+      .where(col("u") < rate)
+      .select(col("ts"), col("doc_id"), col("source"))
+  }
+
+  /** Streaming cross-corpus span dedup — the online half of the batch t20
+    * C4 repeated-span filter: explode disjoint token spans, keep a span's
+    * FIRST arrival and drop repeats. `dropDuplicatesWithinWatermark` on
+    * the span hash bounds the keyed state to the watermark horizon (the
+    * honest streaming trade: a repeat farther apart than the horizon is
+    * kept — batch t20 is the exact pass). Hash-partitioned by span hash,
+    * no ordering requirement. Emits surviving (doc_id, p) span slots. */
+  def spanDedupStream(docs: Dataset[Doc], spanTokens: Int = 8,
+                      watermark: String = "10 seconds"): DataFrame =
+    docs.selectExpr("ts", "doc_id", "split(text, ' ') AS toks")
+      .selectExpr("ts", "doc_id",
+        s"posexplode(transform(sequence(0, CAST(ceil(size(toks) / $spanTokens.0) AS INT) - 1), " +
+          s"p -> concat_ws(' ', slice(toks, p * $spanTokens + 1, $spanTokens)))) AS (p, span)")
+      .where("length(span) > 0")
+      .withColumn("h", md5(col("span")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("ts"), col("doc_id"), col("p"))
+
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
     * buffer (total, n), merged exactly like `Aggregator.merge`. */

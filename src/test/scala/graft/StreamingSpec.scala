@@ -283,4 +283,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming mixture sampler is stateless and replays identically") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    def run(name: String): Set[Long] = {
+      val in = MemoryStream[StreamOps.SrcDoc]
+      val q = StreamOps.mixtureSample(in.toDS(),
+          rates = Map("web" -> 0.5), defaultRate = 1.0)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        in.addData((0L until 40L).map(i =>
+          StreamOps.SrcDoc(ts(i.toInt + 1), i, if (i % 2 == 0) "web" else "book", "x")): _*)
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+    val first = run("mix1")
+    // every non-web doc survives (rate 1.0); web docs are subsampled
+    val books = (0L until 40L).filter(_ % 2 == 1).toSet
+    assert(books.subsetOf(first), s"default-rate docs dropped: $first")
+    val webKept = first -- books
+    assert(webKept.nonEmpty && webKept.size < 20, s"web not subsampled: $webKept")
+    // replay determinism: a second run keeps the exact same set
+    assert(run("mix2") == first)
+  }
+
+  test("streaming span dedup drops a duplicated doc's spans across batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.spanDedupStream(in.toDS(), spanTokens = 2)
+      .writeStream.format("memory").queryName("spd").outputMode("append").start()
+    try {
+      in.addData(StreamOps.Doc(ts(1), 1, "a b c d"), // spans: "a b", "c d"
+        StreamOps.Doc(ts(2), 2, "a b x y"))          // "a b" dup, "x y" new
+      q.processAllAvailable()
+      in.addData(StreamOps.Doc(ts(3), 3, "c d x y")) // both spans are dups
+      q.processAllAvailable()
+      val got = spark.table("spd").collect()
+        .map(r => (r.getLong(1), r.getInt(2))).toSet
+      assert(got == Set((1L, 0), (1L, 1), (2L, 1)), s"got $got")
+    } finally q.stop()
+  }
 }
