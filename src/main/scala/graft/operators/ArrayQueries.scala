@@ -839,6 +839,29 @@ object ArrayQueries {
         .groupBy(col("v")).agg(expr("CAST(count(*) AS BIGINT)").as("cnt"))
         .orderBy("v")),
 
+    // Generator parity, final tail (see gen2Layered doc): noncentral_x2,
+    // noncentral_f, vonmises (wrapped-normal), exact multinomial, exact
+    // multivariate_hypergeometric — one generator scan, no shuffle until
+    // the scalar aggregate
+    "q95_random_gen_tail" -> ((s, d) =>
+      gen2Layered(DArray.arange(s, d, 0, 20000, 1).elements)
+        .agg(
+          expr("round(avg(ncx), 2)").as("ncx_m"),
+          expr("round(stddev_samp(ncx), 2)").as("ncx_sd"),
+          expr("round(avg(ncf), 2)").as("ncf_m"),
+          expr("round(avg(vm), 2)").as("vm_m"),
+          expr("round(avg(abs(vm)), 2)").as("vm_absm"),
+          expr("CAST(sum(mn0) AS BIGINT)").as("mn0_sum"),
+          expr("CAST(sum(mn1) AS BIGINT)").as("mn1_sum"),
+          expr("CAST(sum(mn2) AS BIGINT)").as("mn2_sum"),
+          expr("CAST(min(mn0 + mn1 + mn2) AS BIGINT)").as("mn_tot_min"),
+          expr("CAST(max(mn0 + mn1 + mn2) AS BIGINT)").as("mn_tot_max"),
+          expr("CAST(sum(mh0) AS BIGINT)").as("mh0_sum"),
+          expr("CAST(sum(mh1) AS BIGINT)").as("mh1_sum"),
+          expr("CAST(sum(mh2) AS BIGINT)").as("mh2_sum"),
+          expr("CAST(min(mh0 + mh1 + mh2) AS BIGINT)").as("mh_tot_min"),
+          expr("CAST(max(mh0 + mh1 + mh2) AS BIGINT)").as("mh_tot_max"))),
+
     // numpy.ma surface, part 1 (reference flows np.ma.masked_array chunks
     // through register_chunk_type, _chunk_types.py:31, _dispatch.py:248):
     // masked_where → reductions skip masked (count/sum/mean = np.ma
@@ -918,6 +941,64 @@ object ArrayQueries {
   private val gen1Layer3: Seq[String] = Seq(
     "gam", "chi", "bet", "tst", "fds", "pw", "tri", "itg",
     "CASE WHEN wu <= 1.0 / (1.0 + wx) THEN wx ELSE 1.0 / wx END AS wld")
+
+  /** q95's kernel layers (the tail of Generator parity —
+    * reference `random/_generator.py`): noncentral_chisquare /
+    * noncentral_f by their defining representation (χ²(k−1) + (Z+√λ)²),
+    * vonmises by the wrapped-normal σ²=1/κ approximation (documented — the
+    * exact sampler is a rejection loop, not expressible as a one-pass
+    * kernel), multinomial EXACTLY as 20 summed categorical picks, and
+    * multivariate_hypergeometric EXACTLY as the first 7 slots of a
+    * position-keyed affine permutation of the 24-item urn (sampling
+    * without replacement = counting a permutation prefix). Same
+    * shared-text contract as q89: identical SQL runs on both engines. */
+  private def gen2Layered(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.selectExpr(gen2Layer1("CAST(v AS BIGINT)"): _*)
+      .selectExpr(gen2Layer2: _*)
+
+  private def gen2Layer1(iExpr: String): Seq[String] = {
+    def u(a: Long) = unif2Kernel(iExpr, a)
+    def z(a: Long, b: Long) = s"sqrt(-2 * ln(${u(a)})) * cos(2 * pi() * (${u(b)}))"
+    // 20 categorical picks with p = [0.5, 0.3, 0.2] — summed below, an
+    // EXACT Multinomial(20, p) draw per position
+    val picks = (0 until 20).map { j =>
+      val uj = u(11100 + j)
+      s"CASE WHEN ($uj) < 0.5 THEN 0 WHEN ($uj) < 0.8 THEN 1 ELSE 2 END AS pk$j"
+    }
+    // affine-permutation params for the 24-item urn (colors 10/8/6):
+    // a must be coprime with 24
+    val ua = u(11200)
+    val aSel = s"CASE CAST(floor(($ua) * 8) AS INT) WHEN 0 THEN 1 WHEN 1 THEN 5 " +
+      "WHEN 2 THEN 7 WHEN 3 THEN 11 WHEN 4 THEN 13 WHEN 5 THEN 17 WHEN 6 THEN 19 ELSE 23 END"
+    Seq(
+      s"${z(11001, 11002)} AS z1",
+      s"${z(11003, 11004)} AS z2",
+      s"${z(11005, 11006)} AS z3",
+      s"${z(11007, 11008)} AS z4",
+      s"-2.0 * ln(${u(11009)}) AS c2a",
+      s"-2.0 * ln(${u(11010)}) AS c2b",
+      s"-2.0 * ln((${u(11011)}) * (${u(11012)}) * (${u(11013)}) * (${u(11014)})) AS c8",
+      s"$aSel AS mva",
+      s"CAST(floor((${u(11201)}) * 24) AS INT) AS mvb") ++ picks
+  }
+
+  private val gen2Layer2: Seq[String] = {
+    def cnt(cat: Int) =
+      "(" + (0 until 20).map(j => s"CASE WHEN pk$j = $cat THEN 1 ELSE 0 END").mkString(" + ") + ")"
+    def urn(lo: Int, hi: Int) =
+      "(" + (0 until 7).map(j =>
+        s"CASE WHEN (mva * $j + mvb) % 24 >= $lo AND (mva * $j + mvb) % 24 < $hi THEN 1 ELSE 0 END")
+        .mkString(" + ") + ")"
+    Seq(
+      // noncentral_chisquare(df=3, nonc=2.5) = chi2(2) + (Z + sqrt(2.5))^2
+      "c2a + power(z1 + sqrt(2.5), 2) AS ncx",
+      // noncentral_f(dfn=4, dfd=8, nonc=2): ncx2(4,2)/4 over chi2(8)/8
+      "((c2b + power(z2, 2) + power(z3 + sqrt(2.0), 2)) / 4.0) / (c8 / 8.0) AS ncf",
+      // vonmises(mu=0, kappa=4), wrapped-normal: wrap z4/2 into (-pi, pi]
+      "z4 / 2.0 - 2 * pi() * floor((z4 / 2.0 + pi()) / (2 * pi())) AS vm",
+      s"${cnt(0)} AS mn0", s"${cnt(1)} AS mn1", s"${cnt(2)} AS mn2",
+      s"${urn(0, 10)} AS mh0", s"${urn(10, 18)} AS mh1", s"${urn(18, 24)} AS mh2")
+  }
 
   /** Position-keyed LCG uniform in (0,1): the repo's portable RNG core. */
   private def unifKernel(iExpr: String, add: Long): String =
@@ -1502,6 +1583,26 @@ object ArrayQueries {
       s"""SELECT v, CAST(count(*) AS BIGINT) AS cnt
           FROM (SELECT $pick AS v FROM range(20000) t(i))
           GROUP BY v ORDER BY v"""
+    },
+
+    "q95_random_gen_tail" -> {
+      val l1 = gen2Layer1("i").mkString(",\n             ")
+      val l2 = gen2Layer2.mkString(",\n             ")
+      s"""SELECT round(avg(ncx), 2) AS ncx_m, round(stddev_samp(ncx), 2) AS ncx_sd,
+           round(avg(ncf), 2) AS ncf_m,
+           round(avg(vm), 2) AS vm_m, round(avg(abs(vm)), 2) AS vm_absm,
+           CAST(sum(mn0) AS BIGINT) AS mn0_sum,
+           CAST(sum(mn1) AS BIGINT) AS mn1_sum,
+           CAST(sum(mn2) AS BIGINT) AS mn2_sum,
+           CAST(min(mn0 + mn1 + mn2) AS BIGINT) AS mn_tot_min,
+           CAST(max(mn0 + mn1 + mn2) AS BIGINT) AS mn_tot_max,
+           CAST(sum(mh0) AS BIGINT) AS mh0_sum,
+           CAST(sum(mh1) AS BIGINT) AS mh1_sum,
+           CAST(sum(mh2) AS BIGINT) AS mh2_sum,
+           CAST(min(mh0 + mh1 + mh2) AS BIGINT) AS mh_tot_min,
+           CAST(max(mh0 + mh1 + mh2) AS BIGINT) AS mh_tot_max
+         FROM (SELECT $l2 FROM (
+           SELECT $l1 FROM range(20000) t(i)))"""
     },
 
     "q92_masked_stats" ->
