@@ -57,6 +57,56 @@ object Diagnostics {
     }.mkString("\n")
   }
 
+  /** Self-contained SVG of the expression DAG — the reference's expr_flow
+    * output format (`_expr_flow.py:554` renders through graphviz; no dot
+    * binary ships here, so the layered layout is computed directly):
+    * longest-path layering with leaves on the bottom row and the root on
+    * top, one box per distinct node (shared subtrees appear once), edges
+    * drawn child→parent with arrowheads, cost labels from
+    * [[VecExpr.transferBytes]]. Pure text — no rendering dependency. */
+  def flowSvg(root: VecExpr): String = {
+    val nodes = collect(root)
+    val depth = scala.collection.mutable.Map[String, Int]()
+    def d(e: VecExpr): Int = depth.getOrElseUpdate(e.name,
+      if (e.children.isEmpty) 0 else 1 + e.children.map(d).max)
+    nodes.foreach(d)
+    val maxLayer = nodes.map(e => depth(e.name)).max
+    val byLayer = nodes.groupBy(e => depth(e.name))
+    val (bw, bh, hgap, vgap, pad) = (190, 42, 30, 55, 20)
+    val cols = byLayer.values.map(_.size).max
+    val width = pad * 2 + cols * bw + (cols - 1) * hgap
+    val height = pad * 2 + (maxLayer + 1) * bh + maxLayer * vgap
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // center each layer's row; root layer (maxLayer) at the top
+    val pos: Map[String, (Int, Int)] = byLayer.flatMap { case (layer, es) =>
+      val rowW = es.size * bw + (es.size - 1) * hgap
+      val x0 = (width - rowW) / 2
+      es.zipWithIndex.map { case (e, i) =>
+        e.name -> (x0 + i * (bw + hgap), pad + (maxLayer - layer) * (bh + vgap))
+      }
+    }
+    val sb = new StringBuilder(
+      s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">\n""" +
+        """  <defs><marker id="arr" markerWidth="8" markerHeight="8" refX="7" refY="3" orient="auto">""" +
+        """<path d="M0,0 L7,3 L0,6 z" fill="#555"/></marker></defs>""" + "\n")
+    nodes.foreach { e =>
+      e.children.foreach { c =>
+        val (cx, cy) = pos(c.name); val (px, py) = pos(e.name)
+        sb ++= s"""  <line x1="${cx + bw / 2}" y1="$cy" x2="${px + bw / 2}" y2="${py + bh}" stroke="#555" marker-end="url(#arr)"/>\n"""
+      }
+    }
+    nodes.foreach { e =>
+      val (x, y) = pos(e.name)
+      val (lo, hi) = e.transferBytes
+      val hiS = if (hi < 0) "?" else hi.toString
+      sb ++= s"""  <rect x="$x" y="$y" width="$bw" height="$bh" rx="4" fill="#f6f8fa" stroke="#333"/>\n"""
+      sb ++= s"""  <text x="${x + bw / 2}" y="${y + 17}" font-family="monospace" font-size="11" text-anchor="middle">${esc(e.token.take(28))}</text>\n"""
+      sb ++= s"""  <text x="${x + bw / 2}" y="${y + 33}" font-family="monospace" font-size="10" text-anchor="middle" fill="#666">moved $lo..$hiS B</text>\n"""
+    }
+    sb ++= "</svg>\n"
+    sb.result()
+  }
+
   /** Graphviz DOT of the expression DAG with transfer-cost labels (the
     * reference's expr_flow, as text). Shared subtrees collapse to one
     * node because edges key on content names. */

@@ -35,6 +35,21 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(dot.contains("moved"), "cost annotations missing")
   }
 
+  test("flowSvg: standalone SVG, one box per distinct node, layered layout") {
+    val shared = MapVec(src, "v * 2")
+    val tree = ZipVec(SliceVec(shared, 0, 500), SliceVec(shared, 100, 600), "v1 + v2")
+    val svg = Diagnostics.flowSvg(tree)
+    assert(svg.startsWith("<svg xmlns=") && svg.endsWith("</svg>\n"))
+    // 5 distinct nodes: zip, 2 slices, ONE shared map, range
+    assert("<rect ".r.findAllIn(svg).length == 5, svg)
+    // 5 edges: range->map, map->slice x2, slice->zip x2
+    assert("<line ".r.findAllIn(svg).length == 5, svg)
+    assert(svg.contains("moved"), "cost annotations missing")
+    // layering: the range leaf sits strictly below the zip root
+    val ys = """<rect x="\d+" y="(\d+)"""".r.findAllMatchIn(svg).map(_.group(1).toInt).toSeq
+    assert(ys.max > ys.min, "expected distinct layers")
+  }
+
   test("trace records the rewrite trail and lands on the same plan as apply") {
     // self-zip shape: fuses in a couple of rounds
     val tree = ZipVec(src, MapVec(src, "1 + v % 7"), "v1 * v2")
