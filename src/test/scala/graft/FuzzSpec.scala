@@ -42,6 +42,12 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class PiecewiseFz(t1: Int, t2: Int) extends Op // sequential assignment: LAST match wins
   case class SelectFz(t1: Int, t2: Int) extends Op    // np.select: FIRST match wins
   case object ChooseFz extends Op                      // parity selector over two derived choices
+  // ma surface through fusion: each composite is a TOTAL function (no
+  // NULL escapes), but the intermediate kernel carries NULLs — the
+  // fusion engine must substitute NULL-producing fragments correctly
+  case class MaskedFill(t: Int, c: Int) extends Op    // masked_where(v>t) → filled(c)
+  case class GetMaskFz(t: Int) extends Op             // masked_where(v>t) → getmask
+  case class MaskedZip(t: Int) extends Op             // zip(masked, self, coalesce(v1,0)+v2)
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -96,6 +102,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       v.map(x => if (x < t1) x + 1 else if (x < t2) x - 1 else 0.0)
     case ChooseFz =>
       v.map(x => if (math.abs(x).toLong % 2 == 0) x * 2 else x + 10)
+    case MaskedFill(t, c) => v.map(x => if (x > t) c.toDouble else x)
+    case GetMaskFz(t)     => v.map(x => if (x > t) 1.0 else 0.0)
+    case MaskedZip(t)     => v.map(x => (if (x > t) 0.0 else x) + x)
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -126,6 +135,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       d.select(Seq(s"v < $t1", s"v < $t2"), Seq("v + 1", "v - 1"))
     case ChooseFz =>
       d.map("CAST(abs(v) AS BIGINT) % 2").choose(Seq(d * 2.0, d + 10.0))
+    case MaskedFill(t, c) => d.maskedWhere(s"v > $t").filled(c)
+    case GetMaskFz(t)     => d.maskedWhere(s"v > $t").getmask
+    case MaskedZip(t)     => d.maskedWhere(s"v > $t").zip(d, "coalesce(v1, 0) + v2")
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -145,7 +157,10 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     for { f <- Gen.choose(0.0, 0.99); x <- Gen.choose(-9, 9) } yield SetIdx(f, x),
     for { t1 <- Gen.choose(-50, 150); t2 <- Gen.choose(-50, 150) } yield PiecewiseFz(t1, t2),
     for { t1 <- Gen.choose(-50, 150); t2 <- Gen.choose(-50, 150) } yield SelectFz(t1, t2),
-    Gen.const(ChooseFz))
+    Gen.const(ChooseFz),
+    for { t <- Gen.choose(-50, 150); c <- Gen.choose(-9, 9) } yield MaskedFill(t, c),
+    Gen.choose(-50, 150).map(GetMaskFz(_)),
+    Gen.choose(-50, 150).map(MaskedZip(_)))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
   // windowed ops' carry chains and halos run multi-block
