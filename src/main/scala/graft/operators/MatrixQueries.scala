@@ -381,6 +381,20 @@ object MatrixQueries {
       graft.sources.Zarr.read1d(s, dir).orderBy("idx")
     }),
 
+    // zarr v3 SHARDED write+read round trip (sharding_indexed — the
+    // object-store scale tool: 4 inner chunks of 64 pack into one
+    // 256-cell shard object, cutting object count 4x while the inner
+    // chunk stays the random-access unit); crc32c-indexed shards are
+    // written distributed and read back through the sharded decode path
+    "z07_zarr_sharded" -> ((s, d) => {
+      val dir = s"/tmp/graft_zarr_z07_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 900")
+      graft.sources.Zarr.write1dSharded(el, dir, 900, chunk = 256, inner = 64,
+        compressor = Some("zstd"))
+      graft.sources.Zarr.read1d(s, dir).orderBy("idx")
+    }),
+
     // int64 dtype fidelity (reference carries real dtypes, _expr.py:213):
     // values ABOVE 2^53 round-trip a <i8 zarr store bit-for-bit through
     // the LongType read path — any cast through double would corrupt the
@@ -745,6 +759,10 @@ object MatrixQueries {
     "z06_zarr_blosc" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    "z07_zarr_sharded" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 900 ORDER BY idx""",
 
     "q88_zarr_int64_exact" ->
       """SELECT event_id AS idx,

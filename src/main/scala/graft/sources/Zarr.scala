@@ -228,7 +228,7 @@ object Zarr {
   }
 
   private def metaJsonV3(m: Meta): String = {
-    val codecs = """{"name": "bytes", "configuration": {"endian": "little"}}""" +
+    val dataCodecs = """{"name": "bytes", "configuration": {"endian": "little"}}""" +
       (if (m.compressor.contains("gzip"))
         """, {"name": "gzip", "configuration": {"level": 1}}"""
       else if (m.compressor.contains("zstd"))
@@ -236,6 +236,17 @@ object Zarr {
       else if (m.compressor.contains("blosc"))
         """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5, "shuffle": "shuffle", "typesize": 8, "blocksize": 0}}"""
       else "")
+    // sharding_indexed wraps the data codec chain; the chunk grid keeps
+    // addressing the (outer) shard shape, inner chunks live inside it
+    val codecs = m.shard match {
+      case Some(inner) =>
+        s"""{"name": "sharding_indexed", "configuration": {""" +
+          s""""chunk_shape": [${inner.mkString(", ")}], """ +
+          s""""codecs": [$dataCodecs], """ +
+          s""""index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}], """ +
+          s""""index_location": "${m.indexLoc}"}}"""
+      case None => dataCodecs
+    }
     s"""{
        |    "zarr_format": 3,
        |    "node_type": "array",
@@ -449,6 +460,52 @@ object Zarr {
       out
   }
 
+  /** Encode one shard (the write half of [[decodeChunkFull]]'s
+    * `sharding_indexed` branch): each inner chunk runs through the same
+    * data codec chain as a plain chunk, inner chunks concatenate in
+    * C-order grid order, and the `(offset: u64, nbytes: u64)` index plus
+    * its crc32c lands at `index_location` = end. Rank-generic — the
+    * coordinate walk mirrors the reader's exactly. */
+  def encodeShard(vals: Array[Double], m: Meta): Array[Byte] = {
+    val inner = m.shard.getOrElse(sys.error("encodeShard on an unsharded meta"))
+    require(m.indexLoc == "end", "encodeShard writes index_location=end")
+    val innerVol = inner.product.toInt
+    val grid = m.chunks.zip(inner).map { case (c, i) => c / i }
+    val nEntries = grid.product.toInt
+    def stridesOf(sh: Seq[Long]): Seq[Long] = sh.scanRight(1L)(_ * _).tail
+    val cst = stridesOf(m.chunks)
+    val ist = stridesOf(inner)
+    val gst = stridesOf(grid)
+    val body = new java.io.ByteArrayOutputStream()
+    val idx = ByteBuffer.allocate(nEntries * 16 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    var e = 0
+    while (e < nEntries) {
+      val chunkVals = new Array[Double](innerVol)
+      var p = 0
+      while (p < innerVol) {
+        var pos = 0L
+        var a = 0
+        while (a < grid.length) {
+          val coord = ((e / gst(a)) % grid(a)) * inner(a) + (p / ist(a)) % inner(a)
+          pos += coord * cst(a)
+          a += 1
+        }
+        chunkVals(p) = vals(pos.toInt)
+        p += 1
+      }
+      val enc = encodeChunk(chunkVals, m.compressor, m.dtype)
+      idx.putLong(body.size().toLong)
+      idx.putLong(enc.length.toLong)
+      body.write(enc)
+      e += 1
+    }
+    val crc = new java.util.zip.CRC32C
+    crc.update(idx.array(), 0, nEntries * 16)
+    idx.putInt(crc.getValue.toInt)
+    body.write(idx.array())
+    body.toByteArray
+  }
+
   import StoreIO.{fsOf, writeFile}
   import org.apache.hadoop.conf.Configuration
 
@@ -602,6 +659,49 @@ object Zarr {
       if (!written.contains(blk))
         writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
           encodeChunk(new Array[Double](chunk.toInt), comp, dtype))
+      blk += 1
+    }
+  }
+
+  /** v3 `sharding_indexed` WRITE — the object-store scale tool: at 100 TB
+    * a small chunk size (right for reads) makes millions of tiny objects;
+    * sharding packs `chunk / inner` inner chunks into ONE object per
+    * shard, cutting object count by that factor while keeping the inner
+    * chunk the random-access unit. Same distributed shape as [[write1d]]
+    * (one group per shard, executor-side IO, driver fills absent shards);
+    * readable back by [[read1d]]'s `sharding_indexed` branch and by any
+    * conforming v3 reader. */
+  def write1dSharded(elements: DataFrame, dir: String, n: Long, chunk: Long,
+                     inner: Long, compressor: Option[String] = None): Unit = {
+    require(chunk % inner == 0, s"inner chunk $inner must divide the shard $chunk")
+    val sess = elements.sparkSession
+    val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(base0)
+    val m = metaFor(3, Seq(n), Seq(chunk), compressor)
+      .copy(shard = Some(Seq(inner)))
+    writeMeta(fs0, base0, m)
+    import sess.implicits._
+    val bcm = sess.sparkContext.broadcast(
+      (m, new SerializableHadoopConf(sess.sparkContext.hadoopConfiguration)))
+    val written = elements
+      .where(col("idx") >= 0 && col("idx") < n)
+      .selectExpr(s"idx DIV $chunk AS blk", "idx", "v")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (blk, it) =>
+        val vals = new Array[Double](chunk.toInt)
+        it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
+        val (meta, sconf) = bcm.value
+        val (fs, base) = fsOf(dir, sconf.value)
+        writeFile(fs, new Path(base, meta.keyOf(Seq(blk))), encodeShard(vals, meta))
+        blk
+      }.collect().toSet
+    var blk = 0L
+    val nChunks = (n + chunk - 1) / chunk
+    while (blk < nChunks) {
+      if (!written.contains(blk))
+        writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
+          encodeShard(new Array[Double](chunk.toInt), m))
       blk += 1
     }
   }

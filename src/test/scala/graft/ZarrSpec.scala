@@ -430,6 +430,34 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     back3.foreach(r => assert(r.getDouble(1) == r.getLong(0) * 0.25 - 10))
   }
 
+  test("sharded v3 write round-trips through the sharding_indexed reader") {
+    val dir = Files.createTempDirectory("zarrshw").toString
+    val sp = spark
+    import sp.implicits._
+    val n = 300 // chunk 128, inner 32: 3 shards, last one partial
+    val el = (0 until n).map(i => (i.toLong, i * 1.5 - 7)).toDF("idx", "v")
+    Zarr.write1dSharded(el, dir, n, chunk = 128, inner = 32,
+      compressor = Some("gzip"))
+    // our own metadata re-parses with the shard config intact
+    val m = Zarr.readMeta(dir)
+    assert(m.shard.contains(Seq(32L)) && m.indexLoc == "end" && m.format == 3)
+    assert(m.compressor.contains("gzip"))
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+    assert(back.length == n)
+    back.foreach(r => assert(r.getDouble(1) == r.getLong(0) * 1.5 - 7))
+    // byte level: each shard object ends with a crc32c-valid index of
+    // 128/32 = 4 entries (the reader would throw otherwise — force it)
+    val shardFile = Paths.get(dir, "c", "0")
+    assert(Files.exists(shardFile))
+    val content = Files.readAllBytes(shardFile)
+    val flipped = content.clone()
+    flipped(flipped.length - 1) = (flipped(flipped.length - 1) ^ 0x1).toByte
+    val ex = intercept[IllegalArgumentException] {
+      Zarr.decodeChunkFull(flipped, m)
+    }
+    assert(ex.getMessage.contains("crc32c"), ex.getMessage)
+  }
+
   test("int64 exact round trip above 2^53 (write1dLong/read1dLong)") {
     val dir = Files.createTempDirectory("zarri8").toString
     val sp = spark
