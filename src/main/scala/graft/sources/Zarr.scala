@@ -663,7 +663,7 @@ object Zarr {
     }
   }
 
-  /** v3 `sharding_indexed` WRITE — the object-store scale tool: at 100 TB
+  /** 1-d v3 `sharding_indexed` WRITE — the object-store scale tool: at 100 TB
     * a small chunk size (right for reads) makes millions of tiny objects;
     * sharding packs `chunk / inner` inner chunks into ONE object per
     * shard, cutting object count by that factor while keeping the inner
@@ -952,16 +952,26 @@ object Zarr {
     * chunk shape — rank-generic twin of write1d/write2d: one task per
     * chunk (groupBy the flat block index), full C-order chunks with edge
     * padding, absent blocks filled by the driver so the store is
-    * complete. */
+    * complete. `shard` (v3 only) wraps the codec chain in
+    * `sharding_indexed`: each written object packs `chunks/shard` inner
+    * chunks behind a crc32c index — the 100 TB object-count lever, same
+    * semantics as [[write1dSharded]] at any rank. */
   def writeNd(nd: graft.NdArray, dir: String, chunks: Seq[Long],
-              compressor: Option[String] = None, format: Int = 2): Unit = {
+              compressor: Option[String] = None, format: Int = 2,
+              shard: Option[Seq[Long]] = None): Unit = {
     val shape = nd.shape
     require(chunks.length == shape.length && chunks.forall(_ > 0),
       s"bad chunk shape $chunks for $shape")
+    shard.foreach { inner =>
+      require(format == 3, "sharding_indexed is a zarr v3 codec")
+      require(inner.length == chunks.length &&
+        inner.zip(chunks).forall { case (i, c) => i > 0 && c % i == 0 },
+        s"inner chunk shape $inner must divide the shard shape $chunks")
+    }
     val sess = nd.df.sparkSession
     val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
     fs0.mkdirs(base0)
-    val m = metaFor(format, shape, chunks, compressor)
+    val m = metaFor(format, shape, chunks, compressor).copy(shard = shard)
     writeMeta(fs0, base0, m)
     import sess.implicits._
     val comp = compressor
@@ -994,15 +1004,19 @@ object Zarr {
         val gs = g.scanRight(1L)(_ * _).tail
         val bcoords = g.indices.map(a => (b / gs(a)) % g(a))
         val (fs, base) = fsOf(dir, sconf.value) // executor-side, driver's conf
-        writeFile(fs, new Path(base, meta.keyOf(bcoords)), encodeChunk(vals, comp))
+        val enc = if (meta.shard.isDefined) encodeShard(vals, meta)
+                  else encodeChunk(vals, comp)
+        writeFile(fs, new Path(base, meta.keyOf(bcoords)), enc)
         b
       }.collect().toSet
+    val fillEnc =
+      if (m.shard.isDefined) encodeShard(new Array[Double](chunkVol.toInt), m)
+      else encodeChunk(new Array[Double](chunkVol.toInt), comp)
     var b = 0L
     while (b < grid.product) {
       if (!written.contains(b)) {
         val bcoords = grid.indices.map(a => (b / gst(a)) % grid(a))
-        writeFile(fs0, new Path(base0, m.keyOf(bcoords)),
-          encodeChunk(new Array[Double](chunkVol.toInt), comp))
+        writeFile(fs0, new Path(base0, m.keyOf(bcoords)), fillEnc)
       }
       b += 1
     }

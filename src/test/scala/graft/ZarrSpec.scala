@@ -497,6 +497,30 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got3.toSeq == exp.toSeq)
   }
 
+  test("rank-3 SHARDED writeNd round-trips through readNd (v3 sharding_indexed)") {
+    val dir = Files.createTempDirectory("zarrNdSh").toString
+    // (5,4,6) sharded (4,4,4) with inner (2,2,2): 8 inner chunks per shard,
+    // ragged edges on every axis exercise the pad-and-skip path
+    val a = graft.NdArray.tabulate(spark, Seq(5L, 4L, 6L),
+      "(c0*17 + c1*7 + c2*3) % 11 + 1")
+    sources.Zarr.writeNd(a, dir, Seq(4L, 4L, 4L), compressor = Some("zstd"),
+      format = 3, shard = Some(Seq(2L, 2L, 2L)))
+    val m = sources.Zarr.readMeta(dir)
+    assert(m.shard.contains(Seq(2L, 2L, 2L)) && m.format == 3)
+    // shard objects exist at the OUTER chunk grid (2x1x2)
+    assert(Files.exists(Paths.get(dir, "c", "0", "0", "0")))
+    assert(Files.exists(Paths.get(dir, "c", "1", "0", "1")))
+    val exp = a.ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = sources.Zarr.readNd(spark, dir).ravel.orderBy("idx")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == exp.toSeq)
+    // sharding without v3 is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      sources.Zarr.writeNd(a, dir + "x", Seq(4L, 4L, 4L), shard = Some(Seq(2L, 2L, 2L)))
+    }
+    assert(ex.getMessage.contains("v3"))
+  }
+
   test("readNd fills missing chunks at any rank (non-zero fill)") {
     val dir = Files.createTempDirectory("zarrNdF").toString
     val meta =
