@@ -900,6 +900,30 @@ object ArrayQueries {
         "CAST(event_id % 10 + 1 AS DOUBLE)")
       x.maskedAverage(w)
     }),
+
+    // the legacy RandomState FACADE end-to-end (reference
+    // random/_random_state.py:17): named-method calls allocate successive
+    // streams off seed 2026; the oracle rebuilds the identical kernel
+    // text via RandomState.streamFor + the shared Kernels builders, so
+    // integer sums hash exactly and moments match at 2 decimals
+    "q96_randomstate" -> ((s, d) => {
+      val r = graft.random.RandomState(s, d, seed = 2026)
+      val u  = r.uniform(1.0, 3.0, 20000)  // call 1
+      val z  = r.normal(5.0, 2.0, 20000)   // call 2
+      val po = r.poisson(6.5, 20000)       // call 3
+      val bi = r.binomial(20, 0.3, 20000)  // call 4
+      val ge = r.geometric(0.25, 20000)    // call 5
+      val ri = r.randint(5, 15, 20000)     // call 6
+      u.elements.agg(round(avg("v"), 2).as("u_m"))
+        .crossJoin(z.elements.agg(
+          round(avg("v"), 2).as("z_m"), round(stddev_samp("v"), 2).as("z_sd")))
+        .crossJoin(po.elements.agg(expr("CAST(sum(v) AS BIGINT)").as("po_sum")))
+        .crossJoin(bi.elements.agg(
+          expr("CAST(sum(v) AS BIGINT)").as("bi_sum"),
+          expr("CAST(max(v) AS BIGINT)").as("bi_max")))
+        .crossJoin(ge.elements.agg(expr("CAST(sum(v) AS BIGINT)").as("ge_sum")))
+        .crossJoin(ri.elements.agg(expr("CAST(sum(v) AS BIGINT)").as("ri_sum")))
+    }),
   )
 
   /** q89's kernel layers, shared (as SQL text) with the oracle: layer 1
@@ -1723,5 +1747,20 @@ object ArrayQueries {
     "q52_random_permutation" ->
       s"""SELECT i AS idx, ${permKernel("i")} AS v FROM range(8192) t(i)
           WHERE i < 200 ORDER BY idx""",
+
+    "q96_randomstate" -> {
+      import graft.random.{Kernels => K, RandomState => RS}
+      def st(c: Long) = RS.streamFor(2026, c)
+      s"""SELECT
+            round(avg(${K.uniform("i", st(1), 1.0, 3.0)}), 2) AS u_m,
+            round(avg(${K.normal("i", st(2), 5.0, 2.0)}), 2) AS z_m,
+            round(stddev_samp(${K.normal("i", st(2), 5.0, 2.0)}), 2) AS z_sd,
+            CAST(sum(${K.cdfCascade("i", st(3), K.poissonCdf(6.5))}) AS BIGINT) AS po_sum,
+            CAST(sum(${K.cdfCascade("i", st(4), K.binomialCdf(20, 0.3))}) AS BIGINT) AS bi_sum,
+            CAST(max(${K.cdfCascade("i", st(4), K.binomialCdf(20, 0.3))}) AS BIGINT) AS bi_max,
+            CAST(sum(${K.geometric("i", st(5), 0.25)}) AS BIGINT) AS ge_sum,
+            CAST(sum(${K.randint("i", st(6), 5, 15)}) AS BIGINT) AS ri_sum
+          FROM range(20000) t(i)"""
+    },
   )
 }

@@ -1,0 +1,225 @@
+package graft.random
+
+/** Parameterized SQL sampler kernels — the public, reusable form of the
+  * engine's counter-based RNG core (the oracle-gated q36–q95 queries pin
+  * the same math under fixed literals).
+  *
+  * Every kernel is pure SQL text over a BIGINT position expression: the
+  * draw at position i is a deterministic function of (i, stream), so the
+  * result is independent of partitioning, re-runnable, and identical on
+  * any engine that evaluates the same text (the DuckDB oracle replays it
+  * verbatim). No state, no shuffle, no UDF — one codegen'd projection at
+  * any scale (reference contract: `dask_array/random/_generator.py`,
+  * `_random_state.py` — per-block spawned generators keyed by block id).
+  *
+  * Streams: combining draws (Box-Muller pairs, gamma sums, chi ratios)
+  * needs cross-stream independence, and compositions of affine LCG maps
+  * stay affine; multiplying two DISTINCT affine states mod 2^31 breaks
+  * the linearity (see ArrayQueries.unif2Kernel's moment-check note). All
+  * arithmetic is `*`/`+`/`%` over positive BIGINTs cast to DOUBLE before
+  * any fraction, so Spark and DuckDB type the fragment identically.
+  */
+object Kernels {
+
+  /** Uniform (0,1) at `iExpr`, stream `s` — product-mixed double-LCG. */
+  def uniform01(iExpr: String, s: Long): String = {
+    val sa = s & 0x7fffffffL // keep literals positive; % semantics match
+    val a = s"((1103515245 * ($iExpr + $sa) + 12345) % 2147483648)"
+    val b = s"((69069 * ($iExpr) + ${(sa * sa) % 0x7fffffffL} + $sa * 2654435761) % 2147483648)"
+    s"(CAST(($a * $b) % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0"
+  }
+
+  def uniform(iExpr: String, s: Long, low: Double, high: Double): String =
+    s"($low + ($high - $low) * (${uniform01(iExpr, s)}))"
+
+  /** Standard normal via Box-Muller over streams s and s+1. */
+  def standardNormal(iExpr: String, s: Long): String =
+    s"(sqrt(-2 * ln(${uniform01(iExpr, s)})) * cos(2 * pi() * (${uniform01(iExpr, s + 1)})))"
+
+  def normal(iExpr: String, s: Long, loc: Double, scale: Double): String =
+    s"($loc + $scale * ${standardNormal(iExpr, s)})"
+
+  def exponential(iExpr: String, s: Long, scale: Double): String =
+    s"(-($scale) * ln(${uniform01(iExpr, s)}))"
+
+  /** Gamma(shape k, scale) for INTEGER or HALF-INTEGER k — the shapes a
+    * one-pass kernel draws exactly: sum of k exponentials plus, for the
+    * half, z²/2. General real shapes need a rejection loop (reference
+    * uses one); rejected loudly by the caller. Uses streams s .. s+2k+1. */
+  def gammaKernel(iExpr: String, s: Long, shape: Double, scale: Double): String = {
+    val k = math.floor(shape).toInt
+    val half = shape - k
+    require(half == 0.0 || half == 0.5,
+      s"gamma shape $shape: one-pass kernels cover integer and half-integer " +
+        "shapes (sum of exponentials + z^2/2); general shapes need rejection sampling")
+    require(shape > 0, s"gamma shape must be positive: $shape")
+    val parts =
+      (if (k > 0)
+        Seq(s"-ln(" + (0 until k).map(j => s"(${uniform01(iExpr, s + j)})").mkString(" * ") + ")")
+      else Seq.empty) ++
+      (if (half == 0.5)
+        Seq(s"power(${standardNormal(iExpr, s + k)}, 2) / 2.0")
+      else Seq.empty)
+    s"(($scale) * (${parts.mkString(" + ")}))"
+  }
+
+  def chisquare(iExpr: String, s: Long, df: Int): String =
+    gammaKernel(iExpr, s, df / 2.0, 2.0)
+
+  /** Beta(a,b) = Ga/(Ga+Gb) over disjoint streams (a, b integer or
+    * half-integer). */
+  def beta(iExpr: String, s: Long, a: Double, b: Double): String = {
+    val ga = gammaKernel(iExpr, s, a, 1.0)
+    val gb = gammaKernel(iExpr, s + 64, b, 1.0)
+    s"(($ga) / (($ga) + ($gb)))"
+  }
+
+  /** Snedecor F(dfnum, dfden), integer dfs. */
+  def f(iExpr: String, s: Long, dfnum: Int, dfden: Int): String =
+    s"((${chisquare(iExpr, s, dfnum)} / $dfnum.0) / (${chisquare(iExpr, s + 64, dfden)} / $dfden.0))"
+
+  /** Student t(df), integer df: z * sqrt(df / chi2(df)). */
+  def standardT(iExpr: String, s: Long, df: Int): String =
+    s"(${standardNormal(iExpr, s)} * sqrt($df.0 / (${chisquare(iExpr, s + 64, df)})))"
+
+  def lognormal(iExpr: String, s: Long, mean: Double, sigma: Double): String =
+    s"exp(${normal(iExpr, s, mean, sigma)})"
+
+  def laplace(iExpr: String, s: Long, loc: Double, scale: Double): String = {
+    val u = uniform01(iExpr, s)
+    s"($loc - ($scale) * sign(($u) - 0.5) * ln(1.0 - 2.0 * abs(($u) - 0.5)))"
+  }
+
+  def logistic(iExpr: String, s: Long, loc: Double, scale: Double): String = {
+    val u = uniform01(iExpr, s)
+    s"($loc + ($scale) * ln(($u) / (1.0 - ($u))))"
+  }
+
+  def gumbel(iExpr: String, s: Long, loc: Double, scale: Double): String =
+    s"($loc - ($scale) * ln(-ln(${uniform01(iExpr, s)})))"
+
+  def rayleigh(iExpr: String, s: Long, scale: Double): String =
+    s"(($scale) * sqrt(-2.0 * ln(${uniform01(iExpr, s)})))"
+
+  def pareto(iExpr: String, s: Long, a: Double): String =
+    s"(power(${uniform01(iExpr, s)}, -1.0 / $a) - 1.0)"
+
+  def weibull(iExpr: String, s: Long, a: Double): String =
+    s"power(-ln(${uniform01(iExpr, s)}), 1.0 / $a)"
+
+  def power(iExpr: String, s: Long, a: Double): String =
+    s"power(${uniform01(iExpr, s)}, 1.0 / $a)"
+
+  def standardCauchy(iExpr: String, s: Long): String =
+    s"tan(pi() * ((${uniform01(iExpr, s)}) - 0.5))"
+
+  /** Geometric(p), numpy convention: trials to first success, k >= 1. */
+  def geometric(iExpr: String, s: Long, p: Double): String =
+    s"CAST(1 + floor(ln(${uniform01(iExpr, s)}) / ln(${1.0 - p})) AS BIGINT)"
+
+  def triangular(iExpr: String, s: Long, left: Double, mode: Double, right: Double): String = {
+    val u = uniform01(iExpr, s)
+    val fc = (mode - left) / (right - left)
+    s"(CASE WHEN ($u) < $fc THEN $left + sqrt(($u) * ${(right - left) * (mode - left)}) " +
+      s"ELSE $right - sqrt((1.0 - ($u)) * ${(right - left) * (right - mode)}) END)"
+  }
+
+  /** Wald / inverse-Gaussian via the Michael–Schucany–Haas transform.
+    * Layered caller beware: the kernel references its own subexpressions
+    * textually — fine for codegen (CSE) and for the oracle. */
+  def wald(iExpr: String, s: Long, mean: Double, scale: Double): String = {
+    val y = s"power(${standardNormal(iExpr, s)}, 2)"
+    val mu = mean; val lam = scale
+    val x = s"($mu + ${mu * mu / (2 * lam)} * ($y) - ${mu / (2 * lam)} * " +
+      s"sqrt(${4 * mu * lam} * ($y) + ${mu * mu} * ($y) * ($y)))"
+    val u = uniform01(iExpr, s + 2)
+    s"(CASE WHEN ($u) <= $mu / ($mu + ($x)) THEN ($x) ELSE ${mu * mu} / ($x) END)"
+  }
+
+  /** von Mises(mu, kappa) by the wrapped-normal sigma^2 = 1/kappa
+    * approximation (documented: the exact sampler is a rejection loop). */
+  def vonmises(iExpr: String, s: Long, mu: Double, kappa: Double): String = {
+    val z = s"($mu + ${standardNormal(iExpr, s)} / sqrt($kappa))"
+    s"(($z) - 2 * pi() * floor((($z) + pi()) / (2 * pi())))"
+  }
+
+  def noncentralChisquare(iExpr: String, s: Long, df: Int, nonc: Double): String =
+    s"(${chisquare(iExpr, s, df - 1)} + power(${standardNormal(iExpr, s + 64)} + sqrt($nonc), 2))"
+
+  def noncentralF(iExpr: String, s: Long, dfnum: Int, dfden: Int, nonc: Double): String =
+    s"((${noncentralChisquare(iExpr, s, dfnum, nonc)} / $dfnum.0) / " +
+      s"(${chisquare(iExpr, s + 192, dfden)} / $dfden.0))"
+
+  /** Integers in [low, high) — uniform over the range via floor. */
+  def randint(iExpr: String, s: Long, low: Long, high: Long): String =
+    s"CAST($low + floor((${uniform01(iExpr, s)}) * ${high - low}) AS BIGINT)"
+
+  /** k = #{cutoffs < u}: exact inverse-CDF over driver-computed literal
+    * cutoffs — the engine's discrete-sampler template. `base` offsets the
+    * returned count (e.g. 1 for 1-based supports). */
+  def cdfCascade(iExpr: String, s: Long, cutoffs: Seq[Double], base: Long = 0L): String = {
+    val u = uniform01(iExpr, s)
+    s"CAST($base + " + cutoffs.map(c => s"(CASE WHEN ($u) > $c THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+  }
+
+  /** Value pick from `options` with cumulative weights `cum` (same length;
+    * last cutoff ignored — the ELSE arm). */
+  def weightedChoice(iExpr: String, s: Long, options: Seq[Double], cum: Seq[Double]): String = {
+    val u = uniform01(iExpr, s)
+    "(CASE " + options.init.zip(cum.init).map { case (v, c) =>
+      s"WHEN ($u) < $c THEN CAST($v AS DOUBLE)"
+    }.mkString(" ") + s" ELSE CAST(${options.last} AS DOUBLE) END)"
+  }
+
+  // ---- driver-side CDF builders (literal cutoffs shared with oracles) ----
+
+  /** Cumulative Poisson(lam) cutoffs covering mean + 10 sigma + 20. */
+  def poissonCdf(lam: Double): Seq[Double] = {
+    val kMax = (lam + 10 * math.sqrt(lam) + 20).toInt
+    val pmf = Iterator.iterate((math.exp(-lam), 0)) { case (p, k) =>
+      (p * lam / (k + 1), k + 1)
+    }.map(_._1).take(kMax).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  private def comb(a: Int, b: Int): Double =
+    if (b < 0 || b > a) 0.0 else (1 to b).map(i => (a - b + i).toDouble / i).product
+
+  /** Cumulative Binomial(n, p) cutoffs, k = 0..n-1 (exact support). */
+  def binomialCdf(n: Int, p: Double): Seq[Double] = {
+    require(n <= 512, s"binomial n=$n: cutoff cascade bounded at 512 (use the normal approximation beyond)")
+    (0 until n).map(k => comb(n, k) * math.pow(p, k) * math.pow(1 - p, n - k))
+      .scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Cumulative zipf(a) cutoffs k=1..kMax (tail mass lands on kMax+1 —
+    * the truncation is part of the sampler, shared with the oracle). */
+  def zipfCdf(a: Double, kMax: Int = 50): Seq[Double] = {
+    val zeta = (1 to 2000000).iterator.map(k => math.pow(k.toDouble, -a)).sum
+    (1 to kMax).map(k => math.pow(k.toDouble, -a) / zeta).scanLeft(0.0)(_ + _).tail
+  }
+
+  def logseriesCdf(p: Double, kMax: Int = 40): Seq[Double] =
+    (1 to kMax).map(k => -math.pow(p, k) / (k * math.log(1 - p)))
+      .scanLeft(0.0)(_ + _).tail
+
+  /** Cumulative NegativeBinomial(n, p) cutoffs (numpy: k failures). */
+  def negativeBinomialCdf(n: Int, p: Double): Seq[Double] = {
+    val mean = n * (1 - p) / p
+    val kMax = (mean + 10 * math.sqrt(mean / p) + 20).toInt
+    (0 until kMax).map(k => comb(k + n - 1, k) * math.pow(p, n) * math.pow(1 - p, k))
+      .scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Cumulative Hypergeometric(ngood, nbad, nsample) cutoffs over the
+    * exact finite support (cutoffs stop before the last point). */
+  def hypergeometricCdf(ngood: Int, nbad: Int, nsample: Int): Seq[Double] = {
+    val tot = comb(ngood + nbad, nsample)
+    val lo = math.max(0, nsample - nbad)
+    val hi = math.min(ngood, nsample)
+    require(lo == 0, s"hypergeometric support starts at $lo; cascade assumes 0 (add base)")
+    (0 until hi).map(k => comb(ngood, k) * comb(nbad, nsample - k) / tot)
+      .scanLeft(0.0)(_ + _).tail
+  }
+}
