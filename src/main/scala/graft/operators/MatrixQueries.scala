@@ -411,6 +411,19 @@ object MatrixQueries {
       graft.sources.Zarr.read1dLong(s, dir).orderBy("idx")
     }),
 
+    // int64 dtype fidelity, COMPUTE half (q88 is the I/O half): the
+    // LongArray surface keeps map/zip/slice/prefix-sum in BIGINT end to
+    // end — the parity of 2^53+1-scale odd values survives arithmetic a
+    // DOUBLE element table would quantize away, and the two-phase exact
+    // cumsum hashes bit-for-bit against the oracle's window sum
+    "q97_int64_exact_compute" -> ((s, d) => {
+      val x = graft.LongArray.fromParquet(s, d, "events", "event_id",
+        "9007199254740993 + event_id * 7").slice(100, 600)
+      val y = graft.LongArray.arange(s, 1, 2, 500)
+      x.zip(y, "v1 + v2").map("v - 1")
+        .cumsum().elements.orderBy("idx")
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -768,6 +781,16 @@ object MatrixQueries {
       """SELECT event_id AS idx,
          CAST(9007199254740993 + 7 * event_id AS BIGINT) AS v FROM events
          WHERE event_id < 600 ORDER BY idx""",
+
+    "q97_int64_exact_compute" ->
+      """WITH x AS (SELECT event_id - 100 AS idx,
+                      9007199254740993 + event_id * 7 AS v
+                    FROM events WHERE event_id >= 100 AND event_id < 600),
+            y AS (SELECT i AS idx, 1 + 2 * i AS vy FROM range(500) t(i)),
+            z AS (SELECT x.idx AS idx, x.v + y.vy - 1 AS v
+                  FROM x JOIN y USING (idx))
+         SELECT idx, CAST(sum(v) OVER (ORDER BY idx) AS BIGINT) AS v
+         FROM z ORDER BY idx""",
 
     "np02_npy_nd" ->
       """SELECT c0, c1, c2, CAST((c0*5 + c1*3 + c2) % 9 + 1 AS DOUBLE) AS v
