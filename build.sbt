@@ -29,5 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ScalaTest suites share one JVM-wide SparkSession via getOrCreate,
+  // which IGNORES a late suite's builder configs — session-critical
+  // configs therefore ride system properties so the FIRST session (from
+  // whichever suite wins the race) already carries them:
+  // events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nano INT64
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
+  // graft_* native expressions registered no matter who builds the session
+  "-Dspark.sql.extensions=graft.GraftExtensions",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

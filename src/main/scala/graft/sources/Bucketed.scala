@@ -15,11 +15,16 @@ import org.apache.spark.sql.DataFrame
   * sort-merge join skip its per-task sort. */
 object Bucketed {
 
-  /** Write `df` as a bucketed+sorted managed table named `name`. */
+  /** Write `df` as a bucketed+sorted table named `name`. With `path` the
+    * table is EXTERNAL (data at `path`, independent of the session's
+    * static `spark.sql.warehouse.dir`); without, a managed table in the
+    * warehouse. */
   def writeBucketed(df: DataFrame, name: String, key: String,
-                    buckets: Int): Unit =
-    df.write.bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite").format("parquet").saveAsTable(name)
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(name)
+  }
 
   /** Equi-join two bucketed tables on their bucket key — plans with zero
     * Exchange when both were written with the same bucket count. */

@@ -15,27 +15,36 @@ import graft.sources.Bucketed
 class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
+  private var dataDir: String = _
 
   override def beforeAll(): Unit = {
-    val wh = Files.createTempDirectory("graft-warehouse").toString
-    spark = SparkSession.builder()
+    // A sibling suite may already own this JVM's session, in which case
+    // getOrCreate IGNORES builder configs — so take a dedicated
+    // newSession (isolated runtime conf + catalog view), set the
+    // runtime-settable knobs explicitly, and write EXTERNAL tables under
+    // a temp path so the shared static warehouse dir never matters.
+    val base = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", wh)
-      // force sort-merge so an elided exchange is provably the bucketing
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .appName("BucketingSpec")
       .getOrCreate()
+    spark = base.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // force sort-merge so an elided exchange is provably the bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sparkContext.setLogLevel("ERROR")
+    dataDir = Files.createTempDirectory("graft-bucketed").toString
   }
-  override def afterAll(): Unit = spark.stop()
+  // the SparkContext is shared with sibling suites — do NOT stop it;
+  // just drop this suite's tables from the (session-scoped) catalog
+  override def afterAll(): Unit =
+    Seq("bk_a", "bk_b", "bk_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   test("co-located join on matching buckets plans ZERO exchanges") {
     val a = spark.range(0, 10000).selectExpr("id % 500 AS k", "id AS a")
     val b = spark.range(0, 5000).selectExpr("id % 500 AS k", "id AS b")
-    Bucketed.writeBucketed(a, "bk_a", "k", 8)
-    Bucketed.writeBucketed(b, "bk_b", "k", 8)
+    Bucketed.writeBucketed(a, "bk_a", "k", 8, Some(s"$dataDir/bk_a"))
+    Bucketed.writeBucketed(b, "bk_b", "k", 8, Some(s"$dataDir/bk_b"))
     val j = Bucketed.coLocatedJoin(spark, "bk_a", "bk_b", "k")
     val plan = j.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected exchange-free join:\n$plan")
@@ -52,7 +61,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("mismatched bucket counts fall back to a shuffled join (sanity)") {
     val c = spark.range(0, 1000).selectExpr("id % 100 AS k", "id AS c")
-    c.write.bucketBy(4, "k").mode("overwrite").format("parquet").saveAsTable("bk_c")
+    Bucketed.writeBucketed(c, "bk_c", "k", 4, Some(s"$dataDir/bk_c"))
     val j = spark.table("bk_a").join(spark.table("bk_c"), "k")
     val plan = j.queryExecution.executedPlan.toString
     // one side re-shuffles (or both, depending on AQE) — the point is the
