@@ -443,6 +443,56 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
       shape)
   }
 
+  /** Rank-generic NEIGHBORHOOD-AGGREGATE stencil — `map_overlap` at any
+    * rank for nonlinear kernels ([[stencilSum]] covers the linear ones):
+    * `out[c] = agg { x[b(c + off_k)] }` for ANY SQL aggregate over the
+    * neighbor values — `max(v)` / `min(v)` are morphological
+    * dilation/erosion, `percentile(v, 0.5)` the median filter,
+    * `avg(v)`/`count(v)` box statistics.
+    *
+    * Same scale shape as stencilSum: per-axis ghost slabs (narrow
+    * bijective remaps, no shuffle), ONE scan of the extended table
+    * cross-joined against the tiny broadcast offset list, one
+    * partial-aggregated groupBy — a single shuffle at any rank and any
+    * neighborhood size. With `boundary = "constant"` out-of-domain
+    * neighbors are ABSENT (they don't participate in the aggregate —
+    * numpy's 'valid'-edge treatment for order statistics); use
+    * `reflect`/`wrap` to give every cell a full neighborhood.
+    *
+    * Caveat (implicit-zero convention): absent zero cells are invisible
+    * to order statistics — run order-statistic stencils over dense
+    * tables (tabulate with a nonzero kernel, or densified reads). */
+  def stencilAgg(offsets: Seq[Seq[Long]], aggSqlOverV: String,
+                 boundary: String = "constant"): NdArray = {
+    require(offsets.nonEmpty && offsets.forall(_.length == rank),
+      s"offsets must carry one component per axis (rank $rank)")
+    val halos = (0 until rank).map(a => offsets.map(off => math.abs(off(a))).max)
+    val ext =
+      if (boundary == "constant") this
+      else (0 until rank).foldLeft(this) { (arr, a) =>
+        if (halos(a) == 0) arr else arr.ghostAxis(a, halos(a), boundary)
+      }
+    val shift = if (boundary == "constant") Seq.fill(rank)(0L) else halos.map(_.toLong)
+    val inBounds = (0 until rank).map(a => s"c$a >= 0 AND c$a < ${shape(a)}")
+      .mkString(" AND ")
+    val spark = df.sparkSession
+    val tapRows = offsets.map(off => org.apache.spark.sql.Row.fromSeq(off))
+    val tapSchema = org.apache.spark.sql.types.StructType(
+      (0 until rank).map(a => org.apache.spark.sql.types.StructField(
+        s"off$a", org.apache.spark.sql.types.LongType, nullable = false)))
+    val tapDf = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(tapRows, 1), tapSchema))
+    val contrib = ext.df.crossJoin(tapDf)
+      .selectExpr((0 until rank).map { a =>
+        s"c$a - ${shift(a)}L - off$a AS c$a"
+      } :+ "v": _*)
+      .where(inBounds)
+    new NdArray(
+      contrib.groupBy(coords.map(col): _*)
+        .agg(expr(aggSqlOverV).cast("double").as("v")),
+      shape)
+  }
+
   // ---- contraction ---------------------------------------------------------
 
   /** General tensordot (reference `linalg/_tensordot.py:194-316`):

@@ -143,6 +143,22 @@ object NdQueries {
         (Seq(0L, 1L, 0L), 1.0), (Seq(0L, -1L, 0L), 1.0),
         (Seq(0L, 0L, 1L), 1.0), (Seq(0L, 0L, -1L), 1.0))
       x.stencilSum(taps, boundary = "reflect").elements.orderBy("c0", "c1", "c2")
+    }),
+
+    // rank-3 ORDER-STATISTIC stencil (morphological dilation = max over
+    // the 7-point neighborhood, periodic boundary): stencilAgg runs ANY
+    // SQL aggregate over the neighbor values with the same one-scan +
+    // one-shuffle shape as the linear stencil — nonlinear map_overlap at
+    // any rank (reference _overlap.py:143 is rank-generic)
+    "n15_nd_dilate3d" -> ((s, d) => {
+      val x = NdArray.tabulate(s, Seq(9L, 7L, 5L), "(c0*5 + c1*11 + c2*3) % 13 + 1")
+      val offs = Seq(
+        Seq(0L, 0L, 0L),
+        Seq(1L, 0L, 0L), Seq(-1L, 0L, 0L),
+        Seq(0L, 1L, 0L), Seq(0L, -1L, 0L),
+        Seq(0L, 0L, 1L), Seq(0L, 0L, -1L))
+      x.stencilAgg(offs, "max(v)", boundary = "wrap")
+        .elements.orderBy("c0", "c1", "c2")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -253,6 +269,21 @@ object NdQueries {
            AS DOUBLE) AS v
          FROM (SELECT x // 80 AS c0, (x // 8) % 10 AS c1, x % 8 AS c2
                FROM range(960) t(x))
+         ORDER BY c0, c1, c2"""
+    },
+
+    "n15_nd_dilate3d" -> {
+      def w(t: String, n: Int) = s"((($t) + $n) % $n)"
+      def f(a: String, b: String, c: String) =
+        s"((($a)*5 + ($b)*11 + ($c)*3) % 13 + 1)"
+      s"""SELECT c0, c1, c2, CAST(GREATEST(
+           ${f("c0", "c1", "c2")},
+           ${f(w("c0-1", 9), "c1", "c2")}, ${f(w("c0+1", 9), "c1", "c2")},
+           ${f("c0", w("c1-1", 7), "c2")}, ${f("c0", w("c1+1", 7), "c2")},
+           ${f("c0", "c1", w("c2-1", 5))}, ${f("c0", "c1", w("c2+1", 5))})
+           AS DOUBLE) AS v
+         FROM (SELECT x // 35 AS c0, (x // 5) % 7 AS c1, x % 5 AS c2
+               FROM range(315) t(x))
          ORDER BY c0, c1, c2"""
     },
 

@@ -277,6 +277,35 @@ class NdSpec extends AnyFunSuite {
     }
   }
 
+  test("stencilAgg: median filter matches a local oracle; constant edges shrink the neighborhood") {
+    val shape = Seq(6L, 5L)
+    def f(i: Long, j: Long): Double = ((i * 7 + j * 3) % 9 + 1).toDouble
+    val a = NdArray.tabulate(spark, shape, "(c0*7 + c1*3) % 9 + 1")
+    val offs = for (di <- -1L to 1L; dj <- -1L to 1L) yield Seq(di, dj)
+    def localMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val got = a.stencilAgg(offs, "percentile(v, 0.5)", "constant").elements
+      .orderBy("c0", "c1").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (i <- 0L until 6L; j <- 0L until 5L) {
+      // constant mode: out-of-domain neighbors are absent from the agg
+      val nbrs = offs.map(o => (i + o(0), j + o(1)))
+        .filter { case (x, y) => x >= 0 && x < 6 && y >= 0 && y < 5 }
+        .map { case (x, y) => f(x, y) }
+      assert(math.abs(got((i, j)) - localMedian(nbrs)) < 1e-12,
+        s"($i,$j): ${got((i, j))} != ${localMedian(nbrs)}")
+    }
+    // wrap mode gives every cell the full 9-neighborhood: dilation (max)
+    val mx = a.stencilAgg(offs, "max(v)", "wrap").elements.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (i <- 0L until 6L; j <- 0L until 5L) {
+      val want = offs.map(o => f((i + o(0) + 6) % 6, (j + o(1) + 5) % 5)).max
+      assert(mx((i, j)) == want)
+    }
+  }
+
   test("stencilSum plans ONE shuffle and ONE scan of the extended input") {
     val a = NdArray.tabulate(spark, Seq(8L, 8L, 8L), "(c0 + c1 + c2) % 5")
     val taps = Seq((Seq(0L, 0L, 0L), 2.0), (Seq(1L, 1L, 1L), 1.0), (Seq(-1L, 0L, 1L), 1.0))
