@@ -901,6 +901,15 @@ object ArrayQueries {
       x.maskedAverage(w)
     }),
 
+    // RandomState.permutation under the EXACT gate: rank-by-keyed-uniform
+    // is a true any-n bijection; Spark realizes the rank as a range-
+    // partitioned sort + partition-local zipWithIndex (no global window —
+    // RandomStateSpec pins the plan), the oracle as a window rank over
+    // the IDENTICAL uniform kernel text — same total order, exact hash
+    "q98_randomstate_perm" -> ((s, d) =>
+      graft.random.RandomState(s, d, seed = 404).permutation(4096)
+        .orderBy("idx")),
+
     // the legacy RandomState FACADE end-to-end (reference
     // random/_random_state.py:17): named-method calls allocate successive
     // streams off seed 2026; the oracle rebuilds the identical kernel
@@ -1747,6 +1756,14 @@ object ArrayQueries {
     "q52_random_permutation" ->
       s"""SELECT i AS idx, ${permKernel("i")} AS v FROM range(8192) t(i)
           WHERE i < 200 ORDER BY idx""",
+
+    "q98_randomstate_perm" -> {
+      import graft.random.{Kernels => K, RandomState => RS}
+      val u = K.uniform01("i", RS.streamFor(404, 1))
+      s"""SELECT row_number() OVER (ORDER BY $u, i) - 1 AS idx,
+                 CAST(i AS DOUBLE) AS v
+          FROM range(4096) t(i) ORDER BY idx"""
+    },
 
     "q96_randomstate" -> {
       import graft.random.{Kernels => K, RandomState => RS}

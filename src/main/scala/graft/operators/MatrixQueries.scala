@@ -424,6 +424,26 @@ object MatrixQueries {
         .cumsum().elements.orderBy("idx")
     }),
 
+    // SPARSE backend in action (reference flows scipy.sparse chunks via
+    // register_chunk_type, _chunk_types.py — here sparsity is the element
+    // table's NATIVE representation): the part x supplier quantity matrix
+    // holds only present pairs, matvec cost is O(nnz) — one aggregated
+    // scan + one broadcast join + one groupBy, never densified to
+    // rows x cols. The tiny vector side broadcasts (matmul's
+    // broadcastElems rule), so the big side never shuffles for the join
+    "m36_sparse_matvec" -> ((s, d) => {
+      val a = new graft.DMatrix(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v")
+          .groupBy("i", "j").agg(sum("v").as("v")),
+        2001, 101)
+      val x = new graft.DMatrix(
+        s.read.parquet(s"$d/supplier.parquet")
+          .selectExpr("s_suppkey AS i", "CAST(0 AS BIGINT) AS j", "s_acctbal AS v"),
+        101, 1)
+      a.matmul(x).df.selectExpr("i", "j", "round(v, 2) AS v").orderBy("i")
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -791,6 +811,15 @@ object MatrixQueries {
                   FROM x JOIN y USING (idx))
          SELECT idx, CAST(sum(v) OVER (ORDER BY idx) AS BIGINT) AS v
          FROM z ORDER BY idx""",
+
+    "m36_sparse_matvec" ->
+      """WITH a AS (SELECT l_partkey AS i, l_suppkey AS k,
+                      sum(l_quantity) AS va
+                    FROM lineitem GROUP BY 1, 2)
+         SELECT a.i AS i, CAST(0 AS BIGINT) AS j,
+                round(sum(a.va * s.s_acctbal), 2) AS v
+         FROM a JOIN supplier s ON s.s_suppkey = a.k
+         GROUP BY 1 ORDER BY i""",
 
     "np02_npy_nd" ->
       """SELECT c0, c1, c2, CAST((c0*5 + c1*3 + c2) % 9 + 1 AS DOUBLE) AS v

@@ -160,6 +160,16 @@ class RandomState(spark: SparkSession, dir: String, seed0: Long = 0L) {
     draw(size, Kernels.weightedChoice(I, next(), options, p.scanLeft(0.0)(_ + _).tail))
   }
 
+  /** `choice(n, size=k, replace=False)` — k DISTINCT picks from 0..n-1,
+    * uniformly: the first k slots of a keyed [[permutation]] (sampling
+    * without replacement IS a permutation prefix — the same identity the
+    * exact multivariate-hypergeometric kernel uses). One range-partitioned
+    * sort bounded by n, then a k-prefix filter. */
+  def choiceNoReplace(n: Long, k: Long): DataFrame = {
+    require(k <= n, s"cannot draw $k distinct values from $n")
+    permutation(n).where(s"idx < $k")
+  }
+
   /** Multinomial(n, pvals): one row per draw, one BIGINT count column per
     * category (`c0..c{k-1}`) — n summed categorical picks, exact. Bounded
     * unroll (n <= 64) keeps the projection codegen-friendly. */

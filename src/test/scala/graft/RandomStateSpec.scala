@@ -111,6 +111,12 @@ class RandomStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh = r.shuffle(x, 500).collect()
     assert(sh.map(_.getDouble(1)).sorted.toSeq == (0 until 500).map(_ * 3.0 + 1).toSeq)
     assert(sh.map(_.getLong(0)).sorted.toSeq == (0L until 500L).toSeq)
+    // choice without replacement = permutation prefix: k distinct picks
+    val picks = r.choiceNoReplace(1000, 100).collect().map(_.getDouble(1).toLong)
+    assert(picks.length == 100 && picks.distinct.length == 100)
+    assert(picks.forall(v => v >= 0 && v < 1000))
+    assert(intercept[IllegalArgumentException](r.choiceNoReplace(5, 6))
+      .getMessage.contains("distinct"))
   }
 
   test("permutation plans without a single-partition global window") {
