@@ -75,6 +75,18 @@ object TextQueries {
   private def duckScore(ws: Seq[String]) =
     scoreExpr(ws, "list_filter", "string_split").replace("len__", "len")
 
+  /** Public kernel text for the streaming twin ([[graft.streaming
+    * .StreamOps.scoreDocs]]): the t04 langid argmax CASE and the t02
+    * quality projections — the SAME text as the batch queries, so
+    * streamed scores replay bit-identically. */
+  def langidSql: String = predCase(sparkScore)
+  val qualitySqls: Seq[String] = Seq(
+    "length(text) AS n",
+    "size(split(text, ' ')) AS n_tok",
+    "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')), 4) AS avg_tok_len",
+    "round(CAST(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'in')) AS DOUBLE) / size(split(text, ' ')), 4) AS stop_ratio",
+    "round(CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE) / length(text), 4) AS punct_ratio")
+
   /** argmax with fixed priority order (first listed wins ties). */
   private def predCase(score: Seq[String] => String): String = {
     val scores = langMarkers.map { case (l, ws) => l -> score(ws) }
@@ -201,13 +213,8 @@ object TextQueries {
 
     // quality scoring: length, token stats, stopword + punctuation ratios
     "t02_quality" -> ((s, d) =>
-      docs(s, d).where("doc_id < 50").selectExpr(
-        "doc_id",
-        "length(text) AS n",
-        "size(split(text, ' ')) AS n_tok",
-        "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')), 4) AS avg_tok_len",
-        "round(CAST(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'in')) AS DOUBLE) / size(split(text, ' ')), 4) AS stop_ratio",
-        s"round(CAST(regexp_count(text, '[^a-z0-9 ]') AS DOUBLE) / length(text), 4) AS punct_ratio")
+      docs(s, d).where("doc_id < 50")
+        .selectExpr("doc_id" +: qualitySqls: _*)
         .orderBy("doc_id")),
 
     // corpus-level token accounting: whitespace + BPE-ish regex counts
@@ -440,6 +447,19 @@ object TextQueries {
     // distinct hash set (bounded by the hash space, broadcastable at any
     // corpus size); the training side is one explode + one broadcast
     // join + one partial-aggregated groupBy — no pair join at all.
+    // decontamination when the eval set is too big to broadcast: the
+    // eval keys fold into ONE Bloom blob (graft_bloom_agg), the blob
+    // rides every scan as a literal predicate, and only the
+    // might-contain sliver reaches the exact confirm anti-join — shuffle
+    // volume O(fpp·train + eval), result EXACT (functions/Bloom.scala)
+    "t21_bloom_decontamination" -> ((s, d) => {
+      val all = docsWithDups(s, d)
+      graft.functions.Bloom.decontaminate(
+        all.where("doc_id % 7 <> 3"), all.where("doc_id % 7 = 3"),
+        "text", expectedEval = 1L << 16)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "t14_contamination" -> ((s, d) => {
       val sig = sigTable(s, d).select("doc_id", "dhl")
       val train = sig.where("doc_id % 7 <> 3")
@@ -637,6 +657,13 @@ object TextQueries {
           FROM s JOIN f USING (span)
           WHERE s.doc_id < 30 OR (s.doc_id >= 100000 AND s.doc_id < 100030)
           GROUP BY s.doc_id ORDER BY doc_id""",
+
+    "t21_bloom_decontamination" ->
+      s"""SELECT t.doc_id FROM $duckDocsWithDups t
+          WHERE t.doc_id % 7 <> 3
+            AND t.text NOT IN (SELECT text FROM $duckDocsWithDups
+                               WHERE doc_id % 7 = 3)
+          ORDER BY doc_id""",
 
     "t14_contamination" ->
       s"""WITH sig AS (SELECT doc_id, dhl FROM $duckHashed),

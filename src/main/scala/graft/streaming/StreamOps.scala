@@ -172,6 +172,17 @@ object StreamOps {
     * stateless on the stream side, the (bounded) eval hash set re-plans
     * per micro-batch and broadcasts — no streaming state at all, so it
     * composes freely ahead of the stateful dedup/near-dup stages. */
+  /** Stateless per-doc scoring twin of the batch t02 (quality) + t04
+    * (langid) queries: pure codegen'd projections — no state, no
+    * watermark, any parallelism — built from the SAME kernel text
+    * ([[graft.operators.TextQueries.qualitySqls]]/`langidSql`), so a
+    * document scores bit-identically whether it arrives in a batch
+    * corpus or on a stream. */
+  def scoreDocs(docs: Dataset[Doc]): DataFrame =
+    docs.selectExpr(Seq("ts", "doc_id") ++
+      graft.operators.TextQueries.qualitySqls :+
+      s"${graft.operators.TextQueries.langidSql} AS pred": _*)
+
   def filterContaminated(docs: Dataset[Doc], evalHashes: DataFrame): DataFrame =
     docs.withColumn("h", md5(col("text")))
       .join(broadcast(evalHashes.select(col("h"))), Seq("h"), "left_anti")

@@ -161,6 +161,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming doc scoring replays the batch t02/t04 kernels bit-identically") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.Doc
+    // the corpus "languages" are synthetic marker vocabularies
+    // (TextQueries.langMarkers): en=order/window, de=customer/hash,
+    // fr=scan/batch
+    val docsSeq = Seq(
+      Doc(ts(1), 1L, "the order hit a window in the order stream."),
+      Doc(ts(2), 2L, "customer sent a hash and the customer left!"),
+      Doc(ts(3), 3L, "a scan of the batch, then a scan again."))
+    val in = MemoryStream[Doc]
+    val q = StreamOps.scoreDocs(in.toDS())
+      .writeStream.format("memory").queryName("scored").outputMode("append").start()
+    try {
+      in.addData(docsSeq: _*)
+      q.processAllAvailable()
+      val streamed = sp.table("scored").orderBy("doc_id").collect().map(_.toSeq.drop(1))
+      // the batch side: identical kernel text over the same rows
+      val batch = sp.createDataset(docsSeq).toDF()
+        .selectExpr(Seq("doc_id") ++
+          graft.operators.TextQueries.qualitySqls :+
+          s"${graft.operators.TextQueries.langidSql} AS pred": _*)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      // langid sanity on the markers
+      val preds = sp.table("scored").orderBy("doc_id").collect().map(_.getString(7))
+      assert(preds.toSeq == Seq("en", "de", "fr"), preds.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops docs whose hash is in the eval set") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
