@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Decontamination against an eval set that is too large to broadcast
+  * exactly — the 100 TB-scale version of the broadcast anti-join
+  * (reference decontamination flow; cf. `TextQueries` t14).
+  *
+  * The exact anti-join shuffles the full training corpus on the join
+  * key. At 100 TB that shuffle IS the job. Here the eval keys are
+  * folded into ONE Bloom-filter blob (Spark's own
+  * `BloomFilterAggregate` sketch — the engine's runtime-filter
+  * machinery, exposed as `graft_bloom_agg`/`graft_bloom_might`), the
+  * blob ships to every scan as a LITERAL predicate, and only the
+  * might-contain sliver (fpp of the corpus + the truly contaminated
+  * rows) reaches the exact confirm join. Shuffle volume drops from
+  * O(|train|) to O(fpp·|train| + |eval| + |contaminated|) while the
+  * RESULT stays exact — false positives are re-checked, false
+  * negatives don't exist.
+  *
+  * Driver traffic is the blob itself: ~1.2 MB per million eval keys at
+  * 1% fpp (documented O(sketch), same class as the linalg panels). */
+object Bloom {
+
+  /** Fold `keyCol`'s xxhash64 keys into a serialized Bloom filter.
+    * Returns None for an empty eval set (nothing to filter). */
+  def buildBlob(eval: DataFrame, keyCol: String, expectedItems: Long,
+                fpp: Double = 0.01): Option[Array[Byte]] = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    // standard Bloom sizing: m = -n ln(p) / (ln 2)^2
+    val bits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    GraftFunctions.register(eval.sparkSession)
+    val row = eval
+      .selectExpr(s"graft_bloom_agg(xxhash64($keyCol), CAST($expectedItems AS BIGINT), CAST($bits AS BIGINT)) AS bf")
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
+  /** Rows of `train` whose `keyCol` does NOT appear in `eval` — exact,
+    * with the scale shape described above: branch 1 keeps the definite
+    * negatives with NO join (the blob literal is a scan-side filter),
+    * branch 2 exact-confirms only the might-contain sliver. */
+  def decontaminate(train: DataFrame, eval: DataFrame, keyCol: String,
+                    expectedEval: Long, fpp: Double = 0.01): DataFrame =
+    buildBlob(eval, keyCol, expectedEval, fpp) match {
+      case None => train // empty eval set: everything is clean
+      case Some(blob) =>
+        val might =
+          call_function("graft_bloom_might", lit(blob), xxhash64(col(keyCol)))
+        val clean = train.where(!might)
+        val confirmed = train.where(might)
+          .join(eval.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        clean.unionByName(confirmed)
+    }
+}

@@ -126,5 +126,23 @@ object GraftFunctions {
         FromBits(exprs.head)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      { exprs =>
+        require(exprs.length == 3,
+          s"graft_bloom_agg takes (key, expectedItems, numBits), got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might",
+      { exprs =>
+        require(exprs.length == 2,
+          s"graft_bloom_might takes (bloom, key), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      },
+      "built-in")
   }
 }
