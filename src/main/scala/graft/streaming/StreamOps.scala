@@ -166,12 +166,6 @@ object StreamOps {
       }
   }
 
-  /** Streaming decontamination — the online half of the batch t14
-    * pipeline: drop arriving documents whose content hash appears in a
-    * static benchmark/eval set. A stream-static broadcast LEFT ANTI join:
-    * stateless on the stream side, the (bounded) eval hash set re-plans
-    * per micro-batch and broadcasts — no streaming state at all, so it
-    * composes freely ahead of the stateful dedup/near-dup stages. */
   /** Stateless per-doc scoring twin of the batch t02 (quality) + t04
     * (langid) queries: pure codegen'd projections — no state, no
     * watermark, any parallelism — built from the SAME kernel text
@@ -183,10 +177,36 @@ object StreamOps {
       graft.operators.TextQueries.qualitySqls :+
       s"${graft.operators.TextQueries.langidSql} AS pred": _*)
 
+  /** Streaming decontamination — the online half of the batch t14
+    * pipeline: drop arriving documents whose content hash appears in a
+    * static benchmark/eval set. A stream-static broadcast LEFT ANTI join:
+    * stateless on the stream side, the (bounded) eval hash set re-plans
+    * per micro-batch and broadcasts — no streaming state at all, so it
+    * composes freely ahead of the stateful dedup/near-dup stages. */
   def filterContaminated(docs: Dataset[Doc], evalHashes: DataFrame): DataFrame =
     docs.withColumn("h", md5(col("text")))
       .join(broadcast(evalHashes.select(col("h"))), Seq("h"), "left_anti")
       .select(col("ts"), col("doc_id"), col("text"))
+
+  /** Streaming decontamination when the eval set is too large to
+    * broadcast exactly — the online twin of the batch t21 Bloom pass
+    * ([[graft.functions.Bloom]]). The pre-built blob is a LITERAL in the
+    * stream's plan (no per-batch re-plan, no streaming state): definite
+    * negatives pass with zero join work; only the fpp-sized might-contain
+    * sliver takes the stream-static exact confirm anti-join against the
+    * full eval keys. Result stays EXACT — same contract as the batch
+    * pass, at sketch cost per event. */
+  def filterContaminatedBloom(docs: Dataset[Doc], bloomBlob: Array[Byte],
+                              evalTexts: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val might =
+      call_function("graft_bloom_might", lit(bloomBlob), xxhash64(col("text")))
+    val clean = docs.toDF().where(!might)
+    val confirmed = docs.toDF().where(might)
+      .join(evalTexts.select(col("text")), Seq("text"), "left_anti")
+      .select(clean.columns.map(col): _*)
+    clean.unionByName(confirmed)
+  }
 
   /** Streaming source-mixture resampling — the online twin of the batch
     * t19 domain-reweighting sampler. The keep decision is the same

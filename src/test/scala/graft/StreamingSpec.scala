@@ -214,6 +214,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("bloom-prefiltered streaming decontamination matches the exact contract") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.Doc
+    val evalTexts = sp.createDataset(
+      Seq("held-out benchmark item", "another eval prompt")).toDF("text")
+    // tiny filter (fpp near 1) so the confirm path is genuinely exercised
+    val blob = graft.functions.Bloom
+      .buildBlob(evalTexts, "text", expectedItems = 2, fpp = 0.5).get
+    val in = MemoryStream[Doc]
+    val q = StreamOps.filterContaminatedBloom(in.toDS(), blob, evalTexts)
+      .writeStream.format("memory").queryName("bloomdecon").outputMode("append").start()
+    try {
+      in.addData(
+        Doc(ts(1), 1L, "ordinary training text"),
+        Doc(ts(2), 2L, "held-out benchmark item"), // contaminated — dropped
+        Doc(ts(3), 3L, "another clean doc"),
+        Doc(ts(4), 4L, "another eval prompt")) // contaminated — dropped
+      q.processAllAvailable()
+      val kept = sp.table("bloomdecon").collect().map(_.getLong(1)).sorted
+      assert(kept.toSeq == Seq(1L, 3L), s"got ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates: bucket-windowed pairs, bounded state") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
