@@ -115,6 +115,54 @@ object EmbeddingQueries {
       }.toDF("vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
   }
 
+  /** Brute-force cosine top-3 per query vector (qids < 5): the ANN
+    * correctness baseline — query side broadcast, ties broken on rounded
+    * sim + id. Shared by e02 and the e12 recall audit. */
+  private def bruteTop3(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.where("vec_id < 5")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id",
+        s"round(${sparkDot("embedding", "qe")}, 4) AS sim")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .where("rn <= 3")
+  }
+
+  /** Two-stage IVF top-3 per query vector (qids < 5): coarse assign via
+    * tiny broadcast of per-label centroids, exact fine rank inside the
+    * single probed cell. Shared by e07 and the e12 recall audit. */
+  private def ivfTop3(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    // centroids as dense arrays (rounded so both engines agree)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy(col("label"), col("p"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(p, m))), s -> s.m)").as("cvec"))
+    val q = e.where("vec_id < 5")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // coarse: nearest centroid per query
+    val assign = q.crossJoin(broadcast(cent))
+      .selectExpr("qid", "qe", "label",
+        s"round(${sparkDot("qe", "cvec")}, 4) AS cd")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cd").desc, col("label"))))
+      .where("rn = 1").select("qid", "qe", "label")
+    // fine: exact top-3 inside the probed cell
+    assign.join(e, Seq("label"))
+      .where("vec_id <> qid")
+      .selectExpr("qid", "label", "vec_id",
+        s"round(${sparkDot("embedding", "qe")}, 4) AS sim")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .where("rn <= 3")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // vector norms — the elemwise/aggregate HOF baseline (≈1.0 everywhere
@@ -127,19 +175,8 @@ object EmbeddingQueries {
 
     // brute-force cosine top-3 per query vector: the ANN correctness
     // baseline — query side broadcast, ties broken on rounded sim + id
-    "e02_knn_bruteforce" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.where("vec_id < 5")
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .selectExpr("qid", "vec_id",
-          s"round(${sparkDot("embedding", "qe")}, 4) AS sim")
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("qid")
-            .orderBy(col("sim").desc, col("vec_id"))))
-        .where("rn <= 3")
-        .select("qid", "rn", "vec_id", "sim").orderBy("qid", "rn")
-    }),
+    "e02_knn_bruteforce" -> ((s, d) =>
+      bruteTop3(s, d).select("qid", "rn", "vec_id", "sim").orderBy("qid", "rn")),
 
     // random-hyperplane LSH bucketing — the scale path: one projection
     // pass, bucket histogram shows the partitioning the ANN join would use
@@ -183,34 +220,23 @@ object EmbeddingQueries {
     // probes its nearest centroid's cell only, then ranks exactly within
     // it — the two-stage ANN plan (coarse assign = tiny broadcast,
     // fine rank = cell-partitioned join, never a full scan per query)
-    "e07_ivf_search" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = emb(s, d)
-      // centroids as dense arrays (rounded so both engines agree)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
-        .groupBy(col("label"), col("p"))
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(p, m))), s -> s.m)").as("cvec"))
-      val q = e.where("vec_id < 5")
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      // coarse: nearest centroid per query
-      val assign = q.crossJoin(broadcast(cent))
-        .selectExpr("qid", "qe", "label",
-          s"round(${sparkDot("qe", "cvec")}, 4) AS cd")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cd").desc, col("label"))))
-        .where("rn = 1").select("qid", "qe", "label")
-      // fine: exact top-3 inside the probed cell
-      assign.join(e, Seq("label"))
-        .where("vec_id <> qid")
-        .selectExpr("qid", "label", "vec_id",
-          s"round(${sparkDot("embedding", "qe")}, 4) AS sim")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
-        .where("rn <= 3")
-        .select("qid", "label", "rn", "vec_id", "sim").orderBy("qid", "rn")
+    "e07_ivf_search" -> ((s, d) =>
+      ivfTop3(s, d).select("qid", "label", "rn", "vec_id", "sim")
+        .orderBy("qid", "rn")),
+
+    // recall@3 audit of the IVF index against the brute-force baseline —
+    // the quality dial every ANN deployment watches. Both sides are
+    // deterministic, so the measurement itself sits under the exact
+    // oracle gate; at scale it runs on a fixed query SAMPLE, so cost is
+    // O(sample · corpus) for the baseline and O(sample · cell) for IVF
+    "e12_ann_recall" -> ((s, d) => {
+      val bf = bruteTop3(s, d).select("qid", "vec_id")
+      val ivf = ivfTop3(s, d).select("qid", "vec_id").withColumn("hit", lit(1))
+      bf.join(ivf, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("hits"))
+        .selectExpr("qid", "hits", "round(CAST(hits AS DOUBLE) / 3, 4) AS recall")
+        .orderBy("qid")
     }),
 
     // product quantization (the 100 TB ANN memory-compression tool —
@@ -306,20 +332,49 @@ object EmbeddingQueries {
     }),
   )
 
+  /** Oracle twin of [[bruteTop3]] (no trailing ORDER BY — also used as a
+    * CTE body in the e12 recall audit). */
+  private val duckBruteTop3 =
+    s"""SELECT q.vec_id AS qid,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(${duckDot("e.embedding", "q.embedding")}, 4) DESC, e.vec_id) AS INT) AS rn,
+          e.vec_id AS vec_id,
+          round(${duckDot("e.embedding", "q.embedding")}, 4) AS sim
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        QUALIFY rn <= 3"""
+
+  /** Oracle twin of [[ivfTop3]] (no trailing ORDER BY — also an e12 CTE). */
+  private val duckIvfTop3 =
+    s"""WITH cent AS (
+          SELECT label, list(m ORDER BY p) AS cvec FROM (
+            SELECT label, g.p AS p, round(avg(CAST(embedding[g.p] AS DOUBLE)), 6) AS m
+            FROM embeddings, generate_series(1, $DIM) g(p) GROUP BY 1, 2)
+          GROUP BY label),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        assign AS (
+          SELECT qid, qe, label FROM (
+            SELECT q.qid, q.qe, cent.label,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                round(CAST(list_sum([CAST(q.qe[i] AS DOUBLE) * cvec[i]
+                  for i in generate_series(1, $DIM)]) AS DOUBLE), 4) DESC,
+                cent.label) AS rn
+            FROM q, cent) WHERE rn = 1)
+        SELECT qid, label, CAST(rn AS INT) AS rn, vec_id, sim FROM (
+          SELECT a.qid, a.label, e.vec_id,
+            round(${duckDot("e.embedding", "a.qe")}, 4) AS sim,
+            row_number() OVER (PARTITION BY a.qid ORDER BY
+              round(${duckDot("e.embedding", "a.qe")}, 4) DESC, e.vec_id) AS rn
+          FROM assign a JOIN embeddings e ON e.label = a.label
+          WHERE e.vec_id <> a.qid)
+        WHERE rn <= 3"""
+
   val oracles: Map[String, String] = Map(
     "e01_norms" ->
       s"""SELECT vec_id, round(sqrt(${duckDot("embedding", "embedding")}), 4) AS norm
           FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
 
-    "e02_knn_bruteforce" ->
-      s"""SELECT q.vec_id AS qid,
-            CAST(row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY round(${duckDot("e.embedding", "q.embedding")}, 4) DESC, e.vec_id) AS INT) AS rn,
-            e.vec_id AS vec_id,
-            round(${duckDot("e.embedding", "q.embedding")}, 4) AS sim
-          FROM embeddings e, embeddings q
-          WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
-          QUALIFY rn <= 3 ORDER BY qid, rn""",
+    "e02_knn_bruteforce" -> s"$duckBruteTop3 ORDER BY qid, rn",
 
     "e03_lsh_buckets" ->
       s"""SELECT $duckBucket AS bucket, CAST(count(*) AS BIGINT) AS n
@@ -340,29 +395,15 @@ object EmbeddingQueries {
             AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY sim DESC, a, b LIMIT 20""",
 
-    "e07_ivf_search" ->
-      s"""WITH cent AS (
-            SELECT label, list(m ORDER BY p) AS cvec FROM (
-              SELECT label, g.p AS p, round(avg(CAST(embedding[g.p] AS DOUBLE)), 6) AS m
-              FROM embeddings, generate_series(1, $DIM) g(p) GROUP BY 1, 2)
-            GROUP BY label),
-          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-          assign AS (
-            SELECT qid, qe, label FROM (
-              SELECT q.qid, q.qe, cent.label,
-                row_number() OVER (PARTITION BY q.qid ORDER BY
-                  round(CAST(list_sum([CAST(q.qe[i] AS DOUBLE) * cvec[i]
-                    for i in generate_series(1, $DIM)]) AS DOUBLE), 4) DESC,
-                  cent.label) AS rn
-              FROM q, cent) WHERE rn = 1)
-          SELECT qid, label, CAST(rn AS INT) AS rn, vec_id, sim FROM (
-            SELECT a.qid, a.label, e.vec_id,
-              round(${duckDot("e.embedding", "a.qe")}, 4) AS sim,
-              row_number() OVER (PARTITION BY a.qid ORDER BY
-                round(${duckDot("e.embedding", "a.qe")}, 4) DESC, e.vec_id) AS rn
-            FROM assign a JOIN embeddings e ON e.label = a.label
-            WHERE e.vec_id <> a.qid)
-          WHERE rn <= 3 ORDER BY qid, rn""",
+    "e07_ivf_search" -> s"$duckIvfTop3 ORDER BY qid, rn",
+
+    "e12_ann_recall" ->
+      s"""WITH bf AS ($duckBruteTop3),
+          ivf AS ($duckIvfTop3)
+          SELECT bf.qid AS qid, CAST(count(ivf.vec_id) AS BIGINT) AS hits,
+            round(count(ivf.vec_id) / 3.0, 4) AS recall
+          FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+          GROUP BY bf.qid ORDER BY qid""",
 
     "e10_renormalize" ->
       s"""SELECT vec_id, round(sqrt(CAST(list_sum([ne[i] * ne[i]
