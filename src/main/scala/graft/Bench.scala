@@ -32,24 +32,28 @@ object Bench {
 
     // noop sink: forces full computation of every output column
     // (count() would let column pruning skip the projections under test)
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A thrown query must NOT masquerade as a fast one — its name lands in
+    // `errors` in bench_detail.json (the stdout contract stays unchanged).
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                name: String = ""): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => if (name.nonEmpty) errors += name }
       (System.nanoTime() - t0) / 1e9
     }
 
     // Broad codegen-shape warmup so even the very first query's run-1 isn't
     // dominated by cold-JVM class loading (one representative per family).
     Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul", "t05_minhash")
-      .flatMap(SparkEntry.queries.get).foreach(runOnce)
+      .flatMap(SparkEntry.queries.get).foreach(fn => runOnce(fn))
     spark.catalog.clearCache()
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val first = runOnce(fn)
+      val first = runOnce(fn, name)
       // unpersist anything run 1 leaked so run 2 can't skip real work
       spark.catalog.clearCache()
-      val steady = runOnce(fn)
+      val steady = runOnce(fn, name)
       spark.catalog.clearCache()
       name -> (first, steady)
     }
@@ -64,7 +68,7 @@ object Bench {
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"first_run_total":${fmt(firstTotal)},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"first_run_total":${fmt(firstTotal)},"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     // Stdout line: steady-state only, slowest first, capped so the whole
     // JSON line stays well inside the 2000-char tail window.
     val budget = 1500
