@@ -380,6 +380,38 @@ object TSQR {
     rFinal
   }
 
+  /** Short-fat QR (reference `sfqr`, `dask_array/linalg/_qr.py:529`) —
+    * the transpose twin of [[tsqr]]: factor A = Q·R for m×n with SMALL m
+    * and huge n (a single row-panel, the regime the reference's `qr`
+    * dispatches here for). Q is fully determined by the leading m×m
+    * panel: ONE in-core Householder QR of that panel (O(m²) driver
+    * bytes — the same budget class as tsqr's R), then R = Qᵀ·A as ONE
+    * distributed matmul where the tiny m×m Qᵀ broadcasts — the n-sized
+    * data never shuffles. Returns (Q row-major m×m, R as a DMatrix).
+    * Requires the leading panel to be nonsingular (loud failure
+    * otherwise, matching the reference's full-rank assumption). */
+  def sfqr(s: SparkSession, a: DMatrix): (Array[Double], DMatrix) = {
+    val m = a.rows.toInt
+    require(m <= 64 && a.cols >= a.rows,
+      s"sfqr wants a short-fat matrix (m <= 64, n >= m), got ${a.rows} x ${a.cols}")
+    val panel = new Array[Double](m * m)
+    a.df.where(col("j") < m).collect()
+      .foreach(r => panel(r.getLong(0).toInt * m + r.getLong(1).toInt) = r.getDouble(2))
+    val (q, r11) = localQR(panel, m, m)
+    var d = 0
+    while (d < m) {
+      require(math.abs(r11(d * m + d)) > 1e-12,
+        s"sfqr: leading $m x $m panel is singular at column $d")
+      d += 1
+    }
+    // R = Qᵀ A — emit Qᵀ as a tiny element table; matmul broadcasts it
+    val qtRows = for (l <- 0 until m; i <- 0 until m)
+      yield (l.toLong, i.toLong, q(i * m + l))
+    import s.implicits._
+    val qt = new DMatrix(qtRows.toDF("i", "j", "v"), m, m)
+    (q, qt.matmul(a))
+  }
+
   /** Least squares min ‖Ax − b‖ via TSQR (reference `lstsq`,
     * `dask_array/linalg/_solve.py:305` — QR-based): x = R⁻¹·(Qᵀb). Qᵀb is
     * one distributed mat-vec (broadcast b); the k×k back-substitution runs

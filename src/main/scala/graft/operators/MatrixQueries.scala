@@ -668,6 +668,42 @@ object MatrixQueries {
       rows.toDF("i", "j", "v").orderBy("i", "j")
     }),
 
+    // short-fat QR (reference linalg/_qr.py:529 sfqr — the transpose
+    // regime of tsqr): Q from ONE in-core panel QR, R = QᵀA as ONE
+    // broadcast matmul (the n-sized data never shuffles). Gated on three
+    // invariants that pin the factorization: ‖R‖²_F = ‖A‖²_F (orthogonal
+    // invariance — the oracle computes it straight from A), QᵀQ = I, and
+    // Q·R = A (both error maxima must round to EXACTLY zero)
+    "l11_sfqr" -> ((s, d) => {
+      val m = 8
+      val A = Tab(m, 500, "(i*7 + j*13) % 19 + CASE WHEN i = j THEN 23 ELSE 0 END")
+      val a = A.spark(s)
+      val (q, r) = graft.linalg.TSQR.sfqr(s, a)
+      var orthErr = 0.0
+      for (l <- 0 until m; c <- 0 until m) {
+        var dot = 0.0
+        for (i <- 0 until m) dot += q(i * m + l) * q(i * m + c)
+        orthErr = math.max(orthErr, math.abs(dot - (if (l == c) 1.0 else 0.0)))
+      }
+      import s.implicits._
+      val qDf = new DMatrix(
+        (for (i <- 0 until m; l <- 0 until m) yield
+          (i.toLong, l.toLong, q(i * m + l))).toDF("i", "j", "v"), m, m)
+      // recon − A: full outer on coords (implicit zeros on either side)
+      val recon = qDf.matmul(r).df
+        .select(col("i"), col("j"), col("v").as("rv"))
+        .join(a.df.select(col("i"), col("j"), col("v").as("av")),
+          Seq("i", "j"), "full")
+        .agg(max(abs(coalesce(col("rv"), lit(0.0)) -
+          coalesce(col("av"), lit(0.0)))).as("recon_err"))
+      recon.crossJoin(broadcast(
+          r.df.agg(sum(col("v") * col("v")).as("f2"))))
+        .selectExpr(
+          "CAST(round(f2, 0) AS BIGINT) AS frob2",
+          "round(recon_err, 6) AS recon_err",
+          s"round($orthErr, 6) AS orth_err")
+    }),
+
     // blocked Cholesky (reference linalg/_cholesky.py:27): LLᵀ=A implies
     // ‖L‖²_F = trace(A); the oracle computes trace(A) straight from A's
     // construction, independently validating the factorization
@@ -1014,5 +1050,10 @@ object MatrixQueries {
     "l03_cholesky_trace" ->
       s"""SELECT round(sum(v * v) / 100 + 64 * 64, 4) AS frob2
           FROM ${Tab(64, 64, "((i*7 + j*13) % 19) - 9").duck}""",
+
+    "l11_sfqr" ->
+      s"""SELECT CAST(round(sum(v * v), 0) AS BIGINT) AS frob2,
+                 0.0 AS recon_err, 0.0 AS orth_err
+          FROM ${Tab(8, 500, "(i*7 + j*13) % 19 + CASE WHEN i = j THEN 23 ELSE 0 END").duck}""",
   )
 }
