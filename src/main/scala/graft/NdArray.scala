@@ -405,9 +405,31 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     * never a per-tap join chain. */
   def stencilSum(taps: Seq[(Seq[Long], Double)],
                  boundary: String = "constant"): NdArray = {
-    require(taps.nonEmpty && taps.forall(_._1.length == rank),
-      s"taps must carry one offset per axis (rank $rank)")
-    val halos = (0 until rank).map(a => taps.map { case (off, _) => math.abs(off(a)) }.max)
+    val contrib = stencilContrib(taps.map(_._1), Some(taps.map(_._2)),
+      boundary, "v * w")
+    new NdArray(
+      contrib.groupBy(coords.map(col): _*)
+        .agg(sum("v").cast("double").as("v")),
+      shape)
+  }
+
+  /** Shared stencil scaffolding (one definition for the linear
+    * [[stencilSum]] and nonlinear [[stencilAgg]] paths, so the halo /
+    * ghost / shift / bounds conventions can never desynchronize):
+    * ghost-extend each axis by the offsets' halo, broadcast the tiny tap
+    * table (offsets + optional weight column `w`), and remap every input
+    * cell to each target it contributes to in ONE scan — a per-tap union
+    * would re-scan the 3^rank ghost union once per tap (the first cut did
+    * exactly that: 7 taps × 27 branches = 189 scans of the same table,
+    * and Catalyst paid for every one in planning + codegen). The single
+    * groupBy shuffle happens in the caller; `valueExpr` projects the
+    * contribution (`v`, and `w` when weights are given) as column v. */
+  private def stencilContrib(offsets: Seq[Seq[Long]],
+                             weights: Option[Seq[Double]],
+                             boundary: String, valueExpr: String): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_.length == rank),
+      s"offsets must carry one component per axis (rank $rank)")
+    val halos = (0 until rank).map(a => offsets.map(off => math.abs(off(a))).max)
     val ext =
       if (boundary == "constant") this
       else (0 until rank).foldLeft(this) { (arr, a) =>
@@ -416,31 +438,22 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     val shift = if (boundary == "constant") Seq.fill(rank)(0L) else halos.map(_.toLong)
     val inBounds = (0 until rank).map(a => s"c$a >= 0 AND c$a < ${shape(a)}")
       .mkString(" AND ")
-    // ONE scan of the (ghost-extended) input: broadcast the tiny tap table
-    // and let each input cell emit all its tap contributions — a per-tap
-    // union would re-scan the 3^rank ghost union once per tap (the first
-    // cut did exactly that: 7 taps × 27 branches = 189 scans of the same
-    // table, and Catalyst paid for every one in planning + codegen)
     val spark = df.sparkSession
-    val tapRows = taps.map { case (off, w) =>
-      org.apache.spark.sql.Row.fromSeq(off ++ Seq(w))
+    val tapRows = offsets.zipWithIndex.map { case (off, t) =>
+      org.apache.spark.sql.Row.fromSeq(off ++ weights.map(w => Seq(w(t))).getOrElse(Nil))
     }
     val tapSchema = org.apache.spark.sql.types.StructType(
       (0 until rank).map(a => org.apache.spark.sql.types.StructField(
-        s"off$a", org.apache.spark.sql.types.LongType, nullable = false)) :+
-        org.apache.spark.sql.types.StructField(
-          "w", org.apache.spark.sql.types.DoubleType, nullable = false))
+        s"off$a", org.apache.spark.sql.types.LongType, nullable = false)) ++
+        weights.map(_ => org.apache.spark.sql.types.StructField(
+          "w", org.apache.spark.sql.types.DoubleType, nullable = false)))
     val tapDf = broadcast(
       spark.createDataFrame(spark.sparkContext.parallelize(tapRows, 1), tapSchema))
-    val contrib = ext.df.crossJoin(tapDf)
+    ext.df.crossJoin(tapDf)
       .selectExpr((0 until rank).map { a =>
         s"c$a - ${shift(a)}L - off$a AS c$a"
-      } :+ "v * w AS v": _*)
+      } :+ s"$valueExpr AS v": _*)
       .where(inBounds)
-    new NdArray(
-      contrib.groupBy(coords.map(col): _*)
-        .agg(sum("v").cast("double").as("v")),
-      shape)
   }
 
   /** Rank-generic NEIGHBORHOOD-AGGREGATE stencil — `map_overlap` at any
@@ -464,29 +477,7 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     * tables (tabulate with a nonzero kernel, or densified reads). */
   def stencilAgg(offsets: Seq[Seq[Long]], aggSqlOverV: String,
                  boundary: String = "constant"): NdArray = {
-    require(offsets.nonEmpty && offsets.forall(_.length == rank),
-      s"offsets must carry one component per axis (rank $rank)")
-    val halos = (0 until rank).map(a => offsets.map(off => math.abs(off(a))).max)
-    val ext =
-      if (boundary == "constant") this
-      else (0 until rank).foldLeft(this) { (arr, a) =>
-        if (halos(a) == 0) arr else arr.ghostAxis(a, halos(a), boundary)
-      }
-    val shift = if (boundary == "constant") Seq.fill(rank)(0L) else halos.map(_.toLong)
-    val inBounds = (0 until rank).map(a => s"c$a >= 0 AND c$a < ${shape(a)}")
-      .mkString(" AND ")
-    val spark = df.sparkSession
-    val tapRows = offsets.map(off => org.apache.spark.sql.Row.fromSeq(off))
-    val tapSchema = org.apache.spark.sql.types.StructType(
-      (0 until rank).map(a => org.apache.spark.sql.types.StructField(
-        s"off$a", org.apache.spark.sql.types.LongType, nullable = false)))
-    val tapDf = broadcast(
-      spark.createDataFrame(spark.sparkContext.parallelize(tapRows, 1), tapSchema))
-    val contrib = ext.df.crossJoin(tapDf)
-      .selectExpr((0 until rank).map { a =>
-        s"c$a - ${shift(a)}L - off$a AS c$a"
-      } :+ "v": _*)
-      .where(inBounds)
+    val contrib = stencilContrib(offsets, None, boundary, "v")
     new NdArray(
       contrib.groupBy(coords.map(col): _*)
         .agg(expr(aggSqlOverV).cast("double").as("v")),

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * RESULT stays exact — false positives are re-checked, false
   * negatives don't exist.
   *
+  * Cost trade, stated plainly: the clean/confirm branches are two
+  * consumers of `train`, so the corpus is SCANNED twice (the blob
+  * predicate is not parquet-pushable — it filters post-scan). Two scans
+  * for near-zero shuffle is the right trade when the join shuffle
+  * dominates (the 100 TB decontamination case); when scan I/O dominates
+  * and the eval set fits a broadcast, prefer the single-scan broadcast
+  * anti-join (`TextQueries` t14 / `StreamOps.filterContaminated`).
+  *
   * Driver traffic is the blob itself: ~1.2 MB per million eval keys at
   * 1% fpp (documented O(sketch), same class as the linalg panels). */
 object Bloom {

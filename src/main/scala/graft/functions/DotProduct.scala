@@ -99,50 +99,50 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration for the native expressions (idempotent). */
 object GraftFunctions {
+  /** SINGLE source of truth for the native-function surface:
+    * (name, arity, implementing class, builder). Consumed by BOTH
+    * registration routes — [[register]] (embedded, temp functions) and
+    * `graft.GraftExtensions` (cluster-wide, `spark.sql.extensions`) — so
+    * the two can never diverge (register's idempotence guard keys on the
+    * FIRST name existing; a function present on one route but not the
+    * other would silently go missing in extension-built sessions). */
+  val builders: Seq[(String, Int, Class[_],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("graft_dot", 2, classOf[DotProduct],
+      exprs => DotProduct(exprs.head, exprs(1))),
+    ("graft_bits", 1, classOf[BitsOf], exprs => BitsOf(exprs.head)),
+    ("graft_from_bits", 1, classOf[FromBits], exprs => FromBits(exprs.head)),
+    ("graft_bloom_agg", 3,
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))),
+    ("graft_bloom_might", 2,
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))))
+
+  /** The builder wrapped with its arity check (shared by both routes). */
+  def checkedBuilder(name: String, arity: Int,
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      require(exprs.length == arity,
+        s"$name takes $arity args, got ${exprs.length}")
+      build(exprs)
+    }
+
   def register(spark: SparkSession): Unit = {
     // Skip when already registered: createOrReplaceTempFunction logs a
     // "replaced a previously registered function" WARN per call, and every
     // SparkEntry query calls register, so a 191-query run floods the log.
     if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      { exprs =>
-        require(exprs.length == 2, s"graft_dot takes 2 args, got ${exprs.length}")
-        DotProduct(exprs.head, exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bits",
-      { exprs =>
-        require(exprs.length == 1, s"graft_bits takes 1 arg, got ${exprs.length}")
-        BitsOf(exprs.head)
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_from_bits",
-      { exprs =>
-        require(exprs.length == 1, s"graft_from_bits takes 1 arg, got ${exprs.length}")
-        FromBits(exprs.head)
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      { exprs =>
-        require(exprs.length == 3,
-          s"graft_bloom_agg takes (key, expectedItems, numBits), got ${exprs.length}")
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_might",
-      { exprs =>
-        require(exprs.length == 2,
-          s"graft_bloom_might takes (bloom, key), got ${exprs.length}")
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))
-      },
-      "built-in")
+        org.apache.spark.sql.catalyst.FunctionIdentifier(builders.head._1))) return
+    builders.foreach { case (name, arity, _, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, checkedBuilder(name, arity, build), "built-in")
+    }
   }
 }

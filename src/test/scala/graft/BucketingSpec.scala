@@ -20,9 +20,11 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     // A sibling suite may already own this JVM's session, in which case
     // getOrCreate IGNORES builder configs — so take a dedicated
-    // newSession (isolated runtime conf + catalog view), set the
-    // runtime-settable knobs explicitly, and write EXTERNAL tables under
-    // a temp path so the shared static warehouse dir never matters.
+    // newSession (isolates runtime conf, temp views, and the function
+    // registry; the EXTERNAL catalog stays JVM-shared, which is why the
+    // table names below are suite-prefixed and dropped in afterAll), set
+    // the runtime-settable knobs explicitly, and write EXTERNAL tables
+    // under a temp path so the shared static warehouse dir never matters.
     val base = SparkSession.builder()
       .master("local[4]")
       .config("spark.ui.enabled", "false")
