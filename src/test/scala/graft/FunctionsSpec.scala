@@ -96,6 +96,15 @@ class FunctionsSpec extends AnyFunSuite {
         "SELECT graft_dot(array(CAST(2 AS DOUBLE), CAST(3 AS DOUBLE)), " +
           "array(CAST(4 AS DOUBLE), CAST(5 AS DOUBLE))) AS x").head().getDouble(0)
       assert(v == 2.0 * 4 + 3.0 * 5)
+      // the extension route must carry the WHOLE builder surface — a name
+      // resolvable via register() but not here silently breaks sessions
+      // whose register() call short-circuits on the first already-present
+      // name (the exact round-7 graft_bits regression)
+      GraftFunctions.builders.foreach { case (name, _, _, _) =>
+        assert(s.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"extension session is missing $name")
+      }
     } finally s.stop()
   }
 
