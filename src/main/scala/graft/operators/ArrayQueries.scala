@@ -595,9 +595,10 @@ object ArrayQueries {
 
     // wider distribution family by inverse transform on the LCG stream
     // (reference random/_generator.py:100-346): laplace, rayleigh,
-    // geometric, lognormal, standard_cauchy — one pass, five moment pairs.
-    // Cauchy has no mean, so its check is the exact count of |x| > 10
-    // (tail mass), integer-exact on both engines
+    // geometric, lognormal, standard_cauchy — one pass. Cauchy has no
+    // mean, so its check is the exact count of |x| > 10 (tail mass);
+    // continuous gates are integer-quantized ([[qsum]], the q89 design) —
+    // geo is already integer-exact
     "q60_random_more" -> ((s, d) => {
       val u = unifKernel("CAST(v AS BIGINT)", 271)
       val u2 = unifKernel("CAST(v AS BIGINT)", 977)
@@ -608,29 +609,30 @@ object ArrayQueries {
           s"exp(sqrt(-2 * ln($u)) * cos(2 * pi() * ($u2))) AS logn",
           s"tan(pi() * (($u) - 0.5)) AS cau")
         .agg(
-          round(avg("lap"), 3).as("lap_m"), round(stddev_samp("lap"), 3).as("lap_sd"),
-          round(avg("ray"), 3).as("ray_m"),
-          round(avg("geo"), 3).as("geo_m"),
-          round(expr("avg(ln(logn))"), 3).as("logn_mu"),
+          expr(qsum("lap", 64)).as("lap_q"), expr(qsum("lap * lap", 16)).as("lap_qq"),
+          expr(qsum("ray", 64)).as("ray_q"),
+          expr("CAST(sum(geo) AS BIGINT)").as("geo_sum"),
+          expr(qsum("ln(logn)", 64)).as("logn_q"),
           expr("CAST(sum(CASE WHEN abs(cau) > 10 THEN 1 ELSE 0 END) AS BIGINT)").as("cau_tail"))
     }),
 
     // four more closed-form inverse-CDF distributions (reference
     // random/_generator.py:100-346): weibull, pareto, gumbel, logistic —
-    // same counter-based LCG, one pass, moment checks rounded to clear
-    // libm ulp noise in the transcendental kernels
+    // same counter-based LCG, one pass, integer-quantized gates. The
+    // weibull exponent divides as DOUBLE explicitly (the q89 pw lesson:
+    // a bare 1.0 / 1.5 is DECIMAL(8,6) in Spark, DOUBLE in DuckDB)
     "q73_random_tail2" -> ((s, d) => {
       val u = unifKernel("CAST(v AS BIGINT)", 431)
       DArray.arange(s, d, 0, 20000, 1).elements.selectExpr(
-          s"power(-ln(1 - ($u)), 1.0 / 1.5) * 2 AS wei",
-          s"power(1 - ($u), -1.0 / 2.5) - 1 AS par",
+          s"power(-ln(1 - ($u)), CAST(1 AS DOUBLE) / 1.5) * 2 AS wei",
+          s"power(1 - ($u), CAST(-1 AS DOUBLE) / 2.5) - 1 AS par",
           s"-ln(-ln($u)) AS gum",
           s"ln(($u) / (1 - ($u))) AS logi")
         .agg(
-          round(avg("wei"), 3).as("wei_m"), round(stddev_samp("wei"), 3).as("wei_sd"),
-          round(avg("par"), 3).as("par_m"),
-          round(avg("gum"), 3).as("gum_m"),
-          round(avg("logi"), 3).as("logi_m"), round(stddev_samp("logi"), 3).as("logi_sd"))
+          expr(qsum("wei", 64)).as("wei_q"), expr(qsum("wei * wei", 16)).as("wei_qq"),
+          expr(qsum("par", 64)).as("par_q"),
+          expr(qsum("gum", 64)).as("gum_q"),
+          expr(qsum("logi", 64)).as("logi_q"), expr(qsum("logi * logi", 16)).as("logi_qq"))
     }),
 
     // unique with return_inverse (reference `unique`,
@@ -795,19 +797,21 @@ object ArrayQueries {
     // standard_t (normal over scaled chi), f (chi ratio), power
     // (inverse-CDF), triangular (piecewise inverse-CDF), wald
     // (Michael-Schucany-Haas transform), integers — all over the same
-    // counter-based position-keyed uniform streams, one scan, moment
-    // checks like q60/q73 (integers sums exactly)
+    // counter-based position-keyed uniform streams, one scan. Gates are
+    // integer-quantized sums ([[qsum]]): mean fidelity at 1/64 (1/4096
+    // for the [0,1] families), second moments via x*x, all hashed as
+    // exact BIGINTs — no libm-rounded double reaches the hash.
     "q89_random_gen_cont" -> ((s, d) =>
       gen1Layered(DArray.arange(s, d, 0, 20000, 1).elements)
         .agg(
-          round(avg("gam"), 2).as("gam_m"), round(stddev_samp("gam"), 2).as("gam_sd"),
-          round(avg("chi"), 2).as("chi_m"),
-          round(avg("bet"), 2).as("bet_m"),
-          round(avg("tst"), 2).as("tst_m"), round(stddev_samp("tst"), 2).as("tst_sd"),
-          round(avg("fds"), 2).as("fds_m"),
-          round(avg("pw"), 2).as("pw_m"),
-          round(avg("tri"), 2).as("tri_m"),
-          round(avg("wld"), 2).as("wld_m"), round(stddev_samp("wld"), 2).as("wld_sd"),
+          expr(qsum("gam", 64)).as("gam_q"), expr(qsum("gam * gam", 16)).as("gam_qq"),
+          expr(qsum("chi", 64)).as("chi_q"),
+          expr(qsum("bet", 4096)).as("bet_q"),
+          expr(qsum("tst", 64)).as("tst_q"), expr(qsum("tst * tst", 16)).as("tst_qq"),
+          expr(qsum("fds", 64)).as("fds_q"),
+          expr(qsum("pw", 4096)).as("pw_q"),
+          expr(qsum("tri", 64)).as("tri_q"),
+          expr(qsum("wld", 64)).as("wld_q"), expr(qsum("wld * wld", 16)).as("wld_qq"),
           expr("CAST(sum(itg) AS BIGINT)").as("itg_sum"))),
 
     // Generator parity, discrete families via EXACT inverse-CDF over
@@ -840,17 +844,18 @@ object ArrayQueries {
         .orderBy("v")),
 
     // Generator parity, final tail (see gen2Layered doc): noncentral_x2,
-    // noncentral_f, vonmises (wrapped-normal), exact multinomial, exact
-    // multivariate_hypergeometric — one generator scan, no shuffle until
-    // the scalar aggregate
+    // noncentral_f, EXACT vonmises (Best-Fisher bounded rejection), exact
+    // multinomial, exact multivariate_hypergeometric — one generator
+    // scan, no shuffle until the scalar aggregate. Continuous gates are
+    // integer-quantized ([[qsum]]) like q89's.
     "q95_random_gen_tail" -> ((s, d) =>
       gen2Layered(DArray.arange(s, d, 0, 20000, 1).elements)
         .agg(
-          expr("round(avg(ncx), 2)").as("ncx_m"),
-          expr("round(stddev_samp(ncx), 2)").as("ncx_sd"),
-          expr("round(avg(ncf), 2)").as("ncf_m"),
-          expr("round(avg(vm), 2)").as("vm_m"),
-          expr("round(avg(abs(vm)), 2)").as("vm_absm"),
+          expr(qsum("ncx", 64)).as("ncx_q"),
+          expr(qsum("ncx * ncx", 16)).as("ncx_qq"),
+          expr(qsum("ncf", 64)).as("ncf_q"),
+          expr(qsum("vm", 4096)).as("vm_q"),
+          expr(qsum("abs(vm)", 4096)).as("vm_absq"),
           expr("CAST(sum(mn0) AS BIGINT)").as("mn0_sum"),
           expr("CAST(sum(mn1) AS BIGINT)").as("mn1_sum"),
           expr("CAST(sum(mn2) AS BIGINT)").as("mn2_sum"),
@@ -933,7 +938,39 @@ object ArrayQueries {
         .crossJoin(ge.elements.agg(expr("CAST(sum(v) AS BIGINT)").as("ge_sum")))
         .crossJoin(ri.elements.agg(expr("CAST(sum(v) AS BIGINT)").as("ri_sum")))
     }),
+
+    // GENERAL-shape gamma family (reference random/_generator.py:100-346
+    // accepts any real shape): gamma(2.7), beta(2.3,1.7), chisquare(3.3),
+    // standard_t(5.5), f(3.3,7.7) — all through the bounded-unroll
+    // Marsaglia-Tsang rejection kernel (Kernels.gammaMT), plus the exact
+    // Best-Fisher vonmises standalone. One codegen'd scan; gates are
+    // integer-quantized sums like q89's, plus one literal cutoff count.
+    "q99_gamma_general" -> ((s, d) =>
+      DArray.arange(s, d, 0, 20000, 1).elements
+        .selectExpr(gammaGeneralCols("CAST(v AS BIGINT)"): _*)
+        .agg(
+          expr(qsum("gg", 64)).as("gg_q"), expr(qsum("gg * gg", 16)).as("gg_qq"),
+          expr(qsum("bt", 4096)).as("bt_q"),
+          expr(qsum("cs", 64)).as("cs_q"),
+          expr(qsum("st", 64)).as("st_q"),
+          expr(qsum("fg", 64)).as("fg_q"),
+          expr(qsum("vme", 4096)).as("vme_q"),
+          expr("CAST(sum(CASE WHEN gg < 2.7 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("gg_below_mean"))),
   )
+
+  /** q99's sampler columns — general real shapes through the rejection
+    * kernels, shared as SQL text with the oracle. */
+  private def gammaGeneralCols(i: String): Seq[String] = {
+    import graft.random.Kernels
+    Seq(
+      s"${Kernels.gammaKernel(i, 12001, 2.7, 1.0)} AS gg",
+      s"${Kernels.beta(i, 12101, 2.3, 1.7)} AS bt",
+      s"${Kernels.chisquare(i, 12301, 3.3)} AS cs",
+      s"${Kernels.standardT(i, 12401, 5.5)} AS st",
+      s"${Kernels.f(i, 12601, 3.3, 7.7)} AS fg",
+      s"${Kernels.vonmises(i, 12801, 0.0, 4.0)} AS vme")
+  }
 
   /** q89's kernel layers, shared (as SQL text) with the oracle: layer 1
     * evaluates the uniform streams, layer 2 the wald intermediate x, layer
@@ -959,7 +996,10 @@ object ArrayQueries {
       s"($x23) / (($x23) + ($y23)) AS bet",
       s"($z) * sqrt(6.0 / ($ch6)) AS tst",
       s"(($c4) / 4.0) / (($c8) / 8.0) AS fds",
-      s"power(${u(8122)}, 1.0 / 3.0) AS pw",
+      // CAST keeps the exponent a full-precision double: Spark types a
+      // bare 1.0 / 3.0 as DECIMAL/DECIMAL -> DECIMAL(8,6) = 0.333333,
+      // a 1e-6 exponent error DuckDB (double division) never makes
+      s"power(${u(8122)}, CAST(1 AS DOUBLE) / 3) AS pw",
       s"CASE WHEN ($ut) < 0.3 THEN sqrt(($ut) * 30.0) " +
         s"ELSE 10.0 - sqrt((1.0 - ($ut)) * 70.0) END AS tri",
       s"power($zw, 2) AS wy",
@@ -978,13 +1018,14 @@ object ArrayQueries {
   /** q95's kernel layers (the tail of Generator parity —
     * reference `random/_generator.py`): noncentral_chisquare /
     * noncentral_f by their defining representation (χ²(k−1) + (Z+√λ)²),
-    * vonmises by the wrapped-normal σ²=1/κ approximation (documented — the
-    * exact sampler is a rejection loop, not expressible as a one-pass
-    * kernel), multinomial EXACTLY as 20 summed categorical picks, and
-    * multivariate_hypergeometric EXACTLY as the first 7 slots of a
-    * position-keyed affine permutation of the 24-item urn (sampling
-    * without replacement = counting a permutation prefix). Same
-    * shared-text contract as q89: identical SQL runs on both engines. */
+    * vonmises EXACTLY by Best-Fisher rejection as a bounded unroll
+    * ([[graft.random.Kernels.vonmises]] — fixed proposal cascade with a
+    * deterministic shared-text fallback), multinomial EXACTLY as 20
+    * summed categorical picks, and multivariate_hypergeometric EXACTLY
+    * as the first 7 slots of a position-keyed affine permutation of the
+    * 24-item urn (sampling without replacement = counting a permutation
+    * prefix). Same shared-text contract as q89: identical SQL runs on
+    * both engines. */
   private def gen2Layered(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.selectExpr(gen2Layer1("CAST(v AS BIGINT)"): _*)
       .selectExpr(gen2Layer2: _*)
@@ -1007,7 +1048,7 @@ object ArrayQueries {
       s"${z(11001, 11002)} AS z1",
       s"${z(11003, 11004)} AS z2",
       s"${z(11005, 11006)} AS z3",
-      s"${z(11007, 11008)} AS z4",
+      s"${graft.random.Kernels.vonmises(iExpr, 11300, 0.0, 4.0)} AS vm",
       s"-2.0 * ln(${u(11009)}) AS c2a",
       s"-2.0 * ln(${u(11010)}) AS c2b",
       s"-2.0 * ln((${u(11011)}) * (${u(11012)}) * (${u(11013)}) * (${u(11014)})) AS c8",
@@ -1027,8 +1068,8 @@ object ArrayQueries {
       "c2a + power(z1 + sqrt(2.5), 2) AS ncx",
       // noncentral_f(dfn=4, dfd=8, nonc=2): ncx2(4,2)/4 over chi2(8)/8
       "((c2b + power(z2, 2) + power(z3 + sqrt(2.0), 2)) / 4.0) / (c8 / 8.0) AS ncf",
-      // vonmises(mu=0, kappa=4), wrapped-normal: wrap z4/2 into (-pi, pi]
-      "z4 / 2.0 - 2 * pi() * floor((z4 / 2.0 + pi()) / (2 * pi())) AS vm",
+      // vonmises(mu=0, kappa=4): computed exactly in layer 1, pass through
+      "vm",
       s"${cnt(0)} AS mn0", s"${cnt(1)} AS mn1", s"${cnt(2)} AS mn2",
       s"${urn(0, 10)} AS mh0", s"${urn(10, 18)} AS mh1", s"${urn(18, 24)} AS mh2")
   }
@@ -1058,6 +1099,19 @@ object ArrayQueries {
     // the whole fragment DOUBLE on both engines.
     s"(CAST(($a * $b) % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0"
   }
+
+  /** Integer-quantized moment gate. The continuous Generator-parity
+    * checks originally aggregated `round(avg(x), 2)` — which silently
+    * assumed JVM and DuckDB libm agree to the last bit: 20000 one-ulp
+    * drifts sum into one double, and any net drift straddling a 0.005
+    * rounding boundary flips the hash (the r7 q89/q95 failures). Here
+    * each SAMPLE quantizes independently — `floor(x * scale)` as a
+    * BIGINT — and the sum is exact integer arithmetic on both engines;
+    * a flip now needs one specific sample within ~1 ulp of a 1/scale
+    * grid line (probability ~1e-12 per gate), not a net drift. Same
+    * kernel text, same fidelity (1/scale resolution on the mean). */
+  private def qsum(x: String, scale: Long): String =
+    s"CAST(sum(CAST(floor(($x) * $scale.0) AS BIGINT)) AS BIGINT)"
 
   /** k = #{cdf values < u} — exact inverse-CDF sampling over literal
     * cutoffs (identical text on both engines, so comparisons are exact). */
@@ -1555,9 +1609,10 @@ object ArrayQueries {
     "q60_random_more" -> {
       val u = unifKernel("i", 271)
       val u2 = unifKernel("i", 977)
-      s"""SELECT round(avg(lap), 3) AS lap_m, round(stddev_samp(lap), 3) AS lap_sd,
-           round(avg(ray), 3) AS ray_m, round(avg(geo), 3) AS geo_m,
-           round(avg(ln(logn)), 3) AS logn_mu,
+      s"""SELECT ${qsum("lap", 64)} AS lap_q, ${qsum("lap * lap", 16)} AS lap_qq,
+           ${qsum("ray", 64)} AS ray_q,
+           CAST(sum(geo) AS BIGINT) AS geo_sum,
+           ${qsum("ln(logn)", 64)} AS logn_q,
            CAST(sum(CASE WHEN abs(cau) > 10 THEN 1 ELSE 0 END) AS BIGINT) AS cau_tail
          FROM (SELECT
            CASE WHEN $u < 0.5 THEN ln(2 * ($u)) ELSE -ln(2 * (1 - ($u))) END AS lap,
@@ -1570,12 +1625,13 @@ object ArrayQueries {
 
     "q73_random_tail2" -> {
       val u = unifKernel("i", 431)
-      s"""SELECT round(avg(wei), 3) AS wei_m, round(stddev_samp(wei), 3) AS wei_sd,
-           round(avg(par), 3) AS par_m, round(avg(gum), 3) AS gum_m,
-           round(avg(logi), 3) AS logi_m, round(stddev_samp(logi), 3) AS logi_sd
+      s"""SELECT ${qsum("wei", 64)} AS wei_q, ${qsum("wei * wei", 16)} AS wei_qq,
+           ${qsum("par", 64)} AS par_q,
+           ${qsum("gum", 64)} AS gum_q,
+           ${qsum("logi", 64)} AS logi_q, ${qsum("logi * logi", 16)} AS logi_qq
          FROM (SELECT
-           power(-ln(1 - ($u)), 1.0 / 1.5) * 2 AS wei,
-           power(1 - ($u), -1.0 / 2.5) - 1 AS par,
+           power(-ln(1 - ($u)), CAST(1 AS DOUBLE) / 1.5) * 2 AS wei,
+           power(1 - ($u), CAST(-1 AS DOUBLE) / 2.5) - 1 AS par,
            -ln(-ln($u)) AS gum,
            ln(($u) / (1 - ($u))) AS logi
            FROM range(20000) t(i))"""
@@ -1585,12 +1641,14 @@ object ArrayQueries {
       val l1 = gen1Layer1("i").mkString(",\n             ")
       val l2 = gen1Layer2.mkString(", ")
       val l3 = gen1Layer3.mkString(", ")
-      s"""SELECT round(avg(gam), 2) AS gam_m, round(stddev_samp(gam), 2) AS gam_sd,
-           round(avg(chi), 2) AS chi_m, round(avg(bet), 2) AS bet_m,
-           round(avg(tst), 2) AS tst_m, round(stddev_samp(tst), 2) AS tst_sd,
-           round(avg(fds), 2) AS fds_m, round(avg(pw), 2) AS pw_m,
-           round(avg(tri), 2) AS tri_m,
-           round(avg(wld), 2) AS wld_m, round(stddev_samp(wld), 2) AS wld_sd,
+      s"""SELECT ${qsum("gam", 64)} AS gam_q, ${qsum("gam * gam", 16)} AS gam_qq,
+           ${qsum("chi", 64)} AS chi_q,
+           ${qsum("bet", 4096)} AS bet_q,
+           ${qsum("tst", 64)} AS tst_q, ${qsum("tst * tst", 16)} AS tst_qq,
+           ${qsum("fds", 64)} AS fds_q,
+           ${qsum("pw", 4096)} AS pw_q,
+           ${qsum("tri", 64)} AS tri_q,
+           ${qsum("wld", 64)} AS wld_q, ${qsum("wld * wld", 16)} AS wld_qq,
            CAST(sum(itg) AS BIGINT) AS itg_sum
          FROM (SELECT $l3 FROM (SELECT $l2 FROM (
            SELECT $l1 FROM range(20000) t(i))))"""
@@ -1621,9 +1679,9 @@ object ArrayQueries {
     "q95_random_gen_tail" -> {
       val l1 = gen2Layer1("i").mkString(",\n             ")
       val l2 = gen2Layer2.mkString(",\n             ")
-      s"""SELECT round(avg(ncx), 2) AS ncx_m, round(stddev_samp(ncx), 2) AS ncx_sd,
-           round(avg(ncf), 2) AS ncf_m,
-           round(avg(vm), 2) AS vm_m, round(avg(abs(vm)), 2) AS vm_absm,
+      s"""SELECT ${qsum("ncx", 64)} AS ncx_q, ${qsum("ncx * ncx", 16)} AS ncx_qq,
+           ${qsum("ncf", 64)} AS ncf_q,
+           ${qsum("vm", 4096)} AS vm_q, ${qsum("abs(vm)", 4096)} AS vm_absq,
            CAST(sum(mn0) AS BIGINT) AS mn0_sum,
            CAST(sum(mn1) AS BIGINT) AS mn1_sum,
            CAST(sum(mn2) AS BIGINT) AS mn2_sum,
@@ -1636,6 +1694,18 @@ object ArrayQueries {
            CAST(max(mh0 + mh1 + mh2) AS BIGINT) AS mh_tot_max
          FROM (SELECT $l2 FROM (
            SELECT $l1 FROM range(20000) t(i)))"""
+    },
+
+    "q99_gamma_general" -> {
+      val cols = gammaGeneralCols("i").mkString(",\n           ")
+      s"""SELECT ${qsum("gg", 64)} AS gg_q, ${qsum("gg * gg", 16)} AS gg_qq,
+           ${qsum("bt", 4096)} AS bt_q,
+           ${qsum("cs", 64)} AS cs_q,
+           ${qsum("st", 64)} AS st_q,
+           ${qsum("fg", 64)} AS fg_q,
+           ${qsum("vme", 4096)} AS vme_q,
+           CAST(sum(CASE WHEN gg < 2.7 THEN 1 ELSE 0 END) AS BIGINT) AS gg_below_mean
+         FROM (SELECT $cols FROM range(20000) t(i))"""
     },
 
     "q92_masked_stats" ->

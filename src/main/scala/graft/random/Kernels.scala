@@ -42,45 +42,79 @@ object Kernels {
   def exponential(iExpr: String, s: Long, scale: Double): String =
     s"(-($scale) * ln(${uniform01(iExpr, s)}))"
 
-  /** Gamma(shape k, scale) for INTEGER or HALF-INTEGER k — the shapes a
-    * one-pass kernel draws exactly: sum of k exponentials plus, for the
-    * half, z²/2. General real shapes need a rejection loop (reference
-    * uses one); rejected loudly by the caller. Uses streams s .. s+2k+1. */
+  /** Gamma(shape, scale) at ANY shape > 0. Integer and half-integer
+    * shapes keep the exact one-pass draw (sum of exponentials plus, for
+    * the half, z²/2 — streams s .. s+2k+1); every other real shape goes
+    * through [[gammaMT]], the bounded-unroll Marsaglia–Tsang rejection
+    * kernel (reference uses the same rejection family,
+    * `dask_array/random/_generator.py:100`). */
   def gammaKernel(iExpr: String, s: Long, shape: Double, scale: Double): String = {
+    require(shape > 0, s"gamma shape must be positive: $shape")
     val k = math.floor(shape).toInt
     val half = shape - k
-    require(half == 0.0 || half == 0.5,
-      s"gamma shape $shape: one-pass kernels cover integer and half-integer " +
-        "shapes (sum of exponentials + z^2/2); general shapes need rejection sampling")
-    require(shape > 0, s"gamma shape must be positive: $shape")
-    val parts =
-      (if (k > 0)
-        Seq(s"-ln(" + (0 until k).map(j => s"(${uniform01(iExpr, s + j)})").mkString(" * ") + ")")
-      else Seq.empty) ++
-      (if (half == 0.5)
-        Seq(s"power(${standardNormal(iExpr, s + k)}, 2) / 2.0")
-      else Seq.empty)
-    s"(($scale) * (${parts.mkString(" + ")}))"
+    if (half == 0.0 || half == 0.5) {
+      val parts =
+        (if (k > 0)
+          Seq(s"-ln(" + (0 until k).map(j => s"(${uniform01(iExpr, s + j)})").mkString(" * ") + ")")
+        else Seq.empty) ++
+        (if (half == 0.5)
+          Seq(s"power(${standardNormal(iExpr, s + k)}, 2) / 2.0")
+        else Seq.empty)
+      s"(($scale) * (${parts.mkString(" + ")}))"
+    } else gammaMT(iExpr, s, shape, scale)
   }
 
-  def chisquare(iExpr: String, s: Long, df: Int): String =
+  /** Marsaglia–Tsang (2000) gamma rejection as a BOUNDED UNROLL: a fixed
+    * cascade of `attempts` independent (z, u) proposals, accepting the
+    * first with v = (1+cz)³ > 0 and ln u < z²/2 + d − dv + d·ln v, where
+    * d = shape − 1/3, c = 1/√(9d). Per-attempt acceptance is ≥ ~95% for
+    * shape ≥ 1, so the deterministic ELSE fallback (the distribution
+    * mean — shared literal text, identical on any engine) is reached with
+    * probability ≤ 0.05^attempts ≈ 1.6e-8: statistically invisible, and
+    * exactness of replay is unconditional because the fallback is the
+    * same pure function of position on both engines. Shapes < 1 use the
+    * standard boost gamma(a) = gamma(a+1) · u^(1/a). One codegen'd
+    * projection, no loop state, no shuffle — the Spark-native form of the
+    * reference's per-element rejection loop. Streams s .. s+4·attempts+2. */
+  def gammaMT(iExpr: String, s: Long, shape: Double, scale: Double, attempts: Int = 6): String = {
+    require(shape > 0, s"gamma shape must be positive: $shape")
+    if (shape < 1.0) {
+      val boost = s"power(${uniform01(iExpr, s + 4L * attempts + 2)}, ${1.0 / shape})"
+      s"((${gammaMT(iExpr, s, shape + 1.0, 1.0, attempts)}) * ($boost) * ($scale))"
+    } else {
+      val d = shape - 1.0 / 3.0
+      val c = 1.0 / math.sqrt(9.0 * d)
+      val arms = (0 until attempts).map { j =>
+        val z = standardNormal(iExpr, s + 4L * j)
+        val u = uniform01(iExpr, s + 4L * j + 2)
+        val v = s"power(1.0 + $c * ($z), 3)"
+        // greatest() guards ln() on the (already-rejected) v <= 0 rows so
+        // neither engine can error before the conjunction masks them out
+        val accept = s"(1.0 + $c * ($z)) > 0.0 AND " +
+          s"ln($u) < 0.5 * power($z, 2) + $d - $d * ($v) + $d * ln(greatest($v, 1e-300))"
+        s"WHEN $accept THEN $d * ($v)"
+      }
+      s"(($scale) * (CASE ${arms.mkString(" ")} ELSE $shape END))"
+    }
+  }
+
+  def chisquare(iExpr: String, s: Long, df: Double): String =
     gammaKernel(iExpr, s, df / 2.0, 2.0)
 
-  /** Beta(a,b) = Ga/(Ga+Gb) over disjoint streams (a, b integer or
-    * half-integer). */
+  /** Beta(a,b) = Ga/(Ga+Gb) over disjoint streams, any a, b > 0. */
   def beta(iExpr: String, s: Long, a: Double, b: Double): String = {
     val ga = gammaKernel(iExpr, s, a, 1.0)
     val gb = gammaKernel(iExpr, s + 64, b, 1.0)
     s"(($ga) / (($ga) + ($gb)))"
   }
 
-  /** Snedecor F(dfnum, dfden), integer dfs. */
-  def f(iExpr: String, s: Long, dfnum: Int, dfden: Int): String =
-    s"((${chisquare(iExpr, s, dfnum)} / $dfnum.0) / (${chisquare(iExpr, s + 64, dfden)} / $dfden.0))"
+  /** Snedecor F(dfnum, dfden), any positive dfs. */
+  def f(iExpr: String, s: Long, dfnum: Double, dfden: Double): String =
+    s"((${chisquare(iExpr, s, dfnum)} / $dfnum) / (${chisquare(iExpr, s + 64, dfden)} / $dfden))"
 
-  /** Student t(df), integer df: z * sqrt(df / chi2(df)). */
-  def standardT(iExpr: String, s: Long, df: Int): String =
-    s"(${standardNormal(iExpr, s)} * sqrt($df.0 / (${chisquare(iExpr, s + 64, df)})))"
+  /** Student t(df), any df > 0: z * sqrt(df / chi2(df)). */
+  def standardT(iExpr: String, s: Long, df: Double): String =
+    s"(${standardNormal(iExpr, s)} * sqrt($df / (${chisquare(iExpr, s + 64, df)})))"
 
   def lognormal(iExpr: String, s: Long, mean: Double, sigma: Double): String =
     s"exp(${normal(iExpr, s, mean, sigma)})"
@@ -101,14 +135,17 @@ object Kernels {
   def rayleigh(iExpr: String, s: Long, scale: Double): String =
     s"(($scale) * sqrt(-2.0 * ln(${uniform01(iExpr, s)})))"
 
+  // exponents are DRIVER-computed doubles (shortest round-trip repr): a
+  // literal `1.0 / a` in the SQL text would be DECIMAL/DECIMAL in Spark
+  // (quantized at 6 decimals) but DOUBLE in DuckDB — the q89 pw lesson
   def pareto(iExpr: String, s: Long, a: Double): String =
-    s"(power(${uniform01(iExpr, s)}, -1.0 / $a) - 1.0)"
+    s"(power(${uniform01(iExpr, s)}, ${-1.0 / a}) - 1.0)"
 
   def weibull(iExpr: String, s: Long, a: Double): String =
-    s"power(-ln(${uniform01(iExpr, s)}), 1.0 / $a)"
+    s"power(-ln(${uniform01(iExpr, s)}), ${1.0 / a})"
 
   def power(iExpr: String, s: Long, a: Double): String =
-    s"power(${uniform01(iExpr, s)}, 1.0 / $a)"
+    s"power(${uniform01(iExpr, s)}, ${1.0 / a})"
 
   def standardCauchy(iExpr: String, s: Long): String =
     s"tan(pi() * ((${uniform01(iExpr, s)}) - 0.5))"
@@ -136,9 +173,44 @@ object Kernels {
     s"(CASE WHEN ($u) <= $mu / ($mu + ($x)) THEN ($x) ELSE ${mu * mu} / ($x) END)"
   }
 
-  /** von Mises(mu, kappa) by the wrapped-normal sigma^2 = 1/kappa
-    * approximation (documented: the exact sampler is a rejection loop). */
-  def vonmises(iExpr: String, s: Long, mu: Double, kappa: Double): String = {
+  /** EXACT von Mises(mu, kappa) by Best–Fisher (1979) rejection as a
+    * bounded unroll (same contract as [[gammaMT]]): `attempts` independent
+    * (u1,u2,u3) proposals with z = cos(π·u1), f = (1+rz)/(r+z),
+    * c = κ(r−f), accepted when c(2−c) > u2 or ln(c/u2) + 1 − c ≥ 0; the
+    * accepted angle is mu ± acos(f). Per-attempt acceptance is ≥ ~66% at
+    * any κ, so the fallback — the wrapped-normal σ²=1/κ draw, itself a
+    * deterministic shared-text kernel — is reached with probability
+    * ≤ 0.34^attempts ≈ 2e-4: replay stays exact on any engine, and the
+    * distributional contamination is below any gate's resolution.
+    * Streams s .. s+3·attempts+1. */
+  def vonmises(iExpr: String, s: Long, mu: Double, kappa: Double, attempts: Int = 8): String = {
+    val tau = 1.0 + math.sqrt(1.0 + 4.0 * kappa * kappa)
+    val rho = (tau - math.sqrt(2.0 * tau)) / (2.0 * kappa)
+    val r = (1.0 + rho * rho) / (2.0 * rho)
+    val arms = (0 until attempts).map { j =>
+      val u1 = uniform01(iExpr, s + 3L * j)
+      val u2 = uniform01(iExpr, s + 3L * j + 1)
+      val u3 = uniform01(iExpr, s + 3L * j + 2)
+      val z = s"cos(pi() * ($u1))"
+      val f = s"((1.0 + $r * ($z)) / ($r + ($z)))"
+      val c = s"($kappa * ($r - $f))"
+      // greatest() guards ln() (c→0 only on rejected rows); least/greatest
+      // clamp acos's argument against ulp drift past ±1
+      val accept = s"(($c) * (2.0 - ($c)) - ($u2) > 0.0 OR " +
+        s"ln(greatest(($c) / ($u2), 1e-300)) + 1.0 - ($c) >= 0.0)"
+      val theta = s"(CASE WHEN ($u3) < 0.5 THEN $mu - acos(least(greatest($f, -1.0), 1.0)) " +
+        s"ELSE $mu + acos(least(greatest($f, -1.0), 1.0)) END)"
+      s"WHEN $accept THEN $theta"
+    }
+    val zf = s"($mu + ${standardNormal(iExpr, s + 3L * attempts)} / sqrt($kappa))"
+    val fallback = s"(($zf) - 2 * pi() * floor((($zf) + pi()) / (2 * pi())))"
+    s"(CASE ${arms.mkString(" ")} ELSE $fallback END)"
+  }
+
+  /** The wrapped-normal σ²=1/κ von Mises approximation — kept as the
+    * [[vonmises]] fallback arm and for callers that want the one-uniform
+    * cheap form. */
+  def vonmisesWrapped(iExpr: String, s: Long, mu: Double, kappa: Double): String = {
     val z = s"($mu + ${standardNormal(iExpr, s)} / sqrt($kappa))"
     s"(($z) - 2 * pi() * floor((($z) + pi()) / (2 * pi())))"
   }

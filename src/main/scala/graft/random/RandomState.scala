@@ -17,9 +17,11 @@ import graft.DArray
   *
   * Shapes here are 1-d (`size` = element count); N-d sizes compose with
   * `NdArray.fromFlat` over `.elements` like every other 1-d surface.
-  * Samplers whose exact draw needs a rejection loop (general-real-shape
-  * gamma and friends) accept the integer/half-integer shapes a one-pass
-  * kernel covers and reject the rest loudly — documented per method.
+  * Samplers whose draw needs a rejection loop (general-real-shape gamma,
+  * exact von Mises) use the BOUNDED-UNROLL rejection kernels
+  * ([[Kernels.gammaMT]], [[Kernels.vonmises]]): a fixed cascade of
+  * independent proposals with a deterministic shared-text fallback, so
+  * every draw stays a pure position-keyed projection.
   */
 class RandomState(spark: SparkSession, dir: String, seed0: Long = 0L) {
   private var seedV: Long = seed0
@@ -57,21 +59,23 @@ class RandomState(spark: SparkSession, dir: String, seed0: Long = 0L) {
   def exponential(scale: Double = 1.0, size: Long): DArray =
     draw(size, Kernels.exponential(I, next(), scale))
 
-  /** Integer/half-integer `shape` (one-pass exact); others rejected. */
+  /** Any `shape` > 0: integer/half-integer shapes draw exactly one-pass;
+    * general real shapes go through the bounded-unroll Marsaglia–Tsang
+    * rejection kernel ([[Kernels.gammaMT]]). */
   def gamma(shape: Double, scale: Double = 1.0, size: Long): DArray =
     draw(size, Kernels.gammaKernel(I, next(), shape, scale))
   def standard_gamma(shape: Double, size: Long): DArray = gamma(shape, 1.0, size)
 
-  def chisquare(df: Int, size: Long): DArray = draw(size, Kernels.chisquare(I, next(), df))
+  def chisquare(df: Double, size: Long): DArray = draw(size, Kernels.chisquare(I, next(), df))
 
-  /** Integer/half-integer `a`, `b`. */
+  /** Any `a`, `b` > 0. */
   def beta(a: Double, b: Double, size: Long): DArray =
     draw(size, Kernels.beta(I, next(), a, b))
 
-  def f(dfnum: Int, dfden: Int, size: Long): DArray =
+  def f(dfnum: Double, dfden: Double, size: Long): DArray =
     draw(size, Kernels.f(I, next(), dfnum, dfden))
 
-  def standard_t(df: Int, size: Long): DArray = draw(size, Kernels.standardT(I, next(), df))
+  def standard_t(df: Double, size: Long): DArray = draw(size, Kernels.standardT(I, next(), df))
 
   def lognormal(mean: Double = 0.0, sigma: Double = 1.0, size: Long): DArray =
     draw(size, Kernels.lognormal(I, next(), mean, sigma))
@@ -100,7 +104,7 @@ class RandomState(spark: SparkSession, dir: String, seed0: Long = 0L) {
   def wald(mean: Double, scale: Double, size: Long): DArray =
     draw(size, Kernels.wald(I, next(), mean, scale))
 
-  /** Wrapped-normal approximation (documented in [[Kernels.vonmises]]). */
+  /** EXACT Best–Fisher rejection (bounded unroll — [[Kernels.vonmises]]). */
   def vonmises(mu: Double, kappa: Double, size: Long): DArray =
     draw(size, Kernels.vonmises(I, next(), mu, kappa))
 

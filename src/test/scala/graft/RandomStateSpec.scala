@@ -143,10 +143,37 @@ class RandomStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals(more(0).standard_normal(5000)).toSeq != draws(0).toSeq)
   }
 
+  test("general-shape gamma family (Marsaglia-Tsang bounded unroll) hits its moments") {
+    val r = RandomState(spark, dir, seed = 13)
+    val g = vals(r.gamma(1.3, 2.0, N)) // mean 2.6, var 1.3*4 = 5.2
+    assert(math.abs(mean(g) - 2.6) < 0.1 && math.abs(sd(g) - math.sqrt(5.2)) < 0.15)
+    assert(g.forall(_ > 0))
+    val gs = vals(r.gamma(0.7, 1.0, N)) // shape < 1: boost path; mean 0.7
+    assert(math.abs(mean(gs) - 0.7) < 0.05 && gs.forall(_ > 0))
+    val c = vals(r.chisquare(3.3, N)) // mean df, var 2*df
+    assert(math.abs(mean(c) - 3.3) < 0.1 && math.abs(sd(c) - math.sqrt(6.6)) < 0.2)
+    val b = vals(r.beta(2.3, 1.7, N)) // mean a/(a+b) = 0.575
+    assert(math.abs(mean(b) - 0.575) < 0.02 && b.forall(v => v > 0 && v < 1))
+    val t = vals(r.standard_t(5.5, N)) // mean 0, var df/(df-2) = 1.5714
+    assert(math.abs(mean(t)) < 0.05 && math.abs(sd(t) - math.sqrt(5.5 / 3.5)) < 0.1)
+    val fv = vals(r.f(3.3, 7.7, N)) // mean dfden/(dfden-2) = 1.3509
+    assert(math.abs(mean(fv) - 7.7 / 5.7) < 0.12 && fv.forall(_ > 0))
+  }
+
+  test("exact von Mises (Best-Fisher bounded unroll): support and circular moment") {
+    val r = RandomState(spark, dir, seed = 23)
+    val vm = vals(r.vonmises(0.0, 4.0, N))
+    assert(vm.forall(v => v >= -math.Pi && v <= math.Pi))
+    // E[cos θ] = I1(κ)/I0(κ); at κ=4 that is ≈ 0.86351 — the wrapped-normal
+    // approximation gives ≈ 0.8825 instead, so this check pins EXACTNESS
+    assert(math.abs(mean(vm.map(math.cos)) - 0.86351) < 0.01)
+    assert(math.abs(mean(vm.map(math.sin))) < 0.02) // symmetry about mu=0
+  }
+
   test("unsupported shapes are rejected loudly, not silently approximated") {
     val r = RandomState(spark, dir, seed = 1)
-    assert(intercept[IllegalArgumentException](r.gamma(1.3, 1.0, 10))
-      .getMessage.contains("rejection"))
+    assert(intercept[IllegalArgumentException](r.gamma(-1.0, 1.0, 10))
+      .getMessage.contains("positive"))
     assert(intercept[IllegalArgumentException](r.noncentral_chisquare(1, 2.0, 10))
       .getMessage.contains("df >= 2"))
     assert(intercept[IllegalArgumentException](r.multinomial(65, Seq(0.5, 0.5), 10))
