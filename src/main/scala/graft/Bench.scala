@@ -49,7 +49,12 @@ object Bench {
       .flatMap(SparkEntry.queries.get).foreach(fn => runOnce(fn))
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q05_sliding_mean,l01_tsqr_rtr times a subset
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val first = runOnce(fn, name)
       // unpersist anything run 1 leaked so run 2 can't skip real work
       spark.catalog.clearCache()

@@ -11,14 +11,22 @@ import graft.DMatrix
   * `dask_array/linalg/_cholesky.py:27` — recursive blocked algorithm with
   * driver-coordinated stages; here the right-looking panel variant):
   *
-  * per block-column k — (1) the diagonal tile is factored in-core on the
-  * driver, (2) the panel below it is collected (O(nb·T²) transient driver
-  * bytes — one block column, the same bound the reference's sequential
-  * recurrence accepts), solved against Lkkᵀ in-core, and re-distributed,
-  * (3) the trailing submatrix update A[i,j] -= L[i,k]·L[j,k]ᵀ runs
-  * DISTRIBUTED as a broadcast-map over the remaining tiles. The data-sized
-  * work (trailing updates, O(n³) total FLOPs) never leaves the cluster;
-  * only panels stream through the driver.
+  * per block-column k — (1) ONLY the t×t diagonal tile is collected and
+  * factored in-core (O(t²) driver bytes per step — the irreducible
+  * sequential dependency), (2) the panel below it solves against the
+  * BROADCAST Lkkᵀ executor-side and stays distributed, (3) the trailing
+  * update A[i,j] -= L[i,k]·L[j,k]ᵀ joins the panel onto the trailing
+  * tiles via two broadcast joins — the Spark realization of ScaLAPACK's
+  * panel broadcast (the panel rides the torrent-broadcast path in compact
+  * binary form; user code never collects a block column and never
+  * re-emits data through `createDataFrame`). The O(n³) trailing FLOPs
+  * and all O(n²) panel solves stay on executors; L accumulates as the
+  * persisted panel tiles themselves, assembled lazily into elements.
+  * Loop predicates are typed closures (step index captured, not inlined
+  * as a literal) so whole-stage codegen compiles ONCE per loop shape,
+  * not once per step; generations are localCheckpoint'ed to cut lineage
+  * (the panel re-enters the trailing join — nesting would grow plans
+  * 3^nb otherwise).
   */
 object Cholesky {
 
@@ -81,9 +89,20 @@ object Cholesky {
     }
   }
 
+
+  /** Run `body` with AQE off: the panel loops execute dozens of tiny
+    * per-step plans where adaptive re-planning is pure overhead (every
+    * join is already a broadcast join; there is nothing to adapt). */
+  private def withoutAQE[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val was = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, was)
+  }
+
   /** Distributed blocked Cholesky. `a` must be symmetric positive definite;
     * only the lower triangle is read. Returns lower-triangular L. */
-  def cholesky(s: SparkSession, a: DMatrix, tile: Int = 512): DMatrix = {
+  def cholesky(s: SparkSession, a: DMatrix, tile: Int = 512): DMatrix = withoutAQE(s) {
     require(a.rows == a.cols, "cholesky needs a square matrix")
     import s.implicits._
     val n = a.rows
@@ -106,9 +125,13 @@ object Cholesky {
         s"i % $tL AS ti", s"j % $tL AS tj", "v")
       .groupBy("bi", "bj")
       .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+    // tile partition count scales with the grid, not the session default —
+    // a 4-block bench matrix shouldn't schedule 32-task stages per step
+    val parts = math.max(1, math.min(s.sparkContext.defaultParallelism, nb * nb))
     var cur = grid.join(present, Seq("bi", "bj"), "left")
       .selectExpr("bi", "bj",
         "coalesce(cells, CAST(array() AS ARRAY<STRUCT<ti: BIGINT, tj: BIGINT, v: DOUBLE>>)) AS cells")
+      .repartition(parts, col("bi"), col("bj"))
       .as[(Long, Long, Array[(Long, Long, Double)])]
       .map { case (bi, bj, cells) =>
         val arr = new Array[Double](t * t)
@@ -121,61 +144,75 @@ object Cholesky {
         }
         cells.foreach { case (ti, tj, v) => arr(ti.toInt * t + tj.toInt) = v }
         (bi, bj, arr)
-      }.persist()
+      }.localCheckpoint(true)
 
-    val lPanels = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    // deferred unpersist: each step's panel collect scans (and so
-    // materializes) the freshly-persisted `cur`, so the PREVIOUS
-    // generation can be dropped then — no standalone count() jobs
-    var prevGen: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])] = null
+    // L's panels, kept DISTRIBUTED: (bi, tile) per block column k. Every
+    // generation and panel is localCheckpoint'ed: the panel re-enters the
+    // trailing join, so a plain persist would nest the previous plan three
+    // times per step (3^nb plan nodes — the lineage must be CUT, not just
+    // the data cached). Checkpointed generations release via the context
+    // cleaner as the loop drops its references.
+    val lPanels = ArrayBuffer.empty[org.apache.spark.sql.Dataset[(Long, Array[Double])]]
 
     var k = 0
     while (k < nb) {
-      // (1)+(2) collect block column k, factor in-core
-      val panel = cur.filter(r => r._2 == k).collect().sortBy(_._1)
-      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
-      val akk = panel.find(_._1 == k).get._3
+      val kk = k.toLong
+      // (1) collect ONLY the diagonal tile — O(t²), the sequential core
+      val akk = cur.filter(r => r._1 == kk && r._2 == kk).head()._3
       val lkk = localChol(akk, t)
-      val lPanel: Map[Long, Array[Double]] =
-        panel.map { case (bi, _, arr) =>
-          bi -> (if (bi == k) lkk else localSolveXLt(arr, lkk, t))
-        }.toMap
+      val bcLkk = s.sparkContext.broadcast(lkk)
+      // (2) panel solve EXECUTOR-side against the broadcast diagonal
+      // factor. Loop predicates are typed closures (kk captured, not a
+      // literal): every step then reuses ONE compiled codegen class
+      // instead of recompiling a literal-specialized plan per step.
+      // panel stays LAZY: the trailing join's broadcast build computes it
+      // this step, and final assembly re-derives it (O(panel) flops) from
+      // the checkpointed generation — one fewer job per step
+      val lpan = cur.filter(r => r._2 == kk)
+        .map { case (bi, _, arr) =>
+          (bi, if (bi == kk) bcLkk.value else localSolveXLt(arr, bcLkk.value, t))
+        }
+      lPanels += lpan
 
-      // emit this panel of L as distributed elements (lower triangle only)
-      val kk = k
-      val rows = lPanel.toSeq.flatMap { case (bi, arr) =>
-        for {
-          ti <- 0 until t
-          tj <- 0 until t
-          i = bi * tL + ti
-          j = kk * tL + tj
-          if i < n && j < n && i >= j && arr(ti * t + tj) != 0.0
-        } yield (i, j, arr(ti * t + tj))
-      }
-      lPanels += s.createDataFrame(rows).toDF("i", "j", "v")
-
-      // (3) distributed trailing update on tiles with bj > k
       if (k < nb - 1) {
-        val bc = s.sparkContext.broadcast(lPanel)
-        val next = cur.filter(r => r._2 > kk)
-          .map { case (bi, bj, arr) =>
-            val p = bc.value
-            val out = arr.clone()
-            (p.get(bi), p.get(bj)) match {
-              case (Some(lik), Some(ljk)) => subMulT(out, lik, ljk, t)
-              case _                      =>
-            }
-            (bi, bj, out)
-          }.persist()
-        prevGen = cur
-        cur = next
+        // (3) trailing update: broadcast-JOIN the panel onto the trailing
+        // tiles — L[i,k] keyed by row block, L[j,k] by column block (both
+        // always present: the panel covers blocks k..nb-1)
+        val pan = lpan.toDF("pb", "parr")
+        cur = cur.filter(r => r._2 > kk).toDF("bi", "bj", "arr")
+          .join(broadcast(pan.select(col("pb").as("rb"), col("parr").as("lik"))),
+            col("bi") === col("rb"))
+          .join(broadcast(pan.select(col("pb").as("cb"), col("parr").as("ljk"))),
+            col("bj") === col("cb"))
+          .select(col("bi").as("_1"), col("bj").as("_2"), col("arr").as("_3"),
+            col("lik").as("_4"), col("ljk").as("_5"))
+          .as[(Long, Long, Array[Double], Array[Double], Array[Double])]
+          .map { case (bi, bj, arr, lik, ljk) =>
+            val out = arr.clone(); subMulT(out, lik, ljk, t); (bi, bj, out)
+          }.localCheckpoint(true)
       }
       k += 1
     }
-    cur.unpersist()
-    if (prevGen != null) prevGen.unpersist()
 
-    val lDF = lPanels.reduce(_ unionByName _)
+    // assemble L lazily from the persisted panels (lower triangle, trimmed
+    // to the logical edge) — no data returns to the driver
+    val lDF = lPanels.zipWithIndex.map { case (p, kIdx) =>
+      val j0 = kIdx.toLong * tL
+      val (tc, nc, tLc) = (t, n, tL)
+      p.flatMap { case (bi, arr) =>
+        for {
+          ti <- 0 until tc
+          tj <- 0 until tc
+          i = bi * tLc + ti
+          j = j0 + tj
+          if i < nc && j < nc && i >= j && arr(ti * tc + tj) != 0.0
+        } yield (i, j, arr(ti * tc + tj))
+      }.toDF("i", "j", "v")
+    }.reduce(_ unionByName _)
+      // materialize the assembled factor once: downstream consumers (tile
+      // grids of the triangular solves, matmuls) re-read a compact RDD
+      // instead of re-deriving every panel per action
+      .localCheckpoint(true)
     new DMatrix(lDF, n, n)
   }
 
@@ -269,7 +306,7 @@ object Cholesky {
     * `lu`, `linalg/_lu.py:27` — same driver-panel + distributed-trailing
     * shape as [[cholesky]]). Requires a numerically safe (e.g. diagonally
     * dominant) matrix; the per-tile factorization asserts nonzero pivots. */
-  def lu(s: SparkSession, a: DMatrix, tile: Int = 512): (DMatrix, DMatrix) = {
+  def lu(s: SparkSession, a: DMatrix, tile: Int = 512): (DMatrix, DMatrix) = withoutAQE(s) {
     require(a.rows == a.cols, "lu needs a square matrix")
     import s.implicits._
     val n = a.rows
@@ -286,9 +323,11 @@ object Cholesky {
         s"i % $tL AS ti", s"j % $tL AS tj", "v")
       .groupBy("bi", "bj")
       .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+    val parts = math.max(1, math.min(s.sparkContext.defaultParallelism, nb * nb))
     var cur = grid.join(present, Seq("bi", "bj"), "left")
       .selectExpr("bi", "bj",
         "coalesce(cells, CAST(array() AS ARRAY<STRUCT<ti: BIGINT, tj: BIGINT, v: DOUBLE>>)) AS cells")
+      .repartition(parts, col("bi"), col("bj"))
       .as[(Long, Long, Array[(Long, Long, Double)])]
       .map { case (bi, bj, cells) =>
         val arr = new Array[Double](t * t)
@@ -298,67 +337,70 @@ object Cholesky {
         }
         cells.foreach { case (ti, tj, v) => arr(ti.toInt * t + tj.toInt) = v }
         (bi, bj, arr)
-      }.persist()
+      }.localCheckpoint(true)
 
-    val lParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    val uParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    var prevGen: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])] = null
-
-    def emit(buf: ArrayBuffer[org.apache.spark.sql.DataFrame],
-             tiles: Seq[(Long, Long, Array[Double])], lower: Boolean): Unit = {
-      val rows = tiles.flatMap { case (bi, bj, arr) =>
-        for {
-          ti <- 0 until t
-          tj <- 0 until t
-          i = bi * tL + ti
-          j = bj * tL + tj
-          if i < n && j < n && arr(ti * t + tj) != 0.0
-          if (lower && i >= j) || (!lower && j >= i)
-        } yield (i, j, arr(ti * t + tj))
-      }
-      buf += s.createDataFrame(rows).toDF("i", "j", "v")
-    }
+    // distributed panels: L's block column k keyed by bi, U's block row k
+    // keyed by bj — the factors accumulate as these checkpointed tile
+    // sets (lineage CUT per step; see cholesky)
+    val lPanels = ArrayBuffer.empty[org.apache.spark.sql.Dataset[(Long, Array[Double])]]
+    val uPanels = ArrayBuffer.empty[org.apache.spark.sql.Dataset[(Long, Array[Double])]]
 
     var k = 0
     while (k < nb) {
-      val kk = k
-      // collect block row + column k
-      val panel = cur.filter(r => r._1 == kk || r._2 == kk).collect()
-      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
-      val akk = panel.find(r => r._1 == kk && r._2 == kk).get._3
+      val kk = k.toLong
+      // collect ONLY the diagonal tile — O(t²) driver bytes per step
+      val akk = cur.filter(r => r._1 == kk && r._2 == kk).head()._3
       val (lkk, ukk) = localLU(akk, t)
-      val lCol: Map[Long, Array[Double]] = panel.collect {
-        case (bi, bj, arr) if bj == kk && bi > kk => bi -> localSolveXU(arr, ukk, t)
-      }.toMap + (kk.toLong -> lkk)
-      val uRow: Map[Long, Array[Double]] = panel.collect {
-        case (bi, bj, arr) if bi == kk && bj > kk => bj -> localSolveLX(arr, lkk, t)
-      }.toMap + (kk.toLong -> ukk)
-
-      emit(lParts, lCol.toSeq.map { case (bi, arr) => (bi, kk.toLong, arr) }, lower = true)
-      emit(uParts, uRow.toSeq.map { case (bj, arr) => (kk.toLong, bj, arr) }, lower = false)
+      val bcLkk = s.sparkContext.broadcast(lkk)
+      val bcUkk = s.sparkContext.broadcast(ukk)
+      // panel solves EXECUTOR-side against the broadcast diagonal factors
+      // panels stay LAZY (see cholesky): materialized by this step's
+      // trailing broadcast builds, re-derived cheaply at assembly
+      val lCol = cur.filter(r => r._2 == kk && r._1 >= kk)
+        .map { case (bi, _, arr) =>
+          (bi, if (bi == kk) bcLkk.value else localSolveXU(arr, bcUkk.value, t))
+        }
+      val uRow = cur.filter(r => r._1 == kk && r._2 >= kk)
+        .map { case (_, bj, arr) =>
+          (bj, if (bj == kk) bcUkk.value else localSolveLX(arr, bcLkk.value, t))
+        }
+      lPanels += lCol
+      uPanels += uRow
 
       if (k < nb - 1) {
-        val bcL = s.sparkContext.broadcast(lCol)
-        val bcU = s.sparkContext.broadcast(uRow)
-        val next = cur.filter(r => r._1 > kk && r._2 > kk)
-          .map { case (bi, bj, arr) =>
-            val out = arr.clone()
-            (bcL.value.get(bi), bcU.value.get(bj)) match {
-              case (Some(lik), Some(ukj)) => subMul(out, lik, ukj, t)
-              case _                      =>
-            }
-            (bi, bj, out)
-          }.persist()
-        prevGen = cur
-        cur = next
+        // trailing update A[i,j] -= L[i,k]·U[k,j] via two broadcast joins
+        cur = cur.filter(r => r._1 > kk && r._2 > kk).toDF("bi", "bj", "arr")
+          .join(broadcast(lCol.toDF("rb", "lik")), col("bi") === col("rb"))
+          .join(broadcast(uRow.toDF("cb", "ukj")), col("bj") === col("cb"))
+          .select(col("bi").as("_1"), col("bj").as("_2"), col("arr").as("_3"),
+            col("lik").as("_4"), col("ukj").as("_5"))
+          .as[(Long, Long, Array[Double], Array[Double], Array[Double])]
+          .map { case (bi, bj, arr, lik, ukj) =>
+            val out = arr.clone(); subMul(out, lik, ukj, t); (bi, bj, out)
+          }.localCheckpoint(true)
       }
       k += 1
     }
-    cur.unpersist()
-    if (prevGen != null) prevGen.unpersist()
 
-    (new DMatrix(lParts.reduce(_ unionByName _), n, n),
-      new DMatrix(uParts.reduce(_ unionByName _), n, n))
+    def assemble(panels: Seq[org.apache.spark.sql.Dataset[(Long, Array[Double])]],
+                 lower: Boolean): org.apache.spark.sql.DataFrame =
+      panels.zipWithIndex.map { case (p, kIdx) =>
+        val k0 = kIdx.toLong * tL
+        val (tc, nc, tLc, low) = (t, n, tL, lower)
+        p.flatMap { case (bk, arr) =>
+          for {
+            ti <- 0 until tc
+            tj <- 0 until tc
+            i = if (low) bk * tLc + ti else k0 + ti
+            j = if (low) k0 + tj else bk * tLc + tj
+            if i < nc && j < nc && arr(ti * tc + tj) != 0.0
+            if (low && i >= j) || (!low && j >= i)
+          } yield (i, j, arr(ti * tc + tj))
+        }.toDF("i", "j", "v")
+      }.reduce(_ unionByName _)
+
+    (new DMatrix(assemble(lPanels.toSeq, lower = true).localCheckpoint(true), n, n),
+      new DMatrix(assemble(uPanels.toSeq, lower = false).localCheckpoint(true), n, n))
   }
 
   /** Solve U·X = B in-core (U upper-triangular, t×t row-major): backward
@@ -398,9 +440,11 @@ object Cholesky {
         s"i % $tL AS ti", s"j % $tL AS tj", "v")
       .groupBy("bi", "bj")
       .agg(expr("collect_list(struct(ti, tj, v))").as("cells"))
+    val parts = math.max(1, math.min(s.sparkContext.defaultParallelism, nbr * nbc))
     grid.join(present, Seq("bi", "bj"), "left")
       .selectExpr("bi", "bj",
         "coalesce(cells, CAST(array() AS ARRAY<STRUCT<ti: BIGINT, tj: BIGINT, v: DOUBLE>>)) AS cells")
+      .repartition(parts, col("bi"), col("bj"))
       .as[(Long, Long, Array[(Long, Long, Double)])]
       .map { case (bi, bj, cells) =>
         val arr = new Array[Double](t * t)
@@ -413,35 +457,14 @@ object Cholesky {
       }
   }
 
-  /** Collect one t×t tile block-column of a triangular factor to the
-    * driver: O(nb·t²) transient bytes — the same panel bound the
-    * factorizations accept. Diagonal tile padded to 1 past the edge. */
-  private def collectColPanel(f: DMatrix, k: Int, t: Int, lower: Boolean): Map[Long, Array[Double]] = {
-    val tL = t.toLong
-    val n = f.rows
-    val sel =
-      if (lower) f.df.where(col("j") >= k * tL && col("j") < (k + 1) * tL && col("i") >= k * tL)
-      else f.df.where(col("j") >= k * tL && col("j") < (k + 1) * tL && col("i") < (k + 1) * tL)
-    val rows = sel.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val byTile = rows.groupBy(_._1 / tL)
-    byTile.map { case (bi, cs) =>
-      val arr = new Array[Double](t * t)
-      if (bi == k) {
-        var d0 = 0
-        while (d0 < t) { if (k * tL + d0 >= n) arr(d0 * t + d0) = 1.0; d0 += 1 }
-      }
-      cs.foreach { case (i, j, v) => arr(((i % tL) * tL + (j % tL)).toInt) = v }
-      (bi, arr)
-    }
-  }
-
   /** Block forward substitution with a MATRIX right-hand side: X with
     * L·X = B, both distributed tile sets (reference `solve_triangular`,
-    * `linalg/_solve.py:20` — lower=True path). Right-looking: per block
-    * step, the X block-row solves distributedly under a broadcast Lkk,
-    * then the trailing B rows take `B_i -= L_ik·X_k` as a broadcast map —
-    * the O(n³) work never leaves the cluster; only O(nb·t²) panels
-    * stream through the driver. */
+    * `linalg/_solve.py:20` — lower=True path). Right-looking, fully
+    * distributed (same shape as [[cholesky]]): per block step the X
+    * block-row solves executor-side under the broadcast-joined diagonal
+    * factor tile, and the trailing rows take `B_i -= F_ik·X_k` via
+    * broadcast joins of the factor's block column and the fresh X row —
+    * user code collects nothing. */
   def solveLowerTiles(s: SparkSession, l: DMatrix, b: DMatrix, tile: Int = 512): DMatrix = {
     solveTriTiles(s, l, b, tile, lower = true)
   }
@@ -452,7 +475,7 @@ object Cholesky {
   }
 
   private def solveTriTiles(s: SparkSession, f: DMatrix, b: DMatrix, tile: Int,
-                            lower: Boolean): DMatrix = {
+                            lower: Boolean): DMatrix = withoutAQE(s) {
     require(f.rows == f.cols && f.rows == b.rows, "shape mismatch")
     import s.implicits._
     val t = tile
@@ -460,51 +483,61 @@ object Cholesky {
     val n = f.rows
     val m = b.cols
     val nb = ((n + t - 1) / t).toInt
-    var cur = tileGrid(s, b, t, diagPad = false).persist()
-    var prevGen: org.apache.spark.sql.Dataset[(Long, Long, Array[Double])] = null
-    val xParts = ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    // the factor's tile grid is built ONCE and stays distributed; block
+    // columns broadcast-join into each step from this checkpoint. Lineage
+    // is CUT per generation (see cholesky — plain persist would nest
+    // plans exponentially through the panel joins).
+    val fTiles = tileGrid(s, f, t, diagPad = true).localCheckpoint(true)
+    var cur = tileGrid(s, b, t, diagPad = false).localCheckpoint(true)
+    val xPanels = ArrayBuffer.empty[(Long, org.apache.spark.sql.Dataset[(Long, Array[Double])])]
     val ks = if (lower) 0 until nb else (nb - 1) to 0 by -1
     for (k <- ks) {
       val kk = k.toLong
-      val panel = collectColPanel(f, k, t, lower) // block column k of the factor
-      val fkk = panel(kk)
-      val bcDiag = s.sparkContext.broadcast(fkk)
-      // X_k = Fkk⁻¹ B_k, one task per column tile of block row k
-      val xk = cur.filter(r => r._1 == kk)
-        .map { case (bi, bj, arr) =>
-          val x = if (lower) localSolveLX(arr, bcDiag.value, t)
-                  else localSolveUX(arr, bcDiag.value, t)
-          (bi, bj, x)
-        }.collect() // one block row: O(nbc·t²), the accepted panel bound
-      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
-      val rows = xk.flatMap { case (bi, bj, arr) =>
-        for {
-          ti <- 0 until t; tj <- 0 until t
-          i = bi * tL + ti; j = bj * tL + tj
-          if i < n && j < m && arr(ti * t + tj) != 0.0
-        } yield (i, j, arr(ti * t + tj))
-      }
-      xParts += s.createDataFrame(rows.toSeq).toDF("i", "j", "v")
-      // trailing update on unsolved block rows
-      val remaining = if (lower) (bi: Long) => bi > kk else (bi: Long) => bi < kk
+      // block column k of the factor (triangular half only)
+      val low = lower
+      val fcol = fTiles.filter(r =>
+        r._2 == kk && (if (low) r._1 >= kk else r._1 <= kk))
+      // X_k = Fkk⁻¹·B_k executor-side: block row k of B under the single
+      // broadcast-joined diagonal factor tile
+      val fdiag = fcol.filter(r => r._1 == kk).map(_._3)
+      val xk = cur.filter(r => r._1 == kk).toDF("bi", "bj", "arr")
+        .crossJoin(broadcast(fdiag.toDF("fkk")))
+        .select(col("bj").as("_1"), col("arr").as("_2"), col("fkk").as("_3"))
+        .as[(Long, Array[Double], Array[Double])]
+        .map { case (bj, arr, fkk) =>
+          (bj, if (low) localSolveLX(arr, fkk, t) else localSolveUX(arr, fkk, t))
+        }
+      xPanels += ((kk, xk))
       if (ks.last != k) {
-        val bcPanel = s.sparkContext.broadcast(panel)
-        val bcXk = s.sparkContext.broadcast(xk.map { case (_, bj, arr) => bj -> arr }.toMap)
-        val next = cur.filter(r => remaining(r._1))
-          .map { case (bi, bj, arr) =>
-            (bcPanel.value.get(bi), bcXk.value.get(bj)) match {
-              case (Some(fik), Some(xkj)) =>
-                val out = arr.clone(); subMul(out, fik, xkj, t); (bi, bj, out)
-              case _ => (bi, bj, arr)
-            }
-          }.persist()
-        prevGen = cur
-        cur = next
+        // trailing update B_i -= F_ik·X_k via broadcast joins (a zero
+        // F_ik tile is a no-op multiply; the grid carries every block)
+        cur = cur.filter(r => if (low) r._1 > kk else r._1 < kk)
+          .toDF("bi", "bj", "arr")
+          .join(broadcast(fcol.toDF("fb", "fc", "fik").select("fb", "fik")),
+            col("bi") === col("fb"))
+          .join(broadcast(xk.toDF("xb", "xkj")), col("bj") === col("xb"))
+          .select(col("bi").as("_1"), col("bj").as("_2"), col("arr").as("_3"),
+            col("fik").as("_4"), col("xkj").as("_5"))
+          .as[(Long, Long, Array[Double], Array[Double], Array[Double])]
+          .map { case (bi, bj, arr, fik, xkj) =>
+            val out = arr.clone(); subMul(out, fik, xkj, t); (bi, bj, out)
+          }.localCheckpoint(true)
       }
     }
-    cur.unpersist()
-    if (prevGen != null) prevGen.unpersist()
-    new DMatrix(xParts.reduce(_ unionByName _), n, m)
+    val xDF = xPanels.map { case (kk, p) =>
+      val i0 = kk * tL
+      val (tc, nc, mc, tLc) = (t, n, m, tL)
+      p.flatMap { case (bj, arr) =>
+        for {
+          ti <- 0 until tc
+          tj <- 0 until tc
+          i = i0 + ti
+          j = bj * tLc + tj
+          if i < nc && j < mc && arr(ti * tc + tj) != 0.0
+        } yield (i, j, arr(ti * tc + tj))
+      }.toDF("i", "j", "v")
+    }.reduce(_ unionByName _)
+    new DMatrix(xDF, n, m)
   }
 
   /** Matrix inverse via LU (reference `inv`, `linalg/_solve.py:225` —
@@ -535,73 +568,21 @@ object Cholesky {
     out
   }
 
-  /** Solve L·y = b for lower-triangular L (reference `solve_triangular`,
-    * `dask_array/linalg/_solve.py:20`): block forward substitution — a
-    * driver loop over block rows; each step is one distributed gather of
-    * the O(T) solution slice plus local substitution. Returns the dense
-    * solution vector (driver-side, O(n) — the right-hand-side bound). */
-  def solveLower(s: SparkSession, l: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
-    require(l.rows == l.cols && b.length == l.rows, "shape mismatch")
-    val n = l.rows.toInt
-    val t = tile
-    val nb = (n + t - 1) / t
-    val y = b.clone()
-    // collect L block-row by block-row: O(row panel) driver bytes per step
-    var k = 0
-    while (k < nb) {
-      val r0 = k * t
-      val r1 = math.min(r0 + t, n)
-      val rows = l.df
-        .where(col("i") >= r0 && col("i") < r1 && col("j") < r1)
-        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
-      val cells = rows.groupBy(_._1)
-      var i = r0
-      while (i < r1) {
-        var s0 = y(i)
-        var dii = 0.0
-        cells.getOrElse(i, Array.empty).foreach { case (_, j, v) =>
-          if (j < i) s0 -= v * y(j) else if (j == i) dii = v
-        }
-        require(dii != 0.0, s"zero diagonal at $i")
-        y(i) = s0 / dii
-        i += 1
-      }
-      k += 1
-    }
-    y
-  }
-
-  /** Solve A·x = b for SPD A via Cholesky + two triangular solves
-    * (reference `solve`, `linalg/_solve.py:163`). */
+  /** Solve A·x = b for SPD A via Cholesky + two distributed blocked
+    * triangular solves, Lᵀ handled as a transpose of the one factor
+    * (reference `solve`, `linalg/_solve.py:163`). The O(n) vector is the
+    * only data that touches the driver. */
   def solveSPD(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
     val l = cholesky(s, a, tile)
-    val y = solveLower(s, l, b, tile)
-    // backward solve Lᵀ x = y  ≡  forward solve on the transpose
-    val n = l.rows.toInt
-    val x = y.clone()
-    val lt = l.t
-    val t = tile
-    val nb = (n + t - 1) / t
-    var k = nb - 1
-    while (k >= 0) {
-      val r0 = k * t
-      val r1 = math.min(r0 + t, n)
-      val rows = lt.df
-        .where(col("i") >= r0 && col("i") < r1 && col("j") >= r0)
-        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
-      val cells = rows.groupBy(_._1)
-      var i = r1 - 1
-      while (i >= r0) {
-        var s0 = x(i)
-        var dii = 0.0
-        cells.getOrElse(i, Array.empty).foreach { case (_, j, v) =>
-          if (j > i) s0 -= v * x(j) else if (j == i) dii = v
-        }
-        x(i) = s0 / dii
-        i -= 1
-      }
-      k -= 1
-    }
-    x
+    val n = a.rows.toInt
+    val sess = s
+    import sess.implicits._
+    val bdf = new DMatrix(
+      b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, 0L, v) }.toDF("i", "j", "v"), n, 1)
+    val y = solveLowerTiles(s, l, bdf, tile)
+    val x = solveUpperTiles(s, l.t, y, tile)
+    val out = new Array[Double](n)
+    x.df.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(2))
+    out
   }
 }
