@@ -47,11 +47,13 @@ sealed trait VecExpr {
   /** Block-grid size governing every downstream blocked/windowed plan —
     * the element-table analogue of the reference's chunks tuple
     * (`dask_array/_expr.py:221`). Propagates from children; leaves default
-    * to [[Blocked.B]]; [[RechunkVec]] overrides. The grid is VIRTUAL: it
-    * materializes as `idx DIV chunk` partitioning inside the consuming
-    * blocked op, so changing it costs nothing until a blocked op runs —
-    * the reference's lazy rechunk-task insertion, minus the extra pass. */
-  def chunk: Long = children.headOption.map(_.chunk).getOrElse(Blocked.B)
+    * to [[Blocked.autoChunk]] of their length (B for anything up to B²
+    * elements, √n beyond — keeps the carry table bounded at any scale);
+    * [[RechunkVec]] overrides. The grid is VIRTUAL: it materializes as
+    * `idx DIV chunk` partitioning inside the consuming blocked op, so
+    * changing it costs nothing until a blocked op runs — the reference's
+    * lazy rechunk-task insertion, minus the extra pass. */
+  def chunk: Long = children.headOption.map(_.chunk).getOrElse(Blocked.autoChunk(length))
 
   /** (min, max) bytes this node moves across partition boundaries — the
     * reference's `transfer_bytes` cost model (`dask_array/_expr.py:241-286`,
@@ -306,6 +308,16 @@ object Blocked {
     * -Dgraft.block.size; per-expression override via [[RechunkVec]]. */
   val B: Long = sys.props.getOrElse("graft.block.size", "4096").toLong
 
+  /** Length-aware default block: B up to B² elements (every small-scale
+    * plan unchanged), then √n — so the per-block scan and the
+    * single-partition carry table are each bounded by ~√n rows at ANY
+    * length. A fixed 4096 block at 10¹³ elements would put a 2.4-billion-
+    * row carry on one task; √n gives ~3.2M-row blocks and a ~3.2M-row
+    * carry, both fine for one executor. Unknown lengths (-1) fall back
+    * to B. */
+  def autoChunk(n: Long): Long =
+    if (n <= 0) B else math.max(B, math.ceil(math.sqrt(n.toDouble)).toLong)
+
   /** Attach the block id for grid size `b`. */
   def withBlk(df: DataFrame, b: Long = B): DataFrame =
     df.withColumn("blk", expr(s"idx DIV $b"))
@@ -316,9 +328,12 @@ object Blocked {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Strictly-preceding-blocks window over the tiny per-block summary table
-    * (numBlocks rows — the reference's driver-side carry chain). */
+    * (O(√n) rows under [[autoChunk]] — the reference's driver-side carry
+    * chain). Partitioned by a constant: same single-partition execution,
+    * but explicit — WindowExec's "No Partition Defined" warning does not
+    * apply to a deliberate bounded carry. */
   def wCarry: org.apache.spark.sql.expressions.WindowSpec =
-    Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    Window.partitionBy(lit(0)).orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
 
   /** Union of own rows (`tblk = blk`) plus ghost copies of the last `halo`
     * positions of each block into its successor (`tblk = blk+1`) — the halo

@@ -942,12 +942,14 @@ object ArrayQueries {
     // GENERAL-shape gamma family (reference random/_generator.py:100-346
     // accepts any real shape): gamma(2.7), beta(2.3,1.7), chisquare(3.3),
     // standard_t(5.5), f(3.3,7.7) — all through the bounded-unroll
-    // Marsaglia-Tsang rejection kernel (Kernels.gammaMT), plus the exact
-    // Best-Fisher vonmises standalone. One codegen'd scan; gates are
-    // integer-quantized sums like q89's, plus one literal cutoff count.
+    // Marsaglia-Tsang rejection kernel in LAYERED form (per-attempt
+    // proposals as named columns, so the acceptance cascades reference
+    // names instead of re-inlining kernel text — Catalyst analysis stays
+    // linear in attempts), plus the exact Best-Fisher vonmises. One
+    // codegen'd scan; gates are integer-quantized sums like q89's.
     "q99_gamma_general" -> ((s, d) =>
-      DArray.arange(s, d, 0, 20000, 1).elements
-        .selectExpr(gammaGeneralCols("CAST(v AS BIGINT)"): _*)
+      gammaGeneralLayers("CAST(v AS BIGINT)")
+        .foldLeft(DArray.arange(s, d, 0, 20000, 1).elements)((df, l) => df.selectExpr(l: _*))
         .agg(
           expr(qsum("gg", 64)).as("gg_q"), expr(qsum("gg * gg", 16)).as("gg_qq"),
           expr(qsum("bt", 4096)).as("bt_q"),
@@ -959,17 +961,39 @@ object ArrayQueries {
             .as("gg_below_mean"))),
   )
 
-  /** q99's sampler columns — general real shapes through the rejection
-    * kernels, shared as SQL text with the oracle. */
-  private def gammaGeneralCols(i: String): Seq[String] = {
+  /** q99's layered sampler pipeline — general real shapes through the
+    * rejection kernels, shared layer-for-layer as SQL text with the
+    * oracle (the oracle nests the same SELECT lists). Streams match the
+    * single-expression kernels: beta's second gamma at s+64, standard_t's
+    * chi at s+64, f's denominator chi at s+64. */
+  private def gammaGeneralLayers(i: String): Seq[Seq[String]] = {
     import graft.random.Kernels
-    Seq(
-      s"${Kernels.gammaKernel(i, 12001, 2.7, 1.0)} AS gg",
-      s"${Kernels.beta(i, 12101, 2.3, 1.7)} AS bt",
-      s"${Kernels.chisquare(i, 12301, 3.3)} AS cs",
-      s"${Kernels.standardT(i, 12401, 5.5)} AS st",
-      s"${Kernels.f(i, 12601, 3.3, 7.7)} AS fg",
-      s"${Kernels.vonmises(i, 12801, 0.0, 4.0)} AS vme")
+    val casc = Seq(
+      Kernels.gammaMTLayered(i, 12001, 2.7, 1.0, "gg"),  // gamma(2.7)
+      Kernels.gammaMTLayered(i, 12101, 2.3, 1.0, "ba"),  // beta numerator
+      Kernels.gammaMTLayered(i, 12165, 1.7, 1.0, "bb"),  // beta denominator
+      Kernels.gammaMTLayered(i, 12301, 1.65, 2.0, "cs"), // chisquare(3.3)
+      Kernels.gammaMTLayered(i, 12465, 2.75, 2.0, "ta"), // t's chi2(5.5)
+      Kernels.gammaMTLayered(i, 12601, 1.65, 2.0, "fa"), // f numerator chi
+      Kernels.gammaMTLayered(i, 12665, 3.85, 2.0, "fb")) // f denominator chi
+    val vm = Kernels.vonmisesLayered(i, 12801, 0.0, 4.0, "vm")
+    val layer1 = casc.flatMap(_.layers(0)) ++ vm.layers(0) :+
+      s"${Kernels.standardNormal(i, 12401)} AS ztc" // t's numerator normal
+    val l1Names = layer1.map(Kernels.aliasOf)
+    val layer2 = l1Names ++ casc.flatMap(_.layers(1)) ++ vm.layers(1)
+    val l2Names = layer2.map(Kernels.aliasOf)
+    val layer3 = l2Names ++
+      casc.zip(Seq("ggv", "bav", "bbv", "csv", "tav", "fav", "fbv"))
+        .map { case (k, nm) => s"${k.value} AS $nm" } :+
+      s"${vm.value} AS vmev"
+    val layer4 = Seq(
+      "ggv AS gg",
+      "(bav) / ((bav) + (bbv)) AS bt",
+      "csv AS cs",
+      "ztc * sqrt(5.5 / (tav)) AS st",
+      "((fav) / 3.3) / ((fbv) / 7.7) AS fg",
+      "vmev AS vme")
+    Seq(layer1, layer2, layer3, layer4)
   }
 
   /** q89's kernel layers, shared (as SQL text) with the oracle: layer 1
@@ -1027,12 +1051,14 @@ object ArrayQueries {
     * prefix). Same shared-text contract as q89: identical SQL runs on
     * both engines. */
   private def gen2Layered(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.selectExpr(gen2Layer1("CAST(v AS BIGINT)"): _*)
-      .selectExpr(gen2Layer2: _*)
+    gen2Layers("CAST(v AS BIGINT)").foldLeft(df)((d, l) => d.selectExpr(l: _*))
 
-  private def gen2Layer1(iExpr: String): Seq[String] = {
+  private def gen2Layers(iExpr: String): Seq[Seq[String]] = {
     def u(a: Long) = unif2Kernel(iExpr, a)
     def z(a: Long, b: Long) = s"sqrt(-2 * ln(${u(a)})) * cos(2 * pi() * (${u(b)}))"
+    // exact Best-Fisher von Mises in layered form (proposal columns +
+    // cascade — see Kernels.vonmisesLayered for why not one expression)
+    val vm = graft.random.Kernels.vonmisesLayered(iExpr, 11300, 0.0, 4.0, "vm")
     // 20 categorical picks with p = [0.5, 0.3, 0.2] — summed below, an
     // EXACT Multinomial(20, p) draw per position
     val picks = (0 until 20).map { j =>
@@ -1044,34 +1070,33 @@ object ArrayQueries {
     val ua = u(11200)
     val aSel = s"CASE CAST(floor(($ua) * 8) AS INT) WHEN 0 THEN 1 WHEN 1 THEN 5 " +
       "WHEN 2 THEN 7 WHEN 3 THEN 11 WHEN 4 THEN 13 WHEN 5 THEN 17 WHEN 6 THEN 19 ELSE 23 END"
-    Seq(
+    val layer1 = Seq(
       s"${z(11001, 11002)} AS z1",
       s"${z(11003, 11004)} AS z2",
       s"${z(11005, 11006)} AS z3",
-      s"${graft.random.Kernels.vonmises(iExpr, 11300, 0.0, 4.0)} AS vm",
       s"-2.0 * ln(${u(11009)}) AS c2a",
       s"-2.0 * ln(${u(11010)}) AS c2b",
       s"-2.0 * ln((${u(11011)}) * (${u(11012)}) * (${u(11013)}) * (${u(11014)})) AS c8",
       s"$aSel AS mva",
-      s"CAST(floor((${u(11201)}) * 24) AS INT) AS mvb") ++ picks
-  }
-
-  private val gen2Layer2: Seq[String] = {
+      s"CAST(floor((${u(11201)}) * 24) AS INT) AS mvb") ++ picks ++ vm.layers(0)
+    val l1Names = layer1.map(graft.random.Kernels.aliasOf)
+    val layer2 = l1Names ++ vm.layers(1)
     def cnt(cat: Int) =
       "(" + (0 until 20).map(j => s"CASE WHEN pk$j = $cat THEN 1 ELSE 0 END").mkString(" + ") + ")"
     def urn(lo: Int, hi: Int) =
       "(" + (0 until 7).map(j =>
         s"CASE WHEN (mva * $j + mvb) % 24 >= $lo AND (mva * $j + mvb) % 24 < $hi THEN 1 ELSE 0 END")
         .mkString(" + ") + ")"
-    Seq(
+    val layer3 = Seq(
       // noncentral_chisquare(df=3, nonc=2.5) = chi2(2) + (Z + sqrt(2.5))^2
       "c2a + power(z1 + sqrt(2.5), 2) AS ncx",
       // noncentral_f(dfn=4, dfd=8, nonc=2): ncx2(4,2)/4 over chi2(8)/8
       "((c2b + power(z2, 2) + power(z3 + sqrt(2.0), 2)) / 4.0) / (c8 / 8.0) AS ncf",
-      // vonmises(mu=0, kappa=4): computed exactly in layer 1, pass through
-      "vm",
+      // vonmises(mu=0, kappa=4): Best-Fisher acceptance cascade
+      s"${vm.value} AS vm",
       s"${cnt(0)} AS mn0", s"${cnt(1)} AS mn1", s"${cnt(2)} AS mn2",
       s"${urn(0, 10)} AS mh0", s"${urn(10, 18)} AS mh1", s"${urn(18, 24)} AS mh2")
+    Seq(layer1, layer2, layer3)
   }
 
   /** Position-keyed LCG uniform in (0,1): the repo's portable RNG core. */
@@ -1677,8 +1702,9 @@ object ArrayQueries {
     },
 
     "q95_random_gen_tail" -> {
-      val l1 = gen2Layer1("i").mkString(",\n             ")
-      val l2 = gen2Layer2.mkString(",\n             ")
+      val src = gen2Layers("i").foldLeft("range(20000) t(i)") {
+        (inner, l) => s"(SELECT ${l.mkString(", ")} FROM $inner)"
+      }
       s"""SELECT ${qsum("ncx", 64)} AS ncx_q, ${qsum("ncx * ncx", 16)} AS ncx_qq,
            ${qsum("ncf", 64)} AS ncf_q,
            ${qsum("vm", 4096)} AS vm_q, ${qsum("abs(vm)", 4096)} AS vm_absq,
@@ -1692,12 +1718,13 @@ object ArrayQueries {
            CAST(sum(mh2) AS BIGINT) AS mh2_sum,
            CAST(min(mh0 + mh1 + mh2) AS BIGINT) AS mh_tot_min,
            CAST(max(mh0 + mh1 + mh2) AS BIGINT) AS mh_tot_max
-         FROM (SELECT $l2 FROM (
-           SELECT $l1 FROM range(20000) t(i)))"""
+         FROM $src"""
     },
 
     "q99_gamma_general" -> {
-      val cols = gammaGeneralCols("i").mkString(",\n           ")
+      val src = gammaGeneralLayers("i").foldLeft("range(20000) t(i)") {
+        (inner, l) => s"(SELECT ${l.mkString(", ")} FROM $inner)"
+      }
       s"""SELECT ${qsum("gg", 64)} AS gg_q, ${qsum("gg * gg", 16)} AS gg_qq,
            ${qsum("bt", 4096)} AS bt_q,
            ${qsum("cs", 64)} AS cs_q,
@@ -1705,7 +1732,7 @@ object ArrayQueries {
            ${qsum("fg", 64)} AS fg_q,
            ${qsum("vme", 4096)} AS vme_q,
            CAST(sum(CASE WHEN gg < 2.7 THEN 1 ELSE 0 END) AS BIGINT) AS gg_below_mean
-         FROM (SELECT $cols FROM range(20000) t(i))"""
+         FROM $src"""
     },
 
     "q92_masked_stats" ->

@@ -431,7 +431,7 @@ object MatrixQueries {
     // scan + one broadcast join + one groupBy, never densified to
     // rows x cols. The tiny vector side broadcasts (matmul's
     // broadcastElems rule), so the big side never shuffles for the join
-    "m36_sparse_matvec" -> ((s, d) => {
+    "m37_sparse_matvec" -> ((s, d) => {
       val a = new graft.DMatrix(
         s.read.parquet(s"$d/lineitem.parquet")
           .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v")
@@ -848,7 +848,7 @@ object MatrixQueries {
          SELECT idx, CAST(sum(v) OVER (ORDER BY idx) AS BIGINT) AS v
          FROM z ORDER BY idx""",
 
-    "m36_sparse_matvec" ->
+    "m37_sparse_matvec" ->
       """WITH a AS (SELECT l_partkey AS i, l_suppkey AS k,
                       sum(l_quantity) AS va
                     FROM lineitem GROUP BY 1, 2)

@@ -489,7 +489,8 @@ object TextQueries {
         sum("nt").over(Window.partitionBy("blk").orderBy("doc_id")))
       val carry = t.groupBy("blk").agg(sum("nt").as("bt"))
         .withColumn("carry", coalesce(sum("bt").over(
-          Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(lit(0)).orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
         .select("blk", "carry")
       within.join(broadcast(carry), "blk")

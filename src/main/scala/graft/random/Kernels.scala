@@ -98,6 +98,69 @@ object Kernels {
     }
   }
 
+  /** A rejection sampler in LAYERED form: `layers` are successive
+    * SELECT-list fragments (each lists only its NEW columns; the consumer
+    * adds pass-throughs), `value` is the acceptance cascade over those
+    * column names. The single-expression kernels above re-inline each
+    * proposal's text into every cascade arm — O(attempts × kernel-size)
+    * trees that Catalyst then has to analyze and compile; the layered
+    * form is O(attempts + kernel-size). Layers are plain nested SELECTs,
+    * so the identical text replays on any SQL engine. */
+  final case class Layered(layers: Seq[Seq[String]], value: String)
+
+  /** [[gammaMT]] in layered form (shape ≥ 1 — boost shapes < 1 with an
+    * extra uniform at the call site). Columns: {prefix}z/u per attempt
+    * (layer 1), {prefix}v per attempt (layer 2). */
+  def gammaMTLayered(iExpr: String, s: Long, shape: Double, scale: Double,
+                     prefix: String, attempts: Int = 6): Layered = {
+    require(shape >= 1.0, s"layered Marsaglia-Tsang covers shape >= 1 (got $shape)")
+    val d = shape - 1.0 / 3.0
+    val c = 1.0 / math.sqrt(9.0 * d)
+    val l1 = (0 until attempts).flatMap { j => Seq(
+      s"${standardNormal(iExpr, s + 4L * j)} AS ${prefix}z$j",
+      s"${uniform01(iExpr, s + 4L * j + 2)} AS ${prefix}u$j") }
+    val l2 = (0 until attempts).map { j =>
+      s"power(1.0 + $c * ${prefix}z$j, 3) AS ${prefix}v$j" }
+    val arms = (0 until attempts).map { j =>
+      s"WHEN ${prefix}v$j > 0.0 AND ln(${prefix}u$j) < " +
+        s"0.5 * power(${prefix}z$j, 2) + $d - $d * ${prefix}v$j + " +
+        s"$d * ln(greatest(${prefix}v$j, 1e-300)) THEN $d * ${prefix}v$j" }
+    Layered(Seq(l1, l2), s"(($scale) * (CASE ${arms.mkString(" ")} ELSE $shape END))")
+  }
+
+  /** [[vonmises]] in layered form. Columns: {prefix}z (cos π·u1),
+    * {prefix}a (u2), {prefix}b (u3) per attempt plus the fallback normal
+    * {prefix}w (layer 1); {prefix}f per attempt (layer 2). */
+  def vonmisesLayered(iExpr: String, s: Long, mu: Double, kappa: Double,
+                      prefix: String, attempts: Int = 8): Layered = {
+    val tau = 1.0 + math.sqrt(1.0 + 4.0 * kappa * kappa)
+    val rho = (tau - math.sqrt(2.0 * tau)) / (2.0 * kappa)
+    val r = (1.0 + rho * rho) / (2.0 * rho)
+    val l1 = (0 until attempts).flatMap { j => Seq(
+      s"cos(pi() * (${uniform01(iExpr, s + 3L * j)})) AS ${prefix}z$j",
+      s"${uniform01(iExpr, s + 3L * j + 1)} AS ${prefix}a$j",
+      s"${uniform01(iExpr, s + 3L * j + 2)} AS ${prefix}b$j") } :+
+      s"${standardNormal(iExpr, s + 3L * attempts)} AS ${prefix}w"
+    val l2 = (0 until attempts).map { j =>
+      s"((1.0 + $r * ${prefix}z$j) / ($r + ${prefix}z$j)) AS ${prefix}f$j" }
+    def cE(j: Int) = s"($kappa * ($r - ${prefix}f$j))"
+    val arms = (0 until attempts).map { j =>
+      val acosE = s"acos(least(greatest(${prefix}f$j, -1.0), 1.0))"
+      s"WHEN (${cE(j)} * (2.0 - ${cE(j)}) - ${prefix}a$j > 0.0 OR " +
+        s"ln(greatest(${cE(j)} / ${prefix}a$j, 1e-300)) + 1.0 - ${cE(j)} >= 0.0) " +
+        s"THEN (CASE WHEN ${prefix}b$j < 0.5 THEN $mu - $acosE ELSE $mu + $acosE END)" }
+    val zf = s"($mu + ${prefix}w / sqrt($kappa))"
+    val fallback = s"(($zf) - 2 * pi() * floor((($zf) + pi()) / (2 * pi())))"
+    Layered(Seq(l1, l2), s"(CASE ${arms.mkString(" ")} ELSE $fallback END)")
+  }
+
+  /** Alias of the column an `expr AS alias` fragment binds (a bare
+    * column name passes through unchanged). */
+  def aliasOf(e: String): String = {
+    val ix = e.lastIndexOf(" AS ")
+    if (ix < 0) e.trim else e.substring(ix + 4).trim
+  }
+
   def chisquare(iExpr: String, s: Long, df: Double): String =
     gammaKernel(iExpr, s, df / 2.0, 2.0)
 

@@ -132,6 +132,24 @@ class SimplifySpec extends AnyFunSuite {
     }
   }
 
+  test("autoChunk: block grows as sqrt(n) so the carry table stays bounded") {
+    import graft.expr.Blocked
+    // up to B^2 elements the configured block is kept — every small-scale
+    // multi-block test path is unchanged
+    assert(Blocked.autoChunk(1) == Blocked.B)
+    assert(Blocked.autoChunk(Blocked.B * Blocked.B) == Blocked.B)
+    assert(Blocked.autoChunk(-1) == Blocked.B) // unknown length
+    // beyond B^2 the block is ~sqrt(n): numBlocks (the single-partition
+    // carry table) is bounded by ~sqrt(n) instead of n/4096 — at 10^12
+    // elements that is 1M carry rows, not 244M
+    val n = 1000000000000L
+    val c = Blocked.autoChunk(n)
+    assert(c == math.max(Blocked.B, 1000000L))
+    assert((n + c - 1) / c <= 1000001L, s"carry rows = ${(n + c - 1) / c}")
+    // the expression default picks it up at the leaf
+    assert(RangeVec(0, 1, n).chunk == c)
+  }
+
   test("rechunk changes the grid the blocked ops use, values unchanged") {
     val ctxSpark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()

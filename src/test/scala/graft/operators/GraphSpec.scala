@@ -40,4 +40,27 @@ class GraphSpec extends AnyFunSuite {
     assert(c.filter(_._1 >= 200L).values.toSet == Set(200L))
     assert(c.filter(_._1 < 200L).values.toSet == Set(100L))
   }
+
+  test("reliable=true: DFS checkpoints against a checkpoint dir (cluster mode)") {
+    // the executor-loss-safe path a real cluster uses: reliable
+    // checkpoints write to the checkpoint dir instead of executor-local
+    // block storage — verify the rounds run and converge through it
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val path = (0L until 16L).map(i => (i, i + 1))
+      val c = GraphOps.connectedComponents(edges(path: _*), reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(c.size == 17 && c.values.forall(_ == 0L))
+      // the reliable run actually materialized checkpoint data on disk
+      assert(dir.listFiles != null && dir.listFiles.nonEmpty,
+        "no checkpoint data written to the checkpoint dir")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
