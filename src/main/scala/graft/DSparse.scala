@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Explicit SPARSE matrix surface over the engine's implicit-zero element
+  * table (reference: sparse chunks flow through every elemwise/reduction
+  * via `register_chunk_type`, `dask_array/_chunk_types.py:31` — scipy
+  * arrays ride the same array API; here sparsity IS the element table's
+  * native representation, so the sparse type is a SEMANTIC wrapper: it
+  * tracks the implicit zeros and refuses to densify silently).
+  *
+  * Every operation stays O(nnz) or fails loudly:
+  *  - `map` probes the kernel once driver-side (the [[NdArray.map]]
+  *    zero-probe) and REJECTS non-zero-preserving kernels — `x + 1` on a
+  *    sparse operand is the classic accidental-densification bug; the
+  *    caller must say `.toDense` to mean it (reference mirrors scipy
+  *    here: scipy.sparse raises on implicit densification too).
+  *  - `zip` is a full-outer join with absent cells read as zero — the
+  *    union-support sparse combine; the result stores only nonzeros.
+  *  - reductions correct for the implicit zeros (a min over a matrix
+  *    with any absent cell must consider 0).
+  *  - `matmul` is SpGEMM: join on the contracted coordinate, aggregate —
+  *    cost O(flops over nnz), never rows×cols.
+  */
+final class DSparse(val df: DataFrame, val rows: Long, val cols: Long) {
+  def size: Long = rows * cols
+  def nnz: Long = df.where(col("v") =!= 0.0).count()
+
+  /** Elemwise over STORED values — zero-preserving kernels only (probed
+    * like [[NdArray.map]]); others must go through [[toDense]] first. */
+  def map(sqlOverV: String): DSparse = {
+    val f0 = df.sparkSession.range(1)
+      .selectExpr("CAST(0.0 AS DOUBLE) AS v")
+      .selectExpr(s"CAST($sqlOverV AS DOUBLE) AS r").collect()(0)
+    val zeroPreserving = f0.isNullAt(0) || f0.getDouble(0) == 0.0
+    require(zeroPreserving,
+      s"kernel '$sqlOverV' maps 0 to a nonzero value: applying it sparsely would " +
+        "silently drop the implicit cells — call .toDense first to densify explicitly")
+    new DSparse(
+      df.selectExpr("i", "j", s"CAST($sqlOverV AS DOUBLE) AS v").where("v <> 0.0"),
+      rows, cols)
+  }
+
+  /** Union-support elemwise combine: full-outer join on coordinates,
+    * absent cells read as 0 on either side; only nonzero results stored. */
+  def zip(o: DSparse, sqlOverV1V2: String): DSparse = {
+    require(rows == o.rows && cols == o.cols,
+      s"shape mismatch ${(rows, cols)} vs ${(o.rows, o.cols)}")
+    val l = df.withColumnRenamed("v", "v1")
+    val r = o.df.withColumnRenamed("v", "v2")
+    val joined = l.join(r, Seq("i", "j"), "full_outer").na.fill(0.0, Seq("v1", "v2"))
+    new DSparse(
+      joined.selectExpr("i", "j", s"CAST($sqlOverV1V2 AS DOUBLE) AS v").where("v <> 0.0"),
+      rows, cols)
+  }
+
+  def +(o: DSparse): DSparse = zip(o, "v1 + v2")
+  def -(o: DSparse): DSparse = zip(o, "v1 - v2")
+  /** Hadamard product — intersection support, so an inner join suffices;
+    * still routed through [[zip]] for one code path (absent→0 annihilates). */
+  def *(o: DSparse): DSparse = zip(o, "v1 * v2")
+
+  def t: DSparse =
+    new DSparse(df.select(col("j").as("i"), col("i").as("j"), col("v")), cols, rows)
+
+  /** Global aggregates with the implicit-zero correction: when any cell is
+    * absent, min/max must consider 0. One scan: count rides the same
+    * aggregate as the extremes. */
+  def aggAll(): DataFrame =
+    df.agg(
+      sum("v").as("s"), min("v").as("mn"), max("v").as("mx"),
+      sum(when(col("v") =!= 0.0, 1L).otherwise(0L)).as("n"))
+      .selectExpr(
+        "coalesce(s, 0.0) AS sum",
+        s"CASE WHEN coalesce(n, 0) < ${size}L THEN least(coalesce(mn, 0.0), 0.0) " +
+          "ELSE mn END AS min",
+        s"CASE WHEN coalesce(n, 0) < ${size}L THEN greatest(coalesce(mx, 0.0), 0.0) " +
+          "ELSE mx END AS max",
+        "coalesce(n, 0) AS nnz")
+
+  /** Per-row sums (implicit zeros contribute nothing): rows with no stored
+    * cell are absent from the result — itself a sparse vector. */
+  def rowSums: DataFrame =
+    df.groupBy("i").agg(sum("v").as("v"))
+
+  /** SpGEMM C = this · o: equi-join on the contracted coordinate plus a
+    * partial-aggregated shuffle on (i, j) — cost O(Σ flops over matching
+    * nonzeros), never rows×cols. The classic sparse matmul plan. */
+  def matmul(o: DSparse): DSparse = {
+    require(cols == o.rows, s"inner dimension mismatch $cols vs ${o.rows}")
+    val a = df.select(col("i"), col("j").as("k"), col("v").as("va"))
+    val b = o.df.select(col("i").as("k"), col("j"), col("v").as("vb"))
+    new DSparse(
+      a.join(b, "k").groupBy("i", "j").agg(sum(expr("va * vb")).as("v"))
+        .where("v <> 0.0"),
+      rows, o.cols)
+  }
+
+  /** Sparse mat × dense vector (vector as an (i, v) frame of positions,
+    * broadcast): one broadcast join + one groupBy — O(nnz). */
+  def matvec(x: DataFrame): DataFrame =
+    df.join(broadcast(x.select(col("i").as("j"), col("v").as("xv"))), "j")
+      .groupBy("i").agg(sum(expr("v * xv")).as("v"))
+
+  /** Bridge to the dense surface (the element table is shared — this is a
+    * zero-copy reinterpretation; DMatrix ops that need the zeros densify
+    * themselves). */
+  def toDense: DMatrix = new DMatrix(df, rows, cols)
+}
+
+object DSparse {
+  /** From any (i, j, v) COO frame — explicit zeros dropped, duplicate
+    * coordinates summed (scipy's COO duplicate convention). */
+  def fromCOO(df: DataFrame, rows: Long, cols: Long): DSparse =
+    new DSparse(
+      df.groupBy("i", "j").agg(sum("v").as("v")).where("v <> 0.0"), rows, cols)
+
+  /** From a dense matrix: stored zeros dropped. */
+  def fromDense(m: DMatrix): DSparse =
+    new DSparse(m.df.where(col("v") =!= 0.0), m.rows, m.cols)
+
+  /** Sparse identity. */
+  def eye(spark: SparkSession, n: Long): DSparse =
+    new DSparse(
+      spark.range(n).selectExpr("id AS i", "id AS j", "CAST(1.0 AS DOUBLE) AS v"), n, n)
+}

@@ -444,6 +444,53 @@ object MatrixQueries {
       a.matmul(x).df.selectExpr("i", "j", "round(v, 2) AS v").orderBy("i")
     }),
 
+    // SpGEMM through the DSparse surface: C = Aᵀ·A over the part×supplier
+    // quantity matrix — join on the contracted coordinate + one
+    // partial-aggregated shuffle, cost O(flops over nnz), never
+    // rows×cols. Quantities are integer-valued, so every product and sum
+    // is exact on both engines.
+    "m38_sparse_spgemm" -> ((s, d) => {
+      val a = graft.DSparse.fromCOO(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"),
+        2001, 101)
+      a.t.matmul(a).df
+        .selectExpr("i", "j", "CAST(v AS BIGINT) AS v").orderBy("i", "j")
+    }),
+
+    // sparse elemwise + reductions with the implicit-zero CONTRACT in the
+    // gate: union-support zip (B's support is a strict subset — cells in
+    // A\B must read B as 0), a zero-preserving map, and aggAll's min/max
+    // correction (any absent cell means min/max must consider 0 — here
+    // all stored values are positive, so the corrected min IS 0 and the
+    // oracle checks exactly that). Integer arithmetic throughout.
+    "m39_sparse_elemwise" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val a = graft.DSparse.fromCOO(
+        li.selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"), 2001, 101)
+      val b = graft.DSparse.fromCOO(
+        li.where("l_discount > 0.05")
+          .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"), 2001, 101)
+      a.zip(b, "v1 * 7 - v2 * 3").map("v * 2").aggAll()
+        .selectExpr("CAST(sum AS BIGINT) AS s", "CAST(min AS BIGINT) AS mn",
+          "CAST(max AS BIGINT) AS mx", "CAST(nnz AS BIGINT) AS nnz")
+    }),
+
+    // sparse identity: eye(n)·A = A through SpGEMM, difference audited by
+    // a union-support zip (its nonzero count must be 0), plus A's own
+    // exact aggregates through the sparse reduction path
+    "m40_sparse_identity" -> ((s, d) => {
+      val a = graft.DSparse.fromCOO(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"),
+        2001, 101)
+      val c = graft.DSparse.eye(s, 2001).matmul(a)
+      c.zip(a, "v1 - v2").aggAll().selectExpr("CAST(nnz AS BIGINT) AS diff_nnz")
+        .crossJoin(a.aggAll().selectExpr(
+          "CAST(sum AS BIGINT) AS total", "CAST(max AS BIGINT) AS amax",
+          "CAST(nnz AS BIGINT) AS nnz"))
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -856,6 +903,38 @@ object MatrixQueries {
                 round(sum(a.va * s.s_acctbal), 2) AS v
          FROM a JOIN supplier s ON s.s_suppkey = a.k
          GROUP BY 1 ORDER BY i""",
+
+    "m38_sparse_spgemm" ->
+      """WITH a AS (SELECT l_partkey AS i, l_suppkey AS j, sum(l_quantity) AS v
+                    FROM lineitem GROUP BY 1, 2 HAVING sum(l_quantity) <> 0)
+         SELECT x.j AS i, y.j AS j, CAST(sum(x.v * y.v) AS BIGINT) AS v
+         FROM a x JOIN a y ON x.i = y.i
+         GROUP BY 1, 2 HAVING sum(x.v * y.v) <> 0 ORDER BY i, j""",
+
+    "m39_sparse_elemwise" ->
+      """WITH a AS (SELECT l_partkey AS i, l_suppkey AS j, sum(l_quantity) AS v
+                    FROM lineitem GROUP BY 1, 2 HAVING sum(l_quantity) <> 0),
+         b AS (SELECT l_partkey AS i, l_suppkey AS j, sum(l_quantity) AS v
+               FROM lineitem WHERE l_discount > 0.05
+               GROUP BY 1, 2 HAVING sum(l_quantity) <> 0),
+         c AS (SELECT (coalesce(a.v, 0) * 7 - coalesce(b.v, 0) * 3) * 2 AS v
+               FROM a FULL OUTER JOIN b ON a.i = b.i AND a.j = b.j)
+         SELECT CAST(sum(v) AS BIGINT) AS s,
+           CAST(CASE WHEN count(*) < 2001 * 101 THEN least(min(v), 0)
+                ELSE min(v) END AS BIGINT) AS mn,
+           CAST(CASE WHEN count(*) < 2001 * 101 THEN greatest(max(v), 0)
+                ELSE max(v) END AS BIGINT) AS mx,
+           CAST(count(*) AS BIGINT) AS nnz
+         FROM c WHERE v <> 0""",
+
+    "m40_sparse_identity" ->
+      """WITH a AS (SELECT l_partkey AS i, l_suppkey AS j, sum(l_quantity) AS v
+                    FROM lineitem GROUP BY 1, 2 HAVING sum(l_quantity) <> 0)
+         SELECT CAST(0 AS BIGINT) AS diff_nnz,
+           CAST(sum(v) AS BIGINT) AS total,
+           CAST(greatest(max(v), 0) AS BIGINT) AS amax,
+           CAST(count(*) AS BIGINT) AS nnz
+         FROM a""",
 
     "np02_npy_nd" ->
       """SELECT c0, c1, c2, CAST((c0*5 + c1*3 + c2) % 9 + 1 AS DOUBLE) AS v
