@@ -313,6 +313,38 @@ object MatrixQueries {
       graft.sources.NpyStack.readNd(s, dir).elements.orderBy("c0", "c1", "c2")
     }),
 
+    // HDF5 round trip (reference to_hdf5/h5py ingest, io/_store.py:331):
+    // distributed write of a <blk>.h5 stack (pure-Scala superblock-v0
+    // files with contiguous f8 datasets — h5py-readable) + the two-phase
+    // header-manifest read; format bit-exactness under the oracle gate
+    "h01_hdf5_roundtrip" -> ((s, d) => {
+      val dir = s"/tmp/graft_h5_h01_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.Hdf5.writeStack(el, dir, blockSize = 256, n = 1000)
+      graft.sources.Hdf5.readStack(s, dir).orderBy("idx")
+    }),
+
+    // single-file HDF5 with MULTIPLE named datasets: names resolve through
+    // the symbol-table B-tree in sorted order; both datasets come back
+    // through one file read each
+    "h02_hdf5_datasets" -> ((s, d) => {
+      val file = s"/tmp/graft_h5_h02_${new java.io.File(d).getName}.h5"
+      val xs = Array.tabulate(300)(i => ((i * 7) % 13).toDouble)
+      val ys = Array.tabulate(200)(i => ((i * 3) % 11) - 5.0)
+      val (fs, base) = graft.sources.StoreIO.fsOf(file, s.sparkContext.hadoopConfiguration)
+      graft.sources.StoreIO.writeFile(fs, base,
+        graft.sources.Hdf5.h5Bytes(Seq(
+          ("xs", xs, Seq(300L)), ("ys", ys, Seq(200L)))))
+      val a = graft.sources.Hdf5.read(s, file, "xs")
+        .agg(expr("CAST(sum(v) AS BIGINT)").as("xs_sum"),
+          expr("CAST(count(*) AS BIGINT)").as("xs_n"))
+      val b = graft.sources.Hdf5.read(s, file, "ys")
+        .agg(expr("CAST(sum(v) AS BIGINT)").as("ys_sum"),
+          expr("CAST(min(v) AS BIGINT)").as("ys_min"))
+      a.crossJoin(b)
+    }),
+
     // zarr round trips (reference from_zarr/to_zarr, io/_zarr.py:67,275):
     // the engine writes a v2 store (distributed chunk encode) and reads it
     // back (distributed binaryFile decode); the oracle recomputes the same
@@ -969,6 +1001,16 @@ object MatrixQueries {
     "np01_npy_roundtrip" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    "h01_hdf5_roundtrip" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
+
+    "h02_hdf5_datasets" ->
+      """SELECT (SELECT CAST(sum((i*7)%13) AS BIGINT) FROM range(300) t(i)) AS xs_sum,
+         CAST(300 AS BIGINT) AS xs_n,
+         (SELECT CAST(sum((i*3)%11 - 5) AS BIGINT) FROM range(200) t(i)) AS ys_sum,
+         (SELECT CAST(min((i*3)%11 - 5) AS BIGINT) FROM range(200) t(i)) AS ys_min""",
 
     "f02_fft_parseval" ->
       """SELECT round(sum(value * value), -2) AS energy
