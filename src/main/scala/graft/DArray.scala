@@ -66,6 +66,19 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def mask(predOverV: String): DArray      = wrap(FilterVec(exprTree, predOverV))
   /** numpy name: `np.extract(cond, x)` ≡ boolean-mask compress. */
   def extract(predOverV: String): DArray   = mask(predOverV)
+  /** Positions of the nonzero values (reference `flatnonzero`,
+    * `dask_array/routines/_nonzero.py`): one filtered scan of the element
+    * table, O(nnz) output — the 1-d twin of [[DMatrix.argwhere]]. */
+  def flatnonzero: DataFrame               = mask("v <> 0.0").elements.select("idx")
+  /** Two-output elemwise floor-division + remainder against a scalar
+    * (reference `divmod`, `dask_array/_ufunc.py` double-output family;
+    * numpy semantics — the remainder carries the DIVISOR's sign, unlike
+    * SQL `%`). One shared subtree, two codegen'd projections — the same
+    * multi-output shape as frexp/modf (q47). */
+  def divmod(d: Double): (DArray, DArray) = {
+    require(d != 0.0, "divmod by zero")
+    (map(s"floor(v / $d)"), map(s"v - $d * floor(v / $d)"))
+  }
   def setItems(updates: Seq[(Long, Double)]): DArray = wrap(SetItemVec(exprTree, updates))
 
   // ---- numpy.ma surface ------------------------------------------------------

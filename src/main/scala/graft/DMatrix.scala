@@ -123,6 +123,11 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * that should match implicit zeros needs [[densify]] first. */
   def mask(predOverVIJ: String): DMatrix = wrap(df.where(predOverVIJ))
 
+  /** Coordinates of the nonzero cells (reference `argwhere`,
+    * `dask_array/routines/_nonzero.py`): one filtered O(nnz) projection
+    * of the element table — the dense grid is never materialized. */
+  def argwhere: DataFrame = df.where(col("v") =!= 0.0).select("i", "j")
+
   /** Mask-valued assignment `x[cond] = value` (2-d SetItem bool path).
     * Rewrites PRESENT cells; to assign where implicit zeros match,
     * [[densify]] first. */

@@ -550,6 +550,28 @@ object NdArray {
   private[graft] val zeroProbe =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** numpy `broadcast_arrays` (reference `routines/_broadcast.py`):
+    * expand both operands to their common broadcast shape — leading
+    * size-1 axes inserted by [[NdArray.expandDims]], then size-1 extents
+    * replicated via [[NdArray.broadcastAxis]] (a generated broadcast
+    * cross join against `spark.range` — no shuffle of the data side).
+    * Incompatible extents fail loudly, matching numpy. */
+  def broadcastArrays(a: NdArray, b: NdArray): (NdArray, NdArray) = {
+    val r = math.max(a.rank, b.rank)
+    def lift(x: NdArray): NdArray =
+      (x.rank until r).foldLeft(x)((y, _) => y.expandDims(0))
+    val (la, lb) = (lift(a), lift(b))
+    val common = la.shape.lazyZip(lb.shape).map { (ea, eb) =>
+      require(ea == eb || ea == 1L || eb == 1L,
+        s"cannot broadcast shapes ${a.shape} and ${b.shape}: extents $ea vs $eb")
+      math.max(ea, eb)
+    }
+    def expand(x: NdArray): NdArray =
+      common.indices.foldLeft(x)((y, ax) =>
+        if (y.shape(ax) == common(ax)) y else y.broadcastAxis(ax, common(ax)))
+    (expand(la), expand(lb))
+  }
+
   /** numpy `stack(arrays, axis)` (reference `stacking/_stack.py`): insert
     * a new axis and concatenate along it — expandDims + the zero-movement
     * offset union `concat` provides. */

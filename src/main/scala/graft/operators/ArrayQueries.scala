@@ -959,6 +959,21 @@ object ArrayQueries {
           expr(qsum("vme", 4096)).as("vme_q"),
           expr("CAST(sum(CASE WHEN gg < 2.7 THEN 1 ELSE 0 END) AS BIGINT)")
             .as("gg_below_mean"))),
+
+    // two-output elemwise divmod (reference `divmod`, _ufunc.py double-
+    // output family): quotient and remainder share one subtree; assembled
+    // here by idx for the gate (floor/± are IEEE-exact — hash-safe)
+    "q100_divmod" -> ((s, d) => {
+      val (dv, md) = events(s, d).slice(0, 500).divmod(7.0)
+      dv.elements.withColumnRenamed("v", "dv")
+        .join(md.elements.withColumnRenamed("v", "md"), "idx")
+        .orderBy("idx")
+    }),
+
+    // flatnonzero (reference routines/_nonzero.py): positions of the
+    // nonzero values of the raveled array — one filtered scan, O(nnz) out
+    "q101_flatnonzero" -> ((s, d) =>
+      events(s, d).map("floor(v) % 3").flatnonzero.orderBy("idx")),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1734,6 +1749,15 @@ object ArrayQueries {
            CAST(sum(CASE WHEN gg < 2.7 THEN 1 ELSE 0 END) AS BIGINT) AS gg_below_mean
          FROM $src"""
     },
+
+    "q100_divmod" ->
+      """SELECT event_id AS idx, floor(value / 7) AS dv,
+           value - 7 * floor(value / 7) AS md
+         FROM events WHERE event_id >= 0 AND event_id < 500 ORDER BY idx""",
+
+    "q101_flatnonzero" ->
+      """SELECT event_id AS idx FROM events
+         WHERE floor(value) % 3 <> 0 ORDER BY idx""",
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,

@@ -523,6 +523,12 @@ object MatrixQueries {
           "CAST(nnz AS BIGINT) AS nnz"))
     }),
 
+    // argwhere (reference routines/_nonzero.py): coordinates of nonzero
+    // cells — one filtered projection, the dense grid never materializes
+    "m41_argwhere" -> ((s, d) =>
+      DMatrix.tabulate(s, 60, 40, "(i*7 + j*3) % 11 - 5").argwhere
+        .orderBy("i", "j")),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -967,6 +973,13 @@ object MatrixQueries {
            CAST(greatest(max(v), 0) AS BIGINT) AS amax,
            CAST(count(*) AS BIGINT) AS nnz
          FROM a""",
+
+    "m41_argwhere" ->
+      """SELECT i, j FROM
+           (SELECT x // 40 AS i, x % 40 AS j,
+                   ((x // 40) * 7 + (x % 40) * 3) % 11 - 5 AS v
+            FROM range(2400) t(x))
+         WHERE v <> 0 ORDER BY i, j""",
 
     "np02_npy_nd" ->
       """SELECT c0, c1, c2, CAST((c0*5 + c1*3 + c2) % 9 + 1 AS DOUBLE) AS v

@@ -176,6 +176,22 @@ class NdSpec extends AnyFunSuite {
       (for (i <- 0 until 3; j <- 0 until 4) yield i * 10.0 + j + 1))
   }
 
+  test("broadcastArrays expands both operands to the numpy common shape") {
+    // (3,1) against (4): ranks align right, common shape (3,4)
+    val colV = NdArray.tabulate(spark, Seq(3L, 1L), "c0 * 10")
+    val rowV = NdArray.tabulate(spark, Seq(4L), "c0 + 1")
+    val (a, b) = NdArray.broadcastArrays(colV, rowV)
+    assert(a.shape == Seq(3L, 4L) && b.shape == Seq(3L, 4L))
+    assert(values(a.zip(b, "v1 + v2")) ==
+      (for (i <- 0 until 3; j <- 0 until 4) yield i * 10.0 + j + 1))
+    // already-common shapes pass through unchanged
+    val (c, d) = NdArray.broadcastArrays(a, b)
+    assert(c.shape == Seq(3L, 4L) && d.shape == Seq(3L, 4L))
+    // incompatible extents fail loudly
+    val bad = NdArray.tabulate(spark, Seq(5L), "c0")
+    intercept[IllegalArgumentException] { NdArray.broadcastArrays(colV.squeeze(1), bad) }
+  }
+
   test("zip honors the implicit-zero convention on gapped element tables") {
     val s = spark // stable identifier for the implicits import
     import s.implicits._
