@@ -425,7 +425,11 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     * surviving rows only (driver-bounded), never over the data. */
   def argtopk(k: Int): DataFrame =
     topk(k).selectExpr(
-      "CAST(row_number() OVER (ORDER BY v DESC, idx ASC) AS BIGINT) - 1 AS rank",
+      // the rank window covers only the k TakeOrdered survivors; the
+      // pmod partition key is constant-valued yet non-foldable, keeping
+      // the bounded window explicitly partitioned (see Blocked.wCarry)
+      "CAST(row_number() OVER (PARTITION BY pmod(idx, 1) " +
+        "ORDER BY v DESC, idx ASC) AS BIGINT) - 1 AS rank",
       "idx")
 
   /** NaN-skipping arg reductions (reference `nanargmax`/`nanargmin`,

@@ -324,7 +324,13 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     val grp = "blk" +: others
     val wLocal = Window.partitionBy(grp.map(col): _*).orderBy(col(s"c$axis"))
     val local = base.withColumn("lv", aggF(col("v")).over(wLocal))
-    val wCarry = Window.partitionBy(others.map(col): _*).orderBy(col("blk"))
+    // rank-1 has no off-axis coordinates: fall back to a constant-valued
+    // non-foldable key so the bounded carry stays an EXPLICITLY partitioned
+    // window (see Blocked.wCarry — a bare literal is stripped by
+    // EliminateWindowPartitions and re-triggers the global-window warning)
+    val carryKeys: Seq[Column] =
+      if (others.nonEmpty) others.map(col) else Seq(pmod(col("blk"), lit(1)))
+    val wCarry = Window.partitionBy(carryKeys: _*).orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = base.groupBy(grp.map(col): _*).agg(aggF(col("v")).as("bt"))
       .withColumn("cr", aggF(col("bt")).over(wCarry))

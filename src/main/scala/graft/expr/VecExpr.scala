@@ -329,11 +329,16 @@ object Blocked {
 
   /** Strictly-preceding-blocks window over the tiny per-block summary table
     * (O(√n) rows under [[autoChunk]] — the reference's driver-side carry
-    * chain). Partitioned by a constant: same single-partition execution,
-    * but explicit — WindowExec's "No Partition Defined" warning does not
-    * apply to a deliberate bounded carry. */
+    * chain). Partitioned by a CONSTANT-VALUED, NON-FOLDABLE key: same
+    * single-partition execution, but explicit — WindowExec's "No Partition
+    * Defined" warning does not apply to a deliberate bounded carry. A bare
+    * literal would NOT survive: Spark 4's `EliminateWindowPartitions`
+    * optimizer rule strips foldable partition expressions, degrading the
+    * spec back to the warning path; `pmod(blk, 1)` is 0 on every
+    * (non-negative) block id yet hangs off the column, so no rule folds it. */
   def wCarry: org.apache.spark.sql.expressions.WindowSpec =
-    Window.partitionBy(lit(0)).orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    Window.partitionBy(pmod(col("blk"), lit(1)))
+      .orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
 
   /** Union of own rows (`tblk = blk`) plus ghost copies of the last `halo`
     * positions of each block into its successor (`tblk = blk+1`) — the halo

@@ -489,7 +489,10 @@ object TextQueries {
         sum("nt").over(Window.partitionBy("blk").orderBy("doc_id")))
       val carry = t.groupBy("blk").agg(sum("nt").as("bt"))
         .withColumn("carry", coalesce(sum("bt").over(
-          Window.partitionBy(lit(0)).orderBy("blk")
+          // constant-valued but non-foldable partition key: survives
+          // EliminateWindowPartitions (a bare literal would not) — the
+          // deliberate O(numBlocks) carry, not an accidental global window
+          Window.partitionBy(pmod(col("blk"), lit(1))).orderBy("blk")
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
         .select("blk", "carry")
