@@ -294,6 +294,32 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
     * `linalg/_qr.py`, `linalg/_svd.py:19-168`). */
   def gram: DMatrix = t.matmul(this)
 
+  /** Weighted covariance over rows-as-observations (reference `cov` with
+    * `fweights`/`aweights`, `dask_array/routines/_statistics.py` — numpy
+    * semantics: w = fw·aw, weighted column means, denominator
+    * wsum − ddof·Σ(w·aw)/wsum, which reduces to wsum − ddof when every
+    * aw is 1). `weights` is an (i, fw, aw) frame — OBSERVATION-sized, so
+    * it equi-joins on the row key (co-partitioned with the data shuffle),
+    * never broadcasts; only the k-row means and the 1-row scalar
+    * aggregates ride broadcasts. Requires a dense element table (every
+    * (i, j) cell present): mean subtraction makes implicit zeros
+    * ill-defined, as in the unweighted inline cov (m32). */
+  def covWeighted(weights: DataFrame, ddof: Int = 1): DMatrix = {
+    val w = weights.selectExpr("i",
+      "CAST(fw AS DOUBLE) * CAST(aw AS DOUBLE) AS w", "CAST(aw AS DOUBLE) AS aw")
+    val scal = w.agg(sum("w").as("wsum"), sum(expr("w * aw")).as("swa"))
+    val xw = df.join(w, "i")
+    val mu = xw.groupBy("j").agg(sum(expr("w * v")).as("swv"))
+      .crossJoin(broadcast(scal)).selectExpr("j", "swv / wsum AS mu")
+    val z = xw.join(broadcast(mu), "j").selectExpr("i", "j", "v - mu AS zv", "w")
+    val pairs = z.join(z.selectExpr("i", "j AS j2", "zv AS zv2"), "i")
+      .groupBy("j", "j2").agg(sum(expr("w * zv * zv2")).as("s"))
+    new DMatrix(
+      pairs.crossJoin(broadcast(scal))
+        .selectExpr("j AS i", "j2 AS j", s"s / (wsum - $ddof * swa / wsum) AS v"),
+      cols, cols)
+  }
+
   /** Tiled matrix multiply — the BLAS3 scale path (reference blockwise
     * contraction, `linalg/_tensordot.py:45` with `_sum_wo_cat`): elements
     * are grouped into dense `tile x tile` blocks, block pairs meet in an

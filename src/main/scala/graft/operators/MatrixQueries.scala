@@ -529,6 +529,19 @@ object MatrixQueries {
       DMatrix.tabulate(s, 60, 40, "(i*7 + j*3) % 11 - 5").argwhere
         .orderBy("i", "j")),
 
+    // weighted covariance (reference cov fweights/aweights,
+    // routines/_statistics.py): numpy's w = fw·aw weighting end-to-end —
+    // weighted means, weighted cross-products, wsum − Σ(w·aw)/wsum
+    // denominator; weights are observation-sized and equi-join on i
+    // (aw divides by 4: exact binary fractions, hash-stable)
+    "m42_cov_weighted" -> ((s, d) => {
+      val n = 200L
+      val x = Tab(n, 4, "(i*7 + j*13) % 19 + (i % (j + 2))").spark(s)
+      val wts = s.range(n).selectExpr("id AS i",
+        "CAST(id % 3 + 1 AS DOUBLE) AS fw", "CAST(id % 5 + 1 AS DOUBLE) / 4 AS aw")
+      x.covWeighted(wts).map("round(v, 6)").elements.orderBy("i", "j")
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -980,6 +993,29 @@ object MatrixQueries {
                    ((x // 40) * 7 + (x % 40) * 3) % 11 - 5 AS v
             FROM range(2400) t(x))
          WHERE v <> 0 ORDER BY i, j""",
+
+    "m42_cov_weighted" -> {
+      val x = Tab(200, 4, "(i*7 + j*13) % 19 + (i % (j + 2))").duck
+      s"""WITH xw AS (
+            SELECT x.i, x.j, x.v,
+                   CAST(x.i % 3 + 1 AS DOUBLE) * (CAST(x.i % 5 + 1 AS DOUBLE) / 4) AS w,
+                   CAST(x.i % 5 + 1 AS DOUBLE) / 4 AS aw
+            FROM $x x),
+          scal AS (
+            SELECT sum(DISTINCT_W.w) AS wsum, sum(DISTINCT_W.w * DISTINCT_W.aw) AS swa
+            FROM (SELECT DISTINCT i, w, aw FROM xw) DISTINCT_W),
+          mu AS (
+            SELECT j, sum(w * v) / (SELECT wsum FROM scal) AS mu
+            FROM xw GROUP BY j),
+          z AS (
+            SELECT xw.i, xw.j, xw.v - mu.mu AS zv, xw.w
+            FROM xw JOIN mu ON xw.j = mu.j)
+         SELECT a.j AS i, b.j AS j,
+           round(sum(a.w * a.zv * b.zv)
+             / ((SELECT wsum FROM scal) - (SELECT swa FROM scal) / (SELECT wsum FROM scal)), 6) AS v
+         FROM z a JOIN z b ON a.i = b.i
+         GROUP BY 1, 2 ORDER BY i, j"""
+    },
 
     "np02_npy_nd" ->
       """SELECT c0, c1, c2, CAST((c0*5 + c1*3 + c2) % 9 + 1 AS DOUBLE) AS v
