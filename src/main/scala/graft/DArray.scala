@@ -192,6 +192,16 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def cummin: DArray                       = wrap(CumVec(exprTree, "min"))
   def cumprod: DArray                      = wrap(CumVec(exprTree, "prod"))
   def diff(n: Int = 1): DArray             = wrap(DiffVec(exprTree, n))
+  /** numpy diff's `prepend`/`append` (reference `routines/_diff.py:9` —
+    * scalar values concatenated onto the ends BEFORE differencing).
+    * Scalars enter as 1-element RangeVec leaves; the concat is the
+    * zero-movement offset union, so the cost is the plain diff's. */
+  def diff(n: Int, prepend: Option[Double], append: Option[Double]): DArray = {
+    def one(v: Double): DArray = wrap(RangeVec(v, 0.0, 1L))
+    val withPre = prepend.map(one(_) ++ this).getOrElse(this)
+    val withApp = append.map(v => withPre ++ one(v)).getOrElse(withPre)
+    withApp.diff(n)
+  }
   def sliding(w: Int, op: String, minCount: Int = 1): DArray =
     wrap(SlidingVec(exprTree, w, op, minCount))
   def ffill: DArray                        = wrap(FfillVec(exprTree))

@@ -974,6 +974,12 @@ object ArrayQueries {
     // nonzero values of the raveled array — one filtered scan, O(nnz) out
     "q101_flatnonzero" -> ((s, d) =>
       events(s, d).map("floor(v) % 3").flatnonzero.orderBy("idx")),
+
+    // diff with prepend/append (reference routines/_diff.py): scalar end
+    // values concatenate as 1-element leaves before the blocked diff
+    "q102_diff_ends" -> ((s, d) =>
+      events(s, d).slice(0, 400).diff(1, prepend = Some(100.0), append = Some(999.5))
+        .elements.select(col("idx"), round(col("v"), 2).as("v")).orderBy("idx")),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1758,6 +1764,17 @@ object ArrayQueries {
     "q101_flatnonzero" ->
       """SELECT event_id AS idx FROM events
          WHERE floor(value) % 3 <> 0 ORDER BY idx""",
+
+    "q102_diff_ends" ->
+      """WITH a AS (
+           SELECT 0 AS k, CAST(100.0 AS DOUBLE) AS v
+           UNION ALL
+           SELECT event_id + 1, value FROM events WHERE event_id < 400
+           UNION ALL
+           SELECT 401, CAST(999.5 AS DOUBLE))
+         SELECT k AS idx, round(d, 2) AS v FROM (
+           SELECT k - 1 AS k, v - lag(v) OVER (ORDER BY k) AS d FROM a)
+         WHERE k >= 0 ORDER BY idx""",
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,
