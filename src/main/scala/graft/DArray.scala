@@ -426,21 +426,29 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     * Spark plans `ORDER BY ... LIMIT k` as per-partition TakeOrdered +
     * driver merge — the same per-block-topk/combine tree the reference
     * builds by hand. */
+  /** k largest, sorted descending; NEGATIVE k extracts the -k smallest,
+    * sorted ascending (reference `topk`, `routines/_topk.py:14-19`).
+    * Either way a TakeOrdered tree — per-partition heads + driver merge
+    * of numPartitions·|k| rows, never a global sort. */
   def topk(k: Int): DataFrame =
-    elements.orderBy(col("v").desc, col("idx").asc).limit(k)
+    if (k >= 0) elements.orderBy(col("v").desc, col("idx").asc).limit(k)
+    else elements.orderBy(col("v").asc, col("idx").asc).limit(-k)
 
   /** Positions of the k largest values as an explicit rank → position map
     * (reference `argtopk`, `dask_array/routines/_topk.py:52`): the same
     * TakeOrdered tree as [[topk]]; the rank window runs over the k
     * surviving rows only (driver-bounded), never over the data. */
-  def argtopk(k: Int): DataFrame =
+  def argtopk(k: Int): DataFrame = {
+    // the rank window covers only the |k| TakeOrdered survivors; the
+    // pmod partition key is constant-valued yet non-foldable, keeping
+    // the bounded window explicitly partitioned (see Blocked.wCarry);
+    // negative k ranks the smallest ascending (reference _topk.py:52)
+    val ord = if (k >= 0) "v DESC, idx ASC" else "v ASC, idx ASC"
     topk(k).selectExpr(
-      // the rank window covers only the k TakeOrdered survivors; the
-      // pmod partition key is constant-valued yet non-foldable, keeping
-      // the bounded window explicitly partitioned (see Blocked.wCarry)
       "CAST(row_number() OVER (PARTITION BY pmod(idx, 1) " +
-        "ORDER BY v DESC, idx ASC) AS BIGINT) - 1 AS rank",
+        s"ORDER BY $ord) AS BIGINT) - 1 AS rank",
       "idx")
+  }
 
   /** NaN-skipping arg reductions (reference `nanargmax`/`nanargmin`,
     * `dask_array/reductions/_arg_reduction.py:131`; NaN ≙ NULL per the

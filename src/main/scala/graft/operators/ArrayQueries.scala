@@ -980,6 +980,9 @@ object ArrayQueries {
     "q102_diff_ends" -> ((s, d) =>
       events(s, d).slice(0, 400).diff(1, prepend = Some(100.0), append = Some(999.5))
         .elements.select(col("idx"), round(col("v"), 2).as("v")).orderBy("idx")),
+
+    // negative-k topk = the -k smallest ascending (reference _topk.py:17)
+    "q103_bottomk" -> ((s, d) => events(s, d).argtopk(-12)),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1775,6 +1778,11 @@ object ArrayQueries {
          SELECT k AS idx, round(d, 2) AS v FROM (
            SELECT k - 1 AS k, v - lag(v) OVER (ORDER BY k) AS d FROM a)
          WHERE k >= 0 ORDER BY idx""",
+
+    "q103_bottomk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY value ASC, event_id) AS BIGINT) - 1 AS rank,
+           event_id AS idx
+         FROM events ORDER BY value ASC, event_id LIMIT 12""",
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,
