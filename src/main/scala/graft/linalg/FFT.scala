@@ -173,6 +173,56 @@ object FFT {
         (col("re") * scale).as("re"), (col("im") * scale).as("im"))
   }
 
+  /** N-d FFT of a complex cell table `(c0..c{r-1}, re, im)` (reference
+    * `fftn`/`ifftn` via fft_wrap, fft.py:240,243): the DFT separates per
+    * axis, so this is `rank` grouped passes — each pass groups the lines
+    * of one axis by the RAVELED other coordinates and runs the in-core
+    * radix-2 transform per line. Parallelism per pass is the product of
+    * the other extents (the natural line count), no line ever crosses
+    * tasks, and the exchange per pass is one hash shuffle on the line
+    * key. Every extent must be a power of two (the fft2/fft constraint).
+    * rank 1/2 delegate nothing — the same loop covers them. */
+  def fftn(s: SparkSession, df: DataFrame, shape: Seq[Long],
+           inverse: Boolean = false): DataFrame = {
+    import s.implicits._
+    require(shape.nonEmpty && shape.forall(_ > 0), s"bad shape $shape")
+    val r = shape.length
+    val inv = inverse
+    val scale = if (inverse) 1.0 / shape.product else 1.0
+    var cur = df
+    for (ax <- 0 until r) {
+      val others = (0 until r).filter(_ != ax)
+      // row-major strides over the OTHER axes: lk = Σ c_o · stride_o
+      val strides = others.scanRight(1L)((o, acc) => acc * shape(o)).tail
+      val lkSql =
+        if (others.isEmpty) "CAST(0 AS BIGINT)"
+        else others.zip(strides).map { case (o, st) => s"c$o * ${st}L" }.mkString(" + ")
+      val lineLen = shape(ax).toInt
+      val out = cur
+        .selectExpr(s"CAST($lkSql AS BIGINT) AS lk", s"c$ax AS pk", "re", "im")
+        .as[(Long, Long, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (lk, it) =>
+          val re = new Array[Double](lineLen)
+          val im = new Array[Double](lineLen)
+          it.foreach { case (_, p, rr, ii) => re(p.toInt) = rr; im(p.toInt) = ii }
+          fftInPlace(re, im, inv)
+          (0 until lineLen).iterator.map(p => (lk, p.toLong, re(p), im(p)))
+        }.toDF("lk", "pk", "re", "im")
+      // unravel lk back into the other coordinates; c_ax = pk
+      val coordSqls = (0 until r).map { a =>
+        if (a == ax) s"pk AS c$a"
+        else {
+          val st = strides(others.indexOf(a))
+          s"(lk DIV ${st}L) % ${shape(a)}L AS c$a"
+        }
+      }
+      cur = out.selectExpr(coordSqls :+ "re" :+ "im": _*)
+    }
+    val coords = (0 until r).map(a => s"c$a")
+    cur.selectExpr(coords :+ s"re * $scale AS re" :+ s"im * $scale AS im": _*)
+  }
+
   /** Sample frequencies (reference `fftfreq`, fft.py:254): exact rational
     * index arithmetic — [0..n/2-1, -n/2..-1] / (n·d). */
   def fftfreq(s: SparkSession, n: Long, d: Double = 1.0): DataFrame =

@@ -600,6 +600,20 @@ object MatrixQueries {
         .agg(round(expr(s"sum(re*re + im*im) / ${r * c}"), 4).as("energy"))
     }),
 
+    // N-d FFT (reference fftn via fft_wrap, fft.py:240): rank separable
+    // passes, one hash shuffle per axis; gated through Parseval at rank 3
+    "f07_fftn_parseval" -> ((s, d) => {
+      val (a, b, c) = (16, 8, 8)
+      val n = a * b * c
+      val x = s.range(n.toLong).selectExpr(
+        s"id DIV ${b * c} AS c0", s"(id DIV $c) % $b AS c1", s"id % $c AS c2",
+        s"CAST((id * 7 + 3) % 13 - 6 AS DOUBLE) AS re",
+        "CAST(0 AS DOUBLE) AS im")
+      graft.linalg.FFT.fftn(s, x, Seq(a, b, c))
+        .agg(round(expr(s"sum(re*re + im*im) / $n"), 4).as("energy"),
+          expr("CAST(count(*) AS BIGINT) AS n_cells"))
+    }),
+
     // 3-d axis-tuple reduction (reference reductions/_reduction.py:89):
     // collapse (i, j), keep the batch axis — one partial-agg shuffle
     "m21_tensor_axis_reduce" -> ((s, d) =>
@@ -1081,6 +1095,11 @@ object MatrixQueries {
 
     "f06_hfft_roundtrip" ->
       "SELECT true AS ok, CAST(1024 AS BIGINT) AS n_rows",
+
+    "f07_fftn_parseval" ->
+      """SELECT round(sum(v * v), 4) AS energy, CAST(1024 AS BIGINT) AS n_cells
+         FROM (SELECT CAST((x * 7 + 3) % 13 - 6 AS DOUBLE) AS v
+               FROM range(1024) t(x))""",
 
     "m20_rot90" ->
       s"""SELECT 29 - j AS i, i AS j, v FROM ${A.duck} ORDER BY i, j""",

@@ -150,6 +150,42 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(back(k) - x(k / cols)(k % cols)) < 1e-9, s"roundtrip $k")
   }
 
+  test("fftn: rank-2 agrees with fft2; rank-3 inverse round-trips and Parseval holds") {
+    val sp = spark
+    import sp.implicits._
+    // rank 2: fftn agrees with fft2 to fp noise (same per-line kernel;
+    // the axis ORDER differs — fft2 transforms axis 1 first, fftn axis 0
+    // — so the sums associate differently and last-ulp drift is expected)
+    val (rows, cols) = (8, 16)
+    val df2 = (for (i <- 0 until rows; j <- 0 until cols)
+      yield (i.toLong, j.toLong, ((i * 3 + j * 7 + 1) % 11).toDouble - 5, 0.0))
+      .toDF("c0", "c1", "re", "im")
+    val viaN = FFT.fftn(spark, df2, Seq(rows, cols)).orderBy("c0", "c1").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    val via2 = FFT.fft2(spark,
+        df2.toDF("i", "j", "re", "im"), rows, cols).orderBy("i", "j").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    viaN.zip(via2).zipWithIndex.foreach { case (((ar, ai), (br, bi)), k) =>
+      assert(math.abs(ar - br) < 1e-9 && math.abs(ai - bi) < 1e-9,
+        s"fftn vs fft2 cell $k")
+    }
+    // rank 3: ifftn(fftn(x)) == x and Parseval
+    val shape = Seq(4L, 8L, 4L)
+    val n = shape.product.toInt
+    val vals = Array.tabulate(n)(k => ((k * 7 + 3) % 13).toDouble - 6)
+    val df3 = (0 until n).map { k =>
+      (k / 32L, (k / 4L) % 8L, k % 4L, vals(k), 0.0)
+    }.toDF("c0", "c1", "c2", "re", "im")
+    val spec = FFT.fftn(spark, df3, shape)
+    val energy = spec.selectExpr(s"sum(re*re + im*im) / $n AS e").collect()(0).getDouble(0)
+    val direct = vals.map(v => v * v).sum
+    assert(math.abs(energy - direct) < 1e-6, s"parseval $energy vs $direct")
+    val back = FFT.fftn(spark, spec, shape, inverse = true)
+      .orderBy("c0", "c1", "c2").collect().map(_.getDouble(3))
+    for (k <- 0 until n)
+      assert(math.abs(back(k) - vals(k)) < 1e-9, s"roundtrip $k")
+  }
+
   test("fftfreq and fftshift index math") {
     val f = FFT.fftfreq(spark, 8, d = 0.5).orderBy("idx").collect().map(_.getDouble(1))
     assert(f.toSeq == Seq(0.0, 0.25, 0.5, 0.75, -1.0, -0.75, -0.5, -0.25))
