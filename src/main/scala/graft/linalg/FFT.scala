@@ -223,6 +223,33 @@ object FFT {
     cur.selectExpr(coords :+ s"re * $scale AS re" :+ s"im * $scale AS im": _*)
   }
 
+  /** Real-input N-d FFT (reference `rfftn`/`rfft2` via fft_wrap,
+    * fft.py:245-246): the full transform of a real-valued table (`im`
+    * must be zero) restricted to the non-negative half of the LAST axis
+    * — every dropped bin is determined by the N-d Hermitian symmetry
+    * X(−k⃗) = conj(X(k⃗)) of a real signal, exactly the 1-d [[rfft]]
+    * composition lifted to rank r. */
+  def rfftn(s: SparkSession, real: DataFrame, shape: Seq[Long]): DataFrame =
+    fftn(s, real, shape).where(col(s"c${shape.length - 1}") <= shape.last / 2)
+
+  /** Inverse of [[rfftn]] (reference `irfftn`/`irfft2`, fft.py:248-249):
+    * mirror the missing last-axis bins through the N-d Hermitian
+    * symmetry — coordinate negation mod extent on EVERY axis, conjugate
+    * — then run the inverse transform and keep the real part. */
+  def irfftn(s: SparkSession, half: DataFrame, shape: Seq[Long]): DataFrame = {
+    val r = shape.length
+    val nl = shape.last
+    val mirrorCoords = (0 until r).map { a =>
+      if (a == r - 1) s"$nl - c$a AS c$a"
+      else s"(${shape(a)} - c$a) % ${shape(a)} AS c$a"
+    }
+    val mirror = half
+      .where(col(s"c${r - 1}") > 0 && col(s"c${r - 1}") < nl - nl / 2)
+      .selectExpr(mirrorCoords :+ "re" :+ "-im AS im": _*)
+    fftn(s, half.unionByName(mirror), shape, inverse = true)
+      .select((0 until r).map(a => col(s"c$a")) :+ col("re").as("v"): _*)
+  }
+
   /** Sample frequencies (reference `fftfreq`, fft.py:254): exact rational
     * index arithmetic — [0..n/2-1, -n/2..-1] / (n·d). */
   def fftfreq(s: SparkSession, n: Long, d: Double = 1.0): DataFrame =

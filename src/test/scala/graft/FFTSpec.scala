@@ -186,6 +186,28 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(back(k) - vals(k)) < 1e-9, s"roundtrip $k")
   }
 
+  test("rfftn keeps the fftn half-spectrum; irfftn recovers the real signal") {
+    val sp = spark
+    import sp.implicits._
+    val shape = Seq(4L, 8L)
+    val n = shape.product.toInt
+    val vals = Array.tabulate(n)(k => ((k * 5 + 2) % 11).toDouble - 5)
+    val df = (0 until n).map(k => (k / 8L, k % 8L, vals(k), 0.0))
+      .toDF("c0", "c1", "re", "im")
+    // rfftn == fftn restricted to the last-axis half
+    val half = FFT.rfftn(spark, df, shape).orderBy("c0", "c1").collect()
+    assert(half.length == 4 * (8 / 2 + 1))
+    val full = FFT.fftn(spark, df, shape).where("c1 <= 4").orderBy("c0", "c1").collect()
+    half.zip(full).foreach { case (h, f) =>
+      assert(h.getDouble(2) == f.getDouble(2) && h.getDouble(3) == f.getDouble(3))
+    }
+    // inverse round trip back to the real signal
+    val back = FFT.irfftn(spark, FFT.rfftn(spark, df, shape), shape)
+      .orderBy("c0", "c1").collect().map(_.getDouble(2))
+    for (k <- 0 until n)
+      assert(math.abs(back(k) - vals(k)) < 1e-9, s"roundtrip $k")
+  }
+
   test("fftfreq and fftshift index math") {
     val f = FFT.fftfreq(spark, 8, d = 0.5).orderBy("idx").collect().map(_.getDouble(1))
     assert(f.toSeq == Seq(0.0, 0.25, 0.5, 0.75, -1.0, -0.75, -0.5, -0.25))
