@@ -164,6 +164,25 @@ class SimplifySpec extends AnyFunSuite {
     } finally ctxSpark.stop()
   }
 
+  test("divmod carries the divisor's sign on negative inputs (numpy, not SQL %)") {
+    val ctxSpark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      // values -5..4 against divisor 3: numpy remainder is in [0, 3)
+      val a = graft.DArray.arange(ctxSpark, "/unused", -5, 5, 1)
+      val (q, r) = a.divmod(3.0)
+      val qs = q.elements.orderBy("idx").collect().map(_.getDouble(1))
+      val rs = r.elements.orderBy("idx").collect().map(_.getDouble(1))
+      val want = (-5 to 4).map(v => (math.floor(v / 3.0), v - 3.0 * math.floor(v / 3.0)))
+      assert(qs.toSeq == want.map(_._1), "quotients")
+      assert(rs.toSeq == want.map(_._2), "remainders (divisor-signed)")
+      // reconstruction identity q*d + r == v
+      qs.zip(rs).zipWithIndex.foreach { case ((qv, rv), i) =>
+        assert(qv * 3.0 + rv == (i - 5).toDouble, s"identity at $i")
+      }
+    } finally ctxSpark.stop()
+  }
+
   test("boundary modes compose to the right ghost values") {
     // on arange(0..9): depth-2 ghosts per mode
     val ctxSpark = org.apache.spark.sql.SparkSession.builder()
