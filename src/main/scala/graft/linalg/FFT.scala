@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * makes the transform itself distributed, so no rechunk-to-one-task
   * bottleneck exists at all):
   *
-  * with n = n1·n2 (both powers of two, ~√n each):
+  * with n = n1·n2 (divisor pair, ~√n each; any length — non-power-of-two
+  * line kernels route through Bluestein):
   *   1. inner FFTs: group by j2 = idx % n2 → n2 independent in-core
   *      length-n1 FFTs (one task each, map-side);
   *   2. twiddle: multiply by w_n^(j2·k1) — elemwise, free;
@@ -24,12 +25,77 @@ import org.apache.spark.sql.functions._
   */
 object FFT {
 
-  /** In-core iterative radix-2 Cooley-Tukey; arrays mutated in place.
+  /** In-core DFT of ANY length; arrays mutated in place. Power-of-two
+    * lengths take the radix-2 butterflies directly; every other length
+    * routes through [[bluestein]] (chirp-z), which evaluates the DFT as a
+    * circular convolution computed with radix-2 FFTs at the next power of
+    * two ≥ 2n−1 — still O(n log n), matching numpy's any-n contract.
     * No scaling applied (callers scale once for the inverse). */
   def fftInPlace(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
     val n = re.length
-    require(n == im.length && (n & (n - 1)) == 0, s"radix-2 FFT needs a power of 2, got $n")
+    require(n == im.length, s"re/im length mismatch $n vs ${im.length}")
     if (n <= 1) return
+    if ((n & (n - 1)) == 0) radix2InPlace(re, im, inverse)
+    else bluestein(re, im, inverse)
+  }
+
+  /** Bluestein's chirp-z DFT for arbitrary n: X_k = c_k · Σ_j (x_j c_j) ·
+    * conj(c)_{k−j} with chirp c_k = exp(∓iπk²/n) — a circular convolution
+    * at padded power-of-two length m ≥ 2n−1, done with three radix-2
+    * transforms. Chirp angles reduce k² mod 2n BEFORE the float divide,
+    * so the phase stays accurate at any n (k² alone would lose ulps once
+    * k² outgrows the mantissa). */
+  private def bluestein(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val n = re.length
+    val sign = if (inverse) 1.0 else -1.0
+    var m = 1
+    while (m < 2 * n - 1) m <<= 1
+    val cr = new Array[Double](n); val ci = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val t = (k.toLong * k) % (2L * n) // πk²/n mod 2π
+      val ang = sign * math.Pi * t / n
+      cr(k) = math.cos(ang); ci(k) = math.sin(ang)
+      k += 1
+    }
+    val ar = new Array[Double](m); val ai = new Array[Double](m)
+    k = 0
+    while (k < n) {
+      ar(k) = re(k) * cr(k) - im(k) * ci(k)
+      ai(k) = re(k) * ci(k) + im(k) * cr(k)
+      k += 1
+    }
+    // conjugate chirp, circularly wrapped: b_k = b_{m−k} = conj(c)_k
+    val br = new Array[Double](m); val bi = new Array[Double](m)
+    br(0) = cr(0); bi(0) = -ci(0)
+    k = 1
+    while (k < n) {
+      br(k) = cr(k); bi(k) = -ci(k)
+      br(m - k) = cr(k); bi(m - k) = -ci(k)
+      k += 1
+    }
+    radix2InPlace(ar, ai, inverse = false)
+    radix2InPlace(br, bi, inverse = false)
+    k = 0
+    while (k < m) {
+      val r = ar(k) * br(k) - ai(k) * bi(k)
+      val i2 = ar(k) * bi(k) + ai(k) * br(k)
+      ar(k) = r; ai(k) = i2
+      k += 1
+    }
+    radix2InPlace(ar, ai, inverse = true)
+    k = 0
+    while (k < n) {
+      val rr = ar(k) / m; val ri = ai(k) / m
+      re(k) = rr * cr(k) - ri * ci(k)
+      im(k) = rr * ci(k) + ri * cr(k)
+      k += 1
+    }
+  }
+
+  /** In-core iterative radix-2 Cooley-Tukey; arrays mutated in place. */
+  private def radix2InPlace(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val n = re.length
     // bit-reversal permutation
     var i = 1; var j = 0
     while (i < n) {
@@ -67,16 +133,21 @@ object FFT {
     }
   }
 
-  /** Split n into (n1, n2) powers of two, each ≤ O(√n). */
+  /** Split n into a divisor pair (n1, n2), n1 ≤ n2, n1 as close to √n as
+    * divisibility allows — the general Cooley-Tukey decomposition (the
+    * four-step derivation never needed powers of two, only n = n1·n2; the
+    * per-line kernels handle any length via [[bluestein]]). A PRIME n
+    * degenerates to (1, n): one in-core Bluestein line — correct, but
+    * single-task; prefer composite lengths for distributed transforms. */
   def split(n: Long): (Long, Long) = {
-    require(n > 0 && (n & (n - 1)) == 0, s"four-step FFT needs a power-of-2 length, got $n")
-    val log = java.lang.Long.numberOfTrailingZeros(n)
-    val l1 = log / 2
-    (1L << l1, 1L << (log - l1))
+    require(n > 0, s"FFT length must be positive, got $n")
+    var d = math.sqrt(n.toDouble).toLong
+    while (d > 1 && n % d != 0) d -= 1
+    (d.max(1), n / d.max(1))
   }
 
-  /** Distributed FFT of the complex element table `(idx, re, im)` of
-    * length n (power of 2). Returns the same schema. */
+  /** Distributed FFT of the complex element table `(idx, re, im)` of any
+    * length n. Returns the same schema. */
   def fft(s: SparkSession, df: DataFrame, n: Long, inverse: Boolean = false): DataFrame = {
     import s.implicits._
     val (n1, n2) = split(n)
@@ -147,7 +218,7 @@ object FFT {
       s"re / CAST($n AS DOUBLE) AS re", s"-im / CAST($n AS DOUBLE) AS im")
 
   /** 2-d FFT of a complex cell table `(i, j, re, im)` with shape
-    * rows×cols, both powers of two (reference `fft2` via fft_wrap,
+    * rows×cols, any extents (reference `fft2` via fft_wrap,
     * fft.py:119): FFT each row, then each column — two grouped stages,
     * each an independent in-core transform per line, so parallelism is
     * rows (then cols) and no line ever crosses tasks. */
@@ -180,7 +251,7 @@ object FFT {
     * radix-2 transform per line. Parallelism per pass is the product of
     * the other extents (the natural line count), no line ever crosses
     * tasks, and the exchange per pass is one hash shuffle on the line
-    * key. Every extent must be a power of two (the fft2/fft constraint).
+    * key. Extents may be any length (Bluestein covers non-powers-of-two).
     * rank 1/2 delegate nothing — the same loop covers them. */
   def fftn(s: SparkSession, df: DataFrame, shape: Seq[Long],
            inverse: Boolean = false): DataFrame = {

@@ -600,6 +600,18 @@ object MatrixQueries {
         .agg(round(expr(s"sum(re*re + im*im) / ${r * c}"), 4).as("energy"))
     }),
 
+    // arbitrary-length distributed FFT (reference delegates any-n to
+    // numpy; here split(1000) = (25, 40) and the 25/40-length lines run
+    // Bluestein in-core): Parseval against the direct sum
+    "f08_fft_anylen_parseval" -> ((s, d) => {
+      val n = 1000
+      val x = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS re", "CAST(0 AS DOUBLE) AS im")
+        .where(s"idx < $n")
+      graft.linalg.FFT.fft(s, x, n)
+        .agg(round(expr(s"sum(re*re + im*im) / $n"), 2).as("energy"))
+    }),
+
     // N-d FFT (reference fftn via fft_wrap, fft.py:240): rank separable
     // passes, one hash shuffle per axis; gated through Parseval at rank 3
     "f07_fftn_parseval" -> ((s, d) => {
@@ -1100,6 +1112,10 @@ object MatrixQueries {
       """SELECT round(sum(v * v), 4) AS energy, CAST(1024 AS BIGINT) AS n_cells
          FROM (SELECT CAST((x * 7 + 3) % 13 - 6 AS DOUBLE) AS v
                FROM range(1024) t(x))""",
+
+    "f08_fft_anylen_parseval" ->
+      """SELECT round(sum(value * value), 2) AS energy
+         FROM events WHERE event_id < 1000""",
 
     "m20_rot90" ->
       s"""SELECT 29 - j AS i, i AS j, v FROM ${A.duck} ORDER BY i, j""",

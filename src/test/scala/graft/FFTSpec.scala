@@ -186,6 +186,55 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(back(k) - vals(k)) < 1e-9, s"roundtrip $k")
   }
 
+  test("Bluestein: arbitrary lengths match the naive DFT (composite and prime)") {
+    for (n <- Seq(12, 17, 45)) {
+      val xr = Array.tabulate(n)(k => ((k * 7 + 2) % 9).toDouble - 4)
+      val xi = Array.tabulate(n)(k => ((k * 3 + 1) % 5).toDouble - 2)
+      val re = xr.clone(); val im = xi.clone()
+      FFT.fftInPlace(re, im, inverse = false)
+      for (k <- 0 until n) {
+        var wr = 0.0; var wi = 0.0
+        for (j <- 0 until n) {
+          val ang = -2.0 * math.Pi * k * j / n
+          wr += xr(j) * math.cos(ang) - xi(j) * math.sin(ang)
+          wi += xr(j) * math.sin(ang) + xi(j) * math.cos(ang)
+        }
+        assert(math.abs(re(k) - wr) < 1e-8 && math.abs(im(k) - wi) < 1e-8, s"n=$n k=$k")
+      }
+      // unscaled-inverse round trip (inverse sums without 1/n — scale here)
+      FFT.fftInPlace(re, im, inverse = true)
+      for (k <- 0 until n)
+        assert(math.abs(re(k) / n - xr(k)) < 1e-9 && math.abs(im(k) / n - xi(k)) < 1e-9)
+    }
+  }
+
+  test("distributed fft and fftn at non-power-of-two lengths") {
+    val sp = spark
+    import sp.implicits._
+    // n = 96 → split (8, 12): the 12-length lines run Bluestein in-core
+    val n = 96
+    val vals = Array.tabulate(n)(k => ((k * 5 + 1) % 13).toDouble - 6)
+    val df = (0 until n).map(k => (k.toLong, vals(k), 0.0)).toDF("idx", "re", "im")
+    assert(FFT.split(96) == (8L, 12L))
+    val spec = FFT.fft(spark, df, n)
+    val energy = spec.selectExpr(s"sum(re*re + im*im) / $n AS e").collect()(0).getDouble(0)
+    assert(math.abs(energy - vals.map(v => v * v).sum) < 1e-6, "parseval n=96")
+    val back = FFT.fft(spark, spec, n, inverse = true)
+      .orderBy("idx").collect().map(_.getDouble(1))
+    for (k <- 0 until n) assert(math.abs(back(k) - vals(k)) < 1e-9, s"roundtrip $k")
+    // rank-2 fftn with non-pow2 extents (6, 10)
+    val shape = Seq(6L, 10L)
+    val m = 60
+    val v2 = Array.tabulate(m)(k => ((k * 11 + 4) % 7).toDouble - 3)
+    val df2 = (0 until m).map(k => (k / 10L, k % 10L, v2(k), 0.0)).toDF("c0", "c1", "re", "im")
+    val s2 = FFT.fftn(spark, df2, shape)
+    val e2 = s2.selectExpr(s"sum(re*re + im*im) / $m AS e").collect()(0).getDouble(0)
+    assert(math.abs(e2 - v2.map(v => v * v).sum) < 1e-6, "parseval (6,10)")
+    val b2 = FFT.fftn(spark, s2, shape, inverse = true)
+      .orderBy("c0", "c1").collect().map(_.getDouble(2))
+    for (k <- 0 until m) assert(math.abs(b2(k) - v2(k)) < 1e-9, s"nd roundtrip $k")
+  }
+
   test("rfftn keeps the fftn half-spectrum; irfftn recovers the real signal") {
     val sp = spark
     import sp.implicits._
