@@ -187,7 +187,8 @@ class FFTSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("Bluestein: arbitrary lengths match the naive DFT (composite and prime)") {
-    for (n <- Seq(12, 17, 45)) {
+    // exhaustive small-n sweep (primes, prime powers, composites, pow2)
+    for (n <- (2 to 40) ++ Seq(45, 63, 100)) {
       val xr = Array.tabulate(n)(k => ((k * 7 + 2) % 9).toDouble - 4)
       val xi = Array.tabulate(n)(k => ((k * 3 + 1) % 5).toDouble - 2)
       val re = xr.clone(); val im = xi.clone()
