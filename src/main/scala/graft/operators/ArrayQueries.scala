@@ -983,6 +983,22 @@ object ArrayQueries {
 
     // negative-k topk = the -k smallest ascending (reference _topk.py:17)
     "q103_bottomk" -> ((s, d) => events(s, d).argtopk(-12)),
+
+    // numpy quantile interpolation methods over ONE shared rank selection
+    // (reference quantile(method=), reductions/_percentile.py): lower,
+    // higher, nearest (round-half-to-even on the rank — p=0.5 at even n
+    // lands exactly on .5 and exercises the tie rule), midpoint
+    "q104_quantile_methods" -> ((s, d) => {
+      val br = ExactQuantile.brackets(events(s, d).elements, "v", Seq(0.37, 0.5))
+      val (h1, lo1, hi1) = br(0)
+      val (h2, lo2, hi2) = br(1)
+      s.range(1).select(
+        round(lit(lo1), 4).as("lower37"),
+        round(lit(hi1), 4).as("higher37"),
+        round(lit(ExactQuantile.interp(h1, lo1, hi1, "nearest")), 4).as("nearest37"),
+        round(lit(ExactQuantile.interp(h1, lo1, hi1, "midpoint")), 4).as("mid37"),
+        round(lit(ExactQuantile.interp(h2, lo2, hi2, "nearest")), 4).as("nearest50"))
+    }),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1783,6 +1799,29 @@ object ArrayQueries {
       """SELECT CAST(row_number() OVER (ORDER BY value ASC, event_id) AS BIGINT) - 1 AS rank,
            event_id AS idx
          FROM events ORDER BY value ASC, event_id LIMIT 12""",
+
+    "q104_quantile_methods" ->
+      """WITH s AS (SELECT value AS v, row_number() OVER (ORDER BY value) - 1 AS r
+                    FROM events),
+            c AS (SELECT count(*) AS n FROM events),
+            h AS (SELECT 0.37 * (n - 1) AS h1, 0.5 * (n - 1) AS h2 FROM c),
+            b AS (SELECT
+              (SELECT v FROM s WHERE r = CAST(floor((SELECT h1 FROM h)) AS BIGINT)) AS lo1,
+              (SELECT v FROM s WHERE r = CAST(ceil((SELECT h1 FROM h)) AS BIGINT)) AS hi1,
+              (SELECT v FROM s WHERE r = CAST(floor((SELECT h2 FROM h)) AS BIGINT)) AS lo2,
+              (SELECT v FROM s WHERE r = CAST(ceil((SELECT h2 FROM h)) AS BIGINT)) AS hi2,
+              (SELECT h1 FROM h) AS h1, (SELECT h2 FROM h) AS h2)
+         SELECT round(lo1, 4) AS lower37, round(hi1, 4) AS higher37,
+           round(CASE WHEN h1 - floor(h1) < 0.5 THEN lo1
+                      WHEN h1 - floor(h1) > 0.5 THEN hi1
+                      WHEN CAST(floor(h1) AS BIGINT) % 2 = 0 THEN lo1 ELSE hi1 END, 4)
+             AS nearest37,
+           round((lo1 + hi1) / 2, 4) AS mid37,
+           round(CASE WHEN h2 - floor(h2) < 0.5 THEN lo2
+                      WHEN h2 - floor(h2) > 0.5 THEN hi2
+                      WHEN CAST(floor(h2) AS BIGINT) % 2 = 0 THEN lo2 ELSE hi2 END, 4)
+             AS nearest50
+         FROM b""",
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,

@@ -24,8 +24,32 @@ import org.apache.spark.sql.functions._
 object ExactQuantile {
 
   /** Exact p-quantiles of `df(valueCol)`; two distributed passes, driver
-    * traffic bounded by O(numPartitions + |ps|). */
-  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
+    * traffic bounded by O(numPartitions + |ps|). `method` selects numpy's
+    * interpolation (reference `quantile(method=)`,
+    * `reductions/_percentile.py`): "linear" (default, the percentile_cont
+    * rule), "lower"/"higher" (bracketing order statistics), "nearest"
+    * (round-half-to-even on the rank, numpy's np.around), "midpoint". */
+  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                method: String = "linear"): Seq[Double] =
+    brackets(df, valueCol, ps).map { case (h, lo, hi) => interp(h, lo, hi, method) }
+
+  /** One method-combination step over a bracket (h, lo, hi). */
+  def interp(h: Double, lo: Double, hi: Double, method: String): Double =
+    method match {
+      case "linear"   => lo + (h - math.floor(h)) * (hi - lo)
+      case "lower"    => lo
+      case "higher"   => hi
+      // numpy np.around semantics: round the rank half-to-even
+      case "nearest"  => if (math.rint(h) == math.floor(h)) lo else hi
+      case "midpoint" => (lo + hi) / 2
+      case other => throw new IllegalArgumentException(
+        s"unknown quantile method '$other' (linear/lower/higher/nearest/midpoint)")
+    }
+
+  /** The shared two-pass rank selection: for each p, the fractional rank
+    * h = p·(n−1) and the order statistics at ⌊h⌋ and ⌈h⌉ — every
+    * interpolation method combines these three numbers. */
+  def brackets(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[(Double, Double, Double)] = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = df.select(col(valueCol).cast("double").as("v"))
@@ -49,11 +73,7 @@ object ExactQuantile {
         val start = off(i)
         it.zipWithIndex.collect { case (v, j) if tg.contains(start + j) => (start + j, v) }
       }.collect().toMap
-      hs.map { h =>
-        val lo = found(math.floor(h).toLong)
-        val hi = found(math.ceil(h).toLong)
-        lo + (h - math.floor(h)) * (hi - lo)
-      }
+      hs.map(h => (h, found(math.floor(h).toLong), found(math.ceil(h).toLong)))
     } finally { sorted.unpersist(); () }
   }
 
