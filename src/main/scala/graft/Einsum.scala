@@ -80,6 +80,35 @@ object Einsum {
         .agg(sum(product).as("v"))
   }
 
+  /** numpy ellipsis sugar (reference einsum `...` broadcasting,
+    * `dask_array/_einsum.py`): `...` in an operand stands for its
+    * unlisted LEADING axes. Fresh letters are allocated once and
+    * RIGHT-aligned per operand, so shorter ellipses bind to the trailing
+    * batch dims — numpy's alignment rule; the output's `...` receives
+    * all of them. Mismatched ellipsis extents fail in the join/shape
+    * layer rather than broadcasting silently. */
+  private def expandEllipsis(spec: String, ranks: Seq[Int]): String = {
+    val Array(lhs, rhs) = spec.split("->", -1)
+    val terms = lhs.split(",", -1)
+    require(terms.length == ranks.length,
+      s"'$spec' names ${terms.length} operands, got ${ranks.length}")
+    val counts = terms.toSeq.zip(ranks).map { case (t, r) =>
+      if (t.contains("...")) {
+        val k = r - t.replace("...", "").length
+        require(k >= 0, s"operand spec '$t' lists more axes than its rank $r")
+        k
+      } else 0
+    }
+    val maxK = counts.max
+    val used = spec.filter(_.isLetter).toSet
+    val fresh = ('a' to 'z').filterNot(used.contains).take(maxK).mkString
+    require(fresh.length == maxK, "not enough free letters to expand '...'")
+    val newTerms = terms.toSeq.zip(counts).map { case (t, k) =>
+      t.replace("...", fresh.takeRight(k))
+    }
+    newTerms.mkString(",") + "->" + rhs.replace("...", fresh)
+  }
+
   /** einsum over [[NdArray]] operands of ANY rank (the reference's einsum
     * is N-dimensional; `"bij,bjk->bik"` is one call, not a special-cased
     * batch op). Same plan algorithm as the 2-d form — rename coordinate
@@ -89,7 +118,10 @@ object Einsum {
     * (equality predicate over the repeated coordinates). Output columns
     * are the `->` letters plus `v`. */
   def nd(spec: String, ops: NdArray*): DataFrame = {
-    val Array(lhs, rhs) = spec.replace(" ", "").split("->", -1)
+    val cleaned = spec.replace(" ", "")
+    val expanded =
+      if (cleaned.contains("...")) expandEllipsis(cleaned, ops.map(_.rank)) else cleaned
+    val Array(lhs, rhs) = expanded.split("->", -1)
     val inSpecs = lhs.split(",").toSeq
     require(inSpecs.length == ops.length, s"$spec expects ${inSpecs.length} operands")
     require(ops.nonEmpty, "einsum needs at least one operand")

@@ -85,6 +85,14 @@ class NdSpec extends AnyFunSuite {
     val diag = Einsum.nd("bii->bi", sq).orderBy("b", "i").collect()
       .map(_.getDouble(2)).toSeq
     assert(diag == Seq(0.0, 11.0, 22.0, 100.0, 111.0, 122.0))
+    // ellipsis sugar: '...ij,...jk->...ik' expands to the explicit batch form
+    val viaEll = Einsum.nd("...ij,...jk->...ik", a, b)
+      .orderBy("a", "i", "k").collect().map(_.getDouble(3)).toSeq
+    assert(viaEll == perBatch, "ellipsis batched matmul")
+    // ellipsis full reduction: '...->' sums everything
+    val tot = Einsum.nd("...->", a).collect()(0).getDouble(0)
+    val direct = a.ravel.selectExpr("sum(v)").collect()(0).getDouble(0)
+    assert(tot == direct, "ellipsis total")
   }
 
   test("rank-2 tensordot equals DMatrix matmul") {
