@@ -119,8 +119,19 @@ object Einsum {
     * are the `->` letters plus `v`. */
   def nd(spec: String, ops: NdArray*): DataFrame = {
     val cleaned = spec.replace(" ", "")
+    // implicit mode (numpy: no '->'): output = '...' (if present) then
+    // the letters appearing exactly ONCE across all operands, sorted
+    val withArrow =
+      if (cleaned.contains("->")) cleaned
+      else {
+        val letters = cleaned.replace(",", "").replace(".", "")
+        val once = letters.groupBy(identity).collect {
+          case (c, g) if g.length == 1 => c
+        }.toSeq.sorted.mkString
+        cleaned + "->" + (if (cleaned.contains("...")) "..." else "") + once
+      }
     val expanded =
-      if (cleaned.contains("...")) expandEllipsis(cleaned, ops.map(_.rank)) else cleaned
+      if (withArrow.contains("...")) expandEllipsis(withArrow, ops.map(_.rank)) else withArrow
     val Array(lhs, rhs) = expanded.split("->", -1)
     val inSpecs = lhs.split(",").toSeq
     require(inSpecs.length == ops.length, s"$spec expects ${inSpecs.length} operands")

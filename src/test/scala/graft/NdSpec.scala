@@ -93,6 +93,18 @@ class NdSpec extends AnyFunSuite {
     val tot = Einsum.nd("...->", a).collect()(0).getDouble(0)
     val direct = a.ravel.selectExpr("sum(v)").collect()(0).getDouble(0)
     assert(tot == direct, "ellipsis total")
+    // implicit mode: no '->' emits the once-occurring letters sorted;
+    // with an ellipsis the batch dims lead (numpy '...ij,...jk' ≡ '...ik')
+    val implicitEll = Einsum.nd("...ij,...jk", a, b)
+      .orderBy("a", "i", "k").collect().map(_.getDouble(3)).toSeq
+    assert(implicitEll == perBatch, "implicit ellipsis output")
+    val m1 = NdArray.tabulate(spark, Seq(3L, 4L), "(c0*2 + c1) % 5")
+    val m2 = NdArray.tabulate(spark, Seq(4L, 2L), "(c0 + c1*3) % 7")
+    val viaImplicit = Einsum.nd("ij,jk", m1, m2).orderBy("i", "k")
+      .collect().map(_.getDouble(2)).toSeq
+    val viaExplicit = Einsum.nd("ij,jk->ik", m1, m2).orderBy("i", "k")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(viaImplicit == viaExplicit, "implicit matmul")
   }
 
   test("rank-2 tensordot equals DMatrix matmul") {
