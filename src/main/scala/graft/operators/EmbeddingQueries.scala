@@ -115,6 +115,121 @@ object EmbeddingQueries {
       }.toDF("vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
   }
 
+  // ---- k-means (Lloyd) under the exact oracle gate -----------------
+  // Distributed Lloyd iterations are THE canonical Spark clustering
+  // shape: per iteration one full scan scores every point against k
+  // broadcast centroid literals (k·d doubles — driver traffic is
+  // O(k·d·iters), metadata-sized, never the data), then one partial-agg
+  // shuffle recomputes per-cluster sums. Hash-exactness comes from the
+  // q89 lesson applied to geometry: points quantize ONCE to an integer
+  // grid (floor(x·4096) — exact: float→double widening and a power-of-2
+  // scale are lossless), centroids live on a KM_G-times-finer integer
+  // grid via exact floor division, and every distance/argmin compares
+  // integer-valued doubles below 2^53 — no libm, no rounding, so the
+  // DuckDB twin (which computes distances in BIGINT outright) lands on
+  // identical assignments, counts, and centroid coordinates.
+  private val KM_K = 8 // clusters (seeded from the first KM_K vectors)
+  private val KM_IT = 3 // Lloyd update iterations (+ one final assignment)
+  private val KM_G = 1024L // centroid grid refinement over the point grid
+
+  /** 3 Lloyd iterations + final assignment; output per cluster: size,
+    * first 4 centroid coordinates (integer grid), exact Σp₁ of members. */
+  private def kmeansLloyd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // quantized points: p = integer grid coords, pD = the same values as
+    // doubles for the codegen'd dot (all |p| ≤ 2^12, exact both ways)
+    val pts = emb(s, d).selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS p")
+      .selectExpr("vec_id", "p", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
+      .persist()
+    // init: the first KM_K vectors on the refined grid (m = p · KM_G)
+    var cent: Seq[(Long, Array[Long])] =
+      pts.where(s"vec_id < $KM_K").select("vec_id", "p").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray.map(_ * KM_G)))
+        .sortBy(_._1).toSeq
+    // one scan: per-centroid score = ||m||² − 2·KM_G·dot(p, m) (the
+    // squared distance minus the point-constant KM_G²·||p||² — same
+    // argmin, same ties; every term an exact integer-valued double:
+    // ||m||² ≤ 64·2^44, 2·KM_G·dot ≤ 2^51), then a first-min CASE
+    // cascade = lowest-cluster tie-break, matching the oracle's
+    // row_number ORDER BY (dist, c)
+    def assigned: DataFrame = {
+      val scores = cent.map { case (_, m) =>
+        val lit = m.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+        val m2 = m.map(v => v * v).sum
+        s"(CAST(${m2}L AS DOUBLE) - CAST(${2 * KM_G} AS DOUBLE) * graft_dot(pD, $lit))"
+      }
+      val sCols = scores.zipWithIndex.map { case (e, i) => s"$e AS s$i" }
+      val withS = pts.selectExpr(Seq("vec_id", "p") ++ sCols: _*)
+      val cases = (0 until cent.size - 1).map { i =>
+        val rest = (i + 1 until cent.size).map(j => s"s$j")
+        val bound = if (rest.size == 1) rest.head else s"least(${rest.mkString(", ")})"
+        s"WHEN s$i <= $bound THEN CAST(${cent(i)._1} AS BIGINT)"
+      }.mkString(" ")
+      withS.selectExpr("vec_id", "p",
+        s"CASE $cases ELSE CAST(${cent.last._1} AS BIGINT) END AS c")
+    }
+    for (_ <- 1 to KM_IT) {
+      // per-cluster exact integer sums (partial-agg shuffle), collected
+      // as k rows of k·d longs — the only driver traffic of an iteration
+      val sums = assigned.groupBy("c")
+        .agg(count(lit(1)).as("n"),
+          (1 to DIM).map(i => sum(expr(s"element_at(p, $i)")).as(s"s$i")): _*)
+        .collect()
+      val upd = sums.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0),
+          (1 to DIM).map(i => Math.floorDiv(r.getLong(1 + i) * KM_G, n)).toArray)
+      }.toMap
+      cent = cent.map { case (c, m) => (c, upd.getOrElse(c, m)) } // empty keeps old
+    }
+    val centDf = cent.map { case (c, m) => (c, m(0), m(1), m(2), m(3)) }
+      .toDF("c", "m1", "m2", "m3", "m4")
+    assigned.groupBy("c")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(expr("element_at(p, 1)")).cast("bigint").as("s1"))
+      .join(broadcast(centDf), "c")
+      .select("c", "n", "m1", "m2", "m3", "m4", "s1")
+      .orderBy("c")
+  }
+
+  /** Oracle twin of [[kmeansLloyd]]: same grids, distances in BIGINT
+    * outright, row_number (dist, c) = the CASE cascade's first-min. */
+  private def kmeansOracle: String = {
+    def dist(prev: String) =
+      s"list_sum([(p[i]*$KM_G - $prev.m[i])*(p[i]*$KM_G - $prev.m[i]) " +
+        s"for i in generate_series(1, $DIM)])"
+    def assign(prev: String) =
+      s"""SELECT vec_id, p, c FROM (
+            SELECT pts.vec_id, pts.p, $prev.c,
+              row_number() OVER (PARTITION BY pts.vec_id
+                ORDER BY ${dist(prev)}, $prev.c) AS rn
+            FROM pts, $prev) WHERE rn = 1"""
+    def update(a: String, prev: String) =
+      s"""SELECT $prev.c AS c, coalesce(u.m, $prev.m) AS m FROM $prev LEFT JOIN (
+            SELECT c, list(CAST(floor(s * $KM_G.0 / n) AS BIGINT) ORDER BY d) AS m
+            FROM (SELECT c, g.d AS d, CAST(sum(p[g.d]) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM $a, generate_series(1, $DIM) g(d) GROUP BY c, g.d)
+            GROUP BY c) u ON u.c = $prev.c"""
+    s"""WITH pts AS (SELECT vec_id,
+            [CAST(floor(CAST(embedding[i] AS DOUBLE) * 4096.0) AS BIGINT)
+             for i in generate_series(1, $DIM)] AS p FROM embeddings),
+          c0 AS (SELECT vec_id AS c, [x * $KM_G for x in p] AS m
+                 FROM pts WHERE vec_id < $KM_K),
+          a1 AS (${assign("c0")}), c1 AS (${update("a1", "c0")}),
+          a2 AS (${assign("c1")}), c2 AS (${update("a2", "c1")}),
+          a3 AS (${assign("c2")}), c3 AS (${update("a3", "c2")}),
+          a4 AS (${assign("c3")})
+        SELECT c, CAST(count(*) AS BIGINT) AS n, m1, m2, m3, m4,
+          CAST(sum(p1) AS BIGINT) AS s1
+        FROM (SELECT a4.c AS c, c3.m[1] AS m1, c3.m[2] AS m2,
+                c3.m[3] AS m3, c3.m[4] AS m4, a4.p[1] AS p1
+              FROM a4 JOIN c3 ON a4.c = c3.c)
+        GROUP BY c, m1, m2, m3, m4 ORDER BY c"""
+  }
+
   /** Brute-force cosine top-3 per query vector (qids < 5): the ANN
     * correctness baseline — query side broadcast, ties broken on rounded
     * sim + id. Shared by e02 and the e12 recall audit. */
@@ -330,6 +445,13 @@ object EmbeddingQueries {
           s"round(${sparkDot("ea", "nb.embedding")}, 4) AS sim")
         .orderBy(col("sim").desc, col("a"), col("b")).limit(10)
     }),
+
+    // distributed k-means (Lloyd): 3 broadcast-centroid scoring passes +
+    // exact-integer centroid updates + a final assignment — the coarse
+    // quantizer TRAINING step the IVF/SemDeDup queries consume. See
+    // [[kmeansLloyd]] for the 100 TB shape (O(k·d·iters) driver traffic,
+    // one scan + one partial-agg shuffle per iteration)
+    "e13_kmeans_lloyd" -> ((s, d) => kmeansLloyd(s, d)),
   )
 
   /** Oracle twin of [[bruteTop3]] (no trailing ORDER BY — also used as a
@@ -459,5 +581,7 @@ object EmbeddingQueries {
           FROM e x JOIN e y ON x.label = y.label
             AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY sim DESC, a, b LIMIT 10""",
+
+    "e13_kmeans_lloyd" -> kmeansOracle,
   )
 }
