@@ -130,7 +130,34 @@ object EmbeddingQueries {
   // identical assignments, counts, and centroid coordinates.
   private val KM_K = 8 // clusters (seeded from the first KM_K vectors)
   private val KM_IT = 3 // Lloyd update iterations (+ one final assignment)
-  private val KM_G = 1024L // centroid grid refinement over the point grid
+  private[graft] val KM_G = 1024L // centroid grid refinement over the point grid
+
+  /** Quantize an `embedding` column to the integer point grid — the
+    * shared entry of the batch Lloyd loop and the streaming assignment
+    * twin ([[graft.streaming.StreamOps.assignVectors]]). */
+  private[graft] val kmeansQuantizeSql: String =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS p"
+
+  /** Per-centroid score columns over a quantized `pD` (double view of
+    * `p`): ||m||² − 2·KM_G·dot(p, m) — squared distance minus the
+    * point-constant term; every value an exact integer-valued double. */
+  private[graft] def kmeansScoreSqls(cent: Seq[(Long, Array[Long])]): Seq[String] =
+    cent.zipWithIndex.map { case ((_, m), i) =>
+      val lit = m.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+      val m2 = m.map(v => v * v).sum
+      s"(CAST(${m2}L AS DOUBLE) - CAST(${2 * KM_G} AS DOUBLE) * graft_dot(pD, $lit)) AS s$i"
+    }
+
+  /** First-min CASE cascade over the score columns = lowest-cluster
+    * tie-break, matching the oracle's row_number ORDER BY (dist, c). */
+  private[graft] def kmeansCaseSql(cent: Seq[(Long, Array[Long])]): String = {
+    val cases = (0 until cent.size - 1).map { i =>
+      val rest = (i + 1 until cent.size).map(j => s"s$j")
+      val bound = if (rest.size == 1) rest.head else s"least(${rest.mkString(", ")})"
+      s"WHEN s$i <= $bound THEN CAST(${cent(i)._1} AS BIGINT)"
+    }.mkString(" ")
+    s"CASE $cases ELSE CAST(${cent.last._1} AS BIGINT) END"
+  }
 
   /** 3 Lloyd iterations + final assignment; output per cluster: size,
     * first 4 centroid coordinates (integer grid), exact Σp₁ of members. */
@@ -138,9 +165,7 @@ object EmbeddingQueries {
     import s.implicits._
     // quantized points: p = integer grid coords, pD = the same values as
     // doubles for the codegen'd dot (all |p| ≤ 2^12, exact both ways)
-    val pts = emb(s, d).selectExpr(
-        "vec_id",
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS p")
+    val pts = emb(s, d).selectExpr("vec_id", kmeansQuantizeSql)
       .selectExpr("vec_id", "p", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
       .persist()
     // init: the first KM_K vectors on the refined grid (m = p · KM_G)
@@ -148,28 +173,12 @@ object EmbeddingQueries {
       pts.where(s"vec_id < $KM_K").select("vec_id", "p").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray.map(_ * KM_G)))
         .sortBy(_._1).toSeq
-    // one scan: per-centroid score = ||m||² − 2·KM_G·dot(p, m) (the
-    // squared distance minus the point-constant KM_G²·||p||² — same
-    // argmin, same ties; every term an exact integer-valued double:
-    // ||m||² ≤ 64·2^44, 2·KM_G·dot ≤ 2^51), then a first-min CASE
-    // cascade = lowest-cluster tie-break, matching the oracle's
-    // row_number ORDER BY (dist, c)
-    def assigned: DataFrame = {
-      val scores = cent.map { case (_, m) =>
-        val lit = m.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-        val m2 = m.map(v => v * v).sum
-        s"(CAST(${m2}L AS DOUBLE) - CAST(${2 * KM_G} AS DOUBLE) * graft_dot(pD, $lit))"
-      }
-      val sCols = scores.zipWithIndex.map { case (e, i) => s"$e AS s$i" }
-      val withS = pts.selectExpr(Seq("vec_id", "p") ++ sCols: _*)
-      val cases = (0 until cent.size - 1).map { i =>
-        val rest = (i + 1 until cent.size).map(j => s"s$j")
-        val bound = if (rest.size == 1) rest.head else s"least(${rest.mkString(", ")})"
-        s"WHEN s$i <= $bound THEN CAST(${cent(i)._1} AS BIGINT)"
-      }.mkString(" ")
-      withS.selectExpr("vec_id", "p",
-        s"CASE $cases ELSE CAST(${cent.last._1} AS BIGINT) END AS c")
-    }
+    // one scan: score every point against the centroid literals (see
+    // [[kmeansScoreSqls]] — ||m||² ≤ 64·2^44, 2·KM_G·dot ≤ 2^51, all
+    // exact integer-valued doubles), then the first-min CASE cascade
+    def assigned: DataFrame =
+      pts.selectExpr(Seq("vec_id", "p") ++ kmeansScoreSqls(cent): _*)
+        .selectExpr("vec_id", "p", s"${kmeansCaseSql(cent)} AS c")
     for (_ <- 1 to KM_IT) {
       // per-cluster exact integer sums (partial-agg shuffle), collected
       // as k rows of k·d longs — the only driver traffic of an iteration

@@ -252,6 +252,29 @@ object TextQueries {
         .orderBy("cluster")
     }),
 
+    // cluster-representative SELECTION — the step a dedup pipeline runs
+    // AFTER clustering: per duplicate cluster keep ONE canonical doc
+    // (longest text, ties to the lowest id — the usual "keep the richest
+    // copy" policy). Shape: components join the doc-length projection,
+    // one partial-agg pass finds each cluster's (size, max length), one
+    // join-back + min(id) picks the representative — every step a keyed
+    // shuffle on the cluster label, no windows over data-sized input.
+    "t22_dedup_keep_best" -> ((s, d) => {
+      val pairs = lshPairsDF(s, d, 200).select("a", "b")
+      val lens = docsWithDups(s, d)
+        .selectExpr("doc_id AS id", "CAST(length(text) AS BIGINT) AS len")
+      val mem = GraphOps.connectedComponents(pairs).join(lens, "id")
+      val mx = mem.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).cast("bigint").as("sz"), max("len").as("keep_len"))
+      mx.join(mem.select(col("lbl").as("cluster"), col("id"), col("len")),
+          Seq("cluster"))
+        .where(col("len") === col("keep_len"))
+        .groupBy("cluster", "sz", "keep_len")
+        .agg(min("id").as("keep_id"))
+        .select("cluster", "sz", "keep_id", "keep_len")
+        .orderBy("cluster")
+    }),
+
     // exact n-gram Jaccard over the distinct-hash sets, LSH-bounded
     // (never unblocked O(n^2)). Each candidate pair explodes to its two
     // member edges, and ONE broadcast join against the signature table
@@ -561,6 +584,27 @@ object TextQueries {
           SELECT cluster, CAST(count(*) AS BIGINT) AS sz, max(id) AS max_id
           FROM (SELECT id, min(lbl) AS cluster FROM r GROUP BY id)
           GROUP BY cluster ORDER BY cluster""",
+
+    "t22_dedup_keep_best" ->
+      s"""WITH RECURSIVE sym AS (
+            SELECT a AS x, b AS y FROM ${duckLshPairs(200)} p
+            UNION ALL
+            SELECT b AS x, a AS y FROM ${duckLshPairs(200)} p2),
+          r AS (
+            SELECT DISTINCT x AS id, x AS lbl FROM sym
+            UNION
+            SELECT s.y AS id, r.lbl FROM r JOIN sym s ON s.x = r.id),
+          mem AS (
+            SELECT m.id, m.cluster, CAST(length(d.text) AS BIGINT) AS len
+            FROM (SELECT id, min(lbl) AS cluster FROM r GROUP BY id) m
+            JOIN $duckDocsWithDups d ON d.doc_id = m.id),
+          mx AS (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS sz, max(len) AS keep_len
+            FROM mem GROUP BY cluster)
+          SELECT mx.cluster AS cluster, mx.sz AS sz, min(mem.id) AS keep_id,
+            mx.keep_len AS keep_len
+          FROM mx JOIN mem ON mem.cluster = mx.cluster AND mem.len = mx.keep_len
+          GROUP BY mx.cluster, mx.sz, mx.keep_len ORDER BY cluster""",
 
     "t07_jaccard" ->
       s"""WITH cand AS (SELECT a, b FROM ${duckLshPairs(200)}),

@@ -166,6 +166,27 @@ object StreamOps {
       }
   }
 
+  final case class Vec(ts: Timestamp, vec_id: Long, embedding: Array[Float])
+
+  /** Stateless streaming k-means assignment — the online scoring half of
+    * the batch e13 Lloyd trainer: the SAME integer quantization and the
+    * SAME centroid-literal scoring cascade
+    * ([[graft.operators.EmbeddingQueries.kmeansQuantizeSql]]/
+    * `kmeansScoreSqls`/`kmeansCaseSql`, `graft_dot` inside codegen), so
+    * a vector lands in exactly the cluster the batch assignment gives
+    * it. No state, no watermark, any parallelism — the standard serving
+    * shape once the (tiny) centroid model is trained offline. */
+  def assignVectors(vecs: Dataset[Vec],
+                    cent: Seq[(Long, Array[Long])]): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    import graft.operators.EmbeddingQueries.{kmeansCaseSql, kmeansQuantizeSql, kmeansScoreSqls}
+    vecs.toDF()
+      .selectExpr("ts", "vec_id", kmeansQuantizeSql)
+      .selectExpr("ts", "vec_id", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
+      .selectExpr(Seq("ts", "vec_id") ++ kmeansScoreSqls(cent): _*)
+      .selectExpr("ts", "vec_id", s"${kmeansCaseSql(cent)} AS c")
+  }
+
   /** Stateless per-doc scoring twin of the batch t02 (quality) + t04
     * (langid) queries: pure codegen'd projections — no state, no
     * watermark, any parallelism — built from the SAME kernel text

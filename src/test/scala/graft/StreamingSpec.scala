@@ -161,6 +161,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming k-means assignment replays the batch e13 scoring kernel") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.Vec
+    // 3 centroids on the refined grid: quantized axis vectors × KM_G
+    val g = graft.operators.EmbeddingQueries.KM_G
+    def m(axis: Int) =
+      Array.tabulate(4)(i => if (i == axis) 4096L * g else 0L)
+    val cent = Seq((0L, m(0)), (1L, m(1)), (2L, m(2)))
+    val vecs = Seq(
+      Vec(ts(1), 10L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // → 0
+      Vec(ts(2), 11L, Array(-0.2f, 0.8f, 0.1f, 0.0f)), // → 1
+      Vec(ts(3), 12L, Array(0.0f, 0.3f, 0.7f, 0.0f)),  // → 2
+      Vec(ts(4), 13L, Array(0.5f, 0.5f, 0.0f, 0.0f)))  // tie → lowest c = 0
+    val in = MemoryStream[Vec]
+    val q = StreamOps.assignVectors(in.toDS(), cent)
+      .writeStream.format("memory").queryName("assigned").outputMode("append").start()
+    try {
+      in.addData(vecs: _*)
+      q.processAllAvailable()
+      val streamed = sp.table("assigned").orderBy("vec_id")
+        .select("vec_id", "c").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSeq == Seq((10L, 0L), (11L, 1L), (12L, 2L), (13L, 0L)))
+      // the batch side: identical kernel text over the same rows
+      graft.functions.GraftFunctions.register(sp)
+      import graft.operators.EmbeddingQueries.{kmeansCaseSql, kmeansQuantizeSql, kmeansScoreSqls}
+      val batch = sp.createDataset(vecs).toDF()
+        .selectExpr("vec_id", kmeansQuantizeSql)
+        .selectExpr("vec_id", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
+        .selectExpr(Seq("vec_id") ++ kmeansScoreSqls(cent): _*)
+        .selectExpr("vec_id", s"${kmeansCaseSql(cent)} AS c")
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming doc scoring replays the batch t02/t04 kernels bit-identically") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
