@@ -275,6 +275,30 @@ object TextQueries {
         .orderBy("cluster")
     }),
 
+    // hashed char-n-gram LINEAR CLASSIFIER (fastText-style quality
+    // filter — the CCNet/LLaMA-pipeline "keep if the classifier likes
+    // it" step): features = the distinct trigram hashes the dedup stack
+    // already computes, hashing-trick bucketed to 1024 weights by a
+    // deterministic integer formula shared verbatim with the oracle.
+    // Per-doc score = Σ w[h] — explode + partial-agg (codegen end to
+    // end, contiguous doc_ids collapse map-side), then one join to the
+    // source column and a bounded per-source aggregate. All-integer
+    // arithmetic: the gate hashes exactly.
+    "t23_quality_classifier" -> ((s, d) => {
+      val w = "CAST((h % 1024) * 2654435761 % 13 - 6 AS BIGINT)"
+      val scored = sigTable(s, d)
+        .select(col("doc_id"), explode(col("dhl")).as("h"))
+        .selectExpr("doc_id", s"$w AS wt")
+        .groupBy("doc_id").agg(sum("wt").as("score"))
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(expr("CASE WHEN score > 0 THEN 1 ELSE 0 END")).cast("bigint").as("kept"),
+          sum("score").cast("bigint").as("sum_score"))
+        .orderBy("source")
+    }),
+
     // exact n-gram Jaccard over the distinct-hash sets, LSH-bounded
     // (never unblocked O(n^2)). Each candidate pair explodes to its two
     // member edges, and ONE broadcast join against the signature table
@@ -605,6 +629,17 @@ object TextQueries {
             mx.keep_len AS keep_len
           FROM mx JOIN mem ON mem.cluster = mx.cluster AND mem.len = mx.keep_len
           GROUP BY mx.cluster, mx.sz, mx.keep_len ORDER BY cluster""",
+
+    "t23_quality_classifier" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+            CAST(sum(score) AS BIGINT) AS sum_score
+          FROM (
+            SELECT d.doc_id, d.source,
+              CAST(list_sum(list_transform(hs.dhl,
+                h -> (h % 1024) * 2654435761 % 13 - 6)) AS BIGINT) AS score
+            FROM $duckHashed hs JOIN documents d ON d.doc_id = hs.doc_id)
+          GROUP BY source ORDER BY source""",
 
     "t07_jaccard" ->
       s"""WITH cand AS (SELECT a, b FROM ${duckLshPairs(200)}),
