@@ -124,6 +124,66 @@ object MultimodalQueries {
       }.toDF()
   }
 
+  final case class PhashRow(doc_id: Long, h: Long)
+
+  /** The 16 Walsh-Hadamard coefficients the perceptual hash signs, in
+    * ascending (u+v, u) order with the DC term (0,0) skipped — the same
+    * low-frequency-first selection classic DCT pHash makes. */
+  private val PHASH_COEFS: Seq[(Int, Int)] = Seq(
+    (0, 1), (1, 0), (0, 2), (1, 1), (2, 0), (0, 3), (1, 2), (2, 1),
+    (3, 0), (0, 4), (1, 3), (2, 2), (3, 1), (4, 0), (0, 5), (1, 4))
+
+  /** Compile-time sign of cell (r, c) in WHT coefficient (u, v):
+    * (−1)^(popcount(r∧u) + popcount(c∧v)). */
+  private[operators] def whtSign(u: Int, v: Int, r: Int, c: Int): Int =
+    if ((Integer.bitCount(r & u) + Integer.bitCount(c & v)) % 2 == 0) 1 else -1
+
+  /** Image PERCEPTUAL HASH over the stubbed decode: sample the payload to
+    * an 8×8 grayscale grid (g[k] = payload[(k·37) mod len] — the stub's
+    * strided "resize"), transform with the 2-d 8×8 Walsh-Hadamard (the
+    * DCT-free pHash variant — ±1 weights keep EVERYTHING in exact integer
+    * arithmetic, so the oracle gate hashes exactly where a libm cos()
+    * DCT would be one ulp from flipping a sign bit), and take 16 sign
+    * bits of the lowest-frequency coefficients, DC skipped. */
+  private def phash(payload: Array[Byte]): Long = {
+    val len = payload.length
+    val g = new Array[Long](64)
+    var k = 0
+    while (k < 64) { g(k) = payload((k * 37) % len) & 0xffL; k += 1 }
+    var hash = 0L
+    var bit = 0
+    while (bit < PHASH_COEFS.size) {
+      val (u, v) = PHASH_COEFS(bit)
+      var sum = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) { sum += whtSign(u, v, r, c) * g(r * 8 + c); c += 1 }
+        r += 1
+      }
+      if (sum > 0) hash |= 1L << bit
+      bit += 1
+    }
+    hash
+  }
+
+  /** Per-doc perceptual hashes over the media table with injected
+    * duplicate payloads (every 5th doc re-enters as id+100000, the same
+    * convention the text dedup stack uses) — batched partition-local
+    * decode+hash, one narrow pass, no shuffle. */
+  def phashTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, d).select("doc_id", "payload")
+    media.unionByName(
+        media.where("doc_id % 5 = 0").withColumn("doc_id", col("doc_id") + 100000L))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BATCH).flatMap { batch =>
+          batch.iterator.map { case (id, payload) => PhashRow(id, phash(payload)) }
+        }
+      }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // audio-path framing: per-window energy over the sample stream
     "mm05_window_energy" -> ((s, d) =>
@@ -146,6 +206,27 @@ object MultimodalQueries {
           expr("CAST(sum(length(payload)) AS BIGINT)").as("bytes"),
           expr("CAST(sum(width * height) AS BIGINT)").as("pixels"))
         .orderBy("kind")),
+
+    // multimodal NEAR-DUP: perceptual-hash Hamming pairs — the image
+    // half of the dedup stack. Same scale shape as t11's simhash pass:
+    // 4-bit band blocking + the sorted-neighborhood lead(struct) window
+    // caps candidates at O(n·W) per bucket, exact Hamming on emission;
+    // injected duplicate payloads surface as ham=0 pairs
+    "mm06_phash_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ph = phashTable(s, d)
+      val bands = ph.selectExpr("doc_id", "h",
+        s"stack(4, ${(0 until 4).map(t => s"$t, (h DIV ${1 << (4 * t)}) % 16").mkString(", ")}) AS (t, bh)")
+      val w = Window.partitionBy("t", "bh").orderBy("doc_id")
+      bands
+        .withColumn("nbrs",
+          array((1 to 16).map(i => lead(struct(col("doc_id"), col("h")), i).over(w)): _*))
+        .selectExpr("doc_id AS a", "h AS ha", "explode(nbrs) AS nb")
+        .where("nb IS NOT NULL")
+        .selectExpr("a", "nb.doc_id AS b", "bit_count(ha ^ nb.h) AS ham")
+        .distinct()
+        .orderBy(col("ham"), col("a"), col("b")).limit(20)
+    }),
   )
 
   private def duckFeat(k: Int): String =
@@ -187,5 +268,41 @@ object MultimodalQueries {
          CAST(sum(length(text)) AS BIGINT) AS bytes,
          CAST(sum((32 + doc_id % 64) * (32 + doc_id % 48)) AS BIGINT) AS pixels
          FROM documents GROUP BY 1 ORDER BY kind""",
+
+    "mm06_phash_pairs" -> {
+      // per coefficient: its 64 compile-time ±1 signs as a literal list,
+      // folded against the sampled 8×8 grid — exact integer arithmetic
+      val coefCols = PHASH_COEFS.zipWithIndex.map { case ((u, v), b) =>
+        val signs = (0 until 64).map(k => whtSign(u, v, k / 8, k % 8))
+          .mkString("[", ", ", "]")
+        s"list_sum(list_transform(generate_series(1, 64), k -> gl[k] * ($signs)[k])) AS c$b"
+      }.mkString(",\n            ")
+      val hashExpr = PHASH_COEFS.indices
+        .map(b => s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH m AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+          g AS (
+            SELECT doc_id,
+              [ascii(substring(text, ((k * 37) % length(text)) + 1, 1))
+               for k in generate_series(0, 63)] AS gl
+            FROM m),
+          coefs AS (
+            SELECT doc_id,
+            $coefCols
+            FROM g),
+          ph AS (SELECT doc_id, CAST($hashExpr AS BIGINT) AS h FROM coefs),
+          bands AS (SELECT doc_id, h, t,
+            CASE ${(0 until 4).map(t => s"WHEN t = $t THEN (h // ${1 << (4 * t)}) % 16").mkString(" ")} END AS bh
+            FROM ph, generate_series(0, 3) g(t)),
+          br AS (SELECT doc_id, h, t, bh,
+            row_number() OVER (PARTITION BY t, bh ORDER BY doc_id) AS rn FROM bands)
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.h, y.h)) AS ham
+          FROM br x JOIN br y
+            ON x.t = y.t AND x.bh = y.bh AND y.rn > x.rn AND y.rn <= x.rn + 16
+          ORDER BY ham, a, b LIMIT 20"""
+    },
   )
 }
