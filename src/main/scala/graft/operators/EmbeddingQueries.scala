@@ -203,6 +203,130 @@ object EmbeddingQueries {
       .orderBy("c")
   }
 
+  // ---- PQ codebook TRAINING (per-subspace k-means) ------------------
+  // e08/e09 encode and search against FIXED deterministic codebooks;
+  // real product quantization trains them — 8 independent k-means, one
+  // per 8-dim subspace, 16 codes each. The Spark shape trains ALL
+  // subspaces in one scan per iteration: 128 centroid-literal scores
+  // (graft_dot over array slices), 8 first-min cascades, then ONE
+  // stack + ONE partial-agg shuffle keyed (sub, code) recomputes every
+  // codebook. Same exact-integer grids as e13, so the oracle gate
+  // hashes exactly.
+  private val PQ_SUBS = 8
+  private val PQ_CODES = 16
+  private val PQ_IT = 2 // Lloyd update iterations (+ one final assignment)
+
+  /** Train the 8×16 PQ codebooks (2 Lloyd iterations, init = the first
+    * 16 vectors' subvectors); output per (sub, code): member count,
+    * first 2 centroid coords (integer grid), exact Σ of the members'
+    * first subvector coord. */
+  private def pqTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = emb(s, d).selectExpr("vec_id", kmeansQuantizeSql)
+      .selectExpr("vec_id", "p", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
+      .persist()
+    // cent(sub)(code): 8-dim centroid on the refined grid
+    var cent: Array[Array[Array[Long]]] = {
+      val init = pts.where(s"vec_id < $PQ_CODES").select("vec_id", "p").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      Array.tabulate(PQ_SUBS, PQ_CODES) { (sub, c) =>
+        init(c)._2.slice(sub * 8, sub * 8 + 8).map(_ * KM_G)
+      }
+    }
+    // one scan: every (sub, code) score + 8 per-sub assignment cascades
+    def assigned: DataFrame = {
+      val scoreCols = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES) yield {
+        val m = cent(sub)(c)
+        val lit = m.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+        val m2 = m.map(v => v * v).sum
+        s"(CAST(${m2}L AS DOUBLE) - CAST(${2 * KM_G} AS DOUBLE) * " +
+          s"graft_dot(slice(pD, ${sub * 8 + 1}, 8), $lit)) AS s${sub}_$c"
+      }
+      val withS = pts.selectExpr(Seq("vec_id", "p") ++ scoreCols: _*)
+      val caseCols = (0 until PQ_SUBS).map { sub =>
+        val cases = (0 until PQ_CODES - 1).map { i =>
+          val rest = (i + 1 until PQ_CODES).map(j => s"s${sub}_$j")
+          val bound = if (rest.size == 1) rest.head else s"least(${rest.mkString(", ")})"
+          s"WHEN s${sub}_$i <= $bound THEN $i"
+        }.mkString(" ")
+        s"CAST(CASE $cases ELSE ${PQ_CODES - 1} END AS INT) AS c$sub"
+      }
+      withS.selectExpr(Seq("vec_id", "p") ++ caseCols: _*)
+    }
+    // (vec, sub) rows AFTER assignment → one keyed shuffle per iteration
+    def stacked: DataFrame = {
+      val stackArgs = (0 until PQ_SUBS).map { sub =>
+        s"CAST($sub AS INT), c$sub, " +
+          (0 until 8).map(dm => s"element_at(p, ${sub * 8 + dm + 1})").mkString(", ")
+      }.mkString(", ")
+      val outCols = (0 until 8).map(i => s"x$i").mkString(", ")
+      assigned.selectExpr(s"stack($PQ_SUBS, $stackArgs) AS (sub, code, $outCols)")
+    }
+    for (_ <- 1 to PQ_IT) {
+      val sums = stacked.groupBy("sub", "code")
+        .agg(count(lit(1)).as("n"), (0 until 8).map(i => sum(s"x$i").as(s"s$i")): _*)
+        .collect()
+      val upd = sums.map { r =>
+        val n = r.getLong(2)
+        ((r.getInt(0), r.getInt(1)),
+          Array.tabulate(8)(i => Math.floorDiv(r.getLong(3 + i) * KM_G, n)))
+      }.toMap
+      cent = Array.tabulate(PQ_SUBS, PQ_CODES) { (sub, c) =>
+        upd.getOrElse((sub, c), cent(sub)(c)) // empty code keeps its centroid
+      }
+    }
+    val centRows = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
+      yield (sub, c, cent(sub)(c)(0), cent(sub)(c)(1))
+    val centDf = centRows.toDF("sub", "code", "m1", "m2")
+    stacked.groupBy("sub", "code")
+      .agg(count(lit(1)).cast("bigint").as("n"), sum("x0").cast("bigint").as("s1"))
+      .join(broadcast(centDf), Seq("sub", "code"))
+      .select("sub", "code", "n", "m1", "m2", "s1")
+      .orderBy("sub", "code")
+  }
+
+  /** Oracle twin of [[pqTrain]]: per-(vec, sub) membership rows, BIGINT
+    * distances, row_number (dist, code) tie-break, exact floor-division
+    * centroid updates. */
+  private def pqTrainOracle: String = {
+    def dist(prev: String) =
+      s"list_sum([(sp[i]*$KM_G - $prev.m[i])*(sp[i]*$KM_G - $prev.m[i]) " +
+        s"for i in generate_series(1, 8)])"
+    def assign(prev: String) =
+      s"""SELECT vec_id, sub, sp, code FROM (
+            SELECT mem.vec_id, mem.sub, mem.sp, $prev.code,
+              row_number() OVER (PARTITION BY mem.vec_id, mem.sub
+                ORDER BY ${dist(prev)}, $prev.code) AS rn
+            FROM mem JOIN $prev ON $prev.sub = mem.sub) WHERE rn = 1"""
+    def update(a: String, prev: String) =
+      s"""SELECT $prev.sub AS sub, $prev.code AS code, coalesce(u.m, $prev.m) AS m
+          FROM $prev LEFT JOIN (
+            SELECT sub, code, list(CAST(floor(s * $KM_G.0 / n) AS BIGINT) ORDER BY dd) AS m
+            FROM (SELECT sub, code, g.dd AS dd, CAST(sum(sp[g.dd]) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM $a, generate_series(1, 8) g(dd) GROUP BY sub, code, g.dd)
+            GROUP BY sub, code) u ON u.sub = $prev.sub AND u.code = $prev.code"""
+    s"""WITH pts AS (SELECT vec_id,
+            [CAST(floor(CAST(embedding[i] AS DOUBLE) * 4096.0) AS BIGINT)
+             for i in generate_series(1, $DIM)] AS p FROM embeddings),
+          mem AS (SELECT vec_id, s.sub AS sub,
+                    p[s.sub * 8 + 1 : s.sub * 8 + 8] AS sp
+                  FROM pts, generate_series(0, ${PQ_SUBS - 1}) s(sub)),
+          c0 AS (SELECT sub, CAST(vec_id AS INT) AS code, [x * $KM_G for x in sp] AS m
+                 FROM mem WHERE vec_id < $PQ_CODES),
+          a1 AS (${assign("c0")}), c1 AS (${update("a1", "c0")}),
+          a2 AS (${assign("c1")}), c2 AS (${update("a2", "c1")}),
+          a3 AS (${assign("c2")})
+        SELECT sub, code, n, m1, m2, s1 FROM (
+          SELECT a3.sub AS sub, a3.code AS code,
+            CAST(count(*) AS BIGINT) AS n,
+            min(c2.m[1]) AS m1, min(c2.m[2]) AS m2,
+            CAST(sum(a3.sp[1]) AS BIGINT) AS s1
+          FROM a3 JOIN c2 ON c2.sub = a3.sub AND c2.code = a3.code
+          GROUP BY a3.sub, a3.code)
+        ORDER BY sub, code"""
+  }
+
   /** Oracle twin of [[kmeansLloyd]]: same grids, distances in BIGINT
     * outright, row_number (dist, c) = the CASE cascade's first-min. */
   private def kmeansOracle: String = {
@@ -461,6 +585,13 @@ object EmbeddingQueries {
     // [[kmeansLloyd]] for the 100 TB shape (O(k·d·iters) driver traffic,
     // one scan + one partial-agg shuffle per iteration)
     "e13_kmeans_lloyd" -> ((s, d) => kmeansLloyd(s, d)),
+
+    // PQ codebook TRAINING: 8 per-subspace k-means trained together —
+    // per iteration ONE scan (128 centroid-literal scores, 8 cascades)
+    // + ONE (sub, code)-keyed partial-agg shuffle; driver traffic
+    // O(subs·codes·dims·iters). Completes the PQ lifecycle around
+    // e08 (encode) and e09 (ADC search). See [[pqTrain]].
+    "e14_pq_train" -> ((s, d) => pqTrain(s, d)),
   )
 
   /** Oracle twin of [[bruteTop3]] (no trailing ORDER BY — also used as a
@@ -592,5 +723,7 @@ object EmbeddingQueries {
           ORDER BY sim DESC, a, b LIMIT 10""",
 
     "e13_kmeans_lloyd" -> kmeansOracle,
+
+    "e14_pq_train" -> pqTrainOracle,
   )
 }
