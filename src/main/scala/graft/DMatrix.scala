@@ -163,6 +163,31 @@ final class DMatrix(val df: DataFrame, val rows: Long, val cols: Long) {
   /** Diagonal sum (reference `trace`, `reductions/_trace.py:4`). */
   def trace: DataFrame = diag(0).agg(sum(col("v")).as("trace"))
 
+  /** Matrix norms (reference `linalg/_norm.py:13`): `"fro"` =
+    * √(ΣΣ v²) — one scalar aggregate; `"1"`/`"-1"` = max/min column
+    * abs-sum, `"inf"`/`"-inf"` = max/min row abs-sum — one partial-agg
+    * shuffle on the summed axis + a scalar aggregate. The spectral
+    * orders (2, −2, "nuc") are σ-value reductions and go through
+    * [[graft.linalg.SVD]] instead (the reference routes them to its SVD
+    * too). Implicit zeros: a partially-stored axis still sums correctly
+    * (absent cells add 0); a FULLY absent axis has abs-sum 0, which the
+    * min orders account for explicitly (the max orders cannot be
+    * affected — abs-sums are nonnegative). */
+  def norm(ord: String): DataFrame = ord match {
+    case "fro" =>
+      df.agg(sqrt(sum(col("v") * col("v"))).as("norm"))
+    case "1" | "-1" | "inf" | "-inf" =>
+      val axis = if (ord.endsWith("inf")) "i" else "j"
+      val total = if (axis == "i") rows else cols
+      val sums = df.groupBy(axis).agg(sum(abs(col("v"))).as("s"))
+      if (ord.startsWith("-"))
+        sums.agg(min(col("s")).as("mn"), count(lit(1)).as("cnt"))
+          .selectExpr(s"CASE WHEN cnt < ${total}L THEN least(mn, CAST(0 AS DOUBLE)) ELSE mn END AS norm")
+      else sums.agg(max(col("s")).as("norm"))
+    case o => throw new IllegalArgumentException(
+      s"norm ord '$o' — spectral orders go through graft.linalg.SVD")
+  }
+
   /** Summed-area table (integral image): `out[i,j] = Σ_{p≤i, q≤j} v[p,q]`
     * — `cumsum(axis=1)` then `cumsum(axis=0)` (reference cumulative
     * reductions along an axis, `reductions/_cumulative.py:100`). Each pass

@@ -47,6 +47,18 @@ object MatrixQueries {
 
     "m03_trace" -> ((s, d) => Tab(50, 50, "(i*2 + j*5) % 9").spark(s).trace),
 
+    // matrix norm suite (reference linalg/_norm.py): fro + the four
+    // axis-abs-sum orders in one row — each order one partial-agg
+    // shuffle; integer cells keep every sum exact (fro's sqrt of an
+    // exact integer is correctly-rounded IEEE on both engines)
+    "l12_matrix_norms" -> ((s, d) => {
+      val a = Tab(60, 40, "(i*3 + j*7) % 15 - 7").spark(s)
+      a.norm("fro").crossJoin(broadcast(a.norm("1").withColumnRenamed("norm", "one")))
+        .crossJoin(broadcast(a.norm("-1").withColumnRenamed("norm", "neg_one")))
+        .crossJoin(broadcast(a.norm("inf").withColumnRenamed("norm", "inf_")))
+        .crossJoin(broadcast(a.norm("-inf").withColumnRenamed("norm", "neg_inf")))
+    }),
+
     // axis reduction: one sum per row (reference reductions over axis subsets)
     "m04_rowsum" -> ((s, d) =>
       Tab(60, 40, "(i + j*j) % 23").spark(s).reduceRows("sum(v)").orderBy("idx")),
@@ -863,6 +875,15 @@ object MatrixQueries {
 
     "m03_trace" ->
       s"""SELECT sum(v) AS trace FROM ${Tab(50, 50, "(i*2 + j*5) % 9").duck} WHERE i = j""",
+
+    "l12_matrix_norms" -> {
+      val t = Tab(60, 40, "(i*3 + j*7) % 15 - 7").duck
+      s"""SELECT (SELECT sqrt(sum(v * v)) FROM $t) AS norm,
+            (SELECT max(s) FROM (SELECT sum(abs(v)) AS s FROM $t GROUP BY j)) AS one,
+            (SELECT min(s) FROM (SELECT sum(abs(v)) AS s FROM $t GROUP BY j)) AS neg_one,
+            (SELECT max(s) FROM (SELECT sum(abs(v)) AS s FROM $t GROUP BY i)) AS inf_,
+            (SELECT min(s) FROM (SELECT sum(abs(v)) AS s FROM $t GROUP BY i)) AS neg_inf"""
+    },
 
     "m04_rowsum" ->
       s"""SELECT i AS idx, CAST(sum(v) AS DOUBLE) AS v
