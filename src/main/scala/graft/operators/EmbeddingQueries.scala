@@ -560,6 +560,47 @@ object EmbeddingQueries {
         .select("qid", "rn", "vec_id", "adc").orderBy("qid", "rn")
     }),
 
+    // IVF-PQ search — the composed index every large ANN deployment
+    // actually runs (FAISS IVFPQ): coarse-probe the nearest label cell
+    // (tiny broadcast centroid table, e07's stage), then rank INSIDE the
+    // probed cell by PQ asymmetric distance over the 8-nibble codes
+    // (e09's stage) — at 100 TB the fine stage touches only the probed
+    // cell's codes: ~1/cells of the corpus at 16× compression, and the
+    // scan side never loads a float vector. Deterministic end to end, so
+    // the composition sits under the exact oracle gate like its parts
+    "e15_ivfpq_search" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy(col("label"), col("p"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(p, m))), s -> s.m)").as("cvec"))
+      val q = e.where("vec_id < 3")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val assign = q.crossJoin(broadcast(cent))
+        .selectExpr("qid", "qe", "label",
+          s"round(${sparkDot("qe", "cvec")}, 4) AS cd")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cd").desc, col("label"))))
+        .where("rn = 1").select("qid", "qe", "label")
+      // fine rank: ADC over the probed cell's codes only
+      val codes = pqCodesDF(s, d)
+        .join(e.select("vec_id", "label"), "vec_id")
+      val score = (0 until 8).map(sub =>
+        s"aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, d) -> acc + " +
+          s"CAST(element_at(qe, $sub * 8 + d + 1) AS DOUBLE) * ${pqW(sub, s"c$sub", "d")})")
+        .mkString("(", " + ", ")")
+      codes.join(broadcast(assign), Seq("label"))
+        .where("vec_id <> qid")
+        .selectExpr("qid", "label", "vec_id", s"round($score, 4) AS adc")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+        .where("rn <= 3")
+        .select("qid", "label", "rn", "vec_id", "adc").orderBy("qid", "rn")
+    }),
+
     // cosine top-pairs within a label block (IVF-style blocking), window-
     // bounded like e05: per-label sorted neighborhood caps pair generation
     // at O(n·W) per label — an unbounded within-label all-pairs is O(n²)
@@ -725,5 +766,37 @@ object EmbeddingQueries {
     "e13_kmeans_lloyd" -> kmeansOracle,
 
     "e14_pq_train" -> pqTrainOracle,
+
+    "e15_ivfpq_search" -> {
+      val score = (0 until 8).map(sub =>
+        s"""CAST(list_sum([CAST(qe[$sub * 8 + d + 1] AS DOUBLE) * ${pqW(sub, s"c$sub", "d")}
+            for d in generate_series(0, 7)]) AS DOUBLE)""")
+        .mkString("(", " + ", ")")
+      s"""WITH cent AS (
+            SELECT label, list(m ORDER BY p) AS cvec FROM (
+              SELECT label, g.p AS p, round(avg(CAST(embedding[g.p] AS DOUBLE)), 6) AS m
+              FROM embeddings, generate_series(1, $DIM) g(p) GROUP BY 1, 2)
+            GROUP BY label),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+          assign AS (
+            SELECT qid, qe, label FROM (
+              SELECT q.qid, q.qe, cent.label,
+                row_number() OVER (PARTITION BY q.qid ORDER BY
+                  round(CAST(list_sum([CAST(q.qe[i] AS DOUBLE) * cvec[i]
+                    for i in generate_series(1, $DIM)]) AS DOUBLE), 4) DESC,
+                  cent.label) AS rn
+              FROM q, cent) WHERE rn = 1),
+          codes AS (
+            SELECT vec_id, label,
+              ${(0 until 8).map(sub => s"${pqCodeDuck(sub)} AS c$sub").mkString(", ")}
+            FROM embeddings)
+          SELECT qid, label, CAST(rn AS INT) AS rn, vec_id, adc FROM (
+            SELECT a.qid, a.label, codes.vec_id, round($score, 4) AS adc,
+              row_number() OVER (PARTITION BY a.qid
+                ORDER BY round($score, 4) DESC, codes.vec_id) AS rn
+            FROM codes JOIN assign a ON codes.label = a.label
+            WHERE codes.vec_id <> a.qid)
+          WHERE rn <= 3 ORDER BY qid, rn"""
+    },
   )
 }
