@@ -27,6 +27,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nano INT64
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 235 distinct queries x 2 runs blow the default 100-entry
+      // whole-stage-codegen cache: run 2 then re-janino-compiles every
+      // stage, and the largest generated kernels (the layered rejection
+      // samplers) pay seconds of compile time per eviction (observed:
+      // q99 0.9s isolated -> 14.8s under full-suite eviction pressure).
+      // Static conf, so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

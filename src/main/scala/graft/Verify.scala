@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nano INT64
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one codegen-cache entry per distinct stage across 235 queries —
+      // the default 100 thrashes and re-janino-compiles (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

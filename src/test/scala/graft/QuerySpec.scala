@@ -20,6 +20,10 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 235-query sweeps evict the default 100-entry codegen cache
+      // and pay janino recompiles on every pass (static conf — applies
+      // only when this builder actually creates the session)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     // getOrCreate may return a session another suite created with
     // DIFFERENT builder configs (builder configs apply only at creation) —
