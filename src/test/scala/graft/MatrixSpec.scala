@@ -135,6 +135,25 @@ class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got - want) < 1e-9, s"$got vs $want")
   }
 
+  test("norm min orders see fully-absent axes as zero abs-sums") {
+    val sp = spark
+    import sp.implicits._
+    // 3x4 matrix with column 2 and row 1 entirely absent (implicit zero):
+    // a stored-cells-only min would report 3; the corrected min is 0
+    val df = Seq((0L, 0L, 1.0), (0L, 1L, -2.0), (2L, 0L, 3.0), (2L, 3L, -4.0))
+      .toDF("i", "j", "v")
+    val m = new DMatrix(df, 3, 4)
+    def one(d: org.apache.spark.sql.DataFrame) = d.collect()(0).getDouble(0)
+    assert(one(m.norm("-1")) == 0.0)   // column 2 empty
+    assert(one(m.norm("-inf")) == 0.0) // row 1 empty
+    assert(one(m.norm("1")) == 4.0)    // max column abs-sum = |1|+|3|
+    assert(one(m.norm("inf")) == 7.0)  // max row abs-sum = |3|+|4|
+    assert(math.abs(one(m.norm("fro")) - math.sqrt(1 + 4 + 9 + 16)) < 1e-12)
+    // dense matrix: min orders need no correction
+    val dense = DMatrix.tabulate(spark, 3, 3, "i + j + 1")
+    assert(one(dense.norm("-1")) == 6.0) // min column sum = 1+2+3
+  }
+
   test("numpy alias names: flipud/fliplr delegate to the flip projections") {
     val m = DMatrix.tabulate(spark, 3, 4, "i * 10 + j")
     def cells(x: DMatrix) =
