@@ -97,6 +97,58 @@ final class DSparse(val df: DataFrame, val rows: Long, val cols: Long) {
       rows, o.cols)
   }
 
+  /** Gram matrix AᵀA via per-task dense accumulation — the small-output
+    * SpGEMM special case. When cols² fits in task memory, the general
+    * join+agg plan ([[matmul]]) wastes its time materializing the
+    * O(Σ nnz_row²) product rows through a shuffle; here each task
+    * accumulates its rows' outer products into a LOCAL cols×cols dense
+    * block (one tight JVM loop — the engine's typed-kernel tier) and
+    * emits it ONCE, so the shuffle carries O(tasks·cols²) rows instead
+    * of O(flops). Same flops, no 20M-row exchange. One hash shuffle on
+    * the row key keeps each row's cells in one task. Falls back to the
+    * general SpGEMM above the width cap — a wide Gram's output is
+    * genuinely big, and join+agg is then the right plan. Accumulation
+    * order differs from [[matmul]]'s (as any parallel sum's does);
+    * integer-valued inputs stay exact on both paths. */
+  def gram: DSparse = {
+    if (cols > 2048) return t.matmul(this)
+    val k = cols.toInt
+    val sp = df.sparkSession
+    import sp.implicits._
+    val cells = df
+      .select(col("i"), col("j").cast("int").as("j"), col("v").cast("double").as("v"))
+      .repartition(col("i")).sortWithinPartitions("i")
+      .as[(Long, Int, Double)]
+      .mapPartitions { it =>
+        val acc = Array.ofDim[Double](k, k)
+        val js = new scala.collection.mutable.ArrayBuffer[Int]
+        val vs = new scala.collection.mutable.ArrayBuffer[Double]
+        var cur = Long.MinValue
+        def flush(): Unit = {
+          var a = 0
+          while (a < js.length) {
+            var b = 0
+            while (b < js.length) { acc(js(a))(js(b)) += vs(a) * vs(b); b += 1 }
+            a += 1
+          }
+          js.clear(); vs.clear()
+        }
+        while (it.hasNext) {
+          val (i, j, v) = it.next()
+          if (i != cur) { flush(); cur = i }
+          js += j; vs += v
+        }
+        flush()
+        for {
+          j1 <- (0 until k).iterator; j2 <- 0 until k
+          if acc(j1)(j2) != 0.0
+        } yield (j1.toLong, j2.toLong, acc(j1)(j2))
+      }
+      .toDF("i", "j", "v")
+      .groupBy("i", "j").agg(sum("v").as("v")).where("v <> 0.0")
+    new DSparse(cells, cols, cols)
+  }
+
   /** Sparse mat × dense vector (vector as an (i, v) frame of positions,
     * broadcast): one broadcast join + one groupBy — O(nnz). */
   def matvec(x: DataFrame): DataFrame =

@@ -489,16 +489,20 @@ object MatrixQueries {
     }),
 
     // SpGEMM through the DSparse surface: C = Aᵀ·A over the part×supplier
-    // quantity matrix — join on the contracted coordinate + one
-    // partial-aggregated shuffle, cost O(flops over nnz), never
-    // rows×cols. Quantities are integer-valued, so every product and sum
-    // is exact on both engines.
+    // quantity matrix. The general plan is join-on-contracted-coordinate
+    // + partial-agg (O(flops over nnz), never rows×cols — DSparse.matmul,
+    // DSparseSpec pins gram ≡ matmul); with cols = 101 the output is
+    // tiny, so this runs the small-output special case: per-task dense
+    // outer-product accumulation — same flops in a tight JVM loop, the
+    // shuffle carries O(tasks·cols²) rows instead of the O(flops)
+    // product rows. Quantities are integer-valued, so every product and
+    // sum is exact on both engines under either accumulation order.
     "m38_sparse_spgemm" -> ((s, d) => {
       val a = graft.DSparse.fromCOO(
         s.read.parquet(s"$d/lineitem.parquet")
           .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"),
         2001, 101)
-      a.t.matmul(a).df
+      a.gram.df
         .selectExpr("i", "j", "CAST(v AS BIGINT) AS v").orderBy("i", "j")
     }),
 

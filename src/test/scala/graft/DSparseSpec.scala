@@ -64,6 +64,16 @@ class DSparseSpec extends AnyFunSuite {
     assert(cellsOf(rt) == cellsOf(a))
   }
 
+  test("gram (per-task dense accumulation) equals the general SpGEMM AtA") {
+    // ragged sparse fixture incl. an empty row and a duplicate-column row
+    val a = new DSparse(coo(
+      (0, 0, 2.0), (0, 2, -1.0), (1, 1, 3.0), (3, 0, 1.0), (3, 1, 4.0), (3, 2, 5.0)), 4, 3)
+    assert(cellsOf(a.gram) == cellsOf(a.t.matmul(a)))
+    // and both match the dense algebra on a tiny case: gram of a column
+    val c = new DSparse(coo((0, 0, 2.0), (1, 0, 3.0)), 2, 1)
+    assert(cellsOf(c.gram) == Map((0L, 0L) -> 13.0))
+  }
+
   test("matvec is a broadcast join: y = A x on sparse A") {
     val s = spark
     import s.implicits._
