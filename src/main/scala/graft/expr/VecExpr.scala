@@ -77,6 +77,39 @@ sealed trait VecExpr {
 
   }
 
+  /** Layout histogram across the expression DAG (reference
+    * `chunk_report`, `_diagnostics.py:43`): one line per distinct
+    * (length, carry-block) layout — node count, modeled bytes of the
+    * layout's largest node, an example op — plus the `limit` largest
+    * nodes. Shared subtrees count once (content-addressed [[name]]).
+    * Metadata only; nothing computes. */
+  final def chunkReport(limit: Int = 8): String = {
+    val nodes = scala.collection.mutable.LinkedHashMap[String, VecExpr]()
+    def walk(e: VecExpr): Unit =
+      if (!nodes.contains(e.name)) { nodes(e.name) = e; e.children.foreach(walk) }
+    walk(this)
+    def op(e: VecExpr): String = e.token.takeWhile(_ != '[')
+    def sig(e: VecExpr): String =
+      if (e.length < 0) "len=?"
+      else s"len=${e.length} block=${Blocked.autoChunk(e.length)}"
+    def bytes(e: VecExpr): Long =
+      if (e.length < 0) -1L else e.length * VecExpr.RowBytes
+    val perLayout = nodes.values.toSeq.groupBy(sig).toSeq
+      .map { case (s, es) =>
+        val worst = es.maxBy(bytes)
+        (s, es.size, bytes(worst), op(worst))
+      }.sortBy(-_._3)
+    val header = s"chunk report: ${nodes.size} array nodes, ${perLayout.size} layouts"
+    val layoutLines = perLayout.map { case (s, count, worst, ex) =>
+      val b = if (worst < 0) "?" else s"$worst B"
+      f"  $count%5d  $s%-32s <= $b%10s  e.g. $ex"
+    }
+    val largest = nodes.values.toSeq.sortBy(e => -bytes(e)).take(limit)
+      .map(e => f"  ${if (bytes(e) < 0) "?" else s"${bytes(e)} B"}%12s  ${sig(e)}%-32s  ${op(e)}")
+    (header +: layoutLines :+ s"largest nodes ($limit):" ).mkString("\n") +
+      "\n" + largest.mkString("\n")
+  }
+
   /** Total (min, max) moved bytes over the whole tree. */
   final def totalTransfer: (Long, Long) = {
     val own = transferBytes

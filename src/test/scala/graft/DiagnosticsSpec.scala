@@ -24,6 +24,22 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(mapRow.split("\\s{2,}")(3) == "2", s"expected 2 uses:\n$table")
   }
 
+  test("chunkReport: layout histogram over distinct nodes, largest first") {
+    val shared = MapVec(src, "v * 2")
+    val tree = ZipVec(SliceVec(shared, 0, 500), SliceVec(shared, 100, 600), "v1 + v2")
+    val rep = tree.chunkReport(limit = 3)
+    val lines = rep.split("\n")
+    // 5 distinct nodes (shared map once), 2 layouts: len=1000 and len=500
+    assert(lines.head == "chunk report: 5 array nodes, 2 layouts", rep)
+    assert(lines.exists(l => l.contains("len=1000") && l.trim.startsWith("2")), rep)
+    assert(lines.exists(l => l.contains("len=500") && l.trim.startsWith("3")), rep)
+    // largest section lists the biggest nodes first (1000-row layouts)
+    val idx = lines.indexWhere(_.startsWith("largest nodes"))
+    assert(idx > 0 && lines(idx + 1).contains("len=1000"), rep)
+    // modeled bytes: 1000 rows * RowBytes
+    assert(lines(idx + 1).contains((1000L * VecExpr.RowBytes).toString), rep)
+  }
+
   test("flowDot: valid DOT with one node per distinct subtree, edges child->parent") {
     val shared = MapVec(src, "v * 2")
     val tree = ZipVec(shared, SliceVec(shared, 0, 500), "v1 + v2")
