@@ -500,6 +500,9 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 
   def pprint: String = exprTree.pprint()
   def pprintOptimized: String = optimized.pprint()
+  /** Layout histogram of the (optimized) expression DAG — reference
+    * `chunk_report` (see [[graft.expr.VecExpr.chunkReport]]). */
+  def chunkReport(limit: Int = 8): String = optimized.chunkReport(limit)
 }
 
 object DArray {
