@@ -274,4 +274,58 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"p=${ps(k)}: approx ${est(k)} far from exact ${exact(k)}")
     }
   }
+
+  test("DSparse fuzz: gram == SpGEMM; zip/aggAll match the dense model") {
+    val sp = spark
+    import sp.implicits._
+    // random small COO matrices (duplicates and cancellations included) +
+    // a second operand on the same shape for the union-support zip
+    val genCase = for {
+      r <- Gen.choose(1, 8); c <- Gen.choose(1, 8)
+      n1 <- Gen.choose(0, 12); n2 <- Gen.choose(0, 12)
+      cell = for {
+        i <- Gen.choose(0, r - 1); j <- Gen.choose(0, c - 1)
+        v <- Gen.choose(-5, 5)
+      } yield (i.toLong, j.toLong, v.toDouble)
+      cells1 <- Gen.listOfN(n1, cell)
+      cells2 <- Gen.listOfN(n2, cell)
+    } yield (r, c, cells1, cells2)
+    def denseOf(r: Int, c: Int, cells: List[(Long, Long, Double)]) = {
+      val d = Array.ofDim[Double](r, c)
+      cells.foreach { case (i, j, v) => d(i.toInt)(j.toInt) += v }
+      d
+    }
+    def cellsOf(s: DSparse): Map[(Long, Long), Double] =
+      s.df.collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val prop = Prop.forAll(genCase) { case (r, c, cells1, cells2) =>
+      val d1 = denseOf(r, c, cells1); val d2 = denseOf(r, c, cells2)
+      val a = DSparse.fromCOO(
+        if (cells1.isEmpty) Seq((0L, 0L, 0.0)).toDF("i", "j", "v")
+        else cells1.toDF("i", "j", "v"), r, c)
+      val b = DSparse.fromCOO(
+        if (cells2.isEmpty) Seq((0L, 0L, 0.0)).toDF("i", "j", "v")
+        else cells2.toDF("i", "j", "v"), r, c)
+      // 1. the dense-accumulation gram equals the general join+agg SpGEMM
+      val gramOk = cellsOf(a.gram) == cellsOf(a.t.matmul(a))
+      // 2. union-support zip vs the dense model (absent cells read 0)
+      val zModel = (for {
+        i <- 0 until r; j <- 0 until c
+        w = d1(i)(j) * 2 - d2(i)(j) if w != 0.0
+      } yield ((i.toLong, j.toLong), w)).toMap
+      val zipOk = cellsOf(a.zip(b, "v1 * 2 - v2")) == zModel
+      // 3. implicit-zero-corrected aggregates vs the dense model
+      val flat = (for { i <- 0 until r; j <- 0 until c } yield d1(i)(j)).toVector
+      val agg = a.aggAll().collect()(0)
+      val aggOk = agg.getDouble(0) == flat.sum && agg.getDouble(1) == flat.min &&
+        agg.getDouble(2) == flat.max && agg.getLong(3) == flat.count(_ != 0.0)
+      if (!(gramOk && zipOk && aggOk))
+        println(s"DSPARSE FUZZ FAIL r=$r c=$c cells1=$cells1 cells2=$cells2 " +
+          s"gramOk=$gramOk zipOk=$zipOk aggOk=$aggOk agg=$agg flat=$flat")
+      gramOk && zipOk && aggOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20).withWorkers(1)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260814L)), prop)
+    assert(res.passed, s"scalacheck: $res")
+  }
 }
