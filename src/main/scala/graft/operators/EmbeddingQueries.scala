@@ -60,8 +60,18 @@ object EmbeddingQueries {
 
   /** PQ codebook weight for (sub, code, dim) — the JVM value. The SQL
     * twin [[pqW]] must stay in algebraic lockstep (PQSpec asserts it). */
-  private[operators] def pqWeight(sub: Int, c: Int, d: Int): Int =
+  private[graft] def pqWeight(sub: Int, c: Int, d: Int): Int =
     (c * 29 + d * 13 + sub * 7) % 19 - 9
+
+  /** ADC score of a query array `qe` against code columns c0..c7:
+    * Σ_sub dot(q_sub, codebook[code_sub]) — shared by the e09/e15 batch
+    * rankers and the streaming serving twin
+    * ([[graft.streaming.StreamOps.searchVectors]]). */
+  private[graft] def adcScoreSql: String =
+    (0 until 8).map(sub =>
+      s"aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, d) -> acc + " +
+        s"CAST(element_at(qe, $sub * 8 + d + 1) AS DOUBLE) * ${pqW(sub, s"c$sub", "d")})")
+      .mkString("(", " + ", ")")
 
   /** PQ codebook weight as a SQL fragment over symbolic c/d — used by the
     * e09 ADC score and both oracles; same formula as [[pqWeight]]. */
@@ -548,10 +558,7 @@ object EmbeddingQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       // ADC score: Σ_sub dot(q_sub, w(sub, code_sub)) — the code picks the
       // codebook row, the q-side dot folds dims ascending (exact both sides)
-      val score = (0 until 8).map(sub =>
-        s"aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, d) -> acc + " +
-          s"CAST(element_at(qe, $sub * 8 + d + 1) AS DOUBLE) * ${pqW(sub, s"c$sub", "d")})")
-        .mkString("(", " + ", ")")
+      val score = adcScoreSql
       codes.join(broadcast(q), col("vec_id") =!= col("qid"))
         .selectExpr("qid", "vec_id", s"round($score, 4) AS adc")
         .withColumn("rn", row_number().over(
@@ -588,10 +595,7 @@ object EmbeddingQueries {
       // fine rank: ADC over the probed cell's codes only
       val codes = pqCodesDF(s, d)
         .join(e.select("vec_id", "label"), "vec_id")
-      val score = (0 until 8).map(sub =>
-        s"aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, d) -> acc + " +
-          s"CAST(element_at(qe, $sub * 8 + d + 1) AS DOUBLE) * ${pqW(sub, s"c$sub", "d")})")
-        .mkString("(", " + ", ")")
+      val score = adcScoreSql
       codes.join(broadcast(assign), Seq("label"))
         .where("vec_id <> qid")
         .selectExpr("qid", "label", "vec_id", s"round($score, 4) AS adc")

@@ -187,6 +187,59 @@ object StreamOps {
       .selectExpr("ts", "vec_id", s"${kmeansCaseSql(cent)} AS c")
   }
 
+  final case class SearchHit(qid: Long, vec_id: Long, adc: Double, rn: Int)
+
+  /** Streaming IVF-PQ SERVING — the online half of the batch e15 search.
+    * The trained model rides the plan as literals: each arriving query
+    * coarse-assigns to its nearest centroid via a stateless CASE cascade
+    * (highest cosine, ties to the earliest entry — `cent` must be sorted
+    * by label to match the batch row_number tie-break), then a
+    * stream-static broadcast join attaches ONLY the probed cell's PQ
+    * codes and the shared ADC kernel
+    * ([[graft.operators.EmbeddingQueries.adcScoreSql]]) scores them.
+    * Per-query top-k emits through a STATELESS `flatMapGroupsWithState`
+    * (NoTimeout, state never set): all of a query's candidates arrive in
+    * its own micro-batch from the stream-static join, so nothing is
+    * retained across batches — the serving path is replayable and
+    * unbounded-safe. At scale the static side is the compressed code
+    * table (16× smaller than the vectors), broadcast once per batch. */
+  def searchVectors(queries: Dataset[Vec],
+                    codes: DataFrame, // static: label, vec_id, c0..c7
+                    cent: Seq[(Long, Array[Double])],
+                    k: Int = 3): Dataset[SearchHit] = {
+    val sp = queries.sparkSession
+    graft.functions.GraftFunctions.register(sp)
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val cdCols = cent.zipWithIndex.map { case ((_, m), i) =>
+      val lit = m.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+      s"round(graft_dot(qe, $lit), 4) AS cd$i"
+    }
+    val cases = (0 until cent.size - 1).map { i =>
+      val rest = (i + 1 until cent.size).map(j => s"cd$j")
+      val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN cd$i >= $bound THEN CAST(${cent(i)._1} AS BIGINT)"
+    }.mkString(" ")
+    val assigned = queries.toDF()
+      .selectExpr(Seq("vec_id AS qid", "embedding AS qe") ++ cdCols: _*)
+      .selectExpr("qid", "qe",
+        s"CASE $cases ELSE CAST(${cent.last._1} AS BIGINT) END AS label")
+    assigned
+      .join(org.apache.spark.sql.functions.broadcast(codes), Seq("label"))
+      .where("vec_id <> qid")
+      .selectExpr("qid", "vec_id",
+        s"round(${graft.operators.EmbeddingQueries.adcScoreSql}, 4) AS adc")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, SearchHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (qid, it, _) =>
+          it.toSeq.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+            .map { case ((_, vid, adc), i) => SearchHit(qid, vid, adc, i + 1) }
+            .iterator
+      }
+  }
+
   /** Stateless per-doc scoring twin of the batch t02 (quality) + t04
     * (langid) queries: pure codegen'd projections — no state, no
     * watermark, any parallelism — built from the SAME kernel text

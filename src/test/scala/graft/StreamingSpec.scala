@@ -198,6 +198,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ serving: coarse probe + in-cell ADC top-k, stateless") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.Vec
+    // two cells with axis-aligned centroids; corpus = 4 coded vectors
+    val cent = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)),
+      (1L, Array.tabulate(64)(i => if (i == 8) 1.0 else 0.0)))
+    val codes = Seq(
+      (0L, 10L, 1, 2, 3, 4, 5, 6, 7, 8),
+      (0L, 11L, 15, 14, 13, 12, 11, 10, 9, 8),
+      (1L, 20L, 0, 1, 0, 1, 0, 1, 0, 1),
+      (1L, 21L, 3, 3, 3, 3, 3, 3, 3, 3))
+      .toDF("label", "vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+    // queries: one lands in cell 0, one in cell 1
+    def q(hot: Int) = Array.tabulate(64)(i => if (i == hot) 0.9f else 0.01f)
+    val vecs = Seq(Vec(ts(1), 100L, q(0)), Vec(ts(2), 101L, q(8)))
+    val in = MemoryStream[Vec]
+    val query = StreamOps.searchVectors(in.toDS(), codes, cent, k = 2)
+      .writeStream.format("memory").queryName("hits").outputMode("append").start()
+    try {
+      in.addData(vecs: _*)
+      query.processAllAvailable()
+      val got = sp.table("hits").orderBy("qid", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      // local model: same fold order as the shared ADC kernel
+      def adc(qe: Array[Float], cs: Seq[Int]): Double = {
+        val raw = (0 until 8).map { sub =>
+          (0 until 8).foldLeft(0.0)((acc, d) =>
+            acc + qe(sub * 8 + d).toDouble *
+              graft.operators.EmbeddingQueries.pqWeight(sub, cs(sub), d))
+        }.sum
+        BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val cellOf = Map(100L -> 0L, 101L -> 1L)
+      val expect = vecs.flatMap { v =>
+        val cands = codes.collect().filter(_.getLong(0) == cellOf(v.vec_id))
+          .map(r => (r.getLong(1), adc(v.embedding, (2 to 9).map(r.getInt))))
+        cands.sortBy(t => (-t._2, t._1)).take(2).zipWithIndex
+          .map { case ((vid, a), i) => (v.vec_id, vid, a, i + 1) }
+      }
+      assert(got.toSeq == expect, s"got ${got.toSeq}\nwant $expect")
+    } finally query.stop()
+  }
+
   test("streaming doc scoring replays the batch t02/t04 kernels bit-identically") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
