@@ -16,6 +16,18 @@ import graft.{DArray, DMatrix}
 object MatrixQueries {
 
   /** A deterministic integer test matrix: (kernel over i,j) % m. */
+  /** (parts, suppliers) dims of the lineitem part×supplier COO at this
+    * scale — one 1-row metadata aggregate. Hard-coded sf0.01 dims broke
+    * the sparse queries at sf0.1 (the r8 scale sweep: suppkeys reach
+    * 1000, so a 101-wide gram accumulator overflowed and eye(2001)
+    * under-covered the identity product); dims must come from the data. */
+  private def liDims(s: SparkSession, d: String): (Long, Long) = {
+    val r = s.read.parquet(s"$d/lineitem.parquet")
+      .selectExpr("CAST(max(l_partkey) AS BIGINT)", "CAST(max(l_suppkey) AS BIGINT)")
+      .collect()(0)
+    (r.getLong(0) + 1, r.getLong(1) + 1)
+  }
+
   private final case class Tab(rows: Long, cols: Long, kernel: String) {
     def spark(s: SparkSession): DMatrix = DMatrix.tabulate(s, rows, cols, kernel)
     /** DuckDB subquery producing the same (i, j, v). */
@@ -476,15 +488,16 @@ object MatrixQueries {
     // rows x cols. The tiny vector side broadcasts (matmul's
     // broadcastElems rule), so the big side never shuffles for the join
     "m37_sparse_matvec" -> ((s, d) => {
+      val (np, ns) = liDims(s, d)
       val a = new graft.DMatrix(
         s.read.parquet(s"$d/lineitem.parquet")
           .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v")
           .groupBy("i", "j").agg(sum("v").as("v")),
-        2001, 101)
+        np, ns)
       val x = new graft.DMatrix(
         s.read.parquet(s"$d/supplier.parquet")
           .selectExpr("s_suppkey AS i", "CAST(0 AS BIGINT) AS j", "s_acctbal AS v"),
-        101, 1)
+        ns, 1)
       a.matmul(x).df.selectExpr("i", "j", "round(v, 2) AS v").orderBy("i")
     }),
 
@@ -498,10 +511,11 @@ object MatrixQueries {
     // product rows. Quantities are integer-valued, so every product and
     // sum is exact on both engines under either accumulation order.
     "m38_sparse_spgemm" -> ((s, d) => {
+      val (np, ns) = liDims(s, d)
       val a = graft.DSparse.fromCOO(
         s.read.parquet(s"$d/lineitem.parquet")
           .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"),
-        2001, 101)
+        np, ns)
       a.gram.df
         .selectExpr("i", "j", "CAST(v AS BIGINT) AS v").orderBy("i", "j")
     }),
@@ -514,11 +528,12 @@ object MatrixQueries {
     // oracle checks exactly that). Integer arithmetic throughout.
     "m39_sparse_elemwise" -> ((s, d) => {
       val li = s.read.parquet(s"$d/lineitem.parquet")
+      val (np, ns) = liDims(s, d)
       val a = graft.DSparse.fromCOO(
-        li.selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"), 2001, 101)
+        li.selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"), np, ns)
       val b = graft.DSparse.fromCOO(
         li.where("l_discount > 0.05")
-          .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"), 2001, 101)
+          .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"), np, ns)
       a.zip(b, "v1 * 7 - v2 * 3").map("v * 2").aggAll()
         .selectExpr("CAST(sum AS BIGINT) AS s", "CAST(min AS BIGINT) AS mn",
           "CAST(max AS BIGINT) AS mx", "CAST(nnz AS BIGINT) AS nnz")
@@ -528,11 +543,12 @@ object MatrixQueries {
     // a union-support zip (its nonzero count must be 0), plus A's own
     // exact aggregates through the sparse reduction path
     "m40_sparse_identity" -> ((s, d) => {
+      val (np, ns) = liDims(s, d)
       val a = graft.DSparse.fromCOO(
         s.read.parquet(s"$d/lineitem.parquet")
           .selectExpr("l_partkey AS i", "l_suppkey AS j", "l_quantity AS v"),
-        2001, 101)
-      val c = graft.DSparse.eye(s, 2001).matmul(a)
+        np, ns)
+      val c = graft.DSparse.eye(s, np).matmul(a)
       c.zip(a, "v1 - v2").aggAll().selectExpr("CAST(nnz AS BIGINT) AS diff_nnz")
         .crossJoin(a.aggAll().selectExpr(
           "CAST(sum AS BIGINT) AS total", "CAST(max AS BIGINT) AS amax",
@@ -1020,11 +1036,13 @@ object MatrixQueries {
                FROM lineitem WHERE l_discount > 0.05
                GROUP BY 1, 2 HAVING sum(l_quantity) <> 0),
          c AS (SELECT (coalesce(a.v, 0) * 7 - coalesce(b.v, 0) * 3) * 2 AS v
-               FROM a FULL OUTER JOIN b ON a.i = b.i AND a.j = b.j)
+               FROM a FULL OUTER JOIN b ON a.i = b.i AND a.j = b.j),
+         sz AS (SELECT (max(l_partkey) + 1) * (max(l_suppkey) + 1) AS size
+                FROM lineitem)
          SELECT CAST(sum(v) AS BIGINT) AS s,
-           CAST(CASE WHEN count(*) < 2001 * 101 THEN least(min(v), 0)
+           CAST(CASE WHEN count(*) < (SELECT size FROM sz) THEN least(min(v), 0)
                 ELSE min(v) END AS BIGINT) AS mn,
-           CAST(CASE WHEN count(*) < 2001 * 101 THEN greatest(max(v), 0)
+           CAST(CASE WHEN count(*) < (SELECT size FROM sz) THEN greatest(max(v), 0)
                 ELSE max(v) END AS BIGINT) AS mx,
            CAST(count(*) AS BIGINT) AS nnz
          FROM c WHERE v <> 0""",
