@@ -391,8 +391,10 @@ object EmbeddingQueries {
 
   /** Two-stage IVF top-3 per query vector (qids < 5): coarse assign via
     * tiny broadcast of per-label centroids, exact fine rank inside the
-    * single probed cell. Shared by e07 and the e12 recall audit. */
-  private def ivfTop3(s: SparkSession, d: String): DataFrame = {
+    * `nprobe` nearest cells (the recall dial every IVF deployment turns
+    * — probing 2 cells searches ~2/cells of the corpus). Shared by e07
+    * (nprobe=1), the e12 recall audit, and e16 (nprobe=2). */
+  private def ivfTop3(s: SparkSession, d: String, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
     // centroids as dense arrays (rounded so both engines agree)
@@ -410,8 +412,8 @@ object EmbeddingQueries {
         s"round(${sparkDot("qe", "cvec")}, 4) AS cd")
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cd").desc, col("label"))))
-      .where("rn = 1").select("qid", "qe", "label")
-    // fine: exact top-3 inside the probed cell
+      .where(s"rn <= $nprobe").select("qid", "qe", "label")
+    // fine: exact top-3 across the probed cells
     assign.join(e, Seq("label"))
       .where("vec_id <> qid")
       .selectExpr("qid", "label", "vec_id",
@@ -631,6 +633,22 @@ object EmbeddingQueries {
     // one scan + one partial-agg shuffle per iteration)
     "e13_kmeans_lloyd" -> ((s, d) => kmeansLloyd(s, d)),
 
+    // multi-probe IVF recall audit — the recall dial turned one notch:
+    // probing the 2 nearest cells searches ~2/cells of the corpus and
+    // its recall@3 must dominate e12's single-probe readings row for
+    // row. Both sides deterministic, so the measurement itself sits
+    // under the exact oracle gate
+    "e16_ivf_multiprobe" -> ((s, d) => {
+      val bf = bruteTop3(s, d).select("qid", "vec_id")
+      val ivf = ivfTop3(s, d, nprobe = 2).select("qid", "vec_id")
+        .withColumn("hit", lit(1))
+      bf.join(ivf, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("hits"))
+        .selectExpr("qid", "hits", "round(CAST(hits AS DOUBLE) / 3, 4) AS recall")
+        .orderBy("qid")
+    }),
+
     // PQ codebook TRAINING: 8 per-subspace k-means trained together —
     // per iteration ONE scan (128 centroid-literal scores, 8 cascades)
     // + ONE (sub, code)-keyed partial-agg shuffle; driver traffic
@@ -652,7 +670,7 @@ object EmbeddingQueries {
         QUALIFY rn <= 3"""
 
   /** Oracle twin of [[ivfTop3]] (no trailing ORDER BY — also an e12 CTE). */
-  private val duckIvfTop3 =
+  private def duckIvfTop3(nprobe: Int = 1): String =
     s"""WITH cent AS (
           SELECT label, list(m ORDER BY p) AS cvec FROM (
             SELECT label, g.p AS p, round(avg(CAST(embedding[g.p] AS DOUBLE)), 6) AS m
@@ -666,7 +684,7 @@ object EmbeddingQueries {
                 round(CAST(list_sum([CAST(q.qe[i] AS DOUBLE) * cvec[i]
                   for i in generate_series(1, $DIM)]) AS DOUBLE), 4) DESC,
                 cent.label) AS rn
-            FROM q, cent) WHERE rn = 1)
+            FROM q, cent) WHERE rn <= $nprobe)
         SELECT qid, label, CAST(rn AS INT) AS rn, vec_id, sim FROM (
           SELECT a.qid, a.label, e.vec_id,
             round(${duckDot("e.embedding", "a.qe")}, 4) AS sim,
@@ -702,11 +720,11 @@ object EmbeddingQueries {
             AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
           ORDER BY sim DESC, a, b LIMIT 20""",
 
-    "e07_ivf_search" -> s"$duckIvfTop3 ORDER BY qid, rn",
+    "e07_ivf_search" -> s"${duckIvfTop3()} ORDER BY qid, rn",
 
     "e12_ann_recall" ->
       s"""WITH bf AS ($duckBruteTop3),
-          ivf AS ($duckIvfTop3)
+          ivf AS (${duckIvfTop3()})
           SELECT bf.qid AS qid, CAST(count(ivf.vec_id) AS BIGINT) AS hits,
             round(count(ivf.vec_id) / 3.0, 4) AS recall
           FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
@@ -770,6 +788,14 @@ object EmbeddingQueries {
     "e13_kmeans_lloyd" -> kmeansOracle,
 
     "e14_pq_train" -> pqTrainOracle,
+
+    "e16_ivf_multiprobe" ->
+      s"""WITH bf AS ($duckBruteTop3),
+          ivf AS (${duckIvfTop3(2)})
+          SELECT bf.qid AS qid, CAST(count(ivf.vec_id) AS BIGINT) AS hits,
+            round(count(ivf.vec_id) / 3.0, 4) AS recall
+          FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+          GROUP BY bf.qid ORDER BY qid""",
 
     "e15_ivfpq_search" -> {
       val score = (0 until 8).map(sub =>
