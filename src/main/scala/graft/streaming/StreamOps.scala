@@ -251,6 +251,29 @@ object StreamOps {
       graft.operators.TextQueries.qualitySqls :+
       s"${graft.operators.TextQueries.langidSql} AS pred": _*)
 
+  final case class DocScore(doc_id: Long, score: Long, keep: Boolean)
+
+  /** Streaming quality-classifier inference — the online half of the
+    * batch t23 filter: the SAME trigram signature kernel
+    * ([[graft.functions.TextSig.sig]]) and the SAME hashing-trick weight
+    * formula, folded per document inside a stateless mapPartitions — so
+    * a document scores (and keeps) identically whether it arrives in a
+    * batch corpus or on a stream. All-integer arithmetic; no state, no
+    * watermark, any parallelism. */
+  def classifyDocs(docs: Dataset[Doc]): Dataset[DocScore] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions(_.map { d =>
+      val dhl = graft.functions.TextSig.sig(d.doc_id, d.text).dhl
+      var s = 0L
+      var i = 0
+      while (i < dhl.length) {
+        s += (dhl(i) % 1024) * 2654435761L % 13 - 6 // = t23's SQL weight
+        i += 1
+      }
+      DocScore(d.doc_id, s, s > 0)
+    })
+  }
+
   /** Streaming decontamination — the online half of the batch t14
     * pipeline: drop arriving documents whose content hash appears in a
     * static benchmark/eval set. A stream-static broadcast LEFT ANTI join:

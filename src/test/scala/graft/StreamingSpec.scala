@@ -276,6 +276,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming classifier inference replays the batch t23 scoring exactly") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.Doc
+    val docsSeq = Seq(
+      Doc(ts(1), 1L, "the order hit a window in the order stream."),
+      Doc(ts(2), 2L, "customer sent a hash and the customer left!"),
+      Doc(ts(3), 3L, "zz"))
+    val in = MemoryStream[Doc]
+    val q = StreamOps.classifyDocs(in.toDS())
+      .writeStream.format("memory").queryName("classified").outputMode("append").start()
+    try {
+      in.addData(docsSeq: _*)
+      q.processAllAvailable()
+      val streamed = sp.table("classified").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      // the batch side: the t23 SQL weight over the same signature kernel
+      val batch = docsSeq.map { d =>
+        val s = graft.functions.TextSig.sig(d.doc_id, d.text).dhl
+          .map(h => (h % 1024) * 2654435761L % 13 - 6).sum
+        (d.doc_id, s, s > 0)
+      }
+      assert(streamed.toSeq == batch)
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops docs whose hash is in the eval set") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
