@@ -171,11 +171,19 @@ object EmbeddingQueries {
 
   /** 3 Lloyd iterations + final assignment; output per cluster: size,
     * first 4 centroid coordinates (integer grid), exact Σp₁ of members. */
-  private def kmeansLloyd(s: SparkSession, d: String): DataFrame = {
+  private def kmeansLloyd(s: SparkSession, d: String): DataFrame =
+    kmeansLloydFrom(emb(s, d))
+
+  /** The Lloyd loop over any (vec_id, embedding) frame — injectable for
+    * the partitioning-invariance spec (exact integer sums make every
+    * iteration independent of the input's physical layout). */
+  private[graft] def kmeansLloydFrom(embDf: DataFrame): DataFrame = {
+    val s = embDf.sparkSession
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     // quantized points: p = integer grid coords, pD = the same values as
     // doubles for the codegen'd dot (all |p| ≤ 2^12, exact both ways)
-    val pts = emb(s, d).selectExpr("vec_id", kmeansQuantizeSql)
+    val pts = embDf.selectExpr("vec_id", kmeansQuantizeSql)
       .selectExpr("vec_id", "p", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
       .persist()
     // init: the first KM_K vectors on the refined grid (m = p · KM_G)

@@ -47,6 +47,17 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("k-means training is invariant to the input's physical partitioning") {
+    // the distributed-correctness claim behind e13: exact integer sums
+    // mean every Lloyd iteration (and so the trained model) is identical
+    // under ANY partitioning of the embeddings — here 1 vs 7 partitions
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.EmbeddingQueries.kmeansLloydFrom(df)
+        .collect().map(_.toSeq).toSeq
+    assert(run(emb.coalesce(1)) == run(emb.repartition(7)))
+  }
+
   test("no query plans a CartesianProduct (every cross join is broadcast)") {
     // a CartesianProduct is the O(parts^2) task explosion AQE can't save;
     // scalar/tiny cross joins must go through broadcast (BNLJ)
