@@ -275,6 +275,24 @@ object TextQueries {
         .orderBy("cluster")
     }),
 
+    // corpus vocabulary cardinality — the dataset-card statistic every
+    // corpus ships with: exact distinct whitespace tokens per source +
+    // overall. Exact distinct = explode + two partial-agg phases (dedup
+    // shuffle keyed by token, then count) — at 100 TB the same query
+    // runs the mergeable HLL sketch instead (approx_count_distinct —
+    // QuerySpec bounds its error against this exact gate, the q69
+    // exact/approx pairing applied to cardinality)
+    "t24_token_cardinality" -> ((s, d) => {
+      val toks = docs(s, d)
+        .selectExpr("source", "explode(split(text, ' ')) AS tok")
+      val perSource = toks.distinct()
+        .groupBy("source").agg(count(lit(1)).cast("bigint").as("vocab"))
+      val overall = toks.select("tok").distinct()
+        .agg(count(lit(1)).cast("bigint").as("vocab"))
+        .selectExpr("'__all__' AS source", "vocab")
+      perSource.unionByName(overall).orderBy("source")
+    }),
+
     // hashed char-n-gram LINEAR CLASSIFIER (fastText-style quality
     // filter — the CCNet/LLaMA-pipeline "keep if the classifier likes
     // it" step): features = the distinct trigram hashes the dedup stack
@@ -629,6 +647,15 @@ object TextQueries {
             mx.keep_len AS keep_len
           FROM mx JOIN mem ON mem.cluster = mx.cluster AND mem.len = mx.keep_len
           GROUP BY mx.cluster, mx.sz, mx.keep_len ORDER BY cluster""",
+
+    "t24_token_cardinality" ->
+      """SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY source
+         UNION ALL
+         SELECT '__all__' AS source, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         ORDER BY source""",
 
     "t23_quality_classifier" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n,

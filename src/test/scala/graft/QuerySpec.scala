@@ -47,6 +47,21 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("HLL cardinality sketch lands inside its rsd bound of the exact t24 gate") {
+    // the 100 TB path of t24: approx_count_distinct (mergeable HLL++)
+    // must sit within ~3 rsd of the exact distinct the oracle gates
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS tok")
+    val exact = toks.selectExpr("CAST(count(DISTINCT tok) AS BIGINT)")
+      .collect()(0).getLong(0)
+    val rsd = 0.02
+    val approx = toks
+      .agg(org.apache.spark.sql.functions.approx_count_distinct("tok", rsd))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact) <= 3 * rsd * exact + 1,
+      s"approx $approx vs exact $exact outside 3*rsd")
+  }
+
   test("k-means training is invariant to the input's physical partitioning") {
     // the distributed-correctness claim behind e13: exact integer sums
     // mean every Lloyd iteration (and so the trained model) is identical
