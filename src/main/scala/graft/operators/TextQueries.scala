@@ -275,6 +275,31 @@ object TextQueries {
         .orderBy("cluster")
     }),
 
+    // per-source length PROFILE — the other dataset-card staple:
+    // p50/p90/p99 token counts per source by exact rank selection
+    // (lower interpolation: the value AT rank floor(p·(n−1))+1, all
+    // integer arithmetic — no interpolation formula whose last-ulp
+    // rounding could differ between engines). The window partitions by
+    // source, so the sort is per-group — never a global order; the
+    // per-source counts broadcast back as a tiny join
+    "t25_length_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lens = docs(s, d)
+        .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n_tok")
+      val w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+      val ranked = lens.withColumn("rn", row_number().over(w))
+      val counts = lens.groupBy("source").agg(count(lit(1)).as("n"))
+      def pick(p: Double, name: String) =
+        max(expr(s"CASE WHEN rn = CAST(floor($p * (n - 1)) AS BIGINT) + 1 " +
+          "THEN n_tok END")).cast("bigint").as(name)
+      ranked.join(broadcast(counts), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"),
+          max("n_tok").cast("bigint").as("mx"))
+        .orderBy("source")
+    }),
+
     // corpus vocabulary cardinality — the dataset-card statistic every
     // corpus ships with: exact distinct whitespace tokens per source +
     // overall. Exact distinct = explode + two partial-agg phases (dedup
@@ -647,6 +672,22 @@ object TextQueries {
             mx.keep_len AS keep_len
           FROM mx JOIN mem ON mem.cluster = mx.cluster AND mem.len = mx.keep_len
           GROUP BY mx.cluster, mx.sz, mx.keep_len ORDER BY cluster""",
+
+    "t25_length_profile" ->
+      """WITH lens AS (
+           SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         ranked AS (
+           SELECT source, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM lens)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN n_tok END) AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN n_tok END) AS BIGINT) AS p90,
+           CAST(max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 THEN n_tok END) AS BIGINT) AS p99,
+           CAST(max(n_tok) AS BIGINT) AS mx
+         FROM ranked GROUP BY source ORDER BY source""",
 
     "t24_token_cardinality" ->
       """SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
