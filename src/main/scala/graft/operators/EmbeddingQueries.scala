@@ -177,30 +177,34 @@ object EmbeddingQueries {
   /** The Lloyd loop over any (vec_id, embedding) frame — injectable for
     * the partitioning-invariance spec (exact integer sums make every
     * iteration independent of the input's physical layout). */
-  private[graft] def kmeansLloydFrom(embDf: DataFrame): DataFrame = {
-    val s = embDf.sparkSession
-    import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    // quantized points: p = integer grid coords, pD = the same values as
-    // doubles for the codegen'd dot (all |p| ≤ 2^12, exact both ways)
-    val pts = embDf.selectExpr("vec_id", kmeansQuantizeSql)
+  /** Quantized point table (p integer grid, pD double view), persisted —
+    * the input of the Lloyd loop and the e17 outlier audit. */
+  private def kmeansPts(embDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embDf.sparkSession)
+    embDf.selectExpr("vec_id", kmeansQuantizeSql)
       .selectExpr("vec_id", "p", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
       .persist()
-    // init: the first KM_K vectors on the refined grid (m = p · KM_G)
+  }
+
+  /** One scan: score every point against the centroid literals (see
+    * [[kmeansScoreSqls]] — ||m||² ≤ 64·2^44, 2·KM_G·dot ≤ 2^51, all
+    * exact integer-valued doubles), then the first-min CASE cascade. */
+  private def kmeansAssigned(pts: DataFrame,
+                             cent: Seq[(Long, Array[Long])]): DataFrame =
+    pts.selectExpr(Seq("vec_id", "p") ++ kmeansScoreSqls(cent): _*)
+      .selectExpr("vec_id", "p", s"${kmeansCaseSql(cent)} AS c")
+
+  /** The Lloyd training loop: init from the first KM_K vectors, KM_IT
+    * exact-integer update iterations; returns the trained centroids. */
+  private[graft] def kmeansTrainOn(pts: DataFrame): Seq[(Long, Array[Long])] = {
     var cent: Seq[(Long, Array[Long])] =
       pts.where(s"vec_id < $KM_K").select("vec_id", "p").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray.map(_ * KM_G)))
         .sortBy(_._1).toSeq
-    // one scan: score every point against the centroid literals (see
-    // [[kmeansScoreSqls]] — ||m||² ≤ 64·2^44, 2·KM_G·dot ≤ 2^51, all
-    // exact integer-valued doubles), then the first-min CASE cascade
-    def assigned: DataFrame =
-      pts.selectExpr(Seq("vec_id", "p") ++ kmeansScoreSqls(cent): _*)
-        .selectExpr("vec_id", "p", s"${kmeansCaseSql(cent)} AS c")
     for (_ <- 1 to KM_IT) {
       // per-cluster exact integer sums (partial-agg shuffle), collected
       // as k rows of k·d longs — the only driver traffic of an iteration
-      val sums = assigned.groupBy("c")
+      val sums = kmeansAssigned(pts, cent).groupBy("c")
         .agg(count(lit(1)).as("n"),
           (1 to DIM).map(i => sum(expr(s"element_at(p, $i)")).as(s"s$i")): _*)
         .collect()
@@ -211,14 +215,39 @@ object EmbeddingQueries {
       }.toMap
       cent = cent.map { case (c, m) => (c, upd.getOrElse(c, m)) } // empty keeps old
     }
+    cent
+  }
+
+  private[graft] def kmeansLloydFrom(embDf: DataFrame): DataFrame = {
+    val s = embDf.sparkSession
+    import s.implicits._
+    val pts = kmeansPts(embDf)
+    val cent = kmeansTrainOn(pts)
     val centDf = cent.map { case (c, m) => (c, m(0), m(1), m(2), m(3)) }
       .toDF("c", "m1", "m2", "m3", "m4")
-    assigned.groupBy("c")
+    kmeansAssigned(pts, cent).groupBy("c")
       .agg(count(lit(1)).cast("bigint").as("n"),
         sum(expr("element_at(p, 1)")).cast("bigint").as("s1"))
       .join(broadcast(centDf), "c")
       .select("c", "n", "m1", "m2", "m3", "m4", "s1")
       .orderBy("c")
+  }
+
+  /** Embedding OUTLIER audit: top-N points by exact squared distance to
+    * their nearest TRAINED centroid — the data-cleaning companion of
+    * SemDeDup (far-from-every-cluster vectors are the mislabeled/garbage
+    * candidates a curation pass reviews). dist = KM_G²·||p||² + the
+    * [[kmeansScoreSqls]] score, every term an exact integer-valued
+    * double ≤ 2^52.3 — ordering and the hash gate are exact. */
+  private def kmeansOutliers(s: SparkSession, d: String, topN: Int): DataFrame = {
+    val pts = kmeansPts(emb(s, d))
+    val cent = kmeansTrainOn(pts)
+    val g2 = KM_G * KM_G
+    val minScore = (0 until cent.size).map(i => s"s$i").mkString("least(", ", ", ")")
+    pts.selectExpr(Seq("vec_id", "pD") ++ kmeansScoreSqls(cent): _*)
+      .selectExpr("vec_id",
+        s"CAST(CAST($g2 AS DOUBLE) * graft_dot(pD, pD) + $minScore AS BIGINT) AS dist")
+      .orderBy(col("dist").desc, col("vec_id")).limit(topN)
   }
 
   // ---- PQ codebook TRAINING (per-subspace k-means) ------------------
@@ -347,15 +376,19 @@ object EmbeddingQueries {
 
   /** Oracle twin of [[kmeansLloyd]]: same grids, distances in BIGINT
     * outright, row_number (dist, c) = the CASE cascade's first-min. */
-  private def kmeansOracle: String = {
-    def dist(prev: String) =
-      s"list_sum([(p[i]*$KM_G - $prev.m[i])*(p[i]*$KM_G - $prev.m[i]) " +
-        s"for i in generate_series(1, $DIM)])"
+  private def kmeansDistDuck(prev: String) =
+    s"list_sum([(p[i]*$KM_G - $prev.m[i])*(p[i]*$KM_G - $prev.m[i]) " +
+      s"for i in generate_series(1, $DIM)])"
+
+  /** Shared oracle CTE prefix: quantized pts, init c0, three Lloyd
+    * iterations ending at the trained c3 — reused by the e13 gate and
+    * the e17 outlier audit. */
+  private def kmeansCtesDuck: String = {
     def assign(prev: String) =
       s"""SELECT vec_id, p, c FROM (
             SELECT pts.vec_id, pts.p, $prev.c,
               row_number() OVER (PARTITION BY pts.vec_id
-                ORDER BY ${dist(prev)}, $prev.c) AS rn
+                ORDER BY ${kmeansDistDuck(prev)}, $prev.c) AS rn
             FROM pts, $prev) WHERE rn = 1"""
     def update(a: String, prev: String) =
       s"""SELECT $prev.c AS c, coalesce(u.m, $prev.m) AS m FROM $prev LEFT JOIN (
@@ -372,14 +405,17 @@ object EmbeddingQueries {
           a1 AS (${assign("c0")}), c1 AS (${update("a1", "c0")}),
           a2 AS (${assign("c1")}), c2 AS (${update("a2", "c1")}),
           a3 AS (${assign("c2")}), c3 AS (${update("a3", "c2")}),
-          a4 AS (${assign("c3")})
+          a4 AS (${assign("c3")})"""
+  }
+
+  private def kmeansOracle: String =
+    s"""$kmeansCtesDuck
         SELECT c, CAST(count(*) AS BIGINT) AS n, m1, m2, m3, m4,
           CAST(sum(p1) AS BIGINT) AS s1
         FROM (SELECT a4.c AS c, c3.m[1] AS m1, c3.m[2] AS m2,
                 c3.m[3] AS m3, c3.m[4] AS m4, a4.p[1] AS p1
               FROM a4 JOIN c3 ON a4.c = c3.c)
         GROUP BY c, m1, m2, m3, m4 ORDER BY c"""
-  }
 
   /** Brute-force cosine top-3 per query vector (qids < 5): the ANN
     * correctness baseline — query side broadcast, ties broken on rounded
@@ -663,6 +699,12 @@ object EmbeddingQueries {
     // O(subs·codes·dims·iters). Completes the PQ lifecycle around
     // e08 (encode) and e09 (ADC search). See [[pqTrain]].
     "e14_pq_train" -> ((s, d) => pqTrain(s, d)),
+
+    // embedding OUTLIER audit: top-10 points by exact distance to their
+    // nearest trained centroid — the curation companion of SemDeDup
+    // (see [[kmeansOutliers]]; one extra scoring scan over the trained
+    // model, no new shuffle shape)
+    "e17_outliers" -> ((s, d) => kmeansOutliers(s, d, 10)),
   )
 
   /** Oracle twin of [[bruteTop3]] (no trailing ORDER BY — also used as a
@@ -796,6 +838,12 @@ object EmbeddingQueries {
     "e13_kmeans_lloyd" -> kmeansOracle,
 
     "e14_pq_train" -> pqTrainOracle,
+
+    "e17_outliers" ->
+      s"""$kmeansCtesDuck
+          SELECT vec_id, CAST(min(${kmeansDistDuck("c3")}) AS BIGINT) AS dist
+          FROM pts, c3 GROUP BY vec_id
+          ORDER BY dist DESC, vec_id LIMIT 10""",
 
     "e16_ivf_multiprobe" ->
       s"""WITH bf AS ($duckBruteTop3),
