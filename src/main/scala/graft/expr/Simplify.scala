@@ -25,6 +25,12 @@ import scala.annotation.tailrec
   *      below partial repeats and copy-on-write point updates
   *  10. map-through-concat      — same idx-free kernel both sides pulls
   *      above the union so adjacent-piece coalescing can fuse the scans
+  *  11. slice-through-overlap   — windowed ops need only a bounded halo,
+  *      so a bound commutes below diff/sliding/gradient with the halo
+  *      folded into the pushed slice; prefix scans (cum/ffill) admit
+  *      right-bound pruning; coarsen scales the bound by k; a slice of a
+  *      roll dissolves the roll into pushed region scans (reference
+  *      `tests/test_slice_through_overlap.py`)
   *
   * Sharing gate (reference `_slice_pushdown`, `dask_array/_expr.py:431-468`):
   * a slice only pushes below a node all of whose dependents are slices —
@@ -258,6 +264,84 @@ object Simplify {
         val sliced = simplifyNode(SliceVec(c, lo, hi), parents)
         if (kept.isEmpty) sliced else SetItemVec(sliced, kept)
       }
+
+    // -- slice-through-overlap (reference tests/test_slice_through_overlap
+    // .py): a windowed op reads only a bounded halo beyond the bound, so
+    // the slice commutes below it with the halo folded into the pushed
+    // slice — pruning reaches the scan underneath the window
+
+    // slice-through-diff: out[j] = x[j+n] - x[j], so [lo,hi) reads exactly
+    // x[lo, hi+n) — the halo rides inside the pushed slice, no residual
+    case s0 @ SliceVec(d @ DiffVec(c, n), lo, hi) =>
+      val shrinks = lo > 0 || (c.length >= 0 && hi + n < c.length)
+      if (!allDependentsAreSlices(d, parents) || !shrinks) s0
+      else DiffVec(simplifyNode(SliceVec(c, lo, hi + n), parents), n)
+
+    // slice-through-sliding: a trailing width-w frame sees at most w-1
+    // rows before the bound; the pushed slice starts at lo-w+1 and the
+    // residual outer slice trims the halo region (whose partial windows
+    // are exactly the rows being discarded, so min_count is unaffected)
+    case s0 @ SliceVec(sl @ SlidingVec(c, w, op2, mc), lo, hi) =>
+      val start = math.max(0L, lo - (w - 1))
+      val shrinks = start > 0 || (c.length >= 0 && hi < c.length)
+      if (!allDependentsAreSlices(sl, parents) || !shrinks) s0
+      else {
+        val inner = SlidingVec(simplifyNode(SliceVec(c, start, hi), parents), w, op2, mc)
+        if (lo == start) inner else SliceVec(inner, lo - start, hi - start)
+      }
+
+    // prefix scans (cumsum/ffill): the left prefix is load-bearing, but a
+    // right bound cuts the scan tail — x.cum()[lo:hi) == cum(x[0:hi))[lo:)
+    case s0 @ SliceVec(cv @ CumVec(c, op2), lo, hi)
+        if c.length >= 0 && hi < c.length =>
+      if (!allDependentsAreSlices(cv, parents)) s0
+      else SliceVec(CumVec(simplifyNode(SliceVec(c, 0, hi), parents), op2), lo, hi)
+    case s0 @ SliceVec(fv @ FfillVec(c), lo, hi)
+        if c.length >= 0 && hi < c.length =>
+      if (!allDependentsAreSlices(fv, parents)) s0
+      else SliceVec(FfillVec(simplifyNode(SliceVec(c, 0, hi), parents)), lo, hi)
+
+    // slice-through-gradient: the central difference needs one ghost cell
+    // per side; interior positions keep their central stencil, and the
+    // pushed slice's own edges coincide with the global edges exactly
+    // where the one-sided formula applies
+    case s0 @ SliceVec(g @ GradientVec(c), lo, hi) if c.length >= 0 && hi > lo =>
+      val n = c.length
+      val start = math.max(0L, lo - 1)
+      val end = math.min(n, hi + 1)
+      val shrinks = start > 0 || end < n
+      if (!allDependentsAreSlices(g, parents) || !shrinks) s0
+      else {
+        val inner = GradientVec(simplifyNode(SliceVec(c, start, end), parents))
+        if (lo == start && hi == end) inner
+        else SliceVec(inner, lo - start, hi - start)
+      }
+
+    // slice-through-roll: the circular shift is a pure index remap, so a
+    // contiguous output range reads a contiguous-mod-n input range — the
+    // roll dissolves into one (or two, when wrapping) pushed slices and
+    // its whole-length crossJoin disappears from the plan
+    case s0 @ SliceVec(r @ RollVec(c, sft), lo, hi)
+        if c.length > 0 && hi <= c.length && hi > lo =>
+      if (!allDependentsAreSlices(r, parents)) s0
+      else {
+        val n = c.length
+        val a = ((lo - sft) % n + n) % n
+        val len = hi - lo
+        if (a + len <= n) simplifyNode(SliceVec(c, a, a + len), parents)
+        else simplifyNode(ConcatVec(
+          simplifyNode(SliceVec(c, a, n), parents),
+          simplifyNode(SliceVec(c, 0, a + len - n), parents)), parents)
+      }
+
+    // slice-through-coarsen: out group g covers child rows [g·k,(g+1)·k),
+    // so [lo,hi) reads child [lo·k, hi·k) exactly (ragged tail included —
+    // the cap at the child length preserves the partial last group)
+    case s0 @ SliceVec(cv @ CoarsenVec(c, k, op2), lo, hi) if hi > lo =>
+      val innerHi = if (c.length >= 0) math.min(hi * k, c.length) else hi * k
+      val shrinks = lo > 0 || (c.length >= 0 && innerHi < c.length)
+      if (!allDependentsAreSlices(cv, parents) || !shrinks) s0
+      else CoarsenVec(simplifyNode(SliceVec(c, lo * k, innerHi), parents), k, op2)
 
     case s @ SliceVec(m @ MapVec(c, e1), lo, hi) =>
       if (!allDependentsAreSlices(m, parents)) s // sharing gate

@@ -367,6 +367,66 @@ class SimplifySpec extends AnyFunSuite {
     assert(regions.nonEmpty)
   }
 
+  // -- slice-through-overlap (reference tests/test_slice_through_overlap.py)
+
+  private val scoped = ColumnVec("events", "event_id", "value", Some((0L, 1000L)))
+
+  test("slice through diff folds the n-halo into the pushed scan region") {
+    val s = Simplify(SliceVec(DiffVec(scoped, 2), 10, 20))
+    assert(s == DiffVec(ColumnVec("events", "event_id", "value", Some((10L, 22L))), 2), s.pprint())
+  }
+
+  test("slice through sliding keeps a w-1 left halo, residual slice trims it") {
+    val s = Simplify(SliceVec(SlidingVec(scoped, 5, "mean", 1), 100, 200))
+    assert(s == SliceVec(
+      SlidingVec(ColumnVec("events", "event_id", "value", Some((96L, 200L))), 5, "mean", 1),
+      4, 104), s.pprint())
+    // left-edge bound: no halo to trim, the push is residual-free
+    val s2 = Simplify(SliceVec(SlidingVec(scoped, 5, "mean", 1), 0, 200))
+    assert(s2 == SlidingVec(ColumnVec("events", "event_id", "value", Some((0L, 200L))), 5, "mean", 1), s2.pprint())
+  }
+
+  test("right bound prunes the scan below a prefix cumsum; left prefix stays") {
+    val s = Simplify(SliceVec(CumVec(scoped, "sum"), 10, 200))
+    assert(s == SliceVec(CumVec(ColumnVec("events", "event_id", "value", Some((0L, 200L))), "sum"), 10, 200), s.pprint())
+    // a left-only bound cannot prune a prefix scan — plan unchanged
+    val e2 = SliceVec(CumVec(scoped, "sum"), 10, 1000)
+    assert(Simplify(e2) == e2)
+  }
+
+  test("slice through gradient keeps one ghost cell per side") {
+    val s = Simplify(SliceVec(GradientVec(scoped), 100, 200))
+    assert(s == SliceVec(
+      GradientVec(ColumnVec("events", "event_id", "value", Some((99L, 201L)))),
+      1, 101), s.pprint())
+  }
+
+  test("slice through roll dissolves the roll into pushed region scans") {
+    // non-wrapping: one pruned scan, RollVec gone
+    val s = Simplify(SliceVec(RollVec(scoped, 7), 100, 200))
+    assert(s == ColumnVec("events", "event_id", "value", Some((93L, 193L))), s.pprint())
+    // wrapping: two region scans concatenated, still no RollVec
+    val s2 = Simplify(SliceVec(RollVec(scoped, 7), 0, 10))
+    assert(collect(s2) { case r: RollVec => r }.isEmpty, s2.pprint())
+    assert(s2 == ConcatVec(
+      ColumnVec("events", "event_id", "value", Some((993L, 1000L))),
+      ColumnVec("events", "event_id", "value", Some((0L, 3L)))), s2.pprint())
+  }
+
+  test("slice through coarsen scales the bound by k into the scan") {
+    val s = Simplify(SliceVec(CoarsenVec(scoped, 4, "sum"), 10, 20))
+    assert(s == CoarsenVec(ColumnVec("events", "event_id", "value", Some((40L, 80L))), 4, "sum"), s.pprint())
+  }
+
+  test("sharing gate holds for windowed pushes too") {
+    val d = DiffVec(scoped, 1)
+    val e = ZipVec(CumVec(d, "sum"), SliceVec(d, 0, 10), "v1 + v2")
+    val s = Simplify(e)
+    // d is consumed whole by the cumsum — the slice must not push below it
+    val regions = collect(s) { case c: ColumnVec if c.region != Some((0L, 1000L)) => c }
+    assert(regions.isEmpty, s.pprint())
+  }
+
   private def collect[T](e: VecExpr)(pf: PartialFunction[VecExpr, T]): List[T] =
     (if (pf.isDefinedAt(e)) List(pf(e)) else Nil) ++ e.children.flatMap(collect(_)(pf))
 }

@@ -48,6 +48,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class MaskedFill(t: Int, c: Int) extends Op    // masked_where(v>t) → filled(c)
   case class GetMaskFz(t: Int) extends Op             // masked_where(v>t) → getmask
   case class MaskedZip(t: Int) extends Op             // zip(masked, self, coalesce(v1,0)+v2)
+  case class CoarsenSum(k: Int) extends Op            // block-local downsample — slice-through-coarsen path
+  case object GradientOp extends Op                   // central difference — slice-through-gradient path
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -105,6 +107,15 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case MaskedFill(t, c) => v.map(x => if (x > t) c.toDouble else x)
     case GetMaskFz(t)     => v.map(x => if (x > t) 1.0 else 0.0)
     case MaskedZip(t)     => v.map(x => (if (x > t) 0.0 else x) + x)
+    case CoarsenSum(k)    => v.grouped(k).map(_.sum).toVector
+    case GradientOp =>
+      val n = v.length
+      if (n < 2) v
+      else Vector.tabulate(n) { i =>
+        if (i == 0) v(1) - v(0)
+        else if (i == n - 1) v(n - 1) - v(n - 2)
+        else (v(i + 1) - v(i - 1)) / 2.0
+      }
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -138,6 +149,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case MaskedFill(t, c) => d.maskedWhere(s"v > $t").filled(c)
     case GetMaskFz(t)     => d.maskedWhere(s"v > $t").getmask
     case MaskedZip(t)     => d.maskedWhere(s"v > $t").zip(d, "coalesce(v1, 0) + v2")
+    case CoarsenSum(k)    => d.coarsen(k, "sum")
+    case GradientOp       => if (len < 2) d else d.gradient
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -160,7 +173,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     Gen.const(ChooseFz),
     for { t <- Gen.choose(-50, 150); c <- Gen.choose(-9, 9) } yield MaskedFill(t, c),
     Gen.choose(-50, 150).map(GetMaskFz(_)),
-    Gen.choose(-50, 150).map(MaskedZip(_)))
+    Gen.choose(-50, 150).map(MaskedZip(_)),
+    Gen.choose(2, 5).map(CoarsenSum(_)),
+    Gen.const(GradientOp))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
   // windowed ops' carry chains and halos run multi-block
