@@ -206,6 +206,28 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
     wrap(SlidingVec(exprTree, w, op, minCount))
   def ffill: DArray                        = wrap(FfillVec(exprTree))
 
+  /** Generic one-axis `map_overlap` (reference `dask_array/_overlap.py:903`
+    * — the user-programmable form; diff/sliding/gradient are its pre-baked
+    * instances): apply a SQL kernel over the ±depth neighborhood, taps
+    * named `v_m<depth>..v_m1, v, v_p1..v_p<depth>` (plus `idx`), with a
+    * boundary mode ("constant"/cv, "periodic", "reflect"/"symmetric",
+    * "nearest") governing the array ends — boundary-extend, stencil, trim.
+    * Needs a statically known length (slice first when the leaf is
+    * unbounded), like [[boundary]] itself. */
+  def mapOverlap(depth: Int, kernelSql: String, boundaryMode: String = "reflect",
+                 cv: Double = 0.0): DArray = {
+    val n = exprTree.length
+    require(n >= 0, "mapOverlap needs a statically known length — slice first")
+    boundary(depth.toLong, boundaryMode, cv)
+      .stencil(depth, kernelSql)
+      .slice(depth.toLong, depth.toLong + n)
+  }
+
+  /** Raw ±depth stencil without boundary handling: taps beyond the array
+    * ends are NULL (compose with [[boundary]] — or use [[mapOverlap]]). */
+  def stencil(depth: Int, kernelSql: String): DArray =
+    wrap(StencilVec(exprTree, depth, kernelSql))
+
   // ---- execution -----------------------------------------------------------
   /** The optimized expression (for plan-structural tests, reference
     * `.ai-docs/testing.md` "Testing Optimizations"). */

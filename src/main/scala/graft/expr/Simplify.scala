@@ -103,6 +103,7 @@ object Simplify {
       case FlipVec(c)          => FlipVec(rewrite(c, parents))
       case RollVec(c, s)       => RollVec(rewrite(c, parents), s)
       case GradientVec(c)      => GradientVec(rewrite(c, parents))
+      case StencilVec(c, d, k) => StencilVec(rewrite(c, parents), d, k)
       case RepeatVec(c, k)     => RepeatVec(rewrite(c, parents), k)
       case leaf                => leaf
     }
@@ -313,6 +314,23 @@ object Simplify {
       if (!allDependentsAreSlices(g, parents) || !shrinks) s0
       else {
         val inner = GradientVec(simplifyNode(SliceVec(c, start, end), parents))
+        if (lo == start && hi == end) inner
+        else SliceVec(inner, lo - start, hi - start)
+      }
+
+    // slice-through-stencil: same shape as gradient with a ±depth halo —
+    // taps of every kept position stay inside the pushed domain (or off
+    // the global edge, where both sides read NULL); idx-using kernels are
+    // rebased like slice-through-map
+    case s0 @ SliceVec(st @ StencilVec(c, dep, k), lo, hi) if c.length >= 0 && hi > lo =>
+      val n = c.length
+      val start = math.max(0L, lo - dep)
+      val end = math.min(n, hi + dep)
+      val shrinks = start > 0 || end < n
+      if (!allDependentsAreSlices(st, parents) || !shrinks) s0
+      else {
+        val rebased = if (VecExpr.usesIdx(k)) VecExpr.subst(k, "idx", s"idx + ${start}L") else k
+        val inner = StencilVec(simplifyNode(SliceVec(c, start, end), parents), dep, rebased)
         if (lo == start && hi == end) inner
         else SliceVec(inner, lo - start, hi - start)
       }

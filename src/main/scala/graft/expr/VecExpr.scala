@@ -623,6 +623,45 @@ final case class GradientVec(child: VecExpr) extends VecExpr {
   }
 }
 
+/** Generic ±depth stencil — the user-programmable one-axis `map_overlap`
+  * body (reference `map_overlap`, `dask_array/_overlap.py:903`): the
+  * kernel is a SQL fragment over named taps `v` (center),
+  * `v_m1..v_m<depth>` (left neighbors), `v_p1..v_p<depth>` (right
+  * neighbors), plus `idx`. Taps that fall off the array ends are NULL;
+  * the public `DArray.mapOverlap` composes [[DArray.boundary]] below and
+  * a trim slice above so user-visible edges follow the chosen boundary
+  * mode instead. Plan shape = [[GradientVec]] generalized: bidirectional
+  * ghost slabs of `depth` rows per block edge, windows stay partitioned
+  * by block — one scan + one bounded exchange at any scale. */
+final case class StencilVec(child: VecExpr, depth: Int, kernelSql: String) extends VecExpr {
+  require(depth >= 1, s"stencil depth must be >= 1, got $depth")
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"stencil[$depth,$kernelSql]"
+  override def length: Long = child.length
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length))
+  def eval(ctx: Ctx): DataFrame = {
+    val gb = child.chunk
+    require(depth < gb, s"stencil depth $depth must be < block size $gb")
+    val base = Blocked.withBlk(child.eval(ctx), gb)
+    val own = base.withColumn("tblk", col("blk"))
+    val gNext = base.where(expr(s"idx % $gb >= ${gb - depth}"))
+      .withColumn("tblk", col("blk") + 1)
+    val gPrev = base.where(expr(s"idx % $gb < $depth AND blk > 0"))
+      .withColumn("tblk", col("blk") - 1)
+    val all = own.unionByName(gNext).unionByName(gPrev)
+    val w = Window.partitionBy("tblk").orderBy("idx")
+    // one select → one Window operator for all 2·depth tap columns
+    val taps = all.select(
+      Seq(col("idx"), col("blk"), col("tblk"), col("v")) ++
+        (1 to depth).flatMap(j => Seq(
+          lag(col("v"), j).over(w).as(s"v_m$j"),
+          lead(col("v"), j).over(w).as(s"v_p$j"))): _*)
+    taps.where(col("tblk") === col("blk"))
+      .selectExpr("idx", s"CAST($kernelSql AS DOUBLE) AS v")
+  }
+}
+
 /** Element repetition (reference `repeat`,
   * `dask_array/creation/_repeat.py:13`): `explode(array_repeat(...))` —
   * a generator with static fan-out, no shuffle. */

@@ -999,6 +999,17 @@ object ArrayQueries {
         round(lit(ExactQuantile.interp(h1, lo1, hi1, "midpoint")), 4).as("mid37"),
         round(lit(ExactQuantile.interp(h2, lo2, hi2, "nearest")), 4).as("nearest50"))
     }),
+
+    // generic user-programmable map_overlap (reference _overlap.py:903 —
+    // diff/sliding/gradient are its pre-baked instances): a 5-point mean
+    // kernel over the named taps v_m2..v_p2 with reflect boundary — the
+    // composed boundary→stencil→trim pipeline, one scan + one bounded
+    // ghost exchange; the kernel's addition order is shared verbatim
+    // with the oracle so the doubles match bit-for-bit
+    "q105_map_overlap" -> ((s, d) =>
+      events(s, d).slice(0, 600)
+        .mapOverlap(2, "((((v_m2 + v_m1) + v) + v_p1) + v_p2) / 5.0", "reflect")
+        .map("round(v, 6)").elements.orderBy("idx")),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1822,6 +1833,16 @@ object ArrayQueries {
                       WHEN CAST(floor(h2) AS BIGINT) % 2 = 0 THEN lo2 ELSE hi2 END, 4)
              AS nearest50
          FROM b""",
+
+    "q105_map_overlap" ->
+      """WITH b AS (SELECT event_id AS p, value AS v FROM events WHERE event_id < 600),
+         ext AS (SELECT 1 - p AS e, v FROM b WHERE p < 2
+                 UNION ALL SELECT p + 2 AS e, v FROM b
+                 UNION ALL SELECT 602 + (599 - p) AS e, v FROM b WHERE p >= 598)
+         SELECT e - 2 AS idx,
+           round(((((lag(v, 2) OVER w + lag(v, 1) OVER w) + v) + lead(v, 1) OVER w)
+                  + lead(v, 2) OVER w) / 5.0, 6) AS v
+         FROM ext WINDOW w AS (ORDER BY e) QUALIFY e BETWEEN 2 AND 601 ORDER BY idx""",
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,

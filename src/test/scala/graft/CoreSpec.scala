@@ -413,6 +413,14 @@ class SimplifySpec extends AnyFunSuite {
       ColumnVec("events", "event_id", "value", Some((0L, 3L)))), s2.pprint())
   }
 
+  test("slice through stencil keeps a ±depth halo, residual slice trims it") {
+    val k = "(v_m1 + v) + v_p1"
+    val s = Simplify(SliceVec(StencilVec(scoped, 3, k), 100, 200))
+    assert(s == SliceVec(
+      StencilVec(ColumnVec("events", "event_id", "value", Some((97L, 203L))), 3, k),
+      3, 103), s.pprint())
+  }
+
   test("slice through coarsen scales the bound by k into the scan") {
     val s = Simplify(SliceVec(CoarsenVec(scoped, 4, "sum"), 10, 20))
     assert(s == CoarsenVec(ColumnVec("events", "event_id", "value", Some((40L, 80L))), 4, "sum"), s.pprint())

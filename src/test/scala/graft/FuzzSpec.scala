@@ -50,6 +50,7 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class MaskedZip(t: Int) extends Op             // zip(masked, self, coalesce(v1,0)+v2)
   case class CoarsenSum(k: Int) extends Op            // block-local downsample — slice-through-coarsen path
   case object GradientOp extends Op                   // central difference — slice-through-gradient path
+  case class MapOverlapFz(dep: Int) extends Op        // generic stencil, periodic boundary — slice-through-stencil path
 
   private def applyLocal(v: Vector[Double], op: Op): Vector[Double] = op match {
     case MapAffine(a, b) => v.map(x => x * a + b)
@@ -116,6 +117,12 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         else if (i == n - 1) v(n - 1) - v(n - 2)
         else (v(i + 1) - v(i - 1)) / 2.0
       }
+    case MapOverlapFz(dep) =>
+      val n = v.length
+      if (n <= dep) v
+      else Vector.tabulate(n) { i =>
+        (-dep to dep).foldLeft(0.0)((acc, j) => acc + v((((i + j) % n) + n) % n))
+      }
   }
 
   private def applyEngine(d: DArray, op: Op, len: Long): DArray = op match {
@@ -151,6 +158,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     case MaskedZip(t)     => d.maskedWhere(s"v > $t").zip(d, "coalesce(v1, 0) + v2")
     case CoarsenSum(k)    => d.coarsen(k, "sum")
     case GradientOp       => if (len < 2) d else d.gradient
+    case MapOverlapFz(dep) =>
+      if (len <= dep) d
+      else {
+        // same left-assoc addition order as the local fold
+        val taps = (-dep to dep).map(j =>
+          if (j < 0) s"v_m${-j}" else if (j > 0) s"v_p$j" else "v")
+        d.mapOverlap(dep, taps.reduce((a, b) => s"($a + $b)"), "periodic")
+      }
   }
 
   private val genOp: Gen[Op] = Gen.oneOf(
@@ -175,7 +190,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     Gen.choose(-50, 150).map(GetMaskFz(_)),
     Gen.choose(-50, 150).map(MaskedZip(_)),
     Gen.choose(2, 5).map(CoarsenSum(_)),
-    Gen.const(GradientOp))
+    Gen.const(GradientOp),
+    Gen.choose(1, 3).map(MapOverlapFz(_)))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
   // windowed ops' carry chains and halos run multi-block
