@@ -50,6 +50,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Steady-state hygiene: the first run janino-compiles the stage code
+    // and loads the generated classes, but HotSpot's C2 threads keep
+    // compiling those (often huge) methods in the BACKGROUND — on a
+    // saturated local[32] box that steals cores from whatever is being
+    // timed next. Observed: a 0.3 s query reads 4 s when it follows the
+    // layered-sampler kernels, with byte-identical plans. Before each
+    // steady measurement, wait (bounded) until the JVM's cumulative
+    // compilation-time counter stops moving, so the steady number
+    // measures the PLAN, not the neighbor's compiler debt.
+    def drainJit(maxMs: Long = 1500): Unit = {
+      val mx = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (mx != null && mx.isCompilationTimeMonitoringSupported) {
+        val deadline = System.currentTimeMillis + maxMs
+        var last = mx.getTotalCompilationTime
+        var stable = 0
+        while (stable < 2 && System.currentTimeMillis < deadline) {
+          Thread.sleep(50)
+          val now = mx.getTotalCompilationTime
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      }
+    }
+
     // Broad codegen-shape warmup so even the very first query's run-1 isn't
     // dominated by cold-JVM class loading (one representative per family).
     Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul", "t05_minhash")
@@ -63,11 +86,20 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val first = runOnce(fn, name)
-      // unpersist anything run 1 leaked so run 2 can't skip real work
+      // unpersist anything run 1 leaked so later runs can't skip real work
       spark.catalog.clearCache()
-      val steady = runOnce(fn, name)
+      drainJit()
+      // steady = min of two post-warm executions: a one-off GC pause or a
+      // late compile landing inside a single measurement shows up as one
+      // inflated sample, and the min discards it; a real plan regression
+      // inflates every sample and survives. (Same rationale as the
+      // PerfBudgetSpec gate; standard best-of-N steady-state practice.)
+      val s1 = runOnce(fn, name)
       spark.catalog.clearCache()
-      name -> (first, steady)
+      drainJit()
+      val s2 = runOnce(fn, name)
+      spark.catalog.clearCache()
+      name -> (first, math.min(s1, s2))
     }
     val total = results.values.map(_._2).sum
     val firstTotal = results.values.map(_._1).sum
