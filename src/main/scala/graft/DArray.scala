@@ -228,6 +228,17 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def stencil(depth: Int, kernelSql: String): DArray =
     wrap(StencilVec(exprTree, depth, kernelSql))
 
+  // ---- IEEE float-inspection ufuncs (graft.functions.FloatInspect —
+  // compositions of the native graft_bits/graft_from_bits bit casts;
+  // reference _ufunc.py exports signbit/copysign/nextafter/spacing/
+  // i0/ldexp) ---------------------------------------------------------------
+  def signbit: DArray              = map(graft.functions.FloatInspect.signbit("v"))
+  def copysign(o: DArray): DArray  = zip(o, graft.functions.FloatInspect.copysign("v1", "v2"))
+  def nextafter(o: DArray): DArray = zip(o, graft.functions.FloatInspect.nextafter("v1", "v2"))
+  def spacing: DArray              = map(graft.functions.FloatInspect.spacing("v"))
+  def besselI0: DArray             = map(graft.functions.FloatInspect.i0("v"))
+  def ldexp(n: DArray): DArray     = zip(n, graft.functions.FloatInspect.ldexp("v1", "v2"))
+
   // ---- execution -----------------------------------------------------------
   /** The optimized expression (for plan-structural tests, reference
     * `.ai-docs/testing.md` "Testing Optimizations"). */

@@ -1010,6 +1010,28 @@ object ArrayQueries {
       events(s, d).slice(0, 600)
         .mapOverlap(2, "((((v_m2 + v_m1) + v) + v_p1) + v_p2) / 5.0", "reflect")
         .map("round(v, 6)").elements.orderBy("idx")),
+
+    // IEEE float-inspection ufuncs (reference _ufunc.py: signbit /
+    // copysign / nextafter / spacing / i0) — bit-exact via the native
+    // graft_bits casts; the oracle rebuilds next-up/down BIT PATTERNS
+    // with q83's integer-arithmetic IEEE construction (values 1..200
+    // have exact small mantissas), the ulp as a power of two, and i0
+    // from the SAME nested-series text (small-integer constants only,
+    // so both engines evaluate identical double arithmetic; 32 terms —
+    // exact to <1e-40 at x<=5 — keeps the nesting under DuckDB's
+    // 128-deep binder recursion cap)
+    "q106_float_inspect" -> ((s, d) => {
+      import graft.functions.{FloatInspect => F}
+      graft.DArray.arange(s, d, 1.0, 201.0, 1.0).elements.selectExpr(
+        "idx",
+        s"CAST(${F.signbit("(-v)")} AS BIGINT) AS sb",
+        s"graft_bits(${F.nextUp("v")}) AS nup_bits",
+        s"graft_bits(${F.nextDown("v")}) AS ndn_bits",
+        s"${F.spacing("v")} AS sp",
+        s"${F.copysign("v", F.negZero)} AS cs",
+        s"${F.i0("(v / 40.0)", 32)} AS bi0")
+        .orderBy("idx")
+    }),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1843,6 +1865,28 @@ object ArrayQueries {
            round(((((lag(v, 2) OVER w + lag(v, 1) OVER w) + v) + lead(v, 1) OVER w)
                   + lead(v, 2) OVER w) / 5.0, 6) AS v
          FROM ext WINDOW w AS (ORDER BY e) QUALIFY e BETWEEN 2 AND 601 ORDER BY idx""",
+
+    "q106_float_inspect" -> {
+      import graft.functions.{FloatInspect => F}
+      s"""WITH t AS (SELECT x AS idx, CAST(x + 1 AS DOUBLE) AS v,
+            CASE WHEN x + 1 >= 128 THEN 7 WHEN x + 1 >= 64 THEN 6
+                 WHEN x + 1 >= 32 THEN 5 WHEN x + 1 >= 16 THEN 4
+                 WHEN x + 1 >= 8 THEN 3 WHEN x + 1 >= 4 THEN 2
+                 WHEN x + 1 >= 2 THEN 1 ELSE 0 END AS e
+            FROM range(200) r(x)),
+          b AS (SELECT idx, v, e,
+            CAST((1023 + e) * 4503599627370496 +
+              CAST((v / power(2, e) - 1) * 4503599627370496 AS BIGINT)
+              AS BIGINT) AS bits FROM t)
+          SELECT idx,
+            CAST(1 AS BIGINT) AS sb,
+            CAST(bits + 1 AS BIGINT) AS nup_bits,
+            CAST(bits - 1 AS BIGINT) AS ndn_bits,
+            power(2.0, e - 52) AS sp,
+            -v AS cs,
+            ${F.i0("(v / 40.0)", 32)} AS bi0
+          FROM b ORDER BY idx"""
+    },
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,

@@ -125,6 +125,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.getLong(4) == 9221120237041090561L)
   }
 
+  test("FloatInspect ufuncs match java.lang.Math bit-for-bit") {
+    GraftFunctions.register(spark)
+    import graft.functions.{FloatInspect => F}
+    // awkward magnitudes: subnormal-adjacent, powers of two (next-down
+    // crosses the exponent boundary), negatives, and -0.0 sign handling
+    val vals = Seq(1.0, 2.0, 0.5, 3.141592653589793, 1e-300, 123456.789,
+      -1.0, -2.0, -0.75, -1e-10)
+    val df = spark.createDataFrame(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }).toDF("idx", "v")
+    val rows = df.selectExpr(
+      "v",
+      s"${F.nextUp("v")} AS nup",
+      s"${F.nextDown("v")} AS ndn",
+      s"${F.spacing("v")} AS sp",
+      s"CAST(${F.signbit("v")} AS BIGINT) AS sb",
+      s"${F.copysign("v", F.negZero)} AS csn",
+      s"${F.copysign("v", "0.0")} AS csp",
+      s"${F.ldexp("v", "7")} AS ld").collect()
+    rows.foreach { r =>
+      val v = r.getDouble(0)
+      def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+      assert(bits(r.getDouble(1)) == bits(Math.nextUp(v)), s"nextUp($v)")
+      assert(bits(r.getDouble(2)) == bits(Math.nextDown(v)), s"nextDown($v)")
+      // numpy spacing: signed ulp (Math.ulp is the unsigned magnitude)
+      assert(bits(r.getDouble(3)) == bits(if (v < 0) -Math.ulp(v) else Math.ulp(v)), s"spacing($v)")
+      assert(r.getLong(4) == (if (bits(v) < 0) 1L else 0L), s"signbit($v)")
+      assert(bits(r.getDouble(5)) == bits(Math.copySign(v, -0.0)), s"copysign($v,-0.0)")
+      assert(bits(r.getDouble(6)) == bits(Math.copySign(v, 0.0)), s"copysign($v,0.0)")
+      assert(r.getDouble(7) == v * 128.0, s"ldexp($v,7)")
+    }
+    // ±0.0 step to the signed minimal subnormals
+    val z = spark.range(1).selectExpr(
+      s"${F.nextUp("0.0")} AS a", s"${F.nextDown("0.0")} AS b").head()
+    assert(z.getDouble(0) == java.lang.Double.MIN_VALUE)
+    assert(z.getDouble(1) == -java.lang.Double.MIN_VALUE)
+  }
+
+  test("besselI0 series: known values and symmetry") {
+    GraftFunctions.register(spark)
+    import graft.functions.{FloatInspect => F}
+    val rows = spark.range(1).selectExpr(
+      s"${F.i0("0.0")} AS z",
+      s"${F.i0("1.0")} AS one",
+      s"${F.i0("5.0")} AS five",
+      s"${F.i0("(-5.0)")} AS mfive").head()
+    assert(rows.getDouble(0) == 1.0)
+    // reference values (Abramowitz & Stegun / scipy.special.i0)
+    assert(math.abs(rows.getDouble(1) - 1.2660658777520084) < 1e-14)
+    assert(math.abs(rows.getDouble(2) - 27.239871823604442) / 27.24 < 1e-13)
+    assert(rows.getDouble(2) == rows.getDouble(3)) // even function
+  }
+
   test("graft_bits stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val q = spark.range(100).selectExpr("graft_bits(CAST(id AS DOUBLE)) AS b")
