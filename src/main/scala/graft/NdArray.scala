@@ -295,6 +295,31 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     }
   }
 
+  /** N-d block-local downsampling (reference `coarsen`,
+    * `dask_array/routines/_coarsen.py:42` — the 1-d [[graft.expr.CoarsenVec]]
+    * generalized): reduce each `factors(0)×…×factors(r-1)` neighborhood
+    * with one SQL aggregate — `GROUP BY (cᵢ div kᵢ)`, a single
+    * map-side-combinable aggregation at any rank. `trimExcess` follows
+    * the reference's flag: trim ragged edges first (numpy-strict
+    * otherwise: every extent must divide). Requires a DENSE element
+    * table (absent cells would silently shrink count-sensitive
+    * aggregates like avg). */
+  def coarsen(factors: Seq[Long], sqlAggOverV: String,
+              trimExcess: Boolean = false): NdArray = {
+    require(factors.length == rank && factors.forall(_ > 0), s"bad factors $factors")
+    val base =
+      if (trimExcess) slice(shape.zip(factors).map { case (n, k) => (0L, n - n % k) })
+      else {
+        require(shape.zip(factors).forall { case (n, k) => n % k == 0 },
+          s"shape $shape not divisible by $factors (pass trimExcess=true to trim)")
+        this
+      }
+    val keys = (0 until rank).map(a => expr(s"c$a DIV ${factors(a)}").as(s"c$a"))
+    new NdArray(
+      base.df.groupBy(keys: _*).agg(expr(sqlAggOverV).cast("double").as("v")),
+      base.shape.zip(factors).map { case (n, k) => n / k })
+  }
+
   /** Cumulative reduction along one axis at any rank (numpy
     * `cumsum/cummin/cummax(axis=k)`; reference
     * `reductions/_cumulative.py:100` runs the same per-block scan + carry

@@ -159,7 +159,15 @@ object NdQueries {
         Seq(0L, 0L, 1L), Seq(0L, 0L, -1L))
       x.stencilAgg(offs, "max(v)", boundary = "wrap")
         .elements.orderBy("c0", "c1", "c2")
-    }))
+    }),
+
+    // N-d coarsen with ragged-edge trim (reference coarsen trim_excess,
+    // routines/_coarsen.py:42): ONE map-side-combinable groupBy on
+    // (c_i div k_i) at any rank — (3,4,5,6) by (2,3,2,4) trims to
+    // (2,3,4,4) then reduces to (1,1,2,1); integer sums stay exact
+    "n16_nd_coarsen" -> ((s, d) =>
+      A4.spark(s).coarsen(Seq(2L, 3L, 2L, 4L), "sum(v)", trimExcess = true)
+        .elements.orderBy("c0", "c1", "c2", "c3")))
 
   val oracles: Map[String, String] = Map(
     "n01_nd_axis_reduce" ->
@@ -286,6 +294,13 @@ object NdQueries {
                FROM range(315) t(x))
          ORDER BY c0, c1, c2"""
     },
+
+    "n16_nd_coarsen" ->
+      s"""SELECT c0 // 2 AS c0, c1 // 3 AS c1, c2 // 2 AS c2, c3 // 4 AS c3,
+           CAST(sum(v) AS DOUBLE) AS v
+         FROM ${A4.duck}
+         WHERE c0 < 2 AND c1 < 3 AND c2 < 4 AND c3 < 4
+         GROUP BY 1, 2, 3, 4 ORDER BY c0, c1, c2, c3""",
 
     // flip maps out c1 = 3 - src c1; the roll permutes within the summed
     // axis (sum-invariant); b lands at c1 + 4

@@ -342,6 +342,25 @@ class NdSpec extends AnyFunSuite {
     }
   }
 
+  test("coarsen: trim_excess matches a local oracle; strict mode requires divisibility") {
+    val shape = Seq(5L, 7L)
+    def f(i: Long, j: Long): Double = ((i * 4 + j * 9) % 13).toDouble
+    val a = NdArray.tabulate(spark, shape, "(c0*4 + c1*9) % 13")
+    val got = a.coarsen(Seq(2L, 3L), "sum(v)", trimExcess = true)
+      .elements.orderBy("c0", "c1").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (i <- 0L until 2L; j <- 0L until 2L) {
+      val want = (for (di <- 0L until 2L; dj <- 0L until 3L)
+        yield f(i * 2 + di, j * 3 + dj)).sum
+      assert(got.getOrElse((i, j), 0.0) == want, s"($i,$j)")
+    }
+    // strict mode: 5 % 2 != 0 must refuse loudly, not silently trim
+    val e = intercept[IllegalArgumentException](a.coarsen(Seq(2L, 3L), "sum(v)"))
+    assert(e.getMessage.contains("trimExcess"))
+    // exact division needs no flag
+    assert(a.coarsen(Seq(5L, 7L), "max(v)").shape == Seq(1L, 1L))
+  }
+
   test("stencilSum plans ONE shuffle and ONE scan of the extended input") {
     val a = NdArray.tabulate(spark, Seq(8L, 8L, 8L), "(c0 + c1 + c2) % 5")
     val taps = Seq((Seq(0L, 0L, 0L), 2.0), (Seq(1L, 1L, 1L), 1.0), (Seq(-1L, 0L, 1L), 1.0))
