@@ -238,6 +238,39 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
     }
   }
 
+  /** N-d `pad` with the non-constant numpy modes along one axis
+    * (reference `pad`, `creation/_pad.py:17` — rank-generic): pure slab
+    * composition of the existing slice/flip/broadcast/concat primitives,
+    * exactly the 1-d [[graft.DArray.boundary]] recipe lifted to any rank.
+    * Modes: `edge` (repeat the border hyperplane), `wrap` (periodic),
+    * `reflect`/`symmetric` (mirror incl. the edge — dask-overlap
+    * "reflect"), `reflect_strict` (numpy's edge-excluding reflect).
+    * Chain calls for multiple axes (numpy pads axes independently). */
+  def padAxisMode(axis: Int, before: Long, after: Long, mode: String): NdArray = {
+    require(axis >= 0 && axis < rank && before >= 0 && after >= 0)
+    val n = shape(axis)
+    def ax(lo: Long, hi: Long): NdArray =
+      slice(shape.indices.map(a => if (a == axis) (lo, hi) else (0L, shape(a))))
+    def slab(extent: Long, left: Boolean): Option[NdArray] =
+      if (extent == 0) None
+      else Some(mode match {
+        case "edge" =>
+          (if (left) ax(0, 1) else ax(n - 1, n)).broadcastAxis(axis, extent)
+        case "wrap" =>
+          if (left) ax(n - extent, n) else ax(0, extent)
+        case "reflect" | "symmetric" =>
+          (if (left) ax(0, extent) else ax(n - extent, n)).flip(axis)
+        case "reflect_strict" =>
+          require(extent < n, s"reflect_strict needs depth < extent ($extent >= $n)")
+          (if (left) ax(1, extent + 1) else ax(n - extent - 1, n - 1)).flip(axis)
+        case other => throw new IllegalArgumentException(s"pad mode $other")
+      })
+    require(mode == "reflect_strict" || before <= n && after <= n,
+      s"pad depth exceeds axis extent $n")
+    val withBefore = slab(before, left = true).map(_.concat(this, axis)).getOrElse(this)
+    slab(after, left = false).map(withBefore.concat(_, axis)).getOrElse(withBefore)
+  }
+
   /** Broadcast a size-1 axis to extent `n` (numpy broadcasting /
     * reference `broadcast_to`): a generated cross join against
     * `spark.range(n)` — the same BroadcastTrick shape as the 2-d outer

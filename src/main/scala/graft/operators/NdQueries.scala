@@ -167,7 +167,17 @@ object NdQueries {
     // (2,3,4,4) then reduces to (1,1,2,1); integer sums stay exact
     "n16_nd_coarsen" -> ((s, d) =>
       A4.spark(s).coarsen(Seq(2L, 3L, 2L, 4L), "sum(v)", trimExcess = true)
-        .elements.orderBy("c0", "c1", "c2", "c3")))
+        .elements.orderBy("c0", "c1", "c2", "c3")),
+
+    // N-d pad, non-constant modes (reference pad edge/wrap/reflect at any
+    // rank): slab composition of slice/flip/concat — reflect on axis 0,
+    // then periodic wrap on axis 1; axes pad independently so the oracle
+    // is one per-axis index remap over the source kernel
+    "n17_nd_pad_modes" -> ((s, d) =>
+      NdArray.tabulate(s, Seq(5L, 6L), "(c0*7 + c1*3) % 11")
+        .padAxisMode(0, 2, 1, "reflect")
+        .padAxisMode(1, 1, 2, "wrap")
+        .elements.orderBy("c0", "c1")))
 
   val oracles: Map[String, String] = Map(
     "n01_nd_axis_reduce" ->
@@ -301,6 +311,17 @@ object NdQueries {
          FROM ${A4.duck}
          WHERE c0 < 2 AND c1 < 3 AND c2 < 4 AND c3 < 4
          GROUP BY 1, 2, 3, 4 ORDER BY c0, c1, c2, c3""",
+
+    // src row = reflect(i-2 over 5, mirror incl. edge), src col =
+    // (j-1) mod 6 — the same independent per-axis maps the slabs encode
+    "n17_nd_pad_modes" ->
+      """SELECT i AS c0, j AS c1, CAST((si*7 + sj*3) % 11 AS DOUBLE) AS v
+         FROM (SELECT i, j,
+            CASE WHEN i - 2 < 0 THEN -(i - 2) - 1
+                 WHEN i - 2 >= 5 THEN 9 - (i - 2) ELSE i - 2 END AS si,
+            ((j - 1) % 6 + 6) % 6 AS sj
+            FROM (SELECT x // 9 AS i, x % 9 AS j FROM range(72) t(x)))
+         ORDER BY c0, c1""",
 
     // flip maps out c1 = 3 - src c1; the roll permutes within the summed
     // axis (sum-invariant); b lands at c1 + 4
