@@ -1032,6 +1032,45 @@ object ArrayQueries {
         s"${F.i0("(v / 40.0)", 32)} AS bi0")
         .orderBy("idx")
     }),
+
+    // exact-semantics ufunc long tail (reference _ufunc.py export list):
+    // rint/around (round HALF TO EVEN — v = (x-100)/2 lands exactly on
+    // halves at odd x), trunc/fix, floor/ceil, exp2 (exact powers of
+    // two), square, reciprocal (of 2^k — exact), fmax/fmin with the
+    // NULL≙NaN convention, left/right_shift + bitwise and/or/xor/not on
+    // BIGINT, logical_* as BIGINT 0/1, floor_divide (floors, unlike
+    // SQL's truncating int div), fmod (sign of dividend = SQL %),
+    // deg2rad/rad2deg (shared pi literal, no libm), nan_to_num — every
+    // column is exact integer-derived double arithmetic, no rounding
+    "q107_ufunc_exact" -> ((s, d) =>
+      graft.DArray.arange(s, d, 0.0, 200.0, 1.0).elements.selectExpr(
+        "idx",
+        "(v - 100) / 2.0 AS x",
+        "CAST(v AS BIGINT) AS b",
+        "CASE WHEN CAST(v AS BIGINT) % 7 = 0 THEN NULL ELSE v END AS nv")
+        .selectExpr(
+          "idx",
+          "rint(x) AS rint_x",
+          "CAST(CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END AS DOUBLE) AS trunc_x",
+          "CAST(floor(x) AS DOUBLE) AS floor_x", "CAST(ceil(x) AS DOUBLE) AS ceil_x",
+          "power(2.0, CAST(b % 20 AS DOUBLE)) AS exp2_b",
+          "x * x AS square_x",
+          "1.0 / power(2.0, CAST(b % 10 AS DOUBLE)) AS recip_p2",
+          "CASE WHEN nv IS NULL THEN x WHEN nv >= x THEN nv ELSE x END AS fmax_nx",
+          "CASE WHEN nv IS NULL THEN x WHEN nv <= x THEN nv ELSE x END AS fmin_nx",
+          "shiftleft(b, 3) AS lshift_b", "shiftright(b, 2) AS rshift_b",
+          "b & 89 AS and_b", "b | 89 AS or_b", "CAST(b ^ 89 AS BIGINT) AS xor_b",
+          "~b AS invert_b",
+          "CAST(b % 2 = 0 AND b % 3 = 0 AS BIGINT) AS land_b",
+          "CAST(b % 2 = 0 OR b % 3 = 0 AS BIGINT) AS lor_b",
+          "CAST((b % 2 = 0) != (b % 3 = 0) AS BIGINT) AS lxor_b",
+          "CAST(NOT (b % 2 = 0) AS BIGINT) AS lnot_b",
+          "CAST(floor(x / 7.0) AS DOUBLE) AS fdiv_x",
+          "x % 7.0 AS fmod_x",
+          "x * (3.141592653589793 / 180.0) AS d2r_x",
+          "x * (180.0 / 3.141592653589793) AS r2d_x",
+          "coalesce(nv, 0.0) AS n2n_nv")
+        .orderBy("idx")),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1887,6 +1926,41 @@ object ArrayQueries {
             ${F.i0("(v / 40.0)", 32)} AS bi0
           FROM b ORDER BY idx"""
     },
+
+    "q107_ufunc_exact" ->
+      """WITH t AS (SELECT x AS idx, x - 100 AS m,
+            CAST(x - 100 AS DOUBLE) / 2.0 AS v2,
+            CAST(x AS BIGINT) AS b,
+            CASE WHEN x % 7 = 0 THEN NULL ELSE CAST(x AS DOUBLE) END AS nv
+          FROM range(200) r(x))
+         SELECT idx,
+           CAST(CASE WHEN m % 2 = 0 THEN m // 2
+                     WHEN ((m - 1) // 2) % 2 = 0 THEN (m - 1) // 2
+                     ELSE (m - 1) // 2 + 1 END AS DOUBLE) AS rint_x,
+           CAST(trunc(v2) AS DOUBLE) AS trunc_x,
+           CAST(floor(v2) AS DOUBLE) AS floor_x,
+           CAST(ceil(v2) AS DOUBLE) AS ceil_x,
+           power(2.0, CAST(b % 20 AS DOUBLE)) AS exp2_b,
+           v2 * v2 AS square_x,
+           1.0 / power(2.0, CAST(b % 10 AS DOUBLE)) AS recip_p2,
+           CASE WHEN nv IS NULL THEN v2 WHEN nv >= v2 THEN nv ELSE v2 END AS fmax_nx,
+           CASE WHEN nv IS NULL THEN v2 WHEN nv <= v2 THEN nv ELSE v2 END AS fmin_nx,
+           CAST(b << 3 AS BIGINT) AS lshift_b,
+           CAST(b >> 2 AS BIGINT) AS rshift_b,
+           CAST(b & 89 AS BIGINT) AS and_b,
+           CAST(b | 89 AS BIGINT) AS or_b,
+           CAST(xor(b, 89) AS BIGINT) AS xor_b,
+           CAST(~b AS BIGINT) AS invert_b,
+           CAST(b % 2 = 0 AND b % 3 = 0 AS BIGINT) AS land_b,
+           CAST(b % 2 = 0 OR b % 3 = 0 AS BIGINT) AS lor_b,
+           CAST((b % 2 = 0) != (b % 3 = 0) AS BIGINT) AS lxor_b,
+           CAST(NOT (b % 2 = 0) AS BIGINT) AS lnot_b,
+           CAST(floor(v2 / 7.0) AS DOUBLE) AS fdiv_x,
+           v2 - CAST(trunc(v2 / 7.0) AS DOUBLE) * 7.0 AS fmod_x,
+           v2 * (3.141592653589793 / 180.0) AS d2r_x,
+           v2 * (180.0 / 3.141592653589793) AS r2d_x,
+           coalesce(nv, 0.0) AS n2n_nv
+         FROM t ORDER BY idx""",
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,
