@@ -194,10 +194,16 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     Gen.choose(1, 3).map(MapOverlapFz(_)))
 
   // sizes above the test block size (-Dgraft.block.size=64) so the
-  // windowed ops' carry chains and halos run multi-block
+  // windowed ops' carry chains and halos run multi-block.
+  // Soak knobs (deterministic defaults for CI): -Dgraft.fuzz.n=400
+  // -Dgraft.fuzz.len=6 -Dgraft.fuzz.seed=... runs a longer, differently
+  // seeded sweep without touching the checked-in baseline.
+  private val fuzzCases = sys.props.getOrElse("graft.fuzz.n", "40").toInt
+  private val fuzzLen = sys.props.getOrElse("graft.fuzz.len", "4").toInt
+  private val fuzzSeed = sys.props.getOrElse("graft.fuzz.seed", "20260813").toLong
   private val genCase: Gen[(Int, List[Op])] = for {
     n <- Gen.choose(5, 200)
-    ops <- Gen.listOfN(4, genOp)
+    ops <- Gen.listOfN(fuzzLen, genOp)
   } yield (n, ops)
 
   test("random op chains match the local oracle; optimizer is convergent and name-stable") {
@@ -231,8 +237,8 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       nameStable && converged && idxDense && valsMatch
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(40).withWorkers(1)
-        .withInitialSeed(org.scalacheck.rng.Seed(20260813L)), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(fuzzCases).withWorkers(1)
+        .withInitialSeed(org.scalacheck.rng.Seed(fuzzSeed)), prop)
     assert(res.passed, s"scalacheck: $res")
   }
 
