@@ -209,17 +209,25 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   /** Generic one-axis `map_overlap` (reference `dask_array/_overlap.py:903`
     * — the user-programmable form; diff/sliding/gradient are its pre-baked
     * instances): apply a SQL kernel over the ±depth neighborhood, taps
-    * named `v_m<depth>..v_m1, v, v_p1..v_p<depth>` (plus `idx`), with a
-    * boundary mode ("constant"/cv, "periodic", "reflect"/"symmetric",
-    * "nearest") governing the array ends — boundary-extend, stencil, trim.
-    * Needs a statically known length (slice first when the leaf is
-    * unbounded), like [[boundary]] itself. */
+    * named `v_m<depth>..v_m1, v, v_p1..v_p<depth>` (plus `idx` — the
+    * LOGICAL position, i.e. the caller's coordinates, not the
+    * boundary-extended ones), with a boundary mode ("constant"/cv,
+    * "periodic", "reflect"/"symmetric", "nearest") governing the array
+    * ends — boundary-extend, stencil, trim. Needs a statically known
+    * length (slice first when the leaf is unbounded), like [[boundary]]
+    * itself. */
   def mapOverlap(depth: Int, kernelSql: String, boundaryMode: String = "reflect",
                  cv: Double = 0.0): DArray = {
     val n = exprTree.length
     require(n >= 0, "mapOverlap needs a statically known length — slice first")
+    // the stencil runs over the extended array, whose positions sit at
+    // logical + depth; rebase so the kernel's idx is the logical one
+    val rebased =
+      if (graft.expr.VecExpr.usesIdx(kernelSql))
+        graft.expr.VecExpr.subst(kernelSql, "idx", s"idx - ${depth}L")
+      else kernelSql
     boundary(depth.toLong, boundaryMode, cv)
-      .stencil(depth, kernelSql)
+      .stencil(depth, rebased)
       .slice(depth.toLong, depth.toLong + n)
   }
 

@@ -261,12 +261,15 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
         case "reflect" | "symmetric" =>
           (if (left) ax(0, extent) else ax(n - extent, n)).flip(axis)
         case "reflect_strict" =>
-          require(extent < n, s"reflect_strict needs depth < extent ($extent >= $n)")
+          require(extent < n, s"reflect_strict needs pad depth $extent < axis extent $n")
           (if (left) ax(1, extent + 1) else ax(n - extent - 1, n - 1)).flip(axis)
         case other => throw new IllegalArgumentException(s"pad mode $other")
       })
-    require(mode == "reflect_strict" || before <= n && after <= n,
-      s"pad depth exceeds axis extent $n")
+    // wrap/reflect slabs read at most one whole period/mirror; edge
+    // broadcasts the border hyperplane so any width is fine (numpy allows
+    // edge pads wider than the axis)
+    require(mode == "reflect_strict" || mode == "edge" || before <= n && after <= n,
+      s"pad depth exceeds axis extent $n for mode $mode")
     val withBefore = slab(before, left = true).map(_.concat(this, axis)).getOrElse(this)
     slab(after, left = false).map(withBefore.concat(_, axis)).getOrElse(withBefore)
   }
@@ -340,6 +343,8 @@ final class NdArray(val df: DataFrame, val shape: Seq[Long]) {
   def coarsen(factors: Seq[Long], sqlAggOverV: String,
               trimExcess: Boolean = false): NdArray = {
     require(factors.length == rank && factors.forall(_ > 0), s"bad factors $factors")
+    require(shape.zip(factors).forall { case (n, k) => n >= k },
+      s"factors $factors exceed extents $shape — even trimExcess has nothing left")
     val base =
       if (trimExcess) slice(shape.zip(factors).map { case (n, k) => (0L, n - n % k) })
       else {

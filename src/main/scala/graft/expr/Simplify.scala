@@ -311,7 +311,9 @@ object Simplify {
       val start = math.max(0L, lo - 1)
       val end = math.min(n, hi + 1)
       val shrinks = start > 0 || end < n
-      if (!allDependentsAreSlices(g, parents) || !shrinks) s0
+      // start > end = a fully past-the-end slice: leave it to evaluate
+      // empty rather than build an inverted inner slice
+      if (!allDependentsAreSlices(g, parents) || !shrinks || start > end) s0
       else {
         val inner = GradientVec(simplifyNode(SliceVec(c, start, end), parents))
         if (lo == start && hi == end) inner
@@ -327,7 +329,8 @@ object Simplify {
       val start = math.max(0L, lo - dep)
       val end = math.min(n, hi + dep)
       val shrinks = start > 0 || end < n
-      if (!allDependentsAreSlices(st, parents) || !shrinks) s0
+      // past-the-end slices evaluate empty; don't build an inverted slice
+      if (!allDependentsAreSlices(st, parents) || !shrinks || start > end) s0
       else {
         val rebased = if (VecExpr.usesIdx(k)) VecExpr.subst(k, "idx", s"idx + ${start}L") else k
         val inner = StencilVec(simplifyNode(SliceVec(c, start, end), parents), dep, rebased)
@@ -356,7 +359,10 @@ object Simplify {
     // so [lo,hi) reads child [lo·k, hi·k) exactly (ragged tail included —
     // the cap at the child length preserves the partial last group)
     case s0 @ SliceVec(cv @ CoarsenVec(c, k, op2), lo, hi) if hi > lo =>
-      val innerHi = if (c.length >= 0) math.min(hi * k, c.length) else hi * k
+      // clamp so a past-the-end outer slice (empty result) can't build an
+      // inverted inner slice (lo·k above the data, innerHi capped below it)
+      val innerHi0 = if (c.length >= 0) math.min(hi * k, c.length) else hi * k
+      val innerHi = math.max(lo * k, innerHi0)
       val shrinks = lo > 0 || (c.length >= 0 && innerHi < c.length)
       if (!allDependentsAreSlices(cv, parents) || !shrinks) s0
       else CoarsenVec(simplifyNode(SliceVec(c, lo * k, innerHi), parents), k, op2)

@@ -385,6 +385,22 @@ object Blocked {
     else own.unionByName(
       base.where(expr(s"idx % $b >= ${b - halo}")).withColumn("tblk", col("blk") + 1))
   }
+
+  /** Own rows plus ghost copies of each block's `halo` edge rows into BOTH
+    * neighbors (`tblk` ± 1) — the bidirectional exchange under central
+    * stencils ([[GradientVec]] is the halo=1 instance, [[StencilVec]] the
+    * general one). Requires halo < b. */
+  def withBidirHalo(df: DataFrame, halo: Long, b: Long = B): DataFrame = {
+    require(halo < b, s"halo $halo must be < block size $b")
+    val base = withBlk(df, b)
+    val own = base.withColumn("tblk", col("blk"))
+    if (halo <= 0) own
+    else own
+      .unionByName(base.where(expr(s"idx % $b >= ${b - halo}"))
+        .withColumn("tblk", col("blk") + 1))
+      .unionByName(base.where(expr(s"idx % $b < $halo AND blk > 0"))
+        .withColumn("tblk", col("blk") - 1))
+  }
 }
 
 /** Explicit chunk-grid change (reference `rechunk`,
@@ -603,14 +619,7 @@ final case class GradientVec(child: VecExpr) extends VecExpr {
   def eval(ctx: Ctx): DataFrame = {
     // bidirectional halo of 1: last row of each block ghosts into the next
     // block, first row into the previous — the stencil's ghost cells
-    val gb = child.chunk
-    val base = Blocked.withBlk(child.eval(ctx), gb)
-    val own = base.withColumn("tblk", col("blk"))
-    val gNext = base.where(expr(s"idx % $gb = ${gb - 1}"))
-      .withColumn("tblk", col("blk") + 1)
-    val gPrev = base.where(expr(s"idx % $gb = 0 AND blk > 0"))
-      .withColumn("tblk", col("blk") - 1)
-    val all = own.unionByName(gNext).unionByName(gPrev)
+    val all = Blocked.withBidirHalo(child.eval(ctx), 1L, child.chunk)
     val w = Window.partitionBy("tblk").orderBy("idx")
     val prev = lag(col("v"), 1).over(w)
     val next = lead(col("v"), 1).over(w)
@@ -641,15 +650,7 @@ final case class StencilVec(child: VecExpr, depth: Int, kernelSql: String) exten
   override def transferBytes: (Long, Long) =
     (0L, VecExpr.passBytes(child.length))
   def eval(ctx: Ctx): DataFrame = {
-    val gb = child.chunk
-    require(depth < gb, s"stencil depth $depth must be < block size $gb")
-    val base = Blocked.withBlk(child.eval(ctx), gb)
-    val own = base.withColumn("tblk", col("blk"))
-    val gNext = base.where(expr(s"idx % $gb >= ${gb - depth}"))
-      .withColumn("tblk", col("blk") + 1)
-    val gPrev = base.where(expr(s"idx % $gb < $depth AND blk > 0"))
-      .withColumn("tblk", col("blk") - 1)
-    val all = own.unionByName(gNext).unionByName(gPrev)
+    val all = Blocked.withBidirHalo(child.eval(ctx), depth.toLong, child.chunk)
     val w = Window.partitionBy("tblk").orderBy("idx")
     // one select → one Window operator for all 2·depth tap columns
     val taps = all.select(

@@ -60,10 +60,12 @@ object FloatInspect {
       s" ELSE graft_from_bits(graft_bits($vd) - CAST(1 AS BIGINT)) END)"
   }
 
-  /** numpy binary `nextafter(x, y)`: per-element step toward y. */
+  /** numpy binary `nextafter(x, y)`: per-element step toward y. When
+    * x == y numpy returns Y (not x) — observable in the sign bit for the
+    * (+0.0, -0.0) pair, which SQL comparison treats as equal. */
   def nextafter(x: String, y: String): String =
     s"(CASE WHEN ${d(y)} > ${d(x)} THEN ${nextUp(x)}" +
-      s" WHEN ${d(y)} < ${d(x)} THEN ${nextDown(x)} ELSE ${d(x)} END)"
+      s" WHEN ${d(y)} < ${d(x)} THEN ${nextDown(x)} ELSE ${d(y)} END)"
 
   /** numpy `spacing`: the signed ulp — distance to the next double away
     * from zero, carrying v's sign (spacing(-1) = -eps; spacing(±0) =

@@ -426,6 +426,14 @@ class SimplifySpec extends AnyFunSuite {
     assert(s == CoarsenVec(ColumnVec("events", "event_id", "value", Some((40L, 80L))), 4, "sum"), s.pprint())
   }
 
+  test("past-the-end slices over windowed ops stay valid at rewrite time") {
+    // each previously built an inverted inner SliceVec (lo > hi) and threw;
+    // they must instead survive rewriting (and evaluate empty)
+    Simplify(SliceVec(CoarsenVec(scoped, 4, "sum"), 260, 261))
+    Simplify(SliceVec(GradientVec(scoped), 1005, 1006))
+    Simplify(SliceVec(StencilVec(scoped, 2, "v"), 1005, 1006))
+  }
+
   test("sharing gate holds for windowed pushes too") {
     val d = DiffVec(scoped, 1)
     val e = ZipVec(CumVec(d, "sum"), SliceVec(d, 0, 10), "v1 + v2")
@@ -443,6 +451,27 @@ class SimplifySpec extends AnyFunSuite {
   * (LAST matching condition wins), select is first-match, choose gathers
   * by integer selector — including the value/index collision case a
   * naive value-rewriting fold would get wrong. */
+/** The composed map_overlap surface (boundary → stencil → trim). */
+class MapOverlapSpec extends AnyFunSuite {
+  test("mapOverlap kernels see the logical idx, not the boundary-extended one") {
+    val d = DArray.arange(TestSpark.spark, "/unused", 0, 10, 1) // v(i) = i
+    val got = d.mapOverlap(1, "v * idx", "reflect")
+      .elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    assert(got == (0 until 10).map(i => (i * i).toDouble))
+  }
+
+  test("raw stencil edges read NULL taps; mapOverlap's boundary fills them") {
+    val d = DArray.arange(TestSpark.spark, "/unused", 0, 6, 1)
+    val raw = d.stencil(1, "v_m1 + v + v_p1")
+      .elements.orderBy("idx").collect().map(r => Option(r.get(1)))
+    assert(raw.head.isEmpty && raw.last.isEmpty) // NULL at both ends
+    val filled = d.mapOverlap(1, "(v_m1 + v) + v_p1", "nearest")
+      .elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    // nearest: ghost left = 0, ghost right = 5
+    assert(filled == Seq(1.0, 3.0, 6.0, 9.0, 12.0, 14.0))
+  }
+}
+
 class SelectionSpec extends AnyFunSuite {
   test("piecewise: last matching condition wins on overlap") {
     val s = TestSpark.spark

@@ -160,6 +160,17 @@ class FunctionsSpec extends AnyFunSuite {
       s"${F.nextUp("0.0")} AS a", s"${F.nextDown("0.0")} AS b").head()
     assert(z.getDouble(0) == java.lang.Double.MIN_VALUE)
     assert(z.getDouble(1) == -java.lang.Double.MIN_VALUE)
+    // binary nextafter: steps toward y; equal pairs return Y (numpy) —
+    // observable in the sign bit of the (+0.0, -0.0) pair
+    val na = spark.range(1).selectExpr(
+      s"graft_bits(${F.nextafter("0.0", F.negZero)}) AS zn",
+      s"graft_bits(${F.nextafter(F.negZero, "0.0")}) AS zp",
+      s"${F.nextafter("1.0", "2.0")} AS up",
+      s"${F.nextafter("1.0", "0.0")} AS dn").head()
+    assert(na.getLong(0) == java.lang.Long.MIN_VALUE) // -0.0
+    assert(na.getLong(1) == 0L)                        // +0.0
+    assert(na.getDouble(2) == Math.nextUp(1.0))
+    assert(na.getDouble(3) == Math.nextDown(1.0))
   }
 
   test("besselI0 series: known values and symmetry") {

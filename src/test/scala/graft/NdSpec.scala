@@ -359,6 +359,20 @@ class NdSpec extends AnyFunSuite {
     assert(e.getMessage.contains("trimExcess"))
     // exact division needs no flag
     assert(a.coarsen(Seq(5L, 7L), "max(v)").shape == Seq(1L, 1L))
+    // a factor larger than its extent leaves nothing even after trimming —
+    // refuse with the real reason, not a slice bounds error
+    val e2 = intercept[IllegalArgumentException](
+      a.coarsen(Seq(6L, 3L), "sum(v)", trimExcess = true))
+    assert(e2.getMessage.contains("exceed"))
+  }
+
+  test("padAxisMode: edge pads any width; wrap/reflect refuse past-period pads") {
+    val a = NdArray.tabulate(spark, Seq(3L, 2L), "c0 * 2 + c1")
+    val p = a.padAxisMode(0, 5, 0, "edge") // wider than the axis — legal (numpy)
+    assert(p.shape == Seq(8L, 2L))
+    val top = p.elements.where("c0 < 5").orderBy("c0", "c1").collect()
+    assert(top.forall(r => r.getDouble(2) == r.getLong(1).toDouble)) // row 0 repeated
+    intercept[IllegalArgumentException](a.padAxisMode(0, 4, 0, "wrap"))
   }
 
   test("stencilSum plans ONE shuffle and ONE scan of the extended input") {
