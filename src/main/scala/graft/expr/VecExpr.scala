@@ -297,6 +297,12 @@ final case class ConcatVec(left: VecExpr, right: VecExpr) extends VecExpr {
   def token: String = "concat"
   override def length: Long =
     if (left.length >= 0 && right.length >= 0) left.length + right.length else -1L
+  /** The COARSER of the two sides, not the default head-child grid: a
+    * 1-element end-value leaf (diff prepend/append, pad) must not drag a
+    * √n-gridded main operand back to the B-sized grid — that would put
+    * an n/B-row carry table through one single-partition window at scale,
+    * the exact failure [[Blocked.autoChunk]] exists to prevent. */
+  override def chunk: Long = math.max(left.chunk, right.chunk)
   def eval(ctx: Ctx): DataFrame = {
     val l = left.eval(ctx)
     val r = right.eval(ctx)

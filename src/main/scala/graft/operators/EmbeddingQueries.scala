@@ -174,11 +174,12 @@ object EmbeddingQueries {
   private def kmeansLloyd(s: SparkSession, d: String): DataFrame =
     kmeansLloydFrom(emb(s, d))
 
-  /** The Lloyd loop over any (vec_id, embedding) frame — injectable for
-    * the partitioning-invariance spec (exact integer sums make every
-    * iteration independent of the input's physical layout). */
-  /** Quantized point table (p integer grid, pD double view), persisted —
-    * the input of the Lloyd loop and the e17 outlier audit. */
+  /** Quantized point table (p integer grid, pD double view), persisted
+    * for the training iterations — the input of the Lloyd loop, the PQ
+    * trainer, and the e17 outlier audit. Callers unpersist once training
+    * is done; the returned (lazy) result then recomputes the one narrow
+    * quantization projection instead of pinning the cache for the
+    * session's lifetime. */
   private def kmeansPts(embDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embDf.sparkSession)
     embDf.selectExpr("vec_id", kmeansQuantizeSql)
@@ -218,11 +219,15 @@ object EmbeddingQueries {
     cent
   }
 
+  /** The Lloyd loop over any (vec_id, embedding) frame — injectable for
+    * the partitioning-invariance spec (exact integer sums make every
+    * iteration independent of the input's physical layout). */
   private[graft] def kmeansLloydFrom(embDf: DataFrame): DataFrame = {
     val s = embDf.sparkSession
     import s.implicits._
     val pts = kmeansPts(embDf)
     val cent = kmeansTrainOn(pts)
+    pts.unpersist(blocking = false) // training done; final pass recomputes
     val centDf = cent.map { case (c, m) => (c, m(0), m(1), m(2), m(3)) }
       .toDF("c", "m1", "m2", "m3", "m4")
     kmeansAssigned(pts, cent).groupBy("c")
@@ -242,6 +247,7 @@ object EmbeddingQueries {
   private def kmeansOutliers(s: SparkSession, d: String, topN: Int): DataFrame = {
     val pts = kmeansPts(emb(s, d))
     val cent = kmeansTrainOn(pts)
+    pts.unpersist(blocking = false) // training done; final pass recomputes
     val g2 = KM_G * KM_G
     val minScore = (0 until cent.size).map(i => s"s$i").mkString("least(", ", ", ")")
     pts.selectExpr(Seq("vec_id", "pD") ++ kmeansScoreSqls(cent): _*)
@@ -269,9 +275,7 @@ object EmbeddingQueries {
     * first subvector coord. */
   private def pqTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pts = emb(s, d).selectExpr("vec_id", kmeansQuantizeSql)
-      .selectExpr("vec_id", "p", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
-      .persist()
+    val pts = kmeansPts(emb(s, d))
     // cent(sub)(code): 8-dim centroid on the refined grid
     var cent: Array[Array[Array[Long]]] = {
       val init = pts.where(s"vec_id < $PQ_CODES").select("vec_id", "p").collect()
@@ -322,6 +326,7 @@ object EmbeddingQueries {
         upd.getOrElse((sub, c), cent(sub)(c)) // empty code keeps its centroid
       }
     }
+    pts.unpersist(blocking = false) // training done; final pass recomputes
     val centRows = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
       yield (sub, c, cent(sub)(c)(0), cent(sub)(c)(1))
     val centDf = centRows.toDF("sub", "code", "m1", "m2")
@@ -438,25 +443,33 @@ object EmbeddingQueries {
     * `nprobe` nearest cells (the recall dial every IVF deployment turns
     * — probing 2 cells searches ~2/cells of the corpus). Shared by e07
     * (nprobe=1), the e12 recall audit, and e16 (nprobe=2). */
-  private def ivfTop3(s: SparkSession, d: String, nprobe: Int = 1): DataFrame = {
+  /** Coarse IVF stage shared by the whole family (e07/e12/e15/e16): the
+    * per-label mean centroid table (rounded so both engines agree),
+    * broadcast against the first `maxQid` query vectors; each query keeps
+    * its nearest `nprobe` cells by (dot desc, label) row_number — the
+    * tie-break the oracles mirror. One tweak here reaches every IVF gate. */
+  private def ivfCoarseAssign(e: DataFrame, maxQid: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(s, d)
-    // centroids as dense arrays (rounded so both engines agree)
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
       .groupBy(col("label"), col("p"))
       .agg(round(avg(col("x").cast("double")), 6).as("m"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(p, m))), s -> s.m)").as("cvec"))
-    val q = e.where("vec_id < 5")
+    val q = e.where(s"vec_id < $maxQid")
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    // coarse: nearest centroid per query
-    val assign = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .selectExpr("qid", "qe", "label",
         s"round(${sparkDot("qe", "cvec")}, 4) AS cd")
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cd").desc, col("label"))))
       .where(s"rn <= $nprobe").select("qid", "qe", "label")
+  }
+
+  private def ivfTop3(s: SparkSession, d: String, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val assign = ivfCoarseAssign(e, maxQid = 5, nprobe = nprobe)
     // fine: exact top-3 across the probed cells
     assign.join(e, Seq("label"))
       .where("vec_id <> qid")
@@ -624,20 +637,7 @@ object EmbeddingQueries {
     "e15_ivfpq_search" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
-        .groupBy(col("label"), col("p"))
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(p, m))), s -> s.m)").as("cvec"))
-      val q = e.where("vec_id < 3")
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val assign = q.crossJoin(broadcast(cent))
-        .selectExpr("qid", "qe", "label",
-          s"round(${sparkDot("qe", "cvec")}, 4) AS cd")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cd").desc, col("label"))))
-        .where("rn = 1").select("qid", "qe", "label")
+      val assign = ivfCoarseAssign(e, maxQid = 3, nprobe = 1)
       // fine rank: ADC over the probed cell's codes only
       val codes = pqCodesDF(s, d)
         .join(e.select("vec_id", "label"), "vec_id")

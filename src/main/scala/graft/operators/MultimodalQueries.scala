@@ -147,6 +147,7 @@ object MultimodalQueries {
     * bits of the lowest-frequency coefficients, DC skipped. */
   private def phash(payload: Array[Byte]): Long = {
     val len = payload.length
+    if (len == 0) return 0L // empty payload: all-gray grid → all-zero signs
     val g = new Array[Long](64)
     var k = 0
     while (k < 64) { g(k) = payload((k * 37) % len) & 0xffL; k += 1 }

@@ -352,10 +352,27 @@ object Hdf5 {
     val hconf = s.sparkContext.hadoopConfiguration
     val (fs, base) = StoreIO.fsOf(dir, hconf)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // metadata prefix pass with escalation: conforming files may place
+    // object headers / SNODs past any fixed prefix (big attributes, many
+    // datasets), so grow the window before concluding the file is bad —
+    // and fail LOUDLY rather than with a raw index error
+    def datasetsOf(nm: String) = {
+      val sizes = Seq(4096, 65536, 1 << 20)
+      var last: Throwable = null
+      val parsed = sizes.iterator.map { k =>
+        try Some(datasets(StoreIO.readPrefix(fs, new Path(base, nm), k)))
+        catch {
+          case e: IndexOutOfBoundsException => last = e; None
+          case e: java.nio.BufferUnderflowException => last = e; None
+        }
+      }.collectFirst { case Some(ds) => ds }
+      parsed.getOrElse(throw new IllegalArgumentException(
+        s"$nm: root-group metadata not parseable within ${sizes.last} bytes " +
+          "(unsupported layout or corrupt file)", last))
+    }
     StoreIO.listNames(dir, hconf).foreach { nm =>
       if (nm.endsWith(".h5")) {
-        val prefix = StoreIO.readPrefix(fs, new Path(base, nm), 4096)
-        val ds = datasets(prefix).find(_.name == name)
+        val ds = datasetsOf(nm).find(_.name == name)
           .getOrElse(throw new IllegalArgumentException(s"$nm: no dataset '$name'"))
         counts += ((nm.stripSuffix(".h5").toLong, ds.shape.product))
       }
