@@ -34,7 +34,9 @@ object TextSig {
     val hl = new Array[Int](m)
     var i = 0
     while (i < m) {
-      val c0 = text.charAt(i).toInt
+      // i can exceed n-1 only for n == 0 (m is forced to 1); SQL's
+      // ascii(substring('', 1, 1)) = ascii('') = 0, so hash 0 likewise
+      val c0 = if (i < n) text.charAt(i).toInt else 0
       val c1 = if (i + 1 < n) text.charAt(i + 1).toInt else 0
       val c2 = if (i + 2 < n) text.charAt(i + 2).toInt else 0
       hl(i) = c0 * 961 + c1 * 31 + c2

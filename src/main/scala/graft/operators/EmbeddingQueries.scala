@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQueries {
 
-  private val DIM = 64
+  private[graft] val DIM = 64
 
   /** Sorted-neighborhood bound on within-block pair joins (same guard as
     * TextQueries.WINDOW): pair count per block is O(n·W), never O(n²). */

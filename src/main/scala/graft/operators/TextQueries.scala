@@ -469,7 +469,7 @@ object TextQueries {
         .selectExpr("source",
           "CASE WHEN source IN ('src1', 'src2', 'src3') THEN 0.25 " +
             "WHEN lang <> 'en' THEN 1.0 ELSE 0.6 END AS rate",
-          "((1103515245 * doc_id + 12345) % 2147483648) / 2147483648.0 AS u")
+          "((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648) / 2147483648.0 AS u")
         .groupBy("source")
         .agg(
           expr("CAST(count(*) AS BIGINT)").as("total"),
@@ -790,7 +790,7 @@ object TextQueries {
          FROM (SELECT source,
              CASE WHEN source IN ('src1', 'src2', 'src3') THEN 0.25
                   WHEN lang <> 'en' THEN 1.0 ELSE 0.6 END AS rate,
-             ((1103515245 * doc_id + 12345) % 2147483648) / 2147483648.0 AS u
+             ((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648) / 2147483648.0 AS u
            FROM documents)
          GROUP BY source ORDER BY source""",
 

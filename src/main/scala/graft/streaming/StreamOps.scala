@@ -40,8 +40,11 @@ object StreamOps {
     * (Spark only evicts dedup state when the event-time column is part of
     * the key set); the within-watermark variant evicts each hash once the
     * watermark passes its first-seen event time, so state is bounded on a
-    * real stream. At scale this is a hash-partitioned stateful operator,
-    * the streaming twin of the hash-groupBy dedup. */
+    * real stream. Within one micro-batch the surviving duplicate is
+    * arbitrary under partitioning (batch t01 keeps the deterministic
+    * min(doc_id)); the kept-set semantics — one survivor per hash inside
+    * the horizon — match regardless. At scale this is a hash-partitioned
+    * stateful operator, the streaming twin of the hash-groupBy dedup. */
   def dedupStream(docs: Dataset[Doc], watermark: String = "10 seconds"): DataFrame =
     docs.withColumn("h", md5(col("text")))
       .withWatermark("ts", watermark)
@@ -69,7 +72,10 @@ object StreamOps {
           var off = state.getOption.getOrElse(0L)
           val out = List.newBuilder[PackedDoc]
           rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
-            val nt = d.text.split(' ').count(_.nonEmpty).toLong
+            // split with limit -1 keeps empty tokens, matching the batch
+            // t15 rule `size(split(text, ' '))` exactly (double/trailing
+            // spaces and the empty document count the same on both paths)
+            val nt = d.text.split(" ", -1).length.toLong
             out += PackedDoc(src, d.doc_id, nt, off / window)
             off += nt
           }
@@ -109,10 +115,15 @@ object StreamOps {
   /** Stream-static enrichment: join the event stream against a static
     * dimension table (e.g. a user→segment map read once from parquet).
     * Stateless on the stream side — Spark re-plans the static side per
-    * micro-batch and broadcasts it when small, so at scale this is the
-    * streaming twin of the batch broadcast-hash enrichment join. */
-  def enrich(ev: Dataset[Ev], dim: DataFrame, key: String = "user"): DataFrame =
-    ev.join(broadcast(dim), key)
+    * micro-batch. The default inner join is a FILTER-enrich (events with
+    * no dimension match drop — the contract the spec pins); pass
+    * `joinType = "left_outer"` for pass-through-with-nulls. The dim side
+    * is broadcast-HINTED because an enrichment dimension is small by
+    * construction; a dimension too big to broadcast belongs in the t21
+    * Bloom/shuffle patterns instead. */
+  def enrich(ev: Dataset[Ev], dim: DataFrame, key: String = "user",
+             joinType: String = "inner"): DataFrame =
+    ev.join(broadcast(dim), Seq(key), joinType)
 
   final case class SigDoc(ts: Timestamp, doc_id: Long, band: Int, bh: Long, sig: Long)
   final case class CandPair(a: Long, b: Long, ham: Int)
@@ -181,6 +192,11 @@ object StreamOps {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     import graft.operators.EmbeddingQueries.{kmeansCaseSql, kmeansQuantizeSql, kmeansScoreSqls}
     vecs.toDF()
+      // a null or wrong-length vector would NULL every score and the CASE
+      // cascade would silently hand it the LAST centroid — reject it here
+      // instead of mislabeling it (the model's own dimensionality is the
+      // contract, whatever the corpus width)
+      .where(s"embedding IS NOT NULL AND size(embedding) = ${cent.head._2.length}")
       .selectExpr("ts", "vec_id", kmeansQuantizeSql)
       .selectExpr("ts", "vec_id", "transform(p, x -> CAST(x AS DOUBLE)) AS pD")
       .selectExpr(Seq("ts", "vec_id") ++ kmeansScoreSqls(cent): _*)
@@ -220,10 +236,17 @@ object StreamOps {
       val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
       s"WHEN cd$i >= $bound THEN CAST(${cent(i)._1} AS BIGINT)"
     }.mkString(" ")
+    // one cell → zero WHEN clauses, which the SQL parser rejects
+    val labelSql =
+      if (cent.size == 1) s"CAST(${cent.head._1} AS BIGINT) AS label"
+      else s"CASE $cases ELSE CAST(${cent.last._1} AS BIGINT) END AS label"
     val assigned = queries.toDF()
+      // reject malformed query vectors: NULL scores would otherwise fall
+      // through the cascade (or ANSI-error inside the ADC element_at)
+      // and kill the stream instead of skipping the one bad query
+      .where(s"embedding IS NOT NULL AND size(embedding) = ${cent.head._2.length}")
       .selectExpr(Seq("vec_id AS qid", "embedding AS qe") ++ cdCols: _*)
-      .selectExpr("qid", "qe",
-        s"CASE $cases ELSE CAST(${cent.last._1} AS BIGINT) END AS label")
+      .selectExpr("qid", "qe", labelSql)
     assigned
       .join(org.apache.spark.sql.functions.broadcast(codes), Seq("label"))
       .where("vec_id <> qid")
@@ -298,7 +321,10 @@ object StreamOps {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val might =
       call_function("graft_bloom_might", lit(bloomBlob), xxhash64(col("text")))
-    val clean = docs.toDF().where(!might)
+    // NULL text → NULL might: such rows must take the clean branch (the
+    // exact twin keeps them — a NULL md5 never matches an eval key), not
+    // vanish by failing BOTH branch predicates
+    val clean = docs.toDF().where(might.isNull || !might)
     val confirmed = docs.toDF().where(might)
       .join(evalTexts.select(col("text")), Seq("text"), "left_anti")
       .select(clean.columns.map(col): _*)
@@ -316,20 +342,30 @@ object StreamOps {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(r)).otherwise(acc)
     }
+    // reduce doc_id mod 2^31 BEFORE the multiply: same u for every id
+    // below the old formula's overflow point (modular arithmetic), and
+    // no Long overflow (ANSI error / negative wrapped u that would leak
+    // rows past rate=0) for ids beyond it — the regime a stream lives in
     docs.withColumn("u",
-        (((lit(1103515245L) * col("doc_id") + 12345L) % 2147483648L)
-          / lit(2147483648.0)))
+        expr("((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648)" +
+          " / 2147483648.0"))
       .where(col("u") < rate)
       .select(col("ts"), col("doc_id"), col("source"))
   }
 
   /** Streaming cross-corpus span dedup — the online half of the batch t20
-    * C4 repeated-span filter: explode disjoint token spans, keep a span's
-    * FIRST arrival and drop repeats. `dropDuplicatesWithinWatermark` on
-    * the span hash bounds the keyed state to the watermark horizon (the
+    * C4 repeated-span filter: explode disjoint token spans, keep ONE
+    * occurrence per span and drop repeats. `dropDuplicatesWithinWatermark`
+    * on the span hash bounds the keyed state to the watermark horizon (the
     * honest streaming trade: a repeat farther apart than the horizon is
-    * kept — batch t20 is the exact pass). Hash-partitioned by span hash,
-    * no ordering requirement. Emits surviving (doc_id, p) span slots. */
+    * kept — batch t20 is the exact pass). Second honest trade: the
+    * SURVIVOR is whichever duplicate a partition processes first — across
+    * micro-batches that is arrival order, but within one micro-batch it is
+    * arbitrary under partitioning, unlike batch t20's deterministic
+    * min-key rule (deterministic streaming survivors would need a total
+    * per-span ordering, i.e. a sort, before the dedup state). The KEPT-SET
+    * semantics — one survivor per span — match the batch pass either way.
+    * Hash-partitioned by span hash. Emits surviving (doc_id, p) slots. */
   def spanDedupStream(docs: Dataset[Doc], spanTokens: Int = 8,
                       watermark: String = "10 seconds"): DataFrame =
     docs.selectExpr("ts", "doc_id", "split(text, ' ') AS toks")
@@ -344,17 +380,36 @@ object StreamOps {
 
   /** Keyed running totals via mapGroupsWithState — the streaming analogue
     * of the batch cumulative reduction: per-key state is the reduction
-    * buffer (total, n), merged exactly like `Aggregator.merge`. */
-  def runningTotals(ev: Dataset[Ev]): Dataset[UserTotal] = {
+    * buffer (total, n), merged exactly like `Aggregator.merge`. On an
+    * unbounded key space one buffer per ever-seen key grows forever, so
+    * `idleTimeout` (processing-time) evicts a key's buffer after it goes
+    * quiet — the total restarts from zero if the key returns, the
+    * standard trade for keyed running state. The default stays `None`
+    * (state for the query's lifetime — bounded key spaces): a registered
+    * processing-time timeout makes the engine run continuous empty
+    * micro-batches to advance the timeout clock, which is correct on a
+    * production trigger but spins a test harness's
+    * `processAllAvailable`; opt in for unbounded-key production streams. */
+  def runningTotals(ev: Dataset[Ev],
+                    idleTimeout: Option[String] = None): Dataset[UserTotal] = {
     import ev.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     ev.groupByKey(_.user)
-      .mapGroupsWithState[(Double, Long), UserTotal](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Double, Long), UserTotal](timeoutConf) {
         (user: Long, rows: Iterator[Ev], state: GroupState[(Double, Long)]) =>
-          val (t0, n0) = state.getOption.getOrElse((0.0, 0L))
-          var t = t0; var n = n0
-          rows.foreach { e => t += e.value; n += 1 }
-          state.update((t, n))
-          UserTotal(user, math.round(t * 100).toDouble / 100, n)
+          if (state.hasTimedOut) {
+            val (t, n) = state.getOption.getOrElse((0.0, 0L))
+            state.remove()
+            UserTotal(user, math.round(t * 100).toDouble / 100, n)
+          } else {
+            val (t0, n0) = state.getOption.getOrElse((0.0, 0L))
+            var t = t0; var n = n0
+            rows.foreach { e => t += e.value; n += 1 }
+            state.update((t, n))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            UserTotal(user, math.round(t * 100).toDouble / 100, n)
+          }
       }
   }
 }
