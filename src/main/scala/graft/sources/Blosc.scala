@@ -78,7 +78,14 @@ object Blosc {
       var off = bb.getInt(16 + 4 * blk) // bstarts: absolute frame offsets
       val bsize = math.min(blocksize.toLong, nbytes.toLong - blk.toLong * blocksize).toInt
       val leftover = bsize != blocksize
-      val split = byteShuffle && !dontSplit && !leftover &&
+      // c-blosc's FORWARD_COMPAT split rule (the default since 1.14, what
+      // numcodecs ships): blosclz/lz4 blocks split into typesize streams
+      // REGARDLESS of shuffle; the other codecs never split. Keying on the
+      // shuffle flag instead would mis-read both lz4-noshuffle (split,
+      // we'd assume one stream) and any shuffled zlib/zstd/snappy frame
+      // (one stream, we'd assume split).
+      val splitCodec = codec == 0 || codec == 1 // blosclz, lz4
+      val split = splitCodec && !dontSplit && !leftover &&
         typesize <= MAX_SPLITS && blocksize / typesize >= MIN_BUFFERSIZE
       val nstreams = if (split) typesize else 1
       val neblock = bsize / nstreams

@@ -63,6 +63,9 @@ object Hdf5 {
     val dataAddrs = byName.map(_._2.length.toLong * 8)
       .scanLeft(ohAddrs.last)(_ + _)
     val eof = dataAddrs.last
+    require(eof <= Int.MaxValue,
+      s"single .h5 file would be $eof bytes (> 2 GiB buffer limit) — " +
+        "write more, smaller stack blocks instead")
 
     val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
     // ---- superblock v0 ----
@@ -254,6 +257,10 @@ object Hdf5 {
           val size = rd.i32(body + 4)
           val littleEndian = (rd.u8(body + 1) & 1) == 0
           require(littleEndian, s"$name: big-endian datatypes unsupported")
+          // fixed-point class bit 3 = signed; an unsigned dataset parsed
+          // as signed silently corrupts values above the signed max
+          require(cls != 0 || (rd.u8(body + 1) & 0x08) != 0,
+            s"$name: unsigned integer datatypes unsupported (signed + floats only)")
           dtype = (cls, size) match {
             case (0, n) if Set(1, 2, 4, 8)(n) => s"i$n"
             case (1, 4) => "f4"
@@ -379,6 +386,9 @@ object Hdf5 {
     }
     require(counts.nonEmpty, s"no .h5 blocks under $dir")
     val sorted = counts.sortBy(_._1)
+    require(sorted.map(_._1) == (0L until sorted.size).toSeq,
+      s"stack blocks not contiguous (got ids ${sorted.map(_._1).toSeq}) — a " +
+        "missing block file would silently shift every later index")
     val starts: Map[Long, Long] = sorted.map(_._1).zip(
       sorted.scanLeft(0L) { case (acc, (_, c)) => acc + c }.dropRight(1)).toMap
     val bc = s.sparkContext.broadcast((starts, name))

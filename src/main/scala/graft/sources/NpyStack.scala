@@ -193,6 +193,9 @@ object NpyStack {
     }
     require(shapes.nonEmpty, s"no .npy blocks under $dir")
     val sorted = shapes.sortBy(_._1)
+    require(sorted.map(_._1) == (0L until sorted.size).toSeq,
+      s"stack blocks not contiguous (got ids ${sorted.map(_._1)}) — a missing " +
+        "block file would silently shift every later index")
     val rest = sorted.head._2.tail
     sorted.foreach { case (b, sh) =>
       require(sh.tail == rest, s"block $b trailing shape ${sh.tail} != $rest")
@@ -228,6 +231,9 @@ object NpyStack {
       }
     }
     val sorted = counts.sortBy(_._1)
+    require(sorted.map(_._1) == (0L until sorted.size).toSeq,
+      s"stack blocks not contiguous (got ids ${sorted.map(_._1)}) — a missing " +
+        "block file would silently shift every later index")
     val starts: Map[Long, Long] = sorted.map(_._1).zip(
       sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1)).toMap
     val bc = s.sparkContext.broadcast(starts)

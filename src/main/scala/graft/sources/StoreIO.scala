@@ -35,7 +35,7 @@ final class SerializableHadoopConf(@transient var value: Configuration)
 object StoreIO {
 
   /** Fallback only — the XML default-resource parse is paid once per JVM. */
-  private lazy val defaultConf = new Configuration()
+  private[sources] lazy val defaultConf = new Configuration()
 
   def fsOf(dir: String, conf: Configuration): (FileSystem, Path) = {
     val p = new Path(dir)

@@ -102,6 +102,15 @@ object Zarr {
   private def longList(s: String): Seq[Long] =
     "-?\\d+".r.findAllIn(s).map(_.toLong).toSeq
 
+  /** Chunk volumes must fit one in-memory array; a silent Long→Int
+    * truncation would decode a prefix of the chunk and drop the rest
+    * (readNd carries the same guard). */
+  private def intChunk(v: Long): Int = {
+    require(v > 0 && v <= Int.MaxValue,
+      s"chunk volume $v exceeds the 2^31 in-memory chunk limit")
+    v.toInt
+  }
+
   def parseMeta(json: String): Meta = {
     val shape = longList(jsonField(json, "shape").getOrElse(sys.error("no shape")))
     val chunks = longList(jsonField(json, "chunks").getOrElse(sys.error("no chunks")))
@@ -124,6 +133,14 @@ object Zarr {
           s"only zlib/zstd/blosc/null compressors supported, got $id")
         Some(id)
     }
+    // numcodecs filter chains (delta, fixedscaleoffset, ...) transform the
+    // bytes BEFORE compression; decoding without applying them would
+    // silently return garbage — refuse loudly instead
+    jsonField(json, "filters") match {
+      case None | Some("null") => ()
+      case Some(f) => sys.error(
+        s"zarr v2 'filters' are not supported (got $f) — refusing to mis-decode")
+    }
     val sep = jsonField(json, "dimension_separator")
       .map(_.replace("\"", "")).getOrElse(".")
     Meta(shape, chunks, dtype, fill, compressor, sep, 2)
@@ -136,7 +153,13 @@ object Zarr {
     * codec and blosc are rejected loudly. */
   def parseMetaV3(json: String): Meta = {
     val shape = longList(jsonField(json, "shape").getOrElse(sys.error("no shape")))
-    val chunks = longList(jsonField(json, "chunk_shape")
+    // read chunk_shape out of the chunk_grid OBJECT, not document-wide:
+    // JSON key order is unspecified, and a document serializing `codecs`
+    // before `chunk_grid` would otherwise hand us the sharding codec's
+    // INNER chunk shape as the grid (silently mis-mapping every shard)
+    val chunks = longList(jsonField(json, "chunk_grid")
+      .flatMap(g => jsonField(g, "chunk_shape"))
+      .orElse(jsonField(json, "chunk_shape"))
       .getOrElse(sys.error("no chunk_grid.chunk_shape")))
     val dt = jsonField(json, "data_type").getOrElse(sys.error("no data_type"))
       .replace("\"", "")
@@ -181,6 +204,15 @@ object Zarr {
     codecNames.foreach { c =>
       require(c == "bytes" || c == "gzip" || c == "zstd" || c == "blosc",
         s"unsupported codec '$c' (only bytes/gzip/zstd/blosc)")
+    }
+    // the 'bytes' codec may declare big-endian; we decode little-endian
+    // only, so anything else must fail loudly, never byte-swap silently
+    // (scans the whole codecs array, covering shard inner chains too)
+    codecsArr.foreach { arr =>
+      "\"endian\"\\s*:\\s*\"(\\w+)\"".r.findAllMatchIn(arr).foreach { m =>
+        require(m.group(1) == "little",
+          s"only little-endian 'bytes' codec supported, got '${m.group(1)}'")
+      }
     }
     val comp =
       if (codecNames.contains("zstd")) Some("zstd")
@@ -412,10 +444,10 @@ object Zarr {
     * same data codec chain; absent inner chunks (offset = 2⁶⁴−1) take
     * `fill_value`. */
   def decodeChunkFull(content: Array[Byte], m: Meta): Array[Double] = m.shard match {
-    case None => decodeChunk(content, m.chunks.product.toInt, m.compressor, m.dtype)
+    case None => decodeChunk(content, intChunk(m.chunks.product), m.compressor, m.dtype)
     case Some(inner) =>
-      val chunkVol = m.chunks.product.toInt
-      val innerVol = inner.product.toInt
+      val chunkVol = intChunk(m.chunks.product)
+      val innerVol = intChunk(inner.product)
       val grid = m.chunks.zip(inner).map { case (c, i) => c / i }
       val nEntries = grid.product.toInt
       val idxBytes = nEntries * 16 + 4 // entries + crc32c of them
@@ -509,7 +541,7 @@ object Zarr {
   import StoreIO.{fsOf, writeFile}
   import org.apache.hadoop.conf.Configuration
 
-  def readMeta(dir: String): Meta = readMeta(dir, new Configuration())
+  def readMeta(dir: String): Meta = readMeta(dir, StoreIO.defaultConf)
 
   def readMeta(dir: String, conf: Configuration): Meta = {
     val (fs, base) = fsOf(dir, conf)
@@ -580,6 +612,7 @@ object Zarr {
     * rows generated from `spark.range` (skipped entirely when fill is 0 —
     * the element table's implicit-zero convention). */
   def read1d(s: SparkSession, dir: String): DataFrame = {
+    
     import s.implicits._
     val hconf = s.sparkContext.hadoopConfiguration
     val m = readMeta(dir, hconf)
@@ -645,7 +678,7 @@ object Zarr {
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (blk, it) =>
-        val vals = new Array[Double](chunk.toInt) // full chunk, edge padded
+        val vals = new Array[Double](intChunk(chunk)) // full chunk, edge padded
         it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
         val (meta, sconf) = bcm.value
         val (fs, base) = fsOf(dir, sconf.value) // executor-side, driver's conf
@@ -658,7 +691,7 @@ object Zarr {
     while (blk < nChunks) {
       if (!written.contains(blk))
         writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
-          encodeChunk(new Array[Double](chunk.toInt), comp, dtype))
+          encodeChunk(new Array[Double](intChunk(chunk)), comp, dtype))
       blk += 1
     }
   }
@@ -689,7 +722,7 @@ object Zarr {
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (blk, it) =>
-        val vals = new Array[Double](chunk.toInt)
+        val vals = new Array[Double](intChunk(chunk))
         it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
         val (meta, sconf) = bcm.value
         val (fs, base) = fsOf(dir, sconf.value)
@@ -701,7 +734,7 @@ object Zarr {
     while (blk < nChunks) {
       if (!written.contains(blk))
         writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
-          encodeShard(new Array[Double](chunk.toInt), m))
+          encodeShard(new Array[Double](intChunk(chunk)), m))
       blk += 1
     }
   }
@@ -737,7 +770,7 @@ object Zarr {
           chunkCoords(meta, 1, path).iterator.flatMap { coords =>
             val start = coords.head * cc
             val len = math.min(cc, nn - start).toInt
-            decodeChunkLong(content, cc.toInt, meta.compressor, meta.dtype)
+            decodeChunkLong(content, intChunk(cc), meta.compressor, meta.dtype)
               .iterator.take(len)
               .zipWithIndex.map { case (v, i) => (start + i, v) }
           }
@@ -773,7 +806,7 @@ object Zarr {
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (blk, it) =>
-        val vals = new Array[Long](chunk.toInt)
+        val vals = new Array[Long](intChunk(chunk))
         it.foreach { case (_, idx, v) => vals((idx % chunk).toInt) = v }
         val (meta, sconf) = bcm.value
         val (fs, base) = fsOf(dir, sconf.value)
@@ -785,7 +818,7 @@ object Zarr {
     while (blk < nChunks) {
       if (!written.contains(blk))
         writeFile(fs0, new Path(base0, m.keyOf(Seq(blk))),
-          encodeChunkLong(new Array[Long](chunk.toInt), comp))
+          encodeChunkLong(new Array[Long](intChunk(chunk)), comp))
       blk += 1
     }
   }
