@@ -14,6 +14,15 @@ Test / fork := true
 // paths of the windowed operators (production default is 4096)
 Test / javaOptions += "-Dgraft.block.size=64"
 run / fork := true
+// Bench/Verify stdout contract: the driver parses the FINAL unprefixed
+// stdout line as the metric JSON. sbt's default LoggedOutput prefixes
+// every forked-process line with [info]/[error] and appends its own
+// "[success] Total time" line — both break that parse. StdoutOutput
+// passes the child's stdout/stderr through verbatim; showSuccess drops
+// the trailing [success] line so the JSON stays last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by commands, not tasks
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

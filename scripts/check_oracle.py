@@ -28,6 +28,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # -0.0 == 0.0 in Python, but the driver's hash is bit-sensitive:
+        # encode the sign of zero so signed-zero divergence FAILS here too
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     return v
 

@@ -1041,7 +1041,11 @@ object ArrayQueries {
     // BIGINT, logical_* as BIGINT 0/1, floor_divide (floors, unlike
     // SQL's truncating int div), fmod (sign of dividend = SQL %),
     // deg2rad/rad2deg (shared pi literal, no libm), nan_to_num — every
-    // column is exact integer-derived double arithmetic, no rounding
+    // column is exact integer-derived double arithmetic, no rounding.
+    // Rounding/mod kernels emit IEEE -0.0 for negative inputs (Java
+    // Math.rint(-0.5), ceil(-0.5), (-49.0) % 7.0); the driver's compare
+    // hashes bits, so both sides normalize sign via `+ 0.0`
+    // (IEEE 754: -0.0 + 0.0 = +0.0, identity for every other value)
     "q107_ufunc_exact" -> ((s, d) =>
       graft.DArray.arange(s, d, 0.0, 200.0, 1.0).elements.selectExpr(
         "idx",
@@ -1050,9 +1054,10 @@ object ArrayQueries {
         "CASE WHEN CAST(v AS BIGINT) % 7 = 0 THEN NULL ELSE v END AS nv")
         .selectExpr(
           "idx",
-          "rint(x) AS rint_x",
-          "CAST(CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END AS DOUBLE) AS trunc_x",
-          "CAST(floor(x) AS DOUBLE) AS floor_x", "CAST(ceil(x) AS DOUBLE) AS ceil_x",
+          "rint(x) + 0.0 AS rint_x",
+          "CAST(CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END AS DOUBLE) + 0.0 AS trunc_x",
+          "CAST(floor(x) AS DOUBLE) + 0.0 AS floor_x",
+          "CAST(ceil(x) AS DOUBLE) + 0.0 AS ceil_x",
           "power(2.0, CAST(b % 20 AS DOUBLE)) AS exp2_b",
           "x * x AS square_x",
           "1.0 / power(2.0, CAST(b % 10 AS DOUBLE)) AS recip_p2",
@@ -1066,7 +1071,7 @@ object ArrayQueries {
           "CAST((b % 2 = 0) != (b % 3 = 0) AS BIGINT) AS lxor_b",
           "CAST(NOT (b % 2 = 0) AS BIGINT) AS lnot_b",
           "CAST(floor(x / 7.0) AS DOUBLE) AS fdiv_x",
-          "x % 7.0 AS fmod_x",
+          "(x % 7.0) + 0.0 AS fmod_x",
           "x * (3.141592653589793 / 180.0) AS d2r_x",
           "x * (180.0 / 3.141592653589793) AS r2d_x",
           "coalesce(nv, 0.0) AS n2n_nv")
@@ -1936,10 +1941,10 @@ object ArrayQueries {
          SELECT idx,
            CAST(CASE WHEN m % 2 = 0 THEN m // 2
                      WHEN ((m - 1) // 2) % 2 = 0 THEN (m - 1) // 2
-                     ELSE (m - 1) // 2 + 1 END AS DOUBLE) AS rint_x,
-           CAST(trunc(v2) AS DOUBLE) AS trunc_x,
-           CAST(floor(v2) AS DOUBLE) AS floor_x,
-           CAST(ceil(v2) AS DOUBLE) AS ceil_x,
+                     ELSE (m - 1) // 2 + 1 END AS DOUBLE) + 0.0 AS rint_x,
+           CAST(trunc(v2) AS DOUBLE) + 0.0 AS trunc_x,
+           CAST(floor(v2) AS DOUBLE) + 0.0 AS floor_x,
+           CAST(ceil(v2) AS DOUBLE) + 0.0 AS ceil_x,
            power(2.0, CAST(b % 20 AS DOUBLE)) AS exp2_b,
            v2 * v2 AS square_x,
            1.0 / power(2.0, CAST(b % 10 AS DOUBLE)) AS recip_p2,
@@ -1956,7 +1961,7 @@ object ArrayQueries {
            CAST((b % 2 = 0) != (b % 3 = 0) AS BIGINT) AS lxor_b,
            CAST(NOT (b % 2 = 0) AS BIGINT) AS lnot_b,
            CAST(floor(v2 / 7.0) AS DOUBLE) AS fdiv_x,
-           v2 - CAST(trunc(v2 / 7.0) AS DOUBLE) * 7.0 AS fmod_x,
+           (v2 - CAST(trunc(v2 / 7.0) AS DOUBLE) * 7.0) + 0.0 AS fmod_x,
            v2 * (3.141592653589793 / 180.0) AS d2r_x,
            v2 * (180.0 / 3.141592653589793) AS r2d_x,
            coalesce(nv, 0.0) AS n2n_nv

@@ -21,6 +21,14 @@ object MatrixQueries {
     * the sparse queries at sf0.1 (the r8 scale sweep: suppkeys reach
     * 1000, so a 101-wide gram accumulator overflowed and eye(2001)
     * under-covered the identity product); dims must come from the data. */
+  /** Remove a scratch store dir so a re-run starts from a clean slate —
+    * TileDB reads merge EVERY committed fragment, so litter from an
+    * earlier query version would shadow into the result. */
+  private def deleteDir(uri: String): Unit = {
+    val (fs, p) = graft.sources.StoreIO.fsOf(uri)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   private def liDims(s: SparkSession, d: String): (Long, Long) = {
     val r = s.read.parquet(s"$d/lineitem.parquet")
       .selectExpr("CAST(max(l_partkey) AS BIGINT)", "CAST(max(l_suppkey) AS BIGINT)")
@@ -367,6 +375,38 @@ object MatrixQueries {
         .agg(expr("CAST(sum(v) AS BIGINT)").as("ys_sum"),
           expr("CAST(min(v) AS BIGINT)").as("ys_min"))
       a.crossJoin(b)
+    }),
+
+    // TileDB dense round trip (reference from_tiledb/to_tiledb,
+    // io/_tiledb.py:12,72): one fragment per block task, committed-
+    // fragment manifest read, distributed a0.tdb decode
+    "td01_tiledb_roundtrip" -> ((s, d) => {
+      val uri = s"/tmp/graft_tdb_td01_${new java.io.File(d).getName}"
+      deleteDir(uri)
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.TileDb.createArray(s, uri,
+        graft.sources.TileDb.Schema(Seq(1000L), Seq(256L)))
+      graft.sources.TileDb.write(el, uri, ts = 1L, blockCells = 256L)
+      graft.sources.TileDb.read(s, uri).orderBy("idx")
+    }),
+
+    // TileDB fragment SHADOWING — the semantics the other stores don't
+    // have: a later-timestamp subarray write overlays the base fragment
+    // cell-by-cell at read time (max_by over the manifest rank)
+    "td02_tiledb_shadow" -> ((s, d) => {
+      val uri = s"/tmp/graft_tdb_td02_${new java.io.File(d).getName}"
+      deleteDir(uri)
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.TileDb.createArray(s, uri,
+        graft.sources.TileDb.Schema(Seq(1000L), Seq(256L)))
+      graft.sources.TileDb.write(el, uri, ts = 1L, blockCells = 256L)
+      // overwrite [200, 399] with 2·v at a later timestamp
+      graft.sources.TileDb.write(
+        el.selectExpr("idx", "v * 2 AS v").where("idx >= 200 AND idx < 400"),
+        uri, ts = 2L, lo = 200L, hi = 399L, blockCells = 256L)
+      graft.sources.TileDb.read(s, uri).orderBy("idx")
     }),
 
     // zarr round trips (reference from_zarr/to_zarr, io/_zarr.py:67,275):
@@ -1123,6 +1163,16 @@ object MatrixQueries {
     "h01_hdf5_roundtrip" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    "td01_tiledb_roundtrip" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
+
+    "td02_tiledb_shadow" ->
+      """SELECT event_id AS idx,
+           CASE WHEN event_id >= 200 AND event_id < 400
+                THEN value * 2 ELSE value END AS v
+         FROM events WHERE event_id < 1000 ORDER BY idx""",
 
     "h02_hdf5_datasets" ->
       """SELECT (SELECT CAST(sum((i*7)%13) AS BIGINT) FROM range(300) t(i)) AS xs_sum,

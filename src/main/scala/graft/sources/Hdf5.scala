@@ -392,7 +392,7 @@ object Hdf5 {
     val starts: Map[Long, Long] = sorted.map(_._1).zip(
       sorted.scanLeft(0L) { case (acc, (_, c)) => acc + c }.dropRight(1)).toMap
     val bc = s.sparkContext.broadcast((starts, name))
-    s.read.format("binaryFile").load(s"$dir/*.h5")
+    s.read.format("binaryFile").option("pathGlobFilter", "*.h5").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>

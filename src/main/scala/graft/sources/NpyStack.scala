@@ -205,7 +205,10 @@ object NpyStack {
     val rowStarts: Map[Long, Long] = sorted.map(_._1).zip(
       sorted.scanLeft(0L) { case (acc, (_, sh)) => acc + sh.head }.dropRight(1)).toMap
     val bc = s.sparkContext.broadcast((rowStarts, restVol))
-    val flat = s.read.format("binaryFile").load(s"$dir/*.npy")
+    // pathGlobFilter, NOT an in-path `*.npy` glob: a glob inside load()'s
+    // path makes FileStreamSink.hasMetadata probe the literal glob string
+    // as a file and log a WARN + stack trace on every read
+    val flat = s.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
@@ -239,7 +242,7 @@ object NpyStack {
     val bc = s.sparkContext.broadcast(starts)
 
     // phase 2 (distributed): decode payloads, emit (offset + i, v)
-    s.read.format("binaryFile").load(s"$dir/*.npy")
+    s.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>

@@ -565,6 +565,24 @@ object Zarr {
     else stars.mkString(m.sep)
   }
 
+  /** Distributed chunk-object scan WITHOUT an in-path glob: a `*` inside
+    * `load()`'s path makes Spark's `FileStreamSink.hasMetadata` probe the
+    * literal glob string as a file and log a WARN + full stack trace on
+    * every read (polluting the stdout contract's tail window). Nested
+    * layouts (`sep == "/"`) use `recursiveFileLookup`; flat layouts use a
+    * filename `pathGlobFilter`. Non-chunk litter is still dropped
+    * downstream by the `.zarray`/`zarr.json` filters and [[chunkCoords]].
+    * Callers guard the empty-store case before invoking. */
+  private def chunkScan(s: SparkSession, dir: String, m: Meta): DataFrame = {
+    val rd = s.read.format("binaryFile")
+    if (m.sep == "/")
+      rd.option("recursiveFileLookup", "true")
+        .load(if (m.format == 3) s"$dir/c" else dir)
+    else
+      rd.option("pathGlobFilter", if (m.format == 3) s"c${m.sep}*" else "*")
+        .load(dir)
+  }
+
   /** Grid coordinates from a chunk path, or None for non-chunk entries
     * (metadata files, checksum litter) — the inverse of [[Meta.keyOf]]. */
   private def chunkCoords(m: Meta, rank: Int, path: String): Option[Seq[Long]] = {
@@ -627,7 +645,7 @@ object Zarr {
     val decoded =
       if (present.isEmpty)
         s.range(0).selectExpr("id AS idx", "CAST(0 AS DOUBLE) AS v")
-      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 1)}")
+      else chunkScan(s, dir, m)
         .where(not(col("path").endsWith(".zarray")) &&
           not(col("path").endsWith("zarr.json")))
         .select(col("path"), col("content"))
@@ -760,7 +778,7 @@ object Zarr {
     val decoded =
       if (present.isEmpty)
         s.range(0).selectExpr("id AS idx", "CAST(0 AS BIGINT) AS v")
-      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 1)}")
+      else chunkScan(s, dir, m)
         .where(not(col("path").endsWith(".zarray")) &&
           not(col("path").endsWith("zarr.json")))
         .select(col("path"), col("content"))
@@ -862,7 +880,7 @@ object Zarr {
     val decoded =
       if (present.isEmpty)
         s.range(0).selectExpr("id AS i", "id AS j", "CAST(0 AS DOUBLE) AS v")
-      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, 2)}")
+      else chunkScan(s, dir, m)
         .where(not(col("path").endsWith(".zarray")) &&
           not(col("path").endsWith("zarr.json")))
         .select(col("path"), col("content"))
@@ -930,7 +948,7 @@ object Zarr {
     val decoded: DataFrame =
       if (present.isEmpty)
         s.range(0).selectExpr("id AS idx", "CAST(0 AS DOUBLE) AS v")
-      else s.read.format("binaryFile").load(s"$dir/${chunkGlob(m, rank)}")
+      else chunkScan(s, dir, m)
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
         .flatMap { case (path, content) =>
