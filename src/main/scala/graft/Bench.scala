@@ -99,16 +99,22 @@ object Bench {
       drainJit()
       val s2 = runOnce(fn, name)
       spark.catalog.clearCache()
-      name -> (first, math.min(s1, s2))
+      name -> (first, s1, s2)
     }
-    val total = results.values.map(_._2).sum
+    // steady = min of the two post-warm samples (see above); both samples
+    // are recorded so cross-round comparisons can tell best-of-two from
+    // a single-run number (r8 advisory)
+    val total = results.values.map { case (_, s1, s2) => math.min(s1, s2) }.sum
     val firstTotal = results.values.map(_._1).sum
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query detail → a file (the harness tail buffer holds only
     // the last ~2000 chars of stdout, so a 191-query map never fits there).
-    val bySteady = results.toSeq.sortBy { case (_, (_, s)) => -s }
-    val detailQs = bySteady.map { case (k, (f, s)) =>
-      s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) + "}"
+    val bySteady = results.toSeq
+      .map { case (k, (f, s1, s2)) => (k, (f, math.min(s1, s2), s1, s2)) }
+      .sortBy { case (_, (_, s, _, _)) => -s }
+    val detailQs = bySteady.map { case (k, (f, s, s1, s2)) =>
+      s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) +
+        ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + "}"
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -117,7 +123,7 @@ object Bench {
     // JSON line stays well inside the 2000-char tail window.
     val budget = 1500
     val head = new StringBuilder
-    bySteady.foreach { case (k, (_, s)) =>
+    bySteady.foreach { case (k, (_, s, _, _)) =>
       val q = s"\"" + k + "\":" + fmt(s)
       if (head.length + q.length + 1 <= budget) {
         if (head.nonEmpty) head.append(',')

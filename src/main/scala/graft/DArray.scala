@@ -28,6 +28,29 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def *(o: DArray): DArray                 = zip(o, "v1 * v2")
   def /(o: DArray): DArray                 = zip(o, "v1 / v2")
   def zip(o: DArray, sqlOverV1V2: String): DArray = wrap(ZipVec(exprTree, o.exprTree, sqlOverV1V2))
+
+  /** Lift an arbitrary Scala function into an elemwise kernel (reference
+    * `frompyfunc` / the `ufunc` wrapper, `dask_array/_ufunc.py:143,183`).
+    * This is the NON-CODEGEN tier: the lambda runs as a registered UDF —
+    * correct at any scale (one projection, no shuffle, partition-local)
+    * but opaque to Catalyst, so constant folding, pushdown THROUGH the
+    * kernel, and whole-stage fusion stop at it. Prefer the SQL-text
+    * kernels ([[map]]) whenever the function is expressible; reach for
+    * this only for genuinely arbitrary JVM logic. NULL (the engine's NaN
+    * encoding) propagates: primitive-typed UDFs are null-intolerant, so
+    * the lambda never sees a NULL and never has to guard it. */
+  def mapTyped(f: Double => Double): DArray = {
+    val name = DArray.registerTyped(ctx.spark, f)
+    map(s"$name(v)")
+  }
+
+  /** Two-input typed lift (`frompyfunc` with nin=2): aligns with `o` and
+    * applies the lambda pairwise. Same non-codegen contract as
+    * [[mapTyped]]. */
+  def zipTyped(o: DArray, f: (Double, Double) => Double): DArray = {
+    val name = DArray.registerTyped2(ctx.spark, f)
+    zip(o, s"$name(v1, v2)")
+  }
   def abs: DArray                          = map("abs(v)")
   def sqrt: DArray                         = map("sqrt(v)")
   def exp: DArray                          = map("exp(v)")
@@ -547,6 +570,32 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 }
 
 object DArray {
+  /** Registered typed-lambda kernels, content-keyed by the function
+    * INSTANCE: the same lambda object re-registers once per session, so
+    * repeated query construction (bench re-runs, retries) neither grows
+    * the function registry nor changes the kernel SQL text — the
+    * expression tree stays content-addressable and plan-cache-friendly. */
+  private val typedKernels =
+    new java.util.concurrent.ConcurrentHashMap[(String, AnyRef), String]()
+  private val typedSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def registerTyped(s: SparkSession, f: Double => Double): String =
+    typedKernels.computeIfAbsent((sessionKey(s), f), { _ =>
+      val name = s"graft_typed_${typedSeq.incrementAndGet()}"
+      s.udf.register(name, f)
+      name
+    })
+
+  private[graft] def registerTyped2(s: SparkSession, f: (Double, Double) => Double): String =
+    typedKernels.computeIfAbsent((sessionKey(s), f), { _ =>
+      val name = s"graft_typed_${typedSeq.incrementAndGet()}"
+      s.udf.register(name, f)
+      name
+    })
+
+  private def sessionKey(s: SparkSession): String =
+    Integer.toHexString(System.identityHashCode(s))
+
   /** Array view over a numeric column of a parquet table; `idxSql` must be a
     * dense deterministic position (reference `from_array`,
     * `dask_array/io/_from_array.py:60` — order is part of the data model). */

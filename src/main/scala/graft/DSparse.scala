@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   */
 final class DSparse(val df: DataFrame, val rows: Long, val cols: Long) {
   def size: Long = rows * cols
-  def nnz: Long = df.where(col("v") =!= 0.0).count()
+  /** Stored-nonzero count — cached: the scan behind it is the same
+    * every time, and callers (diagnostics, density reports) re-ask. */
+  lazy val nnz: Long = df.where(col("v") =!= 0.0).count()
 
   /** Elemwise over STORED values — zero-preserving kernels only (probed
     * like [[NdArray.map]]); others must go through [[toDense]] first. */
   def map(sqlOverV: String): DSparse = {
-    val f0 = df.sparkSession.range(1)
-      .selectExpr("CAST(0.0 AS DOUBLE) AS v")
+    // probe f(0) against a LocalRelation leaf: ConvertToLocalRelation
+    // folds the projection driver-side, so the probe launches NO Spark
+    // job (spark.range(1) would run a whole single-task stage per call)
+    val sess = df.sparkSession
+    import sess.implicits._
+    val f0 = Seq(0.0).toDF("v")
       .selectExpr(s"CAST($sqlOverV AS DOUBLE) AS r").collect()(0)
     val zeroPreserving = f0.isNullAt(0) || f0.getDouble(0) == 0.0
     require(zeroPreserving,
@@ -159,6 +165,17 @@ final class DSparse(val df: DataFrame, val rows: Long, val cols: Long) {
     * zero-copy reinterpretation; DMatrix ops that need the zeros densify
     * themselves). */
   def toDense: DMatrix = new DMatrix(df, rows, cols)
+
+  /** One-line layout row in the [[graft.expr.VecExpr.chunkReport]] idiom:
+    * shape, stored nonzeros, density, and stored-vs-dense bytes — the
+    * number that says whether a `.toDense` would be survivable. Runs the
+    * (cached) nnz count; everything else is metadata. */
+  def report: String = {
+    val dense = rows * cols * 8L
+    val stored = nnz * 24L // (i: i64, j: i64, v: f8)
+    f"sparse ${rows}x$cols  nnz=$nnz (${100.0 * nnz / math.max(1L, rows * cols)}%.3f%%)  " +
+      f"stored=$stored B  dense=$dense B"
+  }
 }
 
 object DSparse {

@@ -395,16 +395,20 @@ object Blocked {
   /** Own rows plus ghost copies of each block's `halo` edge rows into BOTH
     * neighbors (`tblk` ± 1) — the bidirectional exchange under central
     * stencils ([[GradientVec]] is the halo=1 instance, [[StencilVec]] the
-    * general one). Requires halo < b. */
+    * general one). A requested b ≤ halo is clamped up to halo+1. */
   def withBidirHalo(df: DataFrame, halo: Long, b: Long = B): DataFrame = {
-    require(halo < b, s"halo $halo must be < block size $b")
-    val base = withBlk(df, b)
+    // a chunk ≤ halo (e.g. rechunk(1).gradient) can't exchange with ONE
+    // neighbor only — clamp the working grid so each block holds at
+    // least halo+1 rows. Callers consume the returned blk/tblk columns,
+    // never the requested b, so the clamp is transparent to them.
+    val eb = math.max(b, halo + 1)
+    val base = withBlk(df, eb)
     val own = base.withColumn("tblk", col("blk"))
     if (halo <= 0) own
     else own
-      .unionByName(base.where(expr(s"idx % $b >= ${b - halo}"))
+      .unionByName(base.where(expr(s"idx % $eb >= ${eb - halo}"))
         .withColumn("tblk", col("blk") + 1))
-      .unionByName(base.where(expr(s"idx % $b < $halo AND blk > 0"))
+      .unionByName(base.where(expr(s"idx % $eb < $halo AND blk > 0"))
         .withColumn("tblk", col("blk") - 1))
   }
 }

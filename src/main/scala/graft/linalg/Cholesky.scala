@@ -30,6 +30,66 @@ import graft.DMatrix
   */
 object Cholesky {
 
+  /** Vector-RHS solves at dimension ≤ this run IN-CORE: `b` and `x` are
+    * driver arrays by signature already, and an n ≤ 1024 factor is ≤ 8 MB
+    * — one collect, where the blocked path pays ~4 scheduled jobs per
+    * panel step (diag-tile head, two broadcast builds, a checkpoint) just
+    * in latency. This is the ScaLAPACK dispatch: local LAPACK below the
+    * distribution crossover, blocked panels above it. The distributed
+    * factor surfaces (cholesky/lu/inv and the matrix-RHS solves) are NOT
+    * size-dispatched — their outputs are O(n²) and stay on executors.
+    * Overridable (re-read per call so tests can pin either path) via
+    * -Dgraft.linalg.localSolveMax. */
+  private def LocalSolveMax: Long =
+    sys.props.getOrElse("graft.linalg.localSolveMax", "1024").toLong
+
+  /** Collect a small matrix to a row-major dense driver array (guarded
+    * by [[LocalSolveMax]] call sites — O(n²) ≤ 8 MB by construction). */
+  private def denseOf(a: DMatrix): Array[Double] = {
+    val n = a.rows.toInt
+    val m = new Array[Double](n * n)
+    a.df.collect().foreach { r =>
+      m(r.getLong(0).toInt * n + r.getLong(1).toInt) = r.getDouble(2)
+    }
+    m
+  }
+
+  /** Forward substitution L·y = b (driver, vector RHS). */
+  private def forwardVec(l: Array[Double], b: Array[Double], n: Int): Array[Double] = {
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = b(i); var k = 0
+      while (k < i) { s -= l(i * n + k) * y(k); k += 1 }
+      y(i) = s / l(i * n + i); i += 1
+    }
+    y
+  }
+
+  /** Backward substitution U·x = y (driver, vector RHS). */
+  private def backwardVec(u: Array[Double], y: Array[Double], n: Int): Array[Double] = {
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = y(i); var k = i + 1
+      while (k < n) { s -= u(i * n + k) * x(k); k += 1 }
+      x(i) = s / u(i * n + i); i -= 1
+    }
+    x
+  }
+
+  /** Backward substitution Lᵀ·x = y with L stored lower (driver). */
+  private def backwardVecT(l: Array[Double], y: Array[Double], n: Int): Array[Double] = {
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = y(i); var k = i + 1
+      while (k < n) { s -= l(k * n + i) * x(k); k += 1 }
+      x(i) = s / l(i * n + i); i -= 1
+    }
+    x
+  }
+
   /** In-core lower Cholesky of row-major SPD `a` (t×t). */
   def localChol(a: Array[Double], t: Int): Array[Double] = {
     val l = new Array[Double](t * t)
@@ -555,8 +615,12 @@ object Cholesky {
   /** General (non-SPD) solve A·x = b via LU + two triangular solves
     * (reference `solve`, `linalg/_solve.py:163`). */
   def solveLU(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
-    val (l, u) = lu(s, a, tile)
     val n = a.rows.toInt
+    if (a.rows <= LocalSolveMax) { // see LocalSolveMax: local-LAPACK tier
+      val (l, u) = localLU(denseOf(a), n)
+      return backwardVec(u, forwardVec(l, b, n), n)
+    }
+    val (l, u) = lu(s, a, tile)
     val sess = s
     import sess.implicits._
     val bdf = new DMatrix(
@@ -573,8 +637,12 @@ object Cholesky {
     * (reference `solve`, `linalg/_solve.py:163`). The O(n) vector is the
     * only data that touches the driver. */
   def solveSPD(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
-    val l = cholesky(s, a, tile)
     val n = a.rows.toInt
+    if (a.rows <= LocalSolveMax) { // see LocalSolveMax: local-LAPACK tier
+      val l = localChol(denseOf(a), n)
+      return backwardVecT(l, forwardVec(l, b, n), n)
+    }
+    val l = cholesky(s, a, tile)
     val sess = s
     import sess.implicits._
     val bdf = new DMatrix(

@@ -1076,6 +1076,18 @@ object ArrayQueries {
           "x * (180.0 / 3.141592653589793) AS r2d_x",
           "coalesce(nv, 0.0) AS n2n_nv")
         .orderBy("idx")),
+
+    // typed-lambda elemwise lift (reference frompyfunc/ufunc wrapper,
+    // _ufunc.py:143,183): arbitrary Scala closures through mapTyped /
+    // zipTyped — the documented non-codegen tier. The lambdas use only
+    // IEEE +,-,*,/ and comparisons, which round identically on any
+    // engine, so the gate is exact without quantization
+    "q108_typed_ufunc" -> ((s, d) => {
+      val a = events(s, d).slice(0, 500)
+      val lifted = a.mapTyped(v => if (v > 250.0) v * 0.5 - 10.0 else v * 2.0 + 1.0)
+      lifted.zipTyped(a, (x, y) => if (x > y) x - y else y - x)
+        .elements.orderBy("idx")
+    }),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1966,6 +1978,15 @@ object ArrayQueries {
            v2 * (180.0 / 3.141592653589793) AS r2d_x,
            coalesce(nv, 0.0) AS n2n_nv
          FROM t ORDER BY idx""",
+
+    "q108_typed_ufunc" ->
+      """WITH el AS (SELECT event_id AS idx, value AS v FROM events
+                     WHERE event_id >= 0 AND event_id < 500),
+         l AS (SELECT idx, v,
+                 CASE WHEN v > 250.0 THEN v * 0.5 - 10.0
+                      ELSE v * 2.0 + 1.0 END AS lv FROM el)
+         SELECT idx, CASE WHEN lv > v THEN lv - v ELSE v - lv END AS v
+         FROM l ORDER BY idx""",
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,

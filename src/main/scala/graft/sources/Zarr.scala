@@ -630,7 +630,6 @@ object Zarr {
     * rows generated from `spark.range` (skipped entirely when fill is 0 —
     * the element table's implicit-zero convention). */
   def read1d(s: SparkSession, dir: String): DataFrame = {
-    
     import s.implicits._
     val hconf = s.sparkContext.hadoopConfiguration
     val m = readMeta(dir, hconf)

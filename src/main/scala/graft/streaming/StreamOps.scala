@@ -186,7 +186,20 @@ object StreamOps {
     * `kmeansScoreSqls`/`kmeansCaseSql`, `graft_dot` inside codegen), so
     * a vector lands in exactly the cluster the batch assignment gives
     * it. No state, no watermark, any parallelism — the standard serving
-    * shape once the (tiny) centroid model is trained offline. */
+    * shape once the (tiny) centroid model is trained offline.
+    *
+    * PARITY CONTRACT for the model-based pipelines (k-means e13, PQ
+    * codebooks e14, IVF-PQ e15): TRAINING is deliberately batch-only.
+    * Lloyd/PQ training iterates global synchronous passes over the full
+    * corpus — a barrier-per-iteration shape that Structured Streaming's
+    * incremental micro-batch model does not express (a streamed
+    * "training" would be a different algorithm — online/mini-batch
+    * k-means — with different convergence, silently diverging from the
+    * batch oracle). SERVING is where streams exist, and each trained
+    * model has its streaming twin here: assignVectors (e13),
+    * [[searchVectors]] (e14/e15 IVF-PQ ADC scoring), [[classifyDocs]]
+    * (t23) — all stateless, all replaying the batch SQL kernels
+    * verbatim, so online scores match the batch gates bit-for-bit. */
   def assignVectors(vecs: Dataset[Vec],
                     cent: Seq[(Long, Array[Long])]): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
@@ -389,7 +402,15 @@ object StreamOps {
     * processing-time timeout makes the engine run continuous empty
     * micro-batches to advance the timeout clock, which is correct on a
     * production trigger but spins a test harness's
-    * `processAllAvailable`; opt in for unbounded-key production streams. */
+    * `processAllAvailable`; opt in for unbounded-key production streams.
+    *
+    * Eviction EMITS the key's final total once more: the timeout branch
+    * below re-outputs the (unchanged) UserTotal as it drops the state,
+    * so downstream sees a duplicate row that is indistinguishable from a
+    * fresh update. Consumers that must tell them apart should keep the
+    * last-seen `n` per key (an eviction record repeats it verbatim);
+    * suppressing the emission instead would silently lose the final
+    * total of any key whose last batch preceded the timeout. */
   def runningTotals(ev: Dataset[Ev],
                     idleTimeout: Option[String] = None): Dataset[UserTotal] = {
     import ev.sparkSession.implicits._

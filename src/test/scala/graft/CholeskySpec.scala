@@ -177,6 +177,38 @@ class CholeskySpec extends AnyFunSuite with BeforeAndAfterAll {
     ax.foreach { case (i, v) => assert(math.abs(v - b(i)) < 1e-7, s"Ax($i)=$v") }
   }
 
+  /** Run `body` with the local-tier crossover pinned to `max`. */
+  private def withLocalSolveMax[A](max: Long)(body: => A): A = {
+    val key = "graft.linalg.localSolveMax"
+    val old = sys.props.get(key)
+    sys.props(key) = max.toString
+    try body finally old match {
+      case Some(v) => sys.props(key) = v
+      case None    => sys.props -= key
+    }
+  }
+
+  test("solve tiers agree: distributed panel path == local LAPACK path") {
+    val n = 48
+    val a = spd(n)
+    val b = Array.tabulate(n)(i => ((i * 5) % 11).toDouble - 3)
+    // n=48 ≤ default 1024 → local tier; pin max=0 → distributed tier
+    val xLocal = Cholesky.solveSPD(spark, a, b, tile = 16)
+    val xDist = withLocalSolveMax(0)(Cholesky.solveSPD(spark, a, b, tile = 16))
+    xLocal.zip(xDist).zipWithIndex.foreach { case ((lv, dv), i) =>
+      assert(math.abs(lv - dv) < 1e-8, s"x($i): local $lv vs distributed $dv")
+    }
+    val base = DMatrix.tabulate(spark, n, n, "((i*7 + j*3) % 11) - 5")
+    val g = new DMatrix(
+      base.elements.unionByName(DMatrix.eye(spark, n).map(s"v * $n").elements)
+        .groupBy("i", "j").agg(sum("v").as("v")), n, n)
+    val yLocal = Cholesky.solveLU(spark, g, b, tile = 16)
+    val yDist = withLocalSolveMax(0)(Cholesky.solveLU(spark, g, b, tile = 16))
+    yLocal.zip(yDist).zipWithIndex.foreach { case ((lv, dv), i) =>
+      assert(math.abs(lv - dv) < 1e-8, s"x($i): local $lv vs distributed $dv")
+    }
+  }
+
   test("non-tile-aligned size works (padded edge tiles)") {
     val n = 45
     val a = spd(n)

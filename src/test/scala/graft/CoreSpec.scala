@@ -470,6 +470,17 @@ class MapOverlapSpec extends AnyFunSuite {
     // nearest: ghost left = 0, ghost right = 5
     assert(filled == Seq(1.0, 3.0, 6.0, 9.0, 12.0, 14.0))
   }
+
+  test("gradient under an explicit chunk <= halo (clamped bidir grid)") {
+    val s = TestSpark.spark
+    // rechunk(1) makes chunk == halo for the gradient's ghost exchange;
+    // the working grid clamps to halo+1 instead of throwing (r8 advisory)
+    val got = graft.DArray.arange(s, "/unused", 0, 6, 1)
+      .map("v * v").rechunk(1).gradient
+      .elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    // central differences of v²: ends one-sided (1, 9), interior 2v
+    assert(got == Seq(1.0, 2.0, 4.0, 6.0, 8.0, 9.0))
+  }
 }
 
 class SelectionSpec extends AnyFunSuite {

@@ -82,4 +82,22 @@ class DSparseSpec extends AnyFunSuite {
     val y = a.matvec(x).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(y == Map(0L -> 23.0, 2L -> 12.0))
   }
+
+  test("map's zero-probe runs driver-side, launching no Spark job") {
+    val s = spark
+    val a = new DSparse(coo((0, 0, 2.0), (1, 1, -1.0)), 2, 2)
+    val sc = s.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    a.map("v * 3") // probe + plan construction only — nothing executes
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"zero-probe launched ${after - before} job(s)")
+  }
+
+  test("nnz is cached; report shows density and stored-vs-dense bytes") {
+    val a = new DSparse(coo((0, 0, 2.0), (1, 1, -1.0), (3, 2, 5.0)), 4, 3)
+    assert(a.nnz == 3L && a.nnz == 3L)
+    val rep = a.report
+    assert(rep.contains("sparse 4x3") && rep.contains("nnz=3"))
+    assert(rep.contains("stored=72 B") && rep.contains("dense=96 B"))
+  }
 }

@@ -209,4 +209,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dotLine.trim.startsWith("*"), s"graft_dot outside codegen:\n$plan")
     assert(q.agg(org.apache.spark.sql.functions.sum("x")).head().getDouble(0) > 0)
   }
+
+  test("mapTyped/zipTyped lift arbitrary lambdas (frompyfunc analogue)") {
+    val s = spark
+    val a = graft.DArray.arange(s, "/unused", 0, 20, 1)
+    val f: Double => Double = v => if (v % 3.0 == 0.0) v * v else -v
+    val got = a.mapTyped(f).elements.orderBy("idx")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.foreach { case (i, v) => assert(v == f(i.toDouble), s"idx $i") }
+    val g: (Double, Double) => Double = (x, y) => x * 2 + y
+    val both = a.mapTyped(f).zipTyped(a, g).elements.orderBy("idx")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    both.foreach { case (i, v) => assert(v == g(f(i.toDouble), i.toDouble), s"idx $i") }
+  }
+
+  test("typed kernels are registered once per lambda instance") {
+    val s = spark
+    val f: Double => Double = _ + 1.5
+    val a = graft.DArray.arange(s, "/unused", 0, 5, 1)
+    // same instance twice -> same kernel SQL text (content-addressed
+    // expression trees stay stable across query re-construction)
+    val k1 = a.mapTyped(f).exprTree.toString
+    val k2 = a.mapTyped(f).exprTree.toString
+    assert(k1 == k2)
+    assert(a.mapTyped(f).elements.collect().map(_.getDouble(1)).sum == 0 + 1 + 2 + 3 + 4 + 5 * 1.5)
+  }
 }

@@ -34,25 +34,47 @@ class PerfBudgetSpec extends AnyFunSuite {
 
   private val defaultBudget = 1.5
 
-  /** Absolute grace over any budget — the observed ceiling of in-suite
-    * contamination on an innocent query. Regressions worth failing on
-    * exceed budget + slack comfortably. */
-  private val noiseSlack = 4.0
+  /** Grace over a budget, SCALED to it (r8 advisory: a flat 4 s let a
+    * default-budget query triple silently): small budgets get a small
+    * absolute window, and the ceiling stays at the observed in-suite
+    * contamination bound so big budgets don't inherit a huge one. */
+  private def noiseSlack(budget: Double): Double =
+    math.min(4.0, math.max(2.0, 2 * budget))
 
-  test("no query drifts past its checked-in steady budget") {
+  private def readDetail(): Map[String, (Double, Double)] = {
     val f = new java.io.File("bench_detail.json")
     assume(f.exists, "no bench_detail.json in the working directory — run graft.Bench")
     val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-    val entry = """"([A-Za-z0-9_]+)":\{"first":([0-9.]+),"steady":([0-9.]+)\}""".r
-    val steady = entry.findAllMatchIn(text)
-      .map(m => m.group(1) -> math.min(m.group(2).toDouble, m.group(3).toDouble)).toMap
-    assume(steady.nonEmpty, "bench_detail.json holds no per-query entries")
-    val over = steady.toSeq
-      .map { case (q, s) => (q, s, budgets.getOrElse(q, defaultBudget)) }
-      .filter { case (_, s, b) => s > b + noiseSlack }
+    // tolerate trailing fields (s1/s2 raw samples ride after steady)
+    val entry = """"([A-Za-z0-9_]+)":\{"first":([0-9.]+),"steady":([0-9.]+)[,}]""".r
+    val m = entry.findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
+    assume(m.nonEmpty, "bench_detail.json holds no per-query entries")
+    m
+  }
+
+  test("no query drifts past its checked-in steady budget") {
+    val over = readDetail().toSeq
+      .map { case (q, (f1, s1)) => (q, math.min(f1, s1), budgets.getOrElse(q, defaultBudget)) }
+      .filter { case (_, s, b) => s > b + noiseSlack(b) }
       .sortBy { case (_, s, b) => b - s }
     assert(over.isEmpty,
       "steady time over budget (query, steady, budget):\n  " +
         over.map { case (q, s, b) => f"$q: $s%.2fs > $b%.1fs" }.mkString("\n  "))
+  }
+
+  /** steady ≤ first is the bench's own contract: the first run pays
+    * footer reads + janino + JIT; a steady (min-of-two, post-drain) run
+    * that still exceeds it by >25% AND >0.5 s is re-paying per-run work
+    * — codegen-cache misses, plan re-analysis churn — not executing the
+    * plan (the r8 q99 pathology: steady 6.99 s vs first 4.28 s). */
+  test("steady state never exceeds first-run by more than 25% + 0.5s") {
+    val over = readDetail().toSeq
+      .filter { case (_, (f1, s1)) => s1 > f1 * 1.25 && s1 - f1 > 0.5 }
+      .sortBy { case (_, (f1, s1)) => f1 - s1 }
+    assert(over.isEmpty,
+      "steady > first (query, first, steady):\n  " +
+        over.map { case (q, (f1, s1)) => f"$q: first $f1%.2fs steady $s1%.2fs" }
+          .mkString("\n  "))
   }
 }
