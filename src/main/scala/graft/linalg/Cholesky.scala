@@ -163,6 +163,41 @@ object Cholesky {
   /** Distributed blocked Cholesky. `a` must be symmetric positive definite;
     * only the lower triangle is read. Returns lower-triangular L. */
   def cholesky(s: SparkSession, a: DMatrix, tile: Int = 512): DMatrix = withoutAQE(s) {
+    import s.implicits._
+    val n = a.rows
+    val t = tile
+    val tL = t.toLong
+    val lPanels = cholPanelsOf(s, a, tile)
+
+    // assemble L lazily from the persisted panels (lower triangle, trimmed
+    // to the logical edge) — no data returns to the driver
+    val lDF = lPanels.zipWithIndex.map { case (p, kIdx) =>
+      val j0 = kIdx.toLong * tL
+      val (tc, nc, tLc) = (t, n, tL)
+      p.flatMap { case (bi, arr) =>
+        for {
+          ti <- 0 until tc
+          tj <- 0 until tc
+          i = bi * tLc + ti
+          j = j0 + tj
+          if i < nc && j < nc && i >= j && arr(ti * tc + tj) != 0.0
+        } yield (i, j, arr(ti * tc + tj))
+      }.toDF("i", "j", "v")
+    }.reduce(_ unionByName _)
+      // materialize the assembled factor once: downstream consumers (tile
+      // grids of the triangular solves, matmuls) re-read a compact RDD
+      // instead of re-deriving every panel per action
+      .localCheckpoint(true)
+    new DMatrix(lDF, n, n)
+  }
+
+  /** The factorization loop of [[cholesky]], returning L's block-column
+    * PANELS (column k's tiles keyed by row block) instead of a cell
+    * table — the tile-level form the triangular solves consume directly
+    * (tilesOfPanels), skipping a full cells-explode + re-grid shuffle
+    * per solve. */
+  private def cholPanelsOf(s: SparkSession, a: DMatrix, tile: Int)
+      : Seq[org.apache.spark.sql.Dataset[(Long, Array[Double])]] = withoutAQE(s) {
     require(a.rows == a.cols, "cholesky needs a square matrix")
     import s.implicits._
     val n = a.rows
@@ -254,26 +289,7 @@ object Cholesky {
       k += 1
     }
 
-    // assemble L lazily from the persisted panels (lower triangle, trimmed
-    // to the logical edge) — no data returns to the driver
-    val lDF = lPanels.zipWithIndex.map { case (p, kIdx) =>
-      val j0 = kIdx.toLong * tL
-      val (tc, nc, tLc) = (t, n, tL)
-      p.flatMap { case (bi, arr) =>
-        for {
-          ti <- 0 until tc
-          tj <- 0 until tc
-          i = bi * tLc + ti
-          j = j0 + tj
-          if i < nc && j < nc && i >= j && arr(ti * tc + tj) != 0.0
-        } yield (i, j, arr(ti * tc + tj))
-      }.toDF("i", "j", "v")
-    }.reduce(_ unionByName _)
-      // materialize the assembled factor once: downstream consumers (tile
-      // grids of the triangular solves, matmuls) re-read a compact RDD
-      // instead of re-deriving every panel per action
-      .localCheckpoint(true)
-    new DMatrix(lDF, n, n)
+    lPanels.toSeq
   }
 
   /** In-core LU without pivoting (Doolittle; unit lower L). Suitable for
@@ -367,6 +383,40 @@ object Cholesky {
     * shape as [[cholesky]]). Requires a numerically safe (e.g. diagonally
     * dominant) matrix; the per-tile factorization asserts nonzero pivots. */
   def lu(s: SparkSession, a: DMatrix, tile: Int = 512): (DMatrix, DMatrix) = withoutAQE(s) {
+    import s.implicits._
+    val n = a.rows
+    val t = tile
+    val tL = t.toLong
+    val (lPanels, uPanels) = luPanelsOf(s, a, tile)
+
+    def assemble(panels: Seq[org.apache.spark.sql.Dataset[(Long, Array[Double])]],
+                 lower: Boolean): org.apache.spark.sql.DataFrame =
+      panels.zipWithIndex.map { case (p, kIdx) =>
+        val k0 = kIdx.toLong * tL
+        val (tc, nc, tLc, low) = (t, n, tL, lower)
+        p.flatMap { case (bk, arr) =>
+          for {
+            ti <- 0 until tc
+            tj <- 0 until tc
+            i = if (low) bk * tLc + ti else k0 + ti
+            j = if (low) k0 + tj else bk * tLc + tj
+            if i < nc && j < nc && arr(ti * tc + tj) != 0.0
+            if (low && i >= j) || (!low && j >= i)
+          } yield (i, j, arr(ti * tc + tj))
+        }.toDF("i", "j", "v")
+      }.reduce(_ unionByName _)
+
+    (new DMatrix(assemble(lPanels, lower = true).localCheckpoint(true), n, n),
+      new DMatrix(assemble(uPanels, lower = false).localCheckpoint(true), n, n))
+  }
+
+  /** The factorization loop of [[lu]], returning the factors as PANELS:
+    * L's block column k keyed by row block, U's block row k keyed by
+    * column block — the tile-level form [[inv]] and the tile solves
+    * consume directly, skipping the cells-explode + re-grid shuffle. */
+  private def luPanelsOf(s: SparkSession, a: DMatrix, tile: Int)
+      : (Seq[org.apache.spark.sql.Dataset[(Long, Array[Double])]],
+         Seq[org.apache.spark.sql.Dataset[(Long, Array[Double])]]) = withoutAQE(s) {
     require(a.rows == a.cols, "lu needs a square matrix")
     import s.implicits._
     val n = a.rows
@@ -441,26 +491,7 @@ object Cholesky {
       }
       k += 1
     }
-
-    def assemble(panels: Seq[org.apache.spark.sql.Dataset[(Long, Array[Double])]],
-                 lower: Boolean): org.apache.spark.sql.DataFrame =
-      panels.zipWithIndex.map { case (p, kIdx) =>
-        val k0 = kIdx.toLong * tL
-        val (tc, nc, tLc, low) = (t, n, tL, lower)
-        p.flatMap { case (bk, arr) =>
-          for {
-            ti <- 0 until tc
-            tj <- 0 until tc
-            i = if (low) bk * tLc + ti else k0 + ti
-            j = if (low) k0 + tj else bk * tLc + tj
-            if i < nc && j < nc && arr(ti * tc + tj) != 0.0
-            if (low && i >= j) || (!low && j >= i)
-          } yield (i, j, arr(ti * tc + tj))
-        }.toDF("i", "j", "v")
-      }.reduce(_ unionByName _)
-
-    (new DMatrix(assemble(lPanels.toSeq, lower = true).localCheckpoint(true), n, n),
-      new DMatrix(assemble(uPanels.toSeq, lower = false).localCheckpoint(true), n, n))
+    (lPanels.toSeq, uPanels.toSeq)
   }
 
   /** Solve U·X = B in-core (U upper-triangular, t×t row-major): backward
@@ -534,22 +565,102 @@ object Cholesky {
     solveTriTiles(s, u, b, tile, lower = false)
   }
 
+  private type TileDS = org.apache.spark.sql.Dataset[(Long, Long, Array[Double])]
+  private type PanelDS = org.apache.spark.sql.Dataset[(Long, Array[Double])]
+
+  /** Factor panels → one checkpointed tile dataset: lower panels are
+    * block COLUMNS keyed by row block → (bi, k); upper panels are block
+    * ROWS keyed by column block → (k, bj). This is the tile-to-tile
+    * bridge between the factorizations and the triangular solves — the
+    * cell-table route (assemble to (i,j,v), then re-grid with a
+    * collect_list shuffle) moves every factor cell through TWO extra
+    * exchanges per solve, pure overhead at any scale. */
+  private def tilesOfPanels(panels: Seq[PanelDS], lower: Boolean): TileDS = {
+    val sess = panels.head.sparkSession
+    import sess.implicits._
+    panels.zipWithIndex.map { case (p, k) =>
+      val kk = k.toLong
+      val low = lower
+      p.map { case (bk, arr) => if (low) (bk, kk, arr) else (kk, bk, arr) }
+    }.reduce(_ unionByName _).localCheckpoint(true)
+  }
+
+  /** Identity right-hand side as tiles, generated — no shuffle, no
+    * driver data (each task writes its own diagonal ones). */
+  private def eyeTiles(s: SparkSession, n: Long, t: Int): TileDS = {
+    import s.implicits._
+    val nb = ((n + t - 1) / t).toInt
+    val (tc, nc) = (t, n)
+    s.range(nb.toLong * nb)
+      .selectExpr(s"id DIV $nb AS bi", s"id % $nb AS bj")
+      .as[(Long, Long)]
+      .map { case (bi, bj) =>
+        val arr = new Array[Double](tc * tc)
+        if (bi == bj) {
+          var d = 0
+          while (d < tc) { if (bi * tc + d < nc) arr(d * tc + d) = 1.0; d += 1 }
+        }
+        (bi, bj, arr)
+      }.localCheckpoint(true)
+  }
+
+  /** A driver vector as a one-block-column tile set (O(n) driver bytes —
+    * the vector already lives there by signature). */
+  private def vecTiles(s: SparkSession, b: Array[Double], t: Int): TileDS = {
+    import s.implicits._
+    val tc = t
+    s.createDataset(b.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .groupByKey(_._1 / tc)
+      .mapGroups { (bi, it) =>
+        val arr = new Array[Double](tc * tc)
+        it.foreach { case (i, v) => arr((i % tc).toInt * tc) = v }
+        (bi, 0L, arr)
+      }.localCheckpoint(true)
+  }
+
+  /** Transposed view of a tile set (lazy map over the checkpoint). */
+  private def transposeTiles(tiles: TileDS, t: Int): TileDS = {
+    val sess = tiles.sparkSession
+    import sess.implicits._
+    val tc = t
+    tiles.map { case (bi, bj, arr) =>
+      val out = new Array[Double](tc * tc)
+      var i = 0
+      while (i < tc) {
+        var j = 0
+        while (j < tc) { out(j * tc + i) = arr(i * tc + j); j += 1 }
+        i += 1
+      }
+      (bj, bi, out)
+    }
+  }
+
   private def solveTriTiles(s: SparkSession, f: DMatrix, b: DMatrix, tile: Int,
                             lower: Boolean): DMatrix = withoutAQE(s) {
     require(f.rows == f.cols && f.rows == b.rows, "shape mismatch")
-    import s.implicits._
-    val t = tile
-    val tL = t.toLong
     val n = f.rows
     val m = b.cols
-    val nb = ((n + t - 1) / t).toInt
     // the factor's tile grid is built ONCE and stays distributed; block
     // columns broadcast-join into each step from this checkpoint. Lineage
     // is CUT per generation (see cholesky — plain persist would nest
     // plans exponentially through the panel joins).
-    val fTiles = tileGrid(s, f, t, diagPad = true).localCheckpoint(true)
-    var cur = tileGrid(s, b, t, diagPad = false).localCheckpoint(true)
-    val xPanels = ArrayBuffer.empty[(Long, org.apache.spark.sql.Dataset[(Long, Array[Double])])]
+    val fTiles = tileGrid(s, f, tile, diagPad = true).localCheckpoint(true)
+    val bTiles = tileGrid(s, b, tile, diagPad = false).localCheckpoint(true)
+    val xPanels = solveTriCore(s, fTiles, bTiles, n, tile, lower)
+    new DMatrix(xCells(s, xPanels, n, m, tile), n, m)
+  }
+
+  /** The block substitution loop over tile sets (see [[solveLowerTiles]]
+    * for the algorithm shape). `fTiles`/`bTiles` must be materialized
+    * (checkpointed) tile datasets; returns X's block-row panels. */
+  private def solveTriCore(s: SparkSession, fTiles: TileDS, bTilesIn: TileDS,
+                           n: Long, tile: Int, lower: Boolean)
+      : Seq[(Long, PanelDS)] = withoutAQE(s) {
+    import s.implicits._
+    val t = tile
+    val nb = ((n + t - 1) / t).toInt
+    var cur = bTilesIn
+    val xPanels = ArrayBuffer.empty[(Long, PanelDS)]
     val ks = if (lower) 0 until nb else (nb - 1) to 0 by -1
     for (k <- ks) {
       val kk = k.toLong
@@ -584,9 +695,17 @@ object Cholesky {
           }.localCheckpoint(true)
       }
     }
-    val xDF = xPanels.map { case (kk, p) =>
+    xPanels.toSeq
+  }
+
+  /** X panels → cell table (i, j, v), trimmed to the logical edge. */
+  private def xCells(s: SparkSession, xPanels: Seq[(Long, PanelDS)],
+                     n: Long, m: Long, tile: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tL = tile.toLong
+    xPanels.map { case (kk, p) =>
       val i0 = kk * tL
-      val (tc, nc, mc, tLc) = (t, n, m, tL)
+      val (tc, nc, mc, tLc) = (tile, n, m, tL)
       p.flatMap { case (bj, arr) =>
         for {
           ti <- 0 until tc
@@ -597,38 +716,54 @@ object Cholesky {
         } yield (i, j, arr(ti * tc + tj))
       }.toDF("i", "j", "v")
     }.reduce(_ unionByName _)
-    new DMatrix(xDF, n, m)
+  }
+
+  /** X panels → tile set keyed (block row, block col) — the form the
+    * NEXT chained solve consumes as its right-hand side. */
+  private def xTiles(xPanels: Seq[(Long, PanelDS)]): TileDS = {
+    val sess = xPanels.head._2.sparkSession
+    import sess.implicits._
+    xPanels.map { case (kk, p) =>
+      val k = kk
+      p.map { case (bj, arr) => (k, bj, arr) }
+    }.reduce(_ unionByName _).localCheckpoint(true)
   }
 
   /** Matrix inverse via LU (reference `inv`, `linalg/_solve.py:225` —
     * `solve(a, eye)`): A⁻¹ = U⁻¹ L⁻¹ I by two blocked triangular solves
     * with the identity as the right-hand side. The result is dense n² by
     * nature; every heavy stage stays distributed. */
-  def inv(s: SparkSession, a: DMatrix, tile: Int = 512): DMatrix = {
+  def inv(s: SparkSession, a: DMatrix, tile: Int = 512): DMatrix = withoutAQE(s) {
     require(a.rows == a.cols, "inv needs a square matrix")
-    val (l, u) = lu(s, a, tile)
-    val eye = DMatrix.eye(s, a.rows.toInt)
-    val y = solveLowerTiles(s, l, eye, tile)
-    solveUpperTiles(s, u, y, tile)
+    val n = a.rows
+    // tile-to-tile: LU panels feed the solves directly, the identity RHS
+    // is generated as tiles, and Y chains into the second solve as tiles
+    // — no factor or intermediate ever takes the cells-explode + re-grid
+    // round trip (two full exchanges of n² cells per solve saved)
+    val (lp, up) = luPanelsOf(s, a, tile)
+    val lT = tilesOfPanels(lp, lower = true)
+    val uT = tilesOfPanels(up, lower = false)
+    val y = solveTriCore(s, lT, eyeTiles(s, n, tile), n, tile, lower = true)
+    val x = solveTriCore(s, uT, xTiles(y), n, tile, lower = false)
+    new DMatrix(xCells(s, x, n, n, tile), n, n)
   }
 
   /** General (non-SPD) solve A·x = b via LU + two triangular solves
     * (reference `solve`, `linalg/_solve.py:163`). */
-  def solveLU(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
+  def solveLU(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = withoutAQE(s) {
     val n = a.rows.toInt
     if (a.rows <= LocalSolveMax) { // see LocalSolveMax: local-LAPACK tier
       val (l, u) = localLU(denseOf(a), n)
       return backwardVec(u, forwardVec(l, b, n), n)
     }
-    val (l, u) = lu(s, a, tile)
-    val sess = s
-    import sess.implicits._
-    val bdf = new DMatrix(
-      b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, 0L, v) }.toDF("i", "j", "v"), n, 1)
-    val y = solveLowerTiles(s, l, bdf, tile)
-    val x = solveUpperTiles(s, u, y, tile)
+    val (lp, up) = luPanelsOf(s, a, tile)
+    val y = solveTriCore(s, tilesOfPanels(lp, lower = true),
+      vecTiles(s, b, tile), n, tile, lower = true)
+    val x = solveTriCore(s, tilesOfPanels(up, lower = false),
+      xTiles(y), n, tile, lower = false)
     val out = new Array[Double](n)
-    x.df.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(2))
+    xCells(s, x, n, 1, tile).collect()
+      .foreach(r => out(r.getLong(0).toInt) = r.getDouble(2))
     out
   }
 
@@ -636,21 +771,19 @@ object Cholesky {
     * triangular solves, Lᵀ handled as a transpose of the one factor
     * (reference `solve`, `linalg/_solve.py:163`). The O(n) vector is the
     * only data that touches the driver. */
-  def solveSPD(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = {
+  def solveSPD(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = withoutAQE(s) {
     val n = a.rows.toInt
     if (a.rows <= LocalSolveMax) { // see LocalSolveMax: local-LAPACK tier
       val l = localChol(denseOf(a), n)
       return backwardVecT(l, forwardVec(l, b, n), n)
     }
-    val l = cholesky(s, a, tile)
-    val sess = s
-    import sess.implicits._
-    val bdf = new DMatrix(
-      b.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, 0L, v) }.toDF("i", "j", "v"), n, 1)
-    val y = solveLowerTiles(s, l, bdf, tile)
-    val x = solveUpperTiles(s, l.t, y, tile)
+    val lT = tilesOfPanels(cholPanelsOf(s, a, tile), lower = true)
+    val y = solveTriCore(s, lT, vecTiles(s, b, tile), n, tile, lower = true)
+    // Lᵀ as a lazy transposed view over the same checkpointed tiles
+    val x = solveTriCore(s, transposeTiles(lT, tile), xTiles(y), n, tile, lower = false)
     val out = new Array[Double](n)
-    x.df.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(2))
+    xCells(s, x, n, 1, tile).collect()
+      .foreach(r => out(r.getLong(0).toInt) = r.getDouble(2))
     out
   }
 }
