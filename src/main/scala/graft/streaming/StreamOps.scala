@@ -433,4 +433,35 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming TileDB sink: every micro-batch commits as its own
+    * timestamped fragment — the store's multi-fragment model IS the
+    * streaming contract, with no extra machinery:
+    *
+    *  - ATOMICITY: a fragment becomes visible only when its commit
+    *    marker lands (written last), so readers never see a half-written
+    *    batch — a crashed batch leaves only invisible litter.
+    *  - EXACTLY-ONCE ON RESTART: foreachBatch replays a failed batch
+    *    under the SAME batchId; fragment names derive deterministically
+    *    from (ts = batchId + 1, block), so the retry overwrites its own
+    *    partial fragments instead of duplicating data.
+    *  - UPSERT: ts grows with batchId, so where batches overlap, the
+    *    later batch's cells shadow the earlier ones at read time.
+    *
+    * Each batch claims the DENSE subarray [min(idx), max(idx)] it
+    * touches (a TileDB dense write defines every cell of its subarray —
+    * in-span gaps densify to the schema fill). That is exactly right for
+    * the common append stream (each batch a fresh contiguous range) and
+    * for contiguous-region upserts; scattered point updates would claim
+    * the whole min..max span, by the format's own dense-write contract.
+    * The array (schema) must exist — `TileDb.createArray` first. */
+  def tiledbSink(el: DataFrame, uri: String, blockCells: Long = 1L << 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    el.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val mm = batch.agg(min("idx"), max("idx")).head()
+        if (!mm.isNullAt(0))
+          graft.sources.TileDb.write(batch.toDF(), uri, ts = batchId + 1,
+            lo = mm.getLong(0), hi = mm.getLong(1), blockCells = blockCells)
+    }
 }

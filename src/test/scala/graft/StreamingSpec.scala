@@ -495,4 +495,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Set((1L, 0), (1L, 1), (2L, 1)), s"got $got")
     } finally q.stop()
   }
+
+  test("tiledb sink: one committed fragment set per batch, upsert shadows") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val uri = {
+      val d = java.nio.file.Files.createTempDirectory("graft-tdb-stream").toString
+      java.nio.file.Files.delete(java.nio.file.Paths.get(d)); d
+    }
+    graft.sources.TileDb.createArray(sp, uri,
+      graft.sources.TileDb.Schema(Seq(200L), Seq(50L)))
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamOps.tiledbSink(
+      in.toDS().toDF("idx", "v"), uri, blockCells = 50L).start()
+    try {
+      // batch 0: append rows [0, 100)
+      in.addData((0L until 100L).map(i => (i, i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 1: contiguous upsert of [40, 80) with negated values
+      in.addData((40L until 80L).map(i => (i, -i.toDouble)): _*)
+      q.processAllAvailable()
+      val got = graft.sources.TileDb.read(sp, uri).orderBy("idx")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == 200)
+      got.foreach { case (i, v) =>
+        val want =
+          if (i >= 40 && i < 80) -i.toDouble        // batch 1 shadows
+          else if (i < 100) i.toDouble              // batch 0
+          else 0.0                                  // never written: fill
+        assert(v == want, s"idx $i: got $v want $want")
+      }
+    } finally q.stop()
+  }
 }
