@@ -87,6 +87,24 @@ class TileDbSpec extends AnyFunSuite {
     assert(got.filter(_._1 < 50).forall { case (i, v) => v == i.toDouble })
   }
 
+  test("round-trip sweep: ragged edges, single-block, block=1 extremes") {
+    val s = spark
+    // (n, blockCells) corners: ragged last block, exact multiple, one
+    // block covering everything, degenerate 1-cell blocks
+    for ((n, bc) <- Seq((37L, 10L), (40L, 10L), (25L, 64L), (9L, 1L))) {
+      val uri = freshDir()
+      TileDb.createArray(s, uri, TileDb.Schema(Seq(n), Seq(bc)))
+      val el = s.range(n).selectExpr("id AS idx", "CAST((id * 13) % 7 - 3 AS DOUBLE) AS v")
+      TileDb.write(el, uri, ts = 1L, blockCells = bc)
+      val got = TileDb.read(s, uri).orderBy("idx")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == n, s"n=$n bc=$bc")
+      got.foreach { case (i, v) =>
+        assert(v == ((i * 13) % 7 - 3).toDouble, s"n=$n bc=$bc idx=$i")
+      }
+    }
+  }
+
   test("N-d round trip with a ragged last row-block") {
     val s = spark
     val uri = freshDir()
