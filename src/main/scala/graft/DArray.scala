@@ -57,6 +57,42 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def log: DArray                          = map("ln(v)")
   def negate: DArray                       = map("-v")
   def pow(p: Double): DArray               = map(s"power(v, $p)")
+
+  // the numpy trig/hyperbolic/log ufunc long tail BY NAME (reference
+  // `_ufunc.py` export list) — every kernel a codegen'd Spark builtin;
+  // q109 verifies the whole family against a DuckDB oracle under
+  // integer-quantized gates (libm results differ across engines at ulp
+  // level, so per-row exact comparison would be hash-fragile)
+  def sin: DArray                          = map("sin(v)")
+  def cos: DArray                          = map("cos(v)")
+  def tan: DArray                          = map("tan(v)")
+  def arcsin: DArray                       = map("asin(v)")
+  def arccos: DArray                       = map("acos(v)")
+  def arctan: DArray                       = map("atan(v)")
+  def arctan2(o: DArray): DArray           = zip(o, "atan2(v1, v2)")
+  def sinh: DArray                         = map("sinh(v)")
+  def cosh: DArray                         = map("cosh(v)")
+  def tanh: DArray                         = map("tanh(v)")
+  def arcsinh: DArray                      = map("asinh(v)")
+  def arccosh: DArray                      = map("acosh(v)")
+  def arctanh: DArray                      = map("atanh(v)")
+  def log10: DArray                        = map("log10(v)")
+  def log2: DArray                         = map("log2(v)")
+  def log1p: DArray                        = map("log1p(v)")
+  def expm1: DArray                        = map("expm1(v)")
+  def cbrt: DArray                         = map("cbrt(v)")
+  def hypot(o: DArray): DArray             = zip(o, "hypot(v1, v2)")
+  /** numpy `logaddexp`: ln(eᵃ + eᵇ) in the overflow-safe max+log1p
+    * form — the same formula the oracle replays. */
+  def logaddexp(o: DArray): DArray =
+    zip(o, "greatest(v1, v2) + log1p(exp(-abs(v1 - v2)))")
+  def logaddexp2(o: DArray): DArray =
+    zip(o, "greatest(v1, v2) + log2(1.0 + power(2.0, -abs(v1 - v2)))")
+  /** numpy `float_power` (always-float pow — doubles here already). */
+  def floatPower(e: Double): DArray        = pow(e)
+  def fabs: DArray                         = abs
+  def degrees: DArray                      = map("v * (180.0 / 3.141592653589793)")
+  def radians: DArray                      = map("v * (3.141592653589793 / 180.0)")
   def clip(lo: Double, hi: Double): DArray = map(s"least(greatest(v, $lo), $hi)")
   def round(d: Int): DArray                = map(s"round(v, $d)")
   def where(predOverV: String, other: Double): DArray =

@@ -1088,6 +1088,40 @@ object ArrayQueries {
       lifted.zipTyped(a, (x, y) => if (x > y) x - y else y - x)
         .elements.orderBy("idx")
     }),
+
+    // the libm ufunc long tail BY NAME through the DArray wrappers
+    // (reference _ufunc.py exports): trig inverses, hyperbolics + their
+    // inverses, log10/log2/log1p/expm1, cbrt, hypot, logaddexp(2),
+    // degrees, and the exact isinf/isneginf counts. libm differs across
+    // engines at ulp level, so every continuous column aggregates as an
+    // integer-quantized sum (the q89 gate design); the infinity counts
+    // are exact integers (exp overflows to +inf identically everywhere)
+    "q109_ufunc_libm" -> ((s, d) => {
+      val base = DArray.arange(s, d, 0.0, 201.0, 1.0)
+      val u = base.map("(v - 100.0) / 100.0")  // [-1, 1]
+      val w = base.map("(v - 100.0) / 50.0")   // [-2, 2]
+      val p = base.map("1.0 + v / 20.0")       // [1, 11.05]
+      def q1(a: DArray, name: String): DataFrame =
+        a.elements.agg(expr(qsum("v", 64)).as(name))
+      Seq(
+        q1(u.arcsin, "asin_q"), q1(u.arccos, "acos_q"), q1(w.arctan, "atan_q"),
+        q1(w.arctan2(p), "atan2_q"),
+        q1(w.sinh, "sinh_q"), q1(w.cosh, "cosh_q"), q1(w.tanh, "tanh_q"),
+        q1(w.arcsinh, "asinh_q"), q1(p.arccosh, "acosh_q"),
+        q1(u.map("v * 0.99").arctanh, "atanh_q"),
+        q1(p.log10, "log10_q"), q1(p.log2, "log2_q"),
+        q1(p.log1p, "log1p_q"), q1(w.expm1, "expm1_q"),
+        q1(w.cbrt, "cbrt_q"), q1(w.hypot(p), "hypot_q"),
+        q1(w.logaddexp(u), "lae_q"), q1(w.logaddexp2(u), "lae2_q"),
+        q1(w.degrees, "deg_q"),
+        base.map("exp(v * 4.0)").elements
+          .agg(expr("CAST(sum(CASE WHEN abs(v) > 1.7e308 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("inf_n")),
+        base.map("-exp(v * 4.0)").elements
+          .agg(expr("CAST(sum(CASE WHEN v < -1.7e308 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("neginf_n")),
+      ).reduce(_ crossJoin _)
+    }),
   )
 
   /** q99's layered sampler pipeline — general real shapes through the
@@ -1987,6 +2021,31 @@ object ArrayQueries {
                       ELSE v * 2.0 + 1.0 END AS lv FROM el)
          SELECT idx, CASE WHEN lv > v THEN lv - v ELSE v - lv END AS v
          FROM l ORDER BY idx""",
+
+    "q109_ufunc_libm" -> {
+      def q(x: String) = s"CAST(sum(CAST(floor(($x) * 64.0) AS BIGINT)) AS BIGINT)"
+      s"""WITH c AS (SELECT (v - 100.0) / 100.0 AS u, (v - 100.0) / 50.0 AS w,
+                       1.0 + v / 20.0 AS p, v
+                     FROM (SELECT CAST(x AS DOUBLE) AS v FROM range(201) r(x)))
+         SELECT
+           ${q("asin(u)")} AS asin_q, ${q("acos(u)")} AS acos_q,
+           ${q("atan(w)")} AS atan_q, ${q("atan2(w, p)")} AS atan2_q,
+           ${q("(exp(w) - exp(-w)) / 2.0")} AS sinh_q,
+           ${q("(exp(w) + exp(-w)) / 2.0")} AS cosh_q,
+           ${q("(exp(w) - exp(-w)) / (exp(w) + exp(-w))")} AS tanh_q,
+           ${q("ln(w + sqrt(w * w + 1.0))")} AS asinh_q,
+           ${q("ln(p + sqrt(p * p - 1.0))")} AS acosh_q,
+           ${q("0.5 * ln((1.0 + u * 0.99) / (1.0 - u * 0.99))")} AS atanh_q,
+           ${q("log10(p)")} AS log10_q, ${q("log2(p)")} AS log2_q,
+           ${q("ln(1.0 + p)")} AS log1p_q, ${q("exp(w) - 1.0")} AS expm1_q,
+           ${q("cbrt(w)")} AS cbrt_q, ${q("sqrt(w * w + p * p)")} AS hypot_q,
+           ${q("greatest(w, u) + ln(1.0 + exp(-abs(w - u)))")} AS lae_q,
+           ${q("greatest(w, u) + log2(1.0 + power(2.0, -abs(w - u)))")} AS lae2_q,
+           ${q("w * (180.0 / 3.141592653589793)")} AS deg_q,
+           CAST(sum(CASE WHEN abs(exp(v * 4.0)) > 1.7e308 THEN 1 ELSE 0 END) AS BIGINT) AS inf_n,
+           CAST(sum(CASE WHEN -exp(v * 4.0) < -1.7e308 THEN 1 ELSE 0 END) AS BIGINT) AS neginf_n
+         FROM c"""
+    },
 
     "q92_masked_stats" ->
       """SELECT CAST(count(CASE WHEN NOT m THEN 1 END) AS BIGINT) AS cnt,

@@ -264,13 +264,13 @@ object TextQueries {
       val lens = docsWithDups(s, d)
         .selectExpr("doc_id AS id", "CAST(length(text) AS BIGINT) AS len")
       val mem = GraphOps.connectedComponents(pairs).join(lens, "id")
-      val mx = mem.groupBy(col("lbl").as("cluster"))
-        .agg(count(lit(1)).cast("bigint").as("sz"), max("len").as("keep_len"))
-      mx.join(mem.select(col("lbl").as("cluster"), col("id"), col("len")),
-          Seq("cluster"))
-        .where(col("len") === col("keep_len"))
-        .groupBy("cluster", "sz", "keep_len")
-        .agg(min("id").as("keep_id"))
+      // keep-best in ONE aggregation: maximizing (len, -id) picks the
+      // longest member with the smallest id as tie-break — no
+      // max-then-join-back-then-min second pass (two shuffles saved)
+      mem.groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).cast("bigint").as("sz"),
+          expr("max_by(id, struct(len, -id))").as("keep_id"),
+          max("len").as("keep_len"))
         .select("cluster", "sz", "keep_id", "keep_len")
         .orderBy("cluster")
     }),
