@@ -300,6 +300,51 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Gopher repetition signals (Rae et al. 2021 §A1.1): fraction of a
+    // document's characters covered by its single most frequent 2-gram,
+    // and by ALL 5-grams that occur more than once — the two standard
+    // n-gram-class quality rules (the line-based rules need line
+    // structure this corpus doesn't have). Definition pinned here as
+    // occurrences × chars(ngram) / chars(doc) (the common reproduction
+    // form; overlapping occurrences counted, not char-masked), computed
+    // in exact integer arithmetic and rounded once. One scan per n:
+    // n-grams via lead() windows partitioned BY DOC (never global), so
+    // a 100 TB corpus parallelizes per document. keep = both signals
+    // under Gopher's published thresholds (0.20 / 0.15)
+    "t26_gopher_signals" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val words = docs(s, d)
+        .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS chars", "text")
+        .selectExpr("doc_id", "chars", "posexplode(split(text, ' ')) AS (pos, w)")
+      val g2 = words
+        .withColumn("g", concat_ws(" ", col("w"), lead("w", 1).over(w)))
+        .where(expr("g IS NOT NULL AND size(split(g, ' ')) = 2"))
+        .groupBy("doc_id", "chars", "g").agg(count(lit(1)).as("c"))
+      val top2 = g2
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))))
+        .where("rn = 1")
+        .selectExpr("doc_id",
+          "round(CAST(c * length(g) AS DOUBLE) / chars, 6) AS top2_share")
+      val g5 = words
+        .withColumn("g", concat_ws(" ", col("w"),
+          lead("w", 1).over(w), lead("w", 2).over(w),
+          lead("w", 3).over(w), lead("w", 4).over(w)))
+        .where(expr("size(split(g, ' ')) = 5"))
+        .groupBy("doc_id", "chars", "g").agg(count(lit(1)).as("c"))
+      val dup5 = g5.where("c > 1")
+        .groupBy("doc_id", "chars")
+        .agg(expr("round(CAST(sum(c * length(g)) AS DOUBLE) / chars, 6)")
+          .as("dup5_share"))
+        .drop("chars")
+      top2.join(dup5, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "top2_share",
+          "coalesce(dup5_share, 0.0) AS dup5_share",
+          "top2_share < 0.20 AND coalesce(dup5_share, 0.0) < 0.15 AS keep")
+        .where("doc_id < 40").orderBy("doc_id")
+    }),
+
     // corpus vocabulary cardinality — the dataset-card statistic every
     // corpus ships with: exact distinct whitespace tokens per source +
     // overall. Exact distinct = explode + two partial-agg phases (dedup
@@ -688,6 +733,32 @@ object TextQueries {
            CAST(max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 THEN n_tok END) AS BIGINT) AS p99,
            CAST(max(n_tok) AS BIGINT) AS mx
          FROM ranked GROUP BY source ORDER BY source""",
+
+    "t26_gopher_signals" ->
+      """WITH l AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+                      string_split(text, ' ') AS toks FROM documents),
+         g2 AS (SELECT doc_id, chars,
+                  unnest([toks[i] || ' ' || toks[i+1]
+                          for i in generate_series(1, len(toks) - 1)]) AS g
+                FROM l WHERE len(toks) >= 2),
+         c2 AS (SELECT doc_id, chars, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+         t2 AS (SELECT doc_id,
+                  round(CAST(c * length(g) AS DOUBLE) / chars, 6) AS top2_share,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+                FROM c2),
+         g5 AS (SELECT doc_id, chars,
+                  unnest([array_to_string(list_slice(toks, i, i + 4), ' ')
+                          for i in generate_series(1, len(toks) - 4)]) AS g
+                FROM l WHERE len(toks) >= 5),
+         c5 AS (SELECT doc_id, chars, g, count(*) AS c FROM g5 GROUP BY 1, 2, 3),
+         d5 AS (SELECT doc_id,
+                  round(CAST(sum(c * length(g)) AS DOUBLE) / chars, 6) AS dup5_share
+                FROM c5 WHERE c > 1 GROUP BY doc_id, chars)
+         SELECT t2.doc_id AS doc_id, top2_share,
+           coalesce(dup5_share, 0.0) AS dup5_share,
+           top2_share < 0.20 AND coalesce(dup5_share, 0.0) < 0.15 AS keep
+         FROM t2 LEFT JOIN d5 ON t2.doc_id = d5.doc_id
+         WHERE rn = 1 AND t2.doc_id < 40 ORDER BY doc_id""",
 
     "t24_token_cardinality" ->
       """SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
