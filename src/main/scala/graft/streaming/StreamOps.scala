@@ -434,6 +434,52 @@ object StreamOps {
       }
   }
 
+  final case class GopherSignal(doc_id: Long, top2_share: Double,
+                                dup5_share: Double, keep: Boolean)
+
+  /** Streaming Gopher n-gram repetition signals — the stateless online
+    * twin of the batch t26 gate: each document computes its own
+    * top-2-gram and duplicate-5-gram character shares locally (no
+    * state, no shuffle, any parallelism). The kernel mirrors the batch
+    * SQL exactly — `split(text, ' ')` keeps trailing empties
+    * (`split(" ", -1)`, matching Spark SQL's limit=-1), the tie-break
+    * is (count desc, gram asc), and rounding is BigDecimal HALF_UP at 6
+    * places (what Spark's `round` does) — so online signals equal the
+    * batch gate bit-for-bit (spec-asserted). Documents with fewer than
+    * two tokens produce no signal, as in the batch query. */
+  def gopherSignals(docs: Dataset[Doc]): Dataset[GopherSignal] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val toks = d.text.split(" ", -1)
+      val chars = d.text.length.toDouble
+      def share(x: Double): Double =
+        BigDecimal(x / chars).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (toks.length < 2) Iterator.empty
+      else {
+        val c2 = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < toks.length - 1) {
+          val g = toks(i) + " " + toks(i + 1)
+          c2(g) = c2.getOrElse(g, 0L) + 1; i += 1
+        }
+        val (topG, topC) = c2.toSeq.minBy { case (g, c) => (-c, g) }
+        val top2 = share((topC * topG.length).toDouble)
+        val c5 = scala.collection.mutable.HashMap.empty[String, Long]
+        i = 0
+        while (i < toks.length - 4) {
+          val g = toks.slice(i, i + 5).mkString(" ")
+          c5(g) = c5.getOrElse(g, 0L) + 1; i += 1
+        }
+        val dupChars = c5.iterator.collect {
+          case (g, c) if c > 1 => c * g.length.toLong
+        }.sum
+        val dup5 = if (dupChars == 0) 0.0 else share(dupChars.toDouble)
+        Iterator.single(GopherSignal(d.doc_id, top2, dup5,
+          top2 < 0.20 && dup5 < 0.15))
+      }
+    }
+  }
+
   /** Streaming TileDB sink: every micro-batch commits as its own
     * timestamped fragment — the store's multi-fragment model IS the
     * streaming contract, with no extra machinery:

@@ -496,6 +496,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming gopher signals equal the batch t26 gate bit-for-bit") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("t26_gopher_signals")(sp, sf)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val docsIn = sp.read.parquet(s"$sf/documents.parquet")
+      .where("doc_id < 40")
+      .selectExpr("CAST(doc_id AS TIMESTAMP) AS ts", "doc_id", "text")
+      .as[StreamOps.Doc].collect()
+    val in = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.gopherSignals(in.toDS())
+      .writeStream.format("memory").queryName("gopher").outputMode("append").start()
+    try {
+      in.addData(docsIn.toSeq: _*)
+      q.processAllAvailable()
+      val online = spark.table("gopher").collect()
+        .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+        .toMap
+      assert(online.keySet == batch.keySet,
+        s"doc sets differ: ${online.keySet.diff(batch.keySet)} / ${batch.keySet.diff(online.keySet)}")
+      batch.foreach { case (id, b) =>
+        assert(online(id) == b, s"doc $id: online ${online(id)} vs batch $b")
+      }
+    } finally q.stop()
+  }
+
   test("tiledb sink: one committed fragment set per batch, upsert shadows") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
