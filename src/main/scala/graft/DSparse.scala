@@ -109,13 +109,18 @@ final class DSparse(val df: DataFrame, val rows: Long, val cols: Long) {
     * O(Σ nnz_row²) product rows through a shuffle; here each task
     * accumulates its rows' outer products into a LOCAL cols×cols dense
     * block (one tight JVM loop — the engine's typed-kernel tier) and
-    * emits it ONCE, so the shuffle carries O(tasks·cols²) rows instead
-    * of O(flops). Same flops, no 20M-row exchange. One hash shuffle on
-    * the row key keeps each row's cells in one task. Falls back to the
-    * general SpGEMM above the width cap — a wide Gram's output is
-    * genuinely big, and join+agg is then the right plan. Accumulation
-    * order differs from [[matmul]]'s (as any parallel sum's does);
-    * integer-valued inputs stay exact on both paths. */
+    * emits it ONCE. The merge exchanges dense ROWS (j₁ → length-cols
+    * array) with map-side combine, not individual cells: the same bytes
+    * move, but as O(tasks·cols) records instead of O(tasks·cols²) — the
+    * per-record shuffle overhead on tens of millions of 3-field cells
+    * was the dominant cost of the first cut. All-zero accumulator rows
+    * are never emitted, so a sparse result stays cheap. One hash
+    * shuffle on the row key keeps each input row's cells in one task.
+    * Falls back to the general SpGEMM above the width cap — a wide
+    * Gram's output is genuinely big, and join+agg is then the right
+    * plan. Accumulation order differs from [[matmul]]'s (as any
+    * parallel sum's does); integer-valued inputs stay exact on both
+    * paths. */
   def gram: DSparse = {
     if (cols > 2048) return t.matmul(this)
     val k = cols.toInt
@@ -127,12 +132,14 @@ final class DSparse(val df: DataFrame, val rows: Long, val cols: Long) {
       .as[(Long, Int, Double)]
       .mapPartitions { it =>
         val acc = Array.ofDim[Double](k, k)
+        val touched = new Array[Boolean](k)
         val js = new scala.collection.mutable.ArrayBuffer[Int]
         val vs = new scala.collection.mutable.ArrayBuffer[Double]
         var cur = Long.MinValue
         def flush(): Unit = {
           var a = 0
           while (a < js.length) {
+            touched(js(a)) = true
             var b = 0
             while (b < js.length) { acc(js(a))(js(b)) += vs(a) * vs(b); b += 1 }
             a += 1
@@ -145,13 +152,21 @@ final class DSparse(val df: DataFrame, val rows: Long, val cols: Long) {
           js += j; vs += v
         }
         flush()
-        for {
-          j1 <- (0 until k).iterator; j2 <- 0 until k
-          if acc(j1)(j2) != 0.0
-        } yield (j1.toLong, j2.toLong, acc(j1)(j2))
+        (0 until k).iterator.filter(touched).map(j1 => (j1.toLong, acc(j1)))
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val out = a._2.clone()
+        var x = 0
+        while (x < k) { out(x) += b._2(x); x += 1 }
+        (a._1, out)
+      }
+      .flatMap { case (j1, (_, row)) =>
+        (0 until k).iterator.collect {
+          case j2 if row(j2) != 0.0 => (j1, j2.toLong, row(j2))
+        }
       }
       .toDF("i", "j", "v")
-      .groupBy("i", "j").agg(sum("v").as("v")).where("v <> 0.0")
     new DSparse(cells, cols, cols)
   }
 
