@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search operators over the `embeddings` table
@@ -284,25 +284,37 @@ object EmbeddingQueries {
         init(c)._2.slice(sub * 8, sub * 8 + 8).map(_ * KM_G)
       }
     }
-    // one scan: every (sub, code) score + 8 per-sub assignment cascades
+    // one scan: every (sub, code) score + 8 per-sub assignment cascades.
+    // The centroids enter as ONE non-primitive typedLit each for the
+    // vectors and their norms: array literals ride the codegen
+    // references array instead of the generated source text, so every
+    // iteration's plan compiles to IDENTICAL code — one janino compile
+    // per loop SHAPE, where the first cut inlined 128 scalar literals
+    // and re-compiled the whole projection every iteration (the same
+    // principle as the cholesky loop's typed-closure predicates)
     def assigned: DataFrame = {
-      val scoreCols = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES) yield {
-        val m = cent(sub)(c)
-        val lit = m.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-        val m2 = m.map(v => v * v).sum
-        s"(CAST(${m2}L AS DOUBLE) - CAST(${2 * KM_G} AS DOUBLE) * " +
-          s"graft_dot(slice(pD, ${sub * 8 + 1}, 8), $lit)) AS s${sub}_$c"
+      val flat = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
+        yield cent(sub)(c)
+      val centsLit = typedLit(flat.map(_.map(_.toDouble).toSeq))
+      val m2Lit = typedLit(flat.map(m => m.map(v => v * v).sum.toDouble))
+      def score(sub: Int, c: Int): Column = {
+        val idx = sub * PQ_CODES + c + 1 // element_at is 1-based
+        element_at(m2Lit, idx) - lit((2 * KM_G).toDouble) *
+          call_function("graft_dot",
+            slice(col("pD"), sub * 8 + 1, 8), element_at(centsLit, idx))
       }
-      val withS = pts.selectExpr(Seq("vec_id", "p") ++ scoreCols: _*)
+      val scoreCols = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
+        yield score(sub, c).as(s"s${sub}_$c")
+      val withS = pts.select(col("vec_id") +: col("p") +: scoreCols: _*)
       val caseCols = (0 until PQ_SUBS).map { sub =>
-        val cases = (0 until PQ_CODES - 1).map { i =>
-          val rest = (i + 1 until PQ_CODES).map(j => s"s${sub}_$j")
-          val bound = if (rest.size == 1) rest.head else s"least(${rest.mkString(", ")})"
-          s"WHEN s${sub}_$i <= $bound THEN $i"
-        }.mkString(" ")
-        s"CAST(CASE $cases ELSE ${PQ_CODES - 1} END AS INT) AS c$sub"
+        def s(c: Int) = col(s"s${sub}_$c")
+        (0 until PQ_CODES - 1).foldRight(lit(PQ_CODES - 1)) { (i, els) =>
+          val rest = (i + 1 until PQ_CODES).map(s)
+          val bound = if (rest.size == 1) rest.head else least(rest: _*)
+          when(s(i) <= bound, lit(i)).otherwise(els)
+        }.cast("int").as(s"c$sub")
       }
-      withS.selectExpr(Seq("vec_id", "p") ++ caseCols: _*)
+      withS.select(col("vec_id") +: col("p") +: caseCols: _*)
     }
     // (vec, sub) rows AFTER assignment → one keyed shuffle per iteration
     def stacked: DataFrame = {
