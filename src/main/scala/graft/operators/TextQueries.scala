@@ -300,6 +300,51 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better") in its fixed-window/merged-span
+    // form: every W-token SLIDING window (one per position — unlike
+    // t20's disjoint chunks), corpus-wide repeat detection, then the
+    // per-doc union of overlapping repeated windows into MAXIMAL spans
+    // (the paper removes these spans from the corpus). Output per doc:
+    // maximal repeated-span count, tokens covered, coverage fraction.
+    // Scale shape: the repeat groupBy keys on the window TEXT here so
+    // the DuckDB gate is exact; at 100 TB the key is the 64-bit rolling
+    // hash of the window (8 bytes/row instead of the text — the paper's
+    // own suffix-automaton hashes), same plan otherwise. The span merge
+    // is a per-doc window function (partitioned by doc_id, never
+    // global): new-span flag = position >= running max of prior span
+    // ends, islands by prefix-summing the flag — O(n log n) within each
+    // doc's partition only.
+    "t27_exact_substr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 20
+      val wins = docsWithDups(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .where(s"size(toks) >= $W")
+        .selectExpr("doc_id", "size(toks) AS n_tok",
+          s"posexplode(transform(sequence(0, size(toks) - $W), " +
+            s"p -> concat_ws(' ', slice(toks, p + 1, $W)))) AS (p, g)")
+      val repeated = wins.groupBy("g")
+        .agg(count(lit(1)).as("c")).where("c > 1").select("g")
+      val dup = wins.join(repeated, "g").select("doc_id", "n_tok", "p")
+      val ord = Window.partitionBy("doc_id").orderBy("p")
+      val islands = dup
+        .withColumn("pmax", max(col("p") + W).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni", when(col("p") >= coalesce(col("pmax"), lit(-1L)), 1L)
+          .otherwise(0L))
+        .withColumn("island", sum("ni").over(ord))
+      islands.groupBy("doc_id", "n_tok", "island")
+        .agg(min("p").as("st"), (max("p") + W).as("en"))
+        .groupBy("doc_id", "n_tok")
+        .agg(count(lit(1)).cast("bigint").as("n_spans"),
+          sum(col("en") - col("st")).cast("bigint").as("covered"))
+        .selectExpr("doc_id", "n_spans", "covered",
+          "round(CAST(covered AS DOUBLE) / n_tok, 6) AS frac")
+        .where("doc_id < 30 OR (doc_id >= 100000 AND doc_id < 100030)")
+        .orderBy("doc_id")
+    }),
+
     // Gopher repetition signals (Rae et al. 2021 §A1.1): fraction of a
     // document's characters covered by its single most frequent 2-gram,
     // and by ALL 5-grams that occur more than once — the two standard
@@ -733,6 +778,37 @@ object TextQueries {
            CAST(max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 THEN n_tok END) AS BIGINT) AS p99,
            CAST(max(n_tok) AS BIGINT) AS mx
          FROM ranked GROUP BY source ORDER BY source""",
+
+    "t27_exact_substr" ->
+      s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM $duckDocsWithDups),
+         w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                 unnest([{'p': i - 1,
+                          'g': array_to_string(list_slice(toks, i, i + 19), ' ')}
+                         for i in generate_series(1, len(toks) - 19)],
+                        recursive := true)
+               FROM l WHERE len(toks) >= 20),
+         r AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+         dw AS (SELECT doc_id, n_tok, p FROM w JOIN r USING (g)),
+         m AS (SELECT doc_id, n_tok, p,
+                 CASE WHEN p >= coalesce(max(p + 20) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS ni
+               FROM dw),
+         i AS (SELECT doc_id, n_tok, p,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM m),
+         sp AS (SELECT doc_id, n_tok, island,
+                  min(p) AS st, max(p) + 20 AS en
+                FROM i GROUP BY doc_id, n_tok, island)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(en - st) AS BIGINT) AS covered,
+           round(CAST(sum(en - st) AS DOUBLE) / n_tok, 6) AS frac
+         FROM sp
+         WHERE doc_id < 30 OR (doc_id >= 100000 AND doc_id < 100030)
+         GROUP BY doc_id, n_tok ORDER BY doc_id""",
 
     "t26_gopher_signals" ->
       """WITH l AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
