@@ -34,6 +34,11 @@ object Bench {
       // q99 0.9s isolated -> 14.8s under full-suite eviction pressure).
       // Static conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the one remaining tail polluter: SparkStringUtils logs a WARN
+      // the first time a plan's string form exceeds 25 fields (the
+      // linalg panel plans); raise the cap so the stdout tail stays
+      // warning-free for the driver's parse window
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -20,6 +20,11 @@ object Verify {
       // one codegen-cache entry per distinct stage across 235 queries —
       // the default 100 thrashes and re-janino-compiles (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the one remaining tail polluter: SparkStringUtils logs a WARN
+      // the first time a plan's string form exceeds 25 fields (the
+      // linalg panel plans); raise the cap so the stdout tail stays
+      // warning-free for the driver's parse window
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -193,15 +193,17 @@ object TileDb {
       }.collect().toSet
     // blocks with no surviving elements still claim their subarray (a
     // dense write covers the whole range) — emit their fill fragments
-    var blk = 0L
-    while (blk < numBlocks) {
-      if (!written.contains(blk)) {
-        val b0 = lo + blk * blockCells
-        val b1 = math.min(b0 + blockCells - 1, hi1)
+    // DISTRIBUTED (a driver loop over a million-block subarray would
+    // serialize what the per-block tasks parallelize)
+    val missing = (0L until numBlocks).filterNot(written)
+    if (missing.nonEmpty) {
+      val (loC, hiC, bcC, fillC) = (lo, hi1, blockCells, fill)
+      sess.createDataset(missing).foreach { blk =>
+        val b0 = loC + blk * bcC
+        val b1 = math.min(b0 + bcC - 1, hiC)
         writeFragment(uri, bconf.value.value, ts, blk, Seq((b0, b1)),
-          Array.fill((b1 - b0 + 1).toInt)(fill))
+          Array.fill((b1 - b0 + 1).toInt)(fillC))
       }
-      blk += 1
     }
   }
 
@@ -337,16 +339,17 @@ object TileDb {
         writeFragment(uri, bconf.value.value, ts, blk, dom, vals)
         blk
       }.collect().toSet
-    var blk = 0L
-    while (blk < numBlocks) {
-      if (!written.contains(blk)) {
-        val r0 = blk * blockRows
-        val r1 = math.min(r0 + blockRows, nRows) - 1
+    // fill fragments for untouched row-blocks, distributed (see write)
+    val missing = (0L until numBlocks).filterNot(written)
+    if (missing.nonEmpty) {
+      val (brC, nrC, rvC, tailDims) = (blockRows, nRows, restVol, shape.tail)
+      s.createDataset(missing).foreach { blk =>
+        val r0 = blk * brC
+        val r1 = math.min(r0 + brC, nrC) - 1
         writeFragment(uri, bconf.value.value, ts, blk,
-          (r0, r1) +: shape.tail.map(d => (0L, d - 1)),
-          new Array[Double](((r1 - r0 + 1) * restVol).toInt))
+          (r0, r1) +: tailDims.map(d => (0L, d - 1)),
+          new Array[Double](((r1 - r0 + 1) * rvC).toInt))
       }
-      blk += 1
     }
   }
 
