@@ -1089,6 +1089,24 @@ object ArrayQueries {
         .elements.orderBy("idx")
     }),
 
+    // the typed complex surface (reference complex64/128 dtype; the
+    // DComplex handle over the q46 two-column representation): build
+    // z1, z2 from integer-derived parts, compute (z1 + z2)·conj(z1)
+    // through the operator algebra, plus |z2| and angle(z2). Products/
+    // sums of small integers are IEEE-exact; modulus and angle round
+    // once (atan2/sqrt are the only libm calls, same as q46's gate)
+    "q110_complex_surface" -> ((s, d) => {
+      val base = DArray.arange(s, d, 0, 200, 1)
+      val z1 = graft.DComplex(base.map("v % 7 - 3"), base.map("v % 5 - 2"))
+      val z2 = graft.DComplex(base.map("v % 4 - 1"), base.map("v % 9 - 4"))
+      val w = (z1 + z2) * z1.conj
+      w.elements
+        .join(z2.abs.round(6).elements.withColumnRenamed("v", "mag"), "idx")
+        .join(z2.angle.round(6).elements.withColumnRenamed("v", "arg"), "idx")
+        .select("idx", "re", "im", "mag", "arg")
+        .orderBy("idx")
+    }),
+
     // the libm ufunc long tail BY NAME through the DArray wrappers
     // (reference _ufunc.py exports): trig inverses, hyperbolics + their
     // inverses, log10/log2/log1p/expm1, cbrt, hypot, logaddexp(2),
@@ -2021,6 +2039,20 @@ object ArrayQueries {
                       ELSE v * 2.0 + 1.0 END AS lv FROM el)
          SELECT idx, CASE WHEN lv > v THEN lv - v ELSE v - lv END AS v
          FROM l ORDER BY idx""",
+
+    "q110_complex_surface" ->
+      """WITH c AS (SELECT i AS idx,
+             CAST(i % 7 - 3 AS DOUBLE) AS re1, CAST(i % 5 - 2 AS DOUBLE) AS im1,
+             CAST(i % 4 - 1 AS DOUBLE) AS re2, CAST(i % 9 - 4 AS DOUBLE) AS im2
+           FROM range(200) r(i)),
+         s AS (SELECT idx, re1 + re2 AS sr, im1 + im2 AS si,
+                 re1, im1, re2, im2 FROM c)
+         SELECT idx,
+           sr * re1 - si * (-im1) AS re,
+           sr * (-im1) + si * re1 AS im,
+           round(sqrt(re2 * re2 + im2 * im2), 6) AS mag,
+           round(atan2(im2, re2), 6) AS arg
+         FROM s ORDER BY idx""",
 
     "q109_ufunc_libm" -> {
       def q(x: String) = s"CAST(sum(CAST(floor(($x) * 64.0) AS BIGINT)) AS BIGINT)"
