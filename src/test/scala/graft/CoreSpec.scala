@@ -471,6 +471,25 @@ class MapOverlapSpec extends AnyFunSuite {
     assert(filled == Seq(1.0, 3.0, 6.0, 9.0, 12.0, 14.0))
   }
 
+  test("DComplex multiply fuses its four zips onto the one shared source") {
+    val s = TestSpark.spark
+    val base = graft.DArray.arange(s, "/unused", 0, 50, 1)
+    val z1 = graft.DComplex(base.map("v + 1"), base.map("v - 1"))
+    val z2 = graft.DComplex(base.map("v * 2"), base.map("v * 3"))
+    val w = z1 * z2
+    def leaves(e: graft.expr.VecExpr): Seq[graft.expr.VecExpr] =
+      if (e.children.isEmpty) Seq(e) else e.children.flatMap(leaves)
+    // (ac - bd) over four maps of the SAME arange: zip fusion must
+    // collapse the whole real part to a single-leaf tree (one scan)
+    assert(leaves(w.re.optimized).distinct.size == 1, w.re.optimized.pprint())
+    assert(leaves(w.im.optimized).distinct.size == 1, w.im.optimized.pprint())
+    // and the values are the complex product
+    val got = w.re.elements.orderBy("idx").collect().map(_.getDouble(1))
+    (0 until 50).foreach { v =>
+      assert(got(v) == (v + 1.0) * (v * 2.0) - (v - 1.0) * (v * 3.0), s"idx $v")
+    }
+  }
+
   test("gradient under an explicit chunk <= halo (clamped bidir grid)") {
     val s = TestSpark.spark
     // rechunk(1) makes chunk == halo for the gradient's ghost exchange;
