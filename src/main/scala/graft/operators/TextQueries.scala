@@ -110,6 +110,36 @@ object TextQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** Maximal repeated spans per doc for the ExactSubstr family (t27
+    * signal + t28 removal): one sliding W-token window per position,
+    * corpus-wide repeat groupBy (window TEXT as the key so the DuckDB
+    * gate is exact; the 100 TB key is the 64-bit rolling hash — 8
+    * bytes/row, same plan), then the per-doc island merge — new-span
+    * flag = position ≥ running max of prior span ends, islands by
+    * prefix-summing the flag — all window functions PARTITIONED BY
+    * doc_id, never global. Returns (doc_id, n_tok, island, st, en). */
+  private def substrSpans(s: SparkSession, d: String, W: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docsWithDups(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where(s"size(toks) >= $W")
+      .selectExpr("doc_id", "size(toks) AS n_tok",
+        s"posexplode(transform(sequence(0, size(toks) - $W), " +
+          s"p -> concat_ws(' ', slice(toks, p + 1, $W)))) AS (p, g)")
+    val repeated = wins.groupBy("g")
+      .agg(count(lit(1)).as("c")).where("c > 1").select("g")
+    val dup = wins.join(repeated, "g").select("doc_id", "n_tok", "p")
+    val ord = Window.partitionBy("doc_id").orderBy("p")
+    dup
+      .withColumn("pmax", max(col("p") + W).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("p") >= coalesce(col("pmax"), lit(-1L)), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum("ni").over(ord))
+      .groupBy("doc_id", "n_tok", "island")
+      .agg(min("p").as("st"), (max("p") + W).as("en"))
+  }
+
   /** documents unioned with duplicated copies of every 5th doc (new ids
     * +100000) — gives the dedup operators real duplicates to find. */
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
@@ -315,32 +345,39 @@ object TextQueries {
     // global): new-span flag = position >= running max of prior span
     // ends, islands by prefix-summing the flag — O(n log n) within each
     // doc's partition only.
-    "t27_exact_substr" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val W = 20
-      val wins = docsWithDups(s, d)
-        .selectExpr("doc_id", "split(text, ' ') AS toks")
-        .where(s"size(toks) >= $W")
-        .selectExpr("doc_id", "size(toks) AS n_tok",
-          s"posexplode(transform(sequence(0, size(toks) - $W), " +
-            s"p -> concat_ws(' ', slice(toks, p + 1, $W)))) AS (p, g)")
-      val repeated = wins.groupBy("g")
-        .agg(count(lit(1)).as("c")).where("c > 1").select("g")
-      val dup = wins.join(repeated, "g").select("doc_id", "n_tok", "p")
-      val ord = Window.partitionBy("doc_id").orderBy("p")
-      val islands = dup
-        .withColumn("pmax", max(col("p") + W).over(
-          ord.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("ni", when(col("p") >= coalesce(col("pmax"), lit(-1L)), 1L)
-          .otherwise(0L))
-        .withColumn("island", sum("ni").over(ord))
-      islands.groupBy("doc_id", "n_tok", "island")
-        .agg(min("p").as("st"), (max("p") + W).as("en"))
+    "t27_exact_substr" -> ((s, d) =>
+      substrSpans(s, d, 20)
         .groupBy("doc_id", "n_tok")
         .agg(count(lit(1)).cast("bigint").as("n_spans"),
           sum(col("en") - col("st")).cast("bigint").as("covered"))
         .selectExpr("doc_id", "n_spans", "covered",
           "round(CAST(covered AS DOUBLE) / n_tok, 6) AS frac")
+        .where("doc_id < 30 OR (doc_id >= 100000 AND doc_id < 100030)")
+        .orderBy("doc_id")),
+
+    // ExactSubstr REMOVAL — the paper's actual surgery (Lee et al.
+    // 2021 cut the repeated spans from the corpus rather than dropping
+    // whole documents): tokens inside any maximal repeated span are
+    // filtered out by POSITION with a higher-order array lambda over
+    // the doc's (small) span list — per-document work only, no extra
+    // shuffle beyond the span join. The gate compares exact before/
+    // after token counts AND the md5 of the cleaned text (both engines
+    // emit identical lowercase hex), so the surgery itself — not just
+    // its size — is verified.
+    "t28_substr_removal" -> ((s, d) => {
+      val spans = substrSpans(s, d, 20)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
+      docsWithDups(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .join(spans, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "size(toks) AS n_before",
+          "filter(toks, (t, i) -> spans IS NULL OR NOT exists(spans, " +
+            "sp -> i >= sp.st AND i < sp.en)) AS kept")
+        .selectExpr("doc_id", "n_before",
+          "size(kept) AS n_after",
+          "md5(concat_ws(' ', kept)) AS clean_md5")
         .where("doc_id < 30 OR (doc_id >= 100000 AND doc_id < 100030)")
         .orderBy("doc_id")
     }),
@@ -809,6 +846,43 @@ object TextQueries {
          FROM sp
          WHERE doc_id < 30 OR (doc_id >= 100000 AND doc_id < 100030)
          GROUP BY doc_id, n_tok ORDER BY doc_id""",
+
+    "t28_substr_removal" ->
+      s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM $duckDocsWithDups),
+         w AS (SELECT doc_id,
+                 unnest([{'p': i - 1,
+                          'g': array_to_string(list_slice(toks, i, i + 19), ' ')}
+                         for i in generate_series(1, len(toks) - 19)],
+                        recursive := true)
+               FROM l WHERE len(toks) >= 20),
+         r AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+         dw AS (SELECT doc_id, p FROM w JOIN r USING (g)),
+         m AS (SELECT doc_id, p,
+                 CASE WHEN p >= coalesce(max(p + 20) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS ni
+               FROM dw),
+         i AS (SELECT doc_id, p,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM m),
+         sp AS (SELECT doc_id, island, min(p) AS st, max(p) + 20 AS en
+                FROM i GROUP BY doc_id, island),
+         ag AS (SELECT doc_id, list({'st': st, 'en': en}) AS spans
+                FROM sp GROUP BY doc_id),
+         cut AS (SELECT l.doc_id AS doc_id, toks,
+                   [toks[i] for i in generate_series(1, len(toks))
+                    if spans IS NULL OR len([x for x in spans
+                      if (i - 1) >= x.st AND (i - 1) < x.en]) = 0] AS kept
+                 FROM l LEFT JOIN ag ON ag.doc_id = l.doc_id)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+           CAST(len(kept) AS BIGINT) AS n_after,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+         FROM cut
+         WHERE doc_id < 30 OR (doc_id >= 100000 AND doc_id < 100030)
+         ORDER BY doc_id""",
 
     "t26_gopher_signals" ->
       """WITH l AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

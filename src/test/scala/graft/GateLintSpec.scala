@@ -131,9 +131,9 @@ class GateLintSpec extends AnyFunSuite {
     "n07_nd_flip_roll_concat", "n08_moveaxis_applyover", "n13_einsum_nd",
     "l12_matrix_norms", "q13_arange_dot", "q24_cumprod_sign",
     "q80_nancumprod", "q87_histogram_density",
-    // t27: the island prefix-sum is over 0/1 flags and span extents are
-    // token positions — all integers
-    "t27_exact_substr",
+    // t27/t28: the island prefix-sum is over 0/1 flags and span extents
+    // are token positions — all integers
+    "t27_exact_substr", "t28_substr_removal",
   )
 
   private val quantizers = Set("round", "floor", "cast", "min", "max",
