@@ -605,6 +605,46 @@ object TextQueries {
           "round(CAST(kept AS DOUBLE) / total, 4) AS achieved")
         .orderBy("source")),
 
+    // TEMPERATURE-weighted source mixing (the GPT-3 §2.2 / data-mixing
+    // staple t19's fixed rates don't cover): per-source keep rate
+    // DERIVED FROM THE DATA as p_s = min(1, T / (√n_s · Σ√n)) with
+    // α = 1/2 and target T = N/2 — upweights small sources, downweights
+    // large ones. α = 1/2 keeps the gate hash-exact WITHOUT
+    // quantization: sqrt is IEEE correctly rounded (identical on any
+    // engine), Σ√n accumulates as a RUNNING cumulative in source order
+    // (running window addition is an ordered fold on both engines —
+    // a plain SUM's order is engine-internal), and the remaining ops
+    // are ×/÷ — so p_s is bit-identical and the coin comparison exact.
+    // The per-source table is a handful of rows; the single-partition
+    // window over it is metadata-sized at any corpus scale.
+    "t29_temperature_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val cumW = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rates = counts
+        .withColumn("w", sqrt(col("n")))
+        .withColumn("cum", sum("w").over(cumW))
+        .withColumn("totW", max("cum").over(
+          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("totN", sum("n").over(
+          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .selectExpr("source", "n",
+          "least(1.0, (CAST(totN AS DOUBLE) / 2.0) / (w * totW)) AS p")
+      docs(s, d).join(broadcast(rates), "source")
+        .selectExpr("source", "n", "p",
+          "((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648) / 2147483648.0 AS u")
+        .groupBy("source")
+        .agg(
+          expr("CAST(first(n) AS BIGINT)").as("total"),
+          expr("CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT)").as("kept"),
+          expr("round(first(p), 6)").as("rate"))
+        .orderBy("source")
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1003,6 +1043,25 @@ object TextQueries {
             round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS rep_ratio,
             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
           FROM c WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""",
+
+    "t29_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         r AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w,
+                 sum(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM c),
+         t AS (SELECT source, n, w, max(cum) OVER () AS totW,
+                 sum(n) OVER () AS totN FROM r),
+         p AS (SELECT source, n,
+                 least(1.0, (CAST(totN AS DOUBLE) / 2.0) / (w * totW)) AS p
+               FROM t)
+         SELECT p.source AS source, CAST(p.n AS BIGINT) AS total,
+           CAST(sum(CASE WHEN ((1103515245 * (doc_id % 2147483648) + 12345)
+                              % 2147483648) / 2147483648.0 < p.p
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           round(p.p, 6) AS rate
+         FROM documents d JOIN p ON p.source = d.source
+         GROUP BY p.source, p.n, p.p ORDER BY source""",
 
     "t19_mixture_sample" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS total,

@@ -134,6 +134,11 @@ class GateLintSpec extends AnyFunSuite {
     // t27/t28: the island prefix-sum is over 0/1 flags and span extents
     // are token positions — all integers
     "t27_exact_substr", "t28_substr_removal",
+    // t29: the raw sum IS the exactness mechanism — a RUNNING cumulative
+    // window over sqrt(n) per source accumulates in frame order on both
+    // engines (an ordered fold), and sqrt is IEEE correctly rounded, so
+    // the fold is bit-identical; a quantizer would only mask that proof
+    "t29_temperature_mix",
   )
 
   private val quantizers = Set("round", "floor", "cast", "min", "max",
