@@ -607,30 +607,43 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 
 object DArray {
   /** Registered typed-lambda kernels, content-keyed by the function
-    * INSTANCE: the same lambda object re-registers once per session, so
+    * INSTANCE per session: the same lambda object re-registers once, so
     * repeated query construction (bench re-runs, retries) neither grows
     * the function registry nor changes the kernel SQL text — the
-    * expression tree stays content-addressable and plan-cache-friendly. */
+    * expression tree stays content-addressable and plan-cache-friendly.
+    * The outer map holds its SparkSession keys WEAKLY: when a session is
+    * collected, its kernel map (and every captured closure environment)
+    * goes with it — a flat map keyed by identityHashCode would leak
+    * dead-session closures for the JVM lifetime AND could resurrect a
+    * stale kernel name after a hash-code collision, yielding
+    * "Undefined function" at query time in the new session. */
   private val typedKernels =
-    new java.util.concurrent.ConcurrentHashMap[(String, AnyRef), String]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[AnyRef, String]]()
   private val typedSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private def kernelsOf(s: SparkSession) = typedKernels.synchronized {
+    var m = typedKernels.get(s)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[AnyRef, String]()
+      typedKernels.put(s, m)
+    }
+    m
+  }
+
   private[graft] def registerTyped(s: SparkSession, f: Double => Double): String =
-    typedKernels.computeIfAbsent((sessionKey(s), f), { _ =>
+    kernelsOf(s).computeIfAbsent(f, { _ =>
       val name = s"graft_typed_${typedSeq.incrementAndGet()}"
       s.udf.register(name, f)
       name
     })
 
   private[graft] def registerTyped2(s: SparkSession, f: (Double, Double) => Double): String =
-    typedKernels.computeIfAbsent((sessionKey(s), f), { _ =>
+    kernelsOf(s).computeIfAbsent(f, { _ =>
       val name = s"graft_typed_${typedSeq.incrementAndGet()}"
       s.udf.register(name, f)
       name
     })
-
-  private def sessionKey(s: SparkSession): String =
-    Integer.toHexString(System.identityHashCode(s))
 
   /** Array view over a numeric column of a parquet table; `idxSql` must be a
     * dense deterministic position (reference `from_array`,

@@ -50,6 +50,8 @@ final case class DComplex(re: DArray, im: DArray) {
 }
 
 object DComplex {
-  /** A real array lifted to complex (im = 0). */
-  def fromReal(a: DArray): DComplex = DComplex(a, a.map("v * 0.0"))
+  /** A real array lifted to complex (im = +0.0). NOT `v * 0.0`, which
+    * would produce -0.0 for negative reals (the q107 signed-zero class)
+    * and NaN for infinite ones. */
+  def fromReal(a: DArray): DComplex = DComplex(a, a.map("CAST(0.0 AS DOUBLE)"))
 }

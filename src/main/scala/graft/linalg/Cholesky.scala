@@ -751,6 +751,8 @@ object Cholesky {
   /** General (non-SPD) solve A·x = b via LU + two triangular solves
     * (reference `solve`, `linalg/_solve.py:163`). */
   def solveLU(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = withoutAQE(s) {
+    require(a.rows == a.cols, "solve needs a square matrix")
+    require(b.length == a.rows, s"rhs length ${b.length} != ${a.rows}")
     val n = a.rows.toInt
     if (a.rows <= LocalSolveMax) { // see LocalSolveMax: local-LAPACK tier
       val (l, u) = localLU(denseOf(a), n)
@@ -772,6 +774,8 @@ object Cholesky {
     * (reference `solve`, `linalg/_solve.py:163`). The O(n) vector is the
     * only data that touches the driver. */
   def solveSPD(s: SparkSession, a: DMatrix, b: Array[Double], tile: Int = 512): Array[Double] = withoutAQE(s) {
+    require(a.rows == a.cols, "solve needs a square matrix")
+    require(b.length == a.rows, s"rhs length ${b.length} != ${a.rows}")
     val n = a.rows.toInt
     if (a.rows <= LocalSolveMax) { // see LocalSolveMax: local-LAPACK tier
       val l = localChol(denseOf(a), n)
@@ -779,8 +783,11 @@ object Cholesky {
     }
     val lT = tilesOfPanels(cholPanelsOf(s, a, tile), lower = true)
     val y = solveTriCore(s, lT, vecTiles(s, b, tile), n, tile, lower = true)
-    // Lᵀ as a lazy transposed view over the same checkpointed tiles
-    val x = solveTriCore(s, transposeTiles(lT, tile), xTiles(y), n, tile, lower = false)
+    // Lᵀ materialized once: solveTriCore consumes its factor from ~3
+    // actions per block step, and a lazy transposed view would redo the
+    // O(n²) transpose map on every one of them
+    val ltT = transposeTiles(lT, tile).localCheckpoint(true)
+    val x = solveTriCore(s, ltT, xTiles(y), n, tile, lower = false)
     val out = new Array[Double](n)
     xCells(s, x, n, 1, tile).collect()
       .foreach(r => out(r.getLong(0).toInt) = r.getDouble(2))

@@ -129,11 +129,17 @@ object TileDb {
   }
 
   /** Fragment (or schema/commit) name: `__<t1>_<t2>_<uuid32hex>[_v]`.
-    * The uuid is derived deterministically from (timestamp, block), which
-    * is unique within one array's write history here and keeps the oracle
-    * queries replayable. */
-  private def fragName(ts: Long, blk: Long): String =
-    f"__${ts}%d_${ts}%d_${ts}%016x${blk}%016x_$FragFormatVersion%d"
+    * The uuid derives deterministically from (timestamp, the fragment
+    * domain's ABSOLUTE start cell) — not a write-relative block index,
+    * which would collide when two same-timestamp writes cover different
+    * subarrays (write A's block 0 and write B's block 0 would share a
+    * name and silently destroy each other). With the absolute start,
+    * same-ts writes over DISJOINT subarrays compose safely — the
+    * parallel-writer contract; same-ts writes overlapping the same
+    * cells still last-write-win at the file level, as any two
+    * deterministic writers of identical coordinates must. */
+  private def fragName(ts: Long, start: Long): String =
+    f"__${ts}%d_${ts}%d_${ts}%016x${start}%016x_$FragFormatVersion%d"
 
   /** Timestamps + uuid from a fragment dir name. */
   private def parseFragName(name: String): (Long, Long, String) = {
@@ -188,7 +194,7 @@ object TileDb {
         val b1 = math.min(b0 + blockCells - 1, hi1)
         val vals = Array.fill((b1 - b0 + 1).toInt)(fill)
         it.foreach { case (_, idx, v) => vals((idx - b0).toInt) = v }
-        writeFragment(uri, bconf.value.value, ts, blk, Seq((b0, b1)), vals)
+        writeFragment(uri, bconf.value.value, ts, Seq((b0, b1)), vals)
         blk
       }.collect().toSet
     // blocks with no surviving elements still claim their subarray (a
@@ -201,7 +207,7 @@ object TileDb {
       sess.createDataset(missing).foreach { blk =>
         val b0 = loC + blk * bcC
         val b1 = math.min(b0 + bcC - 1, hiC)
-        writeFragment(uri, bconf.value.value, ts, blk, Seq((b0, b1)),
+        writeFragment(uri, bconf.value.value, ts, Seq((b0, b1)),
           Array.fill((b1 - b0 + 1).toInt)(fillC))
       }
     }
@@ -211,10 +217,10 @@ object TileDb {
     * The marker is written LAST — a crashed task leaves an uncommitted
     * (invisible) fragment, which is TileDB's own atomicity protocol. */
   private def writeFragment(uri: String, conf: org.apache.hadoop.conf.Configuration,
-                            ts: Long, blk: Long, dom: Seq[(Long, Long)],
+                            ts: Long, dom: Seq[(Long, Long)],
                             vals: Array[Double]): Unit = {
     val (fs, base) = StoreIO.fsOf(uri, conf)
-    val name = fragName(ts, blk)
+    val name = fragName(ts, dom.head._1) // absolute start cell/row
     val fdir = new Path(new Path(base, "__fragments"), name)
     fs.mkdirs(fdir)
     val buf = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -226,9 +232,14 @@ object TileDb {
 
   private def schemaPath(fs: org.apache.hadoop.fs.FileSystem, base: Path): Path = {
     val dir = new Path(base, "__schema")
-    val names = fs.listStatus(dir).map(_.getPath.getName).filter(_.startsWith("__")).sorted
+    val names = fs.listStatus(dir).map(_.getPath.getName).filter(_.startsWith("__"))
     require(names.nonEmpty, s"no TileDB schema under $dir")
-    new Path(dir, names.last) // latest schema wins, as in TileDB evolution
+    // latest schema wins, as in TileDB evolution — ordered by the PARSED
+    // timestamp (a lexicographic sort would put ts=10 before ts=2)
+    val latest = names.maxBy { n =>
+      ("__(\\d+)_".r.findFirstMatchIn(n).map(_.group(1).toLong).getOrElse(0L), n)
+    }
+    new Path(dir, latest)
   }
 
   // ----------------------------------------------------------------- read
@@ -336,7 +347,7 @@ object TileDb {
         val vals = new Array[Double](((r1 - r0 + 1) * restVol).toInt)
         it.foreach { case (_, idx, v) => vals((idx - base).toInt) = v }
         val dom = (r0, r1) +: shape.tail.map(d => (0L, d - 1))
-        writeFragment(uri, bconf.value.value, ts, blk, dom, vals)
+        writeFragment(uri, bconf.value.value, ts, dom, vals)
         blk
       }.collect().toSet
     // fill fragments for untouched row-blocks, distributed (see write)
@@ -346,7 +357,7 @@ object TileDb {
       s.createDataset(missing).foreach { blk =>
         val r0 = blk * brC
         val r1 = math.min(r0 + brC, nrC) - 1
-        writeFragment(uri, bconf.value.value, ts, blk,
+        writeFragment(uri, bconf.value.value, ts,
           (r0, r1) +: tailDims.map(d => (0L, d - 1)),
           new Array[Double](((r1 - r0 + 1) * rvC).toInt))
       }

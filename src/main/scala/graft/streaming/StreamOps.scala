@@ -437,6 +437,25 @@ object StreamOps {
   final case class GopherSignal(doc_id: Long, top2_share: Double,
                                 dup5_share: Double, keep: Boolean)
 
+  /** UTF-8 binary string order — what Spark's UTF8_BINARY collation
+    * compares. Java's String.compareTo orders by UTF-16 code UNIT,
+    * which disagrees beyond the BMP (a surrogate pair sorts before
+    * U+E000.. in UTF-16 but after it in UTF-8 bytes), so a
+    * compareTo-based tie-break would silently diverge from the batch
+    * gate on non-BMP text. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Streaming Gopher n-gram repetition signals — the stateless online
     * twin of the batch t26 gate: each document computes its own
     * top-2-gram and duplicate-5-gram character shares locally (no
@@ -462,7 +481,11 @@ object StreamOps {
           val g = toks(i) + " " + toks(i + 1)
           c2(g) = c2.getOrElse(g, 0L) + 1; i += 1
         }
-        val (topG, topC) = c2.toSeq.minBy { case (g, c) => (-c, g) }
+        // (count desc, gram asc in UTF-8 BINARY order) — see utf8Less
+        val (topG, topC) = c2.foldLeft(("", -1L)) {
+          case (best @ (bg, bc), (g, c)) =>
+            if (c > bc || (c == bc && utf8Less(g, bg))) (g, c) else best
+        }
         val top2 = share((topC * topG.length).toDouble)
         val c5 = scala.collection.mutable.HashMap.empty[String, Long]
         i = 0
@@ -505,9 +528,14 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     el.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val mm = batch.agg(min("idx"), max("idx")).head()
-        if (!mm.isNullAt(0))
-          graft.sources.TileDb.write(batch.toDF(), uri, ts = batchId + 1,
-            lo = mm.getLong(0), hi = mm.getLong(1), blockCells = blockCells)
+        // persist: the bounds agg and the fragment write both consume
+        // the batch — without it the upstream plan executes twice
+        val cached = batch.persist()
+        try {
+          val mm = cached.agg(min("idx"), max("idx")).head()
+          if (!mm.isNullAt(0))
+            graft.sources.TileDb.write(cached.toDF(), uri, ts = batchId + 1,
+              lo = mm.getLong(0), hi = mm.getLong(1), blockCells = blockCells)
+        } finally cached.unpersist()
     }
 }

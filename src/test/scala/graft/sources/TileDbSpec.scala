@@ -87,6 +87,37 @@ class TileDbSpec extends AnyFunSuite {
     assert(got.filter(_._1 < 50).forall { case (i, v) => v == i.toDouble })
   }
 
+  test("same-timestamp writes over disjoint subarrays compose (no name collision)") {
+    val s = spark
+    val uri = freshDir()
+    val n = 200L
+    TileDb.createArray(s, uri, TileDb.Schema(Seq(n), Seq(50L)))
+    // two parallel writers, SAME logical timestamp, different halves —
+    // fragment names derive from the absolute start cell, so neither
+    // overwrites the other (the r9 review's silent-data-loss finding)
+    TileDb.write(s.range(0, 100).selectExpr("id AS idx", "CAST(id AS DOUBLE) AS v"),
+      uri, ts = 3L, lo = 0L, hi = 99L, blockCells = 50L)
+    TileDb.write(s.range(100, 200).selectExpr("id AS idx", "CAST(-id AS DOUBLE) AS v"),
+      uri, ts = 3L, lo = 100L, hi = 199L, blockCells = 50L)
+    val got = TileDb.read(s, uri).orderBy("idx")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == n)
+    got.foreach { case (i, v) =>
+      assert(v == (if (i < 100) i.toDouble else -i.toDouble), s"idx $i: $v")
+    }
+  }
+
+  test("schema evolution picks the numerically-latest timestamp (ts=10 > ts=2)") {
+    val s = spark
+    val uri = freshDir()
+    TileDb.createArray(s, uri, TileDb.Schema(Seq(100L), Seq(50L), fill = 1.0), ts = 2L)
+    TileDb.createArray(s, uri, TileDb.Schema(Seq(100L), Seq(50L), fill = 9.0), ts = 10L)
+    // no fragments: every cell reads as the LATEST schema's fill
+    val got = TileDb.read(s, uri).collect().map(_.getDouble(1))
+    assert(got.length == 100 && got.forall(_ == 9.0),
+      s"stale schema won: distinct fills ${got.distinct.toSeq}")
+  }
+
   test("round-trip sweep: ragged edges, single-block, block=1 extremes") {
     val s = spark
     // (n, blockCells) corners: ragged last block, exact multiple, one
