@@ -91,6 +91,12 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   /** numpy `float_power` (always-float pow — doubles here already). */
   def floatPower(e: Double): DArray        = pow(e)
   def fabs: DArray                         = abs
+  // IEEE classification as 0/1 doubles (the engine's bool encoding);
+  // NULL (≙ NaN) propagates as NULL, matching the q33 convention
+  def isinf: DArray                        = map("CAST(abs(v) > 1.7976931348623157E308 AS DOUBLE)")
+  def isposinf: DArray                     = map("CAST(v > 1.7976931348623157E308 AS DOUBLE)")
+  def isneginf: DArray                     = map("CAST(v < -1.7976931348623157E308 AS DOUBLE)")
+  def isfinite: DArray                     = map("CAST(abs(v) <= 1.7976931348623157E308 AS DOUBLE)")
   def degrees: DArray                      = map("v * (180.0 / 3.141592653589793)")
   def radians: DArray                      = map("v * (3.141592653589793 / 180.0)")
   def clip(lo: Double, hi: Double): DArray = map(s"least(greatest(v, $lo), $hi)")

@@ -1132,12 +1132,10 @@ object ArrayQueries {
         q1(w.cbrt, "cbrt_q"), q1(w.hypot(p), "hypot_q"),
         q1(w.logaddexp(u), "lae_q"), q1(w.logaddexp2(u), "lae2_q"),
         q1(w.degrees, "deg_q"),
-        base.map("exp(v * 4.0)").elements
-          .agg(expr("CAST(sum(CASE WHEN abs(v) > 1.7e308 THEN 1 ELSE 0 END) AS BIGINT)")
-            .as("inf_n")),
-        base.map("-exp(v * 4.0)").elements
-          .agg(expr("CAST(sum(CASE WHEN v < -1.7e308 THEN 1 ELSE 0 END) AS BIGINT)")
-            .as("neginf_n")),
+        base.map("exp(v * 4.0)").isinf.elements
+          .agg(expr("CAST(sum(v) AS BIGINT)").as("inf_n")),
+        base.map("-exp(v * 4.0)").isneginf.elements
+          .agg(expr("CAST(sum(v) AS BIGINT)").as("neginf_n")),
       ).reduce(_ crossJoin _)
     }),
   )
