@@ -92,9 +92,16 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def floatPower(e: Double): DArray        = pow(e)
   def fabs: DArray                         = abs
   // IEEE classification as 0/1 doubles (the engine's bool encoding);
-  // NULL (≙ NaN) propagates as NULL, matching the q33 convention
-  def isinf: DArray                        = map("CAST(abs(v) > 1.7976931348623157E308 AS DOUBLE)")
-  def isposinf: DArray                     = map("CAST(v > 1.7976931348623157E308 AS DOUBLE)")
+  // NULL (≙ NaN) propagates as NULL, matching the q33 convention.
+  // A literal NaN value is still reachable (0.0/0.0 inside a SQL
+  // kernel never passes through the NULL encoding), and Spark compares
+  // doubles NaN-greatest (nanSafeCompareDoubles) — so the > tests need
+  // an explicit NOT isnan guard or NaN would classify as +inf
+  // (numpy: isinf(nan) is False). isneginf/isfinite are already
+  // NaN-correct: NaN-greatest makes `v < -MAX` false and
+  // `abs(v) <= MAX` false without a guard.
+  def isinf: DArray                        = map("CAST((NOT isnan(v)) AND abs(v) > 1.7976931348623157E308 AS DOUBLE)")
+  def isposinf: DArray                     = map("CAST((NOT isnan(v)) AND v > 1.7976931348623157E308 AS DOUBLE)")
   def isneginf: DArray                     = map("CAST(v < -1.7976931348623157E308 AS DOUBLE)")
   def isfinite: DArray                     = map("CAST(abs(v) <= 1.7976931348623157E308 AS DOUBLE)")
   def degrees: DArray                      = map("v * (180.0 / 3.141592653589793)")
@@ -612,11 +619,20 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
 }
 
 object DArray {
-  /** Registered typed-lambda kernels, content-keyed by the function
-    * INSTANCE per session: the same lambda object re-registers once, so
-    * repeated query construction (bench re-runs, retries) neither grows
-    * the function registry nor changes the kernel SQL text — the
-    * expression tree stays content-addressable and plan-cache-friendly.
+  /** Registered typed-lambda kernels, content-keyed per session: a
+    * NON-capturing lambda keys by its generated CLASS (every textual
+    * lambda compiles to its own class, and with no captured state two
+    * instances of it are behaviorally identical — this is what makes an
+    * inline `x.mapTyped(v => ...)` re-register-free across query
+    * re-construction, since Scala allocates a fresh instance per
+    * evaluation of a capturing position but the class is stable); a
+    * CAPTURING lambda (it has instance fields — the captured
+    * environment) must key by INSTANCE, because two instances of the
+    * same class can close over different values and keying them
+    * together would silently run the first registration's closure.
+    * Contract for capturing lambdas: hoist to a `val` if you need
+    * re-registration-free re-construction — each fresh instance is a
+    * fresh kernel by design.
     * The outer map holds its SparkSession keys WEAKLY: when a session is
     * collected, its kernel map (and every captured closure environment)
     * goes with it — a flat map keyed by identityHashCode would leak
@@ -637,15 +653,22 @@ object DArray {
     m
   }
 
+  /** Class key iff stateless: captured environments live in instance
+    * fields, so a field-free lambda class proves there is nothing an
+    * instance could differ by. (Scala 2.13 emits anonfun classes whose
+    * only state is the capture — no fields ⇒ non-capturing.) */
+  private def kernelKey(f: AnyRef): AnyRef =
+    if (f.getClass.getDeclaredFields.isEmpty) f.getClass else f
+
   private[graft] def registerTyped(s: SparkSession, f: Double => Double): String =
-    kernelsOf(s).computeIfAbsent(f, { _ =>
+    kernelsOf(s).computeIfAbsent(kernelKey(f), { _ =>
       val name = s"graft_typed_${typedSeq.incrementAndGet()}"
       s.udf.register(name, f)
       name
     })
 
   private[graft] def registerTyped2(s: SparkSession, f: (Double, Double) => Double): String =
-    kernelsOf(s).computeIfAbsent(f, { _ =>
+    kernelsOf(s).computeIfAbsent(kernelKey(f), { _ =>
       val name = s"graft_typed_${typedSeq.incrementAndGet()}"
       s.udf.register(name, f)
       name

@@ -285,23 +285,34 @@ object EmbeddingQueries {
       }
     }
     // one scan: every (sub, code) score + 8 per-sub assignment cascades.
-    // The centroids enter as ONE non-primitive typedLit each for the
-    // vectors and their norms: array literals ride the codegen
-    // references array instead of the generated source text, so every
-    // iteration's plan compiles to IDENTICAL code — one janino compile
-    // per loop SHAPE, where the first cut inlined 128 scalar literals
-    // and re-compiled the whole projection every iteration (the same
-    // principle as the cholesky loop's typed-closure predicates)
+    // The score is ONE fused dot: ||m||² − 2G·dot(p, m)
+    //   = dot([p_sub, 1], [−2G·m_0..7, ||m||²])
+    // with the right operand an array-typed literal folded out of
+    // element_at(centsLit, idx). Array literals ride the codegen
+    // REFERENCES array, so every iteration's plan compiles to
+    // byte-identical code and janino's cache serves iterations 2+ (one
+    // compile per loop SHAPE — PQSpec pins the property). The r9 form
+    // kept ||m||² in a SEPARATE scalar element_at, which
+    // constant-folds to an INLINE `…D` literal and silently
+    // re-compiled all 128 columns every iteration. Every term stays an
+    // exact integer-valued double (|−2G·m| ≤ 2^33, |p·2G·m| ≤ 2^45,
+    // ||m||² ≤ 2^47, 9-term sum < 2^53), so the re-associated fold is
+    // bit-identical to the subtract form the oracle replays. (r10 A/B:
+    // inlining centroids into the SQL text instead measured SLOWER
+    // isolated at sf0.1 — 2.05–2.16 s vs 1.79–1.89 s — on top of
+    // recompiling per iteration.)
     def assigned: DataFrame = {
       val flat = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
         yield cent(sub)(c)
-      val centsLit = typedLit(flat.map(_.map(_.toDouble).toSeq))
-      val m2Lit = typedLit(flat.map(m => m.map(v => v * v).sum.toDouble))
+      val centsLit = typedLit(flat.map { m =>
+        (m.map(v => (-2L * KM_G * v).toDouble) :+
+          m.map(v => v.toDouble * v).sum).toSeq
+      })
       def score(sub: Int, c: Int): Column = {
         val idx = sub * PQ_CODES + c + 1 // element_at is 1-based
-        element_at(m2Lit, idx) - lit((2 * KM_G).toDouble) *
-          call_function("graft_dot",
-            slice(col("pD"), sub * 8 + 1, 8), element_at(centsLit, idx))
+        call_function("graft_dot",
+          concat(slice(col("pD"), sub * 8 + 1, 8), array(lit(1.0))),
+          element_at(centsLit, idx))
       }
       val scoreCols = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
         yield score(sub, c).as(s"s${sub}_$c")

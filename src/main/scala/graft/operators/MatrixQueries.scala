@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{DArray, DMatrix}
+import graft.{DArray, DMatrix, GUFunc}
 
 /** 2-d array / linear-algebra queries (SURVEY §2.10, §2.11): matmul, gram,
   * trace, transpose, triangles, diagonal, outer, reshape, axis reductions.
@@ -614,6 +614,25 @@ object MatrixQueries {
       x.covWeighted(wts).map("round(v, 6)").elements.orderBy("i", "j")
     }),
 
+    // apply_gufunc through the oracle (reference `apply_gufunc`,
+    // `dask_array/_gufunc.py:154`): "(i),(i)->()" pairwise squared
+    // euclidean distance — rows are the loop dimension, the 30-wide
+    // core dim is densified per row and handed whole to the in-core
+    // kernel inside mapPartitions (the documented non-codegen gufunc
+    // tier; GUFuncSpec covers the signature parser + vector outputs).
+    // All values are small integers in doubles, so Σ(x−y)² is IEEE
+    // exact at any accumulation order and the gate needs no rounding
+    "g01_gufunc_pairdist" -> ((s, d) => {
+      val x = A.spark(s)
+      val y = Tab(40, 30, "(i*11 + j*5) % 17").spark(s)
+      GUFunc.applyScalar("(i),(i)->()", x, y) { case Seq(a, b) =>
+        var acc = 0.0
+        var k = 0
+        while (k < a.length) { val t = a(k) - b(k); acc += t * t; k += 1 }
+        acc
+      }.orderBy("idx")
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -1124,6 +1143,15 @@ object MatrixQueries {
              / ((SELECT wsum FROM scal) - (SELECT swa FROM scal) / (SELECT wsum FROM scal)), 6) AS v
          FROM z a JOIN z b ON a.i = b.i
          GROUP BY 1, 2 ORDER BY i, j"""
+    },
+
+    "g01_gufunc_pairdist" -> {
+      val x = A.duck
+      val y = Tab(40, 30, "(i*11 + j*5) % 17").duck
+      // Σ(x−y)² over exact small integers: order-independent, no rounding
+      s"""SELECT a.i AS idx, CAST(sum((a.v - b.v) * (a.v - b.v)) AS DOUBLE) AS v
+          FROM $x a JOIN $y b ON a.i = b.i AND a.j = b.j
+          GROUP BY a.i ORDER BY idx"""
     },
 
     "np02_npy_nd" ->

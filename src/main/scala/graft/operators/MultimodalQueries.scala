@@ -212,12 +212,13 @@ object MultimodalQueries {
     // half of the dedup stack. Same scale shape as t11's simhash pass:
     // 4-bit band blocking + the sorted-neighborhood lead(struct) window
     // caps candidates at O(n·W) per bucket, exact Hamming on emission;
-    // injected duplicate payloads surface as ham=0 pairs
+    // injected duplicate payloads surface as ham=0 pairs. b = 4 pinned
+    // for the oracle; production derives b from the corpus count
+    // (TextQueries.bandBits — the shared scale contract)
     "mm06_phash_pairs" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ph = phashTable(s, d)
-      val bands = ph.selectExpr("doc_id", "h",
-        s"stack(4, ${(0 until 4).map(t => s"$t, (h DIV ${1 << (4 * t)}) % 16").mkString(", ")}) AS (t, bh)")
+      val bands = ph.selectExpr("doc_id", "h", TextQueries.bandStackExpr(4, 4))
       val w = Window.partitionBy("t", "bh").orderBy("doc_id")
       bands
         .withColumn("nbrs",

@@ -112,12 +112,20 @@ object TextQueries {
 
   /** Maximal repeated spans per doc for the ExactSubstr family (t27
     * signal + t28 removal): one sliding W-token window per position,
-    * corpus-wide repeat groupBy (window TEXT as the key so the DuckDB
-    * gate is exact; the 100 TB key is the 64-bit rolling hash — 8
-    * bytes/row, same plan), then the per-doc island merge — new-span
-    * flag = position ≥ running max of prior span ends, islands by
-    * prefix-summing the flag — all window functions PARTITIONED BY
-    * doc_id, never global. Returns (doc_id, n_tok, island, st, en). */
+    * corpus-wide repeat groupBy + join keyed on a 128-BIT WINDOW HASH
+    * (two independent xxhash64 seeds) — the window STRING is projected
+    * away before either exchange, so the two corpus-wide shuffles move
+    * 16 bytes/row where the raw W≈20-token key moved ~W× the corpus
+    * bytes (at 100 TB: a ~100 TB exchange instead of ~2 PB). Collision
+    * argument: a false repeat needs two DIFFERENT windows agreeing on
+    * both 64-bit hashes — P ≈ n²/2¹²⁹, ~10⁻¹³ even at 10¹³ windows
+    * (100 TB) — and the DuckDB gate computes repeats on the raw STRINGS
+    * independently, so any collision-induced divergence fails the hash
+    * compare at test scale. Then the per-doc
+    * island merge — new-span flag = position ≥ running max of prior
+    * span ends, islands by prefix-summing the flag — all window
+    * functions PARTITIONED BY doc_id, never global.
+    * Returns (doc_id, n_tok, island, st, en). */
   private def substrSpans(s: SparkSession, d: String, W: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = docsWithDups(s, d)
@@ -126,9 +134,11 @@ object TextQueries {
       .selectExpr("doc_id", "size(toks) AS n_tok",
         s"posexplode(transform(sequence(0, size(toks) - $W), " +
           s"p -> concat_ws(' ', slice(toks, p + 1, $W)))) AS (p, g)")
-    val repeated = wins.groupBy("g")
-      .agg(count(lit(1)).as("c")).where("c > 1").select("g")
-    val dup = wins.join(repeated, "g").select("doc_id", "n_tok", "p")
+      .selectExpr("doc_id", "n_tok", "p",
+        "xxhash64(g) AS h1", "xxhash64(g, 'graft2') AS h2")
+    val repeated = wins.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("c")).where("c > 1").select("h1", "h2")
+    val dup = wins.join(repeated, Seq("h1", "h2")).select("doc_id", "n_tok", "p")
     val ord = Window.partitionBy("doc_id").orderBy("p")
     dup
       .withColumn("pmax", max(col("p") + W).over(
@@ -210,6 +220,42 @@ object TextQueries {
          FROM br x JOIN br y
            ON x.t = y.t AND x.bh = y.bh AND y.rn > x.rn AND y.rn <= x.rn + $WINDOW
          GROUP BY 1, 2 ORDER BY nshared DESC, a, b LIMIT $k)"""
+
+  /** Scale contract for the Hamming-band blocking key (t11, mm06, and
+    * the t08 simhash family): b-bit bands give 2^b buckets per band
+    * table, so each sorted-neighborhood window sorts ~n/2^b rows. A
+    * FIXED b = 4 is 16 buckets per table at ANY corpus size — fine at
+    * sf0.1, a scale-killer at 10¹¹ docs. Production derives b from the
+    * corpus count: b = clamp(ceil(log2(n / targetBucket)), 4, 16),
+    * keeping the expected bucket at ≤ targetBucket rows; 16 is the
+    * widest band that still leaves 4 disjoint bands in a 64-bit
+    * signature, preserving the blocking guarantee (Hamming distance
+    * < 4 ⇒ at least one band agrees exactly). Wider bands trade recall
+    * beyond distance 3 for bucket size exactly as in banded MinHash —
+    * the sorted-neighborhood lead() window stays the second bound on
+    * candidate count either way. The ORACLE-GATED queries pin b = 4
+    * because the DuckDB gate replays the same banding; this derivation
+    * is the documented production path (spec-asserted). */
+  def bandBits(nDocs: Long, targetBucket: Long = 65536L): Int = {
+    require(nDocs >= 0 && targetBucket > 0, s"bandBits($nDocs, $targetBucket)")
+    val buckets = nDocs / targetBucket
+    val ceilLog2 =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.max(4, math.min(16, ceilLog2))
+  }
+
+  /** `tables` × b-bit band key generator over a 64-bit signature column
+    * `h` — the one stack() both the oracle-pinned 4-bit queries and the
+    * derived-width production path share. */
+  def bandStackExpr(tables: Int, bits: Int): String = {
+    require(tables > 0 && bits >= 1 && tables * bits <= 64,
+      s"bandStackExpr($tables, $bits)")
+    val rows = (0 until tables)
+      .map(t => s"$t, (h DIV ${1L << (bits * t)}) % ${1L << bits}")
+      .mkString(", ")
+    s"stack($tables, $rows) AS (t, bh)"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -514,12 +560,14 @@ object TextQueries {
     // nearest simhash pairs: 4-bit Hamming bands + sorted-neighborhood
     // window (same bounded-blocking as t06 — a pair with Hamming distance
     // < 4 must agree exactly on at least one 4-bit band), then exact
-    // bit_count on the candidates only — never an unblocked cross join
+    // bit_count on the candidates only — never an unblocked cross join.
+    // b = 4 is PINNED here because the oracle replays these bands;
+    // production widens b with the corpus (bandBits — scale contract
+    // and spec there)
     "t11_simhash_pairs" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val sh = sigTable(s, d).selectExpr("doc_id", "simhash AS h")
-      val bands = sh.selectExpr("doc_id", "h",
-        s"stack(4, ${(0 until 4).map(t => s"$t, (h DIV ${1 << (4 * t)}) % 16").mkString(", ")}) AS (t, bh)")
+      val bands = sh.selectExpr("doc_id", "h", bandStackExpr(4, 4))
       // W lead(struct) columns in one window pass replace the rn
       // self-join (which ran the signature kernel twice) — the struct
       // carries the partner's simhash for the exact Hamming distance
@@ -621,19 +669,24 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val counts = docs(s, d).groupBy("source")
         .agg(count(lit(1)).as("n"))
-      val cumW = Window.orderBy("source")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val rates = counts
-        .withColumn("w", sqrt(col("n")))
-        .withColumn("cum", sum("w").over(cumW))
-        .withColumn("totW", max("cum").over(
-          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .withColumn("totN", sum("n").over(
-          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+      // totW = the SAME source-ascending ordered fold the oracle's
+      // running-window sum performs — ((0+√n₁)+√n₂)+… — but computed
+      // as `aggregate` over sort_array(collect_list(...)) inside ONE
+      // 1-row aggregate instead of an unpartitioned WindowExec (whose
+      // "No Partition Defined" WARN would pollute the driver-parsed
+      // stdout tail; a lit() partition key gets constant-folded away
+      // and still WARNs). The fold sequence is bit-identical because
+      // sort_array orders by the struct's leading `source` field and
+      // the HOF left-folds in array order; totN is exact integer
+      // arithmetic at any order. The collect_list is over the handful
+      // of per-source rows — metadata-sized at any corpus scale.
+      val tot = counts.agg(
+        expr("aggregate(sort_array(collect_list(struct(source, n))), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + sqrt(x.n))").as("totW"),
+        sum("n").as("totN"))
+      val rates = counts.crossJoin(broadcast(tot))
         .selectExpr("source", "n",
-          "least(1.0, (CAST(totN AS DOUBLE) / 2.0) / (w * totW)) AS p")
+          "least(1.0, (CAST(totN AS DOUBLE) / 2.0) / (sqrt(n) * totW)) AS p")
       docs(s, d).join(broadcast(rates), "source")
         .selectExpr("source", "n", "p",
           "((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648) / 2147483648.0 AS u")

@@ -406,8 +406,36 @@ object TileDb {
           }
         }.toDF("idx", "v", "r")
     val merged = decoded.groupBy("idx").agg(expr("max_by(v, r)").as("v"))
-    // dense N-d stores written through writeNd cover the whole domain;
-    // readNd still densifies any gap through the same fill contract
-    graft.NdArray.fromFlat(merged.select(col("idx"), col("v")), shape)
+    // Densify uncovered cells to the schema fill, like the 1-d read():
+    // writeNd/tiledbSink fragments span the FULL trailing dims, so the
+    // uncovered region is a union of axis-0 row intervals, and a row
+    // interval is CONTIGUOUS in row-major flat index — each gap is one
+    // cheap range union. A hand-written fragment that is partial in a
+    // trailing dim leaves in-row holes this row-interval model cannot
+    // see, so such stores must use fill == 0 (absent-cell ≙ 0 is the
+    // cell table's native semantics; fill == 0 also skips the unions).
+    val rowVol = shape.tail.product
+    val fullTail = frags.forall { case (_, _, _, dom) =>
+      dom.tail.zip(shape.tail).forall { case ((lo, hi), n) => lo == 0 && hi == n - 1 } }
+    require(fullTail || schema.fill == 0.0,
+      s"readNd: partial-trailing-dim fragments need fill == 0, schema has ${schema.fill}")
+    val dense =
+      if (schema.fill == 0.0) merged
+      else {
+        val covered = frags.map(_._4.head).sortBy(_._1)
+          .foldLeft(List.empty[(Long, Long)]) {
+            case ((alo, ahi) :: rest, (lo, hi)) if lo <= ahi + 1 =>
+              (alo, math.max(ahi, hi)) :: rest
+            case (acc, iv) => iv :: acc
+          }.reverse
+        val gaps = ((-1L +: covered.map(_._2)) :+ shape.head)
+          .zip(covered.map(_._1) :+ shape.head)
+          .collect { case (prevHi, nextLo) if nextLo > prevHi + 1 => (prevHi + 1, nextLo) }
+        gaps.foldLeft(merged) { case (df, (g0, g1)) =>
+          df.unionByName(s.range(g0 * rowVol, g1 * rowVol)
+            .select(col("id").as("idx"), lit(schema.fill).as("v")))
+        }
+      }
+    graft.NdArray.fromFlat(dense.select(col("idx"), col("v")), shape)
   }
 }

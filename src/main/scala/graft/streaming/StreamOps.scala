@@ -461,7 +461,9 @@ object StreamOps {
     * top-2-gram and duplicate-5-gram character shares locally (no
     * state, no shuffle, any parallelism). The kernel mirrors the batch
     * SQL exactly — `split(text, ' ')` keeps trailing empties
-    * (`split(" ", -1)`, matching Spark SQL's limit=-1), the tie-break
+    * (`split(" ", -1)`, matching Spark SQL's limit=-1), char counts are
+    * CODE POINTS (what SQL `length()` returns — NOT `String.length`'s
+    * UTF-16 units, which diverge on non-BMP text), the tie-break
     * is (count desc, gram asc), and rounding is BigDecimal HALF_UP at 6
     * places (what Spark's `round` does) — so online signals equal the
     * batch gate bit-for-bit (spec-asserted). Documents with fewer than
@@ -470,7 +472,13 @@ object StreamOps {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       val toks = d.text.split(" ", -1)
-      val chars = d.text.length.toDouble
+      // Spark SQL length() counts CODE POINTS; String.length counts
+      // UTF-16 code units — they disagree on any non-BMP text (emoji
+      // are routine in web corpora), and the shares would drift (and
+      // the keep flag could flip near a threshold). codePointCount on
+      // both the doc and every gram keeps the parity bit-exact.
+      def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+      val chars = cp(d.text).toDouble
       def share(x: Double): Double =
         BigDecimal(x / chars).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       if (toks.length < 2) Iterator.empty
@@ -486,7 +494,7 @@ object StreamOps {
           case (best @ (bg, bc), (g, c)) =>
             if (c > bc || (c == bc && utf8Less(g, bg))) (g, c) else best
         }
-        val top2 = share((topC * topG.length).toDouble)
+        val top2 = share((topC * cp(topG)).toDouble)
         val c5 = scala.collection.mutable.HashMap.empty[String, Long]
         i = 0
         while (i < toks.length - 4) {
@@ -494,7 +502,7 @@ object StreamOps {
           c5(g) = c5.getOrElse(g, 0L) + 1; i += 1
         }
         val dupChars = c5.iterator.collect {
-          case (g, c) if c > 1 => c * g.length.toLong
+          case (g, c) if c > 1 => c * cp(g)
         }.sum
         val dup5 = if (dupChars == 0) 0.0 else share(dupChars.toDouble)
         Iterator.single(GopherSignal(d.doc_id, top2, dup5,

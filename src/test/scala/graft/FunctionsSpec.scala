@@ -234,4 +234,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(k1 == k2)
     assert(a.mapTyped(f).elements.collect().map(_.getDouble(1)).sum == 0 + 1 + 2 + 3 + 4 + 5 * 1.5)
   }
+
+  test("typed kernels: non-capturing lambdas dedup by class, capturing by instance") {
+    val s = spark
+    val a = graft.DArray.arange(s, "/unused", 0, 5, 1)
+    // a fresh NON-capturing instance per call (the inline-lambda usage
+    // pattern, e.g. a bench query re-constructed every run) must land
+    // on ONE kernel — its class has no captured state to differ by
+    def freshNonCapturing: Double => Double = v => v * 3.0 + 7.0
+    val n1 = a.mapTyped(freshNonCapturing).exprTree.toString
+    val n2 = a.mapTyped(freshNonCapturing).exprTree.toString
+    assert(n1 == n2, s"fresh non-capturing instances re-registered: $n1 vs $n2")
+    // CAPTURING instances of the same class close over different values
+    // — deduping them by class would silently run the first closure
+    def capturing(k: Double): Double => Double = v => v + k
+    val c1 = a.mapTyped(capturing(10.0))
+    val c2 = a.mapTyped(capturing(20.0))
+    assert(c1.exprTree.toString != c2.exprTree.toString,
+      "capturing lambdas with different environments must be distinct kernels")
+    assert(c1.elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq ==
+      Seq(10.0, 11.0, 12.0, 13.0, 14.0))
+    assert(c2.elements.orderBy("idx").collect().map(_.getDouble(1)).toSeq ==
+      Seq(20.0, 21.0, 22.0, 23.0, 24.0))
+  }
 }

@@ -134,10 +134,28 @@ class GateLintSpec extends AnyFunSuite {
     // t27/t28: the island prefix-sum is over 0/1 flags and span extents
     // are token positions — all integers
     "t27_exact_substr", "t28_substr_removal",
-    // t29: the raw sum IS the exactness mechanism — a RUNNING cumulative
-    // window over sqrt(n) per source accumulates in frame order on both
-    // engines (an ordered fold), and sqrt is IEEE correctly rounded, so
-    // the fold is bit-identical; a quantizer would only mask that proof
+  )
+
+  /** The ORDERED-FOLD waiver class (formalized from t29, r9): a raw
+    * float sum whose exactness proof is that BOTH engines evaluate the
+    * same IEEE additions in the same pinned order — not that the terms
+    * are integers. A gate claims this class only when all three hold:
+    *   1. the sum is a RUNNING cumulative (`SUM(...) OVER (ORDER BY ...
+    *      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`), never a
+    *      plain aggregate — a plain SUM's accumulation order is
+    *      engine-internal and NOT reproducible;
+    *   2. the fold order is pinned by an explicit deterministic sort
+    *      key present in both the Spark plan and the oracle SQL;
+    *   3. every term is built from correctly-rounded-by-spec ops only
+    *      (+ - * / sqrt and comparisons) — one libm call (ln, exp, …)
+    *      voids the proof and the gate must quantize instead.
+    * The structural test below enforces requirement 1 textually; 2–3
+    * are the written proof each entry must carry.
+    *   - t29: running Σ√n over sources ORDER BY source; terms are
+    *     sqrt of exact integer counts (correctly rounded); the Spark
+    *     side folds the identical sequence via aggregate() over
+    *     sort_array (same left fold, same order). */
+  private val orderedFoldWaivers: Set[String] = Set(
     "t29_temperature_mix",
   )
 
@@ -148,11 +166,24 @@ class GateLintSpec extends AnyFunSuite {
 
   test("float sums are quantized (round/floor/CAST) or carry a written waiver") {
     val bad = oracles.collect {
-      case (name, sql) if !exactSumWaivers(name) &&
+      case (name, sql) if !exactSumWaivers(name) && !orderedFoldWaivers(name) &&
         unwrapped(sql, "sum", quantizers).nonEmpty => name
     }
     assert(bad.isEmpty,
       "oracles with raw float sum( — quantize it or add an exactness waiver:\n  " +
         bad.mkString("\n  "))
+  }
+
+  test("ordered-fold waivers really contain a pinned-order running fold") {
+    // requirement 1 of the class: the oracle must carry the running
+    // cumulative frame — a plain SUM would silently demote the proof
+    // to engine-internal accumulation order
+    val frame = """(?i)ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW""".r
+    val bad = orderedFoldWaivers.filter { name =>
+      val sql = oracles.getOrElse(name, "")
+      frame.findFirstIn(sql).isEmpty
+    }
+    assert(bad.isEmpty,
+      s"ordered-fold waivers without a running cumulative frame in the oracle: $bad")
   }
 }

@@ -173,6 +173,48 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("band-width scale contract: bits derive from the corpus count, clamped [4,16]") {
+    import graft.operators.TextQueries.{bandBits, bandStackExpr}
+    // fixed 4-bit bands are 16 buckets/table at ANY corpus size — the
+    // production path widens b so the expected bucket stays bounded
+    assert(bandBits(0) == 4 && bandBits(65536) == 4)
+    assert(bandBits(1L << 26) == 10)          // 2^10 buckets of ~65536
+    assert(bandBits(100L * 65536) == 7)       // ceil(log2(100))
+    assert(bandBits(Long.MaxValue / 2) == 16) // 4 bands × 16 bits = 64
+    val widths = Seq(1L << 16, 1L << 20, 1L << 24, 1L << 30, 1L << 40).map(bandBits(_))
+    assert(widths == widths.sorted, s"bandBits must be monotone: $widths")
+    // the derived-width path generates real band keys: at b = 8 the
+    // bucket space is 16× the pinned 4-bit one
+    val n = 4096L
+    // non-negative signatures, like the simhash/phash columns the band
+    // key is applied to (SQL % is signed — a negative h would mint
+    // negative bucket ids)
+    val sigs = spark.range(n).selectExpr("id AS doc_id", "abs(xxhash64(id)) AS h")
+    val b = bandBits(n, targetBucket = 16L) // 256 buckets/table -> b = 8
+    assert(b == 8)
+    val buckets = sigs.selectExpr("doc_id", bandStackExpr(4, b))
+      .selectExpr("t", "bh").distinct().count()
+    assert(buckets > 4L * 16L && buckets <= 4L * 256L,
+      s"derived 8-bit bands should fan past the 64 fixed buckets, got $buckets")
+  }
+
+  test("t27/t28 exact-substr: corpus-wide exchanges keyed on window hashes, not strings") {
+    // the repeat groupBy + join must shuffle the 128-bit (h1, h2) window
+    // hash — 16 bytes/row — never the raw W-token window string `g`
+    // (~W× the corpus bytes; at 100 TB the difference between a ~100 TB
+    // and a ~2 PB exchange). `g` exists only inside the projection that
+    // computes the hashes, so no Exchange/hashpartitioning may mention it.
+    val gRef = "(?<![A-Za-z0-9_])g#".r // avoid matching lang#12 etc.
+    for (q <- Seq("t27_exact_substr", "t28_substr_removal")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("xxhash64"), s"$q should hash the window key:\n$plan")
+      val offending = plan.linesIterator.filter(l =>
+        l.contains("hashpartitioning") && gRef.findFirstIn(l).isDefined).toSeq
+      assert(offending.isEmpty,
+        s"$q exchanges the raw window string:\n${offending.mkString("\n")}")
+    }
+  }
+
   test("t15 sequence packing: block-partitioned prefix sum + broadcast carry") {
     val df = SparkEntry.queries("t15_seq_packing")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -525,6 +525,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("gopher signals: non-BMP parity — code points, not UTF-16 units") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // Non-BMP text: every 🍕 is 2 UTF-16 units but 1 code point, so a
+    // String.length-based kernel inflates `chars` (and gram lengths)
+    // and the shares drift from the batch gate (SQL length() = code
+    // points). doc 10 also repeats a 5-gram containing emoji so
+    // dup5_share exercises the gram-length path, and its shares sit
+    // near the keep thresholds where unit-vs-point drift flips keep.
+    val texts = Seq(
+      (10L, "🍕 a 🍕 a 🍕 a 🍕 a 🍕 a 🍕 a 🍕 a b c d e f g h i j k"),
+      (11L, "x 😀😀 y z x 😀😀 y z w q r s t u v"))
+    // batch expected: the t26 kernel verbatim over an in-memory frame
+    val batchDocs = texts.toDF("doc_id", "text")
+    batchDocs.createOrReplaceTempView("gopher_nonbmp")
+    val expected = sp.sql("""
+      WITH words AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+               posexplode(split(text, ' ')) AS (pos, w)
+        FROM gopher_nonbmp),
+      g2 AS (
+        SELECT doc_id, chars, g, count(1) AS c FROM (
+          SELECT doc_id, chars,
+                 concat_ws(' ', w, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS g
+          FROM words)
+        WHERE size(split(g, ' ')) = 2 GROUP BY doc_id, chars, g),
+      top2 AS (
+        SELECT doc_id, round(CAST(c * length(g) AS DOUBLE) / chars, 6) AS top2_share
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g2)
+        WHERE rn = 1),
+      g5 AS (
+        SELECT doc_id, chars, g, count(1) AS c FROM (
+          SELECT doc_id, chars,
+                 concat_ws(' ', w,
+                   lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                   lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+                   lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos),
+                   lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos)) AS g
+          FROM words)
+        WHERE size(split(g, ' ')) = 5 GROUP BY doc_id, chars, g),
+      dup5 AS (
+        SELECT doc_id, round(CAST(sum(c * length(g)) AS DOUBLE) / chars, 6) AS dup5_share
+        FROM g5 WHERE c > 1 GROUP BY doc_id, chars)
+      SELECT t.doc_id, top2_share, coalesce(dup5_share, 0.0) AS dup5_share,
+             top2_share < 0.20 AND coalesce(dup5_share, 0.0) < 0.15 AS keep
+      FROM top2 t LEFT JOIN dup5 d ON t.doc_id = d.doc_id""")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // sanity: the emoji doc's dup5 path is actually exercised
+    assert(expected(10L)._2 > 0.0, s"test fixture: doc 10 should have dup 5-grams, got $expected")
+    val in = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.gopherSignals(in.toDS())
+      .writeStream.format("memory").queryName("gopher_nb").outputMode("append").start()
+    try {
+      in.addData(texts.map { case (id, t) => StreamOps.Doc(ts(1), id, t) }: _*)
+      q.processAllAvailable()
+      val online = spark.table("gopher_nb").collect()
+        .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(online == expected, s"online $online vs batch $expected")
+    } finally q.stop()
+  }
+
   test("tiledb sink: one committed fragment set per batch, upsert shadows") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext

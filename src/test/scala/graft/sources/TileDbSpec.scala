@@ -150,4 +150,24 @@ class TileDbSpec extends AnyFunSuite {
       assert(v == ((i * 5 + j * 3 + k) % 9 + 1).toDouble, s"($i,$j,$k)")
     }
   }
+
+  test("N-d partial store: uncovered row-blocks densify to the schema fill") {
+    val s = spark
+    val uri = freshDir()
+    // schema spans 10 rows with a NONZERO fill; the write covers only
+    // rows 0..3 — readNd must densify rows 4..9 to 7.5 (the same fill
+    // contract as the 1-d read), not drop them
+    TileDb.createArray(s, uri, TileDb.Schema(Seq(10L, 3L, 2L), Seq(4L, 3L, 2L), fill = 7.5))
+    val a = graft.NdArray.tabulate(s, Seq(4L, 3L, 2L), "c0*10 + c1*2 + c2 + 1")
+    TileDb.writeNd(a, uri, ts = 2L, blockRows = 4L)
+    val got = TileDb.readNd(s, uri)
+    assert(got.shape == Seq(10L, 3L, 2L))
+    val vals = got.elements.orderBy("c0", "c1", "c2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(vals.length == 60, s"expected 60 dense cells, got ${vals.length}")
+    vals.foreach { case (i, j, k, v) =>
+      val want = if (i < 4) (i * 10 + j * 2 + k + 1).toDouble else 7.5
+      assert(v == want, s"($i,$j,$k): got $v want $want")
+    }
+  }
 }
