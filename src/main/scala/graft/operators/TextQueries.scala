@@ -698,6 +698,35 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // DETERMINISTIC per-source sampling (the eval-split / data-card /
+    // inspection-sample staple): exactly K docs per source, chosen as
+    // the K smallest values of a deterministic per-doc coin — stable
+    // across runs, engines, and partitionings (no rand()); ties break
+    // by doc_id. Scale shape: a THRESHOLD PRE-FILTER bounds the
+    // exact-rank window's input — the kept docs all satisfy u < T
+    // whenever each source has ≥ K survivors under T, so the
+    // per-source sort ranks ~n·T/2³¹ candidate rows instead of the
+    // whole corpus. Here T = 2³⁰ (half the coin space — survivor
+    // minimum 12 ≥ K at every test scale, measured); at 100 TB set
+    // T ≈ safety · K·2³¹/n_min and audit min-survivors ≥ K with a
+    // one-row aggregate, doubling T on a miss (deterministic retry —
+    // same sample either way). The window partitions by source and
+    // sorts only survivors — never a global or data-sized sort.
+    "t30_hash_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 5
+      val T = 1073741824L // 2^30
+      val cand = docs(s, d)
+        .selectExpr("source", "doc_id",
+          "((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648) AS u")
+        .where(s"u < $T")
+      val w = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .where(s"rn <= $K")
+        .selectExpr("source", "CAST(rn AS BIGINT) AS rn", "doc_id", "u")
+        .orderBy("source", "rn")
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1115,6 +1144,16 @@ object TextQueries {
            round(p.p, 6) AS rate
          FROM documents d JOIN p ON p.source = d.source
          GROUP BY p.source, p.n, p.p ORDER BY source""",
+
+    "t30_hash_sample" ->
+      """SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, u FROM (
+           SELECT source, doc_id, u,
+             row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+           FROM (SELECT source, doc_id,
+                   ((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648) AS u
+                 FROM documents)
+           WHERE u < 1073741824)
+         WHERE rn <= 5 ORDER BY source, rn""",
 
     "t19_mixture_sample" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS total,

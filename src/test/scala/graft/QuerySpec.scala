@@ -173,6 +173,20 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("t30 threshold pre-filter keeps >= K survivors per source (exactness guard)") {
+    // the sample is exact iff each source's K smallest coins all pass
+    // the pre-filter — guaranteed when >= K survivors exist under T.
+    // Data and coin are deterministic, so this is a fixture invariant,
+    // not a probabilistic one (also measured >= 12 at sf0.01/sf0.1).
+    val minSurvivors = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source",
+        "((1103515245 * (doc_id % 2147483648) + 12345) % 2147483648) AS u")
+      .where("u < 1073741824")
+      .groupBy("source").count()
+      .agg(org.apache.spark.sql.functions.min("count")).head().getLong(0)
+    assert(minSurvivors >= 5, s"t30 exactness bound violated: $minSurvivors < 5")
+  }
+
   test("band-width scale contract: bits derive from the corpus count, clamped [4,16]") {
     import graft.operators.TextQueries.{bandBits, bandStackExpr}
     // fixed 4-bit bands are 16 buckets/table at ANY corpus size — the
