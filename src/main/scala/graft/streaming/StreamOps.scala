@@ -366,6 +366,43 @@ object StreamOps {
       .select(col("ts"), col("doc_id"), col("source"))
   }
 
+  final case class SampleRow(source: String, ver: Long, rn: Long,
+                             doc_id: Long, u: Long)
+
+  /** Streaming twin of the batch t30 deterministic sampler: per source,
+    * maintain the K smallest (u, doc_id) coins seen so far — O(K) state
+    * per source forever, no watermark (the sample only improves toward
+    * smaller coins, so "late" data is incorporated exactly, never
+    * dropped). A group re-emits its sample only when a batch CHANGED it,
+    * tagged with a per-group version; the max-version rows per source
+    * are the current sample and converge to the batch t30 result once
+    * the stream drains — same coin, same (u, doc_id) tie-break, same K
+    * (spec-asserted against an in-test oracle). The batch plan's
+    * threshold pre-filter has no streaming analogue to pay for: the
+    * stream IS one pass, and the per-group tournament does the
+    * bounding. */
+  def hashSample(docs: Dataset[SrcDoc], k: Int = 5): Dataset[SampleRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    docs
+      .map(d => (d.source, d.doc_id,
+        (1103515245L * (d.doc_id % 2147483648L) + 12345L) % 2147483648L))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, List[(Long, Long)]), SampleRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { case (src, it, state) =>
+        val (ver, old) = state.getOption.getOrElse((0L, Nil))
+        val best = (old ++ it.map { case (_, id, u) => (u, id) })
+          .distinct.sorted.take(k)
+        if (best == old) Iterator.empty
+        else {
+          state.update((ver + 1, best))
+          best.iterator.zipWithIndex.map { case ((u, id), i) =>
+            SampleRow(src, ver + 1, i + 1L, id, u)
+          }
+        }
+      }
+  }
+
   /** Streaming cross-corpus span dedup — the online half of the batch t20
     * C4 repeated-span filter: explode disjoint token spans, keep ONE
     * occurrence per span and drop repeats. `dropDuplicatesWithinWatermark`

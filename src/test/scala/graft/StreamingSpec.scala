@@ -525,6 +525,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming hash sample converges to the batch t30 result") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val all = sp.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("CAST(doc_id AS TIMESTAMP) AS ts", "doc_id", "source", "text")
+      .as[StreamOps.SrcDoc].collect()
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val in = MemoryStream[StreamOps.SrcDoc]
+    val q = StreamOps.hashSample(in.toDS(), k = 5)
+      .writeStream.format("memory").queryName("hsample").outputMode("update").start()
+    try {
+      in.addData(b1.toSeq: _*); q.processAllAvailable()
+      in.addData(b2.toSeq: _*); q.processAllAvailable()
+      val rows = spark.table("hsample").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // current sample per source = its max-version emission
+      val latest = rows.groupBy(_._1).map { case (src, rs) =>
+        val mv = rs.map(_._2).max
+        src -> rs.filter(_._2 == mv).sortBy(_._3).map(t => (t._4, t._5)).toSeq
+      }
+      def coin(id: Long) = (1103515245L * (id % 2147483648L) + 12345L) % 2147483648L
+      val expected = all.groupBy(_.source).map { case (src, ds) =>
+        src -> ds.map(d => (coin(d.doc_id), d.doc_id)).toSeq
+          .distinct.sorted.take(5).map(t => (t._2, t._1))
+      }
+      assert(latest == expected, s"latest $latest\nexpected $expected")
+    } finally q.stop()
+  }
+
   test("gopher signals: non-BMP parity — code points, not UTF-16 units") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
