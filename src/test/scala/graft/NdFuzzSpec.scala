@@ -166,4 +166,57 @@ class NdFuzzSpec extends AnyFunSuite {
       .withInitialSeed(org.scalacheck.rng.Seed(20260815L)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- stencil fuzz (covers the single-scan ghost-image path) -------------
+  private val genStencil: Gen[(List[Int], List[(List[Long], Double)], String)] = for {
+    rank <- Gen.choose(2, 3)
+    dims <- Gen.listOfN(rank, Gen.choose(2, 5))
+    nTaps <- Gen.choose(1, 5)
+    taps <- Gen.listOfN(nTaps, for {
+      off <- Gen.listOfN(rank, Gen.choose(-2L, 2L))
+      w <- Gen.choose(-3, 3)
+    } yield (off, w.toDouble))
+    bnd <- Gen.oneOf("constant", "reflect", "wrap")
+  } yield (dims, taps, bnd)
+
+  test("random stencils match the local boundary oracle") {
+    def bIdx(q: Long, n: Int, mode: String): Option[Int] = mode match {
+      case "constant" => if (q >= 0 && q < n) Some(q.toInt) else None
+      case "reflect" =>
+        // one mirror step (halo <= n by construction)
+        if (q < 0) Some((-q - 1).toInt)
+        else if (q >= n) Some((2 * n - 1 - q).toInt) else Some(q.toInt)
+      case "wrap" => Some((((q % n) + n) % n).toInt)
+    }
+    val prop = Prop.forAll(genStencil) { case (dims, taps0, bnd) =>
+      // halo must fit the axis under reflect/wrap (the engine requires
+      // h <= n); clamp offending tap components instead of discarding
+      val taps = taps0.map { case (off, w) =>
+        (off.zip(dims).map { case (o, n) => math.max(-n.toLong, math.min(n.toLong, o)) }, w)
+      }
+      val n = dims.product
+      val x = Vector.tabulate(n)(i => ((i * 11) % 17 - 8).toDouble)
+      val local = L(dims, x)
+      val want = Vector.tabulate(n) { i =>
+        val c = local.coords(i)
+        taps.map { case (off, w) =>
+          val src = c.zip(off).zip(dims).map { case ((ci, o), d) => bIdx(ci + o, d, bnd) }
+          if (src.forall(_.isDefined)) w * x(local.idx(src.map(_.get))) else 0.0
+        }.sum
+      }
+      val sp = spark
+      import sp.implicits._
+      val nd0 = NdArray.fromFlat(
+        (0 until n).map(i => (i.toLong, x(i))).toDF("idx", "v"),
+        dims.map(_.toLong))
+      val got = nd0.stencilSum(taps.map { case (o, w) => (o.toSeq, w) }, bnd)
+        .ravel.orderBy("idx").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val ok = (0 until n).forall(i => got.getOrElse(i.toLong, 0.0) == want(i))
+      if (!ok) println(s"STENCIL FUZZ FAIL dims=$dims taps=$taps bnd=$bnd\n got=$got\n want=$want")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260816L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
