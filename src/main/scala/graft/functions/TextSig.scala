@@ -26,7 +26,13 @@ object TextSig {
   private val H = 8
 
   def sig(id: Long, text: String): SigRow = {
-    val n = text.length
+    // CODE POINTS, not UTF-16 units: SQL substring/length/ascii index
+    // code points (both Spark and DuckDB), so a charAt-based kernel
+    // would desync from the SQL twins on any non-BMP text — same
+    // parity rule as the streaming gopher kernel (identical on ASCII,
+    // where every code point is one char)
+    val cps: Array[Int] = text.codePoints().toArray
+    val n = cps.length
     val m = math.max(n - 2, 1)
 
     // trigram polyhash list (positional; matches ascii(substring(...)) with
@@ -36,9 +42,9 @@ object TextSig {
     while (i < m) {
       // i can exceed n-1 only for n == 0 (m is forced to 1); SQL's
       // ascii(substring('', 1, 1)) = ascii('') = 0, so hash 0 likewise
-      val c0 = if (i < n) text.charAt(i).toInt else 0
-      val c1 = if (i + 1 < n) text.charAt(i + 1).toInt else 0
-      val c2 = if (i + 2 < n) text.charAt(i + 2).toInt else 0
+      val c0 = if (i < n) cps(i) else 0
+      val c1 = if (i + 1 < n) cps(i + 1) else 0
+      val c2 = if (i + 2 < n) cps(i + 2) else 0
       hl(i) = c0 * 961 + c1 * 31 + c2
       i += 1
     }
@@ -78,10 +84,10 @@ object TextSig {
     var b = 0
     while (b < 16) { if (cnt(b) > 0) simhash |= (1L << b); b += 1 }
 
-    // rolling fingerprint over the raw text
+    // rolling fingerprint over the raw text (code points — see above)
     var fp = 0L
     i = 0
-    while (i < n) { fp = (fp * 31 + text.charAt(i).toInt) % P; i += 1 }
+    while (i < n) { fp = (fp * 31 + cps(i)) % P; i += 1 }
 
     SigRow(id, mins(0), mins(1), mins(2), mins(3), mins(4), mins(5), mins(6),
       mins(7), simhash, fp, dhl)

@@ -235,6 +235,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.mapTyped(f).elements.collect().map(_.getDouble(1)).sum == 0 + 1 + 2 + 3 + 4 + 5 * 1.5)
   }
 
+  test("TextSig kernel indexes CODE POINTS (SQL substring/ascii parity on non-BMP)") {
+    // Spark SQL substring()/length()/ascii() index code points (probed:
+    // ascii('🍕') = 127829, substring('a🍕b', 2, 1) = '🍕'), as does
+    // DuckDB — a charAt-based kernel would hash UTF-16 halves of every
+    // surrogate pair and desync both gates on non-BMP text
+    val text = "a🍕b🍕c" // a🍕b🍕c — 5 code points, 7 chars
+    val row = graft.functions.TextSig.sig(7L, text)
+    val fpSql = spark.sql(
+      s"SELECT aggregate(sequence(1, length('$text')), CAST(0 AS BIGINT), " +
+        s"(acc, i) -> (acc * 31 + ascii(substring('$text', i, 1))) % 1000003) AS fp")
+      .head().getLong(0)
+    assert(row.fp == fpSql, s"rolling fp ${row.fp} != SQL twin $fpSql")
+    val tri1 = spark.sql(
+      s"SELECT CAST(ascii(substring('$text', 1, 1)) * 961 + " +
+        s"ascii(substring('$text', 2, 1)) * 31 + " +
+        s"ascii(substring('$text', 3, 1)) AS BIGINT)")
+      .head().getLong(0)
+    assert(row.dhl.head.toLong == tri1, s"trigram ${row.dhl.head} != SQL twin $tri1")
+  }
+
   test("typed kernels: non-capturing lambdas dedup by class, capturing by instance") {
     val s = spark
     val a = graft.DArray.arange(s, "/unused", 0, 5, 1)
