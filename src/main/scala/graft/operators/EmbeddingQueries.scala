@@ -489,6 +489,23 @@ object EmbeddingQueries {
       .where(s"rn <= $nprobe").select("qid", "qe", "label")
   }
 
+  /** Build the IVF index as a PERSISTED BUCKETED table keyed on the
+    * coarse cell — the index-build half of e18. At 100 TB this is the
+    * one-time write that makes every serving join/agg on the cell id
+    * exchange-free on the corpus side (the batch-serving case where the
+    * query set is too big to broadcast shuffles ONLY the query side);
+    * `sortBy(label)` additionally lets sort-merge serving skip the
+    * per-task sort. External path under tmp; overwrite = idempotent
+    * rebuild. */
+  private[graft] def ivfBucketedTable(s: SparkSession, d: String): String = {
+    val name = "graft_ivf_cells"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cells"
+    graft.sources.Bucketed.writeBucketed(
+      emb(s, d).select(col("vec_id"), col("label"), col("embedding")),
+      name, "label", 8, Some(path))
+    name
+  }
+
   private def ivfTop3(s: SparkSession, d: String, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
@@ -563,6 +580,29 @@ object EmbeddingQueries {
     "e07_ivf_search" -> ((s, d) =>
       ivfTop3(s, d).select("qid", "label", "rn", "vec_id", "sim")
         .orderBy("qid", "rn")),
+
+    // IVF INDEX BUILD + serve from the persisted bucketed table: the
+    // lifecycle e07 skips — write the corpus once, hash-bucketed +
+    // sorted on the coarse cell, then serve against the table scan.
+    // Same results as e07 (the oracle replays e07's SQL); what changes
+    // is the 100 TB story: the corpus side of every serving join/agg on
+    // the cell id is exchange-free (BucketingSpec asserts single-probe
+    // serving plans exactly ONE exchange — the probe side — with
+    // broadcast disabled, and cell-stat aggs plan zero)
+    "e18_ivf_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = s.table(ivfBucketedTable(s, d))
+      val assign = ivfCoarseAssign(emb(s, d), maxQid = 5, nprobe = 1)
+      assign.join(cells, Seq("label"))
+        .where("vec_id <> qid")
+        .selectExpr("qid", "label", "vec_id",
+          s"round(${sparkDot("embedding", "qe")}, 4) AS sim")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+        .where("rn <= 3")
+        .select("qid", "label", "rn", "vec_id", "sim")
+        .orderBy("qid", "rn")
+    }),
 
     // recall@3 audit of the IVF index against the brute-force baseline —
     // the quality dial every ANN deployment watches. Both sides are
@@ -794,6 +834,10 @@ object EmbeddingQueries {
           ORDER BY sim DESC, a, b LIMIT 20""",
 
     "e07_ivf_search" -> s"${duckIvfTop3()} ORDER BY qid, rn",
+
+    // identical results to e07 — the bucketed build changes the plan,
+    // not the math
+    "e18_ivf_bucketed" -> s"${duckIvfTop3()} ORDER BY qid, rn",
 
     "e12_ann_recall" ->
       s"""WITH bf AS ($duckBruteTop3),

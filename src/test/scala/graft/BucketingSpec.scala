@@ -61,6 +61,30 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.count() == 500)
   }
 
+  test("e18 bucketed IVF serve: corpus side exchange-free (probe side only)") {
+    // build the index table from the sf0.001 corpus, then check the
+    // batch-serving shape: with broadcast disabled (this suite's
+    // session), joining an UNBUCKETED probe set against the cells on
+    // `label` must shuffle ONLY the probe side — the corpus scan
+    // satisfies the hash distribution from its buckets
+    val sf = "/root/testdata/sf0.001"
+    val t = graft.operators.EmbeddingQueries.ivfBucketedTable(spark, sf)
+    val cells = spark.table(t)
+    // label must match the table's INT type exactly — a widening CAST
+    // on the bucket key makes the planner disable bucketed reads
+    val probes = spark.range(64).selectExpr("CAST(id % 8 AS INT) AS label", "id AS qid")
+    val j = probes.join(cells, "label")
+    val plan = j.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"expected exactly the probe-side exchange:\n$plan")
+    // and per-cell stats read straight off the buckets
+    val agg = cells.groupBy("label").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    val want = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(agg.count() == want, s"cell count ${agg.count()} != $want")
+  }
+
   test("mismatched bucket counts fall back to a shuffled join (sanity)") {
     val c = spark.range(0, 1000).selectExpr("id % 100 AS k", "id AS c")
     Bucketed.writeBucketed(c, "bk_c", "k", 4, Some(s"$dataDir/bk_c"))
