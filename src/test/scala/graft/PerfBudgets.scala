@@ -1,109 +1,55 @@
 package graft
 
-/** Budgeted steady seconds per query — ~3x the round-8 clean full-bench
-  * steady numbers at sf0.1 (local[32]), rounded up to 0.5 s; only
-  * queries whose budget exceeds the [[PerfBudgetSpec]] 1 s floor are
-  * listed. Regenerate from bench_detail.json when a deliberate plan
-  * change moves a query's baseline. */
+/** Budgeted steady seconds per query — ~3x the round-10 full-battery
+  * steady numbers at sf0.1 (local[32], the driver's exact invocation),
+  * rounded up to 0.5 s; only entries above the 1.5 s default are
+  * listed (the rest fall through to [[PerfBudgetSpec]]'s default).
+  * Regenerated r10 after the bisection showed the r8/r9 baselines
+  * carried driver-box contamination spikes — these are 3x clean
+  * steady, and the gate's min(first, steady) + scaled slack absorbs
+  * the observed ~2 s contamination class without masking the
+  * multi-second plan-regression class the tripwire exists for.
+  * Regenerate from bench_detail.json when a deliberate plan change
+  * moves a query's baseline. */
 object PerfBudgets {
   val budgets: Map[String, Double] = Map(
-    "e05_ann_bucketed" -> 4.5,
-    "e07_ivf_search" -> 2.0,
-    "e09_pq_adc" -> 1.5,
-    "e11_semdedup" -> 1.5,
     "e12_ann_recall" -> 2.0,
-    "e13_kmeans_lloyd" -> 4.0,
-    // r10: fused-dot redesign measured 1.75–1.96 s isolated at sf0.1
-    // under driver settings; 3x that, rounded — was 7.5 (3x the r9
-    // driver number, which the r10 bisection attributes to driver-box
-    // context noise, not the plan)
-    "e14_pq_train" -> 6.0,
-    "e15_ivfpq_search" -> 4.0,
-    "e16_ivf_multiprobe" -> 3.0,
-    "e17_outliers" -> 3.5,
-    "f06_hfft_roundtrip" -> 1.5,
-    "h01_hdf5_roundtrip" -> 1.5,
+    "e13_kmeans_lloyd" -> 2.5,
+    "e14_pq_train" -> 5.5,
+    "e15_ivfpq_search" -> 2.0,
+    "e16_ivf_multiprobe" -> 2.0,
+    "e17_outliers" -> 3.0,
+    "e18_ivf_bucketed" -> 2.0,
     "l03_cholesky_trace" -> 5.5,
-    "l04_inv" -> 9.0,
-    "l05_svd_full" -> 5.0,
-    "l06_svd_compressed" -> 9.5,
+    "l04_inv" -> 6.5,
+    "l05_svd_full" -> 4.5,
+    "l06_svd_compressed" -> 7.5,
     "l07_lstsq" -> 2.0,
-    "l08_solve_lu" -> 8.5,
-    "l09_lu_reconstruct" -> 4.5,
-    "l10_solve_spd" -> 8.0,
-    "l11_sfqr" -> 4.5,
-    "m01_matmul" -> 4.0,
-    "m02_gram" -> 2.0,
-    "m11_matmul_chain" -> 1.5,
-    "m13_einsum_matmul" -> 1.5,
-    "m16_stencil_mean" -> 4.5,
-    "m17_batched_matmul" -> 1.5,
+    "l09_lu_reconstruct" -> 3.5,
+    "l11_sfqr" -> 4.0,
+    "l12_matrix_norms" -> 2.0,
     "m18_einsum_chain" -> 2.0,
-    "m20_rot90" -> 2.0,
-    "m22_stencil_periodic" -> 1.5,
-    "m24_corrcoef" -> 1.5,
-    "m32_cov_matrix" -> 2.0,
-    "m33_gradient2d" -> 1.5,
-    "m37_sparse_matvec" -> 3.0,
-    "m38_sparse_spgemm" -> 11.5,
+    "m37_sparse_matvec" -> 2.5,
+    "m38_sparse_spgemm" -> 4.0,
     "m39_sparse_elemwise" -> 3.0,
     "m40_sparse_identity" -> 3.5,
-    "n09_nd_cum_axis" -> 1.5,
-    "n10_nd_diff_axis" -> 1.5,
+    "m42_cov_weighted" -> 2.0,
+    "mm06_phash_pairs" -> 2.0,
     "n11_broadcast_add" -> 2.0,
-    "n14_nd_stencil3d" -> 4.5,
-    "n15_nd_dilate3d" -> 4.5,
-    "q03_cumsum" -> 2.0,
-    "q04_diff" -> 1.5,
-    "q05_sliding_mean" -> 2.0,
-    "q07_mask" -> 2.5,
+    "n14_nd_stencil3d" -> 2.0,
+    "q105_map_overlap" -> 2.5,
+    "q109_ufunc_libm" -> 6.0,
     "q11_ffill" -> 2.0,
     "q14_cummax" -> 2.0,
-    "q18_searchsorted" -> 1.5,
-    "q22_flip" -> 1.5,
-    "q24_cumprod_sign" -> 1.5,
-    "q25_cummin" -> 1.5,
-    "q28_quantiles" -> 1.5,
-    "q30_isin" -> 1.5,
-    "q34_gradient" -> 1.5,
-    "q44_set_ops" -> 1.5,
-    "q47_frexp_modf" -> 1.5,
-    "q49_random_poisson" -> 1.5,
-    "q54_overlap_boundary" -> 1.5,
-    "q57_unique_inverse" -> 2.0,
-    "q58_insert_delete" -> 1.5,
-    "q68_interp" -> 1.5,
-    "q70_searchsorted_left" -> 1.5,
-    "q75_pad_linear_ramp" -> 1.5,
-    "q76_boundary_strict" -> 1.5,
-    "q79_nancumsum" -> 2.0,
     "q80_nancumprod" -> 2.0,
-    "q88_zarr_int64_exact" -> 1.5,
-    "q92_masked_stats" -> 1.5,
-    "q94_masked_average" -> 1.5,
-    "q95_random_gen_tail" -> 2.5,
-    "q96_randomstate" -> 2.0,
-    "q97_int64_exact_compute" -> 1.5,
     "q98_randomstate_perm" -> 2.0,
-    "q99_gamma_general" -> 8.5,
-    "t04_langid" -> 2.0,
-    "t05_minhash" -> 1.5,
-    "t06_lsh_candidates" -> 1.5,
-    "t07_jaccard" -> 3.5,
-    "t09_fingerprint" -> 1.5,
-    "t11_simhash_pairs" -> 2.0,
-    "t12_tfidf" -> 1.5,
-    "t13_dedup_clusters" -> 6.0,
-    "t22_dedup_keep_best" -> 9.0,
-    "t14_contamination" -> 9.0,
-    "t15_seq_packing" -> 1.5,
-    "t16_lm_score" -> 4.5,
+    "q99_gamma_general" -> 3.0,
+    "t07_jaccard" -> 2.5,
+    "t13_dedup_clusters" -> 4.5,
     "t20_span_dedup" -> 2.0,
     "t21_bloom_decontamination" -> 2.0,
-    "z01_zarr_roundtrip" -> 1.5,
-    "z02_zarr_2d" -> 1.5,
-    "z04_zarr_nd" -> 1.5,
-    "z05_zarr_zstd" -> 1.5,
-    "z06_zarr_blosc" -> 1.5,
-    "z07_zarr_sharded" -> 1.5)
+    "t22_dedup_keep_best" -> 4.0,
+    "t27_exact_substr" -> 3.0,
+    "t28_substr_removal" -> 4.5,
+    "td02_tiledb_shadow" -> 2.0)
 }
