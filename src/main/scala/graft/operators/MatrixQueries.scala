@@ -633,6 +633,21 @@ object MatrixQueries {
       }.orderBy("idx")
     }),
 
+    // vector-output gufunc "(i)->(i)" through the oracle: per-row mean
+    // centering. Exactness: the row sum is over exact small integers
+    // (order-free), the mean is one correctly-rounded division, and
+    // each a_i − mean one correctly-rounded subtraction — identical on
+    // both engines; the oracle quantizes its sum through CAST BIGINT
+    // (exact, GateLint-conformant) and filters v <> 0 to mirror the
+    // engine's implicit-zero cell table
+    "g02_gufunc_center" -> ((s, d) => {
+      val x = A.spark(s)
+      GUFunc.applyVector("(i)->(i)", x) { case Seq(a) =>
+        val m = a.sum / a.length
+        a.map(_ - m)
+      }.elements.orderBy("i", "j")
+    }),
+
     // distributed four-step FFT (linalg/FFT.scala — O(n log n), two
     // bounded shuffles, no rechunk-to-one-task): verified against the
     // oracle through Parseval's theorem, Σ|X_k|²/n = Σ|x_j|², which the
@@ -1152,6 +1167,15 @@ object MatrixQueries {
       s"""SELECT a.i AS idx, CAST(sum((a.v - b.v) * (a.v - b.v)) AS DOUBLE) AS v
           FROM $x a JOIN $y b ON a.i = b.i AND a.j = b.j
           GROUP BY a.i ORDER BY idx"""
+    },
+
+    "g02_gufunc_center" -> {
+      val x = A.duck
+      s"""WITH m AS (SELECT i, CAST(sum(v) AS BIGINT) / 30.0 AS mu
+                     FROM $x GROUP BY i)
+          SELECT x.i AS i, x.j AS j, x.v - m.mu AS v
+          FROM $x x JOIN m ON x.i = m.i
+          WHERE x.v - m.mu <> 0 ORDER BY i, j"""
     },
 
     "np02_npy_nd" ->
