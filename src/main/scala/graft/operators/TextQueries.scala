@@ -727,6 +727,28 @@ object TextQueries {
         .orderBy("source", "rn")
     }),
 
+    // DERIVED-WIDTH band blocking under the oracle: the production path
+    // of the bandBits scale contract, gated end to end — band width is
+    // computed FROM THE CORPUS COUNT on both engines (Spark: bandBits;
+    // DuckDB: the same clamp(ceil(log2(n div target)), 4, 16) in SQL),
+    // so the gate passes at sf0.01 with 5-bit bands AND at sf0.1 with
+    // 9-bit bands from the same query text. The 62-bit key is exact
+    // integer arithmetic both sides (doc_id·2654435761 ≤ 2^54, no
+    // overflow); output is the per-(table, band) occupancy histogram —
+    // the quantity the contract bounds. The count() is one metadata
+    // scalar (the same O(1) driver traffic the 100 TB path needs to
+    // derive width).
+    "t31_derived_bands" -> ((s, d) => {
+      val n = docs(s, d).count()
+      val bits = bandBits(n, targetBucket = 16L)
+      docs(s, d)
+        .selectExpr("doc_id",
+          "(doc_id * 2654435761) % 4611686018427387904 AS h")
+        .selectExpr("doc_id", bandStackExpr(4, bits))
+        .groupBy("t", "bh").agg(count(lit(1)).as("n"))
+        .orderBy("t", "bh")
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1154,6 +1176,23 @@ object TextQueries {
                  FROM documents)
            WHERE u < 1073741824)
          WHERE rn <= 5 ORDER BY source, rn""",
+
+    "t31_derived_bands" ->
+      """WITH c AS (SELECT count(*) AS n FROM documents),
+           bb AS (SELECT CASE WHEN n // 16 <= 1 THEN 4
+                    ELSE greatest(4, least(16,
+                      CAST(ceil(log2(CAST(n // 16 AS DOUBLE))) AS INT))) END AS bits
+                  FROM c),
+           h AS (SELECT doc_id,
+                   (doc_id * 2654435761) % 4611686018427387904 AS h
+                 FROM documents),
+           bands AS (
+             SELECT CAST(t AS INT) AS t,
+               (h.h // CAST(power(2, bits * t) AS BIGINT))
+                 % CAST(power(2, bits) AS BIGINT) AS bh
+             FROM h, bb, (SELECT unnest([0, 1, 2, 3]) AS t))
+         SELECT t, bh, CAST(count(*) AS BIGINT) AS n
+         FROM bands GROUP BY t, bh ORDER BY t, bh""",
 
     "t19_mixture_sample" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS total,
