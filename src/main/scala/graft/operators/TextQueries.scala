@@ -1181,7 +1181,7 @@ object TextQueries {
       """WITH c AS (SELECT count(*) AS n FROM documents),
            bb AS (SELECT CASE WHEN n // 16 <= 1 THEN 4
                     ELSE greatest(4, least(16,
-                      CAST(ceil(log2(CAST(n // 16 AS DOUBLE))) AS INT))) END AS bits
+                      CAST(ceil(log2(n // 16)) AS INT))) END AS bits
                   FROM c),
            h AS (SELECT doc_id,
                    (doc_id * 2654435761) % 4611686018427387904 AS h
