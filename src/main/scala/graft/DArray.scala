@@ -263,6 +263,22 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
   def cummax: DArray                       = wrap(CumVec(exprTree, "max"))
   def cummin: DArray                       = wrap(CumVec(exprTree, "min"))
   def cumprod: DArray                      = wrap(CumVec(exprTree, "prod"))
+  /** `method` selects the carry plan, as the reference's
+    * `cumsum(x, method=)` does (`reductions/_cumulative.py:451`):
+    * "sequential" = [[graft.expr.CumVec]] (per-block window + bounded
+    * single-partition carry chain), "blelloch" =
+    * [[graft.expr.CumBlellochVec]] (log-round partitioned up/down sweep,
+    * no single-partition stage at all). */
+  def cumsum(method: String): DArray       = wrap(cumMethod("sum", method))
+  def cummax(method: String): DArray       = wrap(cumMethod("max", method))
+  def cummin(method: String): DArray       = wrap(cumMethod("min", method))
+  def cumprod(method: String): DArray      = wrap(cumMethod("prod", method))
+  private def cumMethod(op: String, method: String): VecExpr = method match {
+    case "sequential" => CumVec(exprTree, op)
+    case "blelloch"   => CumBlellochVec(exprTree, op)
+    case other        => throw new IllegalArgumentException(
+      s"""cum method must be "sequential" or "blelloch", got $other""")
+  }
   def diff(n: Int = 1): DArray             = wrap(DiffVec(exprTree, n))
   /** numpy diff's `prepend`/`append` (reference `routines/_diff.py:9` —
     * scalar values concatenated onto the ends BEFORE differencing).

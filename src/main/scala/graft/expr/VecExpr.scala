@@ -490,6 +490,137 @@ final case class CumVec(child: VecExpr, op: String) extends VecExpr {
   }
 }
 
+/** Work-efficient parallel cumulative scan — `method="blelloch"` (reference
+  * `CumReductionBlelloch`, `dask_array/reductions/_cumulative.py:267` +
+  * `crates/.../blelloch.rs`). Same two-phase shape as [[CumVec]] (per-block
+  * partitioned prefix window + carry broadcast back), but the carry table's
+  * own prefix scan is an explicit Blelloch up/down sweep: ceil(log2 B)+
+  * rounds of PARTITIONED equi-joins over the O(B)-row block-totals table,
+  * with ZERO single-partition windows anywhere in the plan. [[CumVec]]
+  * spends one bounded single-partition window on the O(√n) carry table
+  * (the reference's sequential carry chain); the Blelloch path removes
+  * even that at the cost of log B extra (tiny) rounds — the same trade
+  * the reference documents for `method="blelloch"`. Each round is
+  * `localCheckpoint`ed, the established iterative-lineage pattern
+  * (connected components, Cholesky generations), so the plan stays O(1)
+  * per round instead of O(3^rounds).
+  *
+  * Requires a known child length (the round schedule is planned
+  * statically from numBlocks); unknown-length children fall back to the
+  * sequential [[CumVec]] plan. */
+final case class CumBlellochVec(child: VecExpr, op: String) extends VecExpr {
+  def children: Seq[VecExpr] = Seq(child)
+  def token: String = s"cumblelloch[$op]"
+  override def length: Long = child.length
+  override def transferBytes: (Long, Long) =
+    (0L, VecExpr.passBytes(child.length))
+
+  /** One sweep round: rows at positions `start, start+s2, start+2·s2, …`
+    * are replaced by combine(partner, self) where the partner sits
+    * `stride` positions to the left; every other row passes through. The
+    * update is an equi-join on a shifted key — shuffle-partitioned by j,
+    * never a global window. */
+  private def round(p: DataFrame, stride: Long, s2: Long, start: Long,
+                    cols: Seq[String], comb: Seq[(Column, Column) => Column]): DataFrame = {
+    val sel = col("j") >= start && pmod(col("j") - start, lit(s2)) === 0
+    val left = p.select((col("j") + stride).as("j") +: cols.map(c => col(c).as("L_" + c)): _*)
+    val updated = p.where(sel).join(left, "j")
+      .select(col("j") +: cols.zip(comb).map { case (c, f) => f(col("L_" + c), col(c)).as(c) }: _*)
+    p.where(!sel).unionByName(updated).localCheckpoint(true)
+  }
+
+  /** Inclusive prefix scan of the m-row totals table following
+    * [[CumBlellochVec.schedule]]. */
+  private def sweep(p0: DataFrame, m: Long, cols: Seq[String],
+                    comb: Seq[(Column, Column) => Column]): DataFrame =
+    CumBlellochVec.schedule(m).foldLeft(p0.localCheckpoint(true)) {
+      case (p, (stride, s2, start)) => round(p, stride, s2, start, cols, comb)
+    }
+
+  def eval(ctx: Ctx): DataFrame = {
+    val n = child.length
+    if (n < 0) return CumVec(child, op).eval(ctx) // round schedule needs numBlocks
+    val b = child.chunk
+    val numBlocks = math.max((n + b - 1) / b, 1L)
+    val m = numBlocks - 1 // totals of blocks 0..B-2 feed carries of blocks 1..B-1
+    val base = Blocked.withBlk(child.eval(ctx), b)
+    val wL = Blocked.wLocal
+    // (local running columns, per-block totals, columnwise combine, final merge)
+    val (local, totals, cols, comb, finish) = op match {
+      case "sum" =>
+        (base.withColumn("lv", sum(col("v")).over(wL)),
+          base.groupBy("blk").agg(sum("v").as("t0")),
+          Seq("t0"),
+          Seq((a: Column, x: Column) => a + x),
+          (df: DataFrame) => df.select(col("idx"),
+            (col("lv") + coalesce(col("t0"), lit(0.0))).cast("double").as("v")))
+      case "min" | "max" =>
+        val (aggF, combine) =
+          if (op == "min") ((c: Column) => min(c), (a: Column, x: Column) => least(a, x))
+          else ((c: Column) => max(c), (a: Column, x: Column) => greatest(a, x))
+        (base.withColumn("lv", aggF(col("v")).over(wL)),
+          base.groupBy("blk").agg(aggF(col("v")).as("t0")),
+          Seq("t0"), Seq(combine),
+          (df: DataFrame) => df.select(col("idx"),
+            when(col("t0").isNull, col("lv")).otherwise(combine(col("lv"), col("t0")))
+              .cast("double").as("v")))
+      case "prod" =>
+        // log-space triple (zeros, negatives, log|v|) as in CumVec: the
+        // Blelloch combine is columnwise + on all three
+        val zeros = when(col("v") === 0.0, 1).otherwise(0)
+        val negs  = when(col("v") < 0.0, 1).otherwise(0)
+        val logs  = when(col("v") =!= 0.0, log(abs(col("v")))).otherwise(0.0)
+        val plus = (a: Column, x: Column) => a + x
+        (base.select(col("*"),
+            sum(zeros).over(wL).as("lz"), sum(negs).over(wL).as("ln"),
+            sum(logs).over(wL).as("ll")),
+          base.groupBy("blk").agg(sum(zeros).cast("double").as("t0"),
+            sum(negs).cast("double").as("t1"), sum(logs).as("t2")),
+          Seq("t0", "t1", "t2"), Seq(plus, plus, plus),
+          (df: DataFrame) => df.select(col("idx"),
+            when(col("lz") + coalesce(col("t0"), lit(0.0)) > 0, 0.0)
+              .otherwise(exp(col("ll") + coalesce(col("t2"), lit(0.0))) *
+                pow(lit(-1.0), (col("ln") + coalesce(col("t1"), lit(0.0))) % 2))
+              .cast("double").as("v")))
+      case other => throw new IllegalArgumentException(s"cum op $other")
+    }
+    if (numBlocks <= 1)
+      return finish(cols.foldLeft(local)((df, c) => df.withColumn(c, lit(null).cast("double"))))
+    val p0 = totals.where(col("blk") < m).select(col("blk").as("j") +: cols.map(col): _*)
+    val scanned = sweep(p0, m, cols, comb)
+    val carry = scanned.select((col("j") + 1).as("blk") +: cols.map(col): _*)
+    finish(local.join(broadcast(carry), Seq("blk"), "left"))
+  }
+}
+
+object CumBlellochVec {
+  /** The Blelloch round schedule as (stride, stride2, start) triples —
+    * round r updates positions `start, start+stride2, …` (< m) with
+    * their partner `stride` to the left; the reference's exact loop
+    * structure (`_cumulative.py:365-396`): upsweep doubling while
+    * stride2 ≤ m, downsweep from 2^ceil(log2(m/2)) halving to 1.
+    * Pure so the spec can simulate any m against scanLeft. */
+  private[graft] def schedule(m: Long): Seq[(Long, Long, Long)] = {
+    if (m < 2) return Seq.empty
+    val rounds = Seq.newBuilder[(Long, Long, Long)]
+    var stride = 1L; var s2 = 2L
+    while (s2 <= m) {
+      rounds += ((stride, s2, s2 - 1))
+      stride = s2; s2 *= 2
+    }
+    val half = math.max(m / 2, 1L)
+    s2 = 1L
+    while (s2 < half) s2 *= 2 // 2^ceil(log2(m/2)), floored at 2 below
+    s2 = math.max(2L, s2)
+    stride = s2 / 2
+    while (stride > 0) {
+      rounds += ((stride, s2, s2 + stride - 1))
+      s2 = stride; stride /= 2
+    }
+    rounds.result()
+  }
+}
+
 /** n-th discrete difference (reference `diff`,
   * `dask_array/routines/_diff.py:6`): `v - lag(v, n)` window expr; the
   * overlap exchange the reference performs is Spark's sort boundary. */

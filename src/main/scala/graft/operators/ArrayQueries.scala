@@ -1107,6 +1107,23 @@ object ArrayQueries {
         .orderBy("idx")
     }),
 
+    // method="blelloch" (reference `_cumulative.py:267,451`): the
+    // work-efficient up/down-sweep carry — log-round partitioned joins
+    // over the block-totals table, zero single-partition windows in the
+    // whole plan (spec-asserted in CoreSpec). rechunk(2048) forces a
+    // multi-round sweep at BOTH gate scales (sf0.01: 5 blocks / 3
+    // rounds, sf0.1: 49 blocks / ~10 rounds); results must be
+    // bit-identical to the sequential carry, so the oracle is the same
+    // running-sum/running-max SQL as q03/q14
+    "q111_blelloch_cumsum" -> ((s, d) => {
+      val x = events(s, d).rechunk(2048)
+      x.cumsum("blelloch").elements
+        .select(col("idx"), round(col("v"), 2).as("cs"))
+        .join(x.cummax("blelloch").elements
+          .select(col("idx"), round(col("v"), 2).as("cm")), "idx")
+        .orderBy("idx")
+    }),
+
     // the libm ufunc long tail BY NAME through the DArray wrappers
     // (reference _ufunc.py exports): trig inverses, hyperbolics + their
     // inverses, log10/log2/log1p/expm1, cbrt, hypot, logaddexp(2),
@@ -2051,6 +2068,14 @@ object ArrayQueries {
            round(sqrt(re2 * re2 + im2 * im2), 6) AS mag,
            round(atan2(im2, re2), 6) AS arg
          FROM s ORDER BY idx""",
+
+    "q111_blelloch_cumsum" ->
+      """SELECT event_id AS idx,
+           round(sum(value) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cs,
+           round(max(value) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cm
+         FROM events ORDER BY idx""",
 
     "q109_ufunc_libm" -> {
       def q(x: String) = s"CAST(sum(CAST(floor(($x) * 64.0) AS BIGINT)) AS BIGINT)"
