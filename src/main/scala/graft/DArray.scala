@@ -669,12 +669,24 @@ object DArray {
     m
   }
 
-  /** Class key iff stateless: captured environments live in instance
-    * fields, so a field-free lambda class proves there is nothing an
-    * instance could differ by. (Scala 2.13 emits anonfun classes whose
-    * only state is the capture — no fields ⇒ non-capturing.) */
-  private def kernelKey(f: AnyRef): AnyRef =
-    if (f.getClass.getDeclaredFields.isEmpty) f.getClass else f
+  /** Class key iff provably stateless: captured environments live in
+    * instance fields, so "no fields anywhere on the class chain" proves
+    * there is nothing an instance could differ by. Two guards beyond the
+    * naive check: (a) walk the SUPERCLASS chain — a hand-written
+    * Function1 subclass whose state lives in a parent class must not be
+    * class-keyed; (b) restrict the fast path to synthetic (compiler-
+    * emitted lambda) classes, the only ones where field-freeness is a
+    * complete statelessness proof. Everything else keys by instance. */
+  private def kernelKey(f: AnyRef): AnyRef = {
+    @annotation.tailrec
+    def fieldFree(c: Class[_]): Boolean =
+      c == null || c == classOf[Object] ||
+        (c.getDeclaredFields.isEmpty && fieldFree(c.getSuperclass))
+    val c = f.getClass
+    val compilerEmitted = c.isSynthetic ||
+      c.getName.contains("$$Lambda") || c.getName.contains("$anonfun$")
+    if (compilerEmitted && fieldFree(c)) c else f
+  }
 
   private[graft] def registerTyped(s: SparkSession, f: Double => Double): String =
     kernelsOf(s).computeIfAbsent(kernelKey(f), { _ =>

@@ -32,13 +32,19 @@ object Verify {
     // dev-loop "all green" can never mean "ran zero queries"
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
-      if (unknown.nonEmpty)
+      if (unknown.nonEmpty) {
         System.err.println(
-          s"[verify] UNKNOWN query names in filter (skipped): ${unknown.toSeq.sorted.mkString(", ")}")
+          s"[verify] UNKNOWN query names in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2) // a typo'd --only exiting green would fake an all-pass
+      }
     }
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    if (selected.isEmpty) {
+      System.err.println("[verify] filter selected ZERO queries — refusing to exit green")
+      sys.exit(2)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

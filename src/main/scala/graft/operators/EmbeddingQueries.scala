@@ -498,8 +498,14 @@ object EmbeddingQueries {
     * per-task sort. External path under tmp; overwrite = idempotent
     * rebuild. */
   private[graft] def ivfBucketedTable(s: SparkSession, d: String): String = {
-    val name = "graft_ivf_cells"
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cells"
+    // key table name AND path by the dataset dir (and thereby the JVM's
+    // view of it): a fixed name would let interleaved datasets or
+    // concurrent suites overwrite each other's build or serve a stale
+    // foreign corpus from the shared tmpdir
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    val name = s"graft_ivf_cells_$tag"
+    val path = s"${System.getProperty("java.io.tmpdir")}/$name"
     graft.sources.Bucketed.writeBucketed(
       emb(s, d).select(col("vec_id"), col("label"), col("embedding")),
       name, "label", 8, Some(path))

@@ -113,7 +113,12 @@ object TextQueries {
   /** Maximal repeated spans per doc for the ExactSubstr family (t27
     * signal + t28 removal): one sliding W-token window per position,
     * corpus-wide repeat groupBy + join keyed on a 128-BIT WINDOW HASH
-    * (two independent xxhash64 seeds) — the window STRING is projected
+    * (two genuinely independent 64-bit hashes: `xxhash64(g)` and
+    * `xxhash64('graft2', g)` — the constant comes FIRST so the fold
+    * over g runs under a different effective seed; `xxhash64(g, c)`
+    * would chain the first hash INTO the second, making h2 a pure
+    * function of h1 and collapsing the pair to 64-bit resistance) —
+    * the window STRING is projected
     * away before either exchange, so the two corpus-wide shuffles move
     * 16 bytes/row where the raw W≈20-token key moved ~W× the corpus
     * bytes (at 100 TB: a ~100 TB exchange instead of ~2 PB). Collision
@@ -135,7 +140,7 @@ object TextQueries {
         s"posexplode(transform(sequence(0, size(toks) - $W), " +
           s"p -> concat_ws(' ', slice(toks, p + 1, $W)))) AS (p, g)")
       .selectExpr("doc_id", "n_tok", "p",
-        "xxhash64(g) AS h1", "xxhash64(g, 'graft2') AS h2")
+        "xxhash64(g) AS h1", "xxhash64('graft2', g) AS h2")
     val repeated = wins.groupBy("h1", "h2")
       .agg(count(lit(1)).as("c")).where("c > 1").select("h1", "h2")
     val dup = wins.join(repeated, Seq("h1", "h2")).select("doc_id", "n_tok", "p")
