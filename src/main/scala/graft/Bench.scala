@@ -99,32 +99,36 @@ object Bench {
       // unpersist anything run 1 leaked so later runs can't skip real work
       spark.catalog.clearCache()
       drainJit()
-      // steady = min of two post-warm executions: a one-off GC pause or a
-      // late compile landing inside a single measurement shows up as one
-      // inflated sample, and the min discards it; a real plan regression
-      // inflates every sample and survives. (Same rationale as the
-      // PerfBudgetSpec gate; standard best-of-N steady-state practice.)
-      val s1 = runOnce(fn, name)
-      spark.catalog.clearCache()
-      drainJit()
-      val s2 = runOnce(fn, name)
-      spark.catalog.clearCache()
-      name -> (first, s1, s2)
+      // steady = MEDIAN of three post-warm executions (r10 verdict #5:
+      // three consecutive rounds spent their top item bisecting box
+      // noise; min-of-two still let one clean + one inflated sample
+      // report the clean one while cross-round comparisons saw the
+      // variance). The median discards a single GC pause / late-compile
+      // outlier in EITHER direction, and a real plan regression inflates
+      // all three samples and survives.
+      val samples = (1 to 3).map { _ =>
+        val t = runOnce(fn, name)
+        spark.catalog.clearCache()
+        drainJit()
+        t
+      }
+      name -> (first, samples(0), samples(1), samples(2))
     }
-    // steady = min of the two post-warm samples (see above); both samples
-    // are recorded so cross-round comparisons can tell best-of-two from
-    // a single-run number (r8 advisory)
-    val total = results.values.map { case (_, s1, s2) => math.min(s1, s2) }.sum
+    def median3(a: Double, b: Double, c: Double): Double =
+      Seq(a, b, c).sorted.apply(1)
+    // steady = median of the three post-warm samples (see above); all
+    // samples are recorded so cross-round comparisons can see the spread
+    val total = results.values.map { case (_, s1, s2, s3) => median3(s1, s2, s3) }.sum
     val firstTotal = results.values.map(_._1).sum
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query detail → a file (the harness tail buffer holds only
     // the last ~2000 chars of stdout, so a 191-query map never fits there).
     val bySteady = results.toSeq
-      .map { case (k, (f, s1, s2)) => (k, (f, math.min(s1, s2), s1, s2)) }
-      .sortBy { case (_, (_, s, _, _)) => -s }
-    val detailQs = bySteady.map { case (k, (f, s, s1, s2)) =>
+      .map { case (k, (f, s1, s2, s3)) => (k, (f, median3(s1, s2, s3), s1, s2, s3)) }
+      .sortBy { case (_, (_, s, _, _, _)) => -s }
+    val detailQs = bySteady.map { case (k, (f, s, s1, s2, s3)) =>
       s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) +
-        ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + "}"
+        ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + ",\"s3\":" + fmt(s3) + "}"
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -133,7 +137,7 @@ object Bench {
     // JSON line stays well inside the 2000-char tail window.
     val budget = 1500
     val head = new StringBuilder
-    bySteady.foreach { case (k, (_, s, _, _)) =>
+    bySteady.foreach { case (k, (_, s, _, _, _)) =>
       val q = s"\"" + k + "\":" + fmt(s)
       if (head.length + q.length + 1 <= budget) {
         if (head.nonEmpty) head.append(',')

@@ -709,6 +709,23 @@ object DArray {
                  idxSql: String, valueSql: String): DArray =
     new DArray(ColumnVec(table, idxSql, valueSql), Ctx(spark, dir))
 
+  /** 1-block array from a deferred local computation (reference
+    * `from_delayed`, `dask_array/io/_from_delayed.py:15,102`): the thunk
+    * evaluates INSIDE the Spark task, not on the driver — see
+    * [[graft.DelayedVec]]. `label` is the block's plan identity (two
+    * delayed leaves with equal labels share one evaluation). */
+  def fromDelayed(spark: SparkSession, dir: String, label: String)
+                 (thunk: () => Array[Double]): DArray =
+    new DArray(DelayedVec(thunk, label), Ctx(spark, dir))
+
+  /** Wrap an existing DataFrame as a 1-d array (reference `from_graph`,
+    * `dask_array/io/_from_graph.py:12,133` — adopt a prebuilt graph; the
+    * graph here is the frame's Catalyst plan). `idxSql` must be a dense
+    * deterministic position over the frame. */
+  def fromGraph(spark: SparkSession, dir: String, source: DataFrame,
+                idxSql: String, valueSql: String): DArray =
+    new DArray(GraphVec(source, idxSql, valueSql), Ctx(spark, dir))
+
   /** numpy name: `asarray` — the from_array alias (reference re-exports
     * both; any positioned column IS already an array here). */
   def asarray(spark: SparkSession, dir: String, table: String,

@@ -16,7 +16,8 @@ object SparkEntry {
     * entry depends on another helper having run first. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = ArrayQueries.queries ++ MatrixQueries.queries ++ TextQueries.queries ++
-      EmbeddingQueries.queries ++ MultimodalQueries.queries ++ NdQueries.queries
+      EmbeddingQueries.queries ++ MultimodalQueries.queries ++ NdQueries.queries ++
+      StreamQueries.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.register(s)
@@ -29,5 +30,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ArrayQueries.oracles ++ MatrixQueries.oracles ++ TextQueries.oracles ++
-      EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++ NdQueries.oracles
+      EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++ NdQueries.oracles ++
+      StreamQueries.oracles
 }

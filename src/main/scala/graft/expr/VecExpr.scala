@@ -171,6 +171,46 @@ final case class ColumnVec(
   }
 }
 
+/** Leaf: a 1-block array from a deferred local computation — `from_delayed`
+  * (reference `dask_array/io/_from_delayed.py:15,102`). The thunk is
+  * SHIPPED TO THE TASK and evaluated there (`mapPartitions` over a
+  * single-row seed range), matching the reference's semantics: a delayed
+  * value computes inside the scheduled task, never eagerly on the
+  * driver/client. One thunk = one block = one partition; compose several
+  * with [[ConcatVec]] (`++`) for a multi-block delayed array, each block
+  * evaluating in its own task. `label` keys plan identity (CSE/sharing):
+  * two from_delayed leaves share a scan iff their labels match. */
+final case class DelayedVec(thunk: () => Array[Double], label: String) extends VecExpr {
+  def children: Seq[VecExpr] = Nil
+  def token: String = s"delayed[$label]"
+  def eval(ctx: Ctx): DataFrame = {
+    val sp = ctx.spark
+    import sp.implicits._
+    val f = thunk // stable local so the closure captures the thunk, not `this`
+    sp.range(1).coalesce(1).as[Long]
+      .mapPartitions(_ => f().iterator.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("idx", "v")
+      .selectExpr("idx", "CAST(v AS DOUBLE) AS v")
+  }
+}
+
+/** Leaf: wrap an EXISTING DataFrame as a 1-d array — `from_graph`
+  * (reference `dask_array/io/_from_graph.py:12,133`: adopt a
+  * foreign/prebuilt task graph as an array). Here the "graph" IS a
+  * Catalyst logical plan, so adoption is a projection: `idxSql` must be
+  * a dense deterministic position over the frame, `valueSql` the
+  * payload. Everything downstream (slicing pushdown, elemwise fusion,
+  * reductions) composes onto the wrapped plan and Catalyst optimizes
+  * across the boundary — the interop/persist-rebuild use the reference
+  * serves with from_graph. */
+final case class GraphVec(source: DataFrame, idxSql: String, valueSql: String)
+    extends VecExpr {
+  def children: Seq[VecExpr] = Nil
+  def token: String = s"graph[${System.identityHashCode(source)},$idxSql,$valueSql]"
+  def eval(ctx: Ctx): DataFrame =
+    source.selectExpr(s"CAST($idxSql AS BIGINT) AS idx", s"CAST($valueSql AS DOUBLE) AS v")
+}
+
 /** Leaf: arithmetic progression — `arange`/`linspace` (reference
   * `dask_array/creation/_arange.py:16`, `_linspace.py:15`). Realized as
   * `spark.range` (no materialization; Catalyst folds the affine map). */

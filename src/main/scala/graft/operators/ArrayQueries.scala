@@ -1124,6 +1124,29 @@ object ArrayQueries {
         .orderBy("idx")
     }),
 
+    // from_delayed (reference io/_from_delayed.py:15): the thunk runs in
+    // the TASK — a deterministic integer-valued local kernel here — and
+    // the resulting 1-block array composes with the ordinary elemwise
+    // pipeline (map fuses onto the delayed scan). Exact small-int
+    // arithmetic keeps the gate hash-stable.
+    "q112_from_delayed" -> ((s, d) =>
+      DArray.fromDelayed(s, d, "sq_mod_97") { () =>
+        Array.tabulate(1000)(i => ((i.toLong * i) % 97).toDouble)
+      }.map("v * 2 + idx").elements.orderBy("idx")),
+
+    // from_graph (reference io/_from_graph.py:12): adopt a prebuilt
+    // DataFrame plan — a lineitem aggregation authored OUTSIDE the array
+    // layer — as a dense 1-d array, then continue with array ops. The
+    // sum is over integer-valued quantities (exact, order-free) and /2
+    // is a power-of-two scale (exact in IEEE754).
+    "q113_from_graph" -> ((s, d) => {
+      val foreign = s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_linenumber")
+        .agg(sum("l_quantity").as("sq"))
+      DArray.fromGraph(s, d, foreign, "l_linenumber - 1", "sq")
+        .map("v / 2").elements.orderBy("idx")
+    }),
+
     // the libm ufunc long tail BY NAME through the DArray wrappers
     // (reference _ufunc.py exports): trig inverses, hyperbolics + their
     // inverses, log10/log2/log1p/expm1, cbrt, hypot, logaddexp(2),
@@ -2076,6 +2099,16 @@ object ArrayQueries {
            round(max(value) OVER (ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cm
          FROM events ORDER BY idx""",
+
+    "q112_from_delayed" ->
+      """SELECT CAST(i AS BIGINT) AS idx,
+           CAST((i * i) % 97 AS DOUBLE) * 2 + i AS v
+         FROM range(1000) t(i) ORDER BY idx""",
+
+    "q113_from_graph" ->
+      """SELECT CAST(l_linenumber - 1 AS BIGINT) AS idx,
+           sum(l_quantity) / 2 AS v
+         FROM lineitem GROUP BY l_linenumber ORDER BY idx""",
 
     "q109_ufunc_libm" -> {
       def q(x: String) = s"CAST(sum(CAST(floor(($x) * 64.0) AS BIGINT)) AS BIGINT)"

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Oracle-gated STREAMING queries — §2.13's replay-to-completion gate.
+  *
+  * Until round 11 the streaming surface was spec-verified only (bit-
+  * parity ScalaTests against the batch kernels) but never ran under the
+  * DuckDB oracle. These queries close that gap: each one replays a
+  * driver-generated parquet table as a REAL multi-micro-batch file
+  * stream (the corpus is staged as several files and the source is
+  * rate-limited to one file per trigger, so the run exercises genuine
+  * batch boundaries, checkpointing, and — for the stateful ops — cross-
+  * batch keyed state), runs the stream to completion with
+  * `Trigger.AvailableNow`, and returns the sink contents as an ordinary
+  * DataFrame whose oracle is the BATCH semantics in DuckDB SQL.
+  *
+  * The memory sink + AvailableNow harness is the test-scale GATE, not
+  * the production path: a real deployment writes the same transformed
+  * stream through `writeStream` to parquet / the TileDB sink
+  * ([[StreamOps.tiledbSink]]) with the same watermark/state bounds, and
+  * the operators under test are the SAME [[StreamOps]] functions the
+  * production path uses. Reference analogue: the merge-able combine
+  * argument of SURVEY §2.13 — a streaming twin is correct iff replaying
+  * the batch input through it reproduces the batch answer.
+  *
+  * Determinism contract (what makes these hash-gateable): the gated
+  * queries are either stateless per-row kernels (s01 — output is a pure
+  * function of each row, so batch boundaries and file listing order are
+  * irrelevant) or keyed-state ops whose OUTPUT COLUMNS are invariant to
+  * the within-batch survivor choice (s02 emits the dedup KEY, identical
+  * across every member of a duplicate class). Ops whose output embeds
+  * arrival order (packSequences' bin assignment) stay spec-gated.
+  */
+object StreamQueries {
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage `src` as `nFiles` parquet files, replay them one file per
+    * micro-batch through `transform`, run to completion, and return the
+    * sink table. Every invocation gets a fresh staging dir, checkpoint,
+    * and sink name (Bench runs each query four times in one session —
+    * a reused checkpoint would replay ZERO batches and fake an empty
+    * result; a reused sink name would refuse to start). */
+  private def replayToCompletion(s: SparkSession, src: DataFrame, nFiles: Int)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
+    src.repartition(nFiles).write.mode("overwrite").parquet(s"$dir/src")
+    val stream = s.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src")
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(run)
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(run)
+  }
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** documents ∪ re-keyed copies of every 5th doc — the same duplicate
+    * corpus the batch dedup family (t01, t27/t28) verifies against. */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    base.unionByName(
+      base.where("doc_id % 5 = 0").withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  private def asDocStream(df: DataFrame): Dataset[StreamOps.Doc] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.as[StreamOps.Doc]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // STATELESS streaming kernel under the oracle: the Gopher repetition
+    // signals computed online, per document, as the corpus replays in
+    // four micro-batches. The kernel is the bit-parity twin of batch t26
+    // (same code-point char counts, UTF-8 tie-break, HALF_UP rounding —
+    // GopherSignalsSpec pins the parity), so the completed replay must
+    // hash-match the batch SQL exactly. Stateless ⇒ any batch boundary /
+    // file order / parallelism yields the same row set — which is the
+    // 100 TB argument too: no shuffle, no state, per-doc parallel.
+    "s01_stream_gopher" -> ((s, d) => {
+      val src = docs(s, d)
+        .selectExpr("timestamp_seconds(doc_id) AS ts", "doc_id", "text")
+      replayToCompletion(s, src, nFiles = 4)(st =>
+        StreamOps.gopherSignals(asDocStream(st)).toDF())
+        .where("doc_id < 40")
+        .orderBy("doc_id")
+    }),
+
+    // STATEFUL streaming dedup under the oracle: content-hash keyed
+    // state (`dropDuplicatesWithinWatermark`) across four micro-batches
+    // over the duplicated corpus. The gate emits the dedup KEY (md5 of
+    // text) — identical across every member of a duplicate class — so
+    // the output is invariant to which copy each batch happens to see
+    // first, while still failing if the state misses a cross-batch dup
+    // (extra rows) or over-dedups (missing rows). Event time is held
+    // constant so the watermark never passes any key inside the replay;
+    // on a live stream the SAME operator evicts each hash once the
+    // watermark clears it, bounding state (StreamingSpec covers the
+    // eviction path). The constant must be a POSITIVE epoch:
+    // dedup-within-watermark state keyed at event time 0 reads as
+    // already-expired and the rows silently vanish (measured — an
+    // epoch-0 event time is a sentinel, not a timestamp).
+    "s02_stream_dedup" -> ((s, d) => {
+      val src = docsWithDups(s, d)
+        .selectExpr("timestamp_seconds(1700000000) AS ts", "doc_id", "text")
+      replayToCompletion(s, src, nFiles = 4)(st =>
+        StreamOps.dedupStream(asDocStream(st), watermark = "1 second"))
+        .select("h")
+        .orderBy("h")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // identical to t26's oracle: replay-to-completion of the stateless
+    // twin must reproduce the batch Gopher signals bit-for-bit
+    "s01_stream_gopher" ->
+      """WITH l AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+                      string_split(text, ' ') AS toks FROM documents),
+         g2 AS (SELECT doc_id, chars,
+                  unnest([toks[i] || ' ' || toks[i+1]
+                          for i in generate_series(1, len(toks) - 1)]) AS g
+                FROM l WHERE len(toks) >= 2),
+         c2 AS (SELECT doc_id, chars, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+         t2 AS (SELECT doc_id,
+                  round(CAST(c * length(g) AS DOUBLE) / chars, 6) AS top2_share,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+                FROM c2),
+         g5 AS (SELECT doc_id, chars,
+                  unnest([array_to_string(list_slice(toks, i, i + 4), ' ')
+                          for i in generate_series(1, len(toks) - 4)]) AS g
+                FROM l WHERE len(toks) >= 5),
+         c5 AS (SELECT doc_id, chars, g, count(*) AS c FROM g5 GROUP BY 1, 2, 3),
+         d5 AS (SELECT doc_id,
+                  round(CAST(sum(c * length(g)) AS DOUBLE) / chars, 6) AS dup5_share
+                FROM c5 WHERE c > 1 GROUP BY doc_id, chars)
+         SELECT t2.doc_id AS doc_id, top2_share,
+           coalesce(dup5_share, 0.0) AS dup5_share,
+           top2_share < 0.20 AND coalesce(dup5_share, 0.0) < 0.15 AS keep
+         FROM t2 LEFT JOIN d5 ON t2.doc_id = d5.doc_id
+         WHERE rn = 1 AND t2.doc_id < 40 ORDER BY doc_id""",
+
+    // the batch answer to "dedup the duplicated corpus by content":
+    // one surviving hash per distinct text. Base texts are unique, so
+    // the surviving key set is exactly the base corpus's hashes.
+    "s02_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS h
+         FROM (SELECT text FROM documents UNION ALL
+               SELECT text FROM documents WHERE doc_id % 5 = 0)
+         ORDER BY h"""
+  )
+}

@@ -49,7 +49,7 @@ object StreamOps {
     docs.withColumn("h", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
-      .select(col("ts"), col("doc_id"))
+      .select(col("ts"), col("doc_id"), col("h"))
 
   final case class SrcDoc(ts: Timestamp, doc_id: Long, source: String, text: String)
   final case class PackedDoc(source: String, doc_id: Long, n_tok: Long, bin: Long)

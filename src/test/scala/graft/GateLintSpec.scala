@@ -134,6 +134,9 @@ class GateLintSpec extends AnyFunSuite {
     // t27/t28: the island prefix-sum is over 0/1 flags and span extents
     // are token positions — all integers
     "t27_exact_substr", "t28_substr_removal",
+    // q113: sum over lineitem integer-valued quantities (exact,
+    // order-free below 2^53); the /2 is a power-of-two scale, exact
+    "q113_from_graph",
   )
 
   /** The ORDERED-FOLD waiver class (formalized from t29, r9): a raw

@@ -154,6 +154,48 @@ class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(dense.norm("-1")) == 6.0) // min column sum = 1+2+3
   }
 
+  test("disjoint-operand einsum factors into 1-row scalar sums, not an n² cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val a = DMatrix.tabulate(spark, 40, 30, "(i * 3 + j) % 7")
+    val b = DMatrix.tabulate(spark, 25, 35, "(i + j * 5) % 11")
+    val df = Einsum("ij,kl->", a, b)
+    // numpy optimize=True factorization: sum(A) * sum(B), never the
+    // (40·30)×(25·35) unreduced cross product
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the factored 1x1 scalar join")
+    joins.foreach { j =>
+      assert(j.left.maxRows.contains(1L) && j.right.maxRows.contains(1L),
+        s"disjoint einsum joined non-scalar sides:\n${df.queryExecution.optimizedPlan}")
+    }
+    // integer-exact value check against the two independent sums
+    val got = df.collect()(0).getDouble(0)
+    def tot(m: DMatrix) =
+      m.df.agg(org.apache.spark.sql.functions.sum("v")).collect()(0).getDouble(0)
+    assert(got == tot(a) * tot(b), s"$got vs ${tot(a) * tot(b)}")
+  }
+
+  test("einsum pre-join reduction sums dead letters before a shared-letter join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val a = DMatrix.tabulate(spark, 50, 20, "(i * 7 + j) % 5")
+    val b = DMatrix.tabulate(spark, 20, 30, "(i + j * 3) % 9")
+    val df = Einsum("ij,jk->k", a, b).orderBy("k")
+    // i is dead to everything but A: the plan must contract it BEFORE
+    // the join on j (joining n rows, not n²) — an Aggregate grouping on
+    // the shared letter sits below the join on the A side
+    val plan = df.queryExecution.optimizedPlan
+    val join = plan.collectFirst { case j: Join => j }.get
+    val preAgg = Seq(join.left, join.right).exists(_.collectFirst {
+      case ag: Aggregate if ag.groupingExpressions.size == 1 => ag
+    }.nonEmpty)
+    assert(preAgg, s"no pre-join contraction of the dead letter:\n$plan")
+    // value check: equals column sums of A·B (exact small-int arithmetic)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = Einsum("ij,jk->ik", a, b).groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("v")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("numpy alias names: flipud/fliplr delegate to the flip projections") {
     val m = DMatrix.tabulate(spark, 3, 4, "i * 10 + j")
     def cells(x: DMatrix) =

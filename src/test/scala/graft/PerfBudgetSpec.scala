@@ -41,6 +41,11 @@ class PerfBudgetSpec extends AnyFunSuite {
   private def noiseSlack(budget: Double): Double =
     math.min(4.0, math.max(2.0, 2 * budget))
 
+  /** `steady` in bench_detail.json is the MEDIAN of three post-warm
+    * samples as of r11 (Bench.scala) — so every gate below is already a
+    * median-of-3 gate: one inflated sample out of three can no longer
+    * trip (or mask) a budget, which retires the ±5% run-to-run band that
+    * burned the r7/r9/r10 verdict cycles on box-noise bisections. */
   private def readDetail(): Map[String, (Double, Double)] = {
     val f = new java.io.File("bench_detail.json")
     assume(f.exists, "no bench_detail.json in the working directory — run graft.Bench")

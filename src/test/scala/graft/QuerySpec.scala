@@ -73,14 +73,48 @@ class QuerySpec extends AnyFunSuite {
     assert(run(emb.coalesce(1)) == run(emb.repartition(7)))
   }
 
+  /** Every registered query's physical plan string, built once and
+    * shared by the plan-shape sweeps below (building a plan re-invokes
+    * the query builder — for the streaming gates that replays a whole
+    * stream, so each extra sweep pass is real wall time). */
+  private lazy val planStrings: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
   test("no query plans a CartesianProduct (every cross join is broadcast)") {
     // a CartesianProduct is the O(parts^2) task explosion AQE can't save;
     // scalar/tiny cross joins must go through broadcast (BNLJ)
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(name) else None
+    val offenders = planStrings.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.toSeq.sorted}")
+  }
+
+  test("no corpus-scale shuffle carries a raw wide-text key (hash-key rule)") {
+    // Formalized from the r10 t27/t28 fix (r10 verdict ask #8): a
+    // groupBy/join whose shuffle key is the document text or a
+    // multi-token window/span string moves ~W× the corpus bytes through
+    // the exchange at 100 TB — such keys must be fixed-width hashes.
+    // The ONE sanctioned exception class (t20-style): the gate needs
+    // exact string equality the oracle can replay, and the scaladoc
+    // documents the hash-keyed production variant. New entries join the
+    // waiver map only with that written justification.
+    val waived = Map(
+      "t20_span_dedup" ->
+        "oracle requires exact span equality; hash-key variant documented in scaladoc")
+    // attribute names that carry doc text or multi-token windows/spans
+    val wide = "(?<![A-Za-z0-9_])(text|span|spans|g|toks)#".r
+    val offenders = planStrings.flatMap { case (name, plan) =>
+      if (waived.contains(name)) None
+      else {
+        val bad = plan.linesIterator.filter(l =>
+          l.contains("hashpartitioning") && wide.findFirstIn(l).isDefined).toSeq
+        if (bad.nonEmpty) Some(s"$name: ${bad.head.trim.take(160)}") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"wide-text shuffle keys (hash them or add a written waiver):\n  ${offenders.mkString("\n  ")}")
   }
 
   test("every query has an oracle or is explicitly exempt") {
