@@ -172,19 +172,36 @@ object Simplify {
       if (!allDependentsAreSlices(st, parents)) s0
       else StrideVec(
         simplifyNode(SliceVec(c, lo * sp, (hi - 1) * sp + 1), parents), sp)
-    // unify-chunks (reference §4.4 policy, `dask_array/_expr.py:723-905`):
-    // zip operands on different grids must realign; the transfer model
-    // picks the DIRECTION — re-grid the side with fewer modeled bytes
-    // (unknown-length sides count as infinite, so the known-smaller side
-    // moves). This is the first consumer of `transferBytes` that changes
-    // the plan rather than just reporting it.
+    // unify-chunks (reference §4.4 policy, `dask_array/_expr.py:723-905`,
+    // decision records `bench/bench_unify_policy.py:33-73`): zip operands
+    // on different grids must realign. Direction, in priority order:
+    //   1. modeled bytes — re-grid the side with fewer (unknown-length
+    //      sides count as infinite, so the known-smaller side moves);
+    //   2. on a byte TIE, MERGE to the coarser grid (the shatter_guard
+    //      record: refining a 10-block side to a per-element partner
+    //      mints thousands of downstream partitions — the reference's
+    //      60 719-vs-12 401 task blow-up);
+    //   3. hard backstop — a merge that would manufacture blocks over
+    //      `unify-chunks-limit` refines to the finer grid instead (the
+    //      nested_merge inflation record: a 2-chunk operand must not
+    //      drag a day-chunked panel up to multi-GiB blocks).
+    // UnifyPolicyBenchSpec pins all the decision-record outcomes.
     case ZipVec(a, b, e) if a.chunk != b.chunk =>
       val la = VecExpr.passBytes(a.length)
       val lb = VecExpr.passBytes(b.length)
       val aBytes = if (la < 0) Long.MaxValue else la
       val bBytes = if (lb < 0) Long.MaxValue else lb
-      if (bBytes <= aBytes) ZipVec(a, RechunkVec(b, a.chunk), e)
-      else ZipVec(RechunkVec(a, b.chunk), b, e)
+      val coarse = math.max(a.chunk, b.chunk)
+      val fine = math.min(a.chunk, b.chunk)
+      val target0 =
+        if (bBytes < aBytes) a.chunk
+        else if (aBytes < bBytes) b.chunk
+        else coarse
+      val target =
+        if (target0 == coarse && coarse * VecExpr.RowBytes > Blocked.unifyLimitBytes) fine
+        else target0
+      if (target == a.chunk) ZipVec(a, RechunkVec(b, target), e)
+      else ZipVec(RechunkVec(a, target), b, e)
 
     // -- slice fusion & pushdown ---------------------------------------------
     case SliceVec(SliceVec(c, a, b), c2, d) =>

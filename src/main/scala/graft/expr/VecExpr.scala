@@ -387,6 +387,16 @@ object Blocked {
     * -Dgraft.block.size; per-expression override via [[RechunkVec]]. */
   val B: Long = sys.props.getOrElse("graft.block.size", "4096").toLong
 
+  /** Hard backstop on MANUFACTURED chunk size under any unify-merge
+    * direction (reference `array.unify-chunks-limit`, default 512 MiB —
+    * `bench/bench_unify_policy.py:14-16`): merging two grids up to the
+    * coarser side must never mint blocks bigger than this; when it
+    * would, the policy refines to the finer grid instead (the
+    * nested_merge inflation guard). Tunable via
+    * -Dgraft.unify.limit.bytes. */
+  val unifyLimitBytes: Long =
+    sys.props.getOrElse("graft.unify.limit.bytes", (512L << 20).toString).toLong
+
   /** Length-aware default block: B up to B² elements (every small-scale
     * plan unchanged), then √n — so the per-block scan and the
     * single-partition carry table are each bounded by ~√n rows at ANY

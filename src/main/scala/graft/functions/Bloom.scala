@@ -47,10 +47,22 @@ object Bloom {
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
 
-  /** Rows of `train` whose `keyCol` does NOT appear in `eval` — exact,
-    * with the scale shape described above: branch 1 keeps the definite
-    * negatives with NO join (the blob literal is a scan-side filter),
-    * branch 2 exact-confirms only the might-contain sliver. */
+  /** Rows of `train` whose `keyCol` does NOT appear in `eval` — with the
+    * scale shape described above: branch 1 keeps the definite negatives
+    * with NO join (the blob literal is a scan-side filter), branch 2
+    * confirms only the might-contain sliver.
+    *
+    * The confirm join is keyed on a 128-BIT HASH PAIR of the key — two
+    * genuinely independent xxhash64 seeds, `xxhash64(k)` and
+    * `xxhash64('graft2', k)` (constant FIRST, so the fold runs under a
+    * distinct effective seed) — never the raw key column: a document
+    * key is the document text here, and an exchange carrying it would
+    * move ~corpus bytes where the pair moves 16 bytes/row (the same
+    * keying contract as the ExactSubstr family, QuerySpec-linted).
+    * Collision cost: a clean row is wrongly dropped only if its text
+    * agrees with some eval text on BOTH hashes — P ≈ |sliver|·|eval|/2¹²⁸,
+    * ~10⁻²⁰ at 10¹⁰×10⁸ — and the DuckDB gate compares exact text
+    * results, so any collision-induced divergence fails the round. */
   def decontaminate(train: DataFrame, eval: DataFrame, keyCol: String,
                     expectedEval: Long, fpp: Double = 0.01): DataFrame =
     buildBlob(eval, keyCol, expectedEval, fpp) match {
@@ -58,9 +70,14 @@ object Bloom {
       case Some(blob) =>
         val might =
           call_function("graft_bloom_might", lit(blob), xxhash64(col(keyCol)))
+        val h1 = xxhash64(col(keyCol))
+        val h2 = xxhash64(lit("graft2"), col(keyCol))
         val clean = train.where(!might)
         val confirmed = train.where(might)
-          .join(eval.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .withColumn("_gbh1", h1).withColumn("_gbh2", h2)
+          .join(eval.select(h1.as("_gbh1"), h2.as("_gbh2")).distinct(),
+            Seq("_gbh1", "_gbh2"), "left_anti")
+          .drop("_gbh1", "_gbh2")
         clean.unionByName(confirmed)
     }
 }
