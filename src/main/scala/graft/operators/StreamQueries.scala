@@ -67,6 +67,45 @@ object StreamQueries {
     s.table(run)
   }
 
+  /** Ordered replay: write each `fileCol` range as its own staged file
+    * with STRICTLY INCREASING modification times, so the file source —
+    * which orders candidate files by modTime — replays the ranges as
+    * micro-batches in range order. This is what makes an ORDER-SENSITIVE
+    * stateful twin (the running-offset packer) hash-gateable: the
+    * cross-batch state evolution is replayed along the same total order
+    * the batch SQL's window uses. */
+  private def replayOrderedToCompletion(s: SparkSession, src: DataFrame,
+      fileCol: String, nFiles: Int)(transform: DataFrame => DataFrame): DataFrame = {
+    val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
+    val srcDir = new java.io.File(s"$dir/src")
+    val stamped = scala.collection.mutable.Set[String]()
+    for (k <- 0 until nFiles) {
+      src.where(col(fileCol) === k).drop(fileCol)
+        .coalesce(1).write.mode("append").parquet(s"$dir/src")
+      val fresh = Option(srcDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
+      fresh.foreach { f =>
+        f.setLastModified(1700000000000L + k * 60000L)
+        stamped += f.getName
+      }
+    }
+    val stream = s.readStream
+      .schema(src.drop(fileCol).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src")
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(run)
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(run)
+  }
+
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
@@ -124,6 +163,29 @@ object StreamQueries {
         StreamOps.dedupStream(asDocStream(st), watermark = "1 second"))
         .select("h")
         .orderBy("h")
+    }),
+
+    // ORDER-SENSITIVE stateful streaming under the oracle: the sequence
+    // packer's running per-source token offset (one Long of state per
+    // source, flatMapGroupsWithState) evolves across four micro-batches
+    // staged in doc_id-range order (mtime-ordered files — see
+    // replayOrderedToCompletion). The completed replay must equal the
+    // batch packing SQL: bin(doc) = (running token offset before the
+    // doc, per source in doc_id order) DIV 2048 — cross-batch carry
+    // included, since ranges split mid-source. All-integer arithmetic.
+    "s03_stream_packing" -> ((s, d) => {
+      val base = docs(s, d)
+      val maxId = base.agg(max("doc_id")).head().getLong(0)
+      val src = base.selectExpr(
+        s"timestamp_seconds(1700000000 + doc_id) AS ts",
+        "doc_id", "source", "text",
+        s"CAST(least(3, doc_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      replayOrderedToCompletion(s, src, "_file", nFiles = 4)(st =>
+        StreamOps.packSequences(st.as[StreamOps.SrcDoc]).toDF())
+        .selectExpr("source", "doc_id", "n_tok", "bin")
+        .orderBy("source", "doc_id")
     })
   )
 
@@ -164,6 +226,21 @@ object StreamQueries {
       """SELECT DISTINCT md5(text) AS h
          FROM (SELECT text FROM documents UNION ALL
                SELECT text FROM documents WHERE doc_id % 5 = 0)
-         ORDER BY h"""
+         ORDER BY h""",
+
+    // the batch packing answer: per source, running token offset in
+    // doc_id order; a doc's bin is the 2048-token window its first
+    // token lands in. Token counts are integers (exact, order-pinned
+    // running sum — same waiver class as t15)
+    "s03_stream_packing" ->
+      """WITH t AS (SELECT source, doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+         o AS (SELECT source, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+               FROM t)
+         SELECT source, doc_id, n_tok, off // 2048 AS bin
+         FROM o ORDER BY source, doc_id"""
   )
 }

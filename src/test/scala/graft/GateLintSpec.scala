@@ -137,6 +137,9 @@ class GateLintSpec extends AnyFunSuite {
     // q113: sum over lineitem integer-valued quantities (exact,
     // order-free below 2^53); the /2 is a power-of-two scale, exact
     "q113_from_graph",
+    // s03: running sum of integer token counts (exact, order pinned by
+    // the window's ORDER BY on both engines); bin is integer division
+    "s03_stream_packing",
   )
 
   /** The ORDERED-FOLD waiver class (formalized from t29, r9): a raw
