@@ -1,10 +1,10 @@
 package graft
 
-/** Budgeted steady seconds per query — ~3x the round-10 full-battery
+/** Budgeted steady seconds per query — ~3x the round-11 full-battery (median-of-3)
   * steady numbers at sf0.1 (local[32], the driver's exact invocation),
   * rounded up to 0.5 s; only entries above the 1.5 s default are
   * listed (the rest fall through to [[PerfBudgetSpec]]'s default).
-  * Regenerated r10 after the bisection showed the r8/r9 baselines
+  * Regenerated r11 from median-of-3 steady samples after the r10/r11 bisections showed the earlier baselines
   * carried driver-box contamination spikes — these are 3x clean
   * steady, and the gate's min(first, steady) + scaled slack absorbs
   * the observed ~2 s contamination class without masking the
@@ -13,43 +13,46 @@ package graft
   * moves a query's baseline. */
 object PerfBudgets {
   val budgets: Map[String, Double] = Map(
-    "e12_ann_recall" -> 2.0,
     "e13_kmeans_lloyd" -> 2.5,
-    "e14_pq_train" -> 5.5,
-    "e15_ivfpq_search" -> 2.0,
-    "e16_ivf_multiprobe" -> 2.0,
-    "e17_outliers" -> 3.0,
-    "e18_ivf_bucketed" -> 2.0,
+    "e14_pq_train" -> 4.5,
+    "e15_ivfpq_search" -> 2,
+    "e16_ivf_multiprobe" -> 2,
+    "e17_outliers" -> 2.5,
+    "e18_ivf_bucketed" -> 2,
     "l03_cholesky_trace" -> 5.5,
-    "l04_inv" -> 6.5,
-    "l05_svd_full" -> 4.5,
-    "l06_svd_compressed" -> 7.5,
-    "l07_lstsq" -> 2.0,
+    "l04_inv" -> 5,
+    "l05_svd_full" -> 3.5,
+    "l06_svd_compressed" -> 6.5,
     "l09_lu_reconstruct" -> 3.5,
-    "l11_sfqr" -> 4.0,
-    "l12_matrix_norms" -> 2.0,
-    "m18_einsum_chain" -> 2.0,
-    "m37_sparse_matvec" -> 2.5,
-    "m38_sparse_spgemm" -> 4.0,
-    "m39_sparse_elemwise" -> 3.0,
-    "m40_sparse_identity" -> 3.5,
-    "m42_cov_weighted" -> 2.0,
-    "mm06_phash_pairs" -> 2.0,
-    "n11_broadcast_add" -> 2.0,
-    "n14_nd_stencil3d" -> 2.0,
-    "q105_map_overlap" -> 2.5,
-    "q109_ufunc_libm" -> 6.0,
-    "q11_ffill" -> 2.0,
-    "q14_cummax" -> 2.0,
-    "q80_nancumprod" -> 2.0,
-    "q98_randomstate_perm" -> 2.0,
-    "q99_gamma_general" -> 3.0,
+    "l11_sfqr" -> 4,
+    "m16_stencil_mean" -> 2,
+    "m18_einsum_chain" -> 2,
+    "m24_corrcoef" -> 2,
+    "m32_cov_matrix" -> 2,
+    "m37_sparse_matvec" -> 3,
+    "m38_sparse_spgemm" -> 3.5,
+    "m39_sparse_elemwise" -> 2.5,
+    "m40_sparse_identity" -> 4,
+    "m42_cov_weighted" -> 2,
+    "mm06_phash_pairs" -> 2,
+    "n11_broadcast_add" -> 2,
+    "n14_nd_stencil3d" -> 2,
+    "q105_map_overlap" -> 2,
+    "q109_ufunc_libm" -> 3,
+    "q111_blelloch_cumsum" -> 2.5,
+    "q96_randomstate" -> 2,
+    "q98_randomstate_perm" -> 2,
+    "q99_gamma_general" -> 3,
+    "s01_stream_gopher" -> 3.5,
+    "s02_stream_dedup" -> 5,
+    "s03_stream_packing" -> 10.5,
     "t07_jaccard" -> 2.5,
-    "t13_dedup_clusters" -> 4.5,
-    "t20_span_dedup" -> 2.0,
-    "t21_bloom_decontamination" -> 2.0,
-    "t22_dedup_keep_best" -> 4.0,
-    "t27_exact_substr" -> 3.0,
-    "t28_substr_removal" -> 4.5,
-    "td02_tiledb_shadow" -> 2.0)
+    "t13_dedup_clusters" -> 4,
+    "t20_span_dedup" -> 2,
+    "t21_bloom_decontamination" -> 2,
+    "t22_dedup_keep_best" -> 4,
+    "t27_exact_substr" -> 3,
+    "t28_substr_removal" -> 4,
+    "td02_tiledb_shadow" -> 2,
+  )
 }
