@@ -41,20 +41,38 @@ object StreamQueries {
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Staged-source cache: the staged FILES for a (dataset, gate) pair
-    * are deterministic, so they are written once per JVM and reused
-    * across repeated invocations (Bench runs every query four times —
-    * restaging would re-pay 4 write jobs per run). Checkpoints and sink
-    * tables stay unique per invocation: reusing a checkpoint would
-    * replay ZERO batches and fake an empty result. */
+    * are deterministic, so they are written once and reused — across
+    * invocations AND across JVMs (Bench runs every query four times;
+    * Verify and Bench are separate processes). The dir name derives
+    * from the key ALONE and a `_STAGED_OK` marker (written last) gates
+    * reuse; a dir without the marker is wiped and restaged, so a
+    * crashed writer can never leak a partial corpus into a later run.
+    * An earlier scheme suffixed a per-JVM sequence number — two JVMs
+    * could collide on (hash, seq) and `mode("append")` then PILED a
+    * second copy of the corpus into a stale dir, silently multiplying
+    * the replay's input (caught when s04's window counts came back
+    * inflated and run-dependent). Checkpoints and sink tables stay
+    * unique per invocation: reusing a checkpoint would replay ZERO
+    * batches and fake an empty result. Concurrent first-stagers of the
+    * SAME key are not supported (the drive loop is sequential). */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def stageOnce(key: String)(write: String => Unit): String =
     stagedDirs.computeIfAbsent(key, { _ =>
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stage_" +
-        java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key)) +
-        s"_${runSeq.incrementAndGet()}"
-      write(dir)
+      import scala.util.hashing.MurmurHash3.stringHash
+      val tag = f"${stringHash(key)}%08x${stringHash(key.reverse)}%08x"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stage_$tag"
+      val marker = new java.io.File(dir, "_STAGED_OK")
+      if (!marker.exists()) {
+        def wipe(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+          f.delete()
+        }
+        wipe(new java.io.File(dir))
+        write(dir)
+        marker.createNewFile()
+      }
       dir
     })
 
@@ -84,6 +102,7 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dumpProgress(q)
     s.table(run)
   }
 
@@ -126,8 +145,20 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    dumpProgress(q)
     s.table(run)
   }
+
+  /** -Dgraft.stream.debug: per-batch progress to stderr (input rows,
+    * watermark, sink rows) — the first thing to look at when a replay
+    * gate's row count is off. */
+  private def dumpProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.props.contains("graft.stream.debug"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[stream-debug] ${q.name} batch=${p.batchId} " +
+          s"in=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
+          s"out=${Option(p.sink).map(_.numOutputRows).getOrElse(-1L)}")
+      }
 
   /** Run `body` with the session's shuffle-partition count scoped down
     * for the stream: a stateful micro-batch materializes ONE STATE STORE
@@ -230,6 +261,51 @@ object StreamQueries {
       }
         .selectExpr("source", "doc_id", "n_tok", "bin")
         .orderBy("source", "doc_id")
+    }),
+
+    // WATERMARKED WINDOWED AGGREGATION under the oracle: sliding
+    // 10s/5s event-time windows over the events stream, replayed in
+    // event-time order (ts is monotone in event_id, so range-staged
+    // batches advance the watermark monotonically and drop nothing),
+    // plus a far-future SENTINEL row alone in the last batch — its
+    // watermark jump finalizes every real window, which append mode
+    // then emits before AvailableNow terminates. The gate filters the
+    // sentinel's own (never-finalized) windows out and compares the
+    // finalized set against the batch definition: each event lands in
+    // exactly two 10s windows (starts floor(t/5)·5 and that −5).
+    // The value aggregate is an integer-quantized sum (floor(v·64)
+    // per row, exact BIGINT addition) — a raw float sum's accumulation
+    // order would not be hash-comparable across engines.
+    "s04_stream_sliding" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/events.parquet")
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      // events.ts is parquet TIMESTAMP(NANOS): depending on the
+      // session's nanos handling it surfaces as BIGINT nanos or as
+      // TIMESTAMP_NTZ — normalize both to a session-tz TIMESTAMP (all
+      // gate sessions run UTC, so the wall-clock reading IS the
+      // instant, matching the oracle's epoch_us arithmetic)
+      val tsExpr = base.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+        case _ => "CAST(ts AS TIMESTAMP)"
+      }
+      val real = base.selectExpr(
+        s"$tsExpr AS ts",
+        "user_id AS user", "value",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinel = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(0.0 AS DOUBLE) AS value, CAST(4 AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinel), "_file",
+            nFiles = 5, stageKey = s"s04|$d")(st =>
+          StreamOps.slidingStats(st.as[StreamOps.Ev],
+            sumExpr = "sum(CAST(floor(value * 64) AS BIGINT))"))
+      }
+        .where("ws < timestamp'2029-01-01 00:00:00'")
+        .selectExpr("unix_seconds(ws) AS ws_s", "n", "s AS vq")
+        .orderBy("ws_s")
     })
   )
 
@@ -285,6 +361,19 @@ object StreamQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
                FROM t)
          SELECT source, doc_id, n_tok, off // 2048 AS bin
-         FROM o ORDER BY source, doc_id"""
+         FROM o ORDER BY source, doc_id""",
+
+    // the batch definition of the sliding windows: each event belongs
+    // to exactly two 10s/5s windows; counts and the quantized sums are
+    // exact integers (CAST wraps the sum — DuckDB would otherwise
+    // widen sum(BIGINT) to HUGEINT and fail the schema compare)
+    "s04_stream_sliding" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 5000000) * 5 AS w1,
+                      CAST(floor(value * 64) AS BIGINT) AS q
+                    FROM events),
+         b AS (SELECT w1 AS ws_s, q FROM e
+               UNION ALL SELECT w1 - 5 AS ws_s, q FROM e)
+         SELECT ws_s, count(*) AS n, CAST(sum(q) AS BIGINT) AS vq
+         FROM b GROUP BY ws_s ORDER BY ws_s"""
   )
 }

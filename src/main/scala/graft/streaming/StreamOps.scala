@@ -23,13 +23,18 @@ object StreamOps {
   final case class UserTotal(user: Long, total: Double, n: Long)
 
   /** Sliding event-time window counts/sums with a watermark: late rows
-    * beyond the watermark are dropped, windows finalize in append mode. */
+    * beyond the watermark are dropped, windows finalize in append mode.
+    * `sumExpr` is the value aggregate — default is the human-facing
+    * rounded float sum; the oracle gate (s04) passes an
+    * integer-quantized sum instead, because a float sum's accumulation
+    * order is engine-internal and not hash-comparable. */
   def slidingStats(ev: Dataset[Ev], win: String = "10 seconds",
                    slide: String = "5 seconds",
-                   watermark: String = "10 seconds"): DataFrame =
+                   watermark: String = "10 seconds",
+                   sumExpr: String = "round(sum(value), 2)"): DataFrame =
     ev.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), win, slide))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .agg(count(lit(1)).as("n"), expr(sumExpr).as("s"))
       .select(col("window.start").as("ws"), col("n"), col("s"))
 
   final case class Doc(ts: Timestamp, doc_id: Long, text: String)
