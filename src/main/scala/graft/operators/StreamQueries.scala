@@ -114,7 +114,8 @@ object StreamQueries {
     * cross-batch state evolution is replayed along the same total order
     * the batch SQL's window uses. */
   private def replayOrderedToCompletion(s: SparkSession, src: DataFrame,
-      fileCol: String, nFiles: Int, stageKey: String)(
+      fileCol: String, nFiles: Int, stageKey: String,
+      outputMode: String = "append")(
       transform: DataFrame => DataFrame): DataFrame = {
     val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
       java.util.UUID.randomUUID.toString.take(8)
@@ -140,7 +141,7 @@ object StreamQueries {
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(run)
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", s"$dir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -306,6 +307,71 @@ object StreamQueries {
         .where("ws < timestamp'2029-01-01 00:00:00'")
         .selectExpr("unix_seconds(ws) AS ws_s", "n", "s AS vq")
         .orderBy("ws_s")
+    }),
+
+    // GAP-BASED SESSION WINDOWS under the oracle: per-user 5s-gap
+    // sessions (native session_window — stateful merge/extend) over the
+    // ordered events replay, sentinel-finalized like s04. Spark's merge
+    // rule — a new event joins the session iff its time is strictly
+    // inside lastTs + gap — is replayed by the oracle's island
+    // construction (new session iff ts − prev ≥ 5s). Session starts
+    // carry event-time microseconds, so the gate compares unix_micros.
+    "s05_stream_sessions" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/events.parquet")
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val tsExpr = base.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+        case _ => "CAST(ts AS TIMESTAMP)"
+      }
+      val real = base.selectExpr(
+        s"$tsExpr AS ts", "user_id AS user", "value",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinel = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(0.0 AS DOUBLE) AS value, CAST(4 AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinel), "_file",
+            nFiles = 5, stageKey = s"s05|$d")(st =>
+          StreamOps.sessionStats(st.as[StreamOps.Ev],
+            sumExpr = "sum(CAST(floor(value * 64) AS BIGINT))"))
+      }
+        .where("ws < timestamp'2029-01-01 00:00:00'")
+        .selectExpr("unix_micros(ws) AS ws_us", "user", "n", "s AS vq")
+        .orderBy("ws_us", "user")
+    }),
+
+    // ARBITRARY KEYED STATE under the oracle: runningTotals'
+    // mapGroupsWithState cumulative (Σv, n) per user, emitted once per
+    // (batch, active user); the gate keeps each user's FINAL emission
+    // (max n — cumulative counts are strictly increasing) and compares
+    // against the batch per-user aggregate. Values are pre-quantized to
+    // integers (floor(v·64)) BEFORE the stream, so the state's running
+    // float sum is exact integer arithmetic in any arrival order and
+    // the operator's round-to-2dp is the identity on it.
+    "s06_stream_totals" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/events.parquet")
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val tsExpr = base.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+        case _ => "CAST(ts AS TIMESTAMP)"
+      }
+      val src = base.selectExpr(
+        s"$tsExpr AS ts", "user_id AS user",
+        "CAST(floor(value * 64) AS DOUBLE) AS value",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, src, "_file", nFiles = 4,
+            stageKey = s"s06|$d", outputMode = "update")(st =>
+          StreamOps.runningTotals(st.as[StreamOps.Ev]).toDF())
+      }
+        .groupBy("user")
+        .agg(max(struct(col("n"), col("total"))).as("m"))
+        .selectExpr("user", "m.total AS total", "m.n AS n")
+        .orderBy("user")
     })
   )
 
@@ -374,6 +440,34 @@ object StreamQueries {
          b AS (SELECT w1 AS ws_s, q FROM e
                UNION ALL SELECT w1 - 5 AS ws_s, q FROM e)
          SELECT ws_s, count(*) AS n, CAST(sum(q) AS BIGINT) AS vq
-         FROM b GROUP BY ws_s ORDER BY ws_s"""
+         FROM b GROUP BY ws_s ORDER BY ws_s""",
+
+    // the batch definition of 5s-gap sessions: per user, a new island
+    // starts where the gap from the previous event is >= 5s; session
+    // start = the island's first event time (microseconds)
+    "s05_stream_sessions" ->
+      """WITH e AS (SELECT user_id AS user, ts,
+                      CAST(floor(value * 64) AS BIGINT) AS q,
+                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                >= INTERVAL 5 SECOND
+                           THEN 1 ELSE 0 END AS brk
+                    FROM events),
+         i AS (SELECT user, ts, q,
+                 sum(brk) OVER (PARTITION BY user ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM e)
+         SELECT epoch_us(min(ts)) AS ws_us, user,
+           count(*) AS n, CAST(sum(q) AS BIGINT) AS vq
+         FROM i GROUP BY user, island ORDER BY ws_us, user""",
+
+    // the batch per-user aggregate the final state emission must equal;
+    // totals are sums of pre-quantized integers (exact, order-free)
+    "s06_stream_totals" ->
+      """SELECT user_id AS user,
+           CAST(sum(CAST(floor(value * 64) AS BIGINT)) AS DOUBLE) AS total,
+           count(*) AS n
+         FROM events GROUP BY user_id ORDER BY user"""
   )
 }

@@ -94,10 +94,11 @@ object StreamOps {
     * is bounded. Spark's native `session_window` — stateful, keyed by
     * (user, session), partitioned freely across executors. */
   def sessionStats(ev: Dataset[Ev], gap: String = "5 seconds",
-                   watermark: String = "10 seconds"): DataFrame =
+                   watermark: String = "10 seconds",
+                   sumExpr: String = "round(sum(value), 2)"): DataFrame =
     ev.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .agg(count(lit(1)).as("n"), expr(sumExpr).as("s"))
       .select(col("session_window.start").as("ws"), col("user"), col("n"), col("s"))
 
   /** Windowed approximate quantiles on the stream — the online form of

@@ -140,6 +140,9 @@ class GateLintSpec extends AnyFunSuite {
     // s03: running sum of integer token counts (exact, order pinned by
     // the window's ORDER BY on both engines); bin is integer division
     "s03_stream_packing",
+    // s05: the island id is a running sum of 0/1 break flags (exact
+    // integers); the value sum is BIGINT-quantized and CAST-wrapped
+    "s05_stream_sessions",
   )
 
   /** The ORDERED-FOLD waiver class (formalized from t29, r9): a raw
