@@ -13,53 +13,52 @@ package graft
   * moves a query's baseline. */
 object PerfBudgets {
   val budgets: Map[String, Double] = Map(
-    "e09_pq_adc" -> 2,
     "e12_ann_recall" -> 2,
-    "e13_kmeans_lloyd" -> 2.5,
-    "e14_pq_train" -> 4.5,
+    "e13_kmeans_lloyd" -> 3,
+    "e14_pq_train" -> 5.5,
     "e15_ivfpq_search" -> 2,
     "e16_ivf_multiprobe" -> 2,
-    "e17_outliers" -> 2.5,
+    "e17_outliers" -> 3,
     "e18_ivf_bucketed" -> 2,
-    "l03_cholesky_trace" -> 6,
-    "l04_inv" -> 6.5,
-    "l05_svd_full" -> 4,
-    "l06_svd_compressed" -> 6.5,
+    "l03_cholesky_trace" -> 5,
+    "l04_inv" -> 6,
+    "l05_svd_full" -> 4.5,
+    "l06_svd_compressed" -> 6,
     "l07_lstsq" -> 2,
-    "l09_lu_reconstruct" -> 4,
-    "l11_sfqr" -> 4.5,
+    "l09_lu_reconstruct" -> 3.5,
+    "l11_sfqr" -> 3.5,
     "l12_matrix_norms" -> 2,
-    "m16_stencil_mean" -> 2,
     "m18_einsum_chain" -> 2,
-    "m24_corrcoef" -> 2,
-    "m32_cov_matrix" -> 2,
-    "m37_sparse_matvec" -> 3.5,
+    "m37_sparse_matvec" -> 3,
     "m38_sparse_spgemm" -> 4,
     "m39_sparse_elemwise" -> 3,
-    "m40_sparse_identity" -> 4,
+    "m40_sparse_identity" -> 5,
     "m42_cov_weighted" -> 2.5,
     "mm06_phash_pairs" -> 2,
-    "n14_nd_stencil3d" -> 2,
-    "q04_diff" -> 2,
     "q05_sliding_mean" -> 2,
     "q105_map_overlap" -> 2,
     "q109_ufunc_libm" -> 3.5,
     "q111_blelloch_cumsum" -> 2.5,
+    "q14_cummax" -> 2,
+    "q80_nancumprod" -> 2,
     "q95_random_gen_tail" -> 2,
     "q96_randomstate" -> 2,
-    "q99_gamma_general" -> 3.5,
+    "q98_randomstate_perm" -> 2,
+    "q99_gamma_general" -> 3,
     "s01_stream_gopher" -> 3.5,
-    "s02_stream_dedup" -> 5,
-    "s03_stream_packing" -> 4.5,
-    "s04_stream_sliding" -> 9.5,
+    "s02_stream_dedup" -> 5.5,
+    "s03_stream_packing" -> 5,
+    "s04_stream_sliding" -> 11,
+    "s05_stream_sessions" -> 9.5,
+    "s06_stream_totals" -> 5.5,
     "t07_jaccard" -> 2.5,
-    "t13_dedup_clusters" -> 4.5,
-    "t14_contamination" -> 2,
+    "t13_dedup_clusters" -> 4,
+    "t16_lm_score" -> 2,
     "t20_span_dedup" -> 2,
     "t21_bloom_decontamination" -> 2,
     "t22_dedup_keep_best" -> 5,
-    "t27_exact_substr" -> 4,
-    "t28_substr_removal" -> 4,
+    "t27_exact_substr" -> 3.5,
+    "t28_substr_removal" -> 5.5,
     "td02_tiledb_shadow" -> 2,
   )
 }
