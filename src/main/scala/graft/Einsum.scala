@@ -105,7 +105,19 @@ object Einsum {
   }
 
   def apply(spec: String, ops: DMatrix*): DataFrame = {
-    val Array(lhs, rhs) = spec.replace(" ", "").split("->", -1)
+    val cleaned0 = spec.replace(" ", "")
+    // implicit mode (numpy: no '->'): output = the letters appearing
+    // exactly once across all operands, sorted — same rule as `nd`
+    val withArrow =
+      if (cleaned0.contains("->")) cleaned0
+      else {
+        val letters = cleaned0.replace(",", "")
+        val once = letters.groupBy(identity).collect {
+          case (c, g) if g.length == 1 => c
+        }.toSeq.sorted.mkString
+        cleaned0 + "->" + once
+      }
+    val Array(lhs, rhs) = withArrow.split("->", -1)
     val inSpecs = lhs.split(",").toSeq
     require(inSpecs.length == ops.length, s"$spec expects ${inSpecs.length} operands")
     require(ops.nonEmpty, "einsum needs at least one operand")

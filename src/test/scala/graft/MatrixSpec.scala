@@ -196,6 +196,18 @@ class MatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("einsum implicit mode (no arrow) matches the explicit spec on the 2-d path") {
+    val a = DMatrix.tabulate(spark, 6, 5, "(i * 3 + j) % 7")
+    val b = DMatrix.tabulate(spark, 5, 4, "(i + j * 2) % 5")
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    // "ij,jk" -> letters appearing once = i, k -> "ij,jk->ik" (matmul)
+    assert(cells(Einsum("ij,jk", a, b)) == cells(Einsum("ij,jk->ik", a, b)))
+    // "ii" -> no letter appears once -> scalar trace
+    val sq = DMatrix.tabulate(spark, 5, 5, "i * 5 + j")
+    assert(cells(Einsum("ii", sq)) == cells(Einsum("ii->", sq)))
+  }
+
   test("numpy alias names: flipud/fliplr delegate to the flip projections") {
     val m = DMatrix.tabulate(spark, 3, 4, "i * 10 + j")
     def cells(x: DMatrix) =
