@@ -362,7 +362,7 @@ final class DArray(val exprTree: VecExpr, val ctx: Ctx) {
                       name: String = "v"): DataFrame = {
     val sess = elements.sparkSession
     import sess.implicits._
-    elements.select(col("v")).as[Double].select(agg.toColumn.name(name)).toDF
+    elements.select(col("v")).as[Double].select(agg.toColumn.name(name)).toDF()
   }
 
   def sum(alias: String = "sum"): DataFrame  = reduce(s"sum(v)" -> alias)

@@ -338,11 +338,11 @@ object FFT {
     * ⌊n/2⌋ for odd n too) — no data movement beyond the remap. */
   def fftshift(df: DataFrame, n: Long): DataFrame =
     df.select((((col("idx") + n / 2) % n).as("idx") +:
-      df.columns.filter(_ != "idx").map(col)): _*)
+      df.columns.filter(_ != "idx").toIndexedSeq.map(col)): _*)
 
   /** Inverse shift (reference `ifftshift`, fft.py:316): roll by ⌈n/2⌉, so
     * `ifftshift(fftshift(x)) == x` for odd n as well. */
   def ifftshift(df: DataFrame, n: Long): DataFrame =
     df.select((((col("idx") + (n + 1) / 2) % n).as("idx") +:
-      df.columns.filter(_ != "idx").map(col)): _*)
+      df.columns.filter(_ != "idx").toIndexedSeq.map(col)): _*)
 }

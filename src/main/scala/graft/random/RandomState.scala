@@ -215,7 +215,7 @@ class RandomState(spark: SparkSession, dir: String, seed0: Long = 0L) {
       .repartitionByRange(parts, col("u"), col("p"))
       .sortWithinPartitions("u", "p")
       .rdd
-    val rows = keyed.zipWithIndex.map { case (r, rank) => Row(rank, r.getLong(0).toDouble) }
+    val rows = keyed.zipWithIndex().map { case (r, rank) => Row(rank, r.getLong(0).toDouble) }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("idx", LongType, nullable = false),
       StructField("v", DoubleType, nullable = false))))

@@ -344,9 +344,18 @@ object StreamOps {
     // exact twin keeps them — a NULL md5 never matches an eval key), not
     // vanish by failing BOTH branch predicates
     val clean = docs.toDF().where(might.isNull || !might)
+    // confirm join keyed on the two-seed 128-bit hash pair, never the
+    // raw text — same keying contract as the batch
+    // [[graft.functions.Bloom.decontaminate]] (an exchange carrying the
+    // document text moves ~corpus bytes; the pair moves 16 bytes/row)
+    val h1 = xxhash64(col("text"))
+    val h2 = xxhash64(lit("graft2"), col("text"))
     val confirmed = docs.toDF().where(might)
-      .join(evalTexts.select(col("text")), Seq("text"), "left_anti")
-      .select(clean.columns.map(col): _*)
+      .withColumn("_gbh1", h1).withColumn("_gbh2", h2)
+      .join(evalTexts.select(xxhash64(col("text")).as("_gbh1"),
+        xxhash64(lit("graft2"), col("text")).as("_gbh2")).distinct(),
+        Seq("_gbh1", "_gbh2"), "left_anti")
+      .select(clean.columns.toIndexedSeq.map(col): _*)
     clean.unionByName(confirmed)
   }
 
