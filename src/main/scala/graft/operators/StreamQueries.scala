@@ -64,14 +64,26 @@ object StreamQueries {
       val tag = f"${stringHash(key)}%08x${stringHash(key.reverse)}%08x"
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stage_$tag"
       val marker = new java.io.File(dir, "_STAGED_OK")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete()
+      }
       if (!marker.exists()) {
-        def wipe(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-          f.delete()
-        }
+        // a dir without its marker is a crashed/legacy writer's litter
         wipe(new java.io.File(dir))
-        write(dir)
-        marker.createNewFile()
+        // stage into a private temp dir, then PUBLISH with one atomic
+        // rename — even two processes racing on the same key cannot
+        // interleave files; the loser keeps the winner's corpus
+        val tmpDir = new java.io.File(
+          s"$dir.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+        write(tmpDir.getAbsolutePath)
+        new java.io.File(tmpDir, "_STAGED_OK").createNewFile()
+        try java.nio.file.Files.move(tmpDir.toPath, new java.io.File(dir).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException if marker.exists() =>
+            wipe(tmpDir) // another process published first — use theirs
+        }
       }
       dir
     })
