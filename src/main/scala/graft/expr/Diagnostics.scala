@@ -27,15 +27,37 @@ object Diagnostics {
     seen.values.toSeq
   }
 
+  /** Consumer counts over the DEDUPLICATED DAG: each distinct parent
+    * contributes its child edges exactly once. (Counting on every visit
+    * would double-count everything below a shared subtree — the d02
+    * oracle gate caught exactly that.) */
   private def consumerCounts(root: VecExpr): Map[String, Int] = {
     val acc = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val seen = scala.collection.mutable.Set[String]()
-    def walk(e: VecExpr): Unit = {
-      e.children.foreach { c => acc(c.name) += 1 }
-      if (seen.add(e.name)) e.children.foreach(walk)
-    }
+    def walk(e: VecExpr): Unit =
+      if (seen.add(e.name)) {
+        e.children.foreach { c => acc(c.name) += 1 }
+        e.children.foreach(walk)
+      }
     walk(root)
     acc.toMap.withDefaultValue(0)
+  }
+
+  /** The expr-table data itself — one row per DISTINCT node in DFS
+    * preorder from the root (content-addressed, so a shared subtree
+    * appears once): `(op, len, uses, movedLo, movedHi)`. `uses` is the
+    * consumer count over the deduplicated DAG; moved bytes are the node's
+    * own [[VecExpr.transferBytes]]. [[exprTable]] renders these rows (plus
+    * the content-address id column, which has no SQL analogue); the d02
+    * oracle query re-derives every numeric column from `count(*)` in
+    * closed form, gating the transfer-bytes model and the
+    * content-addressed consumer counting against DuckDB. */
+  def exprTableRows(root: VecExpr): Seq[(String, Long, Int, Long, Long)] = {
+    val consumers = consumerCounts(root)
+    collect(root).map { e =>
+      val (lo, hi) = e.transferBytes
+      (VecExpr.opOf(e), e.length, consumers(e.name), lo, hi)
+    }
   }
 
   /** Fixed-width text table over the distinct DAG nodes (the reference's

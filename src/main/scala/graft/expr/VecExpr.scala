@@ -77,35 +77,54 @@ sealed trait VecExpr {
 
   }
 
+  /** The chunk-report data itself — one row per distinct (length, block)
+    * layout over the content-addressed DAG: `(len, block, nodes,
+    * worstBytes, exampleOp)`, largest modeled layout first. Unknown
+    * lengths group under `(-1, -1)` with `worstBytes = -1`. The example
+    * op is the first worst-cost node in DFS preorder from the root (the
+    * same node the formatted report names). [[chunkReport]] renders these
+    * rows; the d01 oracle query re-derives every numeric column from
+    * `count(*)` in closed form, so the layout model (autoChunk, RowBytes)
+    * is gated against DuckDB, not just spec'd. */
+  final def chunkReportRows: Seq[(Long, Long, Int, Long, String)] = {
+    val nodes = scala.collection.mutable.LinkedHashMap[String, VecExpr]()
+    def walk(e: VecExpr): Unit =
+      if (!nodes.contains(e.name)) { nodes(e.name) = e; e.children.foreach(walk) }
+    walk(this)
+    def bytes(e: VecExpr): Long =
+      if (e.length < 0) -1L else e.length * VecExpr.RowBytes
+    nodes.values.toSeq
+      .groupBy(e => if (e.length < 0) (-1L, -1L) else (e.length, Blocked.autoChunk(e.length)))
+      .toSeq
+      .map { case ((len, blk), es) =>
+        val worst = es.maxBy(bytes)
+        (len, blk, es.size, bytes(worst), VecExpr.opOf(worst))
+      }.sortBy(-_._4)
+  }
+
   /** Layout histogram across the expression DAG (reference
     * `chunk_report`, `_diagnostics.py:43`): one line per distinct
     * (length, carry-block) layout — node count, modeled bytes of the
     * layout's largest node, an example op — plus the `limit` largest
     * nodes. Shared subtrees count once (content-addressed [[name]]).
-    * Metadata only; nothing computes. */
+    * Metadata only; nothing computes. Renders [[chunkReportRows]]. */
   final def chunkReport(limit: Int = 8): String = {
     val nodes = scala.collection.mutable.LinkedHashMap[String, VecExpr]()
     def walk(e: VecExpr): Unit =
       if (!nodes.contains(e.name)) { nodes(e.name) = e; e.children.foreach(walk) }
     walk(this)
-    def op(e: VecExpr): String = e.token.takeWhile(_ != '[')
-    def sig(e: VecExpr): String =
-      if (e.length < 0) "len=?"
-      else s"len=${e.length} block=${Blocked.autoChunk(e.length)}"
+    def sig(len: Long, blk: Long): String =
+      if (len < 0) "len=?" else s"len=$len block=$blk"
     def bytes(e: VecExpr): Long =
       if (e.length < 0) -1L else e.length * VecExpr.RowBytes
-    val perLayout = nodes.values.toSeq.groupBy(sig).toSeq
-      .map { case (s, es) =>
-        val worst = es.maxBy(bytes)
-        (s, es.size, bytes(worst), op(worst))
-      }.sortBy(-_._3)
+    val perLayout = chunkReportRows
     val header = s"chunk report: ${nodes.size} array nodes, ${perLayout.size} layouts"
-    val layoutLines = perLayout.map { case (s, count, worst, ex) =>
+    val layoutLines = perLayout.map { case (len, blk, count, worst, ex) =>
       val b = if (worst < 0) "?" else s"$worst B"
-      f"  $count%5d  $s%-32s <= $b%10s  e.g. $ex"
+      f"  $count%5d  ${sig(len, blk)}%-32s <= $b%10s  e.g. $ex"
     }
     val largest = nodes.values.toSeq.sortBy(e => -bytes(e)).take(limit)
-      .map(e => f"  ${if (bytes(e) < 0) "?" else s"${bytes(e)} B"}%12s  ${sig(e)}%-32s  ${op(e)}")
+      .map(e => f"  ${if (bytes(e) < 0) "?" else s"${bytes(e)} B"}%12s  ${sig(e.length, if (e.length < 0) -1L else Blocked.autoChunk(e.length))}%-32s  ${VecExpr.opOf(e)}")
     (header +: layoutLines :+ s"largest nodes ($limit):" ).mkString("\n") +
       "\n" + largest.mkString("\n")
   }
@@ -122,6 +141,11 @@ sealed trait VecExpr {
 object VecExpr {
   /** Bytes per element-table row (idx BIGINT + v DOUBLE). */
   val RowBytes = 16L
+
+  /** Operator name of a node — the token up to its parameter bracket
+    * (`cum[sum]` → `cum`). The stable diagnostic identity used by
+    * [[VecExpr.chunkReportRows]] / `Diagnostics.exprTableRows`. */
+  def opOf(e: VecExpr): String = e.token.takeWhile(_ != '[')
 
   /** max-side bytes for a full pass over `len` elements (-1 if unknown). */
   def passBytes(len: Long): Long = if (len < 0) -1L else len * RowBytes

@@ -24,6 +24,33 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(mapRow.split("\\s{2,}")(3) == "2", s"expected 2 uses:\n$table")
   }
 
+  test("exprTableRows: distinct parents count once; nodes below a shared subtree not double-counted") {
+    // diamond PLUS a node under the shared subtree: zip(slice(map(src)),
+    // slice'(map(src))) — src sits under the shared map; a per-visit
+    // counter would credit it 2 uses (the d02 oracle caught exactly that).
+    val shared = MapVec(src, "v * 2")
+    val tree = ZipVec(SliceVec(shared, 0, 500), SliceVec(shared, 100, 600), "v1 + v2")
+    val rows = Diagnostics.exprTableRows(tree).map(r => (r._1, r._3)).toMap
+    assert(rows("map") == 2, rows)    // two distinct slice consumers
+    assert(rows("range") == 1, rows)  // ONE consumer (the shared map), not 2
+    assert(rows("zip") == 0, rows)
+    // movement model rides through: zip prices two 500-row passes
+    val zipRow = Diagnostics.exprTableRows(tree).find(_._1 == "zip").get
+    assert(zipRow._5 == 2 * 500 * VecExpr.RowBytes, zipRow)
+  }
+
+  test("chunkReportRows: the data behind the histogram, largest layout first") {
+    val shared = MapVec(src, "v * 2")
+    val tree = ZipVec(SliceVec(shared, 0, 500), SliceVec(shared, 100, 600), "v1 + v2")
+    val rows = tree.chunkReportRows
+    assert(rows.map(r => (r._1, r._3)) == Seq((1000L, 2), (500L, 3)), rows)
+    assert(rows.head._2 == Blocked.autoChunk(1000) && rows.head._4 == 1000 * VecExpr.RowBytes, rows)
+    // unknown lengths group under (-1, -1) with unknown bytes
+    val unk = ZipVec(FilterVec(src, "v > 3"), MapVec(FilterVec(src, "v > 3"), "v+1"), "v1+v2")
+    val urows = unk.chunkReportRows
+    assert(urows.exists(r => r._1 == -1L && r._2 == -1L && r._4 == -1L), urows)
+  }
+
   test("chunkReport: layout histogram over distinct nodes, largest first") {
     val shared = MapVec(src, "v * 2")
     val tree = ZipVec(SliceVec(shared, 0, 500), SliceVec(shared, 100, 600), "v1 + v2")
