@@ -197,9 +197,22 @@ object Simplify {
         if (bBytes < aBytes) a.chunk
         else if (aBytes < bBytes) b.chunk
         else coarse
+      // The backstop arbitrates the TIE merge only (the nested_merge
+      // record is an equal-weight tie): it must never reverse rule 1's
+      // byte decision — flipping target to the fine grid also flips WHICH
+      // side moves, and rule 1 may have chosen a giant-chunked unknown-
+      // length side precisely so the small known side is the one that
+      // moves (its manufactured block is then min(len, chunk), far under
+      // the nominal grid). Size the check by the blocks the merge would
+      // actually mint on the moved side: on a byte tie the lengths are
+      // equal, so a grid wider than the array caps at len·RowBytes.
       val target =
-        if (target0 == coarse && coarse * VecExpr.RowBytes > Blocked.unifyLimitBytes) fine
-        else target0
+        if (aBytes == bBytes && target0 == coarse) {
+          val movedLen = math.max(a.length, b.length) // equal on a known tie
+          val blockBytes =
+            (if (movedLen < 0) coarse else math.min(coarse, movedLen)) * VecExpr.RowBytes
+          if (blockBytes > Blocked.unifyLimitBytes) fine else coarse
+        } else target0
       if (target == a.chunk) ZipVec(a, RechunkVec(b, target), e)
       else ZipVec(RechunkVec(a, target), b, e)
 

@@ -86,21 +86,28 @@ sealed trait VecExpr {
     * rows; the d01 oracle query re-derives every numeric column from
     * `count(*)` in closed form, so the layout model (autoChunk, RowBytes)
     * is gated against DuckDB, not just spec'd. */
-  final def chunkReportRows: Seq[(Long, Long, Int, Long, String)] = {
+  /** The DAG's distinct nodes in DFS preorder (shared subtrees once,
+    * content-addressed by [[name]]) — the walk [[chunkReportRows]] and
+    * [[chunkReport]] both report over. */
+  private def distinctNodes: Seq[VecExpr] = {
     val nodes = scala.collection.mutable.LinkedHashMap[String, VecExpr]()
     def walk(e: VecExpr): Unit =
       if (!nodes.contains(e.name)) { nodes(e.name) = e; e.children.foreach(walk) }
     walk(this)
-    def bytes(e: VecExpr): Long =
-      if (e.length < 0) -1L else e.length * VecExpr.RowBytes
     nodes.values.toSeq
+  }
+
+  private def modeledBytes(e: VecExpr): Long =
+    if (e.length < 0) -1L else e.length * VecExpr.RowBytes
+
+  final def chunkReportRows: Seq[(Long, Long, Int, Long, String)] =
+    distinctNodes
       .groupBy(e => if (e.length < 0) (-1L, -1L) else (e.length, Blocked.autoChunk(e.length)))
       .toSeq
       .map { case ((len, blk), es) =>
-        val worst = es.maxBy(bytes)
-        (len, blk, es.size, bytes(worst), VecExpr.opOf(worst))
+        val worst = es.maxBy(modeledBytes)
+        (len, blk, es.size, modeledBytes(worst), VecExpr.opOf(worst))
       }.sortBy(-_._4)
-  }
 
   /** Layout histogram across the expression DAG (reference
     * `chunk_report`, `_diagnostics.py:43`): one line per distinct
@@ -109,22 +116,17 @@ sealed trait VecExpr {
     * nodes. Shared subtrees count once (content-addressed [[name]]).
     * Metadata only; nothing computes. Renders [[chunkReportRows]]. */
   final def chunkReport(limit: Int = 8): String = {
-    val nodes = scala.collection.mutable.LinkedHashMap[String, VecExpr]()
-    def walk(e: VecExpr): Unit =
-      if (!nodes.contains(e.name)) { nodes(e.name) = e; e.children.foreach(walk) }
-    walk(this)
+    val nodes = distinctNodes
     def sig(len: Long, blk: Long): String =
       if (len < 0) "len=?" else s"len=$len block=$blk"
-    def bytes(e: VecExpr): Long =
-      if (e.length < 0) -1L else e.length * VecExpr.RowBytes
     val perLayout = chunkReportRows
     val header = s"chunk report: ${nodes.size} array nodes, ${perLayout.size} layouts"
     val layoutLines = perLayout.map { case (len, blk, count, worst, ex) =>
       val b = if (worst < 0) "?" else s"$worst B"
       f"  $count%5d  ${sig(len, blk)}%-32s <= $b%10s  e.g. $ex"
     }
-    val largest = nodes.values.toSeq.sortBy(e => -bytes(e)).take(limit)
-      .map(e => f"  ${if (bytes(e) < 0) "?" else s"${bytes(e)} B"}%12s  ${sig(e.length, if (e.length < 0) -1L else Blocked.autoChunk(e.length))}%-32s  ${VecExpr.opOf(e)}")
+    val largest = nodes.sortBy(e => -modeledBytes(e)).take(limit)
+      .map(e => f"  ${if (modeledBytes(e) < 0) "?" else s"${modeledBytes(e)} B"}%12s  ${sig(e.length, if (e.length < 0) -1L else Blocked.autoChunk(e.length))}%-32s  ${VecExpr.opOf(e)}")
     (header +: layoutLines :+ s"largest nodes ($limit):" ).mkString("\n") +
       "\n" + largest.mkString("\n")
   }
@@ -230,9 +232,26 @@ final case class DelayedVec(thunk: () => Array[Double], label: String) extends V
 final case class GraphVec(source: DataFrame, idxSql: String, valueSql: String)
     extends VecExpr {
   def children: Seq[VecExpr] = Nil
-  def token: String = s"graph[${System.identityHashCode(source)},$idxSql,$valueSql]"
+  def token: String = s"graph[${GraphVec.idOf(source)},$idxSql,$valueSql]"
   def eval(ctx: Ctx): DataFrame =
     source.selectExpr(s"CAST($idxSql AS BIGINT) AS idx", s"CAST($valueSql AS DOUBLE) AS v")
+}
+
+object GraphVec {
+  /** Stable per-INSTANCE id for the wrapped frame's content address.
+    * identityHashCode is neither unique (2³¹ space, reuse after GC) nor
+    * collision-free — two different sources colliding would CSE-merge
+    * into ONE node and silently read the wrong frame. A monotonic id
+    * keyed by reference identity keeps the contract exact: same instance
+    * ⇒ shared node, different instances ⇒ distinct nodes. WeakHashMap
+    * (Dataset doesn't override equals, so keys compare by reference)
+    * lets unreferenced frames age out; the GraphVec itself strongly
+    * holds `source`, so the key outlives every live node. */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+  private def idOf(df: DataFrame): Long =
+    ids.computeIfAbsent(df, _ => java.lang.Long.valueOf(seq.incrementAndGet()))
 }
 
 /** Leaf: arithmetic progression — `arange`/`linspace` (reference

@@ -41,8 +41,12 @@ object Bloom {
     val bits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     GraftFunctions.register(eval.sparkSession)
+    // xxhash64 is NON-nullable (a NULL input leaves the fold at its
+    // seed), so feed the agg NULL for NULL keys: they must not enter the
+    // sketch — a NULL key never matches anything (SQL join semantics),
+    // and an all-NULL eval must yield None, not a one-entry blob
     val row = eval
-      .selectExpr(s"graft_bloom_agg(xxhash64($keyCol), CAST($expectedItems AS BIGINT), CAST($bits AS BIGINT)) AS bf")
+      .selectExpr(s"graft_bloom_agg(CASE WHEN $keyCol IS NULL THEN NULL ELSE xxhash64($keyCol) END, CAST($expectedItems AS BIGINT), CAST($bits AS BIGINT)) AS bf")
       .head()
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
@@ -68,14 +72,21 @@ object Bloom {
     buildBlob(eval, keyCol, expectedEval, fpp) match {
       case None => train // empty eval set: everything is clean
       case Some(blob) =>
+        val key = col(keyCol)
         val might =
-          call_function("graft_bloom_might", lit(blob), xxhash64(col(keyCol)))
-        val h1 = xxhash64(col(keyCol))
-        val h2 = xxhash64(lit("graft2"), col(keyCol))
-        val clean = train.where(!might)
-        val confirmed = train.where(might)
+          call_function("graft_bloom_might", lit(blob), xxhash64(key))
+        val h1 = xxhash64(key)
+        val h2 = xxhash64(lit("graft2"), key)
+        // NULL keys: xxhash64 is non-nullable, so a NULL train key and a
+        // NULL eval key would hash EQUAL and the pair join would drop
+        // rows that raw-key anti-join semantics keep (NULL never equals
+        // NULL). Route NULL train keys straight to the clean branch and
+        // keep NULL eval keys out of the confirm set.
+        val clean = train.where(key.isNull || !might)
+        val confirmed = train.where(key.isNotNull && might)
           .withColumn("_gbh1", h1).withColumn("_gbh2", h2)
-          .join(eval.select(h1.as("_gbh1"), h2.as("_gbh2")).distinct(),
+          .join(eval.where(key.isNotNull)
+            .select(h1.as("_gbh1"), h2.as("_gbh2")).distinct(),
             Seq("_gbh1", "_gbh2"), "left_anti")
           .drop("_gbh1", "_gbh2")
         clean.unionByName(confirmed)

@@ -99,7 +99,10 @@ object StreamQueries {
     val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
       java.util.UUID.randomUUID.toString.take(8)
     val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
-    val staged = stageOnce(stageKey) { sd =>
+    // nFiles (and a format version) are part of the corpus identity: a
+    // marker-gated dir staged under an old batch count would otherwise be
+    // silently reused, degrading the multi-batch coverage with no signal
+    val staged = stageOnce(s"$stageKey|n$nFiles|v1") { sd =>
       src.repartition(nFiles).write.mode("overwrite").parquet(s"$sd/src")
     }
     val stream = s.readStream
@@ -132,7 +135,7 @@ object StreamQueries {
     val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
       java.util.UUID.randomUUID.toString.take(8)
     val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
-    val staged = stageOnce(stageKey) { sd =>
+    val staged = stageOnce(s"$stageKey|n$nFiles|v1") { sd =>
       val srcDir = new java.io.File(s"$sd/src")
       val stamped = scala.collection.mutable.Set[String]()
       for (k <- 0 until nFiles) {
@@ -458,7 +461,7 @@ object StreamQueries {
     // starts where the gap from the previous event is >= 5s; session
     // start = the island's first event time (microseconds)
     "s05_stream_sessions" ->
-      """WITH e AS (SELECT user_id AS user, ts,
+      """WITH e AS (SELECT user_id AS user, ts, event_id,
                       CAST(floor(value * 64) AS BIGINT) AS q,
                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                 IS NULL
@@ -467,7 +470,7 @@ object StreamQueries {
                            THEN 1 ELSE 0 END AS brk
                     FROM events),
          i AS (SELECT user, ts, q,
-                 sum(brk) OVER (PARTITION BY user ORDER BY ts
+                 sum(brk) OVER (PARTITION BY user ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
                FROM e)
          SELECT epoch_us(min(ts)) AS ws_us, user,

@@ -340,20 +340,23 @@ object StreamOps {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val might =
       call_function("graft_bloom_might", lit(bloomBlob), xxhash64(col("text")))
-    // NULL text → NULL might: such rows must take the clean branch (the
-    // exact twin keeps them — a NULL md5 never matches an eval key), not
-    // vanish by failing BOTH branch predicates
-    val clean = docs.toDF().where(might.isNull || !might)
+    // NULL text takes the clean branch: xxhash64 is NON-nullable (a NULL
+    // input leaves the fold at its seed), so without the explicit guard a
+    // NULL train text and a NULL eval text would hash EQUAL and the pair
+    // join would drop rows the exact twin keeps (a NULL key never matches
+    // an eval key under SQL join semantics)
+    val clean = docs.toDF().where(col("text").isNull || !might)
     // confirm join keyed on the two-seed 128-bit hash pair, never the
     // raw text — same keying contract as the batch
     // [[graft.functions.Bloom.decontaminate]] (an exchange carrying the
     // document text moves ~corpus bytes; the pair moves 16 bytes/row)
     val h1 = xxhash64(col("text"))
     val h2 = xxhash64(lit("graft2"), col("text"))
-    val confirmed = docs.toDF().where(might)
+    val confirmed = docs.toDF().where(col("text").isNotNull && might)
       .withColumn("_gbh1", h1).withColumn("_gbh2", h2)
-      .join(evalTexts.select(xxhash64(col("text")).as("_gbh1"),
-        xxhash64(lit("graft2"), col("text")).as("_gbh2")).distinct(),
+      .join(evalTexts.where(col("text").isNotNull)
+        .select(xxhash64(col("text")).as("_gbh1"),
+          xxhash64(lit("graft2"), col("text")).as("_gbh2")).distinct(),
         Seq("_gbh1", "_gbh2"), "left_anti")
       .select(clean.columns.toIndexedSeq.map(col): _*)
     clean.unionByName(confirmed)

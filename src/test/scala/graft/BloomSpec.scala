@@ -34,6 +34,29 @@ class BloomSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL keys survive: NULL never matches an eval key, even a NULL one") {
+    // xxhash64 is NON-nullable (NULL input leaves the fold at its seed),
+    // so without the explicit guards a NULL train key and a NULL eval key
+    // hash EQUAL and the confirm pair-join drops rows the raw-key
+    // anti-join semantics keep — the regression the r11 hash-pair keying
+    // introduced and this test pins closed
+    val withNulls = corpus(200).selectExpr(
+      "doc_id", "CASE WHEN doc_id % 50 = 7 THEN NULL ELSE text END AS text")
+    val train = withNulls.where("doc_id % 7 <> 3") // contains NULL-text rows
+    val eval = withNulls.where("doc_id % 7 = 3")   // also contains NULL-text rows
+    assert(train.where("text IS NULL").count() > 0 &&
+      eval.where("text IS NULL").count() > 0, "fixture needs NULLs on both sides")
+    val got = Bloom.decontaminate(train, eval, "text", expectedEval = 16, fpp = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = train.join(eval.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"${got.size} vs ${want.size}")
+    val keptNulls = Bloom.decontaminate(train, eval, "text", 16, 0.9)
+      .where("text IS NULL").count()
+    assert(keptNulls == train.where("text IS NULL").count(),
+      "every NULL-key train row must be kept")
+  }
+
   test("empty eval set passes everything through unchanged") {
     val train = corpus(50)
     val kept = Bloom.decontaminate(train, train.where("false"), "text", 16)

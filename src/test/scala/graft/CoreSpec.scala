@@ -562,4 +562,19 @@ class CustomReductionSpec extends AnyFunSuite {
     val want = math.exp((1 to 100).map(i => math.log(i.toDouble)).sum / 100.0)
     assert(math.abs(got - want) < 1e-9, s"$got vs $want")
   }
+
+  test("GraphVec content address: distinct sources never merge, same instance shares") {
+    // the address is a per-INSTANCE monotonic id, not identityHashCode —
+    // a hash collision between two different frames would CSE-merge them
+    // into one node and silently read the wrong source
+    import graft.expr.GraphVec
+    val s = TestSpark.spark
+    val df1 = s.range(10).selectExpr("id", "id * 2 AS v")
+    val df2 = s.range(10).selectExpr("id", "id * 2 AS v") // equal plan, distinct instance
+    val a = GraphVec(df1, "id", "v")
+    val b = GraphVec(df2, "id", "v")
+    assert(a.name != b.name, "distinct DataFrame instances must be distinct nodes")
+    val a2 = GraphVec(df1, "id", "v")
+    assert(a.name == a2.name, "the same instance must share one node (one evaluation)")
+  }
 }

@@ -73,13 +73,20 @@ class QuerySpec extends AnyFunSuite {
     assert(run(emb.coalesce(1)) == run(emb.repartition(7)))
   }
 
-  /** Every registered query's physical plan string, built once and
-    * shared by the plan-shape sweeps below (building a plan re-invokes
-    * the query builder — for the streaming gates that replays a whole
-    * stream, so each extra sweep pass is real wall time). */
+  /** Every registered BATCH query's physical plan string, built once and
+    * shared by the plan-shape sweeps below. The streaming gates (s01–s06)
+    * are excluded deliberately: building their DataFrame replays a whole
+    * stream to completion (~30 s of wall across the six), yet the plan
+    * that comes back is only the memory-SINK scan — the lints would see
+    * nothing of the streaming transform either way. The transforms'
+    * shuffle/join shapes are covered by their registered batch twins
+    * (t26/t01/t19/q64/…, linted here) and by StreamingSpec's parity
+    * assertions; the Bloom confirm join inside the stream carries the
+    * same hash-pair keying contract as the linted batch pass. */
   private lazy val planStrings: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    SparkEntry.queries.collect {
+      case (name, fn) if !name.startsWith("s0") =>
+        name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
 
   test("no query plans a CartesianProduct (every cross join is broadcast)") {

@@ -83,6 +83,26 @@ class UnifyPolicyBenchSpec extends AnyFunSuite {
     assert(partitions(n, u) == 2048L)
   }
 
+  test("byte-rule direction is never reversed by the backstop (giant-grid unknown side stays put)") {
+    // rule 1 picks the known-SMALLER side to move; the backstop
+    // arbitrates ties only. Before the fix it compared the NOMINAL grid
+    // chunk (giant · 16 B > limit) and flipped the target to the fine
+    // grid — re-gridding the unknown-length side the byte model chose to
+    // keep still, a full re-grid of the "infinite" operand. The side
+    // that actually moves mints blocks of min(len, chunk) = 16 MB here,
+    // far under the limit.
+    val giant = 50L * 1000 * 1000 // 800 MB nominal grid > the 512 MiB limit
+    assert(giant * VecExpr.RowBytes > Blocked.unifyLimitBytes,
+      "fixture must exceed the limit for the reversal to have fired")
+    val known = RechunkVec(RangeVec(0, 1, 1000000L), 4096)
+    val unknown = RechunkVec(FilterVec(RangeVec(5, 2, 1000000L), "v > -1"), giant)
+    for (z <- Seq(ZipVec(known, unknown, "v1 + v2"),
+                  ZipVec(unknown, known, "v1 + v2"))) {
+      val u = unifiedChunk(Simplify(z))
+      assert(u == giant, s"backstop reversed the byte rule: unified to chunk $u")
+    }
+  }
+
   test("comparable_merge: equal-weight nested grids under the limit keep merging") {
     // reference case 3 (the rolling-window halo regime): auto must keep
     // the merge when the moved bytes are backed by an equal-weight
