@@ -754,6 +754,44 @@ object TextQueries {
         .orderBy("t", "bh")
     }),
 
+    // DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every doc
+    // by how target-like its hashed-feature counts are, keep the top K.
+    // Features are hashed unigram buckets (64 of them); the per-bucket
+    // importance log-ratio ln(p_target(b)/p_raw(b)) with add-1 smoothing
+    // is FLOORED TO AN INTEGER (micro-nats) exactly once per bucket, so
+    // everything downstream is exact BIGINT arithmetic — order-free,
+    // engine-portable, hash-gateable. Scale shape: the text is scanned
+    // ONCE (the (doc, bucket) counts feed the raw distribution, the
+    // target distribution, and the per-doc score); every exchange is
+    // keyed on fixed-width ints; the 64-row log-ratio table broadcasts;
+    // top-K plans TakeOrdered (per-partition heaps + driver merge of K),
+    // never a global sort. At 100 TB: one corpus scan + two metadata-
+    // sized aggregates + a K-row result — the selection variant of the
+    // method (deterministic top-K by weight); sampled resampling swaps
+    // the final step for the t30-style deterministic coin.
+    "t32_dsir_selection" -> ((s, d) => {
+      val cnts = docs(s, d)
+        .selectExpr("doc_id", "lang", "explode(split(text, ' ')) AS tok")
+        .where("tok <> ''")
+        .selectExpr("doc_id", "lang",
+          "pmod(length(tok) * 31 + ascii(tok), 64) AS b")
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+      val rb = cnts.groupBy("b").agg(sum("cnt").as("rb"))
+      val tb = cnts.where("lang = 'en'").groupBy("b").agg(sum("cnt").as("tb"))
+      val tot = rb.agg(sum("rb").as("R"))
+        .crossJoin(tb.agg(coalesce(sum("tb"), lit(0L)).as("T")))
+      val lr = rb.join(tb, Seq("b"), "left").crossJoin(broadcast(tot))
+        .selectExpr("b",
+          "CAST(floor(ln(((coalesce(tb, 0) + 1.0D) / (T + 64.0D)) / " +
+            "((rb + 1.0D) / (R + 64.0D))) * 1000000.0D) AS BIGINT) AS lr")
+      cnts.join(broadcast(lr), Seq("b"))
+        .groupBy("doc_id")
+        .agg(expr("CAST(sum(cnt * lr) AS BIGINT)").as("dsir_weight"))
+        .orderBy(desc("dsir_weight"), col("doc_id"))
+        .limit(40)
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1198,6 +1236,31 @@ object TextQueries {
              FROM h, bb, (SELECT unnest([0, 1, 2, 3]) AS t))
          SELECT t, bh, CAST(count(*) AS BIGINT) AS n
          FROM bands GROUP BY t, bh ORDER BY t, bh""",
+
+    // every sum is integer-valued and CAST-wrapped (BIGINT — DuckDB would
+    // widen to HUGEINT); the one libm call (ln) is floored to micro-nats
+    // per BUCKET (64 values), never summed raw
+    "t32_dsir_selection" ->
+      """WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+           c AS (SELECT doc_id, lang,
+                   (length(tok) * 31 + ascii(tok)) % 64 AS b,
+                   CAST(count(*) AS BIGINT) AS cnt
+                 FROM tok WHERE tok <> '' GROUP BY 1, 2, 3),
+           r AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS rb FROM c GROUP BY b),
+           t AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tb FROM c
+                 WHERE lang = 'en' GROUP BY b),
+           tot AS (SELECT (SELECT CAST(sum(rb) AS BIGINT) FROM r) AS R,
+                          (SELECT CAST(coalesce(sum(tb), 0) AS BIGINT) FROM t) AS T),
+           lr AS (SELECT r.b,
+                    CAST(floor(ln(((coalesce(t.tb, 0) + 1.0) / (tot.T + 64.0))
+                               / ((r.rb + 1.0) / (tot.R + 64.0))) * 1000000.0) AS BIGINT) AS lr
+                  FROM r LEFT JOIN t ON r.b = t.b, tot)
+         SELECT c.doc_id, CAST(sum(c.cnt * lr.lr) AS BIGINT) AS dsir_weight
+         FROM c JOIN lr ON c.b = lr.b
+         GROUP BY c.doc_id
+         ORDER BY dsir_weight DESC, doc_id LIMIT 40""",
 
     "t19_mixture_sample" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS total,

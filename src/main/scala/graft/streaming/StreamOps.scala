@@ -384,6 +384,32 @@ object StreamOps {
       .select(col("ts"), col("doc_id"), col("source"))
   }
 
+  /** Streaming DSIR scoring — the serving half of the batch t32
+    * importance-selection pipeline. The 64-entry micro-nat log-ratio
+    * table is TRAINED offline (batch t32's two metadata-sized
+    * aggregates) and rides the plan as an array literal; scoring is then
+    * a pure per-row fold over the document's tokens — STATELESS: no
+    * explode, no shuffle, no state store, so any batch boundary or
+    * partitioning yields bit-identical integer weights to the batch
+    * pass (spec-asserted against an independent in-test fold). At scale
+    * this is the online filter in front of an ingest pipeline: score
+    * each arriving doc, keep those over a trained threshold. The array
+    * literal deliberately stays ARRAY-typed (it rides the codegen
+    * references array; a scalar `element_at(typedLit, i)` would
+    * constant-fold and recompile per plan — the e14 lesson). */
+  def dsirScore(docs: Dataset[Doc], lr: Array[Long]): DataFrame = {
+    require(lr.length == 64, s"lr table must have 64 buckets, got ${lr.length}")
+    docs.toDF()
+      .withColumn("_lr", typedLit(lr))
+      .withColumn("dsir_weight",
+        expr("""aggregate(
+                  filter(split(text, ' '), t -> t != ''),
+                  CAST(0 AS BIGINT),
+                  (acc, t) -> acc + element_at(
+                    _lr, CAST(pmod(length(t) * 31 + ascii(t), 64) AS INT) + 1))"""))
+      .select(col("ts"), col("doc_id"), col("dsir_weight"))
+  }
+
   final case class SampleRow(source: String, ver: Long, rn: Long,
                              doc_id: Long, u: Long)
 

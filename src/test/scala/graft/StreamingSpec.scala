@@ -477,6 +477,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("mix2") == first)
   }
 
+  test("streaming DSIR scoring equals an independent per-doc fold, bit for bit") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // a deliberately lumpy trained table: negative, zero, positive buckets
+    val lr = Array.tabulate(64)(b => (b % 7).toLong * 250000L - 500000L)
+    def bucket(t: String): Int =
+      math.floorMod(t.length * 31 + t.head.toInt, 64)
+    def expected(text: String): Long =
+      text.split(' ').filter(_.nonEmpty).map(t => lr(bucket(t))).sum
+    val texts = Seq("key agg row scan", "slow fast  table", "", "a b c d e f",
+      "spark value hash merge batch window sort")
+    val in = MemoryStream[StreamOps.Doc]
+    val q = StreamOps.dsirScore(in.toDS(), lr)
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    try {
+      // two micro-batches: stateless scoring must not care where the cut is
+      in.addData(texts.take(2).zipWithIndex.map { case (t, i) =>
+        StreamOps.Doc(ts(i + 1), i.toLong, t) }: _*)
+      q.processAllAvailable()
+      in.addData(texts.drop(2).zipWithIndex.map { case (t, i) =>
+        StreamOps.Doc(ts(i + 3), (i + 2).toLong, t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == expected(t), s"doc $i: '$t'")
+      }
+    } finally q.stop()
+  }
+
   test("streaming span dedup drops a duplicated doc's spans across batches") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
