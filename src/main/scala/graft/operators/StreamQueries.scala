@@ -31,10 +31,12 @@ import graft.streaming.StreamOps
   * Determinism contract (what makes these hash-gateable): the gated
   * queries are either stateless per-row kernels (s01 — output is a pure
   * function of each row, so batch boundaries and file listing order are
-  * irrelevant) or keyed-state ops whose OUTPUT COLUMNS are invariant to
+  * irrelevant), keyed-state ops whose OUTPUT COLUMNS are invariant to
   * the within-batch survivor choice (s02 emits the dedup KEY, identical
-  * across every member of a duplicate class). Ops whose output embeds
-  * arrival order (packSequences' bin assignment) stay spec-gated.
+  * across every member of a duplicate class), or ORDER-SENSITIVE ops
+  * (s03's running-offset packing) replayed through
+  * [[replayOrderedToCompletion]], whose arrival-barrier publish makes
+  * micro-batch order equal range order by construction.
   */
 object StreamQueries {
 
@@ -88,12 +90,36 @@ object StreamQueries {
       dir
     })
 
+  /** Localize a finished replay's memory-sink table and release every
+    * per-run resource (r11 advisory: a Bench session — 6+ gates × 4 runs
+    * — retained ~24 full sink tables in driver heap and left checkpoint
+    * litter on disk). The sink is collected into a LOCAL DataFrame (gate
+    * outputs are oracle-sized — hundreds to a few thousand rows), the
+    * memory table is dropped, and the run's checkpoint/watch dir tree is
+    * deleted before the result is returned. */
+  private def localizeAndCleanup(s: SparkSession, run: String,
+      dir: String): DataFrame = {
+    val sink = s.table(run)
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(run)
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete()
+    }
+    wipe(new java.io.File(dir))
+    out
+  }
+
   /** Stage `src` as `nFiles` parquet files, replay them one file per
     * micro-batch through `transform`, run to completion, and return the
-    * sink table. Every invocation gets a fresh staging dir, checkpoint,
+    * (localized) sink contents. Every invocation gets a fresh checkpoint
     * and sink name (Bench runs each query four times in one session —
     * a reused checkpoint would replay ZERO batches and fake an empty
-    * result; a reused sink name would refuse to start). */
+    * result; a reused sink name would refuse to start). Only for
+    * transforms whose OUTPUT is invariant to batch split and order
+    * (stateless kernels, key-emitting dedup): the file source's listing
+    * order is not pinned here. */
   private def replayToCompletion(s: SparkSession, src: DataFrame, nFiles: Int,
       stageKey: String)(transform: DataFrame => DataFrame): DataFrame = {
     val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
@@ -119,7 +145,7 @@ object StreamQueries {
     q.awaitTermination()
     dumpProgress(q)
     unloadStateStores()
-    s.table(run)
+    localizeAndCleanup(s, run, dir)
   }
 
   /** A finished replay's state-store providers stay LOADED in the JVM —
@@ -143,13 +169,41 @@ object StreamQueries {
     cls.getMethod("unloadAll").invoke(module)
   }
 
-  /** Ordered replay: write each `fileCol` range as its own staged file
-    * with STRICTLY INCREASING modification times, so the file source —
-    * which orders candidate files by modTime — replays the ranges as
-    * micro-batches in range order. This is what makes an ORDER-SENSITIVE
-    * stateful twin (the running-offset packer) hash-gateable: the
-    * cross-batch state evolution is replayed along the same total order
-    * the batch SQL's window uses. */
+  /** Test hook (OrderedReplaySpec): stamps each about-to-be-published
+    * file's mtime BEFORE its atomic publish move (rename preserves the
+    * stamp, so there is no set-after-visible race). The spec passes a
+    * DECREASING stamp function — if the replay's batch order depended on
+    * file modification times in any way, the packer would replay in
+    * reverse and the gate output would diverge from the batch answer. */
+  private[graft] var testPublishStamp: Option[Int => Long] = None
+
+  /** Ordered replay — deterministic BY CONSTRUCTION (r11 verdict #1).
+    *
+    * The previous scheme staged all files up front and pinned the batch
+    * order by `File.setLastModified` + the file source's mtime sort.
+    * That order hung on two silent failure modes: a filesystem that
+    * ignores `setLastModified` (the boolean return was never checked),
+    * and the source's tie-break on equal mtimes — Spark 4's
+    * `FileStreamSource.fileSortOrder` is `sortBy(timestamp)` with
+    * `Ordering[Long]`, a STABLE sort whose tie order is the underlying
+    * directory-listing order, which on ext4 is readdir hash order:
+    * arbitrary. Exactly the observed driver-box signature (rows and
+    * schema match, `bin` values shifted — the cross-batch carry replayed
+    * in the wrong range order).
+    *
+    * This version removes the mtime dependence entirely: the query runs
+    * on a continuous micro-batch trigger watching an initially-EMPTY
+    * per-run dir, and each staged range file is published (atomic
+    * same-dir rename) only after `processAllAvailable()` confirms the
+    * previous file's batch — including any watermark-advancing no-data
+    * batches (`noNewData` is only signalled once `constructNextBatch`
+    * has nothing left to do) — is fully committed. At most one
+    * unprocessed file ever exists, so batch order EQUALS publish order
+    * no matter how the source lists or sorts candidates. This replays
+    * the ranges along the same total order the batch SQL's window uses —
+    * the reference analogue of cumulative block order
+    * (`/root/reference/dask_array/reductions/_cumulative.py:100`: the
+    * carry chain is only correct in block order). */
   private def replayOrderedToCompletion(s: SparkSession, src: DataFrame,
       fileCol: String, nFiles: Int, stageKey: String,
       outputMode: String = "append")(
@@ -157,35 +211,58 @@ object StreamQueries {
     val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
       java.util.UUID.randomUUID.toString.take(8)
     val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
-    val staged = stageOnce(s"$stageKey|n$nFiles|v1") { sd =>
-      val srcDir = new java.io.File(s"$sd/src")
-      val stamped = scala.collection.mutable.Set[String]()
+    // stage each range ONCE as a single sequence-named parquet file
+    // (b000.parquet, b001.parquet, …) under ranges/ — reused across
+    // invocations and JVMs like every other staged corpus
+    val staged = stageOnce(s"$stageKey|n$nFiles|v2") { sd =>
+      new java.io.File(s"$sd/ranges").mkdirs()
       for (k <- 0 until nFiles) {
         src.where(col(fileCol) === k).drop(fileCol)
-          .coalesce(1).write.mode("append").parquet(s"$sd/src")
-        val fresh = Option(srcDir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
-        fresh.foreach { f =>
-          f.setLastModified(1700000000000L + k * 60000L)
-          stamped += f.getName
-        }
+          .coalesce(1).write.mode("overwrite").parquet(s"$sd/r$k")
+        val part = Option(new java.io.File(s"$sd/r$k").listFiles())
+          .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"range $k staged ${part.length} part files, expected 1")
+        java.nio.file.Files.move(part.head.toPath,
+          java.nio.file.Paths.get(f"$sd/ranges/b$k%03d.parquet"))
       }
     }
+    val watch = new java.io.File(s"$dir/watch")
+    watch.mkdirs()
     val stream = s.readStream
       .schema(src.drop(fileCol).schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/src")
+      .parquet(watch.getAbsolutePath)
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(run)
       .outputMode(outputMode)
       .option("checkpointLocation", s"$dir/ckpt")
-      .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try {
+      for (k <- 0 until nFiles) {
+        // copy to a dot-prefixed temp name (hidden from Spark's listing),
+        // then publish with one atomic same-dir rename — the source can
+        // never observe a half-written file
+        val tmp = new java.io.File(watch, f".b$k%03d.tmp")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(f"$staged/ranges/b$k%03d.parquet"),
+          tmp.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        testPublishStamp.foreach { stamp =>
+          require(tmp.setLastModified(stamp(k)),
+            s"test hook: setLastModified failed on ${tmp.getName}")
+        }
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(watch, f"b$k%03d.parquet").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // barrier: file k's data batch AND its watermark-flush no-data
+        // batches commit before file k+1 becomes visible
+        q.processAllAvailable()
+      }
+    } finally q.stop()
     dumpProgress(q)
     unloadStateStores()
-    s.table(run)
+    localizeAndCleanup(s, run, dir)
   }
 
   /** -Dgraft.stream.debug: per-batch progress to stderr (input rows,
