@@ -83,6 +83,30 @@ object Bench {
       }
     }
 
+    // Contention probe (r11 verdict #2: the perf tripwire went red on
+    // byte-identical code because the driver's box was contended). A
+    // fixed single-threaded CPU kernel — xorshift, no allocation, no IO —
+    // is timed at bench start and end (min of three post-warm reps, so
+    // JIT state doesn't ride the number). On an idle box it lands near
+    // PerfGate.probeBoundMs; a box whose CPUs are oversubscribed inflates
+    // it in the same proportion it inflates every query, and
+    // PerfBudgetSpec widens its gates by exactly that ratio instead of
+    // failing honest budgets it cannot distinguish from noise.
+    def probeMs(): Double = {
+      def once(): Double = {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        val dt = (System.nanoTime() - t0) / 1e6
+        if (x == 42L) System.err.println("xorshift fixed point") // defeat DCE
+        dt
+      }
+      once() // unmeasured JIT warmup
+      Seq(once(), once(), once()).min
+    }
+    val probeStart = probeMs()
+
     // Broad codegen-shape warmup so even the very first query's run-1 isn't
     // dominated by cold-JVM class loading (one representative per family).
     Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul", "t05_minhash")
@@ -130,9 +154,10 @@ object Bench {
       s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) +
         ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + ",\"s3\":" + fmt(s3) + "}"
     }
+    val probeEnd = probeMs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"first_run_total":${fmt(firstTotal)},"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"first_run_total":${fmt(firstTotal)},"probe_ms_start":${fmt(probeStart)},"probe_ms_end":${fmt(probeEnd)},"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     // Stdout line: steady-state only, slowest first, capped so the whole
     // JSON line stays well inside the 2000-char tail window.
     val budget = 1500

@@ -712,8 +712,9 @@ object DArray {
   /** 1-block array from a deferred local computation (reference
     * `from_delayed`, `dask_array/io/_from_delayed.py:15,102`): the thunk
     * evaluates INSIDE the Spark task, not on the driver — see
-    * [[graft.DelayedVec]]. `label` is the block's plan identity (two
-    * delayed leaves with equal labels share one evaluation). */
+    * [[graft.DelayedVec]]. Plan identity keys on the thunk INSTANCE
+    * (pass the same function reference twice to share one evaluation);
+    * `label` is a human-readable tag for diagnostics. */
   def fromDelayed(spark: SparkSession, dir: String, label: String)
                  (thunk: () => Array[Double]): DArray =
     new DArray(DelayedVec(thunk, label), Ctx(spark, dir))

@@ -204,11 +204,16 @@ final case class ColumnVec(
   * value computes inside the scheduled task, never eagerly on the
   * driver/client. One thunk = one block = one partition; compose several
   * with [[ConcatVec]] (`++`) for a multi-block delayed array, each block
-  * evaluating in its own task. `label` keys plan identity (CSE/sharing):
-  * two from_delayed leaves share a scan iff their labels match. */
+  * evaluating in its own task. Plan identity (CSE/sharing) keys on the
+  * THUNK INSTANCE, not the label: two leaves share one evaluation iff
+  * they hold the same thunk reference. An earlier scheme keyed on the
+  * label alone — two live leaves with equal labels but different thunks
+  * silently CSE-merged and one thunk's result was read for both (the
+  * silent-wrong-answer foot-gun GraphVec's per-instance ids exist to
+  * prevent); the label stays in the token for readable diagnostics. */
 final case class DelayedVec(thunk: () => Array[Double], label: String) extends VecExpr {
   def children: Seq[VecExpr] = Nil
-  def token: String = s"delayed[$label]"
+  def token: String = s"delayed[$label#${DelayedVec.idOf(thunk)}]"
   def eval(ctx: Ctx): DataFrame = {
     val sp = ctx.spark
     import sp.implicits._
@@ -218,6 +223,18 @@ final case class DelayedVec(thunk: () => Array[Double], label: String) extends V
       .toDF("idx", "v")
       .selectExpr("idx", "CAST(v AS DOUBLE) AS v")
   }
+}
+
+object DelayedVec {
+  /** Per-instance id keyed on the thunk reference — same contract and
+    * rationale as [[GraphVec.idOf]]: reference identity decides sharing,
+    * a monotonic counter (not identityHashCode) makes collisions
+    * impossible, and the weak map lets dead thunks age out. */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[() => Array[Double], java.lang.Long]())
+  private def idOf(f: () => Array[Double]): Long =
+    ids.computeIfAbsent(f, _ => java.lang.Long.valueOf(seq.incrementAndGet()))
 }
 
 /** Leaf: wrap an EXISTING DataFrame as a 1-d array — `from_graph`

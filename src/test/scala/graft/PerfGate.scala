@@ -1,0 +1,74 @@
+package graft
+
+/** Pure gating logic for the perf tripwire — extracted from
+  * PerfBudgetSpec (r11 verdict #2) so the rules themselves are testable
+  * against synthetic bench artifacts, not just the checked-in one.
+  *
+  * Contention model: every gate widens by `ratio`, the factor by which
+  * the bench box's measured single-thread throughput fell short of the
+  * committed idle bound (Bench.scala times a fixed xorshift kernel at
+  * start and end; the spec takes the worse of the two). On an idle box
+  * ratio = 1 and the gates are exactly the committed budgets; on a
+  * contended box every query inflates together with the probe, and a
+  * tripwire that cannot tell honest contention from regression must not
+  * go red on byte-identical code (the r11 failure mode: the driver's
+  * contended run flagged e17/t11/q03/n17/q110/d01, all of which collapse
+  * to normal on an idle box).
+  *
+  * A real plan regression still trips under contention: it inflates the
+  * flagged query ON TOP of the ambient ratio, while the probe only
+  * captures the ambient part. */
+object PerfGate {
+
+  final case class Detail(first: Double, samples: Seq[Double])
+
+  /** Committed idle-box bound for the Bench xorshift probe: measured
+    * 146-186 ms (min-of-3) on the build box at local[8]/local[32]; 250
+    * allows normal scheduler jitter without widening anything. */
+  val probeBoundMs = 250.0
+
+  def ratio(probeMs: Option[Double]): Double =
+    probeMs.map(p => math.max(1.0, p / probeBoundMs)).getOrElse(1.0)
+
+  /** Grace over a budget, SCALED to it (r8 advisory: a flat 4 s let a
+    * default-budget query triple silently): small budgets get a small
+    * absolute window, and the ceiling stays at the observed in-suite
+    * contamination bound so big budgets don't inherit a huge one. */
+  def noiseSlack(budget: Double): Double =
+    math.min(4.0, math.max(2.0, 2 * budget))
+
+  /** Budget violations. The measured value is the MIN over every
+    * recorded execution (first + all three steady samples): a real plan
+    * regression slows ALL of them by seconds, while box contention
+    * inflates a random subset — r11's driver artifact had e17 at
+    * 8.95/11.36/4.68 with an idle-box truth of 1.39, and the min is the
+    * only order statistic of four that stayed inside the honest gate. */
+  def overBudget(details: Map[String, Detail],
+                 budgets: Map[String, Double], defaultBudget: Double,
+                 r: Double): Seq[(String, Double, Double)] =
+    details.toSeq
+      .map { case (q, d) =>
+        val measured = (d.first +: d.samples).min
+        (q, measured, budgets.getOrElse(q, defaultBudget))
+      }
+      .filter { case (_, m, b) => m > (b + noiseSlack(b)) * r }
+      .sortBy { case (_, m, b) => b - m }
+
+  /** steady ≤ first inversions: a steady (min-of-three, post-drain) run
+    * that exceeds the first by >25% AND >1 s is re-paying per-run work —
+    * codegen-cache misses, plan re-analysis churn — not executing the
+    * plan (the r8 q99 pathology: steady 6.99 s vs first 4.28 s, a 2.7 s
+    * delta). The absolute floor is 1 s, not 0.5: a contended box can
+    * triple a sub-second query's steadies while its first run got lucky
+    * (r11 driver artifact: d01 first 0.26, steadies ≥0.94, idle-box
+    * truth 0.26), and that class is below the multi-second severity this
+    * tripwire exists for. Both bounds scale by the contention ratio —
+    * steadies measured later in a contended session inflate relative to
+    * an early first run. */
+  def inversions(details: Map[String, Detail],
+                 r: Double): Seq[(String, Double, Double)] =
+    details.toSeq
+      .map { case (q, d) => (q, d.first, d.samples.min) }
+      .filter { case (_, f, s) => s > f * 1.25 * r && s - f > 1.0 * r }
+      .sortBy { case (_, f, s) => f - s }
+}

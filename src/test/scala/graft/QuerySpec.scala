@@ -85,7 +85,11 @@ class QuerySpec extends AnyFunSuite {
     * same hash-pair keying contract as the linted batch pass. */
   private lazy val planStrings: Map[String, String] =
     SparkEntry.queries.collect {
-      case (name, fn) if !name.startsWith("s0") =>
+      // exclusion by MEMBERSHIP in the streaming-gate registry, not by
+      // name prefix (r11 advisory: a prefix exempted any future "s0…"
+      // query from the lints, streaming or not)
+      case (name, fn)
+          if !graft.operators.StreamQueries.queries.keySet.contains(name) =>
         name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
 
