@@ -121,7 +121,8 @@ object StreamQueries {
     * (stateless kernels, key-emitting dedup): the file source's listing
     * order is not pinned here. */
   private def replayToCompletion(s: SparkSession, src: DataFrame, nFiles: Int,
-      stageKey: String)(transform: DataFrame => DataFrame): DataFrame = {
+      stageKey: String, outputMode: String = "append")(
+      transform: DataFrame => DataFrame): DataFrame = {
     val run = s"graft_stream_sink_${runSeq.incrementAndGet()}_" +
       java.util.UUID.randomUUID.toString.take(8)
     val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
@@ -138,7 +139,7 @@ object StreamQueries {
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(run)
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", s"$dir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -307,6 +308,35 @@ object StreamQueries {
     val sp = df.sparkSession
     import sp.implicits._
     df.as[StreamOps.Doc]
+  }
+
+  /** The batch-trained DSIR log-ratio table (t32's two metadata-sized
+    * aggregates, collapsed to one conditional-sum pass and collected as
+    * 64 longs). `floor(ln(...))` here is `java.lang.Math` — the same
+    * libm Spark SQL's `ln` calls, so the streamed scores reproduce the
+    * batch t32 weights bit-for-bit. */
+  private def dsirLr(s: SparkSession, d: String): Array[Long] = {
+    val rows = docs(s, d)
+      .selectExpr("lang", "explode(split(text, ' ')) AS tok")
+      .where("tok <> ''")
+      .selectExpr("pmod(length(tok) * 31 + ascii(tok), 64) AS b",
+        "CASE WHEN lang = 'en' THEN 1L ELSE 0L END AS en")
+      .groupBy("b")
+      .agg(count(lit(1)).as("rb"), sum("en").as("tb"))
+      .collect()
+    val rb = Array.fill(64)(0L)
+    val tb = Array.fill(64)(0L)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      rb(b) = r.getLong(1)
+      tb(b) = r.getLong(2)
+    }
+    val bigR = rb.sum
+    val bigT = tb.sum
+    Array.tabulate(64) { b =>
+      math.floor(math.log(((tb(b) + 1.0) / (bigT + 64.0)) /
+        ((rb(b) + 1.0) / (bigR + 64.0))) * 1000000.0).toLong
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -487,6 +517,62 @@ object StreamQueries {
         .agg(max(struct(col("n"), col("total"))).as("m"))
         .selectExpr("user", "m.total AS total", "m.n AS n")
         .orderBy("user")
+    }),
+
+    // STREAM-STREAM JOIN under the oracle (the one stateful Structured
+    // Streaming primitive the s01–s06 family left ungated): the events
+    // stream interval-joined WITH ITSELF — each event paired with every
+    // later event of the same user inside 6 hours. Both join sides read
+    // the SAME file source, so each micro-batch feeds both sides the
+    // same rows and the ordered replay advances the shared watermark
+    // monotonically: no row is ever late, nothing evicts before its
+    // partners arrive (StreamingSpec pins the eviction path with a
+    // genuinely late row). Inner-join matches emit as found — the
+    // completed replay's pair SET equals the batch range self-join, no
+    // sentinel needed. Output is integer ids only: exact, order-pinned.
+    "s07_stream_interval_join" -> ((s, d) => {
+      val base = s.read.parquet(s"$d/events.parquet")
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val tsExpr = base.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+        case _ => "CAST(ts AS TIMESTAMP)"
+      }
+      val src = base.selectExpr(
+        s"$tsExpr AS ts", "user_id AS user", "event_id AS id",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, src, "_file", nFiles = 4,
+            stageKey = s"s07|$d")(st =>
+          StreamOps.intervalJoin(st.as[StreamOps.EvId]))
+      }
+        .orderBy("u", "a", "b")
+    }),
+
+    // STREAMING TOP-K SELECTION under the oracle: the DSIR importance
+    // weights (scored by the stateless dsirScore against the batch-
+    // trained 64-entry log-ratio table) drive a running top-25 held in
+    // bounded keyed state — the t30 tournament pattern, 8 salt groups ×
+    // 25 rows of state. The final emission per group (max version) is
+    // the group's top-25; their 25 best are the global top-25, which
+    // must equal the batch t32 selection head. Order-invariant final
+    // state ⇒ the unordered replay gates it; all-integer weights.
+    "s08_stream_dsir_topk" -> ((s, d) => {
+      val lr = dsirLr(s, d)
+      val src = docs(s, d)
+        .selectExpr("timestamp_seconds(1700000000) AS ts", "doc_id", "text")
+      val sink = withFewShufflePartitions(s) {
+        replayToCompletion(s, src, nFiles = 4, stageKey = s"s08|$d",
+            outputMode = "update")(st =>
+          StreamOps.dsirTopK(asDocStream(st), lr, k = 25).toDF())
+      }
+      val last = sink.groupBy("g").agg(max("ver").as("ver"))
+      sink.join(last, Seq("g", "ver"))
+        .orderBy(desc("w"), col("doc_id"))
+        .limit(25)
+        .selectExpr("doc_id", "w AS dsir_weight")
+        .orderBy(desc("dsir_weight"), col("doc_id"))
     })
   )
 
@@ -583,6 +669,40 @@ object StreamQueries {
       """SELECT user_id AS user,
            CAST(sum(CAST(floor(value * 64) AS BIGINT)) AS DOUBLE) AS total,
            count(*) AS n
-         FROM events GROUP BY user_id ORDER BY user"""
+         FROM events GROUP BY user_id ORDER BY user""",
+
+    // the batch definition of the interval self-join: every (earlier,
+    // later) same-user pair within 6 hours; integer ids, total order
+    "s07_stream_interval_join" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS i, ts FROM events)
+         SELECT l.u AS u, l.i AS a, r.i AS b
+         FROM e l JOIN e r ON l.u = r.u AND l.i <> r.i
+           AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
+         ORDER BY u, a, b""",
+
+    // the batch t32 selection head the running tournament must converge
+    // to: DSIR weights (same bucket hash, same add-1 smoothed micro-nat
+    // log-ratios, exact BIGINT sums), top 25 by (weight desc, doc_id)
+    "s08_stream_dsir_topk" ->
+      """WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+           c AS (SELECT doc_id, lang,
+                   (length(tok) * 31 + ascii(tok)) % 64 AS b,
+                   CAST(count(*) AS BIGINT) AS cnt
+                 FROM tok WHERE tok <> '' GROUP BY 1, 2, 3),
+           r AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS rb FROM c GROUP BY b),
+           t AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tb FROM c
+                 WHERE lang = 'en' GROUP BY b),
+           tot AS (SELECT (SELECT CAST(sum(rb) AS BIGINT) FROM r) AS R,
+                          (SELECT CAST(coalesce(sum(tb), 0) AS BIGINT) FROM t) AS T),
+           lr AS (SELECT r.b,
+                    CAST(floor(ln(((coalesce(t.tb, 0) + 1.0) / (tot.T + 64.0))
+                               / ((r.rb + 1.0) / (tot.R + 64.0))) * 1000000.0) AS BIGINT) AS lr
+                  FROM r LEFT JOIN t ON r.b = t.b, tot)
+         SELECT c.doc_id, CAST(sum(c.cnt * lr.lr) AS BIGINT) AS dsir_weight
+         FROM c JOIN lr ON c.b = lr.b
+         GROUP BY c.doc_id
+         ORDER BY dsir_weight DESC, doc_id LIMIT 25"""
   )
 }

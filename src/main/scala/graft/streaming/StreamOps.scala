@@ -131,6 +131,35 @@ object StreamOps {
              joinType: String = "inner"): DataFrame =
     ev.join(broadcast(dim), Seq(key), joinType)
 
+  final case class EvId(ts: Timestamp, user: Long, id: Long)
+
+  /** Watermarked STREAM-STREAM interval self-join — the online form of
+    * the batch as-of/neighbor join family (SURVEY §2.6 item 4): each
+    * event pairs with every later event of the same user inside
+    * `window`. Both sides carry a watermark and the join condition
+    * bounds event time in BOTH directions (`rts ∈ [lts, lts+window)`),
+    * so Spark derives a finite state-retention horizon per side —
+    * state is bounded by (watermark delay + window) × arrival rate,
+    * never by stream length. Inner-join matches emit in the micro-batch
+    * where both rows are present; the watermark exists for state
+    * EVICTION, not emission, so no sentinel is needed to finalize.
+    * Keyed by user: a 1000-executor cluster partitions both sides by
+    * the equi-key and each executor joins only its users' slices.
+    * StreamingSpec pins the eviction contract (a row arriving behind
+    * the watermark finds its partners' state gone and produces no
+    * pairs); the s07 gate replays the events corpus against the batch
+    * range self-join. */
+  def intervalJoin(ev: Dataset[EvId], window: String = "6 hours",
+                   watermark: String = "12 hours"): DataFrame = {
+    val l = ev.toDF().selectExpr("ts AS lts", "user AS u", "id AS a")
+      .withWatermark("lts", watermark)
+    val r = ev.toDF().selectExpr("ts AS rts", "user AS ru", "id AS b")
+      .withWatermark("rts", watermark)
+    l.join(r, expr(
+        s"u = ru AND a <> b AND rts >= lts AND rts < lts + INTERVAL $window"))
+      .select(col("u"), col("a"), col("b"))
+  }
+
   final case class SigDoc(ts: Timestamp, doc_id: Long, band: Int, bh: Long, sig: Long)
   final case class CandPair(a: Long, b: Long, ham: Int)
 
@@ -408,6 +437,51 @@ object StreamOps {
                   (acc, t) -> acc + element_at(
                     _lr, CAST(pmod(length(t) * 31 + ascii(t), 64) AS INT) + 1))"""))
       .select(col("ts"), col("doc_id"), col("dsir_weight"))
+  }
+
+  final case class DsirTop(g: Int, ver: Long, rn: Int, doc_id: Long, w: Long)
+
+  /** Streaming DSIR top-K SELECTION — the selection half that completes
+    * [[dsirScore]]'s train-batch/serve-stream story (the scorer is
+    * stateless; choosing the K best docs needs running state). The t30
+    * tournament pattern applied to t32's weights: documents are salted
+    * into `groups` buckets, each bucket's flatMapGroupsWithState keeps
+    * its own K best (weight desc, doc_id asc) — O(K) state per group
+    * FOREVER, no watermark needed, because a top-K only improves and
+    * "late" data is incorporated exactly, never dropped. A group
+    * re-emits its full K-list only when a batch changed it, tagged with
+    * a version; the max-version rows per group are its current list,
+    * and the global top-K is the K best of the groups' lists (every
+    * global winner is in its group's top-K since per-group K = global
+    * K). Batch-order invariant by construction — the final state is the
+    * top-K of a SET — so the s08 gate replays it unordered against the
+    * batch t32 selection. At 100 TB: per-group state is K rows, the
+    * stream shuffles only (g, doc_id, w) triples, and the final merge
+    * reads groups×K rows. */
+  def dsirTopK(docs: Dataset[Doc], lr: Array[Long], k: Int = 25,
+               groups: Int = 8): Dataset[DsirTop] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    dsirScore(docs, lr)
+      .selectExpr(s"CAST(pmod(doc_id, $groups) AS INT) AS g",
+        "doc_id", "dsir_weight")
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, List[(Long, Long)]), DsirTop](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { case (g, it, state) =>
+        val (ver, old) = state.getOption.getOrElse((0L, Nil))
+        // stored as (-w, doc_id): the natural tuple order IS the rank
+        // order (weight desc, doc_id asc), same trick as hashSample
+        val best = (old ++ it.map { case (_, id, w) => (-w, id) })
+          .distinct.sorted.take(k)
+        if (best == old) Iterator.empty
+        else {
+          state.update((ver + 1, best))
+          best.iterator.zipWithIndex.map { case ((nw, id), i) =>
+            DsirTop(g, ver + 1, i + 1, id, -nw)
+          }
+        }
+      }
   }
 
   final case class SampleRow(source: String, ver: Long, rn: Long,

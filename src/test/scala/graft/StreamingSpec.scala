@@ -681,4 +681,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs in-window events, evicts behind watermark") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[StreamOps.EvId]
+    // tight windows so the test drives eviction: pair within 10 s, state
+    // held for a 20 s watermark delay
+    val q = StreamOps.intervalJoin(in.toDS(), window = "10 seconds",
+        watermark = "20 seconds")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    def pairs() = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      // user 1: events at 1 s and 5 s → one in-window pair (1→2);
+      // user 2: single event, no pair
+      in.addData(StreamOps.EvId(ts(1), 1, 1), StreamOps.EvId(ts(5), 1, 2),
+        StreamOps.EvId(ts(3), 2, 3))
+      q.processAllAvailable()
+      // a cross-batch match still inside the window: 5 s → 12 s
+      in.addData(StreamOps.EvId(ts(12), 1, 4))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 1L, 2L), (1L, 2L, 4L)),
+        s"in-window pairs wrong: ${pairs()}")
+      // advance the watermark far past the early events (wm → 980 s):
+      // their join state is evicted
+      in.addData(StreamOps.EvId(ts(1000), 9, 99))
+      q.processAllAvailable()
+      // a late row behind the watermark: inside id-2's window by event
+      // time, but the state is gone and the row itself is discarded —
+      // the bounded-state trade the operator documents
+      in.addData(StreamOps.EvId(ts(8), 1, 5))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 1L, 2L), (1L, 2L, 4L)),
+        s"late row must not resurrect evicted state: ${pairs()}")
+    } finally q.stop()
+  }
 }
