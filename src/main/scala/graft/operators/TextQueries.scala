@@ -262,6 +262,48 @@ object TextQueries {
     s"stack($tables, $rows) AS (t, bh)"
   }
 
+  /** BPE training building blocks (t33) — public so the
+    * compile-stability spec can pin the per-iteration plan.
+    *
+    * Symbol sequences ride as ONE STRING per word in the "padded
+    * double-space" form: tokens joined by two spaces, one space at each
+    * end (`hello` → `" h  e  l  l  o "`). In that form applying a BPE
+    * merge (a,b)→ab IS the plain SQL `replace(r, ' a  b ', ' ab ')`:
+    * both Spark and DuckDB scan left-to-right replacing non-overlapping
+    * occurrences — exactly the greedy within-word merge rule of
+    * published BPE trainers — and because each match consumes the
+    * boundary spaces symmetrically, consecutive ("a b a b") and
+    * overlapping ("a a a") runs merge identically on both engines. */
+  val bpeBaseSql: String =
+    "concat(' ', array_join(transform(sequence(1, length(w)), " +
+      "i -> substring(w, i, 1)), '  '), ' ')"
+
+  /** Merge-table depth for the t33 gate (the oracle unrolls one CTE pair
+    * per merge, so the constant keeps both sides in lock-step). */
+  val bpeMerges = 12
+
+  /** One BPE iteration's pair-count stage: apply the merges learned so
+    * far, then count adjacent symbol pairs weighted by word frequency.
+    * The merges ride as an ARRAY-TYPED literal folded over with
+    * `aggregate` — array literals live in the codegen references array
+    * (the e14 lesson: a scalar literal would constant-fold into the
+    * generated source and janino-recompile every iteration), so all K
+    * training iterations share ONE compiled plan (BpeSpec pins the
+    * generated text equal across different merge tables and lengths). */
+  def bpePairCounts(words: DataFrame,
+                    merges: Seq[(String, String)]): DataFrame =
+    words
+      .withColumn("_m", typedLit(merges))
+      .selectExpr("freq",
+        s"aggregate(_m, $bpeBaseSql, (acc, m) -> replace(acc, m._1, m._2)) AS r")
+      .selectExpr("freq", "split(trim(r), '  ') AS t")
+      .where("size(t) >= 2")
+      .selectExpr("freq",
+        "explode(transform(sequence(1, size(t) - 1), " +
+          "j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))) AS p")
+      .groupBy("p")
+      .agg(expr("CAST(sum(freq) AS BIGINT)").as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TF-IDF feature extraction (the CountVectorizer/IDF step of a
@@ -792,6 +834,52 @@ object TextQueries {
         .limit(40)
     }),
 
+    // Distributed BPE-style tokenizer TRAINING (the t03 row counts
+    // tokens; this trains the merge table): K rounds of corpus-weighted
+    // adjacent-pair counting + greedy merge — the e13/e14 iterative-
+    // training shape applied to text. Scale design: the corpus is
+    // scanned ONCE into the distinct-word frequency table (vocabulary-
+    // sized — orders of magnitude below the corpus — and persisted);
+    // each round is then ONE partial-agg shuffle over the vocab plus a
+    // TakeOrdered(1) (per-partition top + driver merge of 1 row, never
+    // a global sort), with the learned merges broadcast inside an
+    // array literal. Driver traffic per round is exactly one (pair,
+    // count) row; K rounds = K vocab-sized jobs sharing one compiled
+    // plan (see bpePairCounts). The [a-z]+ word filter keeps symbol
+    // indexing engine-portable (DuckDB indexes strings by grapheme,
+    // Spark substring by code point — identical on ASCII). Ties break
+    // (count desc, pair asc in binary order) on both engines; counts
+    // are exact BIGINTs. Output: the rank-ordered merge table, the
+    // actual artifact a tokenizer trainer ships.
+    "t33_bpe_train" -> ((s, d) => {
+      val words = docs(s, d)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .where("w RLIKE '^[a-z]+$'")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .persist()
+      try {
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, Long)] // (pat, rep, pair, cnt)
+        for (_ <- 1 to bpeMerges) {
+          val top = bpePairCounts(words, merges.toSeq.map(m => (m._1, m._2)))
+            .orderBy(desc("cnt"), col("p")).limit(1).collect()
+          require(top.nonEmpty, "BPE: corpus exhausted before K merges")
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val Array(a, b) = pair.split(" ") // symbols never contain spaces
+          merges += ((s" $a  $b ", s" $a$b ", pair, cnt))
+        }
+        val sp = s
+        import sp.implicits._
+        merges.toSeq.zipWithIndex
+          .map { case ((_, _, pair, cnt), i) =>
+            (i + 1, pair, pair.replace(" ", ""), cnt)
+          }
+          .toDF("rnk", "pair", "merged", "cnt")
+          .orderBy("rnk")
+      } finally words.unpersist()
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -911,7 +999,45 @@ object TextQueries {
     }),
   )
 
+  /** The t33 oracle: DuckDB replays the SAME K greedy merges, unrolled
+    * as one (pair-pick, re-tokenize) CTE pair per rank — each m_i picks
+    * the best pair from the previous representation b_{i-1}, and each
+    * b_i applies it with the identical padded-double-space `replace`.
+    * Generated by a loop so the Spark constant `bpeMerges` and the SQL
+    * depth can never drift apart. */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+         b0 AS (SELECT ' ' || array_to_string([w[i] for i in generate_series(1, length(w))], '  ') || ' ' AS r, freq FROM wd)"""
+    for (i <- 1 to k) {
+      sb ++= s""",
+         m$i AS (SELECT p, cnt FROM (
+             SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+               SELECT freq, unnest([t[j] || ' ' || t[j+1]
+                                    for j in generate_series(1, len(t) - 1)]) AS p
+               FROM (SELECT string_split(trim(r), '  ') AS t, freq FROM b${i - 1})
+               WHERE len(t) >= 2)
+             GROUP BY p)
+           ORDER BY cnt DESC, p LIMIT 1)"""
+      if (i < k) sb ++= s""",
+         b$i AS (SELECT replace(r,
+             ' ' || split_part(p, ' ', 1) || '  ' || split_part(p, ' ', 2) || ' ',
+             ' ' || replace(p, ' ', '') || ' ') AS r, freq
+           FROM b${i - 1}, m$i)"""
+    }
+    sb ++= "\n         SELECT * FROM ("
+    sb ++= (1 to k).map(i =>
+      s"SELECT $i AS rnk, p AS pair, replace(p, ' ', '') AS merged, cnt FROM m$i")
+      .mkString("\n           UNION ALL ")
+    sb ++= ") ORDER BY rnk"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "t33_bpe_train" -> bpeOracle(bpeMerges),
+
     "t12_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, w FROM (
