@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** Plan-shape invariance under a 10x corpus (r10 verdict ask #4): the
-  * 100 TB contracts are analytic (scaladoc + plan specs) and measured
-  * in the COVERAGE "scale soak" table; this spec pins the STRUCTURAL
-  * half — for every contract-bearing query, growing the corpus 10x
-  * (self-union, re-keyed ids, the sanctioned construction) must not
-  * change the plan's shape:
+/** Plan-shape invariance under 10× AND 100× corpora (r10 verdict ask
+  * #4; r11 verdict ask #4 extended the pin to 100×): the 100 TB
+  * contracts are analytic (scaladoc + plan specs) and measured in the
+  * COVERAGE "scale soak" table; this spec pins the STRUCTURAL half —
+  * for every contract-bearing query, growing the corpus (self-union,
+  * re-keyed ids, the sanctioned construction) must not change the
+  * plan's shape:
   *
   *   - no NEW Exchange nodes (a shuffle that appears only at scale is
   *     exactly the class of regression the soak exists to catch — e.g.
@@ -21,14 +22,16 @@ import org.scalatest.BeforeAndAfterAll
   *     exchange feeding it);
   *   - still zero CartesianProduct.
   *
-  * Wall-clock near-linearity is measured out-of-band (COVERAGE table;
-  * build the corpus with scripts/build_soak.py) — a unit suite cannot
-  * time 10x sf0.1 meaningfully. */
+  * The shape check never executes the plans, so pinning both scales is
+  * cheap. Wall-clock near-linearity is measured out-of-band (COVERAGE
+  * table; build the corpus with scripts/build_soak.py) — a unit suite
+  * cannot time 100× sf0.1 meaningfully. */
 class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
   private val base = "/root/testdata/sf0.001"
-  private val soak = s"${System.getProperty("java.io.tmpdir")}/graft_soak_shape"
+  private def soakDir(k: Int) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_soak_shape_$k"
 
   /** The queries whose scaladoc states a 100 TB contract (band-width
     * derivation, hash-keyed exchanges, threshold-bounded windows,
@@ -38,6 +41,8 @@ class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t30_hash_sample", "t11_simhash_pairs", "e18_ivf_bucketed",
     "e05_ann_bucketed")
 
+  private val factors = Seq(10, 100)
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
@@ -45,15 +50,17 @@ class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // 10x self-union with re-keyed ids, written once per suite run
-    def rep(table: String, key: String, off: Long): Unit = {
+    // k× self-union with re-keyed ids, written once per suite run
+    def rep(k: Int, table: String, key: String, off: Long): Unit = {
       val src = spark.read.parquet(s"$base/$table.parquet")
-      (0 until 10).map(i => src.withColumn(key, col(key) + i * off))
+      (0 until k).map(i => src.withColumn(key, col(key) + i * off))
         .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$soak/$table.parquet")
+        .write.mode("overwrite").parquet(s"${soakDir(k)}/$table.parquet")
     }
-    rep("documents", "doc_id", 1000000L)
-    rep("embeddings", "vec_id", 10000000L)
+    factors.foreach { k =>
+      rep(k, "documents", "doc_id", 1000000L)
+      rep(k, "embeddings", "vec_id", 10000000L)
+    }
   }
   override def afterAll(): Unit = spark.stop()
 
@@ -62,27 +69,33 @@ class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "\\bWindow\\b".r.findAllIn(plan).size,
     "CartesianProduct".r.findAllIn(plan).size)
 
-  test("contract queries keep their plan shape at 10x the corpus") {
+  test("contract queries keep their plan shape at 10x and 100x the corpus") {
     val bad = contractQueries.flatMap { q =>
       val fn = SparkEntry.queries(q)
       val s1 = shape(fn(spark, base).queryExecution.executedPlan.toString)
-      val s10 = shape(fn(spark, soak).queryExecution.executedPlan.toString)
-      if (s10._3 > 0) Some(s"$q: CartesianProduct at 10x")
-      else if (s10._1 > s1._1) Some(s"$q: exchanges grew ${s1._1} -> ${s10._1} at 10x")
-      else if (s10._2 != s1._2) Some(s"$q: window nodes changed ${s1._2} -> ${s10._2} at 10x")
-      else None
+      factors.flatMap { k =>
+        val sk = shape(fn(spark, soakDir(k)).queryExecution.executedPlan.toString)
+        if (sk._3 > 0) Some(s"$q: CartesianProduct at ${k}x")
+        else if (sk._1 > s1._1)
+          Some(s"$q: exchanges grew ${s1._1} -> ${sk._1} at ${k}x")
+        else if (sk._2 != s1._2)
+          Some(s"$q: window nodes changed ${s1._2} -> ${sk._2} at ${k}x")
+        else None
+      }
     }
-    assert(bad.isEmpty, s"plan shape drifted under 10x corpus:\n  ${bad.mkString("\n  ")}")
+    assert(bad.isEmpty, s"plan shape drifted under soak corpus:\n  ${bad.mkString("\n  ")}")
   }
 
   test("t31 band width widens with the corpus (the scale dial actually turns)") {
-    // the derived-width contract: 10x the corpus must not NARROW the
-    // band bits, and the derivation the query replays must match
-    // bandBits of the observed counts at both scales
+    // the derived-width contract: a bigger corpus must not NARROW the
+    // band bits, and the derivation must be monotone through both soak
+    // scales
     import graft.operators.TextQueries.bandBits
     val n1 = spark.read.parquet(s"$base/documents.parquet").count()
-    val n10 = spark.read.parquet(s"$soak/documents.parquet").count()
-    assert(n10 == 10 * n1)
+    val n10 = spark.read.parquet(s"${soakDir(10)}/documents.parquet").count()
+    val n100 = spark.read.parquet(s"${soakDir(100)}/documents.parquet").count()
+    assert(n10 == 10 * n1 && n100 == 100 * n1)
     assert(bandBits(n10) >= bandBits(n1))
+    assert(bandBits(n100) >= bandBits(n10))
   }
 }
