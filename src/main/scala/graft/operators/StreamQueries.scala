@@ -573,6 +573,24 @@ object StreamQueries {
         .limit(25)
         .selectExpr("doc_id", "w AS dsir_weight")
         .orderBy(desc("dsir_weight"), col("doc_id"))
+    }),
+
+    // STREAMING TOKENIZER SERVING under the oracle: the batch t33
+    // trainer's merge table (re-trained here, 12 greedy merges) applied
+    // statelessly to documents as they replay — the tokenize-at-ingest
+    // shape. Stateless per-row fold over the broadcast merge literal ⇒
+    // any batch boundary yields the same rows; the oracle re-trains the
+    // SAME merges in DuckDB and re-encodes via the fully-merged vocab.
+    // All-integer outputs (word and piece counts).
+    "s09_stream_bpe_encode" -> ((s, d) => {
+      val merges = TextQueries.bpeTrainMerges(s, d).map(m => (m._1, m._2))
+      val src = docs(s, d)
+        .selectExpr("timestamp_seconds(1700000000) AS ts", "doc_id", "text")
+      replayToCompletion(s, src, nFiles = 4, stageKey = s"s09|$d")(st =>
+        StreamOps.bpeEncode(asDocStream(st), merges))
+        .where("doc_id < 200")
+        .selectExpr("doc_id", "n_words", "n_pieces")
+        .orderBy("doc_id")
     })
   )
 
@@ -703,6 +721,11 @@ object StreamQueries {
          SELECT c.doc_id, CAST(sum(c.cnt * lr.lr) AS BIGINT) AS dsir_weight
          FROM c JOIN lr ON c.b = lr.b
          GROUP BY c.doc_id
-         ORDER BY dsir_weight DESC, doc_id LIMIT 25"""
+         ORDER BY dsir_weight DESC, doc_id LIMIT 25""",
+
+    // re-train the 12 merges and re-encode: per gated doc, word count +
+    // total BPE piece count from the fully-merged vocab
+    "s09_stream_bpe_encode" ->
+      TextQueries.bpeEncodeOracle(TextQueries.bpeMerges, docLimit = 200)
   )
 }

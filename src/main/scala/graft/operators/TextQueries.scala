@@ -304,6 +304,34 @@ object TextQueries {
       .groupBy("p")
       .agg(expr("CAST(sum(freq) AS BIGINT)").as("cnt"))
 
+  /** Run the t33 training loop: K rounds of pair-count + greedy merge
+    * over the persisted vocab table. Returns (pattern, replacement,
+    * pair, count) per rank — the patterns feed `replace` application
+    * (batch t33 output, streaming [[graft.streaming.StreamOps]] encode
+    * twin / the s09 gate). Driver traffic: one row per round. */
+  def bpeTrainMerges(s: SparkSession, d: String)
+      : Seq[(String, String, String, Long)] = {
+    val words = docs(s, d)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("w RLIKE '^[a-z]+$'")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String, Long)] // (pat, rep, pair, cnt)
+      for (_ <- 1 to bpeMerges) {
+        val top = bpePairCounts(words, merges.toSeq.map(m => (m._1, m._2)))
+          .orderBy(desc("cnt"), col("p")).limit(1).collect()
+        require(top.nonEmpty, "BPE: corpus exhausted before K merges")
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ") // symbols never contain spaces
+        merges += ((s" $a  $b ", s" $a$b ", pair, cnt))
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TF-IDF feature extraction (the CountVectorizer/IDF step of a
@@ -852,32 +880,14 @@ object TextQueries {
     // are exact BIGINTs. Output: the rank-ordered merge table, the
     // actual artifact a tokenizer trainer ships.
     "t33_bpe_train" -> ((s, d) => {
-      val words = docs(s, d)
-        .selectExpr("explode(split(text, ' ')) AS w")
-        .where("w RLIKE '^[a-z]+$'")
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .persist()
-      try {
-        val merges = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, String, Long)] // (pat, rep, pair, cnt)
-        for (_ <- 1 to bpeMerges) {
-          val top = bpePairCounts(words, merges.toSeq.map(m => (m._1, m._2)))
-            .orderBy(desc("cnt"), col("p")).limit(1).collect()
-          require(top.nonEmpty, "BPE: corpus exhausted before K merges")
-          val pair = top(0).getString(0)
-          val cnt = top(0).getLong(1)
-          val Array(a, b) = pair.split(" ") // symbols never contain spaces
-          merges += ((s" $a  $b ", s" $a$b ", pair, cnt))
+      val sp = s
+      import sp.implicits._
+      bpeTrainMerges(s, d).zipWithIndex
+        .map { case ((_, _, pair, cnt), i) =>
+          (i + 1, pair, pair.replace(" ", ""), cnt)
         }
-        val sp = s
-        import sp.implicits._
-        merges.toSeq.zipWithIndex
-          .map { case ((_, _, pair, cnt), i) =>
-            (i + 1, pair, pair.replace(" ", ""), cnt)
-          }
-          .toDF("rnk", "pair", "merged", "cnt")
-          .orderBy("rnk")
-      } finally words.unpersist()
+        .toDF("rnk", "pair", "merged", "cnt")
+        .orderBy("rnk")
     }),
 
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
@@ -999,18 +1009,20 @@ object TextQueries {
     }),
   )
 
-  /** The t33 oracle: DuckDB replays the SAME K greedy merges, unrolled
-    * as one (pair-pick, re-tokenize) CTE pair per rank — each m_i picks
-    * the best pair from the previous representation b_{i-1}, and each
-    * b_i applies it with the identical padded-double-space `replace`.
-    * Generated by a loop so the Spark constant `bpeMerges` and the SQL
-    * depth can never drift apart. */
-  private def bpeOracle(k: Int): String = {
+  /** The shared t33/s09 oracle chain: DuckDB replays the SAME K greedy
+    * merges, unrolled as one (pair-pick, re-tokenize) CTE pair per rank
+    * — each m_i picks the best pair from the previous representation
+    * b_{i-1}, and each b_i applies it with the identical padded-double-
+    * space `replace`. Generated by a loop so the Spark constant
+    * `bpeMerges` and the SQL depth can never drift apart. `applyLast`
+    * adds the final b_k (the fully-merged vocab the ENCODE oracle joins
+    * against; the training oracle only needs the picks). */
+  private def bpeChainSql(k: Int, applyLast: Boolean): String = {
     val sb = new StringBuilder
     sb ++= """WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
-         b0 AS (SELECT ' ' || array_to_string([w[i] for i in generate_series(1, length(w))], '  ') || ' ' AS r, freq FROM wd)"""
+         b0 AS (SELECT w, ' ' || array_to_string([w[i] for i in generate_series(1, length(w))], '  ') || ' ' AS r, freq FROM wd)"""
     for (i <- 1 to k) {
       sb ++= s""",
          m$i AS (SELECT p, cnt FROM (
@@ -1021,19 +1033,37 @@ object TextQueries {
                WHERE len(t) >= 2)
              GROUP BY p)
            ORDER BY cnt DESC, p LIMIT 1)"""
-      if (i < k) sb ++= s""",
-         b$i AS (SELECT replace(r,
+      if (i < k || applyLast) sb ++= s""",
+         b$i AS (SELECT w, replace(r,
              ' ' || split_part(p, ' ', 1) || '  ' || split_part(p, ' ', 2) || ' ',
              ' ' || replace(p, ' ', '') || ' ') AS r, freq
            FROM b${i - 1}, m$i)"""
     }
-    sb ++= "\n         SELECT * FROM ("
-    sb ++= (1 to k).map(i =>
-      s"SELECT $i AS rnk, p AS pair, replace(p, ' ', '') AS merged, cnt FROM m$i")
-      .mkString("\n           UNION ALL ")
-    sb ++= ") ORDER BY rnk"
     sb.toString
   }
+
+  private def bpeOracle(k: Int): String =
+    bpeChainSql(k, applyLast = false) +
+      "\n         SELECT * FROM (" +
+      (1 to k).map(i =>
+        s"SELECT $i AS rnk, p AS pair, replace(p, ' ', '') AS merged, cnt FROM m$i")
+        .mkString("\n           UNION ALL ") +
+      ") ORDER BY rnk"
+
+  /** The s09 encode oracle: re-train the K merges, then tokenize every
+    * gated document by joining its words against the fully-merged vocab
+    * b_K — per doc, word count and total piece count. */
+  def bpeEncodeOracle(k: Int, docLimit: Int): String =
+    bpeChainSql(k, applyLast = true) + s""",
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < $docLimit),
+         enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(string_split(trim(b.r), '  '))) AS BIGINT) AS n_pieces
+                 FROM (SELECT doc_id, w FROM dw
+                       WHERE regexp_matches(w, '^[a-z]+$$')) d
+                 JOIN b$k b ON d.w = b.w
+                 GROUP BY doc_id)
+         SELECT doc_id, n_words, n_pieces FROM enc ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "t33_bpe_train" -> bpeOracle(bpeMerges),

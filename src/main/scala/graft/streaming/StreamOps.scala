@@ -484,6 +484,30 @@ object StreamOps {
       }
   }
 
+  /** Stateless streaming BPE APPLICATION — the serving half of the
+    * batch t33 trainer (the shape every ingest pipeline needs: train
+    * the merge table offline, tokenize documents as they arrive). The
+    * trained merges ride the plan as ONE array-typed literal (the e14
+    * lesson — compile-stable, broadcast by the references array) and
+    * each document tokenizes locally: per lowercase-alpha word, the
+    * same padded-double-space fold the trainer uses, so a document's
+    * piece counts equal the batch application bit-for-bit (the s09
+    * gate replays this against a DuckDB re-train + re-encode). No
+    * state, no shuffle, no watermark — any batch boundary or
+    * parallelism yields identical rows. Emits (doc_id, n_words,
+    * n_pieces) for documents with at least one encodable word. */
+  def bpeEncode(docs: Dataset[Doc], merges: Seq[(String, String)]): DataFrame =
+    docs.toDF()
+      .selectExpr("ts", "doc_id",
+        "filter(split(text, ' '), w -> w RLIKE '^[a-z]+$') AS ws")
+      .where("size(ws) > 0")
+      .withColumn("_m", typedLit(merges))
+      .selectExpr("ts", "doc_id", "CAST(size(ws) AS BIGINT) AS n_words",
+        "CAST(aggregate(transform(ws, w -> size(split(trim(aggregate(_m, " +
+          graft.operators.TextQueries.bpeBaseSql +
+          ", (acc, m) -> replace(acc, m._1, m._2))), '  '))), " +
+          "0, (a, x) -> a + x) AS BIGINT) AS n_pieces")
+
   final case class SampleRow(source: String, ver: Long, rn: Long,
                              doc_id: Long, u: Long)
 

@@ -72,6 +72,7 @@ class StreamLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "gopherSignals" -> Stateless,
     "mixtureSample" -> Stateless,
     "dsirScore" -> Stateless,
+    "bpeEncode" -> Stateless,
     "tiledbSink" -> Stateless // foreachBatch sink: no keyed stream state
   )
 
