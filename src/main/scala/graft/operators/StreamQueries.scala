@@ -213,21 +213,29 @@ object StreamQueries {
       java.util.UUID.randomUUID.toString.take(8)
     val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
     // stage each range ONCE as a single sequence-named parquet file
-    // (b000.parquet, b001.parquet, …) under ranges/ — reused across
-    // invocations and JVMs like every other staged corpus
-    val staged = stageOnce(s"$stageKey|n$nFiles|v2") { sd =>
+    // (b000.parquet, b001.parquet, …) under ranges/, plus a row-count
+    // sidecar — reused across invocations and JVMs like every other
+    // staged corpus
+    val staged = stageOnce(s"$stageKey|n$nFiles|v3") { sd =>
       new java.io.File(s"$sd/ranges").mkdirs()
-      for (k <- 0 until nFiles) {
-        src.where(col(fileCol) === k).drop(fileCol)
-          .coalesce(1).write.mode("overwrite").parquet(s"$sd/r$k")
+      val counts = (0 until nFiles).map { k =>
+        val range = src.where(col(fileCol) === k).drop(fileCol)
+        range.coalesce(1).write.mode("overwrite").parquet(s"$sd/r$k")
         val part = Option(new java.io.File(s"$sd/r$k").listFiles())
           .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
         require(part.length == 1,
           s"range $k staged ${part.length} part files, expected 1")
         java.nio.file.Files.move(part.head.toPath,
           java.nio.file.Paths.get(f"$sd/ranges/b$k%03d.parquet"))
+        range.count()
       }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$sd/ranges/counts.txt"),
+        counts.mkString("\n"))
     }
+    val counts = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$staged/ranges/counts.txt"))
+      .linesIterator.map(_.toLong).toIndexedSeq
     val watch = new java.io.File(s"$dir/watch")
     watch.mkdirs()
     val stream = s.readStream
@@ -241,6 +249,8 @@ object StreamQueries {
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     try {
+      var expected = 0L
+      def consumed(): Long = q.recentProgress.map(_.numInputRows).sum
       for (k <- 0 until nFiles) {
         // copy to a dot-prefixed temp name (hidden from Spark's listing),
         // then publish with one atomic same-dir rename — the source can
@@ -257,8 +267,20 @@ object StreamQueries {
           new java.io.File(watch, f"b$k%03d.parquet").toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         // barrier: file k's data batch AND its watermark-flush no-data
-        // batches commit before file k+1 becomes visible
+        // batches commit before file k+1 becomes visible.
+        // processAllAvailable alone has a narrow return-early race — the
+        // stream thread can declare "no new data" from a directory
+        // listing taken just BEFORE the rename above — so the barrier
+        // additionally polls the query's cumulative input-row count
+        // against the staged sidecar until file k is PROVABLY consumed
+        // (recentProgress holds every batch of a gate-sized replay: file
+        // + no-data batches ≪ the 100-entry retention default).
+        expected += counts(k)
         q.processAllAvailable()
+        while (consumed() < expected) {
+          Thread.sleep(10)
+          q.processAllAvailable()
+        }
       }
     } finally q.stop()
     dumpProgress(q)
