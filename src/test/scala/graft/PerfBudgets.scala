@@ -51,6 +51,15 @@ object PerfBudgets {
     "s04_stream_sliding" -> 11,
     "s05_stream_sessions" -> 9.5,
     "s06_stream_totals" -> 5.5,
+    // r12 gates, 3× the first clean full-suite steady: the stream-stream
+    // join replays 100k events through BOTH join sides (state inserts +
+    // lookups per batch), BPE encode re-trains the 12 merges (24 vocab
+    // jobs) before the replay, and the top-K tournament replays 4
+    // stateful batches; all three are harness-replay cost, not plan weight
+    "s07_stream_interval_join" -> 20.0,
+    "s08_stream_dsir_topk" -> 6.0,
+    "s09_stream_bpe_encode" -> 13.0,
+    "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,
     "t13_dedup_clusters" -> 4,
     "t16_lm_score" -> 2,
