@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = ArrayQueries.queries ++ MatrixQueries.queries ++ TextQueries.queries ++
       EmbeddingQueries.queries ++ MultimodalQueries.queries ++ NdQueries.queries ++
-      StreamQueries.queries ++ DiagQueries.queries
+      StreamQueries.queries ++ DiagQueries.queries ++ JoinOps.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.register(s)
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ArrayQueries.oracles ++ MatrixQueries.oracles ++ TextQueries.oracles ++
       EmbeddingQueries.oracles ++ MultimodalQueries.oracles ++ NdQueries.oracles ++
-      StreamQueries.oracles ++ DiagQueries.oracles
+      StreamQueries.oracles ++ DiagQueries.oracles ++ JoinOps.oracles
 }
