@@ -29,13 +29,18 @@ object JoinOps {
     * (NULL payloads when no right row precedes it — LEFT semantics).
     *
     * Implementation: tag right rows side=0 and left rows side=1, union,
-    * and take `last(payload, ignoreNulls)` over the per-key window
-    * ordered by (ts, side) — right sorts before left at equal
+    * and take `last(payloadStruct, ignoreNulls)` over the per-key
+    * window ordered by (ts, side) — right sorts before left at equal
     * timestamps, so an exactly-simultaneous right row is visible to the
     * left row, matching the `l.ts >= r.ts` contract of DuckDB/pandas
-    * ASOF. All payload columns ride ONE Window node (Catalyst collapses
-    * same-frame window expressions), so the whole operator is one
-    * exchange + one sort regardless of payload width.
+    * ASOF. The payloads travel as ONE STRUCT so the attached values
+    * always come from a single right ROW — folding `last(ignoreNulls)`
+    * over each payload column separately would skip a NULL field and
+    * reach back to an OLDER right row for just that column, silently
+    * assembling a torn row no engine's ASOF would produce (and
+    * attaching a non-NULL where the matched row says NULL). One struct
+    * ⇒ one Window expression ⇒ one exchange + one sort regardless of
+    * payload width.
     *
     * DETERMINISM CONTRACT: (key, ts) must be unique on the RIGHT side —
     * two simultaneous right rows would make "the most recent payload"
@@ -45,22 +50,22 @@ object JoinOps {
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            payloads: Seq[String]): DataFrame = {
     val leftOthers = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val pStruct = struct(payloads.map(col): _*)
     val lu = left.select(
       Seq(col(key), col(ts).as("_ts"), lit(1).as("_side")) ++
-        leftOthers.map(col) ++
-        payloads.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        leftOthers.map(col) :+
+        lit(null).cast(right.select(pStruct).schema.head.dataType).as("_p"): _*)
     val ru = right.select(
       Seq(col(key), col(ts).as("_ts"), lit(0).as("_side")) ++
-        leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloads.map(col): _*)
+        leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        pStruct.as("_p"): _*)
     val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payloads.foldLeft(lu.unionByName(ru)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    attached.where(col("_side") === 1)
+    lu.unionByName(ru)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
       .select(Seq(col(key), col("_ts").as(ts)) ++
-        leftOthers.map(col) ++ payloads.map(col): _*)
+        leftOthers.map(col) ++ payloads.map(p => col(s"_p.$p").as(p)): _*)
   }
 
   /** Bounded-interval range join: all pairs (l, r) with equal `key` and
@@ -89,7 +94,14 @@ object JoinOps {
       .select((lOut ++ rOut).map(col) :+ col(key): _*)
   }
 
-  private def events(s: SparkSession, d: String): DataFrame = {
+  /** events.parquet with its TIMESTAMP(NANOS) ts normalized to a
+    * session TIMESTAMP — the parquet type surfaces as BIGINT nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong` or as TIMESTAMP_NTZ
+    * otherwise, so every consumer must branch on the schema dtype. ONE
+    * shared reader (used by j01/j02 here and the s04–s07 streaming
+    * gates) so a corpus ts-encoding change can never shift timestamps
+    * in only some gates. */
+  private[operators] def normalizedEvents(s: SparkSession, d: String): DataFrame = {
     val base = s.read.parquet(s"$d/events.parquet")
     val tsExpr = base.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
@@ -97,6 +109,9 @@ object JoinOps {
     }
     base.selectExpr(s"$tsExpr AS ts", "user_id", "event_id", "value")
   }
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    normalizedEvents(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -97,18 +97,29 @@ object StreamQueries {
     * outputs are oracle-sized — hundreds to a few thousand rows), the
     * memory table is dropped, and the run's checkpoint/watch dir tree is
     * deleted before the result is returned. */
+  private def wipe(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+    f.delete()
+  }
+
   private def localizeAndCleanup(s: SparkSession, run: String,
       dir: String): DataFrame = {
     val sink = s.table(run)
     val out = s.createDataFrame(
       java.util.Arrays.asList(sink.collect(): _*), sink.schema)
     s.catalog.dropTempView(run)
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete()
-    }
     wipe(new java.io.File(dir))
     out
+  }
+
+  /** Error-path release: a replay that THROWS (transform failure, a
+    * died stream) must not retain its sink view or leave its
+    * checkpoint/watch tree behind — the r11 heap/litter advisory applies
+    * to failed runs exactly as to successful ones. Best-effort: the view
+    * may not exist yet. */
+  private def releaseRun(s: SparkSession, run: String, dir: String): Unit = {
+    try s.catalog.dropTempView(run) catch { case _: Throwable => }
+    wipe(new java.io.File(dir))
   }
 
   /** Stage `src` as `nFiles` parquet files, replay them one file per
@@ -136,17 +147,21 @@ object StreamQueries {
       .schema(src.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$staged/src")
-    val q = transform(stream).writeStream
-      .format("memory")
-      .queryName(run)
-      .outputMode(outputMode)
-      .option("checkpointLocation", s"$dir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    dumpProgress(q)
-    unloadStateStores()
-    localizeAndCleanup(s, run, dir)
+    try {
+      val q = transform(stream).writeStream
+        .format("memory")
+        .queryName(run)
+        .outputMode(outputMode)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally {
+        if (q.isActive) q.stop()
+        dumpProgress(q)
+        unloadStateStores()
+      }
+      localizeAndCleanup(s, run, dir)
+    } catch { case t: Throwable => releaseRun(s, run, dir); throw t }
   }
 
   /** A finished replay's state-store providers stay LOADED in the JVM —
@@ -213,35 +228,28 @@ object StreamQueries {
       java.util.UUID.randomUUID.toString.take(8)
     val dir = s"${System.getProperty("java.io.tmpdir")}/$run"
     // stage each range ONCE as a single sequence-named parquet file
-    // (b000.parquet, b001.parquet, …) under ranges/, plus a row-count
-    // sidecar — reused across invocations and JVMs like every other
-    // staged corpus
-    val staged = stageOnce(s"$stageKey|n$nFiles|v3") { sd =>
+    // (b000.parquet, b001.parquet, …) under ranges/ — reused across
+    // invocations and JVMs like every other staged corpus
+    val staged = stageOnce(s"$stageKey|n$nFiles|v4") { sd =>
       new java.io.File(s"$sd/ranges").mkdirs()
-      val counts = (0 until nFiles).map { k =>
-        val range = src.where(col(fileCol) === k).drop(fileCol)
-        range.coalesce(1).write.mode("overwrite").parquet(s"$sd/r$k")
+      for (k <- 0 until nFiles) {
+        src.where(col(fileCol) === k).drop(fileCol)
+          .coalesce(1).write.mode("overwrite").parquet(s"$sd/r$k")
         val part = Option(new java.io.File(s"$sd/r$k").listFiles())
           .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
         require(part.length == 1,
           s"range $k staged ${part.length} part files, expected 1")
         java.nio.file.Files.move(part.head.toPath,
           java.nio.file.Paths.get(f"$sd/ranges/b$k%03d.parquet"))
-        range.count()
       }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$sd/ranges/counts.txt"),
-        counts.mkString("\n"))
     }
-    val counts = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(s"$staged/ranges/counts.txt"))
-      .linesIterator.map(_.toLong).toIndexedSeq
     val watch = new java.io.File(s"$dir/watch")
     watch.mkdirs()
     val stream = s.readStream
       .schema(src.drop(fileCol).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(watch.getAbsolutePath)
+    try {
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(run)
@@ -249,8 +257,24 @@ object StreamQueries {
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     try {
-      var expected = 0L
-      def consumed(): Long = q.recentProgress.map(_.numInputRows).sum
+      // barrier truth: the file source's committed logOffset — the
+      // 0-based index of the last batch that read new files (exactly
+      // one per staged file under maxFilesPerTrigger=1). The offset is
+      // per-SOURCE, so the check stays exact even when the transform
+      // reads the stream on BOTH sides of a self-join (s07): an
+      // input-ROW count would tally each row once per plan leaf there
+      // and release the barrier a file early.
+      def consumedFiles(): Long = {
+        val lp = q.lastProgress
+        if (lp == null || lp.sources.isEmpty ||
+          lp.sources(0).endOffset == null) -1L
+        else {
+          val off = lp.sources(0).endOffset
+          val m = """-?\d+""".r.findFirstIn(off)
+          require(m.isDefined, s"unparseable file-source offset: $off")
+          m.get.toLong
+        }
+      }
       for (k <- 0 until nFiles) {
         // copy to a dot-prefixed temp name (hidden from Spark's listing),
         // then publish with one atomic same-dir rename — the source can
@@ -271,21 +295,27 @@ object StreamQueries {
         // processAllAvailable alone has a narrow return-early race — the
         // stream thread can declare "no new data" from a directory
         // listing taken just BEFORE the rename above — so the barrier
-        // additionally polls the query's cumulative input-row count
-        // against the staged sidecar until file k is PROVABLY consumed
-        // (recentProgress holds every batch of a gate-sized replay: file
-        // + no-data batches ≪ the 100-entry retention default).
-        expected += counts(k)
+        // additionally polls the source's committed offset until file k
+        // is PROVABLY consumed.
         q.processAllAvailable()
-        while (consumed() < expected) {
+        while (consumedFiles() < k) {
           Thread.sleep(10)
           q.processAllAvailable()
         }
       }
-    } finally q.stop()
-    dumpProgress(q)
-    unloadStateStores()
+      // one more full-quiescence wait: if the LAST iteration's loop was
+      // released by the stream thread committing concurrently with a
+      // raced processAllAvailable, a final watermark-flush no-data batch
+      // could still be pending — no new files exist now, so this call
+      // cannot race and returns only at true quiescence
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      dumpProgress(q)
+      unloadStateStores()
+    }
     localizeAndCleanup(s, run, dir)
+    } catch { case t: Throwable => releaseRun(s, run, dir); throw t }
   }
 
   /** -Dgraft.stream.debug: per-batch progress to stderr (input rows,
@@ -457,20 +487,14 @@ object StreamQueries {
     // per row, exact BIGINT addition) — a raw float sum's accumulation
     // order would not be hash-comparable across engines.
     "s04_stream_sliding" -> ((s, d) => {
-      val base = s.read.parquet(s"$d/events.parquet")
+      // events.ts normalization (nanos vs NTZ) lives in ONE shared
+      // reader — JoinOps.normalizedEvents — for every event-based gate;
+      // all gate sessions run UTC, so the wall-clock reading IS the
+      // instant, matching the oracle's epoch_us arithmetic
+      val base = JoinOps.normalizedEvents(s, d)
       val maxId = base.agg(max("event_id")).head().getLong(0)
-      // events.ts is parquet TIMESTAMP(NANOS): depending on the
-      // session's nanos handling it surfaces as BIGINT nanos or as
-      // TIMESTAMP_NTZ — normalize both to a session-tz TIMESTAMP (all
-      // gate sessions run UTC, so the wall-clock reading IS the
-      // instant, matching the oracle's epoch_us arithmetic)
-      val tsExpr = base.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
-        case _ => "CAST(ts AS TIMESTAMP)"
-      }
       val real = base.selectExpr(
-        s"$tsExpr AS ts",
-        "user_id AS user", "value",
+        "ts", "user_id AS user", "value",
         s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
       val sentinel = s.sql(
         "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
@@ -496,14 +520,10 @@ object StreamQueries {
     // construction (new session iff ts − prev ≥ 5s). Session starts
     // carry event-time microseconds, so the gate compares unix_micros.
     "s05_stream_sessions" -> ((s, d) => {
-      val base = s.read.parquet(s"$d/events.parquet")
+      val base = JoinOps.normalizedEvents(s, d)
       val maxId = base.agg(max("event_id")).head().getLong(0)
-      val tsExpr = base.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
-        case _ => "CAST(ts AS TIMESTAMP)"
-      }
       val real = base.selectExpr(
-        s"$tsExpr AS ts", "user_id AS user", "value",
+        "ts", "user_id AS user", "value",
         s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
       val sentinel = s.sql(
         "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
@@ -530,14 +550,10 @@ object StreamQueries {
     // float sum is exact integer arithmetic in any arrival order and
     // the operator's round-to-2dp is the identity on it.
     "s06_stream_totals" -> ((s, d) => {
-      val base = s.read.parquet(s"$d/events.parquet")
+      val base = JoinOps.normalizedEvents(s, d)
       val maxId = base.agg(max("event_id")).head().getLong(0)
-      val tsExpr = base.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
-        case _ => "CAST(ts AS TIMESTAMP)"
-      }
       val src = base.selectExpr(
-        s"$tsExpr AS ts", "user_id AS user",
+        "ts", "user_id AS user",
         "CAST(floor(value * 64) AS DOUBLE) AS value",
         s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
       val sp = s
@@ -565,14 +581,10 @@ object StreamQueries {
     // completed replay's pair SET equals the batch range self-join, no
     // sentinel needed. Output is integer ids only: exact, order-pinned.
     "s07_stream_interval_join" -> ((s, d) => {
-      val base = s.read.parquet(s"$d/events.parquet")
+      val base = JoinOps.normalizedEvents(s, d)
       val maxId = base.agg(max("event_id")).head().getLong(0)
-      val tsExpr = base.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
-        case _ => "CAST(ts AS TIMESTAMP)"
-      }
       val src = base.selectExpr(
-        s"$tsExpr AS ts", "user_id AS user", "event_id AS id",
+        "ts", "user_id AS user", "event_id AS id",
         s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
       val sp = s
       import sp.implicits._

@@ -39,6 +39,22 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(20L) == None, "keys never leak payloads across each other")
   }
 
+  test("asof attaches ONE right row atomically — NULL payload fields never tear") {
+    // right rows: ts=1 has (v1=5, v2=NULL); ts=2 has (v1=NULL, v2=7).
+    // The match for a left row at ts=3 is the ts=2 ROW — (NULL, 7), as
+    // DuckDB's ASOF yields. A per-column last(ignoreNulls) would reach
+    // back to ts=1 for v1 alone and assemble the torn row (5, 7).
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, ts(3), 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(1), Some(5.0), Option.empty[Double]),
+      (1L, ts(2), Option.empty[Double], Some(7.0)))
+      .toDF("k", "t", "v1", "v2")
+    val r = JoinOps.asof(left, right, "k", "t", Seq("v1", "v2")).head()
+    assert(r.isNullAt(3) && r.getDouble(4) == 7.0,
+      s"payloads must come from the single matched right row, got $r")
+  }
+
   test("asof plans ONE exchange and ONE window for any payload width") {
     val sp = spark
     import sp.implicits._
