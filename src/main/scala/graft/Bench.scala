@@ -107,6 +107,26 @@ object Bench {
     }
     val probeStart = probeMs()
 
+    // Per-query JVM counters (r12 verdict #1a: the e14 in-suite slowdown
+    // was DIAGNOSED as JIT/code-cache pressure but never measured). Each
+    // query's detail row records the JIT-compilation-time and GC-time
+    // DELTAS across its four executions plus the code-cache and
+    // metaspace LEVELS after them — so a re-paying-work inversion
+    // arrives with its mechanism attached (escalating jit_ms ⇒ recompile
+    // churn; cc_mb at the reserve ceiling ⇒ code-cache flush thrash; flat
+    // counters ⇒ look elsewhere).
+    import scala.jdk.CollectionConverters._
+    def jitMsNow(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
+    def gcMsNow(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def poolMb(prefix: String): Double = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala.filter(_.getName.startsWith(prefix))
+      .map(_.getUsage.getUsed).sum / 1e6
+
     // Broad codegen-shape warmup so even the very first query's run-1 isn't
     // dominated by cold-JVM class loading (one representative per family).
     Seq("q01_sum_revenue", "q05_sliding_mean", "m01_matmul", "t05_minhash")
@@ -119,6 +139,7 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val jit0 = jitMsNow(); val gc0 = gcMsNow()
       val first = runOnce(fn, name)
       // unpersist anything run 1 leaked so later runs can't skip real work
       spark.catalog.clearCache()
@@ -136,23 +157,27 @@ object Bench {
         drainJit()
         t
       }
-      name -> (first, samples(0), samples(1), samples(2))
+      val counters = (jitMsNow() - jit0, gcMsNow() - gc0,
+        poolMb("CodeHeap"), poolMb("Metaspace"))
+      name -> (first, samples(0), samples(1), samples(2), counters)
     }
     def median3(a: Double, b: Double, c: Double): Double =
       Seq(a, b, c).sorted.apply(1)
     // steady = median of the three post-warm samples (see above); all
     // samples are recorded so cross-round comparisons can see the spread
-    val total = results.values.map { case (_, s1, s2, s3) => median3(s1, s2, s3) }.sum
+    val total = results.values.map { case (_, s1, s2, s3, _) => median3(s1, s2, s3) }.sum
     val firstTotal = results.values.map(_._1).sum
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query detail → a file (the harness tail buffer holds only
     // the last ~2000 chars of stdout, so a 191-query map never fits there).
     val bySteady = results.toSeq
-      .map { case (k, (f, s1, s2, s3)) => (k, (f, median3(s1, s2, s3), s1, s2, s3)) }
-      .sortBy { case (_, (_, s, _, _, _)) => -s }
-    val detailQs = bySteady.map { case (k, (f, s, s1, s2, s3)) =>
+      .map { case (k, (f, s1, s2, s3, c)) => (k, (f, median3(s1, s2, s3), s1, s2, s3, c)) }
+      .sortBy { case (_, (_, s, _, _, _, _)) => -s }
+    val detailQs = bySteady.map { case (k, (f, s, s1, s2, s3, (jit, gc, cc, meta))) =>
       s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) +
-        ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + ",\"s3\":" + fmt(s3) + "}"
+        ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + ",\"s3\":" + fmt(s3) +
+        ",\"jit_ms\":" + jit + ",\"gc_ms\":" + gc +
+        ",\"cc_mb\":" + fmt(cc) + ",\"meta_mb\":" + fmt(meta) + "}"
     }
     val probeEnd = probeMs()
     java.nio.file.Files.writeString(
@@ -162,7 +187,7 @@ object Bench {
     // JSON line stays well inside the 2000-char tail window.
     val budget = 1500
     val head = new StringBuilder
-    bySteady.foreach { case (k, (_, s, _, _, _)) =>
+    bySteady.foreach { case (k, (_, s, _, _, _, _)) =>
       val q = s"\"" + k + "\":" + fmt(s)
       if (head.length + q.length + 1 <= budget) {
         if (head.nonEmpty) head.append(',')

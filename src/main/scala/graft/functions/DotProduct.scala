@@ -111,6 +111,8 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     ("graft_dot", 2, classOf[DotProduct],
       exprs => DotProduct(exprs.head, exprs(1))),
+    ("graft_argmin_dot", 2, classOf[ArgminDot],
+      exprs => ArgminDot(exprs.head, exprs(1))),
     ("graft_bits", 1, classOf[BitsOf], exprs => BitsOf(exprs.head)),
     ("graft_from_bits", 1, classOf[FromBits], exprs => FromBits(exprs.head)),
     ("graft_bloom_agg", 3,

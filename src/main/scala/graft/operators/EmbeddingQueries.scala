@@ -284,23 +284,26 @@ object EmbeddingQueries {
         init(c)._2.slice(sub * 8, sub * 8 + 8).map(_ * KM_G)
       }
     }
-    // one scan: every (sub, code) score + 8 per-sub assignment cascades.
-    // The score is ONE fused dot: ||m||² − 2G·dot(p, m)
+    // one scan: per subspace, ONE `graft_argmin_dot` kernel picks the
+    // nearest code. The score is ONE fused dot: ||m||² − 2G·dot(p, m)
     //   = dot([p_sub, 1], [−2G·m_0..7, ||m||²])
-    // with the right operand an array-typed literal folded out of
-    // element_at(centsLit, idx). Array literals ride the codegen
-    // REFERENCES array, so every iteration's plan compiles to
-    // byte-identical code and janino's cache serves iterations 2+ (one
-    // compile per loop SHAPE — PQSpec pins the property). The r9 form
-    // kept ||m||² in a SEPARATE scalar element_at, which
-    // constant-folds to an INLINE `…D` literal and silently
-    // re-compiled all 128 columns every iteration. Every term stays an
-    // exact integer-valued double (|−2G·m| ≤ 2^33, |p·2G·m| ≤ 2^45,
-    // ||m||² ≤ 2^47, 9-term sum < 2^53), so the re-associated fold is
-    // bit-identical to the subtract form the oracle replays. (r10 A/B:
-    // inlining centroids into the SQL text instead measured SLOWER
-    // isolated at sf0.1 — 2.05–2.16 s vs 1.79–1.89 s — on top of
-    // recompiling per iteration.)
+    // with the candidate table a slice of an array-typed literal. Array
+    // literals ride the codegen REFERENCES array, so every iteration's
+    // plan compiles to byte-identical code and janino's cache serves
+    // iterations 2+ (one compile per loop SHAPE — PQSpec pins the
+    // property). The r9 form kept ||m||² in a SEPARATE scalar
+    // element_at, which constant-folds to an INLINE `…D` literal and
+    // silently re-compiled every iteration; the r12 form scored all 128
+    // (sub, code) pairs as separate projection columns plus eight
+    // 16-deep least/when cascades, whose generated method was the
+    // largest in the suite and degraded ~10× under a full 276-query
+    // session's JIT/code-cache pressure (r12 verdict #2) — the argmin
+    // kernel generates two small nested loops regardless of codebook
+    // size. Every term stays an exact integer-valued double
+    // (|−2G·m| ≤ 2^33, |p·2G·m| ≤ 2^45, ||m||² ≤ 2^47, 9-term sum
+    // < 2^53), so the re-associated fold is bit-identical to the
+    // subtract form the oracle replays, and ArgminDot's strict-< first-
+    // minimum matches the cascade's `s(i) <= least(s(i+1..))` tie rule.
     def assigned: DataFrame = {
       val flat = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
         yield cent(sub)(c)
@@ -308,24 +311,12 @@ object EmbeddingQueries {
         (m.map(v => (-2L * KM_G * v).toDouble) :+
           m.map(v => v.toDouble * v).sum).toSeq
       })
-      def score(sub: Int, c: Int): Column = {
-        val idx = sub * PQ_CODES + c + 1 // element_at is 1-based
-        call_function("graft_dot",
-          concat(slice(col("pD"), sub * 8 + 1, 8), array(lit(1.0))),
-          element_at(centsLit, idx))
-      }
-      val scoreCols = for (sub <- 0 until PQ_SUBS; c <- 0 until PQ_CODES)
-        yield score(sub, c).as(s"s${sub}_$c")
-      val withS = pts.select(col("vec_id") +: col("p") +: scoreCols: _*)
       val caseCols = (0 until PQ_SUBS).map { sub =>
-        def s(c: Int) = col(s"s${sub}_$c")
-        (0 until PQ_CODES - 1).foldRight(lit(PQ_CODES - 1)) { (i, els) =>
-          val rest = (i + 1 until PQ_CODES).map(s)
-          val bound = if (rest.size == 1) rest.head else least(rest: _*)
-          when(s(i) <= bound, lit(i)).otherwise(els)
-        }.cast("int").as(s"c$sub")
+        call_function("graft_argmin_dot",
+          concat(slice(col("pD"), sub * 8 + 1, 8), array(lit(1.0))),
+          slice(centsLit, sub * PQ_CODES + 1, PQ_CODES)).as(s"c$sub")
       }
-      withS.select(col("vec_id") +: col("p") +: caseCols: _*)
+      pts.select(col("vec_id") +: col("p") +: caseCols: _*)
     }
     // (vec, sub) rows AFTER assignment → one keyed shuffle per iteration
     def stacked: DataFrame = {

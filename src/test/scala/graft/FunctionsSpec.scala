@@ -197,6 +197,65 @@ class FunctionsSpec extends AnyFunSuite {
     assert(q.where("b <> 0").count() == 99) // bits(0.0) == 0
   }
 
+  test("graft_argmin_dot: first-minimum semantics, codegen/interpreted parity") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    // deterministic small grid; candidates as a literal-ish projected array
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(9)(d => ((i * 31 + d * 7) % 13 - 6).toDouble))
+    }.toDF("id", "q")
+    val cands = "array(" + (0 until 16).map { c =>
+      "array(" + (0 until 9).map(d => s"CAST(${(c * 17 + d * 5) % 11 - 5} AS DOUBLE)")
+        .mkString(", ") + ")"
+    }.mkString(", ") + ")"
+    // oracle: the r12 least/when cascade semantics — smallest index whose
+    // score <= min of every later score (ascending-fold dots)
+    val rows = df.selectExpr("id", "q", s"graft_argmin_dot(q, $cands) AS fast").collect()
+    val candVals = Array.tabulate(16, 9)((c, d) => ((c * 17 + d * 5) % 11 - 5).toDouble)
+    rows.foreach { r =>
+      val q = r.getSeq[Double](1).toArray
+      val scores = candVals.map(cv => cv.zip(q).map { case (y, x) => x * y }
+        .foldLeft(0.0)(_ + _))
+      val want = scores.indices.minBy(i => (scores(i), i))
+      assert(r.getInt(2) == want, s"id=${r.getLong(0)} scores=${scores.mkString(",")}")
+    }
+    // ties resolve to the LOWEST index (duplicate candidates)
+    val tie = spark.sql(
+      "SELECT graft_argmin_dot(array(1.0D, 2.0D), " +
+        "array(array(9.0D, 9.0D), array(3.0D, 6.0D), array(3.0D, 6.0D))) AS i")
+      .head().getInt(0)
+    assert(tie == 1, "equal-score candidates must pick the first")
+    // NULL contract: null input, null candidate row, null element,
+    // length mismatch, empty candidate list — all NULL
+    Seq(
+      "graft_argmin_dot(CAST(NULL AS ARRAY<DOUBLE>), array(array(1.0D)))",
+      "graft_argmin_dot(array(1.0D), CAST(NULL AS ARRAY<ARRAY<DOUBLE>>))",
+      "graft_argmin_dot(array(1.0D), array(CAST(NULL AS ARRAY<DOUBLE>)))",
+      "graft_argmin_dot(array(1.0D), array(array(CAST(NULL AS DOUBLE))))",
+      "graft_argmin_dot(array(1.0D), array(array(1.0D, 2.0D)))",
+      "graft_argmin_dot(array(1.0D), CAST(array() AS ARRAY<ARRAY<DOUBLE>>))").foreach { e =>
+      assert(spark.sql(s"SELECT $e AS i").head().isNullAt(0), e)
+    }
+  }
+
+  test("graft_argmin_dot stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // q is referenced twice so CollapseProject keeps the (fallback-HOF)
+    // transform in its own projection — same trick as the graft_dot test
+    val df = spark.range(100).selectExpr(
+      "id", "transform(sequence(0, 8), d -> CAST(id + d AS DOUBLE)) AS q")
+    val cands = "array(" +
+      "array(" + Seq.fill(9)("1.0D").mkString(", ") + "), " +
+      "array(" + Seq.fill(9)("-1.0D").mkString(", ") + "))"
+    val q = df.selectExpr(
+      s"graft_argmin_dot(q, $cands) AS c", "graft_dot(q, q) AS d2")
+    val plan = q.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_argmin_dot")).getOrElse("")
+    assert(line.trim.startsWith("*"), s"graft_argmin_dot outside codegen:\n$plan")
+    assert(q.where("c = 1").count() == 100) // the all-(−1) candidate always wins
+  }
+
   test("graft_dot stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range source so ConvertToLocalRelation can't fold the plan away

@@ -40,7 +40,8 @@ class PerfBudgetSpec extends AnyFunSuite {
     * (pre-r11 artifacts recorded first/steady only). */
   private def parseDetail(text: String): (Map[String, PerfGate.Detail], Option[Double]) = {
     val entry = ("\"([A-Za-z0-9_]+)\":\\{\"first\":([0-9.]+),\"steady\":([0-9.]+)" +
-      "(?:,\"s1\":([0-9.]+),\"s2\":([0-9.]+),\"s3\":([0-9.]+))?\\}").r
+      "(?:,\"s1\":([0-9.]+),\"s2\":([0-9.]+),\"s3\":([0-9.]+))?" +
+      "(?:,\"[a-z_]+\":-?[0-9.]+)*\\}").r // tolerate trailing counters (r13: jit_ms/gc_ms/cc_mb/meta_mb)
     val details = entry.findAllMatchIn(text).map { m =>
       val samples =
         if (m.group(4) != null)
@@ -60,20 +61,29 @@ class PerfBudgetSpec extends AnyFunSuite {
     val r = PerfGate.ratio(probe)
     if (r > 1.0) info(f"CONTENDED bench artifact: probe ${probe.get}%.0f ms " +
       f"vs ${PerfGate.probeBoundMs}%.0f bound — gates widened ${r}%.2f×")
-    val over = PerfGate.overBudget(details, budgets, defaultBudget, r)
+    val over = PerfGate.overBudget(details, budgets, defaultBudget, r,
+      probed = probe.isDefined)
     assert(over.isEmpty,
-      "min-of-samples time over budget (query, measured, budget):\n  " +
+      "measured time over budget (query, measured, budget):\n  " +
         over.map { case (q, s, b) => f"$q: $s%.2fs > $b%.1fs" }.mkString("\n  "))
   }
 
   test("steady state never exceeds first-run by more than 25% + 1s") {
     val (details, probe) = readDetail()
     assume(details.nonEmpty, "bench_detail.json holds no per-query entries")
-    val over = PerfGate.inversions(details, PerfGate.ratio(probe))
+    val r = PerfGate.ratio(probe)
+    val over = PerfGate.inversions(details, r)
+    // name the mechanism class when the samples ramp monotonically —
+    // the r12 e14 signature: JVM state accumulating ACROSS runs (check
+    // the query's jit_ms/cc_mb counters in bench_detail.json), not a
+    // plan defect and not box contention
+    val acc = PerfGate.accumulating(details, r).map(_._1).toSet
     assert(over.isEmpty,
       "steady > first (query, first, min steady):\n  " +
-        over.map { case (q, f1, s1) => f"$q: first $f1%.2fs steady $s1%.2fs" }
-          .mkString("\n  "))
+        over.map { case (q, f1, s1) =>
+          val tag = if (acc(q)) " [ACCUMULATING: strictly-increasing samples]" else ""
+          f"$q: first $f1%.2fs steady $s1%.2fs$tag"
+        }.mkString("\n  "))
   }
 
   // ---- contract pins on synthetic artifacts (r11 verdict #2 done-criteria)
@@ -91,8 +101,38 @@ class PerfBudgetSpec extends AnyFunSuite {
 
   test("the r11 contended driver artifact passes without a probe") {
     val r = PerfGate.ratio(None)
-    assert(PerfGate.overBudget(r11Flagged, budgets, defaultBudget, r).isEmpty)
+    assert(PerfGate.overBudget(r11Flagged, budgets, defaultBudget, r,
+      probed = false).isEmpty)
     assert(PerfGate.inversions(r11Flagged, r).isEmpty)
+  }
+
+  test("a clean probe gates on the median: one lucky sample cannot mask a regression") {
+    // e17 budget 3.0 → clean-box limit 7.0; two samples regressed to 9.7s
+    // but one got lucky at 2.1s. The r12 min-of-all rule passed this; the
+    // probed-clean median rule must fail it (r12 ADVICE row 1).
+    val masked = Map("e17_outliers" -> PerfGate.Detail(9.5, Seq(9.7, 2.1, 9.8)))
+    val rClean = PerfGate.ratio(Some(150.0))
+    assert(PerfGate.overBudget(masked, budgets, defaultBudget, rClean).nonEmpty,
+      "median-of-steady must catch the two-of-three regression")
+    // the same artifact under a CONFIRMED-contended probe keeps the min
+    // rule and passes — contention inflates random samples honestly
+    assert(PerfGate.overBudget(masked, budgets, defaultBudget,
+      PerfGate.ratio(Some(2 * PerfGate.probeBoundMs))).isEmpty)
+  }
+
+  test("the r12 e14 driver artifact is classified ACCUMULATING") {
+    // the type specimen, verbatim from the r12 driver bench_detail:
+    // clean probe, first 7.5s, steadies strictly increasing 19.4/21.8/23.6
+    val r12e14 = Map("e14_pq_train" -> PerfGate.Detail(7.516, Seq(19.444, 21.812, 23.648)))
+    val r = PerfGate.ratio(Some(189.0)) // the r12 driver's clean probe
+    assert(r == 1.0)
+    val acc = PerfGate.accumulating(r12e14, r)
+    assert(acc.map(_._1) == Seq("e14_pq_train"))
+    // a non-monotone inversion (re-paying-work, e.g. the r8 q99 class)
+    // stays an inversion but is NOT classified as accumulating
+    val q99 = Map("q99_layered" -> PerfGate.Detail(4.28, Seq(6.99, 7.1, 7.05)))
+    assert(PerfGate.inversions(q99, 1.0).nonEmpty)
+    assert(PerfGate.accumulating(q99, 1.0).isEmpty)
   }
 
   test("a uniformly 2×-inflated artifact passes when the probe confirms contention") {
@@ -107,8 +147,15 @@ class PerfBudgetSpec extends AnyFunSuite {
   }
 
   test("a single 3×-over query on a clean box still fails") {
-    val bad = r11Flagged + ("e17_outliers" ->
-      PerfGate.Detail(9.6, Seq(9.6, 9.8, 9.7))) // budget 3.0 → limit 7.0
+    // clean-box artifact: healthy neighbors at their idle truths, one
+    // query genuinely 3× over (budget 3.0 → clean limit 7.0). Note the
+    // r11Flagged data is NOT used here: under the probed-clean median
+    // rule, contended-looking samples WITH a clean probe are a real
+    // signal by design (see the masked-regression test above).
+    val bad = Map(
+      "e17_outliers" -> PerfGate.Detail(9.6, Seq(9.6, 9.8, 9.7)),
+      "q03_cumsum" -> PerfGate.Detail(1.1, Seq(1.02, 1.05, 1.0)),
+      "d01_diag_chunk_report" -> PerfGate.Detail(0.26, Seq(0.25, 0.27, 0.26)))
     val r = PerfGate.ratio(Some(150.0)) // clean probe, ratio 1
     assert(r == 1.0)
     val over = PerfGate.overBudget(bad, budgets, defaultBudget, r)

@@ -81,6 +81,23 @@ class PQSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (x != y) info(s"DIFF $n: |$x| vs |$y|") }
     }
     assert(a == b, "generated code must not embed centroid values")
+    // the r13 e14 shape: ONE graft_argmin_dot kernel per subspace, the
+    // candidate table a slice of the array literal — the slice folds to
+    // another array literal that rides references, so iteration N's plan
+    // generates byte-identical code (and the generated method is two
+    // small loops, not 128 dot columns — the r12 code-cache-pressure fix)
+    def argminPlan(cents: Seq[Seq[Double]]) = {
+      val cl = typedLit(cents)
+      base.select((0 until 2).map { sub =>
+        call_function("graft_argmin_dot",
+          concat(slice(col("pD"), sub * 8 + 1, 8), array(lit(1.0))),
+          slice(cl, sub * 2 + 1, 2)).as(s"c$sub")
+      }: _*)
+    }
+    val a2 = gen(argminPlan(Seq.tabulate(4, 9)((i, j) => (i * 9 + j).toDouble)))
+    val b2 = gen(argminPlan(Seq.tabulate(4, 9)((i, j) => (i * 3 + j * 5 + 40).toDouble)))
+    assert(a2 == b2, "argmin-dot generated code must not embed centroid values")
+
     // negative control: a scalar element_at folds to an inline literal
     def scalarPlan(m2: Seq[Double]) = {
       val ml = typedLit(m2)
