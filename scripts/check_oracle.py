@@ -78,5 +78,38 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({got.num_rows} rows)")
         n_pass += 1
 
+# manifest-vs-dirs agreement (r12 verdict #1: an empty driver artifact
+# must be attributable — Verify now writes per-query evidence, and the
+# oracle pass cross-checks it against what is actually on disk)
+n_manifest_bad = 0
+mpath = OUT / "verify_manifest.json"
+if not mpath.exists():
+    print("MANIFEST MISSING: verify_manifest.json not written — Verify did not complete")
+    n_manifest_bad += 1
+else:
+    manifest = json.loads(mpath.read_text())
+    mq = manifest.get("queries", {})
+    dirs = {p.name for p in OUT.iterdir() if p.is_dir()}
+    for name, ent in mq.items():
+        if ent["status"] == "ok":
+            if name not in dirs:
+                print(f"MANIFEST DISAGREES: {name} marked ok but no output dir")
+                n_manifest_bad += 1
+            else:
+                rows = pq.read_table(str(OUT / name)).num_rows
+                if rows != ent["rows"]:
+                    print(f"MANIFEST DISAGREES: {name} manifest rows {ent['rows']} vs on-disk {rows}")
+                    n_manifest_bad += 1
+    extra = dirs - set(mq)
+    if extra:
+        print(f"MANIFEST DISAGREES: output dirs with no manifest entry: {sorted(extra)}")
+        n_manifest_bad += 1
+    if manifest.get("ok", 0) == 0:
+        print("MANIFEST: zero successful queries — Verify should have exited non-zero")
+        n_manifest_bad += 1
+    print(f"manifest: {manifest.get('ok')} ok / {manifest.get('failed')} failed "
+          f"of {manifest.get('selected')} selected ({manifest.get('registered')} registered), "
+          f"agreement {'OK' if n_manifest_bad == 0 else 'BROKEN'}")
+
 print(f"\n{n_pass} passed, {n_fail} failed")
-sys.exit(1 if n_fail else 0)
+sys.exit(1 if (n_fail or n_manifest_bad) else 0)

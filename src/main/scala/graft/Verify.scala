@@ -44,11 +44,25 @@ object Verify {
       System.err.println("[verify] filter selected ZERO queries — refusing to exit green")
       sys.exit(2)
     }
+    // Self-describing result manifest (r12 verdict #1: the driver round
+    // recorded an empty CORRECTNESS artifact and nothing could prove
+    // whether Verify ran; now every run leaves per-query evidence next
+    // to the parquet it wrote, and check_oracle.py asserts the two
+    // agree — an empty downstream artifact is attributable to the
+    // harness, never ambiguous).
+    val manifest = scala.collection.mutable.LinkedHashMap[String, (String, Long, String)]()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // count from the WRITTEN files — proves the dir is readable,
+        // not just that the write call returned
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        manifest(name) = ("ok", rows, "")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        manifest(name) = ("failed", -1L, Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -66,6 +80,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val ok = manifest.count(_._2._1 == "ok")
+    val failed = manifest.size - ok
+    val mJson = "{" +
+      s""""registered":${SparkEntry.queries.size},"selected":${selected.size},""" +
+      s""""ok":$ok,"failed":$failed,"sf_dir":${q(sfDir)},"queries":{""" +
+      manifest.map { case (k, (st, rows, err)) =>
+        s"${q(k)}:{" + s""""status":${q(st)},"rows":$rows""" +
+          (if (err.nonEmpty) s""","error":${q(err)}""" else "") + "}"
+      }.mkString(",") + "}}"
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), mJson)
+    System.err.println(s"[verify] manifest: $ok ok, $failed failed, " +
+      s"${selected.size} selected of ${SparkEntry.queries.size} registered")
     spark.stop()
+    // zero successful queries can NEVER exit green — the r12 driver
+    // round's `{}` correctness artifact must be impossible to reproduce
+    // from a healthy harness
+    if (ok == 0) sys.exit(3)
   }
 }
