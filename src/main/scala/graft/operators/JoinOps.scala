@@ -24,45 +24,104 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
-  /** Backward as-of join: for every left row, attach the payload of the
-    * most recent right row with the same `key` and `rightTs <= leftTs`
-    * (NULL payloads when no right row precedes it — LEFT semantics).
+  /** Internal column names the two join shapes materialize; caller
+    * frames must not already use them (r12 ADVICE: unguarded overlaps
+    * surfaced as an AnalysisException at best, a silently shadowed
+    * output column at worst). */
+  private val asofInternal = Seq("_ts", "_side", "_p", "_b", "_f")
+  private val rangeInternal = Seq("_lus", "_rus", "_band", "_rk")
+
+  /** As-of join: for every left row, attach the payload of the matching
+    * right row with the same `key`, where "matching" is per `direction`
+    * (NULL payloads when no right row qualifies — LEFT semantics):
     *
-    * Implementation: tag right rows side=0 and left rows side=1, union,
-    * and take `last(payloadStruct, ignoreNulls)` over the per-key
-    * window ordered by (ts, side) — right sorts before left at equal
-    * timestamps, so an exactly-simultaneous right row is visible to the
-    * left row, matching the `l.ts >= r.ts` contract of DuckDB/pandas
-    * ASOF. The payloads travel as ONE STRUCT so the attached values
-    * always come from a single right ROW — folding `last(ignoreNulls)`
-    * over each payload column separately would skip a NULL field and
-    * reach back to an OLDER right row for just that column, silently
-    * assembling a torn row no engine's ASOF would produce (and
-    * attaching a non-NULL where the matched row says NULL). One struct
-    * ⇒ one Window expression ⇒ one exchange + one sort regardless of
-    * payload width.
+    *  - `backward` (default): most recent right row with rts <= lts
+    *  - `forward`: earliest right row with rts >= lts
+    *  - `nearest`: whichever of the two is closer in |rts − lts|;
+    *    an exact tie takes the BACKWARD row (pandas merge_asof's rule)
+    *
+    * Implementation: tag rows with a side ordinal, union, and resolve
+    * the match with per-key WINDOW functions ordered by (ts, side) —
+    * never a range scan or per-row subquery. Backward = `last(payload,
+    * ignoreNulls)` over the preceding frame with right rows sorting
+    * BEFORE left at equal timestamps (so a simultaneous right row is
+    * visible — DuckDB's `l.ts >= r.ts`). Forward = `first(payload,
+    * ignoreNulls)` over the following frame with right rows sorting
+    * AFTER left at equal timestamps (`l.ts <= r.ts`). Nearest = both
+    * frames over the SAME (partition, order) — Catalyst collapses them
+    * into ONE Window node — with the right event time carried inside
+    * the payload struct for the distance compare; the simultaneous-row
+    * case needs no special handling because its backward distance is 0.
+    *
+    * The payloads travel as ONE STRUCT so the attached values always
+    * come from a single right ROW — folding `last(ignoreNulls)` over
+    * each payload column separately would skip a NULL field and reach
+    * back to an OLDER right row for just that column, silently
+    * assembling a torn row no engine's ASOF would produce. One struct ⇒
+    * one window expression per direction ⇒ one exchange + one sort
+    * regardless of payload width (JoinOpsSpec pins the plan shape for
+    * all three directions).
     *
     * DETERMINISM CONTRACT: (key, ts) must be unique on the RIGHT side —
-    * two simultaneous right rows would make "the most recent payload"
+    * two simultaneous right rows would make "the matching payload"
     * ill-defined in any engine (DuckDB's ASOF picks one arbitrarily).
-    * Pre-aggregate the right side (e.g. max_by) to enforce it; the j01
-    * gate does. */
+    * Pre-aggregate the right side (e.g. max_by) to enforce it; the
+    * j01/j03/j04 gates do. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-           payloads: Seq[String]): DataFrame = {
+           payloads: Seq[String], direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asof direction must be backward/forward/nearest, got $direction")
+    val taken = (left.columns ++ right.columns).toSet
+    val clash = asofInternal.filter(taken)
+    require(clash.isEmpty,
+      s"asof reserves internal column names ${clash.mkString(", ")} — rename them first")
     val leftOthers = left.columns.toSeq.filterNot(c => c == key || c == ts)
-    val pStruct = struct(payloads.map(col): _*)
+    val pClash = payloads.intersect(key +: ts +: leftOthers)
+    require(pClash.isEmpty,
+      s"payload columns ${pClash.mkString(", ")} collide with retained left columns — alias them first")
+    // the right event time rides INSIDE the struct (field "_ts") so the
+    // nearest rule can compare distances without a second pass
+    val pStruct = struct(col(ts).as("_ts") +: payloads.map(col): _*)
+    // right rows sort before left at equal ts for backward/nearest
+    // (simultaneous rows visible to the preceding frame) and after left
+    // for forward (visible to the following frame)
+    val rSide = if (direction == "forward") 2 else 0
     val lu = left.select(
       Seq(col(key), col(ts).as("_ts"), lit(1).as("_side")) ++
         leftOthers.map(col) :+
         lit(null).cast(right.select(pStruct).schema.head.dataType).as("_p"): _*)
     val ru = right.select(
-      Seq(col(key), col(ts).as("_ts"), lit(0).as("_side")) ++
+      Seq(col(key), col(ts).as("_ts"), lit(rSide).as("_side")) ++
         leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         pStruct.as("_p"): _*)
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lu.unionByName(ru)
-      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    val ord = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = lu.unionByName(ru)
+    val resolved = direction match {
+      case "backward" =>
+        unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        unioned.withColumn("_p", first(col("_p"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        // distances compare in the ts column's own numeric space:
+        // timestamps via epoch micros, plain numerics directly
+        def num(c: Column): Column = left.schema(ts).dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+          case _ => c
+        }
+        unioned
+          .withColumn("_b", last(col("_p"), ignoreNulls = true).over(wBack))
+          .withColumn("_f", first(col("_p"), ignoreNulls = true).over(wFwd))
+          .withColumn("_p",
+            when(col("_b").isNull, col("_f"))
+              .when(col("_f").isNull, col("_b"))
+              .when(num(col("_ts")) - num(col("_b._ts")) <=
+                num(col("_f._ts")) - num(col("_ts")), col("_b"))
+              .otherwise(col("_f")))
+    }
+    resolved
       .where(col("_side") === 1)
       .select(Seq(col(key), col("_ts").as(ts)) ++
         leftOthers.map(col) ++ payloads.map(p => col(s"_p.$p").as(p)): _*)
@@ -80,14 +139,29 @@ object JoinOps {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 ts: String, widthUs: Long,
                 lOut: Seq[String], rOut: Seq[String]): DataFrame = {
+    require(widthUs > 0, s"rangeJoin width must be positive, got $widthUs")
+    val taken = (left.columns ++ right.columns).toSet
+    val clash = rangeInternal.filter(taken)
+    require(clash.isEmpty,
+      s"rangeJoin reserves internal column names ${clash.mkString(", ")} — rename them first")
+    val outClash = lOut.intersect(rOut)
+    require(outClash.isEmpty,
+      s"lOut/rOut overlap on ${outClash.mkString(", ")} — alias one side first")
+    // band = floor(us / width) in EXACT integer arithmetic (r12 ADVICE:
+    // double division is only exact below ~2^52 epoch-micros; beyond
+    // that a boundary row can mis-band and a pair silently vanish).
+    // pmod is non-negative, so (us - pmod) is width-divisible and the
+    // integral DIV (never a double in the chain) equals the
+    // mathematical floor for ALL longs.
+    def floorBand(usCol: String): String =
+      s"(($usCol - pmod($usCol, ${widthUs}L)) DIV ${widthUs}L)"
     val l = left.select(
       Seq(col(key), unix_micros(col(ts)).as("_lus")) ++ lOut.map(col): _*)
-      .withColumn("_band", col("_lus").divide(widthUs).cast("long"))
+      .withColumn("_band", expr(floorBand("_lus")))
     val r = right.select(
       Seq(col(key).as("_rk"), unix_micros(col(ts)).as("_rus")) ++ rOut.map(col): _*)
       .withColumn("_band",
-        explode(array((col("_rus") / widthUs).cast("long"),
-          (col("_rus") / widthUs).cast("long") - 1)))
+        explode(array(expr(floorBand("_rus")), expr(floorBand("_rus") + " - 1L"))))
     l.join(r, l(key) === r("_rk") && l("_band") === r("_band"))
       .where(col("_rus") >= col("_lus") &&
         col("_rus") < col("_lus") + lit(widthUs))
@@ -137,6 +211,44 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // AS-OF FORWARD under the oracle: the same enrichment as j01 but
+    // attaching the NEXT status at or after each event (the "first
+    // quote after the trade" shape). Same single-exchange window plan,
+    // reversed frame. Oracle: DuckDB's native ASOF with the <= operator.
+    "j03_asof_forward" -> ((s, d) => {
+      val ev = events(s, d)
+      val right = ev.where("event_id % 10 = 0")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("sv"))
+      val left = ev.where("event_id % 10 <> 0")
+        .select("user_id", "ts", "event_id")
+      asof(left, right, key = "user_id", ts = "ts", payloads = Seq("sv"),
+          direction = "forward")
+        .selectExpr("event_id",
+          "coalesce(CAST(floor(sv * 64) AS BIGINT), -1) AS status_q")
+        .orderBy("event_id")
+    }),
+
+    // AS-OF NEAREST under the oracle: whichever status is closer in
+    // event time, ties to the earlier row (pandas merge_asof's rule).
+    // DuckDB has no nearest operator, so the oracle composes its OWN
+    // backward and forward ASOF joins and replays the distance/tie rule
+    // in SQL — the engine's one-pass two-frame window must equal the
+    // definitional two-join form.
+    "j04_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      val right = ev.where("event_id % 10 = 0")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("sv"))
+      val left = ev.where("event_id % 10 <> 0")
+        .select("user_id", "ts", "event_id")
+      asof(left, right, key = "user_id", ts = "ts", payloads = Seq("sv"),
+          direction = "nearest")
+        .selectExpr("event_id",
+          "coalesce(CAST(floor(sv * 64) AS BIGINT), -1) AS status_q")
+        .orderBy("event_id")
+    }),
+
     // RANGE JOIN under the oracle: the batch form of the s07 interval
     // semantics — every same-user event pair within 6 hours — realized
     // with the banding rewrite (equi-shuffle on (user, band), exact
@@ -165,6 +277,35 @@ object JoinOps {
          SELECT l.event_id AS event_id,
            coalesce(CAST(floor(r.sv * 64) AS BIGINT), -1) AS status_q
          FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
+         ORDER BY event_id""",
+
+    // DuckDB's native forward ASOF (the <= operator)
+    "j03_asof_forward" ->
+      """WITH r AS (SELECT user_id AS u, ts, max_by(value, event_id) AS sv
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+           l AS (SELECT user_id AS u, ts, event_id
+                 FROM events WHERE event_id % 10 <> 0)
+         SELECT l.event_id AS event_id,
+           coalesce(CAST(floor(r.sv * 64) AS BIGINT), -1) AS status_q
+         FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts <= r.ts
+         ORDER BY event_id""",
+
+    // nearest = the closer of DuckDB's own backward and forward ASOF
+    // matches, ties to backward (pandas merge_asof)
+    "j04_asof_nearest" ->
+      """WITH r AS (SELECT user_id AS u, ts, max_by(value, event_id) AS sv
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+           l AS (SELECT user_id AS u, ts, event_id
+                 FROM events WHERE event_id % 10 <> 0)
+         SELECT l.event_id AS event_id,
+           coalesce(CAST(floor(CASE
+               WHEN b.ts IS NULL THEN f.sv
+               WHEN f.ts IS NULL THEN b.sv
+               WHEN (l.ts - b.ts) <= (f.ts - l.ts) THEN b.sv
+               ELSE f.sv END * 64) AS BIGINT), -1) AS status_q
+         FROM l
+           ASOF LEFT JOIN r b ON l.u = b.u AND l.ts >= b.ts
+           ASOF LEFT JOIN r f ON l.u = f.u AND l.ts <= f.ts
          ORDER BY event_id""",
 
     // the definitional range self-join (same SQL family as s07's)

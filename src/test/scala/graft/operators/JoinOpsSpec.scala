@@ -55,6 +55,86 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"payloads must come from the single matched right row, got $r")
   }
 
+  test("asof forward: earliest at-or-after payload; simultaneous row visible") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, ts(1), 10L), (1L, ts(5), 11L), (1L, ts(9), 12L),
+      (2L, ts(4), 20L))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, ts(3), 0.5), (1L, ts(5), 0.7), (2L, ts(2), 0.9))
+      .toDF("k", "t", "v")
+    val got = JoinOps.asof(left, right, "k", "t", Seq("v"), "forward")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(got(10L) == Some(0.5), "earliest at-or-after, not just any later")
+    assert(got(11L) == Some(0.7), "an exactly-simultaneous right row matches forward too")
+    assert(got(12L) == None, "left row after every right must get NULL")
+    assert(got(20L) == None, "forward never reaches back")
+  }
+
+  test("asof nearest: closer side wins; exact tie takes the backward row") {
+    val sp = spark
+    import sp.implicits._
+    // id=10 at t=4: back at 3 (d=1) vs fwd at 8 (d=4) -> back 0.3
+    // id=11 at t=7: back at 3 (d=4) vs fwd at 8 (d=1) -> fwd 0.8
+    // id=12 at t=5: no back for key 2, fwd at 6 -> 0.6
+    // id=13 at t=10 key 2: back at 6 (d=4), no fwd -> 0.6
+    // id=14 at t=5 key 3: EXACT TIE back at 4 (d=1) vs fwd at 6 (d=1) -> back 0.4
+    val left = Seq((1L, ts(4), 10L), (1L, ts(7), 11L), (2L, ts(5), 12L),
+      (2L, ts(10), 13L), (3L, ts(5), 14L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(3), 0.3), (1L, ts(8), 0.8), (2L, ts(6), 0.6),
+      (3L, ts(4), 0.4), (3L, ts(6), 0.45)).toDF("k", "t", "v")
+    val got = JoinOps.asof(left, right, "k", "t", Seq("v"), "nearest")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(got(10L) == Some(0.3))
+    assert(got(11L) == Some(0.8))
+    assert(got(12L) == Some(0.6), "nearest must fall forward when no prior row exists")
+    assert(got(13L) == Some(0.6), "nearest must fall back when no later row exists")
+    assert(got(14L) == Some(0.4), "equal distances take the backward row")
+  }
+
+  test("asof guards: reserved internal names and payload collisions fail fast") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, ts(1), 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(1), 0.5)).toDF("k", "t", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      JoinOps.asof(left.withColumnRenamed("id", "_side"), right, "k", "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("_side"))
+    val e2 = intercept[IllegalArgumentException] {
+      // payload named like a retained left column silently shadowed in r12
+      JoinOps.asof(left, right.withColumnRenamed("v", "id"), "k", "t", Seq("id"))
+    }
+    assert(e2.getMessage.contains("collide"))
+    val e3 = intercept[IllegalArgumentException] {
+      JoinOps.asof(left, right, "k", "t", Seq("v"), "sideways")
+    }
+    assert(e3.getMessage.contains("direction"))
+    val e4 = intercept[IllegalArgumentException] {
+      JoinOps.rangeJoin(left.selectExpr("k", "t", "id AS _band"), right,
+        "k", "t", 1000000L, Seq("_band"), Seq("v"))
+    }
+    assert(e4.getMessage.contains("_band"))
+  }
+
+  test("rangeJoin bands exactly at magnitudes where double division breaks") {
+    val sp = spark
+    import sp.implicits._
+    // epoch-micros near 2^60: floor(us/width) differs between exact
+    // integral arithmetic and a double-rounded quotient. Timestamps
+    // can't carry 2^60 us, so drive the banding math directly through
+    // the same expression the join uses.
+    val w = 3600000000L // 1h in us
+    val us = Seq(
+      (1L << 60) - 1L, 1L << 60, (1L << 60) + w - 1, (1L << 60) + w,
+      Long.MaxValue - w, -w - 1L, -1L, 0L)
+    val got = us.toDF("u")
+      .selectExpr(s"(u - pmod(u, ${w}L)) DIV ${w}L AS band")
+      .collect().map(_.getLong(0))
+    val want = us.map(v => Math.floorDiv(v, w))
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
   test("asof plans ONE exchange and ONE window for any payload width") {
     val sp = spark
     import sp.implicits._
@@ -63,13 +143,17 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val right = sp.range(50).selectExpr("id % 7 AS k",
       "timestamp_seconds(id * 2) AS t", "CAST(id AS DOUBLE) AS v1",
       "CAST(id * 3 AS DOUBLE) AS v2")
-    val plan = JoinOps.asof(left, right, "k", "t", Seq("v1", "v2"))
-      .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(plan).size == 1,
-      s"asof must shuffle exactly once:\n$plan")
-    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
-      "same-frame payload windows must collapse into one Window node")
-    assert(!plan.contains("CartesianProduct"))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val plan = JoinOps.asof(left, right, "k", "t", Seq("v1", "v2"), dir)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"asof($dir) must shuffle exactly once:\n$plan")
+      // nearest evaluates TWO frames, but over the same (partition,
+      // order) — Catalyst must still plan ONE Window node / one sort
+      assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+        s"asof($dir) windows must collapse into one Window node:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
   }
 
   test("rangeJoin: exactly-once pairs across band boundaries, no cartesian") {
