@@ -638,6 +638,40 @@ object StreamQueries {
         .where("doc_id < 200")
         .selectExpr("doc_id", "n_words", "n_pieces")
         .orderBy("doc_id")
+    }),
+
+    // LEFT-OUTER STREAM-STREAM JOIN under the oracle (r12 verdict gap
+    // #2: s07 gated only the inner interval join; the enrichment form
+    // needs the harder watermark-driven NULL-emission path). Same
+    // self-join as s07 plus every partnerless event ONCE with b = -1.
+    // The NULL rows only surface when the watermark passes each left
+    // row's eviction horizon, so a far-future sentinel rides alone in
+    // the last ordered batch (the s04 pattern) — its watermark jump
+    // finalizes every real row, and the completed replay must equal
+    // the batch LEFT range self-join exactly: matched rows identical
+    // to s07's pair set, unmatched rows exactly once with -1, and NO
+    // NULL twin for any matched row (StreamingSpec pins that half).
+    // The sentinel's own partnerless row is filtered by its id.
+    "s10_stream_interval_outer" -> ((s, d) => {
+      val base = JoinOps.normalizedEvents(s, d)
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val real = base.selectExpr(
+        "ts", "user_id AS user", "event_id AS id",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinel = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(-1 AS BIGINT) AS id, CAST(4 AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinel), "_file",
+            nFiles = 5, stageKey = s"s10|$d")(st =>
+          StreamOps.intervalJoin(st.as[StreamOps.EvId],
+            joinType = "left_outer"))
+      }
+        .where("a >= 0")
+        .selectExpr("u", "a", "coalesce(b, -1L) AS b")
+        .orderBy("u", "a", "b")
     })
   )
 
@@ -773,6 +807,15 @@ object StreamQueries {
     // re-train the 12 merges and re-encode: per gated doc, word count +
     // total BPE piece count from the fully-merged vocab
     "s09_stream_bpe_encode" ->
-      TextQueries.bpeEncodeOracle(TextQueries.bpeMerges, docLimit = 200)
+      TextQueries.bpeEncodeOracle(TextQueries.bpeMerges, docLimit = 200),
+
+    // the batch LEFT form of s07's self-join: matched pairs identical,
+    // partnerless events exactly once with b = -1; integer ids only
+    "s10_stream_interval_outer" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS i, ts FROM events)
+         SELECT l.u AS u, l.i AS a, coalesce(r.i, -1) AS b
+         FROM e l LEFT JOIN e r ON l.u = r.u AND l.i <> r.i
+           AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
+         ORDER BY u, a, b"""
   )
 }

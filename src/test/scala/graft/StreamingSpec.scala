@@ -718,4 +718,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"late row must not resurrect evicted state: ${pairs()}")
     } finally q.stop()
   }
+
+  test("left-outer interval join: NULL rows only for unmatched, only after eviction") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[StreamOps.EvId]
+    val q = StreamOps.intervalJoin(in.toDS(), window = "10 seconds",
+        watermark = "20 seconds", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    def rows() = spark.table("ssjo").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    try {
+      // user 1: a matched pair (1→2); user 2: a partnerless event
+      in.addData(StreamOps.EvId(ts(1), 1, 1), StreamOps.EvId(ts(5), 1, 2),
+        StreamOps.EvId(ts(3), 2, 3))
+      q.processAllAvailable()
+      // matched pair emits eagerly; id 3's NULL must NOT exist yet —
+      // its partner could still arrive inside the watermark horizon
+      assert(rows() == Set((1L, 1L, 2L)),
+        s"NULL rows must wait for the watermark, got ${rows()}")
+      // watermark jump (wm → 980 s) evicts every real row's state:
+      // unmatched rows surface exactly once with NULL; CRUCIALLY the
+      // matched left rows (ids 1, 2) do NOT also emit a NULL twin
+      in.addData(StreamOps.EvId(ts(1000), 9, 99))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1L, 2L), (2L, 3L, -1L), (1L, 2L, -1L)),
+        s"eviction must emit NULLs for unmatched rows only: ${rows()}")
+    } finally q.stop()
+  }
 }
