@@ -298,7 +298,18 @@ object StreamQueries {
         // additionally polls the source's committed offset until file k
         // is PROVABLY consumed.
         q.processAllAvailable()
+        // bounded poll (r12 ADVICE: a query that STOPS without throwing —
+        // external stop, a source silently ignoring the published file —
+        // made this spin forever: processAllAvailable on a dead query
+        // returns immediately). Fail with the last progress so the stuck
+        // file is diagnosable.
+        val deadline = System.nanoTime + 120L * 1000L * 1000L * 1000L
         while (consumedFiles() < k) {
+          def lastProg = Option(q.lastProgress).map(_.json).getOrElse("<none>")
+          require(q.isActive,
+            s"stream stopped before consuming file $k; last progress: $lastProg")
+          require(System.nanoTime < deadline,
+            s"arrival barrier timed out (120s) waiting for file $k; last progress: $lastProg")
           Thread.sleep(10)
           q.processAllAvailable()
         }
@@ -363,16 +374,42 @@ object StreamQueries {
   }
 
   /** Trained-model memo for the serving gates (s08's lr table, s09's
-    * merge table): the models are deterministic functions of the corpus
-    * dir, and the gates measure the SERVING replay — Bench runs each
-    * gate four times per session, and re-training the (identical) model
-    * each time would charge the serving measurement for the trainer.
-    * The batch training queries themselves (t32, t33) are never memoized
-    * — their bench rows measure training. */
+    * merge table): the models are deterministic functions of the corpus,
+    * and the gates measure the SERVING replay — Bench runs each gate
+    * four times per session, and re-training the (identical) model each
+    * time would charge the serving measurement for the trainer. The
+    * batch training queries themselves (t32, t33) are never memoized —
+    * their bench rows measure training.
+    *
+    * r12 ADVICE hardening: the memo key carries a CONTENT FINGERPRINT
+    * of the corpus (per-file name/size/mtime), so a corpus regenerated
+    * under the same path within one JVM re-trains instead of serving a
+    * stale model; and training runs OUTSIDE any map lock (get →
+    * train → putIfAbsent), so a long Spark training job never blocks
+    * the bucket for concurrent callers — the worst case under a race is
+    * one redundant training of a deterministic model. */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def cached[T <: AnyRef](key: String)(train: => T): T =
-    modelCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+  private def corpusFingerprint(d: String): String = {
+    val root = new java.io.File(s"$d/documents.parquet")
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .filter(_.isFile).sortBy(_.getName)
+      else Seq(root)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString + s":${files.size}"
+  }
+  private def cached[T <: AnyRef](key: String, d: String)(train: => T): T = {
+    val k = s"$key|${corpusFingerprint(d)}"
+    val hit = modelCache.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = train
+      val prev = modelCache.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** The batch-trained DSIR log-ratio table (t32's two metadata-sized
     * aggregates, collapsed to one conditional-sum pass and collected as
@@ -605,7 +642,7 @@ object StreamQueries {
     // must equal the batch t32 selection head. Order-invariant final
     // state ⇒ the unordered replay gates it; all-integer weights.
     "s08_stream_dsir_topk" -> ((s, d) => {
-      val lr = cached(s"lr|$d")(dsirLr(s, d))
+      val lr = cached(s"lr|$d", d)(dsirLr(s, d))
       val src = docs(s, d)
         .selectExpr("timestamp_seconds(1700000000) AS ts", "doc_id", "text")
       val sink = withFewShufflePartitions(s) {
@@ -629,7 +666,7 @@ object StreamQueries {
     // SAME merges in DuckDB and re-encodes via the fully-merged vocab.
     // All-integer outputs (word and piece counts).
     "s09_stream_bpe_encode" -> ((s, d) => {
-      val merges = cached(s"bpe|$d")(
+      val merges = cached(s"bpe|$d", d)(
         TextQueries.bpeTrainMerges(s, d).map(m => (m._1, m._2)))
       val src = docs(s, d)
         .selectExpr("timestamp_seconds(1700000000) AS ts", "doc_id", "text")
