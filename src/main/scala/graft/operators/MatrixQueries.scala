@@ -491,6 +491,47 @@ object MatrixQueries {
       graft.sources.Zarr.read1d(s, dir).orderBy("idx")
     }),
 
+    // write-dtype parity (r12 verdict gap #4: read covered f8/f4/i4/i8,
+    // write only f8/f4/i8 — a real exporter hits <i4 and |u1 before any
+    // exotic codec): ONE gate round-trips BOTH an <i4 v2 store (zlib)
+    // and a |u1 v3 store (gzip) and joins them on idx, so either dtype's
+    // write OR read path breaking fails the oracle. The writers REFUSE
+    // non-integral / out-of-range values rather than numpy-C-casting
+    // silently (ZarrSpec pins the refusal and the raw chunk bytes).
+    "z08_zarr_i4_u1_write" -> ((s, d) => {
+      val base = s"/tmp/graft_zarr_z08_${new java.io.File(d).getName}"
+      val el4 = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx",
+          "CAST(floor(value * 1000) - 500 AS DOUBLE) AS v")
+        .where("idx < 1000")
+      graft.sources.Zarr.write1d(el4, s"$base/i4", 1000, chunk = 256,
+        compressor = Some("zlib"), format = 2, dtype = "<i4")
+      val el1 = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx",
+          "CAST(least(255, greatest(0, floor(value * 255))) AS DOUBLE) AS v")
+        .where("idx < 1000")
+      graft.sources.Zarr.write1d(el1, s"$base/u1", 1000, chunk = 256,
+        compressor = Some("gzip"), format = 3, dtype = "|u1")
+      val r4 = graft.sources.Zarr.read1d(s, s"$base/i4").selectExpr("idx", "v AS v4")
+      val r1 = graft.sources.Zarr.read1d(s, s"$base/u1").selectExpr("idx", "v AS v1")
+      r4.join(r1, Seq("idx")).orderBy("idx")
+    }),
+
+    // v3 SHARDED int64 writes (the q88 exactness contract × the z07
+    // object-count contract): values above 2^53 pack 4 inner chunks per
+    // crc32c-indexed shard object and round-trip bit-for-bit through the
+    // exact Long codec — no value ever passes through a double
+    "z09_zarr_sharded_long" -> ((s, d) => {
+      val dir = s"/tmp/graft_zarr_z09_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx",
+          "CAST(9007199254740993 + 7 * event_id AS BIGINT) AS v")
+        .where("idx < 600")
+      graft.sources.Zarr.write1dLong(el, dir, 600, chunk = 128,
+        compressor = Some("zstd"), format = 3, inner = Some(32L))
+      graft.sources.Zarr.read1dLong(s, dir).orderBy("idx")
+    }),
+
     // int64 dtype fidelity (reference carries real dtypes, _expr.py:213):
     // values ABOVE 2^53 round-trip a <i8 zarr store bit-for-bit through
     // the LongType read path — any cast through double would corrupt the
@@ -1071,6 +1112,17 @@ object MatrixQueries {
     "z07_zarr_sharded" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 900 ORDER BY idx""",
+
+    "z08_zarr_i4_u1_write" ->
+      """SELECT event_id AS idx,
+           CAST(floor(value * 1000) - 500 AS DOUBLE) AS v4,
+           CAST(least(255, greatest(0, floor(value * 255))) AS DOUBLE) AS v1
+         FROM events WHERE event_id < 1000 ORDER BY idx""",
+
+    "z09_zarr_sharded_long" ->
+      """SELECT event_id AS idx,
+         CAST(9007199254740993 + 7 * event_id AS BIGINT) AS v FROM events
+         WHERE event_id < 600 ORDER BY idx""",
 
     "q88_zarr_int64_exact" ->
       """SELECT event_id AS idx,

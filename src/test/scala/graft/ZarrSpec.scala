@@ -477,6 +477,97 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base.toDouble.toLong != base)
   }
 
+  test("<i4 write: raw little-endian int32 chunk bytes, v2 and v3 metadata") {
+    val dir = Files.createTempDirectory("zarri4").toString
+    val sp = spark
+    import sp.implicits._
+    val n = 10
+    val el = (0 until n).map(i => (i.toLong, (i * 3 - 7).toDouble)).toDF("idx", "v")
+    Zarr.write1d(el, dir, n, chunk = 10, dtype = "<i4") // raw, no compressor
+    // byte-level: exactly 40 bytes, little-endian int32 values
+    val bytes = Files.readAllBytes(Paths.get(dir, "0"))
+    assert(bytes.length == 40, s"raw <i4 chunk must be 4 bytes/value, got ${bytes.length}")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => assert(bb.getInt == i * 3 - 7, s"value $i"))
+    val meta = new String(Files.readAllBytes(Paths.get(dir, ".zarray")),
+      StandardCharsets.UTF_8)
+    assert(meta.contains("\"<i4\""))
+    assert(meta.contains("\"fill_value\": 0"), "integer dtype takes an integer fill")
+    assert(!meta.contains("\"fill_value\": 0.0"))
+    // v3 metadata maps the dtype to int32
+    val dir3 = Files.createTempDirectory("zarri4v3").toString
+    Zarr.write1d(el, dir3, n, chunk = 10, format = 3, dtype = "<i4")
+    val meta3 = new String(Files.readAllBytes(Paths.get(dir3, "zarr.json")),
+      StandardCharsets.UTF_8)
+    assert(meta3.contains("\"int32\""))
+    val back = Zarr.read1d(spark, dir3).orderBy("idx").collect()
+    assert(back.map(_.getDouble(1)).toSeq == (0 until n).map(i => (i * 3 - 7).toDouble))
+  }
+
+  test("|u1 write: one byte per value, uint8 v3 dtype, round trip") {
+    val dir = Files.createTempDirectory("zarru1").toString
+    val sp = spark
+    import sp.implicits._
+    val n = 300 // ragged edge over chunk 256; values exercise the full byte range
+    val el = (0 until n).map(i => (i.toLong, ((i * 37) % 256).toDouble)).toDF("idx", "v")
+    Zarr.write1d(el, dir, n, chunk = 256, dtype = "|u1")
+    // byte-level: chunk 0 is exactly 256 single bytes, values UNSIGNED
+    val bytes = Files.readAllBytes(Paths.get(dir, "0"))
+    assert(bytes.length == 256)
+    (0 until 256).foreach(i => assert((bytes(i) & 0xFF) == (i * 37) % 256, s"byte $i"))
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+    assert(back.length == n)
+    back.foreach(r => assert(r.getDouble(1) == (r.getLong(0) * 37 % 256).toDouble))
+    // v3 store declares uint8 and reads back through parseMetaV3
+    val dir3 = Files.createTempDirectory("zarru1v3").toString
+    Zarr.write1d(el, dir3, n, chunk = 256, format = 3,
+      compressor = Some("gzip"), dtype = "|u1")
+    assert(new String(Files.readAllBytes(Paths.get(dir3, "zarr.json")),
+      StandardCharsets.UTF_8).contains("\"uint8\""))
+    assert(Zarr.read1d(spark, dir3).orderBy("idx").collect()
+      .map(_.getDouble(1)).toSeq == back.map(_.getDouble(1)).toSeq)
+  }
+
+  test("integer writers refuse non-integral and out-of-range values") {
+    intercept[Exception] {
+      Zarr.encodeChunk(Array(1.5), None, "<i4") // numpy would silently truncate
+    }
+    intercept[Exception] { Zarr.encodeChunk(Array(-1.0), None, "|u1") }
+    intercept[Exception] { Zarr.encodeChunk(Array(256.0), None, "|u1") }
+    intercept[Exception] { Zarr.encodeChunk(Array(3e9), None, "<i4") } // > 2^31
+    // in-range integral values are fine
+    assert(Zarr.encodeChunk(Array(255.0, 0.0), None, "|u1").toSeq ==
+      Seq((-1).toByte, 0.toByte))
+  }
+
+  test("sharded v3 int64 write round-trips above 2^53 (write1dLong inner)") {
+    val dir = Files.createTempDirectory("zarrshl").toString
+    val sp = spark
+    import sp.implicits._
+    val base = 9007199254740993L // 2^53 + 1
+    val n = 300 // 3 shards of 128 (last ragged), 4 inner chunks each
+    val el = (0 until n).map(i => (i.toLong, base + 7L * i)).toDF("idx", "v")
+    Zarr.write1dLong(el, dir, n, chunk = 128, compressor = Some("zstd"),
+      format = 3, inner = Some(32L))
+    val m = Zarr.readMeta(dir)
+    assert(m.dtype == "<i8" && m.shard == Some(Seq(32L)))
+    // shard structure: index of 4 entries + crc at the END of the object
+    val shard0 = Files.readAllBytes(Paths.get(dir, "c", "0"))
+    val entries = 4
+    val bb = ByteBuffer.wrap(shard0).order(ByteOrder.LITTLE_ENDIAN)
+    val idxOff = shard0.length - (entries * 16 + 4)
+    var off = 0L
+    (0 until entries).foreach { e =>
+      assert(bb.getLong(idxOff + e * 16) == off, s"entry $e offset")
+      off += bb.getLong(idxOff + e * 16 + 8)
+    }
+    assert(off == idxOff, "inner chunks must tile the shard body exactly")
+    val back = Zarr.read1dLong(spark, dir).orderBy("idx").collect()
+    assert(back.length == n)
+    back.foreach(r => assert(r.getLong(1) == base + 7L * r.getLong(0)))
+    assert(base.toDouble.toLong != base) // the test stays sharp
+  }
+
   test("rank-3 writeNd/readNd round trip with uneven edge chunks") {
     val dir = Files.createTempDirectory("zarrNd").toString
     // (5,4,3) with chunks (2,3,2): every axis has a ragged edge chunk
