@@ -15,7 +15,11 @@ object PerfBudgets {
   val budgets: Map[String, Double] = Map(
     "e12_ann_recall" -> 2,
     "e13_kmeans_lloyd" -> 3,
-    "e14_pq_train" -> 5.5,
+    // r13: the argmin-dot kernel rewrite moved e14's clean steady from
+    // ~1.8s (r11, 128-column form) to ~0.9s — and fixed the r12 in-suite
+    // 21.8s code-cache pathology; 3.0 = 3x the new baseline, and a
+    // return of the accumulating class blows it immediately
+    "e14_pq_train" -> 3.0,
     "e15_ivfpq_search" -> 2,
     "e16_ivf_multiprobe" -> 2,
     "e17_outliers" -> 3,
@@ -59,6 +63,11 @@ object PerfBudgets {
     "s07_stream_interval_join" -> 20.0,
     "s08_stream_dsir_topk" -> 6.0,
     "s09_stream_bpe_encode" -> 13.0,
+    // r13 gate, 3× the first clean full-suite steady (8.2s): the
+    // left-outer replay pays s07's two-sided state cost PLUS a fifth
+    // (sentinel) batch and the watermark-driven NULL-emission sweep —
+    // harness-replay cost, not plan weight
+    "s10_stream_interval_outer" -> 25.0,
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,
     "t13_dedup_clusters" -> 4,
