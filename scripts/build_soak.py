@@ -26,6 +26,15 @@ con.execute(f"""
   COPY (SELECT vec_id + 10000000 * i AS vec_id, label, embedding
         FROM read_parquet('{src}/embeddings.parquet'), range({k}) t(i))
   TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
-for t in ("documents", "embeddings"):
+# events: copies shift 30 days apart so no time-bounded join (6h windows,
+# as-of lookbacks) ever pairs rows ACROSS copies — k x data => k x pairs,
+# a clean linear contract (unlike the dedup tables, where self-union
+# duplication density deliberately grows the work super-linearly)
+con.execute(f"""
+  COPY (SELECT event_id + 10000000 * i AS event_id, user_id,
+               ts + INTERVAL (30 * i) DAY AS ts, value
+        FROM read_parquet('{src}/events.parquet'), range({k}) t(i))
+  TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+for t in ("documents", "embeddings", "events"):
     n, = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()
     print(f"{t}: {n} rows")

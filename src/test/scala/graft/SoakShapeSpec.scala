@@ -39,7 +39,12 @@ class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val contractQueries = Seq(
     "t27_exact_substr", "t28_substr_removal", "t31_derived_bands",
     "t30_hash_sample", "t11_simhash_pairs", "e18_ivf_bucketed",
-    "e05_ann_bucketed")
+    "e05_ann_bucketed",
+    // r13: the join family's contracts — asof = ONE exchange + ONE
+    // window regardless of scale, rangeJoin = banded equi-join (never
+    // per-key cross); soak events are time-shifted per copy so the 6h
+    // windows never pair across copies
+    "j01_asof_join", "j02_range_join")
 
   private val factors = Seq(10, 100)
 
@@ -47,19 +52,39 @@ class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nano INT64
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // k× self-union with re-keyed ids, written once per suite run
-    def rep(k: Int, table: String, key: String, off: Long): Unit = {
+    def rep(k: Int, table: String, key: String, off: Long,
+            shiftTsDays: Int = 0): Unit = {
       val src = spark.read.parquet(s"$base/$table.parquet")
-      (0 until k).map(i => src.withColumn(key, col(key) + i * off))
+      (0 until k).map { i =>
+        val keyed = src.withColumn(key, col(key) + i * off)
+        if (shiftTsDays == 0 || i == 0) keyed
+        else keyed.schema("ts").dataType match {
+          // ts surfaces as BIGINT nanos or TIMESTAMP(_NTZ) depending on
+          // session/corpus — branch like every other events consumer
+          case org.apache.spark.sql.types.LongType =>
+            keyed.withColumn("ts",
+              col("ts") + i.toLong * shiftTsDays * 86400L * 1000000000L)
+          case _ =>
+            keyed.withColumn("ts",
+              org.apache.spark.sql.functions.expr(
+                s"ts + INTERVAL ${i * shiftTsDays} DAY"))
+        }
+      }
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"${soakDir(k)}/$table.parquet")
     }
     factors.foreach { k =>
       rep(k, "documents", "doc_id", 1000000L)
       rep(k, "embeddings", "vec_id", 10000000L)
+      // copies 30 days apart: no 6h-window join ever pairs rows across
+      // copies — k× rows ⇒ k× pairs, the linear contract the soak measures
+      rep(k, "events", "event_id", 10000000L, shiftTsDays = 30)
     }
   }
   override def afterAll(): Unit = spark.stop()
