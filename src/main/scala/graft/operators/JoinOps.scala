@@ -62,13 +62,20 @@ object JoinOps {
     * regardless of payload width (JoinOpsSpec pins the plan shape for
     * all three directions).
     *
+    * `toleranceUs` (pandas merge_asof's tolerance) voids a match whose
+    * event-time distance exceeds the bound — applied AFTER resolution,
+    * so it is a pure projection on the same single-exchange plan (a
+    * stale quote attaches as NULL, exactly as if no quote existed). In
+    * micros for timestamp `ts`; in the column's own units otherwise.
+    *
     * DETERMINISM CONTRACT: (key, ts) must be unique on the RIGHT side —
     * two simultaneous right rows would make "the matching payload"
     * ill-defined in any engine (DuckDB's ASOF picks one arbitrarily).
     * Pre-aggregate the right side (e.g. max_by) to enforce it; the
-    * j01/j03/j04 gates do. */
+    * j01/j03/j04/j05 gates do. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-           payloads: Seq[String], direction: String = "backward"): DataFrame = {
+           payloads: Seq[String], direction: String = "backward",
+           toleranceUs: Option[Long] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asof direction must be backward/forward/nearest, got $direction")
     val taken = (left.columns ++ right.columns).toSet
@@ -98,19 +105,19 @@ object JoinOps {
     val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val unioned = lu.unionByName(ru)
+    // distances compare in the ts column's own numeric space:
+    // timestamps via epoch micros, plain numerics directly
+    def num(c: Column): Column = left.schema(ts).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+      case _ => c
+    }
     val resolved = direction match {
       case "backward" =>
         unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(wBack))
       case "forward" =>
         unioned.withColumn("_p", first(col("_p"), ignoreNulls = true).over(wFwd))
       case "nearest" =>
-        // distances compare in the ts column's own numeric space:
-        // timestamps via epoch micros, plain numerics directly
-        def num(c: Column): Column = left.schema(ts).dataType match {
-          case org.apache.spark.sql.types.TimestampType |
-               org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
-          case _ => c
-        }
         unioned
           .withColumn("_b", last(col("_p"), ignoreNulls = true).over(wBack))
           .withColumn("_f", first(col("_p"), ignoreNulls = true).over(wFwd))
@@ -121,7 +128,12 @@ object JoinOps {
                 num(col("_f._ts")) - num(col("_ts")), col("_b"))
               .otherwise(col("_f")))
     }
-    resolved
+    val bounded = toleranceUs match {
+      case None => resolved
+      case Some(tol) => resolved.withColumn("_p",
+        when(abs(num(col("_ts")) - num(col("_p._ts"))) <= tol, col("_p")))
+    }
+    bounded
       .where(col("_side") === 1)
       .select(Seq(col(key), col("_ts").as(ts)) ++
         leftOthers.map(col) ++ payloads.map(p => col(s"_p.$p").as(p)): _*)
@@ -249,6 +261,26 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // AS-OF WITH TOLERANCE under the oracle (pandas merge_asof's
+    // tolerance): same backward enrichment as j01, but a status older
+    // than 30 minutes is stale and attaches as NULL (-1 after the
+    // NULL-free quantization). The oracle is DuckDB's ASOF plus the
+    // distance CASE — the tolerance must behave exactly like "no match",
+    // never like a dropped row.
+    "j05_asof_tolerance" -> ((s, d) => {
+      val ev = events(s, d)
+      val right = ev.where("event_id % 10 = 0")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("sv"))
+      val left = ev.where("event_id % 10 <> 0")
+        .select("user_id", "ts", "event_id")
+      asof(left, right, key = "user_id", ts = "ts", payloads = Seq("sv"),
+          toleranceUs = Some(30L * 60 * 1000000))
+        .selectExpr("event_id",
+          "coalesce(CAST(floor(sv * 64) AS BIGINT), -1) AS status_q")
+        .orderBy("event_id")
+    }),
+
     // RANGE JOIN under the oracle: the batch form of the s07 interval
     // semantics — every same-user event pair within 6 hours — realized
     // with the banding rewrite (equi-shuffle on (user, band), exact
@@ -306,6 +338,18 @@ object JoinOps {
          FROM l
            ASOF LEFT JOIN r b ON l.u = b.u AND l.ts >= b.ts
            ASOF LEFT JOIN r f ON l.u = f.u AND l.ts <= f.ts
+         ORDER BY event_id""",
+
+    // backward ASOF + the tolerance CASE (stale match ≡ no match)
+    "j05_asof_tolerance" ->
+      """WITH r AS (SELECT user_id AS u, ts, max_by(value, event_id) AS sv
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+           l AS (SELECT user_id AS u, ts, event_id
+                 FROM events WHERE event_id % 10 <> 0)
+         SELECT l.event_id AS event_id,
+           coalesce(CAST(floor(CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE
+                                    THEN r.sv END * 64) AS BIGINT), -1) AS status_q
+         FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
          ORDER BY event_id""",
 
     // the definitional range self-join (same SQL family as s07's)

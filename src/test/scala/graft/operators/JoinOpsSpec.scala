@@ -92,6 +92,26 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(14L) == Some(0.4), "equal distances take the backward row")
   }
 
+  test("asof tolerance: stale matches void to NULL, near ones survive, all directions") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, ts(10), 10L), (1L, ts(100), 11L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(8), 0.8), (1L, ts(104), 0.4)).toDF("k", "t", "v")
+    def got(dir: String, tolSec: Long) =
+      JoinOps.asof(left, right, "k", "t", Seq("v"), dir,
+          toleranceUs = Some(tolSec * 1000000))
+        .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    // backward: id 10 matches t=8 (d=2s), id 11 matches t=8 (d=92s, stale)
+    assert(got("backward", 5) == Map(10L -> Some(0.8), 11L -> None))
+    // forward: id 10 → t=104 (d=94s, stale); id 11 → t=104 (d=4s, keeps)
+    assert(got("forward", 5) == Map(10L -> None, 11L -> Some(0.4)))
+    // nearest picks the closer side FIRST, then the tolerance applies to
+    // that pick (pandas semantics): id 10 nearest is t=8 (d=2s, keeps);
+    // id 11 nearest is t=104 (d=4s, keeps); at tol=3s id 11 voids
+    assert(got("nearest", 5) == Map(10L -> Some(0.8), 11L -> Some(0.4)))
+    assert(got("nearest", 3) == Map(10L -> Some(0.8), 11L -> None))
+  }
+
   test("asof guards: reserved internal names and payload collisions fail fast") {
     val sp = spark
     import sp.implicits._
