@@ -800,13 +800,14 @@ object Zarr {
     * readable back by [[read1d]]'s `sharding_indexed` branch and by any
     * conforming v3 reader. */
   def write1dSharded(elements: DataFrame, dir: String, n: Long, chunk: Long,
-                     inner: Long, compressor: Option[String] = None): Unit = {
+                     inner: Long, compressor: Option[String] = None,
+                     dtype: String = "<f8"): Unit = {
     require(chunk % inner == 0, s"inner chunk $inner must divide the shard $chunk")
     val sess = elements.sparkSession
     val (fs0, base0) = fsOf(dir, sess.sparkContext.hadoopConfiguration)
     fs0.mkdirs(base0)
     val m = metaFor(3, Seq(n), Seq(chunk), compressor)
-      .copy(shard = Some(Seq(inner)))
+      .copy(shard = Some(Seq(inner)), dtype = dtype)
     writeMeta(fs0, base0, m)
     import sess.implicits._
     val bcm = sess.sparkContext.broadcast(

@@ -540,6 +540,21 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((-1).toByte, 0.toByte))
   }
 
+  test("sharded v3 write carries the new dtypes (<i4 inner chunks)") {
+    val dir = Files.createTempDirectory("zarrshi4").toString
+    val sp = spark
+    import sp.implicits._
+    val n = 200
+    val el = (0 until n).map(i => (i.toLong, (i * 5 - 99).toDouble)).toDF("idx", "v")
+    Zarr.write1dSharded(el, dir, n, chunk = 64, inner = 16,
+      compressor = Some("gzip"), dtype = "<i4")
+    val m = Zarr.readMeta(dir)
+    assert(m.dtype == "<i4" && m.shard == Some(Seq(16L)))
+    val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+    assert(back.length == n)
+    back.foreach(r => assert(r.getDouble(1) == (r.getLong(0) * 5 - 99).toDouble))
+  }
+
   test("sharded v3 int64 write round-trips above 2^53 (write1dLong inner)") {
     val dir = Files.createTempDirectory("zarrshl").toString
     val sp = spark
