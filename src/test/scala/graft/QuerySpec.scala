@@ -129,7 +129,17 @@ class QuerySpec extends AnyFunSuite {
           .queryExecution.executedPlan.toString) +
       ("s09_bpe_encode_batch" ->
         graft.streaming.StreamOps.bpeEncode(docsDs, Seq((" a  b ", " ab ")))
-          .queryExecution.executedPlan.toString)
+          .queryExecution.executedPlan.toString) +
+      ("s10_interval_outer_batch" -> {
+        // the left-outer interval join built on a batch Dataset: the
+        // equi-key (u = ru) must drive a keyed join with the time bounds
+        // as residual filters — never a cartesian
+        val ev = spark.range(64).selectExpr(
+          "timestamp_seconds(1700000000 + id) AS ts", "id % 7 AS user", "id")
+          .as[graft.streaming.StreamOps.EvId]
+        graft.streaming.StreamOps.intervalJoin(ev, joinType = "left_outer")
+          .queryExecution.executedPlan.toString
+      })
   }
 
   test("no query plans a CartesianProduct (every cross join is broadcast)") {
