@@ -31,6 +31,19 @@ object JoinOps {
   private val asofInternal = Seq("_ts", "_side", "_p", "_b", "_f")
   private val rangeInternal = Seq("_lus", "_rus", "_band", "_rk")
 
+  /** Event time in its own numeric space: TIMESTAMP via unix_micros,
+    * TIMESTAMP_NTZ cast to TIMESTAMP first (unix_micros rejects NTZ;
+    * the cast reads the wall clock in the session zone — both sides of
+    * every comparison cast identically, and the gates' sessions pin
+    * UTC), plain numerics as themselves. */
+  private def micros(dt: org.apache.spark.sql.types.DataType)(c: Column): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case _ => c
+    }
+
   /** As-of join: for every left row, attach the payload of the matching
     * right row with the same `key`, where "matching" is per `direction`
     * (NULL payloads when no right row qualifies — LEFT semantics):
@@ -105,13 +118,8 @@ object JoinOps {
     val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val unioned = lu.unionByName(ru)
-    // distances compare in the ts column's own numeric space:
-    // timestamps via epoch micros, plain numerics directly
-    def num(c: Column): Column = left.schema(ts).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
-      case _ => c
-    }
+    // distances compare in the ts column's own numeric space
+    def num(c: Column): Column = micros(left.schema(ts).dataType)(c)
     val resolved = direction match {
       case "backward" =>
         unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(wBack))
@@ -168,10 +176,10 @@ object JoinOps {
     def floorBand(usCol: String): String =
       s"(($usCol - pmod($usCol, ${widthUs}L)) DIV ${widthUs}L)"
     val l = left.select(
-      Seq(col(key), unix_micros(col(ts)).as("_lus")) ++ lOut.map(col): _*)
+      Seq(col(key), micros(left.schema(ts).dataType)(col(ts)).as("_lus")) ++ lOut.map(col): _*)
       .withColumn("_band", expr(floorBand("_lus")))
     val r = right.select(
-      Seq(col(key).as("_rk"), unix_micros(col(ts)).as("_rus")) ++ rOut.map(col): _*)
+      Seq(col(key).as("_rk"), micros(right.schema(ts).dataType)(col(ts)).as("_rus")) ++ rOut.map(col): _*)
       .withColumn("_band",
         explode(array(expr(floorBand("_rus")), expr(floorBand("_rus") + " - 1L"))))
     l.join(r, l(key) === r("_rk") && l("_band") === r("_band"))

@@ -112,6 +112,30 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("nearest", 3) == Map(10L -> Some(0.8), 11L -> None))
   }
 
+  test("asof nearest/tolerance work on TIMESTAMP_NTZ event time") {
+    // the events corpus surfaces ts as TIMESTAMP_NTZ in some sessions
+    // (nanosAsLong off) — the distance arithmetic must accept both
+    // timestamp flavors, not just TIMESTAMP
+    val left = spark.sql(
+      "SELECT 1L AS k, TIMESTAMP_NTZ'2024-01-01 00:00:10' AS t, 10L AS id")
+    val right = spark.sql(
+      "SELECT 1L AS k, TIMESTAMP_NTZ'2024-01-01 00:00:08' AS t, 0.8D AS v " +
+        "UNION ALL SELECT 1L, TIMESTAMP_NTZ'2024-01-01 00:00:11', 0.4D")
+    // left at :10 — right at :08 (d=2s) vs :11 (d=1s): nearest is :11
+    val near = JoinOps.asof(left, right, "k", "t", Seq("v"), "nearest").head()
+    assert(near.getDouble(3) == 0.4, s"nearest on NTZ picked $near")
+    val tol = JoinOps.asof(left, right, "k", "t", Seq("v"), "backward",
+      toleranceUs = Some(1000000L)).head()
+    assert(tol.isNullAt(3), "2s-stale backward match must void at 1s tolerance")
+    // rangeJoin's banding must also accept NTZ
+    val l = left.selectExpr("k", "t", "id AS a")
+    val r = right.selectExpr("k", "t", "CAST(v * 10 AS BIGINT) AS b")
+    val pairs = JoinOps.rangeJoin(l, r, "k", "t", widthUs = 10000000L,
+        lOut = Seq("a"), rOut = Seq("b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs == Set((10L, 4L)), s"NTZ range pairs wrong: $pairs")
+  }
+
   test("asof guards: reserved internal names and payload collisions fail fast") {
     val sp = spark
     import sp.implicits._
