@@ -161,6 +161,55 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e4.getMessage.contains("_band"))
   }
 
+  test("asof fuzz: every direction × tolerance matches a brute-force oracle") {
+    // 300 left rows / 150 right rows over 7 keys, timestamps drawn from a
+    // SMALL grid so simultaneous left/right rows and exact nearest-ties
+    // occur constantly — the edge cases hand-picked tests undersample.
+    // Right (key, ts) is deduped per the operator's determinism contract.
+    val rnd = new scala.util.Random(20130815)
+    val sp = spark
+    import sp.implicits._
+    val leftRows = (0 until 300).map { i =>
+      (rnd.nextInt(7).toLong, ts(rnd.nextInt(40)), i.toLong)
+    }
+    val rightRows = (0 until 150).map { _ =>
+      (rnd.nextInt(7).toLong, ts(rnd.nextInt(40)))
+    }.distinct.map { case (k, t) => (k, t, rnd.nextInt(1000) / 10.0) }
+    val left = leftRows.toDF("k", "t", "id")
+    val right = rightRows.toDF("k", "t", "v")
+    def brute(dir: String, tolUs: Option[Long]): Map[Long, Option[Double]] =
+      leftRows.map { case (k, lt, id) =>
+        val cands = rightRows.filter(_._1 == k)
+        val pick = dir match {
+          case "backward" =>
+            cands.filter(_._2.getTime <= lt.getTime)
+              .sortBy(_._2.getTime).lastOption
+          case "forward" =>
+            cands.filter(_._2.getTime >= lt.getTime)
+              .sortBy(_._2.getTime).headOption
+          case "nearest" =>
+            // min |dist|, ties to the backward (earlier) row
+            cands.sortBy(c => (math.abs(c._2.getTime - lt.getTime),
+              c._2.getTime > lt.getTime)).headOption
+        }
+        val bounded = pick.filter(c => tolUs.forall(t =>
+          math.abs(c._2.getTime - lt.getTime) * 1000 <= t))
+        id -> bounded.map(_._3)
+      }.toMap
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(5000000L))) {
+      val got = JoinOps.asof(left, right, "k", "t", Seq("v"), dir, tol)
+        .collect().map(r => r.getLong(2) -> Option(r.get(3))
+          .map(_.asInstanceOf[Double])).toMap
+      val want = brute(dir, tol)
+      assert(got.size == want.size, s"$dir/$tol row count")
+      val diff = want.keys.filter(id => got(id) != want(id))
+      assert(diff.isEmpty,
+        s"$dir tol=$tol diverges at ids ${diff.take(5)}: " +
+          diff.take(5).map(id => s"got ${got(id)} want ${want(id)}").mkString("; "))
+    }
+  }
+
   test("rangeJoin bands exactly at magnitudes where double division breaks") {
     val sp = spark
     import sp.implicits._
