@@ -709,6 +709,42 @@ object StreamQueries {
         .where("a >= 0")
         .selectExpr("u", "a", "coalesce(b, -1L) AS b")
         .orderBy("u", "a", "b")
+    }),
+
+    // FULL-OUTER STREAM-STREAM JOIN between two DIFFERENT streams under
+    // the oracle (completes the outer family s07/s10 opened): the
+    // status stream (every 10th event) full-outer-joined with the
+    // remaining events within 6 hours per user — matched pairs plus
+    // every partnerless row of EITHER side exactly once with -1 on the
+    // other. BOTH sides' NULL emissions are watermark-driven and the
+    // query watermark is the MIN across the two watermark operators, so
+    // the last ordered batch carries TWO sentinels — one passing each
+    // side's filter (ids -1 and -10, distinct far-future users) — and
+    // the completed replay must equal the batch FULL range join.
+    "s11_stream_interval_full" -> ((s, d) => {
+      val base = JoinOps.normalizedEvents(s, d)
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val real = base.selectExpr(
+        "ts", "user_id AS user", "event_id AS id",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinels = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(-1 AS BIGINT) AS id, CAST(4 AS INT) AS _file " +
+          "UNION ALL SELECT timestamp'2030-01-01 00:00:00', CAST(1 AS BIGINT), " +
+          "CAST(-10 AS BIGINT), CAST(4 AS INT)")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinels), "_file",
+            nFiles = 5, stageKey = s"s11|$d")(st =>
+          StreamOps.intervalJoinTwo(
+            st.where("id % 10 <> 0").as[StreamOps.EvId],
+            st.where("id % 10 = 0").as[StreamOps.EvId],
+            joinType = "full_outer"))
+      }
+        .where("(a IS NULL OR a >= 0) AND (b IS NULL OR b >= 0)")
+        .selectExpr("u", "coalesce(a, -1L) AS a", "coalesce(b, -1L) AS b")
+        .orderBy("u", "a", "b")
     })
   )
 
@@ -852,6 +888,18 @@ object StreamQueries {
       """WITH e AS (SELECT user_id AS u, event_id AS i, ts FROM events)
          SELECT l.u AS u, l.i AS a, coalesce(r.i, -1) AS b
          FROM e l LEFT JOIN e r ON l.u = r.u AND l.i <> r.i
+           AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
+         ORDER BY u, a, b""",
+
+    // the batch FULL range join between the two derived streams
+    "s11_stream_interval_full" ->
+      """WITH l AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                    WHERE event_id % 10 <> 0),
+           r AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                 WHERE event_id % 10 = 0)
+         SELECT coalesce(l.u, r.u) AS u, coalesce(l.i, -1) AS a,
+           coalesce(r.i, -1) AS b
+         FROM l FULL JOIN r ON l.u = r.u AND l.i <> r.i
            AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
          ORDER BY u, a, b"""
   )

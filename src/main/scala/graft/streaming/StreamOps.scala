@@ -162,15 +162,33 @@ object StreamOps {
     * event before the NULL rows surface — the s10 gate's shape. */
   def intervalJoin(ev: Dataset[EvId], window: String = "6 hours",
                    watermark: String = "12 hours",
-                   joinType: String = "inner"): DataFrame = {
-    val l = ev.toDF().selectExpr("ts AS lts", "user AS u", "id AS a")
+                   joinType: String = "inner"): DataFrame =
+    intervalJoinTwo(ev, ev, window, watermark, joinType)
+
+  /** Two-stream form of [[intervalJoin]] (s11 gates the full-outer
+    * flavor between an event stream and a status stream): each left
+    * event pairs with the right events of the same user inside
+    * `window`. `full_outer` additionally emits every UNMATCHED row of
+    * EITHER side exactly once with NULLs on the other — each side's
+    * NULL rows surface when the watermark passes that side's eviction
+    * horizon, so a bounded replay must push BOTH streams' watermarks
+    * (both sides carry their own watermark and Spark's default
+    * multiple-watermark policy takes the MIN — a sentinel that enters
+    * only one side leaves the other's state unflushed; the s11 gate
+    * feeds one sentinel to each side). The key column coalesces across
+    * sides so right-only rows still carry their user. */
+  def intervalJoinTwo(lEv: Dataset[EvId], rEv: Dataset[EvId],
+                      window: String = "6 hours",
+                      watermark: String = "12 hours",
+                      joinType: String = "inner"): DataFrame = {
+    val l = lEv.toDF().selectExpr("ts AS lts", "user AS u", "id AS a")
       .withWatermark("lts", watermark)
-    val r = ev.toDF().selectExpr("ts AS rts", "user AS ru", "id AS b")
+    val r = rEv.toDF().selectExpr("ts AS rts", "user AS ru", "id AS b")
       .withWatermark("rts", watermark)
     l.join(r, expr(
         s"u = ru AND a <> b AND rts >= lts AND rts < lts + INTERVAL $window"),
         joinType)
-      .select(col("u"), col("a"), col("b"))
+      .select(coalesce(col("u"), col("ru")).as("u"), col("a"), col("b"))
   }
 
   final case class SigDoc(ts: Timestamp, doc_id: Long, band: Int, bh: Long, sig: Long)

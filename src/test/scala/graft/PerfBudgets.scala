@@ -68,6 +68,8 @@ object PerfBudgets {
     // (sentinel) batch and the watermark-driven NULL-emission sweep —
     // harness-replay cost, not plan weight
     "s10_stream_interval_outer" -> 25.0,
+    "s11_stream_interval_full" -> 25.0, // same replay class as s10
+
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,
     "t13_dedup_clusters" -> 4,

@@ -748,4 +748,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"eviction must emit NULLs for unmatched rows only: ${rows()}")
     } finally q.stop()
   }
+
+  test("full-outer interval join: unmatched rows of BOTH sides surface, once each") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val lIn = MemoryStream[StreamOps.EvId]
+    val rIn = MemoryStream[StreamOps.EvId]
+    val q = StreamOps.intervalJoinTwo(lIn.toDS(), rIn.toDS(),
+        window = "10 seconds", watermark = "20 seconds",
+        joinType = "full_outer")
+      .writeStream.format("memory").queryName("ssjf").outputMode("append").start()
+    def rows() = spark.table("ssjf").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    try {
+      // user 1: left 1 at 1s matches right 2 at 5s; left 3 at 3s (user 2)
+      // has no right; right 4 at 4s (user 3) has no left
+      lIn.addData(StreamOps.EvId(ts(1), 1, 1), StreamOps.EvId(ts(3), 2, 3))
+      rIn.addData(StreamOps.EvId(ts(5), 1, 2), StreamOps.EvId(ts(4), 3, 4))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1L, 2L)),
+        s"both sides' NULLs must wait for the watermark: ${rows()}")
+      // BOTH sides' watermarks must jump for either side's state to
+      // finalize (query watermark = min across watermark operators)
+      lIn.addData(StreamOps.EvId(ts(1000), 9, 99))
+      rIn.addData(StreamOps.EvId(ts(1000), 9, 98))
+      q.processAllAvailable()
+      // the watermark-pushing rows 99/98 pair with each other (same
+      // user, same instant is inside [lts, lts+10s)) — expected; the
+      // REAL rows: matched pair unchanged (no NULL twin), left-only 3
+      // and right-only 4 exactly once
+      assert(rows() == Set((1L, 1L, 2L), (9L, 99L, 98L),
+        (2L, 3L, -1L), (3L, -1L, 4L)),
+        s"full outer must emit both sides' unmatched rows once: ${rows()}")
+    } finally q.stop()
+  }
 }
