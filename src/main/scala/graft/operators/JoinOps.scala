@@ -158,8 +158,11 @@ object JoinOps {
     * shuffle volume O(|l| + 2|r|), never a per-key cross. */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 ts: String, widthUs: Long,
-                lOut: Seq[String], rOut: Seq[String]): DataFrame = {
+                lOut: Seq[String], rOut: Seq[String],
+                joinType: String = "inner"): DataFrame = {
     require(widthUs > 0, s"rangeJoin width must be positive, got $widthUs")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"rangeJoin supports inner/left_outer, got $joinType")
     val taken = (left.columns ++ right.columns).toSet
     val clash = rangeInternal.filter(taken)
     require(clash.isEmpty,
@@ -182,10 +185,32 @@ object JoinOps {
       Seq(col(key).as("_rk"), micros(right.schema(ts).dataType)(col(ts)).as("_rus")) ++ rOut.map(col): _*)
       .withColumn("_band",
         explode(array(expr(floorBand("_rus")), expr(floorBand("_rus") + " - 1L"))))
-    l.join(r, l(key) === r("_rk") && l("_band") === r("_band"))
+    val inner = l.join(r, l(key) === r("_rk") && l("_band") === r("_band"))
       .where(col("_rus") >= col("_lus") &&
         col("_rus") < col("_lus") + lit(widthUs))
       .select((lOut ++ rOut).map(col) :+ col(key): _*)
+    joinType match {
+      case "inner" => inner
+      // LEFT OUTER (the batch twin of the s10 streaming gate): the
+      // banding rewrite can't left-join directly — the (band, band−1)
+      // explosion gives every left row one matched and one usually-empty
+      // band slot, so a plain left join would fabricate NULL rows for
+      // MATCHED left rows too. Compose instead: inner pairs + the left
+      // rows whose head lOut column never appears among the matches
+      // (broadcast-able at metadata scale; a hash-partitioned LEFT ANTI
+      // otherwise — still O(|l|+|matches|) shuffle, never a cross).
+      // CONTRACT: lOut.head must uniquely identify left rows (the same
+      // class of documented determinism contract as asof's right-side
+      // (key, ts) uniqueness) — with duplicate ids the anti-join would
+      // drop a partnerless duplicate that SQL's LEFT JOIN keeps.
+      case "left_outer" =>
+        val lId = lOut.head
+        val misses = l.join(inner.select(lId).distinct(), Seq(lId), "left_anti")
+          .select(Seq(col(lId)) ++ lOut.tail.map(col) ++
+            rOut.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+            col(key): _*)
+        inner.unionByName(misses)
+    }
   }
 
   /** events.parquet with its TIMESTAMP(NANOS) ts normalized to a
@@ -303,6 +328,23 @@ object JoinOps {
         .where("a <> b")
         .selectExpr("user_id AS u", "a", "b")
         .orderBy("u", "a", "b")
+    }),
+
+    // LEFT-OUTER RANGE JOIN under the oracle — the batch twin of the
+    // s10/s11 streaming family, on the SAME split (status stream vs the
+    // rest) so partnerless left rows actually occur: every non-status
+    // event pairs with the statuses of its user in the next 6 hours, or
+    // emits once with -1. event_id is the unique left id the left_outer
+    // contract requires.
+    "j06_range_join_outer" -> ((s, d) => {
+      val ev = events(s, d)
+      val l = ev.where("event_id % 10 <> 0").selectExpr("user_id", "ts", "event_id AS a")
+      val r = ev.where("event_id % 10 = 0").selectExpr("user_id", "ts", "event_id AS b")
+      rangeJoin(l, r, key = "user_id", ts = "ts",
+          widthUs = 6L * 3600 * 1000000, lOut = Seq("a"), rOut = Seq("b"),
+          joinType = "left_outer")
+        .selectExpr("user_id AS u", "a", "coalesce(b, -1L) AS b")
+        .orderBy("u", "a", "b")
     })
   )
 
@@ -365,6 +407,17 @@ object JoinOps {
       """WITH e AS (SELECT user_id AS u, event_id AS i, ts FROM events)
          SELECT l.u AS u, l.i AS a, r.i AS b
          FROM e l JOIN e r ON l.u = r.u AND l.i <> r.i
+           AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
+         ORDER BY u, a, b""",
+
+    // the definitional LEFT range join on the status/event split
+    "j06_range_join_outer" ->
+      """WITH l AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                    WHERE event_id % 10 <> 0),
+           r AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                 WHERE event_id % 10 = 0)
+         SELECT l.u AS u, l.i AS a, coalesce(r.i, -1) AS b
+         FROM l LEFT JOIN r ON l.u = r.u
            AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
          ORDER BY u, a, b"""
   )

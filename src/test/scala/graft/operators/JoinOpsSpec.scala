@@ -249,6 +249,26 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rangeJoin left_outer: partnerless left rows emit once with NULLs, no cartesian") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, ts(8), 1L), (1L, ts(40), 2L), (2L, ts(9), 3L))
+      .toDF("k", "t", "a")
+    val r = Seq((1L, ts(12), 10L), (2L, ts(30), 11L)).toDF("k", "t", "b")
+    val df = JoinOps.rangeJoin(l, r, "k", "t", widthUs = 10000000L,
+      lOut = Seq("a"), rOut = Seq("b"), joinType = "left_outer")
+    val got = df.collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    // a=1 matches b=10 (8s→12s straddles a band edge); a=2 and a=3 have
+    // no right row in [t, t+10s) and must appear exactly once with NULL
+    assert(got == Set((1L, 10L), (2L, -1L), (3L, -1L)), s"got $got")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // the unique-left-id contract is enforced by construction here;
+    // the inner flavor is unaffected by the parameter's default
+    val inner = JoinOps.rangeJoin(l, r, "k", "t", 10000000L, Seq("a"), Seq("b"))
+    assert(inner.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("rangeJoin: exactly-once pairs across band boundaries, no cartesian") {
     val sp = spark
     import sp.implicits._
