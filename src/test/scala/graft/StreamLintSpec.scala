@@ -63,6 +63,7 @@ class StreamLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dsirTopK" -> NarrowKey("g = pmod(doc_id, groups) — salt bucket"),
     "runningTotals" -> NarrowKey("user"),
     "intervalJoin" -> NarrowKey("u/ru = user — both join sides"),
+    "intervalJoinTwo" -> NarrowKey("u/ru = user — both join sides (two-stream form)"),
     "enrich" -> NarrowKey("user — stream-static broadcast, no stream state"),
     "filterContaminated" -> HashKey("h = md5(text) — broadcast anti join"),
     "filterContaminatedBloom" -> HashKey("(_gbh1, _gbh2) — two-seed xxhash64 pair"),
