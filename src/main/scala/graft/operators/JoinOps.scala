@@ -213,6 +213,26 @@ object JoinOps {
     }
   }
 
+  /** Two-sided interval range join: all pairs with equal `key` and
+    * `r.ts ∈ [l.ts + loUs, l.ts + hiUs)` — the general form (e.g. a ±2h
+    * neighborhood is `loUs = −2h, hiUs = +2h`). Reduces EXACTLY to the
+    * one-sided banding rewrite by shifting the right side's clock:
+    * `rus − loUs ∈ [lus, lus + (hiUs − loUs))` — same single
+    * equi-shuffle, same exactly-once pair guarantee, same outer
+    * semantics; the shift is a projection, so the 100 TB contract is
+    * [[rangeJoin]]'s unchanged. */
+  def rangeJoinInterval(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, loUs: Long, hiUs: Long,
+                        lOut: Seq[String], rOut: Seq[String],
+                        joinType: String = "inner"): DataFrame = {
+    require(hiUs > loUs, s"empty interval [$loUs, $hiUs)")
+    val shifted = right
+      .withColumn(ts, micros(right.schema(ts).dataType)(col(ts)) - loUs)
+    rangeJoin(
+      left.withColumn(ts, micros(left.schema(ts).dataType)(col(ts))),
+      shifted, key, ts, hiUs - loUs, lOut, rOut, joinType)
+  }
+
   /** events.parquet with its TIMESTAMP(NANOS) ts normalized to a
     * session TIMESTAMP — the parquet type surfaces as BIGINT nanos
     * under `spark.sql.legacy.parquet.nanosAsLong` or as TIMESTAMP_NTZ
@@ -330,6 +350,22 @@ object JoinOps {
         .orderBy("u", "a", "b")
     }),
 
+    // TWO-SIDED INTERVAL JOIN under the oracle: every same-user pair
+    // within ±2 hours (the symmetric-neighborhood shape sessionization
+    // and nearby-event correlation use) via the clock-shift reduction —
+    // the banding plan and its exactly-once guarantee are j02's.
+    "j07_range_join_interval" -> ((s, d) => {
+      val ev = events(s, d)
+      val l = ev.selectExpr("user_id", "ts", "event_id AS a")
+      val r = ev.selectExpr("user_id", "ts", "event_id AS b")
+      rangeJoinInterval(l, r, key = "user_id", ts = "ts",
+          loUs = -2L * 3600 * 1000000, hiUs = 2L * 3600 * 1000000,
+          lOut = Seq("a"), rOut = Seq("b"))
+        .where("a <> b")
+        .selectExpr("user_id AS u", "a", "b")
+        .orderBy("u", "a", "b")
+    }),
+
     // LEFT-OUTER RANGE JOIN under the oracle — the batch twin of the
     // s10/s11 streaming family, on the SAME split (status stream vs the
     // rest) so partnerless left rows actually occur: every non-status
@@ -408,6 +444,15 @@ object JoinOps {
          SELECT l.u AS u, l.i AS a, r.i AS b
          FROM e l JOIN e r ON l.u = r.u AND l.i <> r.i
            AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
+         ORDER BY u, a, b""",
+
+    // the definitional two-sided interval self-join
+    "j07_range_join_interval" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS i, ts FROM events)
+         SELECT l.u AS u, l.i AS a, r.i AS b
+         FROM e l JOIN e r ON l.u = r.u AND l.i <> r.i
+           AND r.ts >= l.ts - INTERVAL 2 HOUR
+           AND r.ts < l.ts + INTERVAL 2 HOUR
          ORDER BY u, a, b""",
 
     // the definitional LEFT range join on the status/event split

@@ -269,6 +269,31 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inner.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("rangeJoinInterval: two-sided window via the clock-shift reduction") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, ts(20), 1L)).toDF("k", "t", "a")
+    val r = Seq((1L, ts(11), 10L), (1L, ts(10), 11L), (1L, ts(29), 12L),
+      (1L, ts(30), 13L), (2L, ts(20), 14L)).toDF("k", "t", "b")
+    // [t-10s, t+10s): 11s and 29s are in; the lower bound is INCLUSIVE
+    // (10s in), the upper EXCLUSIVE (30s out); other keys never pair
+    val got = JoinOps.rangeJoinInterval(l, r, "k", "t",
+        loUs = -10000000L, hiUs = 10000000L, lOut = Seq("a"), rOut = Seq("b"))
+      .collect().map(x => x.getLong(1)).toSet
+    assert(got == Set(10L, 11L, 12L), s"got $got")
+    // exactly-once: no duplicate pairs across the shifted band edges
+    val many = (0 until 200).map(i => (1L, ts(i), i.toLong))
+    val lm = many.toDF("k", "t", "a")
+    val rm = many.toDF("k", "t", "b")
+    val pairs = JoinOps.rangeJoinInterval(lm, rm, "k", "t",
+        loUs = -7000000L, hiUs = 7000000L, lOut = Seq("a"), rOut = Seq("b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.length == pairs.distinct.length, "duplicate pairs")
+    // [t-7s, t+7s): lo INCLUSIVE (j = i-7 in), hi EXCLUSIVE (j = i+7 out)
+    assert(pairs.length == many.map { case (_, _, i) =>
+      many.count { case (_, _, j) => j >= i - 7 && j <= i + 6 } }.sum)
+  }
+
   test("rangeJoin: exactly-once pairs across band boundaries, no cartesian") {
     val sp = spark
     import sp.implicits._
