@@ -68,7 +68,12 @@ object PerfBudgets {
     // (sentinel) batch and the watermark-driven NULL-emission sweep —
     // harness-replay cost, not plan weight
     "s10_stream_interval_outer" -> 25.0,
-    "s11_stream_interval_full" -> 25.0, // same replay class as s10
+    // same replay class as s10 but with BOTH sides stateful and a
+    // two-sentinel flush: observed clean-probe steadies range 7–19s
+    // across full-suite runs (no-data-batch/state-maintenance timing,
+    // samples non-monotone) — the budget sits above the observed band,
+    // not at 3× its best run
+    "s11_stream_interval_full" -> 30.0,
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,
