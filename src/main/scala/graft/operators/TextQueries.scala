@@ -890,6 +890,29 @@ object TextQueries {
         .orderBy("rnk")
     }),
 
+    // PERCENTILE-THRESHOLD FILTERING (the standard quality-selection
+    // shape: "keep documents above the corpus's 75th percentile of a
+    // quality signal, report per-source survival"): the threshold is an
+    // EXACT distributed quantile (ExactQuantile — range-partitioned rank
+    // selection, O(numPartitions) driver bytes, never Spark's
+    // single-buffer percentile), method = "lower" so it is an actual
+    // integer-quantized data value and the comparison is hash-exact. The
+    // oracle re-derives the same order statistic with a window rank
+    // (row index floor(0.75·(n−1)), numpy's "lower"). At 100 TB: one
+    // scored scan + the two quantile passes + one partial-agg shuffle.
+    "t34_quality_percentile_filter" -> ((s, d) => {
+      val scored = docs(s, d).selectExpr("source",
+        "CAST(floor(10000.0D * length(replace(text, ' ', '')) / " +
+          "size(split(text, ' '))) AS BIGINT) AS q")
+      val th = ExactQuantile.quantiles(scored, "q", Seq(0.75), method = "lower")
+        .head.toLong
+      scored.where(s"q >= ${th}L")
+        .groupBy("source")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("n_kept"),
+          expr("CAST(sum(q) AS BIGINT)").as("q_sum"))
+        .orderBy("source")
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1067,6 +1090,23 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t33_bpe_train" -> bpeOracle(bpeMerges),
+
+    // the same integer-quantized score; threshold = the order statistic
+    // at row index floor(0.75·(n−1)) (numpy "lower"), derived with a
+    // window rank; survivors aggregated per source
+    "t34_quality_percentile_filter" ->
+      """WITH s AS (SELECT source,
+             CAST(floor(10000.0 * length(replace(text, ' ', '')) /
+                        len(string_split(text, ' '))) AS BIGINT) AS q
+           FROM documents),
+         th AS (SELECT q FROM (
+             SELECT q, row_number() OVER (ORDER BY q) AS rn,
+                    count(*) OVER () AS c FROM s)
+           WHERE rn - 1 = CAST(floor(0.75 * (c - 1)) AS BIGINT))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(s.q) AS BIGINT) AS q_sum
+         FROM s, th WHERE s.q >= th.q
+         GROUP BY source ORDER BY source""",
 
     "t12_tfidf" ->
       """WITH toks AS (
