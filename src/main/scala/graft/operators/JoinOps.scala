@@ -161,8 +161,8 @@ object JoinOps {
                 lOut: Seq[String], rOut: Seq[String],
                 joinType: String = "inner"): DataFrame = {
     require(widthUs > 0, s"rangeJoin width must be positive, got $widthUs")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"rangeJoin supports inner/left_outer, got $joinType")
+    require(Seq("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
+      s"rangeJoin supports inner/left_outer/right_outer/full_outer, got $joinType")
     val taken = (left.columns ++ right.columns).toSet
     val clash = rangeInternal.filter(taken)
     require(clash.isEmpty,
@@ -189,27 +189,42 @@ object JoinOps {
       .where(col("_rus") >= col("_lus") &&
         col("_rus") < col("_lus") + lit(widthUs))
       .select((lOut ++ rOut).map(col) :+ col(key): _*)
+    // OUTER flavors (the batch twins of the s10/s11 streaming gates):
+    // the banding rewrite can't outer-join directly — the (band, band−1)
+    // explosion gives every left row one matched and one usually-empty
+    // band slot, so a plain outer join would fabricate NULL rows for
+    // MATCHED rows too. Compose instead: inner pairs + the rows of the
+    // unmatched side whose head out-column never appears among the
+    // matches (broadcast-able at metadata scale; a hash-partitioned
+    // LEFT ANTI otherwise — still O(|side|+|matches|) shuffle, never a
+    // cross). CONTRACT: lOut.head (for left/full) and rOut.head (for
+    // right/full) must uniquely identify their side's rows (the same
+    // class of documented determinism contract as asof's right-side
+    // (key, ts) uniqueness) — with duplicate ids the anti-join would
+    // drop a partnerless duplicate that SQL's OUTER JOIN keeps. The
+    // right side deduplicates its band explosion before the anti-join
+    // (each right row appears under two band keys).
+    def leftMisses(): DataFrame = {
+      val lId = lOut.head
+      l.join(inner.select(lId).distinct(), Seq(lId), "left_anti")
+        .select(Seq(col(lId)) ++ lOut.tail.map(col) ++
+          rOut.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+          col(key): _*)
+    }
+    def rightMisses(): DataFrame = {
+      val rId = rOut.head
+      r.drop("_band").dropDuplicates(rId)
+        .join(inner.select(rId).distinct(), Seq(rId), "left_anti")
+        .select(lOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(col(rId)) ++ rOut.tail.map(col) :+
+          col("_rk").as(key): _*)
+    }
     joinType match {
       case "inner" => inner
-      // LEFT OUTER (the batch twin of the s10 streaming gate): the
-      // banding rewrite can't left-join directly — the (band, band−1)
-      // explosion gives every left row one matched and one usually-empty
-      // band slot, so a plain left join would fabricate NULL rows for
-      // MATCHED left rows too. Compose instead: inner pairs + the left
-      // rows whose head lOut column never appears among the matches
-      // (broadcast-able at metadata scale; a hash-partitioned LEFT ANTI
-      // otherwise — still O(|l|+|matches|) shuffle, never a cross).
-      // CONTRACT: lOut.head must uniquely identify left rows (the same
-      // class of documented determinism contract as asof's right-side
-      // (key, ts) uniqueness) — with duplicate ids the anti-join would
-      // drop a partnerless duplicate that SQL's LEFT JOIN keeps.
-      case "left_outer" =>
-        val lId = lOut.head
-        val misses = l.join(inner.select(lId).distinct(), Seq(lId), "left_anti")
-          .select(Seq(col(lId)) ++ lOut.tail.map(col) ++
-            rOut.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-            col(key): _*)
-        inner.unionByName(misses)
+      case "left_outer" => inner.unionByName(leftMisses())
+      case "right_outer" => inner.unionByName(rightMisses())
+      case "full_outer" =>
+        inner.unionByName(leftMisses()).unionByName(rightMisses())
     }
   }
 
@@ -381,6 +396,24 @@ object JoinOps {
           joinType = "left_outer")
         .selectExpr("user_id AS u", "a", "coalesce(b, -1L) AS b")
         .orderBy("u", "a", "b")
+    }),
+
+    // FULL-OUTER RANGE JOIN under the oracle — the batch twin of the
+    // s11 streaming gate, completing the batch outer matrix (inner j02,
+    // left j06, full here; right_outer is full's mirror and is
+    // spec-pinned): matched pairs plus every partnerless row of EITHER
+    // side exactly once with -1 on the other. Same status/event split
+    // as j06 so both kinds of misses actually occur; event_id is the
+    // unique id both outer contracts require.
+    "j08_range_join_full" -> ((s, d) => {
+      val ev = events(s, d)
+      val l = ev.where("event_id % 10 <> 0").selectExpr("user_id", "ts", "event_id AS a")
+      val r = ev.where("event_id % 10 = 0").selectExpr("user_id", "ts", "event_id AS b")
+      rangeJoin(l, r, key = "user_id", ts = "ts",
+          widthUs = 6L * 3600 * 1000000, lOut = Seq("a"), rOut = Seq("b"),
+          joinType = "full_outer")
+        .selectExpr("user_id AS u", "coalesce(a, -1L) AS a", "coalesce(b, -1L) AS b")
+        .orderBy("u", "a", "b")
     })
   )
 
@@ -463,6 +496,18 @@ object JoinOps {
                  WHERE event_id % 10 = 0)
          SELECT l.u AS u, l.i AS a, coalesce(r.i, -1) AS b
          FROM l LEFT JOIN r ON l.u = r.u
+           AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
+         ORDER BY u, a, b""",
+
+    // the definitional FULL range join on the status/event split
+    "j08_range_join_full" ->
+      """WITH l AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                    WHERE event_id % 10 <> 0),
+           r AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                 WHERE event_id % 10 = 0)
+         SELECT coalesce(l.u, r.u) AS u, coalesce(l.i, -1) AS a,
+                coalesce(r.i, -1) AS b
+         FROM l FULL JOIN r ON l.u = r.u
            AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
          ORDER BY u, a, b"""
   )

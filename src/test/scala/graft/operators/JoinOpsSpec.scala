@@ -269,6 +269,32 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inner.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("rangeJoin right/full outer: partnerless rows of the missing side emit once") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, ts(8), 1L), (1L, ts(40), 2L), (2L, ts(9), 3L))
+      .toDF("k", "t", "a")
+    val r = Seq((1L, ts(12), 10L), (2L, ts(30), 11L), (3L, ts(5), 12L))
+      .toDF("k", "t", "b")
+    def pairs(jt: String) = JoinOps.rangeJoin(l, r, "k", "t",
+        widthUs = 10000000L, lOut = Seq("a"), rOut = Seq("b"), joinType = jt)
+      .collect().map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    // b=10 matches a=1; b=11 (no l in [20s,30s] window... l at 9s gives
+    // [9,19) — 30s out) and b=12 (key 3 absent on the left) are
+    // partnerless: right_outer emits each exactly once with a NULL a —
+    // the band EXPLOSION must not double-emit them
+    assert(pairs("right_outer") == Set((1L, 10L), (-1L, 11L), (-1L, 12L)),
+      s"right_outer: ${pairs("right_outer")}")
+    // full = inner + both miss sides, each exactly once
+    assert(pairs("full_outer") ==
+      Set((1L, 10L), (2L, -1L), (3L, -1L), (-1L, 11L), (-1L, 12L)),
+      s"full_outer: ${pairs("full_outer")}")
+    val plan = JoinOps.rangeJoin(l, r, "k", "t", 10000000L, Seq("a"), Seq("b"),
+      joinType = "full_outer").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("rangeJoinInterval: two-sided window via the clock-shift reduction") {
     val sp = spark
     import sp.implicits._
