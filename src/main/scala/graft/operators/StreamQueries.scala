@@ -745,6 +745,43 @@ object StreamQueries {
         .where("(a IS NULL OR a >= 0) AND (b IS NULL OR b >= 0)")
         .selectExpr("u", "coalesce(a, -1L) AS a", "coalesce(b, -1L) AS b")
         .orderBy("u", "a", "b")
+    }),
+
+    // STREAMING AS-OF (TEMPORAL) JOIN under the oracle — the online
+    // twin of the batch j01 enrichment, and an operator Structured
+    // Streaming's own join surface cannot express (stream-stream joins
+    // bound both sides; as-of has no lower bound). The status stream
+    // (every 10th event) is the versioned table side, the remaining
+    // events probe it, and each probe must attach the latest status at
+    // or before its own timestamp — emitted only when the watermark
+    // passes the probe (an earlier status could arrive until then), so
+    // a far-future LEFT sentinel rides alone in the last ordered batch
+    // to flush the tail (the s10 pattern; its own pending probe never
+    // emits and is filtered by id). The completed replay must equal
+    // DuckDB's native ASOF LEFT JOIN — j01's oracle verbatim.
+    "s12_stream_asof_join" -> ((s, d) => {
+      val base = JoinOps.normalizedEvents(s, d)
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val real = base.selectExpr(
+        "ts", "user_id AS user", "event_id AS id",
+        "CAST(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END AS INT) AS side",
+        "value AS v",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinel = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(-1 AS BIGINT) AS id, CAST(1 AS INT) AS side, " +
+          "CAST(0.0 AS DOUBLE) AS v, CAST(4 AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinel), "_file",
+            nFiles = 5, stageKey = s"s12|$d")(st =>
+          StreamOps.asofJoin(st.as[StreamOps.AsofIn]).toDF())
+      }
+        .where("id >= 0")
+        .selectExpr("id AS event_id",
+          "coalesce(CAST(floor(v * 64) AS BIGINT), -1) AS status_q")
+        .orderBy("event_id")
     })
   )
 
@@ -901,6 +938,19 @@ object StreamQueries {
            coalesce(r.i, -1) AS b
          FROM l FULL JOIN r ON l.u = r.u AND l.i <> r.i
            AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
-         ORDER BY u, a, b"""
+         ORDER BY u, a, b""",
+
+    // DuckDB's native ASOF LEFT JOIN — j01's oracle verbatim: the
+    // completed temporal-join replay must equal the definitional
+    // batch operator
+    "s12_stream_asof_join" ->
+      """WITH r AS (SELECT user_id AS u, ts, max_by(value, event_id) AS sv
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+           l AS (SELECT user_id AS u, ts, event_id
+                 FROM events WHERE event_id % 10 <> 0)
+         SELECT l.event_id AS event_id,
+           coalesce(CAST(floor(r.sv * 64) AS BIGINT), -1) AS status_q
+         FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
+         ORDER BY event_id"""
   )
 }

@@ -191,6 +191,89 @@ object StreamOps {
       .select(coalesce(col("u"), col("ru")).as("u"), col("a"), col("b"))
   }
 
+  final case class AsofIn(ts: Timestamp, user: Long, id: Long, side: Int, v: Double)
+  final case class AsofOut(user: Long, id: Long, ts: Timestamp, v: Option[Double])
+  final case class AsofState(rights: List[(Long, Long, Double)],
+                             lefts: List[(Long, Long)])
+
+  /** Streaming AS-OF (temporal) join — the online twin of the batch
+    * [[graft.operators.JoinOps.asof]] backward join, and the operator
+    * Structured Streaming itself does not express (its stream-stream
+    * joins bound BOTH sides by a window; an as-of match has no lower
+    * bound — "the latest status, however old"). Flink ships this as the
+    * temporal table join; here it is keyed `flatMapGroupsWithState`
+    * over the two streams UNIONED with a side tag (side 0 = right /
+    * versioned table, side 1 = left / probe), exactly the batch
+    * operator's union-then-resolve shape re-expressed with state:
+    *
+    *  - A left row at `lts` resolves to the latest right row with
+    *    `rts <= lts` (ties on rts: the larger id — the gate's right
+    *    side pre-aggregation rule), but only EMITS once the watermark
+    *    passes `lts` — until then an earlier-timestamped right row
+    *    could still arrive and change the answer. Emission is therefore
+    *    watermark-driven (the s10 NULL-path pattern) and a bounded
+    *    replay needs a sentinel to flush the tail.
+    *  - STATE per key is provably bounded: pending lefts live only
+    *    inside the watermark delay (resolved and dropped the batch the
+    *    watermark passes them); of the rights older than every pending
+    *    left and the watermark, only the LATEST can ever match a future
+    *    probe (any future lts ≥ watermark dominates), so exactly one
+    *    survives pruning — the "current version" a temporal table
+    *    retains — plus the rights inside the delay horizon. That is
+    *    O(delay × rate) + O(1) per key, never stream-length.
+    *  - Rows arriving with event time already BEHIND the watermark are
+    *    dropped (the standard late-data contract; a late probe would
+    *    otherwise resolve against already-pruned state and emit a
+    *    nondeterministic answer).
+    *
+    * An event-time timeout flushes pending probes of keys that receive
+    * no further traffic; a key with no pending probes keeps only its
+    * current-version right row and sets NO timeout (retention is the
+    * temporal-table contract, O(#keys) like any keyed dimension).
+    * Scale: hash-partitioned by key, no global order, no cross. */
+  def asofJoin(in: Dataset[AsofIn], watermark: String = "12 hours"): Dataset[AsofOut] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    in.withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            val live = rows.filter(r => r.ts.getTime >= wm).toList
+            st = AsofState(
+              st.rights ++ live.collect { case r if r.side == 0 => (us(r.ts), r.id, r.v) },
+              st.lefts ++ live.collect { case r if r.side == 1 => (us(r.ts), r.id) })
+          }
+          // resolve every probe STRICTLY behind the watermark (a future
+          // right row may still tie a probe at exactly the watermark)
+          val (ready, pending) = st.lefts.partition(_._1 / 1000 < wm)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, id) =>
+            val m = st.rights.filter(_._1 <= lus) match {
+              case Nil => None
+              case cs => Some(cs.maxBy(r => (r._1, r._2)))
+            }
+            AsofOut(user, id, new Timestamp(lus / 1000), m.map(_._3))
+          }
+          // prune rights: everything at/after the earliest still-relevant
+          // instant survives; below it only the reigning current version
+          val horizonUs = (wm * 1000 :: pending.map(_._1)).min
+          val (hi, lo) = st.rights.partition(_._1 >= horizonUs)
+          val best = lo match {
+            case Nil => Nil
+            case cs => List(cs.maxBy(r => (r._1, r._2)))
+          }
+          state.update(AsofState(best ++ hi, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_._1 / 1000).min, wm) + 1)
+          out.iterator
+      }
+  }
+
   final case class SigDoc(ts: Timestamp, doc_id: Long, band: Int, bh: Long, sig: Long)
   final case class CandPair(a: Long, b: Long, ham: Int)
 

@@ -785,4 +785,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"full outer must emit both sides' unmatched rows once: ${rows()}")
     } finally q.stop()
   }
+
+  test("streaming as-of join: watermark-gated emission, latest-at-or-before, late drop") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.AsofIn
+    val in = MemoryStream[AsofIn]
+    val q = StreamOps.asofJoin(in.toDS(), watermark = "20 seconds")
+      .writeStream.format("memory").queryName("sasof").outputMode("append").start()
+    def rows() = spark.table("sasof").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    try {
+      // rights (side 0) at 2s/6s/6s; probes (side 1) at 1s/4s/7s
+      in.addData(
+        AsofIn(ts(2), 1, 100, 0, 0.2),
+        AsofIn(ts(6), 1, 101, 0, 0.6), AsofIn(ts(6), 1, 102, 0, 0.66),
+        AsofIn(ts(1), 1, 1, 1, 0.0), AsofIn(ts(4), 1, 2, 1, 0.0),
+        AsofIn(ts(7), 1, 3, 1, 0.0))
+      q.processAllAvailable()
+      // NOTHING may emit yet: an earlier-timestamped right row could
+      // still arrive until the watermark passes each probe
+      assert(rows().isEmpty, s"emission must wait for the watermark: ${rows()}")
+      // watermark jump (another key's traffic) → the silent key's
+      // pending probes flush via the event-time TIMEOUT path: probe 1
+      // precedes every right (NULL → -1), probe 2 takes the 2s version,
+      // probe 3 takes the 6s version and the TIE at 6s goes to the
+      // larger id (0.66, the gate's max_by pre-aggregation rule)
+      in.addData(AsofIn(ts(1000), 9, 99, 1, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, -1.0), (2L, 0.2), (3L, 0.66)),
+        s"resolution wrong: ${rows()}")
+      // a probe arriving BEHIND the watermark is dropped (the standard
+      // late-data contract) — it must not resolve against pruned state
+      in.addData(AsofIn(ts(8), 1, 4, 1, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, -1.0), (2L, 0.2), (3L, 0.66)),
+        s"late probe must be dropped: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("streaming as-of join retains the current version through pruning") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.AsofIn
+    val in = MemoryStream[AsofIn]
+    val q = StreamOps.asofJoin(in.toDS(), watermark = "20 seconds")
+      .writeStream.format("memory").queryName("sasof2").outputMode("append").start()
+    def rows() = spark.table("sasof2").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    try {
+      // versions at 2s (0.5) and 5s (0.7) — then the watermark sails far
+      // past both; pruning must keep the 5s row as the key's CURRENT
+      // version (and may drop the 2s one)
+      in.addData(AsofIn(ts(2), 1, 100, 0, 0.5), AsofIn(ts(5), 1, 101, 0, 0.7))
+      q.processAllAvailable()
+      in.addData(AsofIn(ts(1000), 9, 99, 1, 0.0))
+      q.processAllAvailable()
+      // a probe far newer than the surviving version still matches it —
+      // the as-of lower bound is unbounded, which is exactly what the
+      // native stream-stream join cannot express
+      in.addData(AsofIn(ts(990), 1, 5, 1, 0.0))
+      q.processAllAvailable()
+      in.addData(AsofIn(ts(2000), 9, 98, 1, 0.0))
+      q.processAllAvailable()
+      // probe 99 (the first watermark pusher, keyless of any version)
+      // legitimately resolves to NULL once the 2000s row passes it
+      assert(rows() == Set((5L, 0.7), (99L, -1.0)),
+        s"pruned state must keep the current version: ${rows()}")
+    } finally q.stop()
+  }
 }
