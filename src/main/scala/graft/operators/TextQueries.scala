@@ -913,6 +913,35 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // LEAKAGE-FREE train/val split — the step after near-dup clustering
+    // a training pipeline actually ships: assign WHOLE duplicate
+    // clusters to one side, so no near-dup pair ever straddles the
+    // split (the classic eval-contamination bug: a val doc's near-twin
+    // sits in train and the loss is optimistic). Groups = connected
+    // components over the LSH candidate graph; docs in no candidate
+    // pair are their own group; the split is a deterministic rule on
+    // the group id (grp % 10 → val), so assignment is reproducible
+    // and join-free at serve time. One CC (O(log n) keyed rounds,
+    // t13's operator) + one left join + one keyed agg — every exchange
+    // hash-partitioned, nothing data-sized on the driver. GraphSpec
+    // pins the invariant itself: no candidate pair crosses the split.
+    "t35_leakage_split" -> ((s, d) => {
+      val cc = GraphOps.connectedComponents(
+        lshPairsDF(s, d, 200).select("a", "b"))
+      docsWithDups(s, d)
+        .selectExpr("doc_id AS id", "source",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+        .join(cc, Seq("id"), "left")
+        .selectExpr("CASE WHEN coalesce(lbl, id) % 10 = 0 THEN 'val' " +
+          "ELSE 'train' END AS split", "source", "n_tok",
+          "coalesce(lbl, id) AS grp")
+        .groupBy("split", "source")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("n_docs"),
+          expr("CAST(sum(n_tok) AS BIGINT)").as("n_tokens"),
+          countDistinct("grp").as("n_groups"))
+        .orderBy("split", "source")
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1107,6 +1136,28 @@ object TextQueries {
            CAST(sum(s.q) AS BIGINT) AS q_sum
          FROM s, th WHERE s.q >= th.q
          GROUP BY source ORDER BY source""",
+
+    // the t13 recursive-CTE components, every doc LEFT-joined in
+    // (singletons group as themselves), the same grp % 10 split rule
+    "t35_leakage_split" ->
+      s"""WITH RECURSIVE sym AS (
+            SELECT a AS x, b AS y FROM ${duckLshPairs(200)} p
+            UNION ALL
+            SELECT b AS x, a AS y FROM ${duckLshPairs(200)} p2),
+          r AS (
+            SELECT DISTINCT x AS id, x AS lbl FROM sym
+            UNION
+            SELECT s.y AS id, r.lbl FROM r JOIN sym s ON s.x = r.id),
+          m AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+          a AS (SELECT d.source,
+                  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                  coalesce(m.cluster, d.doc_id) AS grp
+                FROM $duckDocsWithDups d LEFT JOIN m ON m.id = d.doc_id)
+          SELECT CASE WHEN grp % 10 = 0 THEN 'val' ELSE 'train' END AS split,
+            source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+          FROM a GROUP BY 1, 2 ORDER BY split, source""",
 
     "t12_tfidf" ->
       """WITH toks AS (

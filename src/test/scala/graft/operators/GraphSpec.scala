@@ -63,4 +63,21 @@ class GraphSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("leakage split invariant: no edge ever crosses the train/val boundary") {
+    // the t35 rule: side = (component label % 10 == 0) ? val : train.
+    // Any edge's endpoints share a component ⇒ share a label ⇒ share a
+    // side — pin it over a messy multi-component graph whose labels
+    // land on BOTH sides of the % 10 rule (components 3, 20, 40: 20 and
+    // 40 are val, 3 is train — so a label-propagation bug that merged
+    // or split a component would surface as a crossing edge).
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 47L), (20L, 21L),
+      (40L, 41L), (41L, 44L), (44L, 40L))
+    val c = components(pairs: _*)
+    def side(id: Long) = if (c(id) % 10 == 0) "val" else "train"
+    val crossing = pairs.filter { case (a, b) => side(a) != side(b) }
+    assert(crossing.isEmpty, s"edges crossing the split: $crossing")
+    assert(Set(side(3), side(20)) == Set("train", "val"),
+      "test graph must actually exercise both sides of the rule")
+  }
 }
