@@ -74,6 +74,10 @@ object PerfBudgets {
     // samples non-monotone) — the budget sits above the observed band,
     // not at 3× its best run
     "s11_stream_interval_full" -> 30.0,
+    // r13 late gate: the temporal-join replay (5 ordered batches + the
+    // timeout-driven flush) measured 4.3s steady isolated — same
+    // harness-replay class as its siblings; 13 ≈ 3× observed
+    "s12_stream_asof_join" -> 13.0,
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,
@@ -84,6 +88,9 @@ object PerfBudgets {
     "t22_dedup_keep_best" -> 5,
     "t27_exact_substr" -> 3.5,
     "t28_substr_removal" -> 5.5,
+    // r13 late gate: CC over the candidate graph + one keyed agg,
+    // 1.9s steady isolated (t13's class; 6 ≈ 3×)
+    "t35_leakage_split" -> 6.0,
     "td02_tiledb_shadow" -> 2,
   )
 }

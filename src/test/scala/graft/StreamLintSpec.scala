@@ -64,6 +64,7 @@ class StreamLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "runningTotals" -> NarrowKey("user"),
     "intervalJoin" -> NarrowKey("u/ru = user — both join sides"),
     "intervalJoinTwo" -> NarrowKey("u/ru = user — both join sides (two-stream form)"),
+    "asofJoin" -> NarrowKey("user — flatMapGroupsWithState temporal-join key"),
     "enrich" -> NarrowKey("user — stream-static broadcast, no stream state"),
     "filterContaminated" -> HashKey("h = md5(text) — broadcast anti join"),
     "filterContaminatedBloom" -> HashKey("(_gbh1, _gbh2) — two-seed xxhash64 pair"),
