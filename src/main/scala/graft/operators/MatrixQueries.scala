@@ -532,6 +532,31 @@ object MatrixQueries {
       graft.sources.Zarr.read1dLong(s, dir).orderBy("idx")
     }),
 
+    // v2 CONSOLIDATED METADATA round trip (zarr_consolidated_format=1,
+    // zarr-python's consolidate_metadata/open_consolidated pair — the
+    // object-store metadata tool: opening N member arrays costs ONE
+    // .zmetadata GET, not N .zarray round-trips): a two-member group is
+    // written, consolidated, and BOTH members are read back purely
+    // through the consolidated path (ZarrSpec pins "purely" by deleting
+    // a member's own .zarray first). Mixed chunk sizes so a key-to-meta
+    // mixup between members cannot cancel out.
+    "z10_zarr_consolidated" -> ((s, d) => {
+      val root = s"/tmp/graft_zarr_z10_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.Zarr.writeGroup(root)
+      graft.sources.Zarr.write1d(el, s"$root/a", 1000, chunk = 256,
+        compressor = Some("zlib"))
+      graft.sources.Zarr.write1d(el.selectExpr("idx", "v * 2 AS v"),
+        s"$root/b", 1000, chunk = 250, compressor = Some("zlib"))
+      graft.sources.Zarr.consolidateMetadata(root)
+      val a = graft.sources.Zarr.read1dConsolidated(s, root, "a")
+        .selectExpr("idx", "v AS va")
+      val b = graft.sources.Zarr.read1dConsolidated(s, root, "b")
+        .selectExpr("idx", "v AS vb")
+      a.join(b, Seq("idx")).orderBy("idx")
+    }),
+
     // int64 dtype fidelity (reference carries real dtypes, _expr.py:213):
     // values ABOVE 2^53 round-trip a <i8 zarr store bit-for-bit through
     // the LongType read path — any cast through double would corrupt the
@@ -1118,6 +1143,11 @@ object MatrixQueries {
            CAST(floor(value * 1000) - 500 AS DOUBLE) AS v4,
            CAST(least(255, greatest(0, floor(value * 255))) AS DOUBLE) AS v1
          FROM events WHERE event_id < 1000 ORDER BY idx""",
+
+    // both members re-derive from events: va = v, vb = 2v (exact in f8)
+    "z10_zarr_consolidated" ->
+      """SELECT event_id AS idx, value AS va, value * 2 AS vb FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
 
     "z09_zarr_sharded_long" ->
       """SELECT event_id AS idx,

@@ -633,6 +633,79 @@ object Zarr {
     }
   }
 
+  // ---- v2 consolidated metadata (.zmetadata) -------------------------------
+
+  /** Mark `root` as a v2 GROUP (the `.zgroup` object member arrays nest
+    * under). */
+  def writeGroup(root: String, conf: Configuration = StoreIO.defaultConf): Unit = {
+    val (fs, base) = fsOf(root, conf)
+    fs.mkdirs(base)
+    writeFile(fs, new Path(base, ".zgroup"),
+      "{\n  \"zarr_format\": 2\n}".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Consolidate a v2 hierarchy's metadata into ONE `.zmetadata` object
+    * at the root (`zarr_consolidated_format: 1` — the layout
+    * zarr-python's `consolidate_metadata` writes and
+    * `open_consolidated` reads). This is the object-store scale tool
+    * for METADATA: opening N member arrays costs one GET instead of N
+    * `.zarray` round-trips, and at 100 TB a hierarchy holds thousands
+    * of arrays whose open() latency is otherwise dominated by those
+    * round-trips. Discovery is one RECURSIVE flat listing (a single
+    * paged LIST call on object-store filesystems, never a per-directory
+    * walk) filtered to the three metadata names — data chunks are
+    * listed past, not read. */
+  def consolidateMetadata(root: String,
+                          conf: Configuration = StoreIO.defaultConf): Unit = {
+    val (fs, base) = fsOf(root, conf)
+    val qualified = fs.makeQualified(base).toString
+    val metaNames = Set(".zarray", ".zgroup", ".zattrs")
+    val entries = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (metaNames(f.getPath.getName)) {
+        val rel = f.getPath.toString.stripPrefix(qualified).stripPrefix("/")
+        entries += rel ->
+          new String(StoreIO.readFile(fs, f.getPath), StandardCharsets.UTF_8)
+      }
+    }
+    require(entries.nonEmpty, s"nothing to consolidate under $root")
+    val body = entries.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\": " + v }
+      .mkString(",\n    ")
+    writeFile(fs, new Path(base, ".zmetadata"),
+      ("{\n  \"metadata\": {\n    " + body +
+        "\n  },\n  \"zarr_consolidated_format\": 1\n}")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Member `member`'s array metadata resolved from the root
+    * `.zmetadata` ALONE — no per-array GET ever happens (ZarrSpec pins
+    * that by deleting the member's own `.zarray` first). Loud failure
+    * when the store is not consolidated or the member is absent. */
+  def readMetaConsolidated(root: String, member: String,
+                           conf: Configuration = StoreIO.defaultConf): Meta = {
+    val (fs, base) = fsOf(root, conf)
+    val zm = new Path(base, ".zmetadata")
+    require(fs.exists(zm), s"$root is not consolidated (no .zmetadata)")
+    val doc = new String(StoreIO.readFile(fs, zm), StandardCharsets.UTF_8)
+    val metaObj = jsonField(doc, "metadata").getOrElse(
+      sys.error(s"no metadata object in $root/.zmetadata"))
+    val key = if (member.isEmpty) ".zarray" else s"$member/.zarray"
+    val pat = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*").r
+    val m = pat.findFirstMatchIn(metaObj).getOrElse(
+      sys.error(s"member '$member' absent from $root/.zmetadata"))
+    parseMeta(balancedPrefix(metaObj.substring(m.end).trim, '{', '}'))
+  }
+
+  /** 1-d member read through the consolidated path: metadata from
+    * `.zmetadata`, chunk objects under `root/member` — the
+    * `open_consolidated(root)[member]` shape. */
+  def read1dConsolidated(s: SparkSession, root: String, member: String): DataFrame =
+    read1dWithMeta(s, if (member.isEmpty) root else s"$root/$member",
+      readMetaConsolidated(root, member, s.sparkContext.hadoopConfiguration))
+
   /** Glob (relative to the store dir) matching exactly the rank-`rank`
     * chunk objects for this meta's key encoding. */
   private def chunkGlob(m: Meta, rank: Int): String = {
@@ -707,10 +780,12 @@ object Zarr {
     * decode distributedly; chunks with no file contribute `fill_value`
     * rows generated from `spark.range` (skipped entirely when fill is 0 —
     * the element table's implicit-zero convention). */
-  def read1d(s: SparkSession, dir: String): DataFrame = {
+  def read1d(s: SparkSession, dir: String): DataFrame =
+    read1dWithMeta(s, dir, readMeta(dir, s.sparkContext.hadoopConfiguration))
+
+  private def read1dWithMeta(s: SparkSession, dir: String, m: Meta): DataFrame = {
     import s.implicits._
     val hconf = s.sparkContext.hadoopConfiguration
-    val m = readMeta(dir, hconf)
     require(m.shape.length == 1, s"read1d on ${m.shape.length}-d array")
     val n = m.shape.head
     val c = m.chunks.head

@@ -716,4 +716,44 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
         |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
     assert(m3.dtype == "<i8")
   }
+
+  test("consolidated metadata: one GET opens members; no per-array fallback") {
+    val root = Files.createTempDirectory("zarrcons").toString
+    val sp = spark
+    import sp.implicits._
+    val el = (0 until 120).map(i => (i.toLong, i * 0.5)).toDF("idx", "v")
+    Zarr.writeGroup(root)
+    Zarr.write1d(el, s"$root/a", 120, chunk = 50, compressor = Some("zlib"))
+    Zarr.write1d(el.selectExpr("idx", "v + 1 AS v"), s"$root/b", 120, chunk = 40)
+    Zarr.consolidateMetadata(root)
+    // the doc embeds the group marker and BOTH member .zarray objects,
+    // zarr_consolidated_format = 1 (zarr-python's open_consolidated layout)
+    val doc = new String(Files.readAllBytes(Paths.get(root, ".zmetadata")),
+      StandardCharsets.UTF_8)
+    for (k <- Seq("\".zgroup\"", "\"a/.zarray\"", "\"b/.zarray\"",
+        "\"zarr_consolidated_format\": 1"))
+      assert(doc.contains(k), s"missing $k in .zmetadata:\n$doc")
+    // PROOF the consolidated path never GETs the member's own .zarray:
+    // delete it — reads must still work, with the right per-member meta
+    Files.delete(Paths.get(root, "a", ".zarray"))
+    val ma = Zarr.readMetaConsolidated(root, "a")
+    assert(ma.chunks == Seq(50L) && ma.compressor.contains("zlib"))
+    val va = Zarr.read1dConsolidated(spark, root, "a")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(va.length == 120 && va(7) == 3.5, s"member a wrong: ${va.take(8).toSeq}")
+    val vb = Zarr.read1dConsolidated(spark, root, "b")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(vb(7) == 4.5, "member b must resolve its OWN meta, not a's")
+    // loud failures: absent member, unconsolidated store
+    val eAbsent = intercept[RuntimeException] {
+      Zarr.readMetaConsolidated(root, "nope")
+    }
+    assert(eAbsent.getMessage.contains("absent"))
+    val plain = Files.createTempDirectory("zarrplain").toString
+    Zarr.write1d(el, plain, 120, chunk = 60)
+    val eUncons = intercept[IllegalArgumentException] {
+      Zarr.readMetaConsolidated(plain, "")
+    }
+    assert(eUncons.getMessage.contains("not consolidated"))
+  }
 }
