@@ -942,6 +942,43 @@ object TextQueries {
         .orderBy("split", "source")
     }),
 
+    // END-TO-END PIPELINE composite — the four stages a training-data
+    // run chains, as ONE Catalyst DAG (what the library is FOR: the
+    // per-stage gates prove each operator; this proves the composition
+    // optimizes as a whole — one scan feeds quality + eval-hash
+    // derivation, the dedup agg and the broadcast anti-join pipeline
+    // into the final keyed agg with no materialization barrier between
+    // stages):
+    //   1. QUALITY filter (length + integer-quantized avg-token-length)
+    //   2. EXACT DEDUP (content-hash groupBy, keep the min-id row via
+    //      ONE struct-min agg — no rank-then-filter second pass)
+    //   3. DECONTAMINATION (broadcast anti-join against eval hashes)
+    //   4. SPLIT + ACCOUNTING (split rule + per (split, source) card)
+    // Probed non-degenerate at both gate scales: 600 → 535/550 → ~450
+    // → ~440 rows, every stage drops something, both splits populated.
+    "t36_pipeline_end2end" -> ((s, d) => {
+      val base = docsWithDups(s, d).selectExpr(
+        "doc_id", "source", "md5(text) AS h",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok",
+        "CAST(floor(10000.0D * length(replace(text, ' ', '')) / " +
+          "size(split(text, ' '))) AS BIGINT) AS q")
+      val kept = base.where("n_tok >= 20 AND q >= 35000")
+      val deduped = kept.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tok"),
+          col("q"))).as("m"))
+        .selectExpr("h", "m.doc_id AS doc_id", "m.source AS source",
+          "m.n_tok AS n_tok", "m.q AS q")
+      val evalH = base.where("doc_id % 97 = 3").select("h").distinct()
+      deduped.join(broadcast(evalH), Seq("h"), "left_anti")
+        .selectExpr("CASE WHEN doc_id % 10 = 0 THEN 'val' ELSE 'train' " +
+          "END AS split", "source", "n_tok", "q")
+        .groupBy("split", "source")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("n_docs"),
+          expr("CAST(sum(n_tok) AS BIGINT)").as("n_tokens"),
+          expr("CAST(sum(q) AS BIGINT)").as("q_sum"))
+        .orderBy("split", "source")
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1158,6 +1195,26 @@ object TextQueries {
             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
             CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
           FROM a GROUP BY 1, 2 ORDER BY split, source""",
+
+    // the four-stage chain re-derived declaratively: QUALIFY row_number
+    // = 1 is the dedup's keep-min-id, NOT IN the anti-join (h is never
+    // NULL); all aggregates integer-quantized
+    "t36_pipeline_end2end" ->
+      s"""WITH base AS (SELECT doc_id, source, md5(text) AS h,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              CAST(floor(10000.0 * length(replace(text, ' ', '')) /
+                         len(string_split(text, ' '))) AS BIGINT) AS q
+            FROM $duckDocsWithDups),
+          kept AS (SELECT * FROM base WHERE n_tok >= 20 AND q >= 35000),
+          ded AS (SELECT * FROM kept
+                  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1),
+          ev AS (SELECT DISTINCT h FROM base WHERE doc_id % 97 = 3),
+          clean AS (SELECT * FROM ded WHERE h NOT IN (SELECT h FROM ev))
+          SELECT CASE WHEN doc_id % 10 = 0 THEN 'val' ELSE 'train' END AS split,
+            source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            CAST(sum(q) AS BIGINT) AS q_sum
+          FROM clean GROUP BY 1, 2 ORDER BY split, source""",
 
     "t12_tfidf" ->
       """WITH toks AS (
