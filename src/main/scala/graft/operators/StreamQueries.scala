@@ -782,6 +782,33 @@ object StreamQueries {
         .selectExpr("id AS event_id",
           "coalesce(CAST(floor(v * 64) AS BIGINT), -1) AS status_q")
         .orderBy("event_id")
+    }),
+
+    // STREAMING END-TO-END PIPELINE under the oracle — t36's four-stage
+    // chain as one continuous query (quality → within-watermark dedup →
+    // broadcast decontamination → split), with the split keyed on the
+    // CONTENT HASH so every output column is survivor-invariant: the
+    // unordered replay is exact no matter which duplicate each
+    // micro-batch keeps. All rows share one event time, so no hash
+    // evicts mid-replay and each text survives exactly once; the gate
+    // aggregates the kept stream per (split, source) — all-integer.
+    "s13_stream_pipeline" -> ((s, d) => {
+      val src = docsWithDups(s, d)
+        .selectExpr("timestamp_seconds(1700000000) AS ts", "doc_id",
+          "source", "text")
+      val evalH = docsWithDups(s, d).where("doc_id % 97 = 3")
+        .selectExpr("md5(text) AS h").distinct()
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayToCompletion(s, src, nFiles = 4, stageKey = s"s13|$d")(st =>
+          StreamOps.pipelineClean(st.as[StreamOps.SrcDoc], evalH))
+      }
+        .groupBy("split", "source")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("n_docs"),
+          expr("CAST(sum(n_tok) AS BIGINT)").as("n_tokens"),
+          expr("CAST(sum(q) AS BIGINT)").as("q_sum"))
+        .orderBy("split", "source")
     })
   )
 
@@ -951,6 +978,28 @@ object StreamQueries {
          SELECT l.event_id AS event_id,
            coalesce(CAST(floor(r.sv * 64) AS BIGINT), -1) AS status_q
          FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    // t36's stage chain with the survivor-invariant dedup (DISTINCT on
+    // the text-derived columns) and the hash-keyed split rule
+    "s13_stream_pipeline" ->
+      """WITH dd AS (SELECT doc_id, source, text FROM documents UNION ALL
+                     SELECT doc_id + 100000, source, text FROM documents
+                     WHERE doc_id % 5 = 0),
+          base AS (SELECT doc_id, source, md5(text) AS h,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              CAST(floor(10000.0 * length(replace(text, ' ', '')) /
+                         len(string_split(text, ' '))) AS BIGINT) AS q
+            FROM dd),
+          kept AS (SELECT * FROM base WHERE n_tok >= 20 AND q >= 35000),
+          ded AS (SELECT DISTINCT h, source, n_tok, q FROM kept),
+          ev AS (SELECT DISTINCT h FROM base WHERE doc_id % 97 = 3),
+          clean AS (SELECT * FROM ded WHERE h NOT IN (SELECT h FROM ev))
+          SELECT CASE WHEN substr(h, 1, 1) IN ('0', '1') THEN 'val'
+                      ELSE 'train' END AS split,
+            source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            CAST(sum(q) AS BIGINT) AS q_sum
+          FROM clean GROUP BY 1, 2 ORDER BY split, source"""
   )
 }

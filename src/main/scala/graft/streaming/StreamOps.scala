@@ -191,6 +191,36 @@ object StreamOps {
       .select(coalesce(col("u"), col("ru")).as("u"), col("a"), col("b"))
   }
 
+  /** Streaming END-TO-END cleaning pipeline — the online twin of the
+    * batch t36 composite, chaining the same four stages over a document
+    * stream in ONE continuous query: stateless QUALITY filter →
+    * within-watermark exact DEDUP (the only stateful stage, keyed on
+    * the 128-bit content hash, evicted by watermark) → broadcast
+    * DECONTAMINATION anti-join against the static eval-hash table →
+    * SPLIT assignment. The split keys on the CONTENT HASH, not doc_id,
+    * so the emitted rows are survivor-invariant: whichever duplicate
+    * the dedup keeps inside a micro-batch, every output column (h,
+    * split, source, n_tok, q) is text-derived and identical — the
+    * property that makes the unordered replay gate (s13) exact.
+    * Scale: one stateful hash-partitioned operator, one broadcast,
+    * everything else codegen projections. */
+  def pipelineClean(docs: Dataset[SrcDoc], evalHashes: DataFrame,
+                    watermark: String = "10 seconds"): DataFrame = {
+    val scored = docs.toDF()
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("q", expr("CAST(floor(10000.0D * length(replace(text, ' ', '')) " +
+        "/ size(split(text, ' '))) AS BIGINT)"))
+      .where("n_tok >= 20 AND q >= 35000")
+    scored.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .join(broadcast(evalHashes), Seq("h"), "left_anti")
+      .selectExpr(
+        "CASE WHEN substring(h, 1, 1) IN ('0', '1') THEN 'val' ELSE 'train' " +
+          "END AS split",
+        "source", "h", "n_tok", "q")
+  }
+
   final case class AsofIn(ts: Timestamp, user: Long, id: Long, side: Int, v: Double)
   final case class AsofOut(user: Long, id: Long, ts: Timestamp, v: Option[Double])
   final case class AsofState(rights: List[(Long, Long, Double)],

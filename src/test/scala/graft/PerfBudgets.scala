@@ -78,6 +78,9 @@ object PerfBudgets {
     // timeout-driven flush) measured 4.3s steady isolated — same
     // harness-replay class as its siblings; 13 ≈ 3× observed
     "s12_stream_asof_join" -> 13.0,
+    // r13 late gate: the four-stage streaming composite replay, 3.3s
+    // steady isolated — the s02 dedup-state class plus a broadcast
+    "s13_stream_pipeline" -> 10.0,
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,

@@ -65,6 +65,8 @@ class StreamLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "intervalJoin" -> NarrowKey("u/ru = user — both join sides"),
     "intervalJoinTwo" -> NarrowKey("u/ru = user — both join sides (two-stream form)"),
     "asofJoin" -> NarrowKey("user — flatMapGroupsWithState temporal-join key"),
+    "pipelineClean" -> HashKey(
+      "h = md5(text) — within-watermark dedup state + broadcast anti-join"),
     "enrich" -> NarrowKey("user — stream-static broadcast, no stream state"),
     "filterContaminated" -> HashKey("h = md5(text) — broadcast anti join"),
     "filterContaminatedBloom" -> HashKey("(_gbh1, _gbh2) — two-seed xxhash64 pair"),

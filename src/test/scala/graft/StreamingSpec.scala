@@ -786,6 +786,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming pipeline composite: quality, dedup, decontam, hash-keyed split") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.SrcDoc
+    val good = Array.fill(30)("alpha beta gamma delta").mkString(" ") // 120 toks, q≈51666
+    val short = "tiny doc" // fails the n_tok >= 20 gate
+    val contaminated = Array.fill(25)("evalset leak phrase here").mkString(" ")
+    val evalH = Seq(contaminated).toDF("text").selectExpr("md5(text) AS h")
+    val in = MemoryStream[SrcDoc]
+    val q = StreamOps.pipelineClean(in.toDS(), evalH)
+      .writeStream.format("memory").queryName("spipe").outputMode("append").start()
+    def rows() = spark.table("spipe").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
+    try {
+      in.addData(SrcDoc(ts(1), 1, "s1", good), SrcDoc(ts(1), 2, "s1", short),
+        SrcDoc(ts(1), 3, "s1", contaminated))
+      q.processAllAvailable()
+      // only the good doc survives: short fails quality, contaminated
+      // is anti-joined out by its eval hash
+      assert(rows().map(x => (x._1, x._2)) == Seq(("train", "s1")) ||
+        rows().map(x => (x._1, x._2)) == Seq(("val", "s1")),
+        s"stage filters wrong: ${rows()}")
+      val split0 = rows().head._1
+      // a cross-batch duplicate of the good doc (same text, other id /
+      // source field equal) is dropped by the within-watermark state
+      in.addData(SrcDoc(ts(1), 9, "s1", good))
+      q.processAllAvailable()
+      assert(rows().size == 1, s"cross-batch duplicate must drop: ${rows()}")
+      // the split is text-derived: same text would always get the same
+      // side no matter which duplicate survived
+      val expectSplit =
+        if ("0123456789abcdef".indexOf(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(good.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            .charAt(0)) < 2) "val" else "train"
+      assert(split0 == expectSplit, s"split must key on the content hash")
+    } finally q.stop()
+  }
+
   test("streaming as-of join: watermark-gated emission, latest-at-or-before, late drop") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
