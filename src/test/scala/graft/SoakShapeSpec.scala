@@ -44,7 +44,11 @@ class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // window regardless of scale, rangeJoin = banded equi-join (never
     // per-key cross); soak events are time-shifted per copy so the 6h
     // windows never pair across copies
-    "j01_asof_join", "j02_range_join")
+    "j01_asof_join", "j02_range_join",
+    // r13 late: the end-to-end composite — its four stages must keep
+    // their fixed exchange budget (quality scan → dedup partial-agg →
+    // HINTED broadcast anti-join → final keyed agg) at any corpus size
+    "t36_pipeline_end2end")
 
   private val factors = Seq(10, 100)
 
