@@ -784,6 +784,39 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // STREAMING AS-OF WITH TOLERANCE under the oracle — s12's temporal
+    // join with j05's staleness bound (a status older than 30 minutes
+    // attaches as NULL, exactly as if it never existed): the tolerance
+    // is a post-resolution projection, so state bounds and emission
+    // timing are s12's unchanged. Oracle = j05's (DuckDB ASOF + the
+    // distance CASE) verbatim — batch and stream must agree on every
+    // void.
+    "s14_stream_asof_tolerance" -> ((s, d) => {
+      val base = JoinOps.normalizedEvents(s, d)
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val real = base.selectExpr(
+        "ts", "user_id AS user", "event_id AS id",
+        "CAST(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END AS INT) AS side",
+        "value AS v",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinel = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(-1 AS BIGINT) AS id, CAST(1 AS INT) AS side, " +
+          "CAST(0.0 AS DOUBLE) AS v, CAST(4 AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinel), "_file",
+            nFiles = 5, stageKey = s"s14|$d")(st =>
+          StreamOps.asofJoin(st.as[StreamOps.AsofIn],
+            toleranceUs = Some(30L * 60 * 1000000)).toDF())
+      }
+        .where("id >= 0")
+        .selectExpr("id AS event_id",
+          "coalesce(CAST(floor(v * 64) AS BIGINT), -1) AS status_q")
+        .orderBy("event_id")
+    }),
+
     // STREAMING END-TO-END PIPELINE under the oracle — t36's four-stage
     // chain as one continuous query (quality → within-watermark dedup →
     // broadcast decontamination → split), with the split keyed on the
@@ -977,6 +1010,18 @@ object StreamQueries {
                  FROM events WHERE event_id % 10 <> 0)
          SELECT l.event_id AS event_id,
            coalesce(CAST(floor(r.sv * 64) AS BIGINT), -1) AS status_q
+         FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
+         ORDER BY event_id""",
+
+    // j05's oracle verbatim: backward ASOF + the 30-minute staleness CASE
+    "s14_stream_asof_tolerance" ->
+      """WITH r AS (SELECT user_id AS u, ts, max_by(value, event_id) AS sv
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+           l AS (SELECT user_id AS u, ts, event_id
+                 FROM events WHERE event_id % 10 <> 0)
+         SELECT l.event_id AS event_id,
+           coalesce(CAST(floor(CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE
+                                    THEN r.sv END * 64) AS BIGINT), -1) AS status_q
          FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
          ORDER BY event_id""",
 

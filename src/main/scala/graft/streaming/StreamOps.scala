@@ -260,8 +260,15 @@ object StreamOps {
     * no further traffic; a key with no pending probes keeps only its
     * current-version right row and sets NO timeout (retention is the
     * temporal-table contract, O(#keys) like any keyed dimension).
-    * Scale: hash-partitioned by key, no global order, no cross. */
-  def asofJoin(in: Dataset[AsofIn], watermark: String = "12 hours"): Dataset[AsofOut] = {
+    * Scale: hash-partitioned by key, no global order, no cross.
+    *
+    * `toleranceUs` mirrors the batch operator (pandas merge_asof): a
+    * match older than the bound voids to NULL at resolution — a pure
+    * projection on the already-resolved row, so state bounds and
+    * emission timing are unchanged (a stale version still occupies the
+    * current-version slot; it just stops attaching). */
+  def asofJoin(in: Dataset[AsofIn], watermark: String = "12 hours",
+               toleranceUs: Option[Long] = None): Dataset[AsofOut] = {
     import in.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
@@ -282,10 +289,10 @@ object StreamOps {
           // right row may still tie a probe at exactly the watermark)
           val (ready, pending) = st.lefts.partition(_._1 / 1000 < wm)
           val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, id) =>
-            val m = st.rights.filter(_._1 <= lus) match {
+            val m = (st.rights.filter(_._1 <= lus) match {
               case Nil => None
               case cs => Some(cs.maxBy(r => (r._1, r._2)))
-            }
+            }).filter(r => toleranceUs.forall(lus - r._1 <= _))
             AsofOut(user, id, new Timestamp(lus / 1000), m.map(_._3))
           }
           // prune rights: everything at/after the earliest still-relevant

@@ -81,6 +81,7 @@ object PerfBudgets {
     // r13 late gate: the four-stage streaming composite replay, 3.3s
     // steady isolated — the s02 dedup-state class plus a broadcast
     "s13_stream_pipeline" -> 10.0,
+    "s14_stream_asof_tolerance" -> 13.0, // s12's replay class, one extra projection
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,

@@ -865,6 +865,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming as-of tolerance: stale versions void to NULL, fresh ones attach") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.AsofIn
+    val in = MemoryStream[AsofIn]
+    // 5-second staleness bound
+    val q = StreamOps.asofJoin(in.toDS(), watermark = "20 seconds",
+        toleranceUs = Some(5000000L))
+      .writeStream.format("memory").queryName("sasoft").outputMode("append").start()
+    def rows() = spark.table("sasoft").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    try {
+      // version at 2s; probe 1 at 4s (2s stale — attaches), probe 2 at
+      // 10s (8s stale — voids to NULL, exactly like no match)
+      in.addData(AsofIn(ts(2), 1, 100, 0, 0.2),
+        AsofIn(ts(4), 1, 1, 1, 0.0), AsofIn(ts(10), 1, 2, 1, 0.0))
+      q.processAllAvailable()
+      in.addData(AsofIn(ts(1000), 9, 99, 1, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 0.2), (2L, -1.0)),
+        s"tolerance resolution wrong: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming as-of join retains the current version through pruning") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
