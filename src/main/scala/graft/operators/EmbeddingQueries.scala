@@ -711,6 +711,39 @@ object EmbeddingQueries {
         .select("qid", "label", "rn", "vec_id", "adc").orderBy("qid", "rn")
     }),
 
+    // IVF-PQ + EXACT REFINE (the FAISS IVFPQR shape, completing the ANN
+    // accuracy ladder e07 → e15 → here): the ADC pass is a cheap
+    // 16×-compressed scorer whose quantization error can reorder close
+    // neighbors — so rank a WIDE shortlist (top-8) with ADC inside the
+    // probed cell, then re-rank just those 8 with the EXACT dot product
+    // on their true float vectors and keep the top-3. At 100 TB the
+    // refine stage touches 8 full vectors per query — the corpus-wide
+    // scan stays compressed, and the shortlist (rows × (qid, vec_id))
+    // broadcasts back against the corpus for the single fetch join.
+    "e19_ivfpq_refine" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val assign = ivfCoarseAssign(e, maxQid = 3, nprobe = 1)
+      val codes = pqCodesDF(s, d)
+        .join(e.select("vec_id", "label"), "vec_id")
+      val short = codes.join(broadcast(assign), Seq("label"))
+        .where("vec_id <> qid")
+        .selectExpr("qid", "qe", "vec_id",
+          s"round($adcScoreSql, 4) AS adc")
+        .withColumn("arn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+        .where("arn <= 8")
+        .select("qid", "qe", "vec_id")
+      e.selectExpr("vec_id", "embedding AS ce")
+        .join(broadcast(short), Seq("vec_id"))
+        .selectExpr("qid", "vec_id",
+          s"round(${sparkDot("qe", "ce")}, 4) AS sim")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+        .where("rn <= 3")
+        .select("qid", "rn", "vec_id", "sim").orderBy("qid", "rn")
+    }),
+
     // cosine top-pairs within a label block (IVF-style blocking), window-
     // bounded like e05: per-label sorted neighborhood caps pair generation
     // at O(n·W) per label — an unbounded within-label all-pairs is O(n²)
@@ -946,6 +979,49 @@ object EmbeddingQueries {
                 ORDER BY round($score, 4) DESC, codes.vec_id) AS rn
             FROM codes JOIN assign a ON codes.label = a.label
             WHERE codes.vec_id <> a.qid)
+          WHERE rn <= 3 ORDER BY qid, rn"""
+    },
+
+    // e15's CTE chain widened to an ADC top-8 shortlist, then the exact
+    // refine: true-vector dot on just those rows, top-3
+    "e19_ivfpq_refine" -> {
+      val score = (0 until 8).map(sub =>
+        s"""CAST(list_sum([CAST(qe[$sub * 8 + d + 1] AS DOUBLE) * ${pqW(sub, s"c$sub", "d")}
+            for d in generate_series(0, 7)]) AS DOUBLE)""")
+        .mkString("(", " + ", ")")
+      s"""WITH cent AS (
+            SELECT label, list(m ORDER BY p) AS cvec FROM (
+              SELECT label, g.p AS p, round(avg(CAST(embedding[g.p] AS DOUBLE)), 6) AS m
+              FROM embeddings, generate_series(1, $DIM) g(p) GROUP BY 1, 2)
+            GROUP BY label),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+          assign AS (
+            SELECT qid, qe, label FROM (
+              SELECT q.qid, q.qe, cent.label,
+                row_number() OVER (PARTITION BY q.qid ORDER BY
+                  round(CAST(list_sum([CAST(q.qe[i] AS DOUBLE) * cvec[i]
+                    for i in generate_series(1, $DIM)]) AS DOUBLE), 4) DESC,
+                  cent.label) AS rn
+              FROM q, cent) WHERE rn = 1),
+          codes AS (
+            SELECT vec_id, label,
+              ${(0 until 8).map(sub => s"${pqCodeDuck(sub)} AS c$sub").mkString(", ")}
+            FROM embeddings),
+          short AS (
+            SELECT qid, qe, vec_id FROM (
+              SELECT a.qid, a.qe, codes.vec_id,
+                row_number() OVER (PARTITION BY a.qid
+                  ORDER BY round($score, 4) DESC, codes.vec_id) AS arn
+              FROM codes JOIN assign a ON codes.label = a.label
+              WHERE codes.vec_id <> a.qid)
+            WHERE arn <= 8)
+          SELECT qid, CAST(rn AS INT) AS rn, vec_id, sim FROM (
+            SELECT short.qid, short.vec_id,
+              round(${duckDot("short.qe", "e.embedding")}, 4) AS sim,
+              row_number() OVER (PARTITION BY short.qid
+                ORDER BY round(${duckDot("short.qe", "e.embedding")}, 4) DESC,
+                  short.vec_id) AS rn
+            FROM short JOIN embeddings e ON e.vec_id = short.vec_id)
           WHERE rn <= 3 ORDER BY qid, rn"""
     },
   )
