@@ -320,6 +320,45 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       many.count { case (_, _, j) => j >= i - 7 && j <= i + 6 } }.sum)
   }
 
+  test("rangeJoin fuzz: every join type and a two-sided interval match brute force") {
+    // small timestamp grid over few keys → band-edge collisions,
+    // simultaneous rows, empty windows and partnerless rows constantly
+    val rnd = new scala.util.Random(20250816)
+    val sp = spark
+    import sp.implicits._
+    val lRows = (0 until 120).map(i => (rnd.nextInt(5).toLong, ts(rnd.nextInt(60)), i.toLong))
+    val rRows = (0 until 90).map(i => (rnd.nextInt(5).toLong, ts(rnd.nextInt(60)), 1000L + i))
+    val l = lRows.toDF("k", "t", "a")
+    val r = rRows.toDF("k", "t", "b")
+    val wUs = 7000000L // 7 s window
+    def bruteInner =
+      for ((k, lt, a) <- lRows; (k2, rt, b) <- rRows
+           if k == k2 && rt.getTime >= lt.getTime && rt.getTime < lt.getTime + 7000)
+        yield (a, b)
+    val inner = bruteInner.toSet
+    def got(jt: String) = JoinOps.rangeJoin(l, r, "k", "t", wUs,
+        Seq("a"), Seq("b"), joinType = jt).collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(got("inner") == inner)
+    val lMiss = lRows.map(_._3).filterNot(inner.map(_._1).contains).map((_, -1L))
+    val rMiss = rRows.map(_._3).filterNot(inner.map(_._2).contains).map((-1L, _))
+    assert(got("left_outer") == inner ++ lMiss)
+    assert(got("right_outer") == inner ++ rMiss)
+    assert(got("full_outer") == inner ++ lMiss ++ rMiss)
+    assert(lMiss.nonEmpty && rMiss.nonEmpty,
+      "fuzz corpus must actually exercise both miss sides")
+    // two-sided interval [t-5s, t+3s) via the clock-shift reduction
+    val gotIv = JoinOps.rangeJoinInterval(l, r, "k", "t",
+        loUs = -5000000L, hiUs = 3000000L, lOut = Seq("a"), rOut = Seq("b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val wantIv =
+      (for ((k, lt, a) <- lRows; (k2, rt, b) <- rRows
+            if k == k2 && rt.getTime >= lt.getTime - 5000 && rt.getTime < lt.getTime + 3000)
+        yield (a, b)).toSet
+    assert(gotIv == wantIv)
+  }
+
   test("rangeJoin: exactly-once pairs across band boundaries, no cartesian") {
     val sp = spark
     import sp.implicits._
