@@ -817,6 +817,40 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // STREAMING FORWARD AS-OF under the oracle — "the first status at
+    // or after each event, within 30 minutes" (the order→fill shape).
+    // The horizon is what makes a FORWARD match finite on a stream
+    // (batch j03 needs no bound; here an unbounded wait would hold
+    // probes forever) and doubles as j05's tolerance semantics: a first
+    // match farther than the horizon attaches as NULL. Oracle = DuckDB
+    // forward ASOF + the distance CASE — earliest-at-or-after equals
+    // earliest-within-horizon exactly when the CASE voids the rest.
+    "s15_stream_asof_forward" -> ((s, d) => {
+      val base = JoinOps.normalizedEvents(s, d)
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val real = base.selectExpr(
+        "ts", "user_id AS user", "event_id AS id",
+        "CAST(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END AS INT) AS side",
+        "value AS v",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinel = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(-1 AS BIGINT) AS id, CAST(1 AS INT) AS side, " +
+          "CAST(0.0 AS DOUBLE) AS v, CAST(4 AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinel), "_file",
+            nFiles = 5, stageKey = s"s15|$d")(st =>
+          StreamOps.asofJoinForward(st.as[StreamOps.AsofIn],
+            horizonUs = 30L * 60 * 1000000).toDF())
+      }
+        .where("id >= 0")
+        .selectExpr("id AS event_id",
+          "coalesce(CAST(floor(v * 64) AS BIGINT), -1) AS status_q")
+        .orderBy("event_id")
+    }),
+
     // STREAMING END-TO-END PIPELINE under the oracle — t36's four-stage
     // chain as one continuous query (quality → within-watermark dedup →
     // broadcast decontamination → split), with the split keyed on the
@@ -1023,6 +1057,18 @@ object StreamQueries {
            coalesce(CAST(floor(CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE
                                     THEN r.sv END * 64) AS BIGINT), -1) AS status_q
          FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
+         ORDER BY event_id""",
+
+    // the j03/j05 composition: forward ASOF (<=) + the horizon CASE
+    "s15_stream_asof_forward" ->
+      """WITH r AS (SELECT user_id AS u, ts, max_by(value, event_id) AS sv
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+           l AS (SELECT user_id AS u, ts, event_id
+                 FROM events WHERE event_id % 10 <> 0)
+         SELECT l.event_id AS event_id,
+           coalesce(CAST(floor(CASE WHEN r.ts - l.ts <= INTERVAL 30 MINUTE
+                                    THEN r.sv END * 64) AS BIGINT), -1) AS status_q
+         FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts <= r.ts
          ORDER BY event_id""",
 
     // t36's stage chain with the survivor-invariant dedup (DISTINCT on

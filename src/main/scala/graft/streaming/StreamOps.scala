@@ -311,6 +311,60 @@ object StreamOps {
       }
   }
 
+  /** Streaming FORWARD as-of join — "the first right row at or after
+    * each probe", bounded by `horizonUs` (the batch forward direction
+    * needs no bound; a stream does, because an unbounded forward match
+    * could keep a probe pending forever — the horizon is what makes the
+    * operator's state and latency finite, and it doubles as j05's
+    * tolerance: a first-match farther than the horizon IS no match).
+    * A probe emits once the watermark passes `lts + horizon` (no
+    * earlier right can arrive after that); its match is the EARLIEST
+    * right in `[lts, lts + horizon]`, ties on rts to the larger id
+    * (the gates' max_by pre-aggregation rule). Rights prune below the
+    * earliest still-relevant instant OUTRIGHT — forward never reaches
+    * back, so no current-version retention: state is
+    * O((delay + horizon) × rate) per key, period. */
+  def asofJoinForward(in: Dataset[AsofIn], horizonUs: Long,
+                      watermark: String = "12 hours"): Dataset[AsofOut] = {
+    require(horizonUs > 0, s"forward as-of needs a positive horizon, got $horizonUs")
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    in.withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            val live = rows.filter(r => r.ts.getTime >= wm).toList
+            st = AsofState(
+              st.rights ++ live.collect { case r if r.side == 0 => (us(r.ts), r.id, r.v) },
+              st.lefts ++ live.collect { case r if r.side == 1 => (us(r.ts), r.id) })
+          }
+          // a probe is final once no right inside its window can arrive
+          val (ready, pending) = st.lefts.partition(l =>
+            (l._1 + horizonUs) / 1000 < wm)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, id) =>
+            val m = st.rights
+              .filter(r => r._1 >= lus && r._1 <= lus + horizonUs) match {
+                case Nil => None
+                case cs => Some(cs.minBy(r => (r._1, -r._2)))
+              }
+            AsofOut(user, id, new Timestamp(lus / 1000), m.map(_._3))
+          }
+          // forward never reaches back: rights below every still-relevant
+          // probe (and the watermark) drop outright
+          val horizonLow = (wm * 1000 :: pending.map(_._1)).min
+          state.update(AsofState(st.rights.filter(_._1 >= horizonLow), pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((pending.map(_._1).min + horizonUs) / 1000, wm) + 1)
+          out.iterator
+      }
+  }
+
   final case class SigDoc(ts: Timestamp, doc_id: Long, band: Int, bh: Long, sig: Long)
   final case class CandPair(a: Long, b: Long, ham: Int)
 

@@ -65,6 +65,8 @@ class StreamLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "intervalJoin" -> NarrowKey("u/ru = user — both join sides"),
     "intervalJoinTwo" -> NarrowKey("u/ru = user — both join sides (two-stream form)"),
     "asofJoin" -> NarrowKey("user — flatMapGroupsWithState temporal-join key"),
+    "asofJoinForward" -> NarrowKey(
+      "user — bounded-horizon forward as-of, same keyed state shape"),
     "pipelineClean" -> HashKey(
       "h = md5(text) — within-watermark dedup state + broadcast anti-join"),
     "enrich" -> NarrowKey("user — stream-static broadcast, no stream state"),

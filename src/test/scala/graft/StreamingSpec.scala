@@ -890,6 +890,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming forward as-of: first match within the horizon, else NULL") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.AsofIn
+    val in = MemoryStream[AsofIn]
+    // 5-second forward horizon
+    val q = StreamOps.asofJoinForward(in.toDS(), horizonUs = 5000000L,
+        watermark = "20 seconds")
+      .writeStream.format("memory").queryName("sasoff").outputMode("append").start()
+    def rows() = spark.table("sasoff").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    try {
+      // probe 1 at 3s: rights at 4s/6s → EARLIEST at-or-after (0.4),
+      // not the later one; probe 2 at 7s: next right at 20s is beyond
+      // the 5s horizon → NULL; probe 3 at 18s: right at 20s (d=2s) OK;
+      // probe 4 at 4s: simultaneous right at 4s matches (inclusive)
+      in.addData(
+        AsofIn(ts(4), 1, 100, 0, 0.4), AsofIn(ts(6), 1, 101, 0, 0.6),
+        AsofIn(ts(20), 1, 102, 0, 0.9),
+        AsofIn(ts(3), 1, 1, 1, 0.0), AsofIn(ts(7), 1, 2, 1, 0.0),
+        AsofIn(ts(18), 1, 3, 1, 0.0), AsofIn(ts(4), 1, 4, 1, 0.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "forward emission must wait for lts + horizon")
+      in.addData(AsofIn(ts(1000), 9, 99, 1, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 0.4), (2L, -1.0), (3L, 0.9), (4L, 0.4)),
+        s"forward resolution wrong: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming as-of join retains the current version through pruning") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
