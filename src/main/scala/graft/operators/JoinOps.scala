@@ -398,6 +398,36 @@ object JoinOps {
         .orderBy("u", "a", "b")
     }),
 
+    // BATCH SESSIONIZATION under the oracle — the event-time sibling of
+    // the range-join family and the batch twin of the s05 streaming
+    // session windows: per user, a new session starts when the gap to
+    // the previous event exceeds 30 minutes (lag + running sum of
+    // session-break flags — BOTH over the same (user, ts) window, so
+    // Catalyst plans ONE Window node / one exchange; the sort is
+    // per-user, never corpus-global). Output per session: event count
+    // and whole-second duration — all integers.
+    "j09_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("brk", when(coalesce(unix_micros(col("ts")) -
+          unix_micros(lag("ts", 1).over(w)), lit(Long.MaxValue)) >
+          lit(30L * 60 * 1000000), 1L).otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // group on the RAW window columns: hashpartitioning(user_id)
+        // already clusters (user_id, sid), so the aggregation reuses the
+        // window's exchange — aliasing inside groupBy would hide that
+        // and buy a second shuffle (JoinOpsSpec pins the single-exchange
+        // shape)
+        .groupBy("user_id", "sid")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("n_events"),
+          expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts))) " +
+            "DIV 1000000 AS BIGINT)").as("dur_s"))
+        .selectExpr("user_id AS u", "sid", "n_events", "dur_s")
+        .orderBy("u", "sid")
+    }),
+
     // FULL-OUTER RANGE JOIN under the oracle — the batch twin of the
     // s11 streaming gate, completing the batch outer matrix (inner j02,
     // left j06, full here; right_outer is full's mirror and is
@@ -498,6 +528,22 @@ object JoinOps {
          FROM l LEFT JOIN r ON l.u = r.u
            AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
          ORDER BY u, a, b""",
+
+    // the definitional lag + running-sum sessionization
+    "j09_sessionize" ->
+      """WITH b AS (
+           SELECT user_id AS u, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT u, ts, CAST(sum(brk) OVER (PARTITION BY u
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM b)
+         SELECT u, sid, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(max(ts) - min(ts))) AS BIGINT) AS dur_s
+         FROM sess GROUP BY u, sid ORDER BY u, sid""",
 
     // the definitional FULL range join on the status/event split
     "j08_range_join_full" ->

@@ -359,6 +359,40 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotIv == wantIv)
   }
 
+  test("sessionize: per-user windows share one exchange, no global sort before agg") {
+    val sp = spark
+    import sp.implicits._
+    val ev = Seq((1L, ts(1), 1L), (1L, ts(5), 2L), (1L, ts(4000), 3L),
+      (2L, ts(2), 4L)).toDF("user_id", "ts", "event_id")
+      .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_id",
+        "CAST(0.0 AS DOUBLE) AS value")
+    // reuse the registered gate's construction via a local rebuild: the
+    // lag flag and the running sum must ride the SAME (user, ts) window
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val df = ev
+      .withColumn("brk", when(coalesce(unix_micros(col("ts")) -
+        unix_micros(lag("ts", 1).over(w)), lit(Long.MaxValue)) >
+        lit(30L * 60 * 1000000), 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1: events at 1s/5s in one session, 4000s opens a second;
+    // user 2: its own single session — labels never leak across users
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)), s"got $got")
+    // AQE prints the Final AND Initial plan; count the final one only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one hash exchange on user_id feeds BOTH window passes + the agg
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"sessionize must shuffle once:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "per-user sessionization must never global-sort the corpus")
+  }
+
   test("rangeJoin: exactly-once pairs across band boundaries, no cartesian") {
     val sp = spark
     import sp.implicits._
