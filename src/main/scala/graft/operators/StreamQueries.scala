@@ -851,6 +851,39 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // STREAMING NEAREST AS-OF under the oracle — the closer of the
+    // unbounded backward match and the horizon-bounded forward match,
+    // exact ties backward (pandas merge_asof's rule; the asymmetry —
+    // back unbounded, forward bounded — is what makes nearest FINITE on
+    // a stream). Completes the direction matrix: batch j01/j03/j04/j05
+    // ⇔ stream s12/s15/s16/s14. Oracle composes DuckDB's own backward
+    // and forward ASOF with the horizon and distance rules in SQL.
+    "s16_stream_asof_nearest" -> ((s, d) => {
+      val base = JoinOps.normalizedEvents(s, d)
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      val real = base.selectExpr(
+        "ts", "user_id AS user", "event_id AS id",
+        "CAST(CASE WHEN event_id % 10 = 0 THEN 0 ELSE 1 END AS INT) AS side",
+        "value AS v",
+        s"CAST(least(3, event_id * 4 DIV ${maxId + 1}) AS INT) AS _file")
+      val sentinel = s.sql(
+        "SELECT timestamp'2030-01-01 00:00:00' AS ts, CAST(0 AS BIGINT) AS user, " +
+          "CAST(-1 AS BIGINT) AS id, CAST(1 AS INT) AS side, " +
+          "CAST(0.0 AS DOUBLE) AS v, CAST(4 AS INT) AS _file")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayOrderedToCompletion(s, real.unionByName(sentinel), "_file",
+            nFiles = 5, stageKey = s"s16|$d")(st =>
+          StreamOps.asofJoinNearest(st.as[StreamOps.AsofIn],
+            horizonUs = 30L * 60 * 1000000).toDF())
+      }
+        .where("id >= 0")
+        .selectExpr("id AS event_id",
+          "coalesce(CAST(floor(v * 64) AS BIGINT), -1) AS status_q")
+        .orderBy("event_id")
+    }),
+
     // STREAMING END-TO-END PIPELINE under the oracle — t36's four-stage
     // chain as one continuous query (quality → within-watermark dedup →
     // broadcast decontamination → split), with the split keyed on the
@@ -1069,6 +1102,23 @@ object StreamQueries {
            coalesce(CAST(floor(CASE WHEN r.ts - l.ts <= INTERVAL 30 MINUTE
                                     THEN r.sv END * 64) AS BIGINT), -1) AS status_q
          FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts <= r.ts
+         ORDER BY event_id""",
+
+    // backward + horizon-bounded forward ASOF composed with the
+    // distance/tie rules (j04's oracle pattern + s15's horizon CASE)
+    "s16_stream_asof_nearest" ->
+      """WITH r AS (SELECT user_id AS u, ts, max_by(value, event_id) AS sv
+                    FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+           l AS (SELECT user_id AS u, ts, event_id
+                 FROM events WHERE event_id % 10 <> 0)
+         SELECT l.event_id AS event_id,
+           coalesce(CAST(floor(CASE
+               WHEN f.ts IS NOT NULL AND f.ts - l.ts <= INTERVAL 30 MINUTE
+                    AND (b.ts IS NULL OR l.ts - b.ts > f.ts - l.ts) THEN f.sv
+               ELSE b.sv END * 64) AS BIGINT), -1) AS status_q
+         FROM l
+           ASOF LEFT JOIN r b ON l.u = b.u AND l.ts >= b.ts
+           ASOF LEFT JOIN r f ON l.u = f.u AND l.ts <= f.ts
          ORDER BY event_id""",
 
     // t36's stage chain with the survivor-invariant dedup (DISTINCT on

@@ -365,6 +365,75 @@ object StreamOps {
       }
   }
 
+  /** Streaming NEAREST as-of join — whichever of the backward match
+    * (unbounded lookback, the [[asofJoin]] shape) and the forward match
+    * (bounded by `horizonUs`, the [[asofJoinForward]] shape) is closer
+    * in event time; an exact tie takes the BACKWARD row (pandas
+    * merge_asof). The asymmetry is inherent to streams: looking back is
+    * free (the current version is already in state), looking forward
+    * must be bounded or a probe could pend forever — so "nearest"
+    * here means nearest of {latest at-or-before, earliest within the
+    * forward horizon}, which is the operational form a live enrichment
+    * actually wants. Emission when the watermark passes `lts +
+    * horizon` (both candidates settled); state = the union of the two
+    * parents' shapes: pending probes + rights down to the reigning
+    * current version. */
+  def asofJoinNearest(in: Dataset[AsofIn], horizonUs: Long,
+                      watermark: String = "12 hours"): Dataset[AsofOut] = {
+    require(horizonUs > 0, s"nearest as-of needs a positive forward horizon")
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    in.withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            val live = rows.filter(r => r.ts.getTime >= wm).toList
+            st = AsofState(
+              st.rights ++ live.collect { case r if r.side == 0 => (us(r.ts), r.id, r.v) },
+              st.lefts ++ live.collect { case r if r.side == 1 => (us(r.ts), r.id) })
+          }
+          val (ready, pending) = st.lefts.partition(l =>
+            (l._1 + horizonUs) / 1000 < wm)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, id) =>
+            val back = st.rights.filter(_._1 <= lus) match {
+              case Nil => None
+              case cs => Some(cs.maxBy(r => (r._1, r._2)))
+            }
+            val fwd = st.rights
+              .filter(r => r._1 > lus && r._1 <= lus + horizonUs) match {
+                case Nil => None
+                case cs => Some(cs.minBy(r => (r._1, -r._2)))
+              }
+            // closer side wins; ties (and the only-backward case) take
+            // backward — a simultaneous right IS the backward row (d=0)
+            val m = (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (lus - b._1 <= f._1 - lus) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+            AsofOut(user, id, new Timestamp(lus / 1000), m.map(_._3))
+          }
+          // prune like the backward parent: keep the reigning current
+          // version below the horizon (future probes may reach back)
+          val horizonLow = (wm * 1000 :: pending.map(_._1)).min
+          val (hi, lo) = st.rights.partition(_._1 >= horizonLow)
+          val best = lo match {
+            case Nil => Nil
+            case cs => List(cs.maxBy(r => (r._1, r._2)))
+          }
+          state.update(AsofState(best ++ hi, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((pending.map(_._1).min + horizonUs) / 1000, wm) + 1)
+          out.iterator
+      }
+  }
+
   final case class SigDoc(ts: Timestamp, doc_id: Long, band: Int, bh: Long, sig: Long)
   final case class CandPair(a: Long, b: Long, ham: Int)
 

@@ -83,6 +83,7 @@ object PerfBudgets {
     "s13_stream_pipeline" -> 10.0,
     "s14_stream_asof_tolerance" -> 13.0, // s12's replay class, one extra projection
     "s15_stream_asof_forward" -> 13.0, // same replay class, forward state shape
+    "s16_stream_asof_nearest" -> 13.0, // same replay class, union state shape
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,

@@ -67,6 +67,8 @@ class StreamLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "asofJoin" -> NarrowKey("user — flatMapGroupsWithState temporal-join key"),
     "asofJoinForward" -> NarrowKey(
       "user — bounded-horizon forward as-of, same keyed state shape"),
+    "asofJoinNearest" -> NarrowKey(
+      "user — nearest as-of, union of the backward/forward state shapes"),
     "pipelineClean" -> HashKey(
       "h = md5(text) — within-watermark dedup state + broadcast anti-join"),
     "enrich" -> NarrowKey("user — stream-static broadcast, no stream state"),

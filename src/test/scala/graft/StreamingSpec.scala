@@ -921,6 +921,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming nearest as-of: closer side wins, ties backward, horizon bounds forward") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.AsofIn
+    val in = MemoryStream[AsofIn]
+    val q = StreamOps.asofJoinNearest(in.toDS(), horizonUs = 5000000L,
+        watermark = "20 seconds")
+      .writeStream.format("memory").queryName("sasofn").outputMode("append").start()
+    def rows() = spark.table("sasofn").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    try {
+      // rights at 4s (0.4) and 10s (1.0)
+      // probe 1 at 5s: back d=1 vs fwd d=5 → back 0.4
+      // probe 2 at 9s: back d=5 vs fwd d=1 → fwd 1.0
+      // probe 3 at 7s: EXACT tie d=3 both → backward 0.4
+      // probe 4 at 30s: back d=26 (unbounded — still matches), no fwd → 1.0
+      // probe 5 at 2s: no back, fwd at 4s d=2 within horizon → 0.4
+      in.addData(
+        AsofIn(ts(4), 1, 100, 0, 0.4), AsofIn(ts(10), 1, 101, 0, 1.0),
+        AsofIn(ts(5), 1, 1, 1, 0.0), AsofIn(ts(9), 1, 2, 1, 0.0),
+        AsofIn(ts(7), 1, 3, 1, 0.0), AsofIn(ts(30), 1, 4, 1, 0.0),
+        AsofIn(ts(2), 1, 5, 1, 0.0))
+      q.processAllAvailable()
+      in.addData(AsofIn(ts(1000), 9, 99, 1, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 0.4), (2L, 1.0), (3L, 0.4), (4L, 1.0), (5L, 0.4)),
+        s"nearest resolution wrong: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming as-of join retains the current version through pruning") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
