@@ -271,7 +271,7 @@ object StreamOps {
                toleranceUs: Option[Long] = None): Dataset[AsofOut] = {
     import in.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def us(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     in.withWatermark("ts", watermark)
       .groupByKey(_.user)
       .flatMapGroupsWithState[AsofState, AsofOut](
@@ -287,13 +287,13 @@ object StreamOps {
           }
           // resolve every probe STRICTLY behind the watermark (a future
           // right row may still tie a probe at exactly the watermark)
-          val (ready, pending) = st.lefts.partition(_._1 / 1000 < wm)
+          val (ready, pending) = st.lefts.partition(l => Math.floorDiv(l._1, 1000L) < wm)
           val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, id) =>
             val m = (st.rights.filter(_._1 <= lus) match {
               case Nil => None
               case cs => Some(cs.maxBy(r => (r._1, r._2)))
             }).filter(r => toleranceUs.forall(lus - r._1 <= _))
-            AsofOut(user, id, new Timestamp(lus / 1000), m.map(_._3))
+            AsofOut(user, id, new Timestamp(Math.floorDiv(lus, 1000L)), m.map(_._3))
           }
           // prune rights: everything at/after the earliest still-relevant
           // instant survives; below it only the reigning current version
@@ -306,7 +306,7 @@ object StreamOps {
           state.update(AsofState(best ++ hi, pending))
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(
-              math.max(pending.map(_._1 / 1000).min, wm) + 1)
+              math.max(pending.map(l => Math.floorDiv(l._1, 1000L)).min, wm) + 1)
           out.iterator
       }
   }
@@ -329,7 +329,7 @@ object StreamOps {
     require(horizonUs > 0, s"forward as-of needs a positive horizon, got $horizonUs")
     import in.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def us(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     in.withWatermark("ts", watermark)
       .groupByKey(_.user)
       .flatMapGroupsWithState[AsofState, AsofOut](
@@ -345,14 +345,14 @@ object StreamOps {
           }
           // a probe is final once no right inside its window can arrive
           val (ready, pending) = st.lefts.partition(l =>
-            (l._1 + horizonUs) / 1000 < wm)
+            Math.floorDiv(l._1 + horizonUs, 1000L) < wm)
           val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, id) =>
             val m = st.rights
               .filter(r => r._1 >= lus && r._1 <= lus + horizonUs) match {
                 case Nil => None
                 case cs => Some(cs.minBy(r => (r._1, -r._2)))
               }
-            AsofOut(user, id, new Timestamp(lus / 1000), m.map(_._3))
+            AsofOut(user, id, new Timestamp(Math.floorDiv(lus, 1000L)), m.map(_._3))
           }
           // forward never reaches back: rights below every still-relevant
           // probe (and the watermark) drop outright
@@ -360,7 +360,7 @@ object StreamOps {
           state.update(AsofState(st.rights.filter(_._1 >= horizonLow), pending))
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(
-              math.max((pending.map(_._1).min + horizonUs) / 1000, wm) + 1)
+              math.max(Math.floorDiv(pending.map(_._1).min + horizonUs, 1000L), wm) + 1)
           out.iterator
       }
   }
@@ -383,7 +383,7 @@ object StreamOps {
     require(horizonUs > 0, s"nearest as-of needs a positive forward horizon")
     import in.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def us(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     in.withWatermark("ts", watermark)
       .groupByKey(_.user)
       .flatMapGroupsWithState[AsofState, AsofOut](
@@ -398,7 +398,7 @@ object StreamOps {
               st.lefts ++ live.collect { case r if r.side == 1 => (us(r.ts), r.id) })
           }
           val (ready, pending) = st.lefts.partition(l =>
-            (l._1 + horizonUs) / 1000 < wm)
+            Math.floorDiv(l._1 + horizonUs, 1000L) < wm)
           val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, id) =>
             val back = st.rights.filter(_._1 <= lus) match {
               case Nil => None
@@ -416,7 +416,7 @@ object StreamOps {
                 if (lus - b._1 <= f._1 - lus) Some(b) else Some(f)
               case (b, f) => b.orElse(f)
             }
-            AsofOut(user, id, new Timestamp(lus / 1000), m.map(_._3))
+            AsofOut(user, id, new Timestamp(Math.floorDiv(lus, 1000L)), m.map(_._3))
           }
           // prune like the backward parent: keep the reigning current
           // version below the horizon (future probes may reach back)
@@ -429,7 +429,7 @@ object StreamOps {
           state.update(AsofState(best ++ hi, pending))
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(
-              math.max((pending.map(_._1).min + horizonUs) / 1000, wm) + 1)
+              math.max(Math.floorDiv(pending.map(_._1).min + horizonUs, 1000L), wm) + 1)
           out.iterator
       }
   }
