@@ -952,6 +952,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("pre-epoch event time drops at the platform's epoch watermark floor") {
+    // Structured Streaming's initial watermark is 0 (the epoch), so any
+    // pre-1970 row is "late" before the stream has seen a single event —
+    // a PLATFORM semantic, not an operator choice. The as-of join must
+    // apply its documented late-drop contract to them (silently, exactly
+    // once) rather than resolve against the 0-floored watermark; the
+    // microsecond conversions still FLOOR (Math.floorDiv) rather than
+    // truncate, so if Spark ever lifts the epoch floor the pre-epoch
+    // ordering is already exact.
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.AsofIn
+    val in = MemoryStream[AsofIn]
+    val q = StreamOps.asofJoin(in.toDS(), watermark = "20 seconds")
+      .writeStream.format("memory").queryName("sasofpe").outputMode("append").start()
+    try {
+      in.addData(AsofIn(new Timestamp(-2000L), 1, 100, 0, 0.5),
+        AsofIn(new Timestamp(-2000L), 1, 1, 1, 0.0),
+        AsofIn(ts(3), 1, 2, 1, 0.0))
+      q.processAllAvailable()
+      in.addData(AsofIn(ts(1000), 9, 99, 1, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sasofpe").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+      // the pre-epoch probe (id 1) AND version (id 100) drop as late;
+      // the post-epoch probe resolves to NULL — the dropped version must
+      // not have entered state (probe 99 stays pending: the watermark
+      // never passes its own event time)
+      assert(got == Set((2L, -1.0)),
+        s"pre-epoch rows must follow the late-drop contract: $got")
+    } finally q.stop()
+  }
+
   test("streaming as-of join retains the current version through pruning") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
