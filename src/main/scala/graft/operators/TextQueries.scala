@@ -979,6 +979,34 @@ object TextQueries {
         .orderBy("split", "source")
     }),
 
+    // CORPUS VERSION DIFF — the dataset-ops audit every managed corpus
+    // needs between releases: which documents were added, removed, or
+    // content-changed (by hash), per source. v2 is derived from v1
+    // deterministically (removals % 11, in-place edits % 7 = 3,
+    // additions re-keyed above 100000) so both engines build identical
+    // snapshots; the diff is ONE full-outer equi-join on doc_id + a
+    // hash compare — at 100 TB that is one co-partitionable shuffle,
+    // and with both releases bucketed on doc_id it is exchange-free.
+    "t37_corpus_diff" -> ((s, d) => {
+      val v1 = docs(s, d).selectExpr("doc_id", "source", "md5(text) AS h")
+      val v2 = docs(s, d).where("doc_id % 11 <> 0")
+        .selectExpr("doc_id", "source",
+          "md5(CASE WHEN doc_id % 7 = 3 THEN concat(text, ' v2') " +
+            "ELSE text END) AS h")
+        .unionByName(docs(s, d).where("doc_id % 13 = 0")
+          .selectExpr("doc_id + 100000 AS doc_id", "source", "md5(text) AS h"))
+      v1.selectExpr("doc_id", "source AS s1", "h AS h1")
+        .join(v2.selectExpr("doc_id", "source AS s2", "h AS h2"),
+          Seq("doc_id"), "full_outer")
+        .selectExpr(
+          "CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed' " +
+            "WHEN h1 <> h2 THEN 'changed' ELSE 'same' END AS status",
+          "coalesce(s1, s2) AS source")
+        .groupBy("status", "source")
+        .agg(expr("CAST(count(*) AS BIGINT)").as("n"))
+        .orderBy("status", "source")
+    }),
+
     // C4-style cross-corpus span dedup: explode disjoint 8-token spans,
     // keep only each span's globally-first occurrence (ordered by doc then
     // position), drop the rest — the "repeated three-sentence span"
@@ -1195,6 +1223,24 @@ object TextQueries {
             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
             CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
           FROM a GROUP BY 1, 2 ORDER BY split, source""",
+
+    // the same derived v2 snapshot and the same full-outer hash compare
+    "t37_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+          v2 AS (SELECT doc_id, source,
+                   md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                        ELSE text END) AS h
+                 FROM documents WHERE doc_id % 11 <> 0
+                 UNION ALL
+                 SELECT doc_id + 100000, source, md5(text)
+                 FROM documents WHERE doc_id % 13 = 0)
+          SELECT CASE WHEN v1.h IS NULL THEN 'added'
+                      WHEN v2.h IS NULL THEN 'removed'
+                      WHEN v1.h <> v2.h THEN 'changed' ELSE 'same' END AS status,
+            coalesce(v1.source, v2.source) AS source,
+            CAST(count(*) AS BIGINT) AS n
+          FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+          GROUP BY 1, 2 ORDER BY status, source""",
 
     // the four-stage chain re-derived declaratively: QUALIFY row_number
     // = 1 is the dedup's keep-min-id, NOT IN the anti-join (h is never
