@@ -72,12 +72,18 @@ class PerfBudgetSpec extends AnyFunSuite {
     val (details, probe) = readDetail()
     assume(details.nonEmpty, "bench_detail.json holds no per-query entries")
     val r = PerfGate.ratio(probe)
-    val over = PerfGate.inversions(details, r)
+    val over = PerfGate.inversions(details, r, PerfBudgets.harnessPaced)
     // name the mechanism class when the samples ramp monotonically —
     // the r12 e14 signature: JVM state accumulating ACROSS runs (check
     // the query's jit_ms/cc_mb counters in bench_detail.json), not a
-    // plan defect and not box contention
+    // plan defect and not box contention. The accumulating sweep runs
+    // UN-exempted: a monotone ramp on a replay gate (the s03 leak
+    // class) must stay red even though its plain inversion is noise.
     val acc = PerfGate.accumulating(details, r).map(_._1).toSet
+    val rampedReplay = acc.intersect(PerfBudgets.harnessPaced)
+    assert(rampedReplay.isEmpty,
+      s"replay gates with strictly-increasing samples (state leaking " +
+        s"across runs — check state-store unload / jit_ms / cc_mb): $rampedReplay")
     assert(over.isEmpty,
       "steady > first (query, first, min steady):\n  " +
         over.map { case (q, f1, s1) =>
@@ -166,5 +172,26 @@ class PerfBudgetSpec extends AnyFunSuite {
   test("the r8 q99 re-paying-work pathology still trips the inversion gate") {
     val patho = Map("q99_layered" -> PerfGate.Detail(4.28, Seq(6.99, 7.1, 7.05)))
     assert(PerfGate.inversions(patho, 1.0).map(_._1) == Seq("q99_layered"))
+  }
+
+  test("replay gates: noisy inversions exempt, monotone ramps stay red") {
+    // the r13 full-run specimen: s08's lucky 2.41 s first against
+    // non-monotone 3.7/5.3/4.8 steadies on a byte-identical binary —
+    // harness scheduling, not re-paying work. The exemption silences
+    // exactly this; a NON-replay query with the same numbers still trips.
+    val noisy = Map(
+      "s08_stream_dsir_topk" -> PerfGate.Detail(2.41, Seq(3.717, 5.334, 4.846)),
+      "q03_cumsum" -> PerfGate.Detail(2.41, Seq(3.717, 5.334, 4.846)))
+    val inv = PerfGate.inversions(noisy, 1.0, PerfBudgets.harnessPaced)
+    assert(inv.map(_._1) == Seq("q03_cumsum"),
+      s"replay noise must be exempt, plan queries must not: $inv")
+    assert(PerfBudgets.harnessPaced.contains("s08_stream_dsir_topk"),
+      "the manifest must actually cover the replay gates")
+    // the r11 s03 state-store leak signature on a replay gate: strictly
+    // increasing steadies — the ACCUMULATING sweep ignores the exemption
+    val leak = Map(
+      "s03_stream_packing" -> PerfGate.Detail(1.7, Seq(7.7, 9.5, 11.0)))
+    assert(PerfGate.accumulating(leak, 1.0).map(_._1) == Seq("s03_stream_packing"),
+      "a monotone ramp on a replay gate must stay detectable")
   }
 }

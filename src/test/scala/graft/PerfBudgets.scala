@@ -99,4 +99,14 @@ object PerfBudgets {
     "t35_leakage_split" -> 6.0,
     "td02_tiledb_shadow" -> 2,
   )
+
+  /** The streaming replay gates: wall time is harness scheduling
+    * (AvailableNow no-data batches, state-store maintenance, watermark
+    * polling), so the first-vs-steady inversion tripwire is noise for
+    * them — exempted in [[PerfGate.inversions]]. Their BUDGETS above
+    * still gate absolute drift, and the ACCUMULATING monotone-ramp
+    * detector still applies (the s03 leak class). */
+  val harnessPaced: Set[String] =
+    (1 to 16).map(i => f"s$i%02d").flatMap(p => budgets.keys.filter(_.startsWith(p + "_"))).toSet ++
+      Set("s03_stream_packing", "s01_stream_gopher", "s02_stream_dedup")
 }

@@ -82,9 +82,22 @@ object PerfGate {
     * tripwire exists for. Both bounds scale by the contention ratio —
     * steadies measured later in a contended session inflate relative to
     * an early first run. */
-  def inversions(details: Map[String, Detail],
-                 r: Double): Seq[(String, Double, Double)] =
+  /** `harnessPaced` (r13): queries whose wall time is REPLAY-HARNESS
+    * scheduling — streaming gates that run a bounded file replay to
+    * completion (AvailableNow no-data batches, state-store maintenance
+    * ticks, watermark-commit polling). For them first-vs-steady ordering
+    * is timing noise in BOTH directions (observed on byte-identical
+    * binaries: s07 steadies 23.8/18.4/11.5 after a 21.4 s first in one
+    * full run, 5.4 s flat in the next; s08 first 2.4 lucky vs 3.7–5.3
+    * steadies) — so the inversion tripwire exempts them. The
+    * ACCUMULATING detector deliberately does NOT honor the exemption:
+    * a monotone cross-run ramp on a replay gate is exactly how the r11
+    * s03 state-store maintenance leak surfaced, and that signal stays
+    * armed for every query. */
+  def inversions(details: Map[String, Detail], r: Double,
+                 harnessPaced: Set[String] = Set.empty): Seq[(String, Double, Double)] =
     details.toSeq
+      .filterNot { case (q, _) => harnessPaced(q) }
       .map { case (q, d) => (q, d.first, d.samples.min) }
       .filter { case (_, f, s) => s > f * 1.25 * r && s - f > 1.0 * r }
       .sortBy { case (_, f, s) => f - s }
