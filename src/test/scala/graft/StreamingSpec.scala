@@ -986,6 +986,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming as-of fuzz: every variant matches brute force across batch splits") {
+    // 60 rows over 3 keys on a small timestamp grid (simultaneous rows
+    // and exact ties occur), fed in EVENT-TIME ORDER across 6 batches —
+    // sorted feeding keeps every row ahead of the watermark, so the
+    // completed replay must equal the batch-side brute answer for all
+    // four variants. A far-future probe per key flushes the tails.
+    val rnd = new scala.util.Random(20260816)
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import StreamOps.AsofIn
+    // grid starts at 1s: a row AT the epoch instant is dropped by the
+    // platform's 0-initialized watermark in the very first batch (the
+    // boundary twin of the pre-epoch pin above) before any operator
+    // sees it — real corpora live decades away from it
+    val rows = (0 until 60).map { i =>
+      AsofIn(ts(rnd.nextInt(40) + 1), rnd.nextInt(3).toLong, i.toLong,
+        if (rnd.nextInt(3) == 0) 0 else 1, rnd.nextInt(100) / 10.0)
+    }.sortBy(r => (r.ts.getTime, r.id))
+    val flush = (0L until 3L).map(k => AsofIn(ts(10000), k, -1L - k, 1, 0.0))
+    val hUs = 6000000L // 6 s forward horizon / tolerance
+    val rights = rows.filter(_.side == 0).map(r => (r.user, r.ts.getTime, r.id, r.v))
+    def brute(variant: String): Map[Long, Option[Double]] =
+      rows.filter(_.side == 1).map { p =>
+        val lts = p.ts.getTime
+        val cands = rights.filter(_._1 == p.user)
+        val back = cands.filter(_._2 <= lts)
+          .sortBy(c => (c._2, c._3)).lastOption
+        val fwd = cands.filter(c => c._2 > lts && (c._2 - lts) * 1000 <= hUs)
+          .sortBy(c => (c._2, -c._3)).headOption
+        val pick = variant match {
+          case "backward" => back
+          case "tolerance" =>
+            back.filter(c => (lts - c._2) * 1000 <= hUs)
+          case "forward" =>
+            // forward includes the simultaneous row (rts >= lts)
+            cands.filter(c => c._2 >= lts && (c._2 - lts) * 1000 <= hUs)
+              .sortBy(c => (c._2, -c._3)).headOption
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (lts - b._2 <= f._2 - lts) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        p.id -> pick.map(_._4)
+      }.toMap
+    def run(name: String, mk: org.apache.spark.sql.Dataset[AsofIn] =>
+        org.apache.spark.sql.Dataset[StreamOps.AsofOut]): Map[Long, Option[Double]] = {
+      val in = MemoryStream[AsofIn]
+      val q = mk(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(10).foreach { b => in.addData(b); q.processAllAvailable() }
+        in.addData(flush); q.processAllAvailable()
+        spark.table(name).collect().filter(_.getLong(1) >= 0)
+          .map(r => r.getLong(1) ->
+            (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      } finally q.stop()
+    }
+    val variants: Seq[(String, org.apache.spark.sql.Dataset[AsofIn] =>
+        org.apache.spark.sql.Dataset[StreamOps.AsofOut])] = Seq(
+      ("fzb", ds => StreamOps.asofJoin(ds, watermark = "5 seconds")),
+      ("fzt", ds => StreamOps.asofJoin(ds, watermark = "5 seconds",
+        toleranceUs = Some(hUs))),
+      ("fzf", ds => StreamOps.asofJoinForward(ds, hUs, watermark = "5 seconds")),
+      ("fzn", ds => StreamOps.asofJoinNearest(ds, hUs, watermark = "5 seconds")))
+    val names = Map("fzb" -> "backward", "fzt" -> "tolerance",
+      "fzf" -> "forward", "fzn" -> "nearest")
+    for ((qn, mk) <- variants) {
+      val got = run(qn, mk)
+      val want = brute(names(qn))
+      assert(got.size == want.size,
+        s"${names(qn)}: resolved ${got.size} probes, expected ${want.size}")
+      val diff = want.keys.filter(id => got(id) != want(id))
+      assert(diff.isEmpty, s"${names(qn)} diverges at ${diff.take(5).toList}: " +
+        diff.take(5).map(id => s"id $id got ${got(id)} want ${want(id)}").mkString("; "))
+    }
+  }
+
   test("streaming as-of join retains the current version through pruning") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
