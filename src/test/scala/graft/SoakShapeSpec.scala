@@ -48,7 +48,10 @@ class SoakShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // r13 late: the end-to-end composite — its four stages must keep
     // their fixed exchange budget (quality scan → dedup partial-agg →
     // HINTED broadcast anti-join → final keyed agg) at any corpus size
-    "t36_pipeline_end2end")
+    "t36_pipeline_end2end",
+    // r13 late: sessionization — one per-user hash exchange feeding both
+    // window passes and the aggregation, at any corpus size
+    "j09_sessionize")
 
   private val factors = Seq(10, 100)
 
