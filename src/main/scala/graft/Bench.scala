@@ -133,12 +133,58 @@ object Bench {
       .flatMap(SparkEntry.queries.get).foreach(fn => runOnce(fn))
     spark.catalog.clearCache()
 
+    // Session-residue instrumentation (r13 verdict "next" #1: the
+    // q14/q05 in-suite ACCUMULATING inflation is unexplained by the
+    // jit/cc counters — the prime suspect is background residue from
+    // the 16 streaming replay gates). Three gauges recorded per query:
+    // live JVM thread count, the StateStore loaded-provider registry
+    // size + whether its maintenance task is running, and the listener
+    // bus's total queued-event depth. All reflective with -1 fallback —
+    // forensics must never fail the bench.
+    def threadsNow(): Int =
+      java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount
+    def stateStoreGauges(): (Int, Int) = try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val module = cls.getField("MODULE$").get(null)
+      val f = cls.getDeclaredField("loadedProviders")
+      f.setAccessible(true)
+      val n = f.get(module).asInstanceOf[scala.collection.mutable.Map[_, _]].size
+      val mnt = cls.getMethod("isMaintenanceRunning").invoke(module)
+        .asInstanceOf[Boolean]
+      (n, if (mnt) 1 else 0)
+    } catch { case _: Throwable => (-1, -1) }
+    def listenerQueueDepth(): Int = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val qm = bus.getClass.getDeclaredMethod("queues")
+      qm.setAccessible(true)
+      val queues = qm.invoke(bus)
+        .asInstanceOf[java.util.concurrent.CopyOnWriteArrayList[AnyRef]]
+      queues.asScala.map { q =>
+        q.getClass.getMethod("org$apache$spark$scheduler$AsyncEventQueue$$eventQueue")
+          .invoke(q).asInstanceOf[java.util.concurrent.LinkedBlockingQueue[_]].size
+      }.sum
+    } catch { case _: Throwable => -1 }
+
     // dev loop: SPARK_GRAFT_ONLY=q05_sliding_mean,l01_tsqr_rtr times a subset
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // Deterministic measurement order, STREAMING REPLAY GATES LAST
+    // (r13 verdict "next" #1). The query registry is a hash map, so the
+    // old iteration order interleaved the 17 replay gates among the
+    // batch queries at hash-order random — any residue a replay leaves
+    // in the JVM (state-store maintenance, listener backlog, codegen
+    // churn) then lands in whichever batch queries hashed after it,
+    // unattributably (r12's e14, r13's q14/q05). Batch queries now run
+    // first in sorted-name order, replay gates after them; the headline
+    // total is order-invariant, and any residue class can only pollute
+    // other replay gates — whose budgets are harness-paced anyway.
+    val streamGates = operators.StreamQueries.queries.keySet
+    val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .sortBy { case (name, _) => (streamGates.contains(name), name) }
+    val results = ordered.map { case (name, fn) =>
       val jit0 = jitMsNow(); val gc0 = gcMsNow()
       val first = runOnce(fn, name)
       // unpersist anything run 1 leaked so later runs can't skip real work
@@ -157,27 +203,32 @@ object Bench {
         drainJit()
         t
       }
+      val (ssp, mnt) = stateStoreGauges()
       val counters = (jitMsNow() - jit0, gcMsNow() - gc0,
-        poolMb("CodeHeap"), poolMb("Metaspace"))
+        poolMb("CodeHeap"), poolMb("Metaspace"),
+        threadsNow(), ssp, mnt, listenerQueueDepth())
       name -> (first, samples(0), samples(1), samples(2), counters)
     }
     def median3(a: Double, b: Double, c: Double): Double =
       Seq(a, b, c).sorted.apply(1)
     // steady = median of the three post-warm samples (see above); all
     // samples are recorded so cross-round comparisons can see the spread
-    val total = results.values.map { case (_, s1, s2, s3, _) => median3(s1, s2, s3) }.sum
-    val firstTotal = results.values.map(_._1).sum
+    val total = results.map { case (_, (_, s1, s2, s3, _)) => median3(s1, s2, s3) }.sum
+    val firstTotal = results.map(_._2._1).sum
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query detail → a file (the harness tail buffer holds only
     // the last ~2000 chars of stdout, so a 191-query map never fits there).
-    val bySteady = results.toSeq
+    val bySteady = results
       .map { case (k, (f, s1, s2, s3, c)) => (k, (f, median3(s1, s2, s3), s1, s2, s3, c)) }
       .sortBy { case (_, (_, s, _, _, _, _)) => -s }
-    val detailQs = bySteady.map { case (k, (f, s, s1, s2, s3, (jit, gc, cc, meta))) =>
-      s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) +
-        ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + ",\"s3\":" + fmt(s3) +
-        ",\"jit_ms\":" + jit + ",\"gc_ms\":" + gc +
-        ",\"cc_mb\":" + fmt(cc) + ",\"meta_mb\":" + fmt(meta) + "}"
+    val detailQs = bySteady.map {
+      case (k, (f, s, s1, s2, s3, (jit, gc, cc, meta, thr, ssp, mnt, lbq))) =>
+        s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) +
+          ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + ",\"s3\":" + fmt(s3) +
+          ",\"jit_ms\":" + jit + ",\"gc_ms\":" + gc +
+          ",\"cc_mb\":" + fmt(cc) + ",\"meta_mb\":" + fmt(meta) +
+          ",\"thr\":" + thr + ",\"ssp\":" + ssp + ",\"mnt\":" + mnt +
+          ",\"lbq\":" + lbq + "}"
     }
     val probeEnd = probeMs()
     java.nio.file.Files.writeString(

@@ -155,11 +155,24 @@ object JoinOps {
     * (key, band) finds every pair exactly once; the exact inequality
     * then filters band-mates outside the interval. One explode (2×
     * the right side's keys only) + one hash-partitioned equi-join —
-    * shuffle volume O(|l| + 2|r|), never a per-key cross. */
+    * shuffle volume O(|l| + 2|r|), never a per-key cross.
+    *
+    * OUTER-JOIN CONTRACT (r13 ADVICE): for the outer flavors,
+    * `lOut.head` (left/full) and `rOut.head` (right/full) must each
+    * UNIQUELY identify their side's rows — the partnerless-row sweep is
+    * an anti-join on that id, so a duplicated id whose twin matched
+    * would silently drop the partnerless twin SQL's OUTER JOIN keeps
+    * (the same documented-determinism class as [[asof]]'s right-side
+    * (key, ts) uniqueness). Pass `checkIds = true` to enforce it with a
+    * count-vs-distinct assertion per outer side — one extra
+    * aggregation job over the id column; the j06/j07/j08 verify gates
+    * run with it on, production callers opt in when the id's
+    * provenance is not already a key. */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 ts: String, widthUs: Long,
                 lOut: Seq[String], rOut: Seq[String],
-                joinType: String = "inner"): DataFrame = {
+                joinType: String = "inner",
+                checkIds: Boolean = false): DataFrame = {
     require(widthUs > 0, s"rangeJoin width must be positive, got $widthUs")
     require(Seq("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
       s"rangeJoin supports inner/left_outer/right_outer/full_outer, got $joinType")
@@ -204,8 +217,18 @@ object JoinOps {
     // drop a partnerless duplicate that SQL's OUTER JOIN keeps. The
     // right side deduplicates its band explosion before the anti-join
     // (each right row appears under two band keys).
+    def requireUniqueIds(side: DataFrame, id: String, name: String): Unit =
+      if (checkIds) {
+        val row = side.agg(count(col(id)).as("n"),
+          count_distinct(col(id)).as("d")).head()
+        require(row.getLong(0) == row.getLong(1),
+          s"rangeJoin $joinType: $name id column '$id' is not unique " +
+            s"(${row.getLong(0)} rows, ${row.getLong(1)} distinct) — " +
+            "partnerless duplicates would be dropped; see the scaladoc contract")
+      }
     def leftMisses(): DataFrame = {
       val lId = lOut.head
+      requireUniqueIds(left, lId, "left")
       l.join(inner.select(lId).distinct(), Seq(lId), "left_anti")
         .select(Seq(col(lId)) ++ lOut.tail.map(col) ++
           rOut.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
@@ -213,6 +236,7 @@ object JoinOps {
     }
     def rightMisses(): DataFrame = {
       val rId = rOut.head
+      requireUniqueIds(right, rId, "right")
       r.drop("_band").dropDuplicates(rId)
         .join(inner.select(rId).distinct(), Seq(rId), "left_anti")
         .select(lOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
@@ -393,7 +417,7 @@ object JoinOps {
       val r = ev.where("event_id % 10 = 0").selectExpr("user_id", "ts", "event_id AS b")
       rangeJoin(l, r, key = "user_id", ts = "ts",
           widthUs = 6L * 3600 * 1000000, lOut = Seq("a"), rOut = Seq("b"),
-          joinType = "left_outer")
+          joinType = "left_outer", checkIds = true)
         .selectExpr("user_id AS u", "a", "coalesce(b, -1L) AS b")
         .orderBy("u", "a", "b")
     }),
@@ -441,7 +465,7 @@ object JoinOps {
       val r = ev.where("event_id % 10 = 0").selectExpr("user_id", "ts", "event_id AS b")
       rangeJoin(l, r, key = "user_id", ts = "ts",
           widthUs = 6L * 3600 * 1000000, lOut = Seq("a"), rOut = Seq("b"),
-          joinType = "full_outer")
+          joinType = "full_outer", checkIds = true)
         .selectExpr("user_id AS u", "coalesce(a, -1L) AS a", "coalesce(b, -1L) AS b")
         .orderBy("u", "a", "b")
     })

@@ -557,6 +557,31 @@ object MatrixQueries {
       a.join(b, Seq("idx")).orderBy("idx")
     }),
 
+    // v3 CONSOLIDATED METADATA round trip (r13 "what's missing" #3 —
+    // z10 covered only zarr-python's v2 `.zmetadata` layout; a v3 store
+    // paid per-member GETs): two v3 members (distinct chunk sizes and
+    // compressors so a key mixup cannot cancel) are written,
+    // consolidated into the root `zarr.json`'s `consolidated_metadata`
+    // field, and BOTH are read back purely through that one root object
+    // (ZarrSpec pins "purely" by deleting a member's own zarr.json
+    // first). At 100 TB this is the v3 object-store open cost: one GET
+    // for a hierarchy of thousands of arrays.
+    "z11_zarr_consolidated_v3" -> ((s, d) => {
+      val root = s"/tmp/graft_zarr_z11_${new java.io.File(d).getName}"
+      val el = s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+      graft.sources.Zarr.write1d(el, s"$root/a", 1000, chunk = 256,
+        compressor = Some("gzip"), format = 3)
+      graft.sources.Zarr.write1d(el.selectExpr("idx", "v * 2 AS v"),
+        s"$root/b", 1000, chunk = 250, format = 3)
+      graft.sources.Zarr.consolidateMetadataV3(root)
+      val a = graft.sources.Zarr.read1dConsolidated(s, root, "a")
+        .selectExpr("idx", "v AS va")
+      val b = graft.sources.Zarr.read1dConsolidated(s, root, "b")
+        .selectExpr("idx", "v AS vb")
+      a.join(b, Seq("idx")).orderBy("idx")
+    }),
+
     // int64 dtype fidelity (reference carries real dtypes, _expr.py:213):
     // values ABOVE 2^53 round-trip a <i8 zarr store bit-for-bit through
     // the LongType read path — any cast through double would corrupt the
@@ -1146,6 +1171,11 @@ object MatrixQueries {
 
     // both members re-derive from events: va = v, vb = 2v (exact in f8)
     "z10_zarr_consolidated" ->
+      """SELECT event_id AS idx, value AS va, value * 2 AS vb FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
+
+    // same derivation through the v3 consolidated path
+    "z11_zarr_consolidated_v3" ->
       """SELECT event_id AS idx, value AS va, value * 2 AS vb FROM events
          WHERE event_id < 1000 ORDER BY idx""",
 

@@ -202,6 +202,18 @@ object StreamOps {
     * the dedup keeps inside a micro-batch, every output column (h,
     * split, source, n_tok, q) is text-derived and identical — the
     * property that makes the unordered replay gate (s13) exact.
+    *
+    * DATA ASSUMPTION (r13 ADVICE): `source` is the one emitted column
+    * NOT derived from the text — survivor-invariance for it holds only
+    * because duplicates of a text share their source (true of the gate
+    * corpus and of the re-crawl/re-shard duplication this stage
+    * models). If identical text can arrive from DIFFERENT sources, the
+    * surviving row's source is whichever copy the batch kept — drop
+    * `source` downstream or pre-normalize it (e.g. min(source) per
+    * hash) before relying on it; the s13 oracle's DISTINCT
+    * (h, source, …) agrees with the operator only under this
+    * assumption.
+    *
     * Scale: one stateful hash-partitioned operator, one broadcast,
     * everything else codegen projections. */
   def pipelineClean(docs: Dataset[SrcDoc], evalHashes: DataFrame,

@@ -92,6 +92,20 @@ class PerfBudgetSpec extends AnyFunSuite {
         }.mkString("\n  "))
   }
 
+  test("the replay-harness exemption covers exactly the registered streaming gates") {
+    // r13 verdict "next" #8: the exemption set must BE the streaming
+    // replay gate registry — never a name-prefix sweep a future batch
+    // query could stumble into, and never stale against a new gate.
+    assert(PerfBudgets.harnessPaced == graft.operators.StreamQueries.queries.keySet)
+    // and every exempted name really is an s-prefixed replay gate
+    assert(PerfBudgets.harnessPaced.forall(_.matches("s\\d\\d_.*")),
+      s"non-gate name in the exemption: ${PerfBudgets.harnessPaced.filterNot(_.matches("s\\d\\d_.*"))}")
+    // every streaming gate above the default budget has an explicit row
+    // (a new gate silently inheriting the 1.5 s default would flap)
+    val missing = PerfBudgets.harnessPaced.filterNot(PerfBudgets.budgets.contains)
+    assert(missing.isEmpty, s"streaming gates without an explicit budget: $missing")
+  }
+
   // ---- contract pins on synthetic artifacts (r11 verdict #2 done-criteria)
 
   /** r11's committed driver artifact, reconstructed: the six queries the

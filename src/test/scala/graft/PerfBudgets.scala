@@ -84,6 +84,9 @@ object PerfBudgets {
     "s14_stream_asof_tolerance" -> 13.0, // s12's replay class, one extra projection
     "s15_stream_asof_forward" -> 13.0, // same replay class, forward state shape
     "s16_stream_asof_nearest" -> 13.0, // same replay class, union state shape
+    // r14 gate: s11's mirror (both-sides-stateful replay, two-sentinel
+    // flush) — same observed scheduling band, same budget
+    "s17_stream_interval_right" -> 30.0,
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,
@@ -105,8 +108,12 @@ object PerfBudgets {
     * polling), so the first-vs-steady inversion tripwire is noise for
     * them — exempted in [[PerfGate.inversions]]. Their BUDGETS above
     * still gate absolute drift, and the ACCUMULATING monotone-ramp
-    * detector still applies (the s03 leak class). */
-  val harnessPaced: Set[String] =
-    (1 to 16).map(i => f"s$i%02d").flatMap(p => budgets.keys.filter(_.startsWith(p + "_"))).toSet ++
-      Set("s03_stream_packing", "s01_stream_gopher", "s02_stream_dedup")
+    * detector still applies (the s03 leak class).
+    *
+    * Defined as exactly the REGISTERED replay gates (r13 verdict "next"
+    * #8: the previous `s01..s16`-prefix sweep would have silently
+    * handed the exemption to any future batch query that happened to be
+    * named `s…`). Every member IS a [[graft.operators.StreamQueries]]
+    * gate by construction; PerfBudgetSpec pins the membership. */
+  val harnessPaced: Set[String] = graft.operators.StreamQueries.queries.keySet
 }

@@ -786,6 +786,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("right-outer interval join: NULLs for unmatched RIGHT rows only, after eviction") {
+    // the s17 gate's contract at spec scale (r13 "what's missing" #2):
+    // matched pairs emit eagerly; a partnerless STATUS (right) row
+    // emits exactly once with a NULL left once the watermark passes its
+    // horizon; a partnerless LEFT row must never emit
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val lIn = MemoryStream[StreamOps.EvId]
+    val rIn = MemoryStream[StreamOps.EvId]
+    val q = StreamOps.intervalJoinTwo(lIn.toDS(), rIn.toDS(),
+        window = "10 seconds", watermark = "20 seconds",
+        joinType = "right_outer")
+      .writeStream.format("memory").queryName("ssjr").outputMode("append").start()
+    def rows() = spark.table("ssjr").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    try {
+      // user 1: left 1 at 1s matches right 2 at 5s; left 3 (user 2) has
+      // no right partner; right 4 (user 3) has no left partner
+      lIn.addData(StreamOps.EvId(ts(1), 1, 1), StreamOps.EvId(ts(3), 2, 3))
+      rIn.addData(StreamOps.EvId(ts(5), 1, 2), StreamOps.EvId(ts(4), 3, 4))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1L, 2L)),
+        s"the right NULL must wait for the watermark: ${rows()}")
+      lIn.addData(StreamOps.EvId(ts(1000), 9, 99))
+      rIn.addData(StreamOps.EvId(ts(1000), 9, 98))
+      q.processAllAvailable()
+      // right-only 4 surfaces once with a NULL left; left-only 3 does
+      // NOT (that is the left-outer/full-outer side); no NULL twin for
+      // the matched pair
+      assert(rows() == Set((1L, 1L, 2L), (9L, 99L, 98L), (3L, -1L, 4L)),
+        s"right outer must emit only the right side's unmatched rows: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming pipeline composite: quality, dedup, decontam, hash-keyed split") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext

@@ -756,4 +756,71 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(eUncons.getMessage.contains("not consolidated"))
   }
+
+  test("consolidated lookup ignores a member key spelled inside an attribute string") {
+    // r13 ADVICE: the old flat-regex lookup matched the FIRST occurrence
+    // of '"a/.zarray":' anywhere in the document — an embedded .zattrs
+    // whose string VALUE contains that spelling (with a decoy metadata
+    // object after it) would be parsed as the member's metadata. The
+    // top-level walker must skip it.
+    val root = Files.createTempDirectory("zarrdecoy").toString
+    val sp = spark
+    import sp.implicits._
+    val el = (0 until 120).map(i => (i.toLong, i * 0.5)).toDF("idx", "v")
+    Zarr.writeGroup(root)
+    Zarr.write1d(el, s"$root/a", 120, chunk = 50, compressor = Some("zlib"))
+    // a root .zattrs whose value embeds the member key + a decoy meta —
+    // consolidation inlines it into .zmetadata BEFORE "a/.zarray"
+    // (".zattrs" sorts first), exactly the hijack position
+    Files.write(Paths.get(root, ".zattrs"),
+      """{"note": "see \"a/.zarray\": {\"shape\": [9], \"chunks\": [9]} for details"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Zarr.consolidateMetadata(root)
+    val doc = new String(Files.readAllBytes(Paths.get(root, ".zmetadata")),
+      StandardCharsets.UTF_8)
+    assert(doc.indexOf("a/.zarray") < doc.lastIndexOf("a/.zarray"),
+      "the decoy must precede the real key for this test to bite")
+    val ma = Zarr.readMetaConsolidated(root, "a")
+    assert(ma.shape == Seq(120L) && ma.chunks == Seq(50L),
+      s"lookup hijacked by the embedded decoy: $ma")
+  }
+
+  test("v3 consolidated metadata: root zarr.json alone opens members") {
+    val root = Files.createTempDirectory("zarrcons3").toString
+    val sp = spark
+    import sp.implicits._
+    val el = (0 until 120).map(i => (i.toLong, i * 0.5)).toDF("idx", "v")
+    Zarr.write1d(el, s"$root/a", 120, chunk = 50,
+      compressor = Some("gzip"), format = 3)
+    Zarr.write1d(el.selectExpr("idx", "v + 1 AS v"), s"$root/b", 120,
+      chunk = 40, format = 3)
+    Zarr.consolidateMetadataV3(root)
+    // zarr-python 3's layout: node_type group + consolidated_metadata
+    // with kind inline and per-member zarr.json docs keyed by node path
+    val doc = new String(Files.readAllBytes(Paths.get(root, "zarr.json")),
+      StandardCharsets.UTF_8)
+    for (k <- Seq("\"node_type\": \"group\"", "\"consolidated_metadata\"",
+        "\"kind\": \"inline\"", "\"must_understand\": false", "\"a\":", "\"b\":"))
+      assert(doc.contains(k), s"missing $k in root zarr.json:\n$doc")
+    // PROOF the consolidated path never GETs the member's own zarr.json
+    Files.delete(Paths.get(root, "a", "zarr.json"))
+    val ma = Zarr.readMetaConsolidated(root, "a")
+    assert(ma.format == 3 && ma.chunks == Seq(50L) &&
+      ma.compressor.contains("gzip"), s"wrong v3 meta: $ma")
+    val va = Zarr.read1dConsolidated(spark, root, "a")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(va.length == 120 && va(7) == 3.5, s"member a wrong: ${va.take(8).toSeq}")
+    val vb = Zarr.read1dConsolidated(spark, root, "b")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(vb(7) == 4.5, "member b must resolve its OWN meta, not a's")
+    // loud failures: absent member; a v3 ARRAY store is not consolidated
+    val eAbsent = intercept[RuntimeException] {
+      Zarr.readMetaConsolidated(root, "nope")
+    }
+    assert(eAbsent.getMessage.contains("absent"))
+    val eArr = intercept[RuntimeException] {
+      Zarr.readMetaConsolidated(s"$root/b", "")
+    }
+    assert(eArr.getMessage.contains("not consolidated"))
+  }
 }
