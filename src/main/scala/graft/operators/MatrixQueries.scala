@@ -377,6 +377,28 @@ object MatrixQueries {
       a.crossJoin(b)
     }),
 
+    // CHUNKED HDF5 ingest (r13 "what's missing" #4 — real HDF5 corpora
+    // are usually chunked; h01/h02 covered only the contiguous subset):
+    // a single chunked file (v1 chunk B-tree, ragged edge chunk,
+    // shuffle+deflate pipeline — the h5py gzip default) written by the
+    // pure-Scala chunked writer and read back through the same two-phase
+    // scan. The driver-side value collect is gate-scale test rigging for
+    // the single-file writer; at corpus scale ingest reads MANY such
+    // files distributedly (one task per file, chunk B-trees decoded on
+    // executors, never the driver).
+    "h03_hdf5_chunked" -> ((s, d) => {
+      val file = s"/tmp/graft_h5_h03_${new java.io.File(d).getName}.h5"
+      val vals = new Array[Double](1000)
+      s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+        .collect().foreach(r => vals(r.getLong(0).toInt) = r.getDouble(1))
+      val (fs, base) = graft.sources.StoreIO.fsOf(file, s.sparkContext.hadoopConfiguration)
+      graft.sources.StoreIO.writeFile(fs, base,
+        graft.sources.Hdf5.h5BytesChunked("data", vals, Seq(1000L),
+          Seq(256L), deflate = true, shuffle = true))
+      graft.sources.Hdf5.read(s, file).orderBy("idx")
+    }),
+
     // TileDB dense round trip (reference from_tiledb/to_tiledb,
     // io/_tiledb.py:12,72): one fragment per block task, committed-
     // fragment manifest read, distributed a0.tdb decode
@@ -1325,6 +1347,10 @@ object MatrixQueries {
          WHERE event_id < 1000 ORDER BY idx""",
 
     "h01_hdf5_roundtrip" ->
+      """SELECT event_id AS idx, value AS v FROM events
+         WHERE event_id < 1000 ORDER BY idx""",
+
+    "h03_hdf5_chunked" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
 

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *  - version-1 object headers (with continuation-block support),
   *  - dataspace v1/v2, IEEE little-endian float (f4/f8) and fixed-point
   *    (i1/i2/i4/i8) datatypes, fill-value skipped,
-  *  - data layout v3, contiguous or compact (chunked/B-tree-indexed
-  *    layouts are rejected loudly — the STACK is this engine's scale
-  *    path, mirroring `to_npy_stack`: one contiguous-file block per
-  *    task, so no single-file chunk index ever becomes a driver
-  *    bottleneck).
+  *  - data layout v3: contiguous, compact, or CHUNKED (r14 — a real
+  *    HDF5 corpus is usually chunked): v1 chunk B-tree at any depth,
+  *    full-size edge chunks with clipping, and the deflate(1)/
+  *    shuffle(2) filter pipeline — the h5py gzip default; fletcher32/
+  *    szip/nbit are rejected loudly. The STACK remains the engine's
+  *    scale path, mirroring `to_npy_stack`: one block file per task,
+  *    so no single-file chunk index ever becomes a driver bottleneck —
+  *    chunked support is for INGESTING externally-produced files.
   *
   * The writer emits exactly that subset (h5py reads these files); the
   * reader accepts any conforming file. Reading follows the
@@ -147,13 +150,214 @@ object Hdf5 {
     buf.array()
   }
 
+  /** Serialize ONE float64 dataset with CHUNKED layout (v1 chunk
+    * B-tree, optional shuffle+deflate pipeline — the h5py `gzip` /
+    * `shuffle` defaults) — the writer half of the r14 chunked-read
+    * support, so round trips prove the codec against itself byte-up.
+    * Edge chunks store FULL chunk dims with zero padding (HDF5's
+    * contract; readers clip). Chunks deliberately stay in one level-0
+    * B-tree node — files written here are block files of a stack, whose
+    * chunk counts are small by construction; a reader accepts any
+    * depth. */
+  def h5BytesChunked(name: String, vals: Array[Double], shape: Seq[Long],
+                     chunkDims: Seq[Long], deflate: Boolean = false,
+                     shuffle: Boolean = false): Array[Byte] = {
+    require(vals.length.toLong == shape.product,
+      s"$name: ${vals.length} values for shape $shape")
+    require(chunkDims.length == shape.length && chunkDims.forall(_ > 0),
+      s"$name: bad chunk dims $chunkDims for shape $shape")
+    require(name.nonEmpty && !name.contains('/'), s"bad dataset name '$name'")
+    val rank = shape.length
+    val grid = shape.zip(chunkDims).map { case (s, c) => (s + c - 1) / c }
+    val cElems = chunkDims.product.toInt
+    val rowStrides = shape.scanRight(1L)(_ * _).tail
+    // enumerate chunk corners in C order and extract full-size blobs
+    val corners = grid.foldLeft(Seq(Seq.empty[Long])) { (acc, g) =>
+      acc.flatMap(pre => (0L until g).map(k => pre :+ k))
+    }
+    val filters: Seq[Int] =
+      (if (shuffle) Seq(2) else Nil) ++ (if (deflate) Seq(1) else Nil)
+    val blobs = corners.map { corner =>
+      val off = corner.zip(chunkDims).map { case (c, d) => c * d }
+      val buf = ByteBuffer.allocate(cElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val local = new Array[Long](rank)
+      var i = 0
+      while (i < cElems) {
+        var inBounds = true
+        var flat = 0L
+        var a = 0
+        while (a < rank) {
+          val g = off(a) + local(a)
+          if (g >= shape(a)) { inBounds = false; a = rank }
+          else { flat += g * rowStrides(a); a += 1 }
+        }
+        buf.putDouble(if (inBounds) vals(flat.toInt) else 0.0)
+        var d = rank - 1
+        while (d >= 0) {
+          local(d) += 1
+          if (local(d) < chunkDims(d)) d = -1 else { local(d) = 0; d -= 1 }
+        }
+        i += 1
+      }
+      var payload = buf.array()
+      filters.foreach {
+        case 2 => // shuffle: all byte-0s then byte-1s … (inverse of unshuffle)
+          val es = 8; val n = payload.length / es
+          val sh = new Array[Byte](payload.length)
+          var j = 0
+          while (j < es) {
+            var i2 = 0
+            while (i2 < n) { sh(j * n + i2) = payload(i2 * es + j); i2 += 1 }
+            j += 1
+          }
+          payload = sh
+        case 1 =>
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(payload); d.finish()
+          val out = new java.io.ByteArrayOutputStream(payload.length)
+          val tmp = new Array[Byte](65536)
+          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          payload = out.toByteArray
+      }
+      (off, payload)
+    }
+    // ---- layout plan ----
+    val rootOhAddr = 96L
+    val heapAddr = rootOhAddr + 40
+    val heapDataSize = 8 + pad8(name.length + 1)
+    val heapDataAddr = heapAddr + 32
+    val treeAddr = heapDataAddr + heapDataSize
+    val treeSize = 24 + 9 * 8 + 8 * 8
+    val snodAddr = treeAddr + treeSize
+    val snodSize = 8 + 8 * 40
+    val filterBody = if (filters.isEmpty) 0 else 8 + 16 * filters.size
+    val filterMsg = if (filters.isEmpty) 0 else 8 + filterBody
+    val layoutBody = pad8(11 + 4 * (rank + 1))
+    val ohSize = 16 + (16 + 8 * rank) + 32 + 16 + filterMsg + (8 + layoutBody)
+    val ohAddr = snodAddr + snodSize
+    val btreeAddr = ohAddr + ohSize
+    val keySize = 8 + 8 * (rank + 1)
+    val btreeSize = 24 + blobs.size * (keySize + 8) + keySize
+    val dataAddrs = blobs.map(_._2.length.toLong)
+      .scanLeft(btreeAddr + btreeSize)(_ + _)
+    val eof = dataAddrs.last
+    require(eof <= Int.MaxValue,
+      s"single chunked .h5 file would be $eof bytes (> 2 GiB buffer limit)")
+
+    val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    // superblock v0 + root STE (identical to h5Bytes)
+    buf.put(Sig)
+    buf.put(Array[Byte](0, 0, 0, 0, 0, 8, 8, 0))
+    buf.putShort(4); buf.putShort(16)
+    buf.putInt(0)
+    buf.putLong(0L); buf.putLong(Undef); buf.putLong(eof); buf.putLong(Undef)
+    buf.putLong(0L); buf.putLong(rootOhAddr)
+    buf.putInt(1); buf.putInt(0)
+    buf.putLong(treeAddr); buf.putLong(heapAddr)
+    // root OH: symbol-table message
+    buf.put(1.toByte); buf.put(0.toByte); buf.putShort(1)
+    buf.putInt(1); buf.putInt(24); buf.putInt(0)
+    buf.putShort(0x0011); buf.putShort(16); buf.putInt(0)
+    buf.putLong(treeAddr); buf.putLong(heapAddr)
+    // local heap with the one name
+    buf.put("HEAP".getBytes("ASCII")); buf.put(0.toByte)
+    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putLong(heapDataSize.toLong)
+    buf.putLong(1L)
+    buf.putLong(heapDataAddr)
+    buf.putLong(0L)
+    val nb = new Array[Byte](pad8(name.length + 1))
+    System.arraycopy(name.getBytes("ASCII"), 0, nb, 0, name.length)
+    buf.put(nb)
+    // group B-tree + SNOD (one entry)
+    buf.put("TREE".getBytes("ASCII")); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putShort(1)
+    buf.putLong(Undef); buf.putLong(Undef)
+    buf.putLong(0L)
+    buf.putLong(snodAddr)
+    buf.putLong(8L)
+    buf.position(buf.position() + (treeSize - 24 - 3 * 8))
+    buf.put("SNOD".getBytes("ASCII")); buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort(1)
+    buf.putLong(8L); buf.putLong(ohAddr)
+    buf.putInt(0); buf.putInt(0)
+    buf.putLong(0L); buf.putLong(0L)
+    buf.position(buf.position() + (snodSize - 8 - 40))
+    // dataset OH
+    buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort((if (filters.isEmpty) 4 else 5).toShort)
+    buf.putInt(1); buf.putInt(ohSize - 16); buf.putInt(0)
+    //   dataspace v1
+    buf.putShort(0x0001); buf.putShort((8 + 8 * rank).toShort); buf.putInt(0)
+    buf.put(1.toByte); buf.put(rank.toByte); buf.put(0.toByte)
+    buf.put(new Array[Byte](5))
+    shape.foreach(buf.putLong)
+    //   datatype f8 LE
+    buf.putShort(0x0003); buf.putShort(24); buf.putInt(0)
+    buf.put(0x11.toByte)
+    buf.put(0x20.toByte); buf.put(0x3f.toByte); buf.put(0.toByte)
+    buf.putInt(8)
+    buf.putShort(0); buf.putShort(64)
+    buf.put(52.toByte); buf.put(11.toByte)
+    buf.put(0.toByte); buf.put(52.toByte)
+    buf.putInt(1023)
+    buf.putInt(0)
+    //   fill value v2, undefined
+    buf.putShort(0x0005); buf.putShort(8); buf.putInt(0)
+    buf.put(2.toByte); buf.put(2.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putInt(0)
+    //   filter pipeline v1 (application order; nameLen 0, one client val)
+    if (filters.nonEmpty) {
+      buf.putShort(0x000B); buf.putShort(filterBody.toShort); buf.putInt(0)
+      buf.put(1.toByte); buf.put(filters.size.toByte)
+      buf.put(new Array[Byte](6))
+      filters.foreach { id =>
+        buf.putShort(id.toShort); buf.putShort(0) // built-in: no name
+        buf.putShort(0); buf.putShort(1)          // mandatory, 1 client val
+        buf.putInt(if (id == 1) 6 else 8)         // level / element size
+        buf.putInt(0)                             // pad to even val count
+      }
+    }
+    //   layout v3 chunked
+    buf.putShort(0x0008); buf.putShort(layoutBody.toShort); buf.putInt(0)
+    buf.put(3.toByte); buf.put(2.toByte); buf.put((rank + 1).toByte)
+    buf.putLong(btreeAddr)
+    chunkDims.foreach(c => buf.putInt(c.toInt))
+    buf.putInt(8) // element size dim
+    buf.position(buf.position() + (layoutBody - 11 - 4 * (rank + 1)))
+    // chunk B-tree (level 0, one node)
+    buf.put("TREE".getBytes("ASCII")); buf.put(1.toByte); buf.put(0.toByte)
+    buf.putShort(blobs.size.toShort)
+    buf.putLong(Undef); buf.putLong(Undef)
+    blobs.zipWithIndex.foreach { case ((off, blob), k) =>
+      buf.putInt(blob.length); buf.putInt(0)
+      off.foreach(buf.putLong); buf.putLong(0L)
+      buf.putLong(dataAddrs(k))
+    }
+    // final key: one past the end of the grid
+    buf.putInt(0); buf.putInt(0)
+    shape.foreach(buf.putLong); buf.putLong(0L)
+    // chunk data
+    blobs.foreach { case (_, blob) => buf.put(blob) }
+    buf.array()
+  }
+
   // ------------------------------------------------------------------- read
 
   /** One dataset's metadata. `dtype` ∈ f8 f4 i1 i2 i4 i8. `dataAddr` is
-    * -2 for compact layout (payload carried in `compact`). */
+    * -2 for compact layout (payload carried in `compact`), -3 for
+    * CHUNKED layout (chunk index rooted at `btreeAddr`, walked lazily by
+    * [[parseData]] — the driver's metadata-prefix pass never needs it).
+    * `filters` is the dataset's filter pipeline in APPLICATION order
+    * (1 = deflate, 2 = shuffle — the h5py gzip default); decode applies
+    * the inverse chain in reverse. */
   final case class H5Dataset(name: String, shape: Seq[Long], dtype: String,
                              dataAddr: Long, dataSize: Long,
-                             compact: Array[Byte] = null)
+                             compact: Array[Byte] = null,
+                             chunkDims: Seq[Long] = Nil,
+                             btreeAddr: Long = -1L,
+                             filters: Seq[Int] = Nil)
 
   private final class Rd(bytes: Array[Byte]) {
     val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -244,6 +448,9 @@ object Hdf5 {
     var dtype: String = null
     var dataAddr = -1L; var dataSize = -1L
     var compact: Array[Byte] = null
+    var chunkDims: Seq[Long] = Nil
+    var btreeAddr = -1L
+    var filters: Seq[Int] = Nil
     foreachMessage(rd, ohAddr) { (tpe, body, msz) =>
       tpe match {
         case 0x0001 => // dataspace v1 (8-byte prefix) or v2 (4-byte prefix)
@@ -279,34 +486,197 @@ object Hdf5 {
               dataAddr = -2L; dataSize = n.toLong
             case 1 =>
               dataAddr = rd.i64(body + 2); dataSize = rd.i64(body + 10)
-            case 2 => throw new IllegalArgumentException(
-              s"$name: chunked layout unsupported — write a contiguous stack " +
-                "(one block file per task) instead; see Hdf5.writeStack")
+            case 2 =>
+              // chunked (r14 — was rejected): dimensionality counts the
+              // trailing ELEMENT-SIZE dim; chunk dims are u32 each. The
+              // chunk index (v1 B-tree) is only walked by parseData, so
+              // the driver's metadata-prefix pass stays O(header).
+              val dim = rd.u8(body + 2)
+              btreeAddr = rd.i64(body + 3)
+              val dims = (0 until dim).map(k => rd.i32(body + 11 + 4 * k).toLong)
+              chunkDims = dims.dropRight(1)
+              dataAddr = -3L
+          }
+        case 0x000B => // filter pipeline: deflate(1) / shuffle(2) only
+          val ver = rd.u8(body)
+          require(ver == 1 || ver == 2,
+            s"$name: filter pipeline version $ver unsupported")
+          val nf = rd.u8(body + 1)
+          var p = body + (if (ver == 1) 8 else 2)
+          val ids = Seq.newBuilder[Int]
+          var k = 0
+          while (k < nf) {
+            val id = rd.u16(p)
+            val nameLen = rd.u16(p + 2)
+            val cvals = rd.u16(p + 6)
+            ids += id
+            // v1 pads names to 8 and client data to whole 8-byte words
+            // (4-byte pad when the value count is odd); v2 drops both
+            val namePad =
+              if (ver == 1) pad8(nameLen)
+              else if (id < 256) 0 else nameLen
+            val cvalPad =
+              if (ver == 1 && cvals % 2 == 1) 4 * (cvals + 1) else 4 * cvals
+            p += 8 + namePad + cvalPad
+            k += 1
+          }
+          filters = ids.result()
+          filters.foreach { id =>
+            require(id == 1 || id == 2, s"$name: filter id $id unsupported " +
+              "(deflate=1 and shuffle=2 only — fletcher32/szip/nbit would " +
+              "silently mis-decode, refusing)")
           }
         case _ => ()
       }
     }
     if (shape == null || dtype == null) None
-    else Some(H5Dataset(name, shape, dtype, dataAddr, dataSize, compact))
+    else Some(H5Dataset(name, shape, dtype, dataAddr, dataSize, compact,
+      chunkDims, btreeAddr, filters))
   }
 
-  /** Decode a dataset's payload to doubles (C-order flat). */
-  def parseData(bytes: Array[Byte], ds: H5Dataset): Array[Double] = {
-    val payload =
-      if (ds.dataAddr == -2L) ds.compact
-      else java.util.Arrays.copyOfRange(bytes, ds.dataAddr.toInt,
-        (ds.dataAddr + ds.dataSize).toInt)
+  private def elemSize(dtype: String): Int = dtype match {
+    case "f8" | "i8" => 8
+    case "f4" | "i4" => 4
+    case "i2" => 2
+    case "i1" => 1
+  }
+
+  private def decodeValues(payload: Array[Byte], dtype: String,
+                           n: Int): Array[Double] = {
     val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-    val n = ds.shape.product.toInt
     val out = new Array[Double](n)
     var i = 0
-    ds.dtype match {
+    dtype match {
       case "f8" => while (i < n) { out(i) = b.getDouble(); i += 1 }
       case "f4" => while (i < n) { out(i) = b.getFloat().toDouble; i += 1 }
       case "i8" => while (i < n) { out(i) = b.getLong().toDouble; i += 1 }
       case "i4" => while (i < n) { out(i) = b.getInt().toDouble; i += 1 }
       case "i2" => while (i < n) { out(i) = b.getShort().toDouble; i += 1 }
       case "i1" => while (i < n) { out(i) = b.get().toDouble; i += 1 }
+    }
+    out
+  }
+
+  /** One chunk-index entry: file address + stored size + per-filter skip
+    * mask + grid offsets (element coordinates of the chunk's corner). */
+  private final case class H5Chunk(addr: Long, size: Int, mask: Int,
+                                   offsets: Seq[Long])
+
+  /** Walk a v1 raw-data-chunk B-tree (node type 1, any depth): key =
+    * stored size (4) + filter mask (4) + one 8-byte offset per dim
+    * INCLUDING the trailing element-size dim (always 0). */
+  private def chunkEntries(rd: Rd, addr: Long, rank: Int): Seq[H5Chunk] = {
+    require(rd.ascii(addr.toInt, 4) == "TREE", "bad chunk B-tree signature")
+    require(rd.u8(addr.toInt + 4) == 1, "chunk B-tree node type must be 1")
+    val level = rd.u8(addr.toInt + 5)
+    val used = rd.u16(addr.toInt + 6)
+    val keySize = 8 + 8 * (rank + 1)
+    val out = Seq.newBuilder[H5Chunk]
+    var p = addr.toInt + 24
+    var e = 0
+    while (e < used) {
+      val size = rd.i32(p)
+      val mask = rd.i32(p + 4)
+      val offs = (0 until rank).map(k => rd.i64(p + 8 + 8 * k))
+      val child = rd.i64(p + keySize)
+      if (level > 0) out ++= chunkEntries(rd, child, rank)
+      else out += H5Chunk(child, size, mask, offs)
+      p += keySize + 8
+      e += 1
+    }
+    out.result()
+  }
+
+  /** Inverse of the HDF5 shuffle filter: stored = all byte-0s, then all
+    * byte-1s, … of the chunk's elements. */
+  private def unshuffle(in: Array[Byte], es: Int): Array[Byte] = {
+    if (es <= 1 || in.length % es != 0) return in
+    val n = in.length / es
+    val out = new Array[Byte](in.length)
+    var j = 0
+    while (j < es) {
+      var i = 0
+      while (i < n) { out(i * es + j) = in(j * n + i); i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  private def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    val buf = new Array[Byte](65536)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      require(k > 0 || inf.finished(), "truncated deflate stream in chunk")
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Decode a dataset's payload to doubles (C-order flat). Chunked
+    * datasets assemble from their (full-size — HDF5 stores edge chunks
+    * at full chunk dims, unlike zarr) chunks with edge clipping; the
+    * filter chain reverses in pipeline order, honoring each entry's
+    * skip bit in the chunk's filter mask. */
+  def parseData(bytes: Array[Byte], ds: H5Dataset): Array[Double] = {
+    if (ds.dataAddr == -3L) return parseChunked(bytes, ds)
+    val payload =
+      if (ds.dataAddr == -2L) ds.compact
+      else java.util.Arrays.copyOfRange(bytes, ds.dataAddr.toInt,
+        (ds.dataAddr + ds.dataSize).toInt)
+    decodeValues(payload, ds.dtype, ds.shape.product.toInt)
+  }
+
+  private def parseChunked(bytes: Array[Byte], ds: H5Dataset): Array[Double] = {
+    val rd = new Rd(bytes)
+    val rank = ds.shape.length
+    require(ds.chunkDims.length == rank,
+      s"${ds.name}: chunk rank ${ds.chunkDims.length} != shape rank $rank")
+    val n = ds.shape.product.toInt
+    val out = new Array[Double](n) // unwritten chunks read as the 0 fill
+    val cElems = ds.chunkDims.product.toInt
+    val rowStrides = ds.shape.scanRight(1L)(_ * _).tail // C-order strides
+    if (ds.btreeAddr == Undef || ds.btreeAddr < 0) return out // no chunks written
+    chunkEntries(rd, ds.btreeAddr, rank).foreach { c =>
+      var payload = java.util.Arrays.copyOfRange(
+        bytes, c.addr.toInt, c.addr.toInt + c.size)
+      // reverse the pipeline: last-applied filter decodes first; mask
+      // bit i set = filter i was SKIPPED for this chunk
+      ds.filters.zipWithIndex.reverse.foreach { case (id, i) =>
+        if ((c.mask & (1 << i)) == 0) payload = id match {
+          case 1 => inflate(payload)
+          case 2 => unshuffle(payload, elemSize(ds.dtype))
+        }
+      }
+      require(payload.length == cElems * elemSize(ds.dtype),
+        s"${ds.name}: chunk at ${c.offsets} decoded ${payload.length} bytes, " +
+          s"expected ${cElems * elemSize(ds.dtype)} (full-size chunk storage)")
+      val vals = decodeValues(payload, ds.dtype, cElems)
+      // C-order copy with edge clipping (rank-generic odometer)
+      val local = new Array[Long](rank)
+      var i = 0
+      while (i < cElems) {
+        var inBounds = true
+        var flat = 0L
+        var a = 0
+        while (a < rank) {
+          val g = c.offsets(a) + local(a)
+          if (g >= ds.shape(a)) { inBounds = false; a = rank }
+          else { flat += g * rowStrides(a); a += 1 }
+        }
+        if (inBounds) out(flat.toInt) = vals(i)
+        // odometer increment over chunkDims
+        var d = rank - 1
+        while (d >= 0) {
+          local(d) += 1
+          if (local(d) < ds.chunkDims(d)) d = -1
+          else { local(d) = 0; d -= 1 }
+        }
+        i += 1
+      }
     }
     out
   }

@@ -49,22 +49,67 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
-  test("chunked layout is rejected loudly, not silently misread") {
-    val bytes = Hdf5.h5Bytes(Seq(("d", Array.tabulate(8)(_.toDouble), Seq(8L))))
-    // locate the layout message (version 3, class 1) and flip the class
-    // byte to 2 (chunked) — the reader must refuse with guidance
+  test("chunked layout: ragged 1-d round trip through the v1 chunk B-tree") {
+    val vals = Array.tabulate(100)(i => (i * 3 % 17).toDouble)
+    val bytes = Hdf5.h5BytesChunked("d", vals, Seq(100L), Seq(32L))
+    val ds = Hdf5.datasets(bytes)
+    assert(ds.size == 1 && ds.head.name == "d")
+    assert(ds.head.dataAddr == -3L && ds.head.chunkDims == Seq(32L))
+    assert(Hdf5.parseData(bytes, ds.head).toSeq == vals.toSeq)
+  }
+
+  test("chunked layout: edge-chunk padding is clipped, never read as data") {
+    // HDF5 stores edge chunks FULL-SIZE; the final chunk of 100/32 holds
+    // 4 valid values + 28 padding slots. Poke garbage into the padded
+    // tail bytes — the decode must clip it, not surface it.
+    val vals = Array.tabulate(100)(i => (i % 7).toDouble)
+    val bytes = Hdf5.h5BytesChunked("d", vals, Seq(100L), Seq(32L))
+    // uncompressed chunk blobs sit at the file tail: the padded region
+    // is the last 28 * 8 bytes of the file
+    val patched = bytes.clone()
+    for (k <- patched.length - 28 * 8 until patched.length)
+      patched(k) = 0x5a.toByte
+    val ds = Hdf5.datasets(patched).head
+    val got = Hdf5.parseData(patched, ds)
+    assert(got.length == 100 && got.toSeq == vals.toSeq,
+      "padded edge-chunk bytes leaked into the decoded data")
+  }
+
+  test("chunked layout: shuffle + deflate pipeline round-trips") {
+    val vals = Array.tabulate(257)(i => ((i * 31) % 101).toDouble - 50)
+    val bytes = Hdf5.h5BytesChunked("d", vals, Seq(257L), Seq(64L),
+      deflate = true, shuffle = true)
+    val ds = Hdf5.datasets(bytes).head
+    assert(ds.filters == Seq(2, 1), s"pipeline order wrong: ${ds.filters}")
+    assert(bytes.length < 257 * 8, "deflate produced no compression on repetitive data")
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+  }
+
+  test("chunked layout: rank-2 ragged grid reassembles in C order") {
+    val vals = Array.tabulate(7 * 9)(i => (i * 13 % 23).toDouble)
+    val bytes = Hdf5.h5BytesChunked("m", vals, Seq(7L, 9L), Seq(3L, 4L),
+      deflate = true)
+    val ds = Hdf5.datasets(bytes).head
+    assert(ds.shape == Seq(7L, 9L) && ds.chunkDims == Seq(3L, 4L))
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+  }
+
+  test("unsupported filter ids are rejected loudly, not silently misread") {
+    val bytes = Hdf5.h5BytesChunked("d",
+      Array.tabulate(16)(_.toDouble), Seq(16L), Seq(8L), deflate = true)
+    // find the filter-pipeline message (type 0x000B, version byte 1 at
+    // body start) and flip the deflate id (1) to fletcher32 (3)
     var patched: Array[Byte] = null
     var i = 0
-    while (patched == null && i < bytes.length - 1) {
-      if (bytes(i) == 3 && bytes(i + 1) == 1 &&
-          java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            .getLong(i + 2) > 0 && i > 200) {
-        val c = bytes.clone(); c(i + 1) = 2; patched = c
+    while (patched == null && i < bytes.length - 18) {
+      if (bytes(i) == 0x0B && bytes(i + 1) == 0 && bytes(i + 8) == 1 &&
+          bytes(i + 9) == 1 && bytes(i + 16) == 1 && bytes(i + 17) == 0) {
+        val c = bytes.clone(); c(i + 16) = 3; patched = c
       }
       i += 1
     }
-    assert(patched != null, "layout message not found to patch")
+    assert(patched != null, "filter message not found to patch")
     val e = intercept[IllegalArgumentException](Hdf5.datasets(patched))
-    assert(e.getMessage.contains("chunked"))
+    assert(e.getMessage.contains("filter id 3"))
   }
 }
