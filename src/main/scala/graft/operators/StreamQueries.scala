@@ -1085,6 +1085,40 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // STREAMING NEAR-DUP CANDIDATES under the oracle — previously the
+    // ONE spec-only streaming operator (its emitted pair set depends on
+    // arrival order whenever the per-bucket window w is smaller than a
+    // bucket). With w >= the LARGEST bucket, every arriving doc pairs
+    // with every earlier doc of its bucket, so the DISTINCT pair set
+    // equals the batch all-pairs-within-bucket semantics no matter how
+    // the replay splits batches — which is what makes the unordered
+    // replay hash-gateable. The gate derives w from the corpus (max
+    // bucket size, ~145 at the 200-doc gate slice); PRODUCTION keeps w
+    // bounded and derives band width from corpus size
+    // (TextQueries.bandBits) — the documented trade: this gate proves
+    // the stateful pairing EXACT, the production window bounds
+    // candidates at O(n·w). Constant positive event time ⇒ no bucket
+    // evicts mid-replay (the s02 pattern; eviction is StreamingSpec's).
+    "s18_stream_neardup" -> ((s, d) => {
+      val banded = TextQueries.simhashBands(s, d, limit = 200)
+      val wMax = banded.groupBy("t", "bh").count()
+        .agg(max("count")).head().getLong(0).toInt
+      val src = banded.selectExpr(
+        "timestamp_seconds(1700000000) AS ts", "doc_id",
+        "CAST(t AS INT) AS band", "CAST(bh AS BIGINT) AS bh", "h AS sig")
+      val sp = s
+      import sp.implicits._
+      withFewShufflePartitions(s) {
+        replayToCompletion(s, src, nFiles = 4, stageKey = s"s18|$d",
+            corpusDir = d)(st =>
+          StreamOps.nearDupCandidates(st.as[StreamOps.SigDoc], w = wMax).toDF())
+      }
+        .where("ham <= 1")
+        .selectExpr("a", "b", "CAST(ham AS BIGINT) AS ham")
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
     // STREAMING END-TO-END PIPELINE under the oracle — t36's four-stage
     // chain as one continuous query (quality → within-watermark dedup →
     // broadcast decontamination → split), with the split keyed on the
@@ -1333,6 +1367,11 @@ object StreamQueries {
            ASOF LEFT JOIN r b ON l.u = b.u AND l.ts >= b.ts
            ASOF LEFT JOIN r f ON l.u = f.u AND l.ts <= f.ts
          ORDER BY event_id""",
+
+    // t11's simhash/banding fragments, all-pairs-per-bucket (the gate's
+    // w covers whole buckets), exact Hamming, near-dups only
+    "s18_stream_neardup" ->
+      TextQueries.simhashAllPairsOracle(limit = 200, maxHam = 1),
 
     // t36's stage chain with the survivor-invariant dedup (DISTINCT on
     // the text-derived columns) and the hash-keyed split rule

@@ -250,6 +250,33 @@ object TextQueries {
     math.max(4, math.min(16, ceilLog2))
   }
 
+  /** Banded 16-bit simhash rows (doc_id, h, t, bh) for the sub-corpus
+    * doc_id < `limit` — the stateless signature prep the streaming
+    * near-dup gate (s18) replays through the stateful bucket pairing.
+    * Same kernel ([[graft.functions.TextSig]]) and the same 4×4-bit
+    * banding as the batch t11 pipeline. */
+  def simhashBands(s: SparkSession, d: String, limit: Long): DataFrame =
+    sigTable(s, d).where(s"doc_id < $limit")
+      .selectExpr("doc_id", "simhash AS h")
+      .selectExpr("doc_id", "CAST(h AS BIGINT) AS h", bandStackExpr(4, 4))
+
+  /** DuckDB oracle for the s18 streaming near-dup gate: ALL same-bucket
+    * pairs (no window bound — the gate's w covers whole buckets) of the
+    * doc_id < `limit` sub-corpus with exact Hamming ≤ `maxHam`. The
+    * simhash/banding fragments are t11's verbatim. */
+  def simhashAllPairsOracle(limit: Long, maxHam: Int): String =
+    s"""WITH sh AS (SELECT doc_id, ${duckSimhashOf("dhl")} AS h
+           FROM $duckHashed WHERE doc_id < $limit),
+        bands AS (SELECT doc_id, h, t,
+          CASE ${(0 until 4).map(t => s"WHEN t = $t THEN (h // ${1 << (4 * t)}) % 16").mkString(" ")} END AS bh
+          FROM sh, generate_series(0, 3) g(t))
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS ham
+        FROM bands x JOIN bands y ON x.t = y.t AND x.bh = y.bh
+          AND y.doc_id > x.doc_id
+        WHERE bit_count(xor(x.h, y.h)) <= $maxHam
+        ORDER BY a, b"""
+
   /** `tables` × b-bit band key generator over a 64-bit signature column
     * `h` — the one stack() both the oracle-pinned 4-bit queries and the
     * derived-width production path share. */

@@ -207,5 +207,17 @@ class PerfBudgetSpec extends AnyFunSuite {
       "s03_stream_packing" -> PerfGate.Detail(1.7, Seq(7.7, 9.5, 11.0)))
     assert(PerfGate.accumulating(leak, 1.0).map(_._1) == Seq("s03_stream_packing"),
       "a monotone ramp on a replay gate must stay detectable")
+    // the r14 run-3 specimen: a replay gate flat-but-elevated whose three
+    // samples land monotone WITHIN NOISE (3% spread, residue gauges all
+    // zero) — an inversion-class observation, NOT a leak; the material-
+    // ramp floor must keep it out of the accumulating sweep
+    val flatNoisy = Map(
+      "s16_stream_asof_nearest" -> PerfGate.Detail(4.61, Seq(6.024, 6.206, 6.210)))
+    assert(PerfGate.accumulating(flatNoisy, 1.0).isEmpty,
+      "hairline-monotone samples within noise must not classify as ACCUMULATING")
+    // and the r13 q14 driver specimen (+46% ramp) still classifies
+    val q14r13 = Map(
+      "q14_cummax" -> PerfGate.Detail(0.722, Seq(2.642, 3.315, 3.858)))
+    assert(PerfGate.accumulating(q14r13, 1.0).map(_._1) == Seq("q14_cummax"))
   }
 }

@@ -49,44 +49,38 @@ object PerfBudgets {
     "q96_randomstate" -> 2,
     "q98_randomstate_perm" -> 2,
     "q99_gamma_general" -> 3,
+    // Streaming replay gates, RE-TIGHTENED r14 (verdict #4 / ADVICE
+    // row 4): the r13 budgets sat at 3× a band that included the
+    // pre-quiesce maintenance-tick outliers (s11 observed 7–19 s, one
+    // 214 s total). With the r14 quiesce bundle (StateStore.stop after
+    // every gate + 1 h maintenance interval scoped around replays +
+    // gates measured last) FOUR consecutive full batteries landed in a
+    // ±4.3% total band and every gate's worst steady is below; these
+    // are ~2× the 4-run max steady, rounded up to 0.5 — the gate's +2..4 s
+    // noiseSlack and the contention-probe widening still sit on top.
     "s01_stream_gopher" -> 3.5,
-    "s02_stream_dedup" -> 5.5,
-    "s03_stream_packing" -> 5,
-    "s04_stream_sliding" -> 11,
-    "s05_stream_sessions" -> 9.5,
-    "s06_stream_totals" -> 5.5,
-    // r12 gates, 3× the first clean full-suite steady: the stream-stream
-    // join replays 100k events through BOTH join sides (state inserts +
-    // lookups per batch), BPE encode re-trains the 12 merges (24 vocab
-    // jobs) before the replay, and the top-K tournament replays 4
-    // stateful batches; all three are harness-replay cost, not plan weight
-    "s07_stream_interval_join" -> 20.0,
-    "s08_stream_dsir_topk" -> 6.0,
-    "s09_stream_bpe_encode" -> 13.0,
-    // r13 gate, 3× the first clean full-suite steady (8.2s): the
-    // left-outer replay pays s07's two-sided state cost PLUS a fifth
-    // (sentinel) batch and the watermark-driven NULL-emission sweep —
-    // harness-replay cost, not plan weight
-    "s10_stream_interval_outer" -> 25.0,
-    // same replay class as s10 but with BOTH sides stateful and a
-    // two-sentinel flush: observed clean-probe steadies range 7–19s
-    // across full-suite runs (no-data-batch/state-maintenance timing,
-    // samples non-monotone) — the budget sits above the observed band,
-    // not at 3× its best run
-    "s11_stream_interval_full" -> 30.0,
-    // r13 late gate: the temporal-join replay (5 ordered batches + the
-    // timeout-driven flush) measured 4.3s steady isolated — same
-    // harness-replay class as its siblings; 13 ≈ 3× observed
-    "s12_stream_asof_join" -> 13.0,
-    // r13 late gate: the four-stage streaming composite replay, 3.3s
-    // steady isolated — the s02 dedup-state class plus a broadcast
-    "s13_stream_pipeline" -> 10.0,
-    "s14_stream_asof_tolerance" -> 13.0, // s12's replay class, one extra projection
-    "s15_stream_asof_forward" -> 13.0, // same replay class, forward state shape
-    "s16_stream_asof_nearest" -> 13.0, // same replay class, union state shape
-    // r14 gate: s11's mirror (both-sides-stateful replay, two-sentinel
-    // flush) — same observed scheduling band, same budget
-    "s17_stream_interval_right" -> 30.0,
+    "s02_stream_dedup" -> 4.5,
+    "s03_stream_packing" -> 5.0, // incl. the r14 in-gate batch self-compare
+    "s04_stream_sliding" -> 9.5,
+    "s05_stream_sessions" -> 9.0,
+    "s06_stream_totals" -> 3.5,
+    "s07_stream_interval_join" -> 14.5,
+    "s08_stream_dsir_topk" -> 3.5,
+    "s09_stream_bpe_encode" -> 5.0,
+    "s10_stream_interval_outer" -> 16.0,
+    "s11_stream_interval_full" -> 15.0,
+    "s12_stream_asof_join" -> 8.5,
+    "s13_stream_pipeline" -> 5.5,
+    "s14_stream_asof_tolerance" -> 8.5,
+    "s15_stream_asof_forward" -> 11.0,
+    "s16_stream_asof_nearest" -> 12.5,
+    "s17_stream_interval_right" -> 15.0,
+    // r14 gate, not yet in a measured band: bucket-keyed
+    // flatMapGroupsWithState over the banded 200-doc slice (~72k
+    // in-bucket pair emissions per replay) plus the signature-kernel
+    // prep — the s02 replay class with a fatter state op; re-tighten
+    // from bench_detail once a full-battery band exists
+    "s18_stream_neardup" -> 10.0,
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,

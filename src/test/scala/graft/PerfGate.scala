@@ -103,21 +103,31 @@ object PerfGate {
       .sortBy { case (_, f, s) => f - s }
 
   /** The ACCUMULATING signature (r12 verdict #6): an inversion whose
-    * steady samples are STRICTLY INCREASING — each post-warm execution
-    * of a byte-identical plan slower than the last. Contention inflates
-    * a random subset of samples; re-paying-work (codegen-cache misses)
-    * inflates all of them about equally; only state that GROWS ACROSS
-    * RUNS — code-cache flush thrash, leaked state-store maintenance,
-    * metaspace churn — produces a monotone ramp. r12's e14 is the type
-    * specimen: first 7.5 s, steadies 19.4 / 21.8 / 23.6 s with a clean
-    * probe, isolated truth 2.0 s. Named separately so the failure
-    * message points at JVM-context forensics (the bench_detail
-    * jit_ms/cc_mb counters), not at the plan. */
+    * steady samples are STRICTLY INCREASING by a MATERIAL margin — each
+    * post-warm execution of a byte-identical plan slower than the last.
+    * Contention inflates a random subset of samples; re-paying-work
+    * (codegen-cache misses) inflates all of them about equally; only
+    * state that GROWS ACROSS RUNS — code-cache flush thrash, leaked
+    * state-store maintenance, metaspace churn — produces a monotone
+    * ramp. r12's e14 is the type specimen: first 7.5 s, steadies
+    * 19.4 / 21.8 / 23.6 s (+22%) with a clean probe, isolated truth
+    * 2.0 s; r13's q14 ramped +46%, r11's s03 +43%.
+    *
+    * The material-ramp floor (s3 ≥ 1.10 · s1 AND s3 − s1 > 0.5 s,
+    * r14): a flat-but-elevated replay gate whose three samples happen
+    * to land monotone within scheduling noise (observed: s16 at
+    * 6.024/6.206/6.210 — a 3% spread with every residue gauge reading
+    * zero) is the inversion/budget classes' problem, not a leak; the
+    * genuine leak specimens all ramp ≥ 20% across the three samples.
+    * Named separately so the failure message points at JVM-context
+    * forensics (the bench_detail jit_ms/cc_mb/ssp/mnt/lbq gauges), not
+    * at the plan. */
   def accumulating(details: Map[String, Detail],
                    r: Double): Seq[(String, Double, Seq[Double])] =
     inversions(details, r).flatMap { case (q, f, _) =>
       val s = details(q).samples
-      if (s.size >= 3 && s.sliding(2).forall { case Seq(a, b) => b > a })
+      if (s.size >= 3 && s.sliding(2).forall { case Seq(a, b) => b > a } &&
+          s.last >= s.head * 1.10 && s.last - s.head > 0.5)
         Some((q, f, s))
       else None
     }
