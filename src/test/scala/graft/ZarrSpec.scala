@@ -823,4 +823,28 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(eArr.getMessage.contains("not consolidated"))
   }
+
+  test("v3 consolidated metadata carries a SHARDED member's full codec config") {
+    // the combination a real v3 object store hits: consolidated opens of
+    // members whose zarr.json declares sharding_indexed — the inlined
+    // document must round-trip the shard config (inner chunk, index
+    // location) through the top-level walk, not just plain arrays
+    val root = Files.createTempDirectory("zarrcons3s").toString
+    val sp = spark
+    import sp.implicits._
+    val el = (0 until 200).map(i => (i.toLong, (i * 7 % 19) * 0.5)).toDF("idx", "v")
+    Zarr.write1dSharded(el, s"$root/sh", 200, chunk = 64, inner = 16,
+      compressor = Some("zstd"))
+    Zarr.write1d(el, s"$root/plain", 200, chunk = 50, format = 3)
+    Zarr.consolidateMetadataV3(root)
+    Files.delete(Paths.get(root, "sh", "zarr.json"))
+    val ms = Zarr.readMetaConsolidated(root, "sh")
+    assert(ms.format == 3 && ms.chunks == Seq(64L) &&
+      ms.shard.contains(Seq(16L)) && ms.compressor.contains("zstd"),
+      s"sharded meta lost through consolidation: $ms")
+    val vs = Zarr.read1dConsolidated(spark, root, "sh")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(vs.length == 200 && vs(7) == (7 * 7 % 19) * 0.5,
+      s"sharded member wrong through the consolidated path: ${vs.take(8).toSeq}")
+  }
 }

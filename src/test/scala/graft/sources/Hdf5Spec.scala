@@ -94,6 +94,70 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
   }
 
+  test("chunked layout: a MULTI-LEVEL chunk B-tree reads correctly") {
+    // our writer emits one level-0 node; real libraries split big chunk
+    // sets into internal+leaf nodes. Rewrite a 4-chunk file's index into
+    // a depth-1 tree (internal node -> two 2-entry leaves, appended at
+    // EOF) and patch the layout message's B-tree address — the reader's
+    // recursive walk must reassemble identically.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val vals = Array.tabulate(128)(i => ((i * 11) % 29).toDouble)
+    val bytes = Hdf5.h5BytesChunked("d", vals, Seq(128L), Seq(32L))
+    val ds0 = Hdf5.datasets(bytes).head
+    val bt = ds0.btreeAddr.toInt
+    val rd = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val used = rd.getShort(bt + 6)
+    assert(used == 4, s"expected 4 chunks, got $used")
+    val keySize = 8 + 8 * 2 // size+mask + (rank+1) offsets
+    val stride = keySize + 8
+    def entry(k: Int): Array[Byte] = {
+      val a = new Array[Byte](stride)
+      System.arraycopy(bytes, bt + 24 + k * stride, a, 0, stride)
+      a
+    }
+    def node(level: Int, entries: Seq[Array[Byte]], finalKey: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 + entries.size * stride + keySize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put("TREE".getBytes("ASCII")); b.put(1.toByte); b.put(level.toByte)
+      b.putShort(entries.size.toShort)
+      b.putLong(-1L); b.putLong(-1L)
+      entries.foreach(b.put)
+      b.put(finalKey, 0, keySize)
+      b.array()
+    }
+    def internalEntry(key: Array[Byte], child: Long): Array[Byte] = {
+      val a = key.clone()
+      ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).putLong(keySize, child)
+      a
+    }
+    val finalKey = entry(3).drop(0).take(keySize) // any key bytes; reader ignores
+    val leafA = node(0, Seq(entry(0), entry(1)), finalKey)
+    val leafB = node(0, Seq(entry(2), entry(3)), finalKey)
+    val leafAAddr = bytes.length.toLong
+    val leafBAddr = leafAAddr + leafA.length
+    val rootAddr = leafBAddr + leafB.length
+    val rootNode = node(1,
+      Seq(internalEntry(entry(0), leafAAddr), internalEntry(entry(2), leafBAddr)),
+      finalKey)
+    val patched = bytes ++ leafA ++ leafB ++ rootNode
+    // patch the layout message's btree address (version 3, class 2)
+    var at = -1
+    var i = 0
+    while (at < 0 && i < patched.length - 12) {
+      if (patched(i) == 0x08 && patched(i + 1) == 0 &&
+          patched(i + 8) == 3 && patched(i + 9) == 2 &&
+          ByteBuffer.wrap(patched).order(ByteOrder.LITTLE_ENDIAN)
+            .getLong(i + 11) == ds0.btreeAddr) at = i + 11
+      i += 1
+    }
+    assert(at > 0, "layout message not found to patch")
+    ByteBuffer.wrap(patched).order(ByteOrder.LITTLE_ENDIAN).putLong(at, rootAddr)
+    val ds = Hdf5.datasets(patched).head
+    assert(ds.btreeAddr == rootAddr)
+    assert(Hdf5.parseData(patched, ds).toSeq == vals.toSeq,
+      "multi-level chunk B-tree reassembly diverged")
+  }
+
   test("unsupported filter ids are rejected loudly, not silently misread") {
     val bytes = Hdf5.h5BytesChunked("d",
       Array.tabulate(16)(_.toDouble), Seq(16L), Seq(8L), deflate = true)
