@@ -202,7 +202,7 @@ object StreamQueries {
       try q.awaitTermination() finally {
         if (q.isActive) q.stop()
         dumpProgress(q)
-        captureReplayDiag(q, staged)
+        captureReplayDiag(q, staged, stageKey)
         unloadStateStores()
       }
       localizeAndCleanup(s, run, dir)
@@ -376,7 +376,7 @@ object StreamQueries {
     } finally {
       q.stop()
       dumpProgress(q)
-      captureReplayDiag(q, staged)
+      captureReplayDiag(q, staged, stageKey)
       unloadStateStores()
     }
     localizeAndCleanup(s, run, dir)
@@ -396,7 +396,8 @@ object StreamQueries {
   private[graft] var lastReplayDiag: Option[ReplayDiag] = None
 
   private def captureReplayDiag(
-      q: org.apache.spark.sql.streaming.StreamingQuery, staged: String): Unit = {
+      q: org.apache.spark.sql.streaming.StreamingQuery, staged: String,
+      stageKey: String): Unit = {
     def sha256(f: java.io.File): String = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.digest(java.nio.file.Files.readAllBytes(f.toPath))
@@ -412,6 +413,26 @@ object StreamQueries {
         (f.getPath.stripPrefix(staged + "/"), f.length, sha256(f)))
       lastReplayDiag =
         Some(ReplayDiag(staged, q.recentProgress.toIndexedSeq.map(_.json), files))
+      // persist the last execution's forensics PER GATE, unconditionally
+      // (cheap: gate corpora are KBs) — s03's in-session self-compare is
+      // the deep diagnostic, but a driver red on ANY replay gate should
+      // at least leave its batch sequence + staged-byte identity behind
+      val gate = stageKey.takeWhile(_ != '|')
+      def js(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n") + "\""
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_replay_diag")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve(s"$gate.json"), Seq(
+        "\"gate\":" + js(gate),
+        "\"wall_ms\":" + System.currentTimeMillis,
+        "\"staged_dir\":" + js(staged),
+        "\"staged_manifest\":" + files.map { case (n, len, h) =>
+          s"""{"file":${js(n)},"bytes":$len,"sha256":${js(h)}}"""
+        }.mkString("[", ",", "]"),
+        "\"batch_progress\":" +
+          q.recentProgress.toIndexedSeq.map(p => js(p.json)).mkString("[", ",", "]")
+      ).mkString("{", ",", "}"))
     } catch { case _: Throwable => lastReplayDiag = None }
   }
 
