@@ -468,6 +468,23 @@ object JoinOps {
           joinType = "full_outer", checkIds = true)
         .selectExpr("user_id AS u", "coalesce(a, -1L) AS a", "coalesce(b, -1L) AS b")
         .orderBy("u", "a", "b")
+    }),
+
+    // RIGHT-OUTER RANGE JOIN under the oracle (r14 — previously only a
+    // spec pin as "full's mirror"; with the streaming matrix fully
+    // gated via s17, the batch matrix now is too): matched pairs plus
+    // every partnerless STATUS row exactly once with a = -1. Same
+    // status/event split as j06/j08; event_id is the unique right id
+    // the contract requires (checkIds enforces it on the verify path).
+    "j10_range_join_right" -> ((s, d) => {
+      val ev = events(s, d)
+      val l = ev.where("event_id % 10 <> 0").selectExpr("user_id", "ts", "event_id AS a")
+      val r = ev.where("event_id % 10 = 0").selectExpr("user_id", "ts", "event_id AS b")
+      rangeJoin(l, r, key = "user_id", ts = "ts",
+          widthUs = 6L * 3600 * 1000000, lOut = Seq("a"), rOut = Seq("b"),
+          joinType = "right_outer", checkIds = true)
+        .selectExpr("user_id AS u", "coalesce(a, -1L) AS a", "b")
+        .orderBy("u", "a", "b")
     })
   )
 
@@ -578,6 +595,17 @@ object JoinOps {
          SELECT coalesce(l.u, r.u) AS u, coalesce(l.i, -1) AS a,
                 coalesce(r.i, -1) AS b
          FROM l FULL JOIN r ON l.u = r.u
+           AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
+         ORDER BY u, a, b""",
+
+    // the definitional RIGHT range join on the same split
+    "j10_range_join_right" ->
+      """WITH l AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                    WHERE event_id % 10 <> 0),
+           r AS (SELECT user_id AS u, event_id AS i, ts FROM events
+                 WHERE event_id % 10 = 0)
+         SELECT coalesce(l.u, r.u) AS u, coalesce(l.i, -1) AS a, r.i AS b
+         FROM l RIGHT JOIN r ON l.u = r.u
            AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 6 HOUR
          ORDER BY u, a, b"""
   )
