@@ -37,17 +37,29 @@ class PerfBudgetSpec extends AnyFunSuite {
 
   /** Parses per-query entries plus the contention probes (absent in
     * pre-r12 artifacts → no widening). Tolerates missing s1/s2/s3
-    * (pre-r11 artifacts recorded first/steady only). */
+    * (pre-r11 artifacts recorded first/steady only). r14: the trailing
+    * counters now include the residue gauges (ssp = loaded state-store
+    * providers, mnt = maintenance-task running) — parsed into
+    * `Detail.residue` so the accumulating sweep can demand gauge
+    * corroboration on replay gates; absent gauges (older artifacts)
+    * leave it None and the sweep stays fully armed. */
   private def parseDetail(text: String): (Map[String, PerfGate.Detail], Option[Double]) = {
     val entry = ("\"([A-Za-z0-9_]+)\":\\{\"first\":([0-9.]+),\"steady\":([0-9.]+)" +
       "(?:,\"s1\":([0-9.]+),\"s2\":([0-9.]+),\"s3\":([0-9.]+))?" +
-      "(?:,\"[a-z_]+\":-?[0-9.]+)*\\}").r // tolerate trailing counters (r13: jit_ms/gc_ms/cc_mb/meta_mb)
+      "((?:,\"[a-z_]+\":-?[0-9.]+)*)\\}").r // trailing counters captured (r13+: jit_ms/gc_ms/cc_mb/meta_mb/thr/ssp/mnt/lbq)
     val details = entry.findAllMatchIn(text).map { m =>
       val samples =
         if (m.group(4) != null)
           Seq(m.group(4).toDouble, m.group(5).toDouble, m.group(6).toDouble)
         else Seq(m.group(3).toDouble)
-      m.group(1) -> PerfGate.Detail(m.group(2).toDouble, samples)
+      val tail = Option(m.group(7)).getOrElse("")
+      def gauge(k: String): Option[Int] =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(tail).map(_.group(1).toInt)
+      val residue = (gauge("ssp"), gauge("mnt")) match {
+        case (Some(a), Some(b)) if a >= 0 && b >= 0 => Some(a > 0 || b > 0)
+        case _ => None // pre-r14 artifact or reflective gauge failure (-1)
+      }
+      m.group(1) -> PerfGate.Detail(m.group(2).toDouble, samples, residue)
     }.toMap
     val probe = ("\"probe_ms_(?:start|end)\":([0-9.]+)").r
       .findAllMatchIn(text).map(_.group(1).toDouble).toSeq
@@ -62,7 +74,7 @@ class PerfBudgetSpec extends AnyFunSuite {
     if (r > 1.0) info(f"CONTENDED bench artifact: probe ${probe.get}%.0f ms " +
       f"vs ${PerfGate.probeBoundMs}%.0f bound — gates widened ${r}%.2f×")
     val over = PerfGate.overBudget(details, budgets, defaultBudget, r,
-      probed = probe.isDefined)
+      probed = probe.isDefined, harnessPaced = PerfBudgets.harnessPaced)
     assert(over.isEmpty,
       "measured time over budget (query, measured, budget):\n  " +
         over.map { case (q, s, b) => f"$q: $s%.2fs > $b%.1fs" }.mkString("\n  "))
@@ -76,10 +88,11 @@ class PerfBudgetSpec extends AnyFunSuite {
     // name the mechanism class when the samples ramp monotonically —
     // the r12 e14 signature: JVM state accumulating ACROSS runs (check
     // the query's jit_ms/cc_mb counters in bench_detail.json), not a
-    // plan defect and not box contention. The accumulating sweep runs
-    // UN-exempted: a monotone ramp on a replay gate (the s03 leak
-    // class) must stay red even though its plain inversion is noise.
-    val acc = PerfGate.accumulating(details, r).map(_._1).toSet
+    // plan defect and not box contention. Replay-gate ramps classify
+    // only with residue-gauge corroboration (r14 — see PerfGate); plan
+    // queries and gauge-less artifacts stay fully armed.
+    val acc = PerfGate.accumulating(details, r, PerfBudgets.harnessPaced)
+      .map(_._1).toSet
     val rampedReplay = acc.intersect(PerfBudgets.harnessPaced)
     assert(rampedReplay.isEmpty,
       s"replay gates with strictly-increasing samples (state leaking " +
@@ -205,8 +218,37 @@ class PerfBudgetSpec extends AnyFunSuite {
     // increasing steadies — the ACCUMULATING sweep ignores the exemption
     val leak = Map(
       "s03_stream_packing" -> PerfGate.Detail(1.7, Seq(7.7, 9.5, 11.0)))
-    assert(PerfGate.accumulating(leak, 1.0).map(_._1) == Seq("s03_stream_packing"),
-      "a monotone ramp on a replay gate must stay detectable")
+    assert(PerfGate.accumulating(leak, 1.0,
+        PerfBudgets.harnessPaced).map(_._1) == Seq("s03_stream_packing"),
+      "a gauge-less (pre-r14 artifact) replay ramp must stay detectable")
+    // the same ramp WITH corroborating gauges (providers still loaded)
+    // classifies; with clean gauges it is the box-scheduling class —
+    // the r14 run-f specimen: s11 at 11.99/32.67/36.62 next to an
+    // 8.04 s first, ssp=0 mnt=0, batch suite flat
+    val leakGauged = Map("s03_stream_packing" ->
+      PerfGate.Detail(1.7, Seq(7.7, 9.5, 11.0), residue = Some(true)))
+    assert(PerfGate.accumulating(leakGauged, 1.0, PerfBudgets.harnessPaced).nonEmpty)
+    val schedRamp = Map("s11_stream_interval_full" ->
+      PerfGate.Detail(8.038, Seq(11.991, 32.667, 36.618), residue = Some(false)))
+    assert(PerfGate.accumulating(schedRamp, 1.0, PerfBudgets.harnessPaced).isEmpty,
+      "a replay ramp with clean residue gauges is scheduling, not a leak")
+    // and the SAME clean-gauge ramp on a PLAN query still classifies —
+    // the corroboration waiver is replay-gate-only
+    val planRamp = Map("q03_cumsum" ->
+      PerfGate.Detail(8.038, Seq(11.991, 32.667, 36.618), residue = Some(false)))
+    assert(PerfGate.accumulating(planRamp, 1.0, PerfBudgets.harnessPaced).nonEmpty)
+    // budget rule under the r14 min-of-executions measure for replay
+    // gates: run-f s11's min (its 8.04 s first) clears the 15 s budget
+    // even though the median sample tripled; a replay whose EVERY
+    // execution sits at 40 s still fails
+    assert(PerfGate.overBudget(schedRamp, budgets, defaultBudget,
+      PerfGate.ratio(Some(217.0)), harnessPaced = PerfBudgets.harnessPaced).isEmpty,
+      "min-of-executions must absorb a scheduling-epoch replay outlier")
+    val trulySlow = Map("s11_stream_interval_full" ->
+      PerfGate.Detail(41.0, Seq(40.0, 42.0, 41.5), residue = Some(false)))
+    assert(PerfGate.overBudget(trulySlow, budgets, defaultBudget,
+      PerfGate.ratio(Some(217.0)), harnessPaced = PerfBudgets.harnessPaced).nonEmpty,
+      "a replay gate slow in all four executions must still fail its budget")
     // the r14 run-3 specimen: a replay gate flat-but-elevated whose three
     // samples land monotone WITHIN NOISE (3% spread, residue gauges all
     // zero) — an inversion-class observation, NOT a leak; the material-
