@@ -295,6 +295,45 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("rangeJoin checkIds: duplicate outer-join ids fail loudly, unique ones pass") {
+    // the r13 ADVICE class: the outer miss-sweep anti-joins on lOut.head/
+    // rOut.head, so a duplicated id whose twin matched would silently
+    // DROP the partnerless twin SQL's OUTER JOIN keeps. The opt-in guard
+    // (on in the j06/j08/j10 verify gates) turns that contract breach
+    // into an immediate loud failure instead of a wrong answer.
+    val sp = spark
+    import sp.implicits._
+    val lDup = Seq((1L, ts(8), 1L), (1L, ts(40), 1L), (2L, ts(9), 3L))
+      .toDF("k", "t", "a") // id 1 duplicated
+    val r = Seq((1L, ts(12), 10L)).toDF("k", "t", "b")
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.rangeJoin(lDup, r, "k", "t", widthUs = 10000000L,
+        lOut = Seq("a"), rOut = Seq("b"), joinType = "left_outer",
+        checkIds = true).collect()
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+    // the right side's guard fires for right/full too
+    val rDup = Seq((1L, ts(12), 10L), (2L, ts(30), 10L)).toDF("k", "t", "b")
+    val l = Seq((1L, ts(8), 1L)).toDF("k", "t", "a")
+    val e2 = intercept[IllegalArgumentException] {
+      JoinOps.rangeJoin(l, rDup, "k", "t", widthUs = 10000000L,
+        lOut = Seq("a"), rOut = Seq("b"), joinType = "full_outer",
+        checkIds = true).collect()
+    }
+    assert(e2.getMessage.contains("right id column 'b'"), e2.getMessage)
+    // unique ids under the guard behave exactly as without it
+    val ok = JoinOps.rangeJoin(l, r, "k", "t", widthUs = 10000000L,
+      lOut = Seq("a"), rOut = Seq("b"), joinType = "left_outer",
+      checkIds = true)
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(ok == Set((1L, 10L)), s"got $ok")
+    // and the guard is FREE for inner joins: duplicate ids are legal
+    // there (only l@8s matches r@12s — l@40s's [40,50) window misses)
+    val inner = JoinOps.rangeJoin(lDup, r, "k", "t", 10000000L,
+      Seq("a"), Seq("b"), checkIds = true)
+    assert(inner.collect().length == 1, "inner join must not enforce id uniqueness")
+  }
+
   test("rangeJoinInterval: two-sided window via the clock-shift reduction") {
     val sp = spark
     import sp.implicits._
