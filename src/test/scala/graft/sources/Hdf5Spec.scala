@@ -158,6 +158,34 @@ class Hdf5Spec extends AnyFunSuite {
       "multi-level chunk B-tree reassembly diverged")
   }
 
+  test("chunked layout fuzz: random shapes × chunk grids × filters round-trip") {
+    // deterministic sweep over the codec's parameter space: ranks 1-3,
+    // shapes that exercise exact-fit, ragged, and chunk-bigger-than-axis
+    // grids, all four filter combinations — every cell must round-trip
+    // bit-exactly (doubles compared by identity) through the v1 B-tree.
+    val rnd = new scala.util.Random(0x5eed14)
+    for (trial <- 0 until 40) {
+      val rank = 1 + rnd.nextInt(3)
+      val shape = Seq.fill(rank)(1L + rnd.nextInt(13))
+      val chunks = shape.map(s =>
+        1L + rnd.nextInt((s + 3).toInt)) // sometimes > axis: single padded chunk
+      val n = shape.product.toInt
+      val vals = Array.fill(n)((rnd.nextInt(2001) - 1000) * 0.25)
+      val deflate = rnd.nextBoolean()
+      val shuffle = rnd.nextBoolean()
+      val bytes = Hdf5.h5BytesChunked("f", vals, shape, chunks,
+        deflate = deflate, shuffle = shuffle)
+      val ds = Hdf5.datasets(bytes).head
+      assert(ds.shape == shape && ds.chunkDims == chunks,
+        s"trial $trial meta: $ds vs shape=$shape chunks=$chunks")
+      val got = Hdf5.parseData(bytes, ds)
+      assert(got.toSeq == vals.toSeq,
+        s"trial $trial (shape=$shape chunks=$chunks deflate=$deflate " +
+          s"shuffle=$shuffle): first diff at " +
+          got.toSeq.zip(vals.toSeq).indexWhere { case (a, b) => a != b })
+    }
+  }
+
   test("unsupported filter ids are rejected loudly, not silently misread") {
     val bytes = Hdf5.h5BytesChunked("d",
       Array.tabulate(16)(_.toDouble), Seq(16L), Seq(8L), deflate = true)
