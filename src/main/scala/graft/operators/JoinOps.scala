@@ -219,11 +219,21 @@ object JoinOps {
     // (each right row appears under two band keys).
     def requireUniqueIds(side: DataFrame, id: String, name: String): Unit =
       if (checkIds) {
-        val row = side.agg(count(col(id)).as("n"),
+        val row = side.agg(count(lit(1)).as("rows"), count(col(id)).as("n"),
           count_distinct(col(id)).as("d")).head()
+        // count/count_distinct both skip NULLs, so a NULL id would pass a
+        // bare n==d check — but NULL ids also break the anti-join miss
+        // sweep itself (a matched NULL-id row never equi-matches inner's
+        // id set and is re-emitted as a partnerless miss); reject them
+        // explicitly (r14 ADVICE)
         require(row.getLong(0) == row.getLong(1),
+          s"rangeJoin $joinType: $name id column '$id' contains " +
+            s"${row.getLong(0) - row.getLong(1)} NULL(s) — the anti-join " +
+            "miss sweep would duplicate matched NULL-id rows; see the " +
+            "scaladoc contract")
+        require(row.getLong(1) == row.getLong(2),
           s"rangeJoin $joinType: $name id column '$id' is not unique " +
-            s"(${row.getLong(0)} rows, ${row.getLong(1)} distinct) — " +
+            s"(${row.getLong(1)} rows, ${row.getLong(2)} distinct) — " +
             "partnerless duplicates would be dropped; see the scaladoc contract")
       }
     def leftMisses(): DataFrame = {

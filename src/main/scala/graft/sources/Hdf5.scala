@@ -244,6 +244,12 @@ object Hdf5 {
     val eof = dataAddrs.last
     require(eof <= Int.MaxValue,
       s"single chunked .h5 file would be $eof bytes (> 2 GiB buffer limit)")
+    // the B-tree entries-used count is a u16: a grid with more chunks
+    // (reachable under the eof guard with tiny chunkDims) would silently
+    // truncate the count and drop chunks (r14 ADVICE)
+    require(blobs.size <= 0xFFFF,
+      s"${blobs.size} chunks exceed one B-tree node's u16 entry count — " +
+        s"use larger chunkDims (got $chunkDims for shape $shape)")
 
     val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
     // superblock v0 + root STE (identical to h5Bytes)
@@ -507,17 +513,24 @@ object Hdf5 {
           var k = 0
           while (k < nf) {
             val id = rd.u16(p)
-            val nameLen = rd.u16(p + 2)
-            val cvals = rd.u16(p + 6)
             ids += id
-            // v1 pads names to 8 and client data to whole 8-byte words
-            // (4-byte pad when the value count is odd); v2 drops both
-            val namePad =
-              if (ver == 1) pad8(nameLen)
-              else if (id < 256) 0 else nameLen
-            val cvalPad =
-              if (ver == 1 && cvals % 2 == 1) 4 * (cvals + 1) else 4 * cvals
-            p += 8 + namePad + cvalPad
+            if (ver == 2 && id < 256) {
+              // v2 built-in filters (id < 256) OMIT the Name Length field
+              // entirely: flags at p+2, cvals at p+4, client data unpadded
+              // (r14 ADVICE: reading them with v1 offsets walked a
+              // 2+-filter v2 message to a garbage offset)
+              val cvals = rd.u16(p + 4)
+              p += 6 + 4 * cvals
+            } else {
+              val nameLen = rd.u16(p + 2)
+              val cvals = rd.u16(p + 6)
+              // v1 pads names to 8 and client data to whole 8-byte words
+              // (4-byte pad when the value count is odd); v2 drops both
+              val namePad = if (ver == 1) pad8(nameLen) else nameLen
+              val cvalPad =
+                if (ver == 1 && cvals % 2 == 1) 4 * (cvals + 1) else 4 * cvals
+              p += 8 + namePad + cvalPad
+            }
             k += 1
           }
           filters = ids.result()

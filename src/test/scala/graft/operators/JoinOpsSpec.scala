@@ -334,6 +334,24 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inner.collect().length == 1, "inner join must not enforce id uniqueness")
   }
 
+  test("rangeJoin checkIds: NULL ids are rejected, never re-emitted as fake misses") {
+    // r14 ADVICE: count/count_distinct both skip NULLs, so a NULL id used
+    // to pass the uniqueness guard — but a MATCHED null-id row never
+    // equi-matches inner's id set in the anti-join miss sweep and would be
+    // duplicated as a partnerless miss. The guard must reject it loudly.
+    val sp = spark
+    import sp.implicits._
+    val lNull = Seq((1L, ts(8), Option(1L)), (2L, ts(9), Option.empty[Long]))
+      .toDF("k", "t", "a")
+    val r = Seq((1L, ts(12), 10L)).toDF("k", "t", "b")
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.rangeJoin(lNull, r, "k", "t", widthUs = 10000000L,
+        lOut = Seq("a"), rOut = Seq("b"), joinType = "left_outer",
+        checkIds = true).collect()
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
   test("rangeJoinInterval: two-sided window via the clock-shift reduction") {
     val sp = spark
     import sp.implicits._

@@ -186,6 +186,45 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("filter-pipeline message v2: built-in filters omit the Name Length field") {
+    // r14 ADVICE (medium): v2 messages for id < 256 drop the Name Length
+    // field — flags at +2, cvals at +4, client data unpadded. Parsing
+    // them with v1 offsets walks a 2-filter shuffle+gzip message (the
+    // common h5py pair) to a garbage offset. Rewrite the writer's v1
+    // message body in v2 form in place; the parse must still see [2, 1]
+    // and the data must still round-trip.
+    val vals = Array.tabulate(96)(i => ((i * 7) % 31).toDouble)
+    val bytes = Hdf5.h5BytesChunked("d", vals, Seq(96L), Seq(32L),
+      deflate = true, shuffle = true)
+    var patched: Array[Byte] = null
+    var i = 0
+    while (patched == null && i < bytes.length - 42) {
+      // v1 message: type 0x000B, body at i+8 = [ver=1, nf=2, pad(6),
+      // id=2 entry(16), id=1 entry(16)]
+      if (bytes(i) == 0x0B && bytes(i + 1) == 0 && bytes(i + 8) == 1 &&
+          bytes(i + 9) == 2 && bytes(i + 16) == 2 && bytes(i + 17) == 0) {
+        val c = bytes.clone()
+        val b = i + 8
+        // v2 body: ver=2, nf=2, then per built-in filter:
+        // id(2) flags(2) cvals(2) cdata(4*cvals) — no name, no padding
+        val body = java.nio.ByteBuffer.wrap(c, b, 24).order(
+          java.nio.ByteOrder.LITTLE_ENDIAN)
+        body.put(2.toByte).put(2.toByte)
+        body.putShort(2).putShort(0).putShort(1).putInt(8) // shuffle, es=8
+        body.putShort(1).putShort(0).putShort(1).putInt(6) // deflate, lvl 6
+        // zero the v1 body's remaining 16 bytes (message size unchanged;
+        // the walker advances by the declared size, slack is ignored)
+        java.util.Arrays.fill(c, b + 24, b + 40, 0.toByte)
+        patched = c
+      }
+      i += 1
+    }
+    assert(patched != null, "v1 filter message not found to rewrite")
+    val ds = Hdf5.datasets(patched).head
+    assert(ds.filters == Seq(2, 1), s"v2 pipeline misparsed: ${ds.filters}")
+    assert(Hdf5.parseData(patched, ds).toSeq == vals.toSeq)
+  }
+
   test("unsupported filter ids are rejected loudly, not silently misread") {
     val bytes = Hdf5.h5BytesChunked("d",
       Array.tabulate(16)(_.toDouble), Seq(16L), Seq(8L), deflate = true)
