@@ -50,19 +50,32 @@ object Verify {
     // to the parquet it wrote, and check_oracle.py asserts the two
     // agree — an empty downstream artifact is attributable to the
     // harness, never ambiguous).
-    val manifest = scala.collection.mutable.LinkedHashMap[String, (String, Long, String)]()
+    val manifest =
+      scala.collection.mutable.LinkedHashMap[String, (String, Long, String, String)]()
     selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // count from the WRITTEN files — proves the dir is readable,
-        // not just that the write call returned
-        val rows = spark.read.parquet(s"$outDir/$name").count()
-        manifest(name) = ("ok", rows, "")
+        // count AND canonically hash the WRITTEN files — proves the dir
+        // is readable, and publishes a value hash of the exact bytes the
+        // driver grades (r14 verdict "next" #1: three driver hash-reds
+        // on value-exact output left nothing to compare; now a red is
+        // adjudicable against this sorted-row, doubleToLongBits-
+        // normalized SHA-256 — see [[CanonicalHash]] for the rules)
+        val back = spark.read.parquet(s"$outDir/$name")
+        val rows = back.collect()
+        val canon = CanonicalHash.ofRows(rows, back.schema)
+        manifest(name) = ("ok", rows.length.toLong, canon, "")
+        // replay gates: mirror the hash into the gate's replay-diag
+        // artifact so cross-round forensics can compare answers without
+        // re-running (r14 verdict "next" #8)
+        if (operators.StreamQueries.queries.contains(name))
+          operators.StreamQueries.attachSinkHash(name, canon)
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        manifest(name) = ("failed", -1L, Option(e.getMessage).getOrElse(e.getClass.getName))
+        manifest(name) =
+          ("failed", -1L, "", Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -85,8 +98,9 @@ object Verify {
     val mJson = "{" +
       s""""registered":${SparkEntry.queries.size},"selected":${selected.size},""" +
       s""""ok":$ok,"failed":$failed,"sf_dir":${q(sfDir)},"queries":{""" +
-      manifest.map { case (k, (st, rows, err)) =>
+      manifest.map { case (k, (st, rows, canon, err)) =>
         s"${q(k)}:{" + s""""status":${q(st)},"rows":$rows""" +
+          (if (canon.nonEmpty) s""","canon_sha256":${q(canon)}""" else "") +
           (if (err.nonEmpty) s""","error":${q(err)}""" else "") + "}"
       }.mkString(",") + "}}"
     Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), mJson)

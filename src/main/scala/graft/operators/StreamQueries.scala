@@ -219,6 +219,19 @@ object StreamQueries {
     * eagerly; the next stateful query re-registers from scratch. A real
     * deployment never hits this — one long-lived query owns its
     * providers — it is strictly the multi-replay-per-JVM harness shape. */
+  /** Inter-gate quiesce for Bench (r14 verdict "next" #3: the gates-
+    * last ordering moved the scheduler-epoch tax INTO the measured
+    * s-family steadies — +11.5 s across the family in the r14 driver
+    * artifact). Between consecutive replay gates the harness now fully
+    * stops the state-store machinery, collects, and settles briefly so
+    * gate N+1's first micro-batch doesn't contend with gate N's
+    * teardown (executor task cleanup, listener drain, GC debt). */
+  private[graft] def quiesceBetweenGates(): Unit = {
+    try unloadStateStores() catch { case _: Throwable => () }
+    System.gc()
+    Thread.sleep(250)
+  }
+
   private def unloadStateStores(): Unit = {
     // StateStore.stop() is private[sql] at the Scala level but public
     // bytecode (Spark's own test teardowns call it) — reflective
@@ -436,6 +449,23 @@ object StreamQueries {
     } catch { case _: Throwable => lastReplayDiag = None }
   }
 
+  /** Merge the canonical value hash of a gate's FINAL answer into its
+    * replay-diag artifact (r14 verdict "next" #8: cross-round forensics
+    * should compare answers hash-to-hash without re-running). Called by
+    * Verify after it hashes the written parquet — the same JVM that
+    * just wrote the diag, so the file is this run's. Inserted before
+    * the closing brace; best-effort like all diag plumbing. */
+  private[graft] def attachSinkHash(gate: String, canonSha256: String): Unit = try {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_replay_diag", s"$gate.json")
+    if (java.nio.file.Files.exists(p)) {
+      val body = java.nio.file.Files.readString(p)
+      if (!body.contains("\"canon_sha256\"") && body.endsWith("}"))
+        java.nio.file.Files.writeString(p,
+          body.dropRight(1) + s""","canon_sha256":"$canonSha256"}""")
+    }
+  } catch { case _: Throwable => () }
+
   /** -Dgraft.stream.debug: per-batch progress to stderr (input rows,
     * watermark, sink rows) — the first thing to look at when a replay
     * gate's row count is off. */
@@ -504,38 +534,48 @@ object StreamQueries {
         .limit(200).collect().map(_.toString)
     }
     val srcDiff = diff(packingBatch(docs(s, d)), streamed)
-    if (srcDiff.nonEmpty) {
-      val stagedDiff = diag.map(g =>
+    // the diag is persisted UNCONDITIONALLY since r15 (r14 verdict
+    // "next" #1: the absence-of-artifact inference worked, but a
+    // positive artifact — "stream==batch, here is my value hash H" —
+    // is stronger evidence when a driver red arrives)
+    val stagedDiff =
+      if (srcDiff.isEmpty) None
+      else diag.map(g =>
         diff(packingBatch(s.read.parquet(s"${g.stagedDir}/ranges")), streamed))
-      def js(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n") + "\""
-      val body = Seq(
-        "\"query\":\"s03_stream_packing\"",
-        "\"wall_ms\":" + System.currentTimeMillis,
-        "\"sf_dir\":" + js(d),
-        "\"verdict\":" + js(
-          if (stagedDiff.exists(_.isEmpty))
-            "stream equals batch-over-STAGED bytes but not batch-over-source: STALE STAGED CORPUS"
-          else "stream diverges from batch over the very bytes it replayed: ORDER/STATE defect"),
-        "\"source_vs_stream_diff\":" + srcDiff.map(js).mkString("[", ",", "]"),
-        "\"staged_vs_stream_diff\":" +
-          stagedDiff.map(_.map(js).mkString("[", ",", "]")).getOrElse("null"),
-        "\"staged_dir\":" + diag.map(g => js(g.stagedDir)).getOrElse("null"),
-        "\"staged_manifest\":" + diag.map(_.manifest.map { case (n, len, h) =>
-          s"""{"file":${js(n)},"bytes":$len,"sha256":${js(h)}}"""
-        }.mkString("[", ",", "]")).getOrElse("null"),
-        "\"batch_progress\":" + diag.map(_.progress.map(js).mkString("[", ",", "]"))
-          .getOrElse("null")
-      ).mkString("{", ",", "}")
-      for (p <- Seq(
-          java.nio.file.Paths.get("S03_DIAG.json"),
-          java.nio.file.Paths.get(
-            System.getProperty("java.io.tmpdir"), "graft_s03_diag.json")))
-        try java.nio.file.Files.writeString(p, body)
-        catch { case _: Throwable => }
+    val canon = graft.CanonicalHash.of(streamed)
+    def js(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+    val body = Seq(
+      "\"query\":\"s03_stream_packing\"",
+      "\"wall_ms\":" + System.currentTimeMillis,
+      "\"sf_dir\":" + js(d),
+      "\"verdict\":" + js(
+        if (srcDiff.isEmpty)
+          "STREAM==BATCH: in-session self-compare clean; canon_sha256 is " +
+            "the sorted-row value hash of the stream answer (see CanonicalHash)"
+        else if (stagedDiff.exists(_.isEmpty))
+          "stream equals batch-over-STAGED bytes but not batch-over-source: STALE STAGED CORPUS"
+        else "stream diverges from batch over the very bytes it replayed: ORDER/STATE defect"),
+      "\"canon_sha256\":" + js(canon),
+      "\"source_vs_stream_diff\":" + srcDiff.map(js).mkString("[", ",", "]"),
+      "\"staged_vs_stream_diff\":" +
+        stagedDiff.map(_.map(js).mkString("[", ",", "]")).getOrElse("null"),
+      "\"staged_dir\":" + diag.map(g => js(g.stagedDir)).getOrElse("null"),
+      "\"staged_manifest\":" + diag.map(_.manifest.map { case (n, len, h) =>
+        s"""{"file":${js(n)},"bytes":$len,"sha256":${js(h)}}"""
+      }.mkString("[", ",", "]")).getOrElse("null"),
+      "\"batch_progress\":" + diag.map(_.progress.map(js).mkString("[", ",", "]"))
+        .getOrElse("null")
+    ).mkString("{", ",", "}")
+    for (p <- Seq(
+        java.nio.file.Paths.get("S03_DIAG.json"),
+        java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_s03_diag.json")))
+      try java.nio.file.Files.writeString(p, body)
+      catch { case _: Throwable => }
+    if (srcDiff.nonEmpty)
       System.err.println("[s03-diag] batch-vs-stream divergence: " +
         s"${srcDiff.length} row(s) differ; diagnostics at S03_DIAG.json")
-    }
   } catch { case t: Throwable =>
     // the self-check must never turn a green gate red on its own
     System.err.println(s"[s03-diag] self-check failed: $t")
