@@ -185,7 +185,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (streamGates.contains(name), name) }
     val results = ordered.map { case (name, fn) =>
-      val jit0 = jitMsNow(); val gc0 = gcMsNow()
+      val jit0 = jitMsNow(); val gc0 = gcMsNow(); val thr0 = threadsNow()
       val first = runOnce(fn, name)
       // unpersist anything run 1 leaked so later runs can't skip real work
       spark.catalog.clearCache()
@@ -204,9 +204,20 @@ object Bench {
         t
       }
       val (ssp, mnt) = stateStoreGauges()
+      // thr_d: live-thread growth ACROSS this query's four executions —
+      // folded into the residue verdict by PerfBudgetSpec (r14 ADVICE:
+      // ssp/mnt are sampled after the gate's own unload and read zero
+      // by construction; a thread leak is one signal they cannot see)
       val counters = (jitMsNow() - jit0, gcMsNow() - gc0,
         poolMb("CodeHeap"), poolMb("Metaspace"),
-        threadsNow(), ssp, mnt, listenerQueueDepth())
+        threadsNow(), threadsNow() - thr0, ssp, mnt, listenerQueueDepth())
+      // quiesce BETWEEN replay gates (r14 verdict "next" #3): gates run
+      // last and back-to-back, so without this each gate's teardown —
+      // state-store stop, listener drain, GC debt — lands inside the
+      // next gate's measured replay. Gauges are sampled BEFORE the
+      // quiesce so they reflect what the gate actually left behind.
+      if (streamGates.contains(name))
+        operators.StreamQueries.quiesceBetweenGates()
       name -> (first, samples(0), samples(1), samples(2), counters)
     }
     def median3(a: Double, b: Double, c: Double): Double =
@@ -214,6 +225,15 @@ object Bench {
     // steady = median of the three post-warm samples (see above); all
     // samples are recorded so cross-round comparisons can see the spread
     val total = results.map { case (_, (_, s1, s2, s3, _)) => median3(s1, s2, s3) }.sum
+    // minpaced total (r14 verdict "next" #3): replay-gate wall is
+    // micro-batch SCHEDULING, systematically drawn at the contended end
+    // of the band by the gates-last ordering — so the headline is ALSO
+    // reported with harness-paced gates at min-of-executions (the same
+    // statistic PerfGate already budgets them at); plan queries stay at
+    // the median. Cross-round totals should compare this field.
+    val totalMinPaced = results.map { case (k, (f, s1, s2, s3, _)) =>
+      if (streamGates.contains(k)) Seq(f, s1, s2, s3).min else median3(s1, s2, s3)
+    }.sum
     val firstTotal = results.map(_._2._1).sum
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query detail → a file (the harness tail buffer holds only
@@ -222,18 +242,19 @@ object Bench {
       .map { case (k, (f, s1, s2, s3, c)) => (k, (f, median3(s1, s2, s3), s1, s2, s3, c)) }
       .sortBy { case (_, (_, s, _, _, _, _)) => -s }
     val detailQs = bySteady.map {
-      case (k, (f, s, s1, s2, s3, (jit, gc, cc, meta, thr, ssp, mnt, lbq))) =>
+      case (k, (f, s, s1, s2, s3, (jit, gc, cc, meta, thr, thrD, ssp, mnt, lbq))) =>
         s"\"" + k + "\":{\"first\":" + fmt(f) + ",\"steady\":" + fmt(s) +
           ",\"s1\":" + fmt(s1) + ",\"s2\":" + fmt(s2) + ",\"s3\":" + fmt(s3) +
+          ",\"min\":" + fmt(Seq(f, s1, s2, s3).min) +
           ",\"jit_ms\":" + jit + ",\"gc_ms\":" + gc +
           ",\"cc_mb\":" + fmt(cc) + ",\"meta_mb\":" + fmt(meta) +
-          ",\"thr\":" + thr + ",\"ssp\":" + ssp + ",\"mnt\":" + mnt +
-          ",\"lbq\":" + lbq + "}"
+          ",\"thr\":" + thr + ",\"thr_d\":" + thrD + ",\"ssp\":" + ssp +
+          ",\"mnt\":" + mnt + ",\"lbq\":" + lbq + "}"
     }
     val probeEnd = probeMs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"first_run_total":${fmt(firstTotal)},"probe_ms_start":${fmt(probeStart)},"probe_ms_end":${fmt(probeEnd)},"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"value_minpaced":${fmt(totalMinPaced)},"first_run_total":${fmt(firstTotal)},"probe_ms_start":${fmt(probeStart)},"probe_ms_end":${fmt(probeEnd)},"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     // Stdout line: steady-state only, slowest first, capped so the whole
     // JSON line stays well inside the 2000-char tail window.
     val budget = 1500
@@ -245,7 +266,7 @@ object Bench {
         head.append(q)
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":{${head.result()}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"value_minpaced":${fmt(totalMinPaced)},"queries":{${head.result()}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,7 +56,14 @@ class PerfBudgetSpec extends AnyFunSuite {
       def gauge(k: String): Option[Int] =
         ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(tail).map(_.group(1).toInt)
       val residue = (gauge("ssp"), gauge("mnt")) match {
-        case (Some(a), Some(b)) if a >= 0 && b >= 0 => Some(a > 0 || b > 0)
+        case (Some(a), Some(b)) if a >= 0 && b >= 0 =>
+          // r14 ADVICE: ssp/mnt are sampled after the gate's own unload
+          // (zero by construction for two of the three leak mechanisms)
+          // — fold the listener backlog and a material cross-execution
+          // thread delta (> 2: GC/timer threads flutter by 1-2) into
+          // the verdict so a leak those gauges CAN see stays armed
+          Some(a > 0 || b > 0 ||
+            gauge("lbq").exists(_ > 0) || gauge("thr_d").exists(_ > 2))
         case _ => None // pre-r14 artifact or reflective gauge failure (-1)
       }
       m.group(1) -> PerfGate.Detail(m.group(2).toDouble, samples, residue)
@@ -194,6 +201,24 @@ class PerfBudgetSpec extends AnyFunSuite {
     val over = PerfGate.overBudget(bad, budgets, defaultBudget, r)
     assert(over.map(_._1) == Seq("e17_outliers"),
       s"expected exactly the regressed query, got $over")
+  }
+
+  test("the r14 t07 specimen: a flat 1.4x breach of a multi-second budget now fails") {
+    // r14's silent pass: t07_jaccard budget 2.5 s, driver samples
+    // 3.76/3.50/3.58 flat on a clean probe — the old min(4, 2×budget)
+    // slack gated at 6.5 s and absorbed a 43% budget breach. The
+    // proportional slack gates at 2.5+0.75 = 3.25 s; the specimen must
+    // fail, and a genuinely-within-budget 2.4 s steady must not.
+    // the budget is pinned LOCALLY at the r14 value so this mechanics
+    // test survives any later re-derivation of the committed t07 entry
+    val b25 = Map("t07_jaccard" -> 2.5)
+    val r = PerfGate.ratio(Some(150.0))
+    val specimen = Map("t07_jaccard" -> PerfGate.Detail(3.76, Seq(3.76, 3.50, 3.58)))
+    assert(PerfGate.overBudget(specimen, b25, defaultBudget, r)
+      .map(_._1) == Seq("t07_jaccard"),
+      "the r14 t07 artifact must trip the tightened gate")
+    val healthy = Map("t07_jaccard" -> PerfGate.Detail(2.5, Seq(2.4, 2.35, 2.45)))
+    assert(PerfGate.overBudget(healthy, b25, defaultBudget, r).isEmpty)
   }
 
   test("the r8 q99 re-paying-work pathology still trips the inversion gate") {

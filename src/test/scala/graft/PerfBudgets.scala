@@ -22,7 +22,11 @@ object PerfBudgets {
     "e14_pq_train" -> 3.0,
     "e15_ivfpq_search" -> 2,
     "e16_ivf_multiprobe" -> 2,
-    "e17_outliers" -> 3,
+    // 4.5 (was 3, r15): re-derived for the tightened proportional
+    // noiseSlack — the committed r11-contended-artifact pin (e17 min
+    // 4.683 s on a probe-less box) must stay inside budget+slack, and
+    // 4.5+1.35 = 5.85 still fails the 9.7 s regression specimen
+    "e17_outliers" -> 4.5,
     "e18_ivf_bucketed" -> 2,
     "l03_cholesky_trace" -> 5,
     "l04_inv" -> 6,

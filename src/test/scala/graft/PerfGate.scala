@@ -21,9 +21,14 @@ package graft
 object PerfGate {
 
   /** `residue` is the artifact's state-store/listener gauge verdict for
-    * the row (r14: bench_detail records ssp/mnt/lbq per query) — `None`
-    * when the artifact predates the gauges (treated as "could be a
-    * leak"), `Some(false)` when every residue gauge read zero. */
+    * the row (r14: bench_detail records ssp/mnt/lbq per query; r15 adds
+    * thr_d, the cross-execution live-thread delta) — `None` when the
+    * artifact predates the gauges (treated as "could be a leak"),
+    * `Some(false)` when every residue gauge read zero. r14 ADVICE: ssp/
+    * mnt are sampled AFTER the gate's own unload and read zero by
+    * construction for the mechanisms they were meant to catch, so the
+    * spec also folds lbq > 0 (listener backlog) and a material thread
+    * delta into the verdict — see PerfBudgetSpec.parseDetail. */
   final case class Detail(first: Double, samples: Seq[Double],
                           residue: Option[Boolean] = None)
 
@@ -36,11 +41,23 @@ object PerfGate {
     probeMs.map(p => math.max(1.0, p / probeBoundMs)).getOrElse(1.0)
 
   /** Grace over a budget, SCALED to it (r8 advisory: a flat 4 s let a
-    * default-budget query triple silently): small budgets get a small
-    * absolute window, and the ceiling stays at the observed in-suite
-    * contamination bound so big budgets don't inherit a huge one. */
+    * default-budget query triple silently; r14 verdict #2: the old
+    * min(4, 2×budget) formula granted t07_jaccard's 2.5 s budget a +4 s
+    * window, silently absorbing a flat 5.2× regression to 3.58 s).
+    *
+    * Two regimes:
+    *  - budget < 2 s (incl. the 1.5 s default): sub-second queries live
+    *    inside scheduler noise and the ~2 s in-suite contamination
+    *    class, so the absolute window stays 2×budget floored at 2 s —
+    *    these queries' REGRESSIONS are caught by the inversion /
+    *    accumulating sweeps, not the absolute gate.
+    *  - budget ≥ 2 s: the window is PROPORTIONAL — max(0.75, 0.3×budget)
+    *    capped at 2 s — so a flat >1.4× breach of a multi-second budget
+    *    can never pass silently again (gate at ≤ 1.375×budget
+    *    throughout the 2..6.7 s range, tightening toward 1.1× above). */
   def noiseSlack(budget: Double): Double =
-    math.min(4.0, math.max(2.0, 2 * budget))
+    if (budget >= 2.0) math.min(2.0, math.max(0.75, 0.3 * budget))
+    else math.min(4.0, math.max(2.0, 2 * budget))
 
   /** Budget violations. The measured value depends on what the probe
     * says about the box (r12 ADVICE: taking the min over first+steadies
