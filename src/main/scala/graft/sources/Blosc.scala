@@ -30,13 +30,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Inner codecs decode through what the Spark classpath already ships:
   * lz4 (lz4-java raw block format — exactly what blosc stores), zlib
-  * (java.util.zip), zstd (zstd-jni), snappy (snappy-java). `blosclz` has
-  * no JVM implementation and bit-shuffle is a different transform — both
-  * rejected loudly, never silently misread.
+  * (java.util.zip), zstd (zstd-jni), snappy (snappy-java). `blosclz`
+  * has no JVM implementation — rejected loudly, never silently misread.
+  * Bit-shuffle (flag 0x04, numcodecs `shuffle=BITSHUFFLE` — common for
+  * numeric corpora) decodes per block via [[bitUnshuffle]] (r15).
   *
-  * The writer emits single-block byte-shuffled lz4 frames with the
-  * dont-split flag (one stream), falling back to a memcpyed frame when
-  * compression does not help — both shapes any c-blosc ≥ 1.14 reads back.
+  * The writer emits single-block shuffled (byte- or bit-) lz4 frames
+  * with the dont-split flag (one stream), falling back to a memcpyed
+  * frame when compression does not help — both shapes any c-blosc ≥
+  * 1.14 reads back.
   */
 object Blosc {
 
@@ -65,8 +67,10 @@ object Blosc {
       System.arraycopy(frame, 16, out, 0, nbytes)
       return out
     }
-    require((flags & 0x04) == 0, "blosc bit-shuffle is not supported")
     val byteShuffle = (flags & 0x01) != 0
+    val bitShuffle = (flags & 0x04) != 0
+    require(!(byteShuffle && bitShuffle),
+      "blosc frame claims BOTH byte- and bit-shuffle — corrupt header")
     val dontSplit = (flags & 0x10) != 0
     val codec = (flags >> 5) & 0x7
     require(blocksize > 0, s"bad blosc blocksize $blocksize")
@@ -132,9 +136,83 @@ object Blosc {
       }
       val dst = blk * blocksize
       if (byteShuffle) unshuffle(block, bsize, typesize, out, dst)
+      else if (bitShuffle) bitUnshuffle(block, bsize, typesize, out, dst)
       else System.arraycopy(block, 0, out, dst, bsize)
       blk += 1
     }
+    out
+  }
+
+  /** Inverse BIT-shuffle of one block (r14 verdict "what's missing" #3:
+    * v2 corpora written with numcodecs `shuffle=BITSHUFFLE` could not be
+    * ingested). c-blosc's bitshuffle (the kiyo-masui transform) covers
+    * the block's first `n - n%8` elements — it transposes the
+    * (elements × elemBits) bit matrix into elemBits bit-planes, plane
+    * P = byte jj, bit ii (LSB-first within each byte) at offset
+    * P·(n/8), element e at plane bit e — and memcpys the remainder
+    * (`blosc/shuffle.c`: size -= size % 8, leftovers copied). The
+    * inverse scatters each set plane bit back to bit ii of byte jj of
+    * element e. `out` arrives zeroed (fresh allocation), so only set
+    * bits write. */
+  private[graft] def bitUnshuffle(block: Array[Byte], bsize: Int, typesize: Int,
+                           out: Array[Byte], dst: Int): Unit = {
+    val n = (bsize / typesize) & ~7
+    val planeBytes = n / 8
+    var jj = 0
+    while (jj < typesize) {
+      var ii = 0
+      while (ii < 8) {
+        val off = (jj * 8 + ii) * planeBytes
+        val bit = 1 << ii
+        var m = 0
+        while (m < planeBytes) {
+          val pb = block(off + m) & 0xff
+          if (pb != 0) {
+            val base = dst + (m << 3) * typesize + jj
+            var j = 0
+            while (j < 8) {
+              if ((pb & (1 << j)) != 0) {
+                val p = base + j * typesize
+                out(p) = (out(p) | bit).toByte
+              }
+              j += 1
+            }
+          }
+          m += 1
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    val tail = n * typesize
+    if (tail < bsize) System.arraycopy(block, tail, out, dst + tail, bsize - tail)
+  }
+
+  /** Forward bit-shuffle of a whole buffer (writer uses one block) —
+    * exact inverse of [[bitUnshuffle]], same full-8-element-groups +
+    * verbatim-tail contract as c-blosc. */
+  private[graft] def bitShuffleBuf(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    val out = new Array[Byte](raw.length)
+    val n = (raw.length / typesize) & ~7
+    val planeBytes = n / 8
+    var jj = 0
+    while (jj < typesize) {
+      var ii = 0
+      while (ii < 8) {
+        val off = (jj * 8 + ii) * planeBytes
+        val bit = 1 << ii
+        var e = 0
+        while (e < n) {
+          if ((raw(e * typesize + jj) & bit) != 0)
+            out(off + (e >> 3)) = (out(off + (e >> 3)) | (1 << (e & 7))).toByte
+          e += 1
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    val tail = n * typesize
+    if (tail < raw.length) System.arraycopy(raw, tail, out, tail, raw.length - tail)
     out
   }
 
@@ -174,11 +252,16 @@ object Blosc {
     out
   }
 
-  /** Encode raw bytes as a single-block byte-shuffled lz4 blosc frame
-    * (memcpyed fallback when compression does not pay). */
-  def compress(raw: Array[Byte], typesize: Int): Array[Byte] = {
+  /** Encode raw bytes as a single-block shuffled lz4 blosc frame
+    * (memcpyed fallback when compression does not pay). `bitShuffle`
+    * selects the bit-level transform (flags 0x04) over the default byte
+    * shuffle (0x01) — what numcodecs `Blosc(shuffle=BITSHUFFLE)`
+    * writes. */
+  def compress(raw: Array[Byte], typesize: Int,
+               bitShuffle: Boolean = false): Array[Byte] = {
     require(raw.length <= Int.MaxValue - 64, "blosc frame too large")
-    val shuffled = shuffle(raw, typesize)
+    val shuffled =
+      if (bitShuffle) bitShuffleBuf(raw, typesize) else shuffle(raw, typesize)
     val comp = lz4.fastCompressor()
     val max = comp.maxCompressedLength(shuffled.length)
     val buf = new Array[Byte](max)
@@ -188,7 +271,7 @@ object Blosc {
       val frame = new Array[Byte](compressedLen)
       val bb = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
       frame(0) = 2; frame(1) = 1
-      frame(2) = (0x01 | 0x10 | (1 << 5)).toByte // shuffle | dont-split | lz4
+      frame(2) = ((if (bitShuffle) 0x04 else 0x01) | 0x10 | (1 << 5)).toByte // (bit)shuffle | dont-split | lz4
       frame(3) = typesize.toByte
       bb.putInt(4, raw.length)
       bb.putInt(8, raw.length) // one block spanning the buffer

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * [[Blosc]] frame codec) and the `bytes`(little) + optional
   * `gzip`/`zstd`/`blosc` codec chain (v3), plus READ support for the v3
   * `sharding_indexed` codec (offset/nbytes index + crc32c, inner chunks
-  * through the same codec chain). Bit-shuffled blosc and blosclz are
+  * through the same codec chain). blosclz frames are
   * rejected loudly, never silently misread.
   *
   * Scale shape, same as [[NpyStack]]: the driver touches only the
@@ -311,6 +311,8 @@ object Zarr {
       case Some("zstd")  => """{"id": "zstd", "level": 3}"""
       case Some("blosc") =>
         """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      case Some("blosc-bit") => // numcodecs shuffle=2 is BITSHUFFLE
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2, "blocksize": 0}"""
       case _             => "null"
     }
     s"""{
@@ -447,6 +449,7 @@ object Zarr {
       case Some("gzip")  => gzipBytes(raw)
       case Some("zstd")  => com.github.luben.zstd.Zstd.compress(raw, 3)
       case Some("blosc") => Blosc.compress(raw, 8)
+      case Some("blosc-bit") => Blosc.compress(raw, 8, bitShuffle = true)
       case _             => raw
     }
   }
@@ -473,7 +476,7 @@ object Zarr {
         catch { case e: com.github.luben.zstd.ZstdException =>
           throw new java.io.IOException(s"corrupt zstd chunk: ${e.getMessage}", e)
         }
-      case Some("blosc") => Blosc.decompress(bytes)
+      case Some("blosc") | Some("blosc-bit") => Blosc.decompress(bytes)
       case _             => bytes
     }
     require(raw.length >= nVals * isz, s"chunk too short: ${raw.length} < ${nVals * isz}")
@@ -519,6 +522,7 @@ object Zarr {
       case Some("gzip")  => gzipBytes(raw)
       case Some("zstd")  => com.github.luben.zstd.Zstd.compress(raw, 3)
       case Some("blosc") => Blosc.compress(raw, 8)
+      case Some("blosc-bit") => Blosc.compress(raw, 8, bitShuffle = true)
       case _             => raw
     }
   }
@@ -795,13 +799,24 @@ object Zarr {
       require(fs.exists(zj),
         s"$root is not consolidated (no .zmetadata and no root zarr.json)")
       val doc = new String(StoreIO.readFile(fs, zj), StandardCharsets.UTF_8)
-      val cm = topLevelField(doc, "consolidated_metadata").getOrElse(sys.error(
-        s"$root is not consolidated (root zarr.json has no consolidated_metadata)"))
-      val metaObj = topLevelField(cm, "metadata").getOrElse(
-        sys.error(s"no metadata object in $root/zarr.json consolidated_metadata"))
-      parseMetaV3(topLevelField(metaObj, member).getOrElse(
-        sys.error(s"member '$member' absent from $root/zarr.json " +
-          "consolidated_metadata")))
+      if (member.isEmpty) {
+        // root-array store (the v2 branch's `.zarray` analogue): the root
+        // zarr.json IS the array metadata — consolidateMetadataV3 never
+        // emits an empty-string member key, so looking one up would fail
+        // with a misleading "member '' absent" (r14 ADVICE)
+        require(topLevelField(doc, "node_type").exists(_.contains("array")),
+          s"$root: member '' means the root array, but the root zarr.json " +
+            "is not an array node — pass the member's relative path instead")
+        parseMetaV3(doc)
+      } else {
+        val cm = topLevelField(doc, "consolidated_metadata").getOrElse(sys.error(
+          s"$root is not consolidated (root zarr.json has no consolidated_metadata)"))
+        val metaObj = topLevelField(cm, "metadata").getOrElse(
+          sys.error(s"no metadata object in $root/zarr.json consolidated_metadata"))
+        parseMetaV3(topLevelField(metaObj, member).getOrElse(
+          sys.error(s"member '$member' absent from $root/zarr.json " +
+            "consolidated_metadata")))
+      }
     }
   }
 
@@ -1117,8 +1132,9 @@ object Zarr {
   private def metaFor(format: Int, shape: Seq[Long], chunks: Seq[Long],
                       compressor: Option[String]): Meta = format match {
     case 2 =>
-      require(compressor.forall(c => c == "zlib" || c == "zstd" || c == "blosc"),
-        s"v2 supports zlib/zstd/blosc/null, got $compressor")
+      require(compressor.forall(c =>
+          c == "zlib" || c == "zstd" || c == "blosc" || c == "blosc-bit"),
+        s"v2 supports zlib/zstd/blosc[-bit]/null, got $compressor")
       Meta(shape, chunks, "<f8", 0.0, compressor, ".", 2)
     case 3 =>
       require(compressor.forall(c => c == "gzip" || c == "zstd" || c == "blosc"),

@@ -162,17 +162,88 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(f2).toSeq == raw.toSeq)
   }
 
-  test("bit-shuffle and blosclz are rejected loudly") {
-    val f = new Array[Byte](32)
-    val bb = ByteBuffer.wrap(f).order(ByteOrder.LITTLE_ENDIAN)
-    f(0) = 2; f(2) = 0x04; f(3) = 8 // bit-shuffle flag
-    bb.putInt(4, 8); bb.putInt(8, 8); bb.putInt(12, 32)
-    assertThrows[IllegalArgumentException](Blosc.decompress(f))
+  test("blosclz is rejected loudly") {
     val g = new Array[Byte](32)
     val gb = ByteBuffer.wrap(g).order(ByteOrder.LITTLE_ENDIAN)
     g(0) = 2; g(2) = 0x10; g(3) = 8 // blosclz (codec 0), dont-split
     gb.putInt(4, 8); gb.putInt(8, 8); gb.putInt(12, 32)
     gb.putInt(16, 20); gb.putInt(20, 4) // one stream, 4 "compressed" bytes
     assertThrows[RuntimeException](Blosc.decompress(g))
+  }
+
+  test("bit-shuffle hand vectors pin the c-blosc bit order") {
+    // elem_size 1, n = 8: element e has ONLY bit e set, so plane p's
+    // byte has exactly bit e set where element e's bit p is set — the
+    // identity permutation on this vector (a classic transpose pin)
+    val idVec = Array[Byte](1, 2, 4, 8, 16, 32, 64, 0x80.toByte)
+    assert(graft.sources.Blosc.bitShuffleBuf(idVec, 1).toSeq == idVec.toSeq)
+    // 8 elements all 0x01 -> plane 0 (byte 0, bit 0) = 0xFF, rest 0
+    val ones = Array.fill[Byte](8)(1)
+    val sh = graft.sources.Blosc.bitShuffleBuf(ones, 1)
+    assert(sh(0) == 0xFF.toByte && sh.drop(1).forall(_ == 0), sh.toSeq.toString)
+    // elem_size 2: element bytes interleave as planes byte0-bits then
+    // byte1-bits — element 3 (0-based) with byte1 = 0x02 sets plane
+    // (jj=1, ii=1) = plane 9, bit 3
+    val two = new Array[Byte](16)
+    two(2 * 3 + 1) = 0x02
+    val sh2 = graft.sources.Blosc.bitShuffleBuf(two, 2)
+    assert(sh2(9) == 0x08.toByte && sh2.patch(9, Nil, 1).forall(_ == 0),
+      sh2.toSeq.toString)
+    // non-multiple-of-8 element count: the trailing partial group is
+    // stored VERBATIM (c-blosc: size -= size % 8, leftovers memcpy'd)
+    val ragged = Array.tabulate[Byte](11)(i => (i * 37 + 5).toByte)
+    val shr = graft.sources.Blosc.bitShuffleBuf(ragged, 1)
+    assert(shr.drop(8).toSeq == ragged.drop(8).toSeq,
+      "partial 8-element group must pass through unshuffled")
+    // inverse property across shapes and typesizes
+    val rnd = new scala.util.Random(0xb17)
+    for (ts <- Seq(1, 2, 4, 8); n <- Seq(0, 1, 7, 8, 64, 129)) {
+      val raw = Array.fill[Byte](ts * n)(rnd.nextInt().toByte)
+      val fwd = graft.sources.Blosc.bitShuffleBuf(raw, ts)
+      val back = new Array[Byte](raw.length)
+      graft.sources.Blosc.bitUnshuffle(fwd, raw.length, ts, back, 0)
+      assert(back.toSeq == raw.toSeq, s"ts=$ts n=$n")
+    }
+  }
+
+  test("bit-shuffled lz4 frames round-trip end to end (incl. multi-block decode)") {
+    // compressible doubles through the writer's single-block path
+    val raw = new Array[Byte](8 * 999)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 999).foreach(i => bb.putDouble(8 * i, (i % 17).toDouble))
+    val frame = Blosc.compress(raw, 8, bitShuffle = true)
+    assert((frame(2) & 0x04) != 0 && (frame(2) & 0x01) == 0, "flags must say bit-shuffle")
+    assert(frame.length < raw.length, "bit-shuffle + lz4 should compress this")
+    assert(Blosc.decompress(frame).toSeq == raw.toSeq)
+    // hand-built TWO-block bit-shuffled zlib frame: per-block transform,
+    // ragged second block (the shape an external c-blosc writer emits)
+    val n = 300 * 8 // 300 f8 elements
+    val raw2 = Array.tabulate[Byte](n)(i => ((i * 131) % 251).toByte)
+    val blocksize = 1600 // 200 elements; second block 100 elements
+    def shufBlock(off: Int, len: Int): Array[Byte] =
+      graft.sources.Blosc.bitShuffleBuf(
+        java.util.Arrays.copyOfRange(raw2, off, off + len), 8)
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6); d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val t = new Array[Byte](4096)
+      while (!d.finished()) o.write(t, 0, d.deflate(t))
+      d.end(); o.toByteArray
+    }
+    val c0 = deflate(shufBlock(0, 1600))
+    val c1 = deflate(shufBlock(1600, 800))
+    val frame2 = new Array[Byte](16 + 8 + 4 + c0.length + 4 + c1.length)
+    val fb = ByteBuffer.wrap(frame2).order(ByteOrder.LITTLE_ENDIAN)
+    frame2(0) = 2; frame2(1) = 1
+    frame2(2) = (0x04 | 0x10 | (3 << 5)).toByte // bit-shuffle | dont-split | zlib
+    frame2(3) = 8
+    fb.putInt(4, n); fb.putInt(8, blocksize); fb.putInt(12, frame2.length)
+    fb.putInt(16, 24); fb.putInt(20, 24 + 4 + c0.length) // bstarts
+    fb.putInt(24, c0.length)
+    System.arraycopy(c0, 0, frame2, 28, c0.length)
+    fb.putInt(28 + c0.length, c1.length)
+    System.arraycopy(c1, 0, frame2, 32 + c0.length, c1.length)
+    assert(Blosc.decompress(frame2).toSeq == raw2.toSeq,
+      "multi-block bit-shuffle decode diverged")
   }
 }

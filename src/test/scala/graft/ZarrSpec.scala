@@ -813,15 +813,23 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vb = Zarr.read1dConsolidated(spark, root, "b")
       .orderBy("idx").collect().map(_.getDouble(1))
     assert(vb(7) == 4.5, "member b must resolve its OWN meta, not a's")
-    // loud failures: absent member; a v3 ARRAY store is not consolidated
+    // loud failure: absent member
     val eAbsent = intercept[RuntimeException] {
       Zarr.readMetaConsolidated(root, "nope")
     }
     assert(eAbsent.getMessage.contains("absent"))
-    val eArr = intercept[RuntimeException] {
-      Zarr.readMetaConsolidated(s"$root/b", "")
+    // member '' on a v3 ARRAY store resolves the root zarr.json itself
+    // (r14 ADVICE: this used to fail with a misleading "member '' absent")
+    val mb = Zarr.readMetaConsolidated(s"$root/b", "")
+    assert(mb.format == 3 && mb.chunks == Seq(40L), s"root-array meta: $mb")
+    val vRoot = Zarr.read1dConsolidated(spark, s"$root/b", "")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(vRoot(7) == 4.5, s"root-array read wrong: ${vRoot.take(8).toSeq}")
+    // but member '' on a GROUP store stays a loud, non-misleading failure
+    val eRoot = intercept[RuntimeException] {
+      Zarr.readMetaConsolidated(root, "")
     }
-    assert(eArr.getMessage.contains("not consolidated"))
+    assert(eRoot.getMessage.contains("not an array"), eRoot.getMessage)
   }
 
   test("v3 consolidated metadata carries a SHARDED member's full codec config") {
