@@ -456,8 +456,11 @@ object StreamQueries {
     * just wrote the diag, so the file is this run's. Inserted before
     * the closing brace; best-effort like all diag plumbing. */
   private[graft] def attachSinkHash(gate: String, canonSha256: String): Unit = try {
+    // diag files are keyed by the stage prefix ("s03", the stageKey's
+    // head), not the full query name ("s03_stream_packing")
+    val short = gate.takeWhile(_ != '_')
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_replay_diag", s"$gate.json")
+      System.getProperty("java.io.tmpdir"), "graft_replay_diag", s"$short.json")
     if (java.nio.file.Files.exists(p)) {
       val body = java.nio.file.Files.readString(p)
       if (!body.contains("\"canon_sha256\"") && body.endsWith("}"))

@@ -10,19 +10,25 @@ import org.apache.spark.sql.functions._
   * `dask_array/io/_store.py:331`, `tests/test_hdf5.py`) — a pure-Scala
   * implementation of the HDF5 subset simple numeric datasets live in:
   *
-  *  - superblock version 0, offsets/lengths of size 8,
-  *  - symbol-table root group (v1 B-tree + local heap + SNOD),
-  *  - version-1 object headers (with continuation-block support),
+  *  - superblock version 0 (1.8-era) AND v2/v3 (1.10+ latest format,
+  *    via [[Hdf5V4]]), offsets/lengths of size 8,
+  *  - symbol-table root group (v1 B-tree + local heap + SNOD) and
+  *    link-message root groups in v2 object headers,
+  *  - version-1 AND version-2 (`OHDR`) object headers, with
+  *    continuation-block support in both,
   *  - dataspace v1/v2, IEEE little-endian float (f4/f8) and fixed-point
   *    (i1/i2/i4/i8) datatypes, fill-value skipped,
   *  - data layout v3: contiguous, compact, or CHUNKED (r14 — a real
   *    HDF5 corpus is usually chunked): v1 chunk B-tree at any depth,
-  *    full-size edge chunks with clipping, and the deflate(1)/
-  *    shuffle(2) filter pipeline — the h5py gzip default; fletcher32/
-  *    szip/nbit are rejected loudly. The STACK remains the engine's
-  *    scale path, mirroring `to_npy_stack`: one block file per task,
-  *    so no single-file chunk index ever becomes a driver bottleneck —
-  *    chunked support is for INGESTING externally-produced files.
+  *    full-size edge chunks with clipping; data layout v4 (r15): all
+  *    five chunk index types (single/implicit/fixed-array/extensible-
+  *    array/v2-B-tree, [[Hdf5V4]]),
+  *  - the deflate(1)/shuffle(2)/fletcher32(3) filter pipeline — the
+  *    h5py gzip/shuffle/checksum options; szip/nbit are rejected
+  *    loudly. The STACK remains the engine's scale path, mirroring
+  *    `to_npy_stack`: one block file per task, so no single-file chunk
+  *    index ever becomes a driver bottleneck — chunked support is for
+  *    INGESTING externally-produced files.
   *
   * The writer emits exactly that subset (h5py reads these files); the
   * reader accepts any conforming file. Reading follows the
@@ -356,14 +362,21 @@ object Hdf5 {
     * CHUNKED layout (chunk index rooted at `btreeAddr`, walked lazily by
     * [[parseData]] — the driver's metadata-prefix pass never needs it).
     * `filters` is the dataset's filter pipeline in APPLICATION order
-    * (1 = deflate, 2 = shuffle — the h5py gzip default); decode applies
-    * the inverse chain in reverse. */
+    * (1 = deflate, 2 = shuffle, 3 = fletcher32); decode applies the
+    * inverse chain in reverse. `idxType` (r15): 0 = v1 chunk B-tree
+    * (layout v3), 1..5 = the layout-v4 index types (single / implicit /
+    * fixed array / extensible array / v2 B-tree — [[Hdf5V4]]);
+    * `idxParams` carries the index's message-encoded parameters and
+    * `maxDims` the dataspace max bounds (−1 = unlimited). */
   final case class H5Dataset(name: String, shape: Seq[Long], dtype: String,
                              dataAddr: Long, dataSize: Long,
                              compact: Array[Byte] = null,
                              chunkDims: Seq[Long] = Nil,
                              btreeAddr: Long = -1L,
-                             filters: Seq[Int] = Nil)
+                             filters: Seq[Int] = Nil,
+                             idxType: Int = 0,
+                             idxParams: Seq[Long] = Nil,
+                             maxDims: Seq[Long] = Nil)
 
   private final class Rd(bytes: Array[Byte]) {
     val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -379,12 +392,16 @@ object Hdf5 {
     }
   }
 
-  /** Parse every dataset under the root group. */
+  /** Parse every dataset under the root group. Dispatches on superblock
+    * version: v0 (1.8-era symbol-table groups) below; v2/v3 (1.10+
+    * `libver='latest'` — compact superblock, v2 object headers, link
+    * messages) via [[datasetsLatest]]. */
   def datasets(bytes: Array[Byte]): Seq[H5Dataset] = {
     val rd = new Rd(bytes)
     require(Sig.indices.forall(i => bytes(i) == Sig(i)), "not an HDF5 file")
     val sbVer = rd.u8(8)
-    require(sbVer == 0, s"superblock version $sbVer unsupported (v0 only)")
+    if (sbVer == 2 || sbVer == 3) return datasetsLatest(rd)
+    require(sbVer == 0, s"superblock version $sbVer unsupported (v0/v2/v3)")
     require(rd.u8(13) == 8 && rd.u8(14) == 8, "offsets/lengths must be 8 bytes")
     val rootOh = rd.i64(64)
     // root OH → symbol-table message
@@ -449,6 +466,93 @@ object Hdf5 {
     }
   }
 
+  /** Superblock v2/v3: offsets/lengths sizes at 9/10, root object
+    * header address at 36. The root group is a v2 object header whose
+    * members arrive as LINK messages (0x06, compact storage — the
+    * latest-format default for small groups); densely-stored groups
+    * (fractal heap, signalled by a link-info message with a defined
+    * heap address and no link messages) are rejected loudly. */
+  private def datasetsLatest(rd: Rd): Seq[H5Dataset] = {
+    require(rd.u8(9) == 8 && rd.u8(10) == 8, "offsets/lengths must be 8 bytes")
+    val rootOh = rd.i64(36)
+    val links = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var denseHeap = false
+    foreachMessageAny(rd, rootOh) { (tpe, body, _) =>
+      tpe match {
+        case 0x0006 => // link message
+          val ver = rd.u8(body)
+          require(ver == 1, s"link message version $ver unsupported")
+          val lflags = rd.u8(body + 1)
+          var p = body + 2
+          val linkType = if ((lflags & 0x08) != 0) { val t = rd.u8(p); p += 1; t } else 0
+          if ((lflags & 0x04) != 0) p += 8 // creation order
+          if ((lflags & 0x10) != 0) p += 1 // charset
+          val lenSize = 1 << (lflags & 0x03)
+          var nameLen = 0L
+          var k = 0
+          while (k < lenSize) { nameLen |= (rd.u8(p + k).toLong << (8 * k)); k += 1 }
+          p += lenSize
+          val name = rd.ascii(p, nameLen.toInt)
+          p += nameLen.toInt
+          if (linkType == 0) links += ((name, rd.i64(p))) // hard link only
+        case 0x0002 => // link info: a defined fractal-heap addr ⇒ dense storage
+          if (rd.i64(body + 2 + (if ((rd.u8(body + 1) & 1) != 0) 8 else 0)) != Undef)
+            denseHeap = true
+        case _ => ()
+      }
+    }
+    require(links.nonEmpty || !denseHeap,
+      "root group uses DENSE link storage (fractal heap) — unsupported, " +
+        "refusing rather than returning an empty dataset list")
+    links.toSeq.flatMap { case (nm, addr) => parseDatasetOH(rd, addr, nm) }
+  }
+
+  /** Iterate a VERSION-2 (`OHDR`) object header's messages, following
+    * `OCHK` continuation blocks: calls f(type, bodyOffset, bodySize).
+    * Message header = type(1) size(2) flags(1) [+corder(2) if tracked];
+    * each chunk ends with a lookup3 checksum (skipped, not verified —
+    * same trust model as the v1 path). */
+  private def foreachMessageV2(rd: Rd, ohAddr: Long)(f: (Int, Int, Int) => Unit): Unit = {
+    val h = ohAddr.toInt
+    require(rd.ascii(h, 4) == "OHDR", "bad v2 object header signature")
+    require(rd.u8(h + 4) == 2, s"object header version ${rd.u8(h + 4)}")
+    val flags = rd.u8(h + 5)
+    var p = h + 6
+    if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) p += 4  // max-compact/min-dense phase change
+    val szBytes = 1 << (flags & 0x03)
+    var chunk0 = 0L
+    var k = 0
+    while (k < szBytes) { chunk0 |= (rd.u8(p + k).toLong << (8 * k)); k += 1 }
+    p += szBytes
+    val corder = (flags & 0x04) != 0
+    val hdrLen = if (corder) 6 else 4
+    var blocks = List((p, chunk0.toInt))
+    while (blocks.nonEmpty) {
+      val (start, size) = blocks.head
+      blocks = blocks.tail
+      var q = start
+      while (q + hdrLen <= start + size) {
+        val tpe = rd.u8(q)
+        val msz = rd.u16(q + 1)
+        val body = q + hdrLen
+        if (body + msz > start + size) q = start + size // trailing gap
+        else {
+          if (tpe == 0x0010) // continuation: OCHK sig + messages + checksum
+            blocks = blocks :+ ((rd.i64(body).toInt + 4, rd.i64(body + 8).toInt - 8))
+          else if (tpe != 0) f(tpe, body, msz)
+          q = body + msz
+        }
+      }
+    }
+  }
+
+  /** Version-agnostic message walk: v2 headers announce themselves with
+    * the `OHDR` signature; anything else parses as v1. */
+  private def foreachMessageAny(rd: Rd, ohAddr: Long)(f: (Int, Int, Int) => Unit): Unit =
+    if (rd.ascii(ohAddr.toInt, 4) == "OHDR") foreachMessageV2(rd, ohAddr)(f)
+    else foreachMessage(rd, ohAddr)(f)
+
   private def parseDatasetOH(rd: Rd, ohAddr: Long, name: String): Option[H5Dataset] = {
     var shape: Seq[Long] = null
     var dtype: String = null
@@ -457,13 +561,19 @@ object Hdf5 {
     var chunkDims: Seq[Long] = Nil
     var btreeAddr = -1L
     var filters: Seq[Int] = Nil
-    foreachMessage(rd, ohAddr) { (tpe, body, msz) =>
+    var idxType = 0
+    var idxParams: Seq[Long] = Nil
+    var maxDims: Seq[Long] = Nil
+    foreachMessageAny(rd, ohAddr) { (tpe, body, msz) =>
       tpe match {
         case 0x0001 => // dataspace v1 (8-byte prefix) or v2 (4-byte prefix)
           val ver = rd.u8(body)
           val rank = rd.u8(body + 1)
+          val flags = rd.u8(body + 2)
           val dims = if (ver == 1) body + 8 else body + 4
           shape = (0 until rank).map(a => rd.i64(dims + 8 * a))
+          if ((flags & 1) != 0) // max dims present (−1 = unlimited)
+            maxDims = (0 until rank).map(a => rd.i64(dims + 8 * rank + 8 * a))
           if (shape.isEmpty) shape = Seq(1L) // scalar dataspace
         case 0x0003 =>
           val cls = rd.u8(body) & 0x0f
@@ -483,24 +593,60 @@ object Hdf5 {
           }
         case 0x0008 =>
           val ver = rd.u8(body)
-          require(ver == 3, s"$name: data layout version $ver unsupported (v3 only)")
+          require(ver == 3 || ver == 4,
+            s"$name: data layout version $ver unsupported (v3/v4)")
           rd.u8(body + 1) match {
-            case 0 => // compact: size(2) + raw
+            case 0 => // compact: size(2) + raw (identical in v3 and v4)
               val n = rd.u16(body + 2)
               compact = java.util.Arrays.copyOfRange(
                 rd.buf.array(), body + 4, body + 4 + n)
               dataAddr = -2L; dataSize = n.toLong
-            case 1 =>
+            case 1 => // contiguous (identical in v3 and v4)
               dataAddr = rd.i64(body + 2); dataSize = rd.i64(body + 10)
-            case 2 =>
-              // chunked (r14 — was rejected): dimensionality counts the
-              // trailing ELEMENT-SIZE dim; chunk dims are u32 each. The
-              // chunk index (v1 B-tree) is only walked by parseData, so
-              // the driver's metadata-prefix pass stays O(header).
+            case 2 if ver == 3 =>
+              // chunked v3: dimensionality counts the trailing
+              // ELEMENT-SIZE dim; chunk dims are u32 each. The chunk
+              // index (v1 B-tree) is only walked by parseData, so the
+              // driver's metadata-prefix pass stays O(header).
               val dim = rd.u8(body + 2)
               btreeAddr = rd.i64(body + 3)
               val dims = (0 until dim).map(k => rd.i32(body + 11 + 4 * k).toLong)
               chunkDims = dims.dropRight(1)
+              dataAddr = -3L
+            case 2 => // chunked v4 (r15): five index types — see Hdf5V4
+              val lflags = rd.u8(body + 2)
+              val ndims = rd.u8(body + 3) // includes the element-size dim
+              val encLen = rd.u8(body + 4)
+              var p = body + 5
+              val dims = (0 until ndims).map { k =>
+                var v = 0L
+                var b = 0
+                while (b < encLen) {
+                  v |= (rd.u8(p + k * encLen + b).toLong << (8 * b)); b += 1
+                }
+                v
+              }
+              p += ndims * encLen
+              chunkDims = dims.dropRight(1)
+              idxType = rd.u8(p); p += 1
+              idxType match {
+                case 1 => // single chunk: size+mask present when filtered
+                  if ((lflags & 0x02) != 0) {
+                    idxParams = Seq(rd.i64(p), rd.i32(p + 8).toLong)
+                    p += 12
+                  }
+                case 2 => () // implicit
+                case 3 => idxParams = Seq(rd.u8(p).toLong); p += 1 // page bits
+                case 4 => // EA creation params: 5 single-byte fields
+                  idxParams = (0 until 5).map(k => rd.u8(p + k).toLong); p += 5
+                case 5 => // v2 B-tree: node size, split%, merge%
+                  idxParams = Seq(rd.i32(p).toLong, rd.u8(p + 4).toLong,
+                    rd.u8(p + 5).toLong)
+                  p += 6
+                case other => throw new IllegalArgumentException(
+                  s"$name: chunk index type $other unknown")
+              }
+              btreeAddr = rd.i64(p) // the index structure's address
               dataAddr = -3L
           }
         case 0x000B => // filter pipeline: deflate(1) / shuffle(2) only
@@ -535,16 +681,28 @@ object Hdf5 {
           }
           filters = ids.result()
           filters.foreach { id =>
-            require(id == 1 || id == 2, s"$name: filter id $id unsupported " +
-              "(deflate=1 and shuffle=2 only — fletcher32/szip/nbit would " +
-              "silently mis-decode, refusing)")
+            require(id == 1 || id == 2 || id == 3,
+              s"$name: filter id $id unsupported (deflate=1, shuffle=2, " +
+                "fletcher32=3 — szip/nbit would silently mis-decode, refusing)")
           }
         case _ => ()
       }
     }
     if (shape == null || dtype == null) None
-    else Some(H5Dataset(name, shape, dtype, dataAddr, dataSize, compact,
-      chunkDims, btreeAddr, filters))
+    else {
+      if (idxType == 4 && maxDims.nonEmpty) {
+        // extensible-array elements are addressed with the unlimited dim
+        // swizzled to the front; that is the identity only for dim 0
+        // (the overwhelmingly common maxshape=(None, ...) case) — any
+        // other unlimited dim would silently permute chunks, so refuse
+        val unlimited = maxDims.zipWithIndex.filter(_._1 == -1L).map(_._2)
+        require(unlimited.isEmpty || unlimited == Seq(0),
+          s"$name: extensible-array index with unlimited dims $unlimited " +
+            "(only dim 0 maps without swizzling) — refusing rather than misread")
+      }
+      Some(H5Dataset(name, shape, dtype, dataAddr, dataSize, compact,
+        chunkDims, btreeAddr, filters, idxType, idxParams, maxDims))
+    }
   }
 
   private def elemSize(dtype: String): Int = dtype match {
@@ -653,7 +811,11 @@ object Hdf5 {
     val cElems = ds.chunkDims.product.toInt
     val rowStrides = ds.shape.scanRight(1L)(_ * _).tail // C-order strides
     if (ds.btreeAddr == Undef || ds.btreeAddr < 0) return out // no chunks written
-    chunkEntries(rd, ds.btreeAddr, rank).foreach { c =>
+    val entries =
+      if (ds.idxType == 0) chunkEntries(rd, ds.btreeAddr, rank)
+      else Hdf5V4.chunkIndex(bytes, ds, cElems.toLong * elemSize(ds.dtype))
+        .map { case (a, sz, mask, offs) => H5Chunk(a, sz, mask, offs) }
+    entries.foreach { c =>
       var payload = java.util.Arrays.copyOfRange(
         bytes, c.addr.toInt, c.addr.toInt + c.size)
       // reverse the pipeline: last-applied filter decodes first; mask
@@ -662,6 +824,15 @@ object Hdf5 {
         if ((c.mask & (1 << i)) == 0) payload = id match {
           case 1 => inflate(payload)
           case 2 => unshuffle(payload, elemSize(ds.dtype))
+          case 3 => // fletcher32: verify the trailing LE checksum, strip it
+            require(payload.length > 4, s"${ds.name}: fletcher32 chunk too short")
+            val stored = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+              .getInt(payload.length - 4)
+            val computed = Hdf5V4.fletcher32(payload, 0, payload.length - 4)
+            require(stored == computed,
+              s"${ds.name}: fletcher32 mismatch at ${c.offsets} " +
+                f"(stored 0x$stored%08x, computed 0x$computed%08x) — corrupt chunk")
+            java.util.Arrays.copyOfRange(payload, 0, payload.length - 4)
         }
       }
       require(payload.length == cElems * elemSize(ds.dtype),

@@ -229,18 +229,151 @@ class Hdf5Spec extends AnyFunSuite {
     val bytes = Hdf5.h5BytesChunked("d",
       Array.tabulate(16)(_.toDouble), Seq(16L), Seq(8L), deflate = true)
     // find the filter-pipeline message (type 0x000B, version byte 1 at
-    // body start) and flip the deflate id (1) to fletcher32 (3)
+    // body start) and flip the deflate id (1) to szip (4) — fletcher32
+    // (3) is SUPPORTED since r15, so szip is now the rejection specimen
     var patched: Array[Byte] = null
     var i = 0
     while (patched == null && i < bytes.length - 18) {
       if (bytes(i) == 0x0B && bytes(i + 1) == 0 && bytes(i + 8) == 1 &&
           bytes(i + 9) == 1 && bytes(i + 16) == 1 && bytes(i + 17) == 0) {
-        val c = bytes.clone(); c(i + 16) = 3; patched = c
+        val c = bytes.clone(); c(i + 16) = 4; patched = c
       }
       i += 1
     }
     assert(patched != null, "filter message not found to patch")
     val e = intercept[IllegalArgumentException](Hdf5.datasets(patched))
-    assert(e.getMessage.contains("filter id 3"))
+    assert(e.getMessage.contains("filter id 4"))
+  }
+
+  // ------------------------------------------------- layout v4 (1.10+)
+
+  test("lookup3 and fletcher32 checksum primitives match their contracts") {
+    // lookup3(""): the algorithm returns c = 0xdeadbeef + len + init
+    // untouched when len == 0
+    assert(Hdf5V4.lookup3(Array.empty, 0, 0) == 0xdeadbeef)
+    assert(Hdf5V4.lookup3(Array.empty, 0, 0, 7) == 0xdeadbeef + 7)
+    // fletcher32 pins the HDF5 convention: 16-bit words assembled
+    // BIG-endian, odd trailing byte high-padded
+    assert(Hdf5V4.fletcher32(Array[Byte](0x61, 0x62), 0, 2) == 0x61626162)
+    assert(Hdf5V4.fletcher32(Array[Byte](0x61), 0, 1) == 0x61006100)
+    assert(Hdf5V4.fletcher32(Array.empty, 0, 0) == 0)
+    // and the 360-word modular reduction actually reduces (no overflow
+    // into garbage on a long input)
+    val big = Array.fill[Byte](4096)(0xFF.toByte)
+    val ck = Hdf5V4.fletcher32(big, 0, big.length)
+    assert(ck != 0 && ck == Hdf5V4.fletcher32(big.clone(), 0, big.length))
+  }
+
+  test("v4 layouts: index-type x filter matrix round-trips (superblock v3, OHDR)") {
+    val filterCombos = Seq(
+      (false, false, false), (true, true, false),
+      (false, false, true), (true, true, true))
+    for {
+      idx <- Seq("single", "implicit", "fixed", "ext", "btree2")
+      (defl, shuf, fle) <- filterCombos
+      if !(idx == "implicit" && (defl || shuf || fle))
+    } {
+      // single needs a one-chunk grid; the others get a ragged 17-chunk one
+      val (shape, chunks) =
+        if (idx == "single") (Seq(40L), Seq(64L)) else (Seq(257L), Seq(16L))
+      val vals = Array.tabulate(shape.head.toInt)(i => ((i * 31) % 101) - 50.0)
+      val bytes = Hdf5V4.h5BytesV4("d", vals, shape, chunks, idx,
+        deflate = defl, shuffle = shuf, fletcher = fle)
+      assert(bytes(8) == 3, "superblock must be version 3")
+      val ds = Hdf5.datasets(bytes) match {
+        case Seq(one) => one
+        case other => fail(s"$idx: expected 1 dataset, got $other")
+      }
+      val wantIdx = Map("single" -> 1, "implicit" -> 2, "fixed" -> 3,
+        "ext" -> 4, "btree2" -> 5)(idx)
+      assert(ds.idxType == wantIdx && ds.chunkDims == chunks,
+        s"$idx/$defl$shuf$fle meta: $ds")
+      val wantFilters = (if (shuf) Seq(2) else Nil) ++
+        (if (defl) Seq(1) else Nil) ++ (if (fle) Seq(3) else Nil)
+      assert(ds.filters == wantFilters, s"$idx filters: ${ds.filters}")
+      assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq,
+        s"$idx deflate=$defl shuffle=$shuf fletcher=$fle diverged")
+    }
+  }
+
+  test("v4 fixed array: PAGED data block (small page bits) round-trips") {
+    val vals = Array.tabulate(257)(i => (i % 13).toDouble)
+    val bytes = Hdf5V4.h5BytesV4("d", vals, Seq(257L), Seq(16L), "fixed",
+      deflate = true, faPageBits = 2) // 17 chunks / 4-entry pages = 5 pages
+    val ds = Hdf5.datasets(bytes).head
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+  }
+
+  test("v4 extensible array: elements spill past the index block into an EASB") {
+    // 300 chunks: 4 index-block elements + the 6 directly-addressed data
+    // blocks (16+32+32+32+64+64 = 240) + 56 more through super block 4
+    val vals = Array.tabulate(2400)(i => ((i * 7) % 29).toDouble)
+    val bytes = Hdf5V4.h5BytesV4("d", vals, Seq(2400L), Seq(8L), "ext")
+    assert(new String(bytes).contains("EASB"), "expected a super block")
+    val ds = Hdf5.datasets(bytes).head
+    assert(ds.maxDims.headOption.contains(-1L), "dim 0 must be unlimited")
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+    // filtered variant (wider index elements)
+    val bytesF = Hdf5V4.h5BytesV4("d", vals, Seq(2400L), Seq(8L), "ext",
+      deflate = true, shuffle = true)
+    val dsF = Hdf5.datasets(bytesF).head
+    assert(Hdf5.parseData(bytesF, dsF).toSeq == vals.toSeq)
+  }
+
+  test("v4 v2-B-tree: depth-1 tree (internal root + leaves) round-trips") {
+    // 125 chunks > the 31-record leaf capacity at node size 512
+    val vals = Array.tabulate(2000)(i => ((i * 11) % 37) - 18.0)
+    val bytes = Hdf5V4.h5BytesV4("d", vals, Seq(2000L), Seq(16L), "btree2")
+    assert(new String(bytes).contains("BTIN"), "expected an internal node")
+    val ds = Hdf5.datasets(bytes).head
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+  }
+
+  test("v4 rank-2 grid: corners reassemble in C order through a fixed array") {
+    val vals = Array.tabulate(7 * 9)(i => (i * 13 % 23).toDouble)
+    val bytes = Hdf5V4.h5BytesV4("m", vals, Seq(7L, 9L), Seq(3L, 4L), "fixed",
+      deflate = true, shuffle = true, fletcher = true)
+    val ds = Hdf5.datasets(bytes).head
+    assert(ds.shape == Seq(7L, 9L) && ds.chunkDims == Seq(3L, 4L))
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+  }
+
+  test("fletcher32 catches a corrupted chunk instead of surfacing garbage") {
+    val vals = Array.tabulate(64)(_.toDouble)
+    val bytes = Hdf5V4.h5BytesV4("d", vals, Seq(64L), Seq(64L), "single",
+      fletcher = true)
+    val ds = Hdf5.datasets(bytes).head
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 100) = (corrupt(corrupt.length - 100) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](
+      Hdf5.parseData(corrupt, Hdf5.datasets(corrupt).head))
+    assert(e.getMessage.contains("fletcher32"), e.getMessage)
+  }
+
+  test("v4 fuzz: random shapes x chunk grids x index types x filters round-trip") {
+    val rnd = new scala.util.Random(0x5eed15)
+    for (trial <- 0 until 30) {
+      val rank = 1 + rnd.nextInt(3)
+      val shape = Seq.fill(rank)(1L + rnd.nextInt(13))
+      val chunks = shape.map(s => 1L + rnd.nextInt((s + 3).toInt))
+      val grid1 = shape.zip(chunks).forall { case (s, c) => c >= s }
+      val idx =
+        if (grid1) Seq("single", "fixed", "ext", "btree2")(rnd.nextInt(4))
+        else Seq("implicit", "fixed", "ext", "btree2")(rnd.nextInt(4))
+      val deflate = rnd.nextBoolean() && idx != "implicit"
+      val shuffle = rnd.nextBoolean() && idx != "implicit"
+      val fletch = rnd.nextBoolean() && idx != "implicit"
+      val n = shape.product.toInt
+      val vals = Array.fill(n)((rnd.nextInt(2001) - 1000) * 0.25)
+      val bytes = Hdf5V4.h5BytesV4("f", vals, shape, chunks, idx,
+        deflate = deflate, shuffle = shuffle, fletcher = fletch)
+      val ds = Hdf5.datasets(bytes).head
+      assert(ds.shape == shape && ds.chunkDims == chunks,
+        s"trial $trial meta: $ds vs shape=$shape chunks=$chunks idx=$idx")
+      assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq,
+        s"trial $trial (shape=$shape chunks=$chunks idx=$idx " +
+          s"deflate=$deflate shuffle=$shuffle fletcher=$fletch)")
+    }
   }
 }
