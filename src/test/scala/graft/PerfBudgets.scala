@@ -53,38 +53,38 @@ object PerfBudgets {
     "q96_randomstate" -> 2,
     "q98_randomstate_perm" -> 2,
     "q99_gamma_general" -> 3,
-    // Streaming replay gates, RE-TIGHTENED r14 (verdict #4 / ADVICE
-    // row 4): the r13 budgets sat at 3× a band that included the
-    // pre-quiesce maintenance-tick outliers (s11 observed 7–19 s, one
-    // 214 s total). With the r14 quiesce bundle (StateStore.stop after
-    // every gate + 1 h maintenance interval scoped around replays +
-    // gates measured last) FOUR consecutive full batteries landed in a
-    // ±4.3% total band and every gate's worst steady is below; these
-    // are ~2× the 4-run max steady, rounded up to 0.5 — the gate's +2..4 s
-    // noiseSlack and the contention-probe widening still sit on top.
-    "s01_stream_gopher" -> 3.5,
-    "s02_stream_dedup" -> 4.5,
-    "s03_stream_packing" -> 5.0, // incl. the r14 in-gate batch self-compare
-    "s04_stream_sliding" -> 9.5,
-    "s05_stream_sessions" -> 9.0,
+    // Streaming replay gates, RE-TIGHTENED r15 (r14 verdict "next" #7):
+    // derived from the four r15 full batteries measured with the new
+    // inter-gate quiesce. Formula per gate: round-up-0.5 of
+    // max(1.5 × clean-band worst per-run MIN, 1.15 × worst per-run MIN
+    // including the epoch draw) — run 4 of the battery drew the
+    // documented 1-in-6 scheduler epoch (s02 min 8.27 s with every
+    // execution inside it, residue gauges zero, batch half flat), and
+    // since these gates BUDGET at min-of-executions the budget itself
+    // must cover that draw now that noiseSlack no longer hides it.
+    // Verified green against all four r15 artifacts with 1.45–2.1×
+    // headroom over each gate's worst observed min; 15 of 18 rows
+    // tightened (s16 12.5→5.5, s18 10→3.5, s15 11→6), s01/s02 widened
+    // to carry the epoch draw explicitly instead of implicitly via the
+    // old +4 s slack.
+    "s01_stream_gopher" -> 4.0,
+    "s02_stream_dedup" -> 10.0, // clean steady 1.8 s; epoch-draw min 8.27 s binds
+    "s03_stream_packing" -> 3.5, // incl. the r14 in-gate batch self-compare
+    "s04_stream_sliding" -> 7.5,
+    "s05_stream_sessions" -> 6.0,
     "s06_stream_totals" -> 3.5,
-    "s07_stream_interval_join" -> 14.5,
-    "s08_stream_dsir_topk" -> 3.5,
-    "s09_stream_bpe_encode" -> 5.0,
-    "s10_stream_interval_outer" -> 16.0,
-    "s11_stream_interval_full" -> 15.0,
-    "s12_stream_asof_join" -> 8.5,
-    "s13_stream_pipeline" -> 5.5,
-    "s14_stream_asof_tolerance" -> 8.5,
-    "s15_stream_asof_forward" -> 11.0,
-    "s16_stream_asof_nearest" -> 12.5,
-    "s17_stream_interval_right" -> 15.0,
-    // r14 gate, not yet in a measured band: bucket-keyed
-    // flatMapGroupsWithState over the banded 200-doc slice (~72k
-    // in-bucket pair emissions per replay) plus the signature-kernel
-    // prep — the s02 replay class with a fatter state op; re-tighten
-    // from bench_detail once a full-battery band exists
-    "s18_stream_neardup" -> 10.0,
+    "s07_stream_interval_join" -> 9.5,
+    "s08_stream_dsir_topk" -> 3.0,
+    "s09_stream_bpe_encode" -> 3.5,
+    "s10_stream_interval_outer" -> 12.0,
+    "s11_stream_interval_full" -> 11.5,
+    "s12_stream_asof_join" -> 6.0,
+    "s13_stream_pipeline" -> 3.5,
+    "s14_stream_asof_tolerance" -> 6.0,
+    "s15_stream_asof_forward" -> 6.0,
+    "s16_stream_asof_nearest" -> 5.5,
+    "s17_stream_interval_right" -> 10.5,
+    "s18_stream_neardup" -> 3.5,
 
     "t33_bpe_train" -> 5.5,
     "t07_jaccard" -> 2.5,
