@@ -167,7 +167,8 @@ object Hdf5 {
     * depth. */
   def h5BytesChunked(name: String, vals: Array[Double], shape: Seq[Long],
                      chunkDims: Seq[Long], deflate: Boolean = false,
-                     shuffle: Boolean = false): Array[Byte] = {
+                     shuffle: Boolean = false,
+                     fletcher: Boolean = false): Array[Byte] = {
     require(vals.length.toLong == shape.product,
       s"$name: ${vals.length} values for shape $shape")
     require(chunkDims.length == shape.length && chunkDims.forall(_ > 0),
@@ -181,8 +182,8 @@ object Hdf5 {
     val corners = grid.foldLeft(Seq(Seq.empty[Long])) { (acc, g) =>
       acc.flatMap(pre => (0L until g).map(k => pre :+ k))
     }
-    val filters: Seq[Int] =
-      (if (shuffle) Seq(2) else Nil) ++ (if (deflate) Seq(1) else Nil)
+    val filters: Seq[Int] = (if (shuffle) Seq(2) else Nil) ++
+      (if (deflate) Seq(1) else Nil) ++ (if (fletcher) Seq(3) else Nil)
     val blobs = corners.map { corner =>
       val off = corner.zip(chunkDims).map { case (c, d) => c * d }
       val buf = ByteBuffer.allocate(cElems * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -225,6 +226,12 @@ object Hdf5 {
           while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
           d.end()
           payload = out.toByteArray
+        case 3 => // fletcher32: append the checksum little-endian
+          val ck = Hdf5V4.fletcher32(payload, 0, payload.length)
+          val w = ByteBuffer.allocate(payload.length + 4)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          w.put(payload); w.putInt(ck)
+          payload = w.array()
       }
       (off, payload)
     }
@@ -237,7 +244,11 @@ object Hdf5 {
     val treeSize = 24 + 9 * 8 + 8 * 8
     val snodAddr = treeAddr + treeSize
     val snodSize = 8 + 8 * 40
-    val filterBody = if (filters.isEmpty) 0 else 8 + 16 * filters.size
+    // 16 bytes per value-carrying filter (8 hdr + cval + odd-count pad),
+    // 8 for fletcher32 (zero client values, even count — no pad)
+    val filterBody =
+      if (filters.isEmpty) 0
+      else 8 + filters.map(id => if (id == 3) 8 else 16).sum
     val filterMsg = if (filters.isEmpty) 0 else 8 + filterBody
     val layoutBody = pad8(11 + 4 * (rank + 1))
     val ohSize = 16 + (16 + 8 * rank) + 32 + 16 + filterMsg + (8 + layoutBody)
@@ -326,9 +337,13 @@ object Hdf5 {
       buf.put(new Array[Byte](6))
       filters.foreach { id =>
         buf.putShort(id.toShort); buf.putShort(0) // built-in: no name
-        buf.putShort(0); buf.putShort(1)          // mandatory, 1 client val
-        buf.putInt(if (id == 1) 6 else 8)         // level / element size
-        buf.putInt(0)                             // pad to even val count
+        if (id == 3) {
+          buf.putShort(0); buf.putShort(0)        // mandatory, 0 client vals
+        } else {
+          buf.putShort(0); buf.putShort(1)        // mandatory, 1 client val
+          buf.putInt(if (id == 1) 6 else 8)       // level / element size
+          buf.putInt(0)                           // pad to even val count
+        }
       }
     }
     //   layout v3 chunked

@@ -245,6 +245,107 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("filter id 4"))
   }
 
+  test("v1 chunked writer: fletcher32 joins the shuffle+deflate pipeline") {
+    // fletcher32 appears in 1.8-era v1-B-tree files too — the reader's
+    // decode is format-version-independent, and the v1 writer now
+    // proves it (the v4 matrix proves the latest-format half)
+    val vals = Array.tabulate(100)(i => ((i * 19) % 41) - 20.0)
+    val bytes = Hdf5.h5BytesChunked("d", vals, Seq(100L), Seq(32L),
+      deflate = true, shuffle = true, fletcher = true)
+    val ds = Hdf5.datasets(bytes).head
+    assert(ds.filters == Seq(2, 1, 3), s"pipeline order: ${ds.filters}")
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+    // flip one chunk byte: the checksum must catch it loudly
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 9) = (corrupt(corrupt.length - 9) ^ 0x11).toByte
+    val e = intercept[RuntimeException](
+      Hdf5.parseData(corrupt, Hdf5.datasets(corrupt).head))
+    assert(e.getMessage.contains("fletcher32") || e.getMessage.contains("deflate"),
+      e.getMessage)
+  }
+
+  test("stack read accepts v4 latest-format block files (mixed-version stacks)") {
+    // a real corpus's block files can come from different writers; the
+    // stack reader's per-file dispatch must handle a v3-superblock file
+    // exactly like a v0 one
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5v4").toString
+    val blocks = Seq(
+      Array.tabulate(256)(i => (i % 11).toDouble),
+      Array.tabulate(256)(i => ((i * 3) % 7).toDouble),
+      Array.tabulate(100)(i => (i % 5).toDouble))
+    blocks.zipWithIndex.foreach { case (vs, k) =>
+      val bytes =
+        if (k == 1) Hdf5.h5Bytes(Seq(("data", vs, Seq(vs.length.toLong)))) // v0
+        else Hdf5V4.h5BytesV4("data", vs, Seq(vs.length.toLong), Seq(64L),
+          "fixed", deflate = true, shuffle = true) // v3 superblock
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$k.h5"), bytes)
+    }
+    val back = Hdf5.readStack(s, dir).orderBy("idx").collect()
+    assert(back.length == 612)
+    val want = blocks.flatten
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(1) == want(i), s"idx $i")
+    }
+  }
+
+  test("OHDR continuation blocks (OCHK) parse: layout message moved past chunk 0") {
+    // no writer emits continuations, but external 1.10+ files do — move
+    // the dataset OHDR's LAST message (the layout) into an OCHK block
+    // appended at EOF, replacing it in chunk 0 with a continuation
+    // message + NIL filler of identical total size, and re-checksum.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val vals = Array.tabulate(64)(i => (i % 9).toDouble)
+    val bytes = Hdf5V4.h5BytesV4("d", vals, Seq(64L), Seq(16L), "fixed")
+    val ds0 = Hdf5.datasets(bytes).head
+    // locate the dataset OHDR (addr 48 by the writer's layout)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    assert(new String(bytes, 48, 4, "ASCII") == "OHDR")
+    val chunk0Size = bb.getInt(48 + 6)
+    val msgStart = 48 + 10
+    // walk to the last message (type 0x08 layout)
+    var p = msgStart
+    var layoutAt = -1
+    while (p < msgStart + chunk0Size) {
+      val t = bytes(p) & 0xff
+      val sz = bb.getShort(p + 1) & 0xffff
+      if (t == 0x08) layoutAt = p
+      p += 4 + sz
+    }
+    assert(layoutAt > 0, "layout message not found")
+    val layoutSz = bb.getShort(layoutAt + 1) & 0xffff
+    val total = 4 + layoutSz // bytes the replacement must fill exactly
+    assert(total >= 20 + 4, "layout too small to hold continuation + NIL")
+    val ochkAddr = bytes.length.toLong
+    val ochkLen = 4 + 4 + layoutSz + 4 // sig + msg hdr + body + checksum
+    val out = ByteBuffer.allocate(bytes.length + ochkLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(bytes)
+    // build the OCHK block: sig + the original layout message + checksum
+    val ochkStart = out.position()
+    out.put("OCHK".getBytes("ASCII"))
+    out.put(bytes, layoutAt, 4 + layoutSz)
+    out.putInt(Hdf5V4.lookup3(out.array(), ochkStart, out.position() - ochkStart))
+    val patched = out.array()
+    // overwrite the old layout slot: continuation msg (type 0x10, 16-byte
+    // body) + a NIL message absorbing the remainder
+    val pb = ByteBuffer.wrap(patched).order(ByteOrder.LITTLE_ENDIAN)
+    pb.position(layoutAt)
+    pb.put(0x10.toByte); pb.putShort(16); pb.put(0.toByte)
+    pb.putLong(ochkAddr); pb.putLong(ochkLen.toLong)
+    val nilBody = total - 20 - 4
+    pb.put(0.toByte); pb.putShort(nilBody.toShort); pb.put(0.toByte)
+    // re-checksum chunk 0 (over sig..end of messages)
+    pb.putInt(msgStart + chunk0Size,
+      Hdf5V4.lookup3(patched, 48, msgStart + chunk0Size - 48))
+    val ds = Hdf5.datasets(patched).head
+    assert(ds.idxType == ds0.idxType && ds.chunkDims == ds0.chunkDims,
+      s"continuation-parsed meta diverged: $ds vs $ds0")
+    assert(Hdf5.parseData(patched, ds).toSeq == vals.toSeq,
+      "OCHK-relocated layout message mis-parsed")
+  }
+
   // ------------------------------------------------- layout v4 (1.10+)
 
   test("lookup3 and fletcher32 checksum primitives match their contracts") {
