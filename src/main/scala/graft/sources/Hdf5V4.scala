@@ -19,8 +19,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *      1 single chunk (with/without filter),
   *      2 implicit (contiguous chunk grid, unfiltered),
   *      3 fixed array (`FAHD`/`FADB`, paged and non-paged),
-  *      4 extensible array (`EAHD`/`EAIB`/`EADB`/`EASB`, non-paged
-  *        data blocks; paged data blocks rejected loudly),
+  *      4 extensible array (`EAHD`/`EAIB`/`EADB`/`EASB`, incl. PAGED
+  *        data blocks with super-block page-init bitmaps; a paged data
+  *        block addressed from the index block — a shape real cparams
+  *        never produce — is rejected loudly),
   *      5 version-2 B-tree (`BTHD`/`BTIN`/`BTLF`, any depth, record
   *        types 10/11),
   *  - the fletcher32 filter (id 3): verify-and-strip on read, appended
@@ -304,18 +306,23 @@ object Hdf5V4 {
     val ibElems = ib + 14
     val ibDblks = ibElems + g.idxElmts * es
     val ibSblks = ibDblks + g.ndblkAddrs * 8
-    // data-block element regions are memoized per data block address
-    val dblkElems = scala.collection.mutable.HashMap.empty[Long, Int]
-    def dblkElemsAt(addr: Long, nelmts: Long): Int =
-      dblkElems.getOrElseUpdate(addr, {
-        val db = addr.toInt
-        require(rd.ascii(db, 4) == "EADB", s"${ds.name}: bad EA data block")
-        require(nelmts <= (1L << g.pageBits),
-          s"${ds.name}: paged EA data blocks ($nelmts elements > page " +
-            s"${1L << g.pageBits}) unsupported — refusing rather than misread")
-        db + 14 + g.offSize
+    val pageN = 1L << g.pageBits
+    def npagesOf(u: Int): Int =
+      if (g.dblkNelmts(u) > pageN) (g.dblkNelmts(u) / pageN).toInt else 0
+    // super block layout: prefix(14) + blockOffset + [page-init bitmaps,
+    // one byte-aligned block of ceil(npages/8) per data block, when the
+    // sblk's data blocks are paged] + dblk addresses. Memoized per u.
+    val sblkLayout = scala.collection.mutable.HashMap.empty[Int, (Int, Int)]
+    def sblkOf(u: Int, sbAddr: Long): (Int, Int) = // (bitmapBase, addrBase)
+      sblkLayout.getOrElseUpdate(u, {
+        val s0 = sbAddr.toInt
+        require(rd.ascii(s0, 4) == "EASB", s"${ds.name}: bad EA super block")
+        val bm = s0 + 14 + g.offSize
+        val bmBytes =
+          if (npagesOf(u) > 0) g.ndblks(u) * ((npagesOf(u) + 7) / 8) else 0
+        (bm, bm + bmBytes)
       })
-    val sblkDblkTable = scala.collection.mutable.HashMap.empty[Int, Int]
+    val dblkSigSeen = scala.collection.mutable.HashSet.empty[Long]
     val out = Seq.newBuilder[ChunkEntry]
     var k = 0L
     while (k < nChunks) {
@@ -324,23 +331,41 @@ object Hdf5V4 {
         else {
           val (u, dblkIn, within, startDblk) = g.locate(k - g.idxElmts)
           val globalDblk = startDblk + dblkIn
+          val npages = npagesOf(u)
+          var bitmapBase = -1
           val dblkAddr =
-            if (u < g.iblkNsblks) rd.i64(ibDblks + globalDblk * 8)
-            else {
-              val sbSlot = u - g.iblkNsblks
-              val sbAddr = rd.i64(ibSblks + sbSlot * 8)
+            if (u < g.iblkNsblks) {
+              require(npages == 0, s"${ds.name}: paged EA data block " +
+                "addressed from the index block — unsupported (no page-init " +
+                "storage exists there); refusing rather than misread")
+              rd.i64(ibDblks + globalDblk * 8)
+            } else {
+              val sbAddr = rd.i64(ibSblks + (u - g.iblkNsblks) * 8)
               if (sbAddr == Undef) Undef
               else {
-                val sb = sblkDblkTable.getOrElseUpdate(u * 1000000 + 0, {
-                  val s0 = sbAddr.toInt
-                  require(rd.ascii(s0, 4) == "EASB", s"${ds.name}: bad EA super block")
-                  s0 + 14 + g.offSize
-                })
-                rd.i64(sb + dblkIn * 8)
+                val (bm, addrs) = sblkOf(u, sbAddr)
+                bitmapBase = bm
+                rd.i64(addrs + dblkIn * 8)
               }
             }
           if (dblkAddr == Undef) -1 // unallocated data block: all fill
-          else dblkElemsAt(dblkAddr, g.dblkNelmts(u)) + (within * es).toInt
+          else {
+            val db = dblkAddr.toInt
+            if (dblkSigSeen.add(dblkAddr))
+              require(rd.ascii(db, 4) == "EADB", s"${ds.name}: bad EA data block")
+            if (npages == 0) db + 14 + g.offSize + (within * es).toInt
+            else {
+              // paged: prefix(14) + blockOffset + checksum(4), then pages
+              // of pageN elements each followed by their own checksum;
+              // an uninitialized page (sblk bitmap bit clear) is fill
+              val page = (within / pageN).toInt
+              val initSize = (npages + 7) / 8
+              val bit = rd.u8(bitmapBase + dblkIn * initSize + page / 8)
+              if ((bit & (1 << (page % 8))) == 0) -1
+              else db + 18 + g.offSize +
+                page * ((pageN * es).toInt + 4) + ((within % pageN) * es).toInt
+            }
+          }
         }
       if (p >= 0) {
         val (addr, sz, mask) = decodeEntry(rd, p, es, filtered, chunkBytes)
@@ -433,7 +458,8 @@ object Hdf5V4 {
   def h5BytesV4(name: String, vals: Array[Double], shape: Seq[Long],
                 chunkDims: Seq[Long], indexType: String,
                 deflate: Boolean = false, shuffle: Boolean = false,
-                fletcher: Boolean = false, faPageBits: Int = 10): Array[Byte] = {
+                fletcher: Boolean = false, faPageBits: Int = 10,
+                eaPageBits: Int = 10): Array[Byte] = {
     require(vals.length.toLong == shape.product,
       s"$name: ${vals.length} values for shape $shape")
     require(chunkDims.length == shape.length && chunkDims.forall(_ > 0),
@@ -543,7 +569,7 @@ object Hdf5V4 {
     val faPaged = indexType == "fixed" && nChunks > faPageN
     val faNPages = if (faPaged) ((nChunks + faPageN - 1) / faPageN).toInt else 1
     val eaG = EaGeom(idxElmts = 4, minElts = 16, minPtrs = 4,
-      maxBits = 32, pageBits = 10)
+      maxBits = 32, pageBits = eaPageBits)
     // extensible array: which data blocks / super blocks exist for nChunks
     val eaRest = math.max(0, nChunks - eaG.idxElmts).toLong
     val eaDblks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
@@ -554,8 +580,9 @@ object Hdf5V4 {
       while (covered < eaRest) {
         var j = 0
         while (j < eaG.ndblks(u) && covered < eaRest) {
-          require(eaG.dblkNelmts(u) <= (1L << eaG.pageBits),
-            "writer restricted to non-paged EA data blocks")
+          require(u >= eaG.iblkNsblks || eaG.dblkNelmts(u) <= (1L << eaG.pageBits),
+            "paged EA data block would be addressed from the index block " +
+              "(no page-init storage exists there) — raise eaPageBits")
           eaDblks += ((u, startDblk + j, eaG.dblkNelmts(u)))
           covered += eaG.dblkNelmts(u)
           j += 1
@@ -566,8 +593,15 @@ object Hdf5V4 {
     }
     val eaSblksUsed = eaDblks.map(_._1).distinct.filter(_ >= eaG.iblkNsblks).sorted
     val eaIbSize = 14 + eaG.idxElmts * es + eaG.ndblkAddrs * 8 + eaG.nsblkAddrs * 8 + 4
-    def eaDbSize(u: Int): Int = 14 + eaG.offSize + (eaG.dblkNelmts(u) * es).toInt + 4
-    def eaSbSize(u: Int): Int = 14 + eaG.offSize + eaG.ndblks(u) * 8 + 4
+    val eaPageN = 1L << eaG.pageBits
+    def eaNpages(u: Int): Int =
+      if (eaG.dblkNelmts(u) > eaPageN) (eaG.dblkNelmts(u) / eaPageN).toInt else 0
+    def eaDbSize(u: Int): Int =
+      if (eaNpages(u) == 0) 14 + eaG.offSize + (eaG.dblkNelmts(u) * es).toInt + 4
+      else 18 + eaG.offSize + eaNpages(u) * ((eaPageN * es).toInt + 4)
+    def eaSbSize(u: Int): Int = 14 + eaG.offSize +
+      (if (eaNpages(u) > 0) eaG.ndblks(u) * ((eaNpages(u) + 7) / 8) else 0) +
+      eaG.ndblks(u) * 8 + 4
     // v2 B-tree geometry
     val btNodeSize = 512
     val btRrec = if (filtered) 8 + szLen + 4 + 8 * rank else 8 + 8 * rank
@@ -576,10 +610,10 @@ object Hdf5V4 {
     val btMaxNrecSize = (log2gen(btLeafMax) + 7) / 8
     val btPtr = 8 + btMaxNrecSize
     val btIntMax = (btNodeSize - (10 + btPtr)) / (btRrec + btPtr)
-    val btDepth = if (nChunks <= btLeafMax) 0 else 1
+    lazy val btDepth = if (nChunks <= btLeafMax) 0 else 1
     // depth-1 plan: leaves of ≤ btLeafMax records with one separator
     // record promoted between adjacent leaves
-    val btLeafPlan: Seq[Seq[Int]] = if (btDepth == 0) Seq((0 until nChunks).toList)
+    lazy val btLeafPlan: Seq[Seq[Int]] = if (btDepth == 0) Seq((0 until nChunks).toList)
     else {
       var l = 2
       while (nChunks - (l - 1) > l * btLeafMax) l += 1
@@ -597,7 +631,7 @@ object Hdf5V4 {
       require(at - 1 == nChunks, s"leaf plan covered ${at - 1} of $nChunks")
       plan.toSeq
     }
-    val btSeparators: Seq[Int] =
+    lazy val btSeparators: Seq[Int] =
       btLeafPlan.dropRight(1).map(r => r.last + 1)
     val idxSize: Long = indexType match {
       case "single" | "implicit" => 0L
@@ -806,6 +840,10 @@ object Hdf5V4 {
           buf.put((if (filtered) 1 else 0).toByte)
           buf.putLong(idxAddr)
           (0 until eaG.offSize).foreach(_ => buf.put(0.toByte)) // block offset
+          if (eaNpages(u) > 0) { // page-init bitmaps: all pages written
+            val initSize = (eaNpages(u) + 7) / 8
+            (0 until eaG.ndblks(u) * initSize).foreach(_ => buf.put(0xFF.toByte))
+          }
           val first = eaDblks.indexWhere(_._1 == u)
           (0 until eaG.ndblks(u)).foreach { j =>
             val g = eaDblks(first)._2 + j
@@ -813,7 +851,9 @@ object Hdf5V4 {
           }
           cksumAt(s0)
         }
-        // EADBs: elements in global order
+        // EADBs: elements in global order; paged blocks write a
+        // header-only prefix (with its own checksum) then per-page
+        // element runs each followed by a page checksum
         var elem = eaG.idxElmts
         eaDblks.foreach { case (u, g, nel) =>
           val d0 = buf.position()
@@ -825,13 +865,23 @@ object Hdf5V4 {
           (0 until eaG.offSize).foreach { _ =>
             buf.put((off & 0xff).toByte); off >>>= 8
           }
-          (0 until nel.toInt).foreach { j =>
+          def elems(lo: Int, hi: Int): Unit = (lo until hi).foreach { j =>
             val k = elem + j
             if (k < nChunks) putEntry(k)
             else { buf.putLong(Undef); (0 until es - 8).foreach(_ => buf.put(0.toByte)) }
           }
+          if (eaNpages(u) == 0) {
+            elems(0, nel.toInt)
+            cksumAt(d0)
+          } else {
+            cksumAt(d0) // header checksum precedes the pages
+            (0 until eaNpages(u)).foreach { pg =>
+              val p0 = buf.position()
+              elems(pg * eaPageN.toInt, (pg + 1) * eaPageN.toInt)
+              cksumAt(p0)
+            }
+          }
           elem += nel.toInt
-          cksumAt(d0)
         }
       case "btree2" =>
         val h0 = buf.position()

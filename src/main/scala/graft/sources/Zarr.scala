@@ -335,6 +335,8 @@ object Zarr {
         """, {"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
       else if (m.compressor.contains("blosc"))
         """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5, "shuffle": "shuffle", "typesize": 8, "blocksize": 0}}"""
+      else if (m.compressor.contains("blosc-bit"))
+        """, {"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5, "shuffle": "bitshuffle", "typesize": 8, "blocksize": 0}}"""
       else "")
     // sharding_indexed wraps the data codec chain; the chunk grid keeps
     // addressing the (outer) shard shape, inner chunks live inside it
@@ -1137,8 +1139,9 @@ object Zarr {
         s"v2 supports zlib/zstd/blosc[-bit]/null, got $compressor")
       Meta(shape, chunks, "<f8", 0.0, compressor, ".", 2)
     case 3 =>
-      require(compressor.forall(c => c == "gzip" || c == "zstd" || c == "blosc"),
-        s"v3 supports gzip/zstd/blosc/null, got $compressor")
+      require(compressor.forall(c =>
+          c == "gzip" || c == "zstd" || c == "blosc" || c == "blosc-bit"),
+        s"v3 supports gzip/zstd/blosc[-bit]/null, got $compressor")
       Meta(shape, chunks, "<f8", 0.0, compressor, "/", 3)
     case other => sys.error(s"unsupported zarr format $other")
   }

@@ -269,6 +269,32 @@ class ZarrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("compressors"))
   }
 
+  test("bit-shuffled blosc round trips, v2 and v3; metadata says shuffle 2 / bitshuffle") {
+    val sp = spark
+    import sp.implicits._
+    val el = (0 until 500).map(i => (i.toLong, ((i * 7) % 23) - 11.0)).toDF("idx", "v")
+    for (fmt <- Seq(2, 3)) {
+      val dir = Files.createTempDirectory(s"zarrbit$fmt").toString
+      Zarr.write1d(el, dir, 500, chunk = 128, compressor = Some("blosc-bit"),
+        format = fmt)
+      val metaFile = if (fmt == 2) ".zarray" else "zarr.json"
+      val doc = new String(Files.readAllBytes(Paths.get(dir, metaFile)),
+        StandardCharsets.UTF_8)
+      if (fmt == 2) assert(doc.contains("\"shuffle\": 2"), doc)
+      else assert(doc.contains("\"bitshuffle\""), doc)
+      // the chunk objects are genuine bit-shuffle frames (flag 0x04)
+      val chunk0 = Files.readAllBytes(Paths.get(dir,
+        if (fmt == 2) "0" else "c/0"))
+      assert((chunk0(2) & 0x04) != 0 && (chunk0(2) & 0x01) == 0,
+        s"v$fmt chunk flags ${chunk0(2)}")
+      val back = Zarr.read1d(spark, dir).orderBy("idx").collect()
+      assert(back.length == 500)
+      back.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getDouble(1) == ((i * 7) % 23) - 11.0, s"v$fmt idx $i")
+      }
+    }
+  }
+
   test("v2 blosc-lz4 store round trip; chunks are real blosc frames") {
     val dir = Files.createTempDirectory("zarrblosc").toString
     val sp = spark

@@ -421,6 +421,45 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.parseData(bytesF, dsF).toSeq == vals.toSeq)
   }
 
+  test("v4 extensible array: PAGED data blocks (small page bits) round-trip") {
+    // eaPageBits = 6 pages 64 elements: sblks 0-3 (index-block dblks,
+    // nelmts 16-64) stay non-paged, sblk 5's 128-element dblks page
+    // into 2 pages each with per-page checksums and a super-block
+    // page-init bitmap. 600 chunks reaches sblk 5.
+    val vals = Array.tabulate(1200)(i => ((i * 13) % 31) - 15.0)
+    val bytes = Hdf5V4.h5BytesV4("d", vals, Seq(1200L), Seq(2L), "ext",
+      eaPageBits = 6)
+    val ds = Hdf5.datasets(bytes).head
+    assert(Hdf5.parseData(bytes, ds).toSeq == vals.toSeq)
+    // filtered variant too (wider elements, same paging)
+    val bytesF = Hdf5V4.h5BytesV4("d", vals, Seq(1200L), Seq(2L), "ext",
+      deflate = true, eaPageBits = 6)
+    assert(Hdf5.parseData(bytesF, Hdf5.datasets(bytesF).head).toSeq == vals.toSeq)
+    // an uninitialized page must read as fill, not garbage: clear one
+    // page-init bit in sblk 5's bitmap (the SECOND EASB — the first,
+    // sblk 4, holds 64-element non-paged dblks and has NO bitmap)
+    val patched = bytes.clone()
+    val easbs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < patched.length - 4) {
+      if (patched(i) == 'E' && patched(i + 1) == 'A' && patched(i + 2) == 'S' &&
+          patched(i + 3) == 'B') easbs += i
+      i += 1
+    }
+    assert(easbs.size == 2, s"expected sblk-4 and sblk-5 EASBs, got $easbs")
+    val at = easbs(1)
+    // bitmap starts after sig(4)+ver+client(2)+hdrAddr(8)+blockOffset(4)
+    patched(at + 18) = (patched(at + 18) & ~1).toByte // page 0 of dblk 0
+    val got = Hdf5.parseData(patched, Hdf5.datasets(patched).head)
+    val cleared = got.zip(vals).count { case (g, v) => g == 0.0 && v != 0.0 }
+    // page 0 of sblk 5's first dblk = 64 chunks × 2 values, starting at
+    // element 500·2 = 1000; a few true zeros in the pattern stay zeros
+    assert(cleared > 0 && cleared <= 64 * 2,
+      s"expected one 64-chunk page to fall to fill, got $cleared cleared values")
+    assert(got.take(1000).toSeq == vals.take(1000).toSeq,
+      "elements before the cleared page must be untouched")
+  }
+
   test("v4 v2-B-tree: depth-1 tree (internal root + leaves) round-trips") {
     // 125 chunks > the 31-record leaf capacity at node size 512
     val vals = Array.tabulate(2000)(i => ((i * 11) % 37) - 18.0)
