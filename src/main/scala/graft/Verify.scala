@@ -4,7 +4,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
+    // fast path: dump the rendered oracle SQL registry WITHOUT running
+    // queries (feeds scripts/lint_oracle_types.py --emit, the DuckDB
+    // type sweep behind OracleLintSpec's golden manifest — r15 verdict
+    // Next #1/#4: no registered oracle may ever emit HUGEINT again)
+    if (args(0) == "--dump-oracles") {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(args(1)), json)
+      System.err.println(s"[verify] dumped ${SparkEntry.oracleSql.size} oracle SQLs to ${args(1)}")
+      return
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter (dev loop only)
     val only: Option[Set[String]] =
@@ -63,9 +87,22 @@ object Verify {
         // adjudicable against this sorted-row, doubleToLongBits-
         // normalized SHA-256 — see [[CanonicalHash]] for the rules)
         val back = spark.read.parquet(s"$outDir/$name")
-        val rows = back.collect()
-        val canon = CanonicalHash.ofRows(rows, back.schema)
-        manifest(name) = ("ok", rows.length.toLong, canon, "")
+        // the canonical hash is INSTRUMENTATION — a hash-only failure
+        // (unsupported column type, driver memory pressure on a large
+        // collect) must not flip an otherwise-correct query red in the
+        // manifest (r15 ADVICE #2). Fall back to count() + an errored
+        // canon marker and keep status "ok": the driver's DuckDB compare
+        // is the correctness authority, the hash is forensics.
+        val (rows, canon) =
+          try {
+            val r = back.collect()
+            (r.length.toLong, CanonicalHash.ofRows(r, back.schema))
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name: canon-hash failed " +
+              s"(query output kept, status ok): ${e.getMessage}")
+            (back.count(), s"hash-error:${e.getClass.getSimpleName}")
+          }
+        manifest(name) = ("ok", rows, canon, "")
         // replay gates: mirror the hash into the gate's replay-diag
         // artifact so cross-round forensics can compare answers without
         // re-running (r14 verdict "next" #8)
@@ -78,18 +115,7 @@ object Verify {
           ("failed", -1L, "", Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = jq(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

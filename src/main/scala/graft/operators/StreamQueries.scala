@@ -1253,7 +1253,12 @@ object StreamQueries {
     // the batch packing answer: per source, running token offset in
     // doc_id order; a doc's bin is the 2048-token window its first
     // token lands in. Token counts are integers (exact, order-pinned
-    // running sum — same waiver class as t15)
+    // running sum — same waiver class as t15). CAST wraps the bin:
+    // the windowed sum(BIGINT) widens to HUGEINT in DuckDB, so the
+    // un-cast `off // 2048` was the surface's ONLY int128 output
+    // column and the root cause of the r11–r15 driver hash-red
+    // (values exact, serialization divergent) — same guard class as
+    // s04 below and t12.
     "s03_stream_packing" ->
       """WITH t AS (SELECT source, doc_id,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -1262,7 +1267,7 @@ object StreamQueries {
                  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
                FROM t)
-         SELECT source, doc_id, n_tok, off // 2048 AS bin
+         SELECT source, doc_id, n_tok, CAST(off // 2048 AS BIGINT) AS bin
          FROM o ORDER BY source, doc_id""",
 
     // the batch definition of the sliding windows: each event belongs

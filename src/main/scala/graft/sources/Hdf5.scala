@@ -579,6 +579,7 @@ object Hdf5 {
     var idxType = 0
     var idxParams: Seq[Long] = Nil
     var maxDims: Seq[Long] = Nil
+    var layoutFlags = 0 // v4 chunked only; bit 0 = don't-filter-edge-chunks
     foreachMessageAny(rd, ohAddr) { (tpe, body, msz) =>
       tpe match {
         case 0x0001 => // dataspace v1 (8-byte prefix) or v2 (4-byte prefix)
@@ -630,6 +631,7 @@ object Hdf5 {
               dataAddr = -3L
             case 2 => // chunked v4 (r15): five index types — see Hdf5V4
               val lflags = rd.u8(body + 2)
+              layoutFlags = lflags
               val ndims = rd.u8(body + 3) // includes the element-size dim
               val encLen = rd.u8(body + 4)
               var p = body + 5
@@ -663,6 +665,11 @@ object Hdf5 {
               }
               btreeAddr = rd.i64(p) // the index structure's address
               dataAddr = -3L
+            case other => // class 3 = virtual storage (valid in v4)
+              throw new IllegalArgumentException(
+                s"$name: data layout class $other unsupported " +
+                  "(compact/contiguous/chunked only — virtual storage " +
+                  "maps onto other files this reader refuses to chase)")
           }
         case 0x000B => // filter pipeline: deflate(1) / shuffle(2) only
           val ver = rd.u8(body)
@@ -705,6 +712,21 @@ object Hdf5 {
     }
     if (shape == null || dtype == null) None
     else {
+      // v4 layout flag bit 0 (DONT_FILTER_PARTIAL_BOUND_CHUNKS,
+      // H5Pset_chunk_opts): ragged edge chunks are stored UNFILTERED
+      // while the dataset carries a filter pipeline. parseData applies
+      // the inverse pipeline uniformly, so with a shuffle-only pipeline
+      // the edge chunks would decode to silent garbage (deflate at
+      // least fails loudly). Refuse unless no filter or no partial edge
+      // chunk exists — same reject-loudly policy as the EA-swizzle and
+      // dense-group guards (r15 ADVICE #1).
+      if ((layoutFlags & 0x01) != 0 && filters.nonEmpty && chunkDims.nonEmpty) {
+        val ragged = shape.zip(chunkDims).exists { case (s, c) => s % c != 0 }
+        require(!ragged,
+          s"$name: filtered dataset with DONT_FILTER_PARTIAL_BOUND_CHUNKS " +
+            s"and ragged edge chunks (shape=$shape chunks=$chunkDims) — " +
+            "edge chunks are stored raw, refusing rather than mis-decode")
+      }
       if (idxType == 4 && maxDims.nonEmpty) {
         // extensible-array elements are addressed with the unlimited dim
         // swizzled to the front; that is the identity only for dim 0

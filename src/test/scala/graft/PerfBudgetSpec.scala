@@ -82,9 +82,79 @@ class PerfBudgetSpec extends AnyFunSuite {
       f"vs ${PerfGate.probeBoundMs}%.0f bound — gates widened ${r}%.2f×")
     val over = PerfGate.overBudget(details, budgets, defaultBudget, r,
       probed = probe.isDefined, harnessPaced = PerfBudgets.harnessPaced)
-    assert(over.isEmpty,
+    // 1-in-6 scheduler-epoch draw (r15 ADVICE #4): when a quorum of
+    // replay gates is SIMULTANEOUSLY elevated over the clean band with
+    // clean residue gauges, the run drew the documented box epoch —
+    // replay-gate budget violations are exempt FOR THAT RUN (they gate
+    // the clean band now, not the draw); plan-query violations and the
+    // inversion/accumulating arms stay fully armed.
+    val epoch = PerfGate.epochDraw(details, PerfBudgets.harnessPaced,
+      PerfBudgets.cleanBand)
+    val gated =
+      if (epoch) {
+        val waived = over.filter(o => PerfBudgets.harnessPaced(o._1))
+        if (waived.nonEmpty) info("EPOCH DRAW: waiving replay-gate budget " +
+          s"rows for this run: ${waived.map(_._1).mkString(", ")}")
+        over.filterNot(o => PerfBudgets.harnessPaced(o._1))
+      } else over
+    assert(gated.isEmpty,
       "measured time over budget (query, measured, budget):\n  " +
-        over.map { case (q, s, b) => f"$q: $s%.2fs > $b%.1fs" }.mkString("\n  "))
+        gated.map { case (q, s, b) => f"$q: $s%.2fs > $b%.1fs" }.mkString("\n  "))
+  }
+
+  test("epoch-draw detector: quorum elevation waives, lone regression stays red") {
+    // the r15 battery run-4 shape: s02 drew 8.27 s min with every
+    // execution inside it AND the rest of the family elevated together
+    // (residue gauges zero) — the detector must fire on the family-wide
+    // signature and the budget test must waive the replay rows
+    def det(mult: Double, clean: Boolean = true) =
+      PerfBudgets.cleanBand.map { case (q, c) =>
+        q -> PerfGate.Detail(c * mult, Seq(c * mult, c * mult * 1.05, c * mult),
+          residue = Some(!clean))
+      }
+    assert(PerfGate.epochDraw(det(1.5), PerfBudgets.harnessPaced,
+      PerfBudgets.cleanBand), "family-wide 1.5x elevation must classify as epoch")
+    // the clean band itself (±15% spread) must NOT classify
+    assert(!PerfGate.epochDraw(det(1.15), PerfBudgets.harnessPaced,
+      PerfBudgets.cleanBand), "the clean band must not classify as epoch")
+    // a LONE s02 regression to the r15 draw value on an otherwise-clean
+    // run: detector must NOT fire and the budget must go red — this is
+    // exactly the ~5x silent pass the r15 10 s budget allowed
+    val lone = det(1.0) + ("s02_stream_dedup" ->
+      PerfGate.Detail(8.27, Seq(8.3, 8.5, 8.27), residue = Some(false)))
+    assert(!PerfGate.epochDraw(lone, PerfBudgets.harnessPaced,
+      PerfBudgets.cleanBand), "one elevated gate can never fake the quorum")
+    assert(PerfGate.overBudget(lone, budgets, defaultBudget, 1.0,
+      harnessPaced = PerfBudgets.harnessPaced).map(_._1) == Seq("s02_stream_dedup"),
+      "a lone s02 at the r15 draw value must now fail its clean-band budget")
+    // gauge-fired elevation (a real leak inflating the family) must not
+    // classify as an epoch — residue corroboration is required
+    assert(!PerfGate.epochDraw(det(1.5, clean = false),
+      PerfBudgets.harnessPaced, PerfBudgets.cleanBand),
+      "family elevation with residue gauges firing is a leak, not an epoch")
+  }
+
+  test("noiseSlack has no regime cliff (r15 ADVICE #3)") {
+    // the r15 formula cliffed at budget 2.0: a 1.9 s budget got a
+    // +3.8 s window (~3x tolerance) while 2.0 s got +0.75 s (1.375x).
+    // The blend interpolates 1.5..2.5 s, so neighboring budgets always
+    // gate with comparable strictness (max step 2.25 * delta).
+    val bs = BigDecimal(0.25) to BigDecimal(8.0) by BigDecimal(0.05)
+    bs.map(_.toDouble).sliding(2).foreach { case Seq(a, b) =>
+      assert(math.abs(PerfGate.noiseSlack(b) - PerfGate.noiseSlack(a)) < 0.15,
+        f"slack cliff between budgets $a%.2f and $b%.2f")
+    }
+    // regime anchors: the two end regimes are untouched by the blend
+    assert(PerfGate.noiseSlack(0.5) == 2.0)   // sub-second floor
+    assert(PerfGate.noiseSlack(1.5) == 3.0)   // default-budget gate 4.5 s
+    assert(PerfGate.noiseSlack(2.5) == 0.75)  // proportional regime start
+    assert(math.abs(PerfGate.noiseSlack(6.0) - 1.8) < 1e-12)
+    assert(PerfGate.noiseSlack(10.0) == 2.0)
+    // the ADVICE specimen: 1.9 vs 2.0 now gate within 0.25 s of each
+    // other instead of 2.95 s apart
+    val g19 = 1.9 + PerfGate.noiseSlack(1.9)
+    val g20 = 2.0 + PerfGate.noiseSlack(2.0)
+    assert(math.abs(g19 - g20) < 0.25, f"ADVICE cliff persists: $g19%.3f vs $g20%.3f")
   }
 
   test("steady state never exceeds first-run by more than 25% + 1s") {

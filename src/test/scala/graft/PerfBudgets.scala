@@ -68,7 +68,14 @@ object PerfBudgets {
     // to carry the epoch draw explicitly instead of implicitly via the
     // old +4 s slack.
     "s01_stream_gopher" -> 4.0,
-    "s02_stream_dedup" -> 10.0, // clean steady 1.8 s; epoch-draw min 8.27 s binds
+    // r16 (r15 ADVICE #4): back to the CLEAN-BAND budget — the r15
+    // 10 s value existed solely to absorb the 1-in-6 epoch draw
+    // (8.27 s min), which let a genuine ~5× regression pass silently
+    // on the 5-in-6 clean runs. The draw is now detected explicitly
+    // (PerfGate.epochDraw quorum over cleanBand below) and exempted
+    // per-run, so the budget again gates the clean band: round-up-0.5
+    // of 1.5 × 2.1 s clean worst min.
+    "s02_stream_dedup" -> 3.5,
     "s03_stream_packing" -> 3.5, // incl. the r14 in-gate batch self-compare
     "s04_stream_sliding" -> 7.5,
     "s05_stream_sessions" -> 6.0,
@@ -99,6 +106,36 @@ object PerfBudgets {
     // 1.9s steady isolated (t13's class; 6 ≈ 3×)
     "t35_leakage_split" -> 6.0,
     "td02_tiledb_shadow" -> 2,
+  )
+
+  /** Clean-band per-run MIN reference for each replay gate — worst of
+    * the two surviving clean r15 artifacts (driver-committed
+    * bench_detail.json and battery run 1), rounded up to 0.1 s. This
+    * is what [[PerfGate.epochDraw]] measures elevation AGAINST: the
+    * detector needs a notion of "normal" that is independent of the
+    * budgets (budgets carry 1.5× headroom by construction, so a
+    * budget-relative test would need most of the family to regress
+    * 2×+ before a quorum formed). Regenerate alongside the budgets
+    * when a deliberate plan change moves a gate's clean baseline. */
+  val cleanBand: Map[String, Double] = Map(
+    "s01_stream_gopher" -> 1.3,
+    "s02_stream_dedup" -> 2.1,
+    "s03_stream_packing" -> 2.2,
+    "s04_stream_sliding" -> 5.1,
+    "s05_stream_sessions" -> 3.8,
+    "s06_stream_totals" -> 1.9,
+    "s07_stream_interval_join" -> 6.0,
+    "s08_stream_dsir_topk" -> 1.8,
+    "s09_stream_bpe_encode" -> 2.1,
+    "s10_stream_interval_outer" -> 7.7,
+    "s11_stream_interval_full" -> 6.7,
+    "s12_stream_asof_join" -> 3.4,
+    "s13_stream_pipeline" -> 2.3,
+    "s14_stream_asof_tolerance" -> 3.6,
+    "s15_stream_asof_forward" -> 3.8,
+    "s16_stream_asof_nearest" -> 3.8,
+    "s17_stream_interval_right" -> 6.8,
+    "s18_stream_neardup" -> 2.0,
   )
 
   /** The streaming replay gates: wall time is harness scheduling

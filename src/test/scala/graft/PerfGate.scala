@@ -46,18 +46,28 @@ object PerfGate {
     * window, silently absorbing a flat 5.2× regression to 3.58 s).
     *
     * Two regimes:
-    *  - budget < 2 s (incl. the 1.5 s default): sub-second queries live
-    *    inside scheduler noise and the ~2 s in-suite contamination
-    *    class, so the absolute window stays 2×budget floored at 2 s —
-    *    these queries' REGRESSIONS are caught by the inversion /
-    *    accumulating sweeps, not the absolute gate.
-    *  - budget ≥ 2 s: the window is PROPORTIONAL — max(0.75, 0.3×budget)
-    *    capped at 2 s — so a flat >1.4× breach of a multi-second budget
-    *    can never pass silently again (gate at ≤ 1.375×budget
-    *    throughout the 2..6.7 s range, tightening toward 1.1× above). */
+    *  - budget ≤ 1.5 s (incl. the 1.5 s default): sub-second queries
+    *    live inside scheduler noise and the ~2 s in-suite contamination
+    *    class, so the absolute window stays 2×budget floored at 2 s
+    *    (≤ 3 s at the default) — these queries' REGRESSIONS are caught
+    *    by the inversion / accumulating sweeps, not the absolute gate,
+    *    and the r11 unprobed-contended artifact (t11 min 3.78 s on a
+    *    ~1 s idle truth) pins that the default gate cannot tighten
+    *    below ~4.5 s without flapping on honest contamination.
+    *  - budget ≥ 2.5 s: the window is PROPORTIONAL — max(0.75,
+    *    0.3×budget) capped at 2 s — so a flat >1.4× breach of a
+    *    multi-second budget can never pass silently again (tightening
+    *    toward 1.1× for the biggest budgets).
+    *  - 1.5 s < budget < 2.5 s: LINEAR BLEND between the two regimes
+    *    (3.0 at b=1.5 down to 0.75 at b=2.5). The r15 formula had a
+    *    CLIFF at exactly 2.0 s — a 1.9 s budget got a +3.8 s window
+    *    (~3× tolerance) while a 2.0 s budget got +0.75 s (1.375×), so
+    *    a future re-derivation nudging a budget across the boundary
+    *    would silently triple its allowance (r15 ADVICE #3). */
   def noiseSlack(budget: Double): Double =
-    if (budget >= 2.0) math.min(2.0, math.max(0.75, 0.3 * budget))
-    else math.min(4.0, math.max(2.0, 2 * budget))
+    if (budget >= 2.5) math.min(2.0, math.max(0.75, 0.3 * budget))
+    else if (budget <= 1.5) math.max(2.0, 2 * budget)
+    else 3.0 - 2.25 * (budget - 1.5)
 
   /** Budget violations. The measured value depends on what the probe
     * says about the box (r12 ADVICE: taking the min over first+steadies
@@ -104,6 +114,35 @@ object PerfGate {
       }
       .filter { case (_, m, b) => m > (b + noiseSlack(b)) * r }
       .sortBy { case (_, m, b) => b - m }
+
+  /** The 1-in-6 SCHEDULER-EPOCH draw on replay gates (r15 ADVICE #4):
+    * a whole bench run occasionally lands in a box scheduling epoch
+    * that inflates EVERY streaming replay's micro-batch wall together
+    * (r15 battery run 4: s02 min 8.27 s vs a 1.3–2.1 s clean band,
+    * all four executions elevated, every residue gauge zero, batch
+    * half flat — survives the inter-gate quiesce because it is box
+    * state, not harness state). Encoding that outlier into s02's
+    * budget (r15: 10 s vs a 1.8 s clean steady) let a genuine ~5×
+    * regression pass silently on the 5-in-6 clean runs, so the draw is
+    * now detected EXPLICITLY instead: the run is an epoch draw iff at
+    * least `quorum` replay gates are SIMULTANEOUSLY elevated ≥1.35×
+    * over their recorded clean-band MIN with clean residue gauges
+    * (min over first+steadies — the draw inflates every execution).
+    * A single-gate regression on a clean run elevates one gate while
+    * the others sit inside the ±15% clean band, so it can never fake
+    * the quorum; a regression DURING a draw is masked for that one
+    * run and resurfaces on the next clean run (5-in-6), while the
+    * inversion/accumulating arms stay fully armed either way.
+    * Gauge-less (pre-r15) artifacts never qualify — conservative. */
+  def epochDraw(details: Map[String, Detail], harnessPaced: Set[String],
+                cleanBand: Map[String, Double], quorum: Int = 4): Boolean =
+    harnessPaced.toSeq.count { q =>
+      (details.get(q), cleanBand.get(q)) match {
+        case (Some(d), Some(c)) =>
+          (d.first +: d.samples).min > 1.35 * c && d.residue.contains(false)
+        case _ => false
+      }
+    } >= quorum
 
   /** steady ≤ first inversions: a steady (min-of-three, post-drain) run
     * that exceeds the first by >25% AND >1 s is re-paying per-run work —

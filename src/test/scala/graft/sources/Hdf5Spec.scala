@@ -516,4 +516,81 @@ class Hdf5Spec extends AnyFunSuite {
           s"deflate=$deflate shuffle=$shuffle fletcher=$fletch)")
     }
   }
+
+  /** In-place patch of the v4 data-layout message inside a written
+    * latest-format file: walks every OHDR's message stream, applies `f`
+    * to the 0x08 message body, and recomputes that OHDR's lookup3
+    * checksum (the writer puts it right after chunk 0). */
+  private def patchV4Layout(bytes: Array[Byte])(f: (Array[Byte], Int) => Unit): Array[Byte] = {
+    val out = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    var patched = false
+    while (i < out.length - 4) {
+      if (out(i) == 'O' && out(i + 1) == 'H' && out(i + 2) == 'D' && out(i + 3) == 'R') {
+        val c0 = bb.getInt(i + 6) // writer always emits 4-byte chunk-0 size
+        var p = i + 10
+        val end = i + 10 + c0
+        while (p < end) {
+          val t = out(p) & 0xff
+          val sz = bb.getShort(p + 1) & 0xffff
+          if (t == 0x08) { f(out, p + 4); patched = true }
+          p += 4 + sz
+        }
+        bb.putInt(end, Hdf5V4.lookup3(out, i, 10 + c0))
+        i = end + 4
+      } else i += 1
+    }
+    assert(patched, "no v4 layout message found to patch")
+    out
+  }
+
+  test("v4 DONT_FILTER_PARTIAL_BOUND_CHUNKS + ragged edge + filters is refused loudly") {
+    // r15 ADVICE #1: bit 0 of the layout flags (H5Pset_chunk_opts) means
+    // edge chunks are stored UNFILTERED; applying the inverse pipeline
+    // to them silently returns garbage under a shuffle-only pipeline.
+    // The reader must refuse the combination rather than mis-decode.
+    val vals = Array.tabulate(20)(_.toDouble)
+    val bytes = Hdf5V4.h5BytesV4("d", vals, Seq(20L), Seq(16L), "fixed",
+      shuffle = true) // 20 % 16 != 0 -> ragged edge chunk
+    val flagged = patchV4Layout(bytes) { (b, body) =>
+      b(body + 2) = (b(body + 2) | 0x01).toByte // layout flags byte
+    }
+    val e = intercept[IllegalArgumentException](Hdf5.datasets(flagged))
+    assert(e.getMessage.contains("DONT_FILTER_PARTIAL_BOUND_CHUNKS"), e.getMessage)
+
+    // the SAME flag on an exactly-tiled dataset is harmless: every chunk
+    // is a full chunk, so nothing was stored unfiltered — must still read
+    val vals32 = Array.tabulate(32)(i => (i * 3 % 17).toDouble)
+    val tiled = Hdf5V4.h5BytesV4("d", vals32, Seq(32L), Seq(16L), "fixed",
+      shuffle = true)
+    val tiledFlagged = patchV4Layout(tiled) { (b, body) =>
+      b(body + 2) = (b(body + 2) | 0x01).toByte
+    }
+    val ds = Hdf5.datasets(tiledFlagged).head
+    assert(Hdf5.parseData(tiledFlagged, ds).toSeq == vals32.toSeq)
+
+    // and ragged + flag with NO filter pipeline is also fine (nothing to
+    // mis-apply) — the guard keys on the filters, not the flag alone
+    val plain = Hdf5V4.h5BytesV4("d", vals, Seq(20L), Seq(16L), "fixed")
+    val plainFlagged = patchV4Layout(plain) { (b, body) =>
+      b(body + 2) = (b(body + 2) | 0x01).toByte
+    }
+    val dsP = Hdf5.datasets(plainFlagged).head
+    assert(Hdf5.parseData(plainFlagged, dsP).toSeq == vals.toSeq)
+  }
+
+  test("v4 layout class 3 (virtual storage) is refused with a descriptive error") {
+    // r15 ADVICE #5: an unhandled layout class used to surface as a bare
+    // scala.MatchError; it must get the same loud descriptive rejection
+    // as every other unsupported shape.
+    val bytes = Hdf5V4.h5BytesV4("d", Array.tabulate(8)(_.toDouble),
+      Seq(8L), Seq(8L), "single")
+    val virt = patchV4Layout(bytes) { (b, body) =>
+      b(body + 1) = 3.toByte // layout class byte: chunked(2) -> virtual(3)
+    }
+    val e = intercept[IllegalArgumentException](Hdf5.datasets(virt))
+    assert(e.getMessage.contains("layout class 3") &&
+      e.getMessage.contains("virtual"), e.getMessage)
+  }
 }
