@@ -421,6 +421,28 @@ object MatrixQueries {
       graft.sources.Hdf5.read(s, file).orderBy("idx")
     }),
 
+    // DENSE-GROUP HDF5 ingest (r15 "what's missing" #2 — a latest-format
+    // root group with more than ~8 links stores them in a FRACTAL HEAP
+    // indexed by a v2 B-tree name index instead of compact link
+    // messages; any wide real 1.10+ file hits this): ten datasets
+    // written under a dense root by the pure-Scala writer, every link
+    // resolved through the heap, all datasets read back in ONE
+    // binaryFile pass as (ds, idx, v). Hdf5Spec also covers the
+    // multi-direct-block / root-indirect-block heap shape.
+    "h05_hdf5_dense_group" -> ((s, d) => {
+      val file = s"/tmp/graft_h5_h05_${new java.io.File(d).getName}.h5"
+      val vals = new Array[Double](1000)
+      s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+        .collect().foreach(r => vals(r.getLong(0).toInt) = r.getDouble(1))
+      val parts = (0 until 10).map(k =>
+        (f"part_$k%02d", vals.slice(k * 100, (k + 1) * 100)))
+      val (fs, base) = graft.sources.StoreIO.fsOf(file, s.sparkContext.hadoopConfiguration)
+      graft.sources.StoreIO.writeFile(fs, base,
+        graft.sources.Hdf5V4.h5BytesV4Dense(parts))
+      graft.sources.Hdf5.readAll(s, file).orderBy("ds", "idx")
+    }),
+
     // TileDB dense round trip (reference from_tiledb/to_tiledb,
     // io/_tiledb.py:12,72): one fragment per block task, committed-
     // fragment manifest read, distributed a0.tdb decode
@@ -1400,6 +1422,13 @@ object MatrixQueries {
     "h04_hdf5_v4_latest" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    // batch definition of the dense-group split: dataset part_k holds
+    // events [100k, 100(k+1)); idx restarts per dataset
+    "h05_hdf5_dense_group" ->
+      """SELECT 'part_' || lpad(CAST(event_id // 100 AS VARCHAR), 2, '0') AS ds,
+           CAST(event_id % 100 AS BIGINT) AS idx, value AS v
+         FROM events WHERE event_id < 1000 ORDER BY ds, idx""",
 
     "td01_tiledb_roundtrip" ->
       """SELECT event_id AS idx, value AS v FROM events

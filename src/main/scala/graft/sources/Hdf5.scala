@@ -491,7 +491,8 @@ object Hdf5 {
     require(rd.u8(9) == 8 && rd.u8(10) == 8, "offsets/lengths must be 8 bytes")
     val rootOh = rd.i64(36)
     val links = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    var denseHeap = false
+    var denseHeap = -1L
+    var denseNameBt = -1L
     foreachMessageAny(rd, rootOh) { (tpe, body, _) =>
       tpe match {
         case 0x0006 => // link message
@@ -511,14 +512,18 @@ object Hdf5 {
           p += nameLen.toInt
           if (linkType == 0) links += ((name, rd.i64(p))) // hard link only
         case 0x0002 => // link info: a defined fractal-heap addr ⇒ dense storage
-          if (rd.i64(body + 2 + (if ((rd.u8(body + 1) & 1) != 0) 8 else 0)) != Undef)
-            denseHeap = true
+          val p = body + 2 + (if ((rd.u8(body + 1) & 1) != 0) 8 else 0)
+          denseHeap = rd.i64(p)
+          denseNameBt = rd.i64(p + 8)
         case _ => ()
       }
     }
-    require(links.nonEmpty || !denseHeap,
-      "root group uses DENSE link storage (fractal heap) — unsupported, " +
-        "refusing rather than returning an empty dataset list")
+    // dense storage (r16): past ~8 links libhdf5 moves the link messages
+    // into a fractal heap indexed by a name v2 B-tree — enumerate them
+    // through [[Hdf5V4.denseLinks]] (r15 verdict "next" #2; this was a
+    // loud reject before, hit by any wide latest-format file)
+    if (links.isEmpty && denseHeap != Undef)
+      links ++= Hdf5V4.denseLinks(rd.buf.array(), denseHeap, denseNameBt)
     links.toSeq.flatMap { case (nm, addr) => parseDatasetOH(rd, addr, nm) }
   }
 
@@ -1006,5 +1011,23 @@ object Hdf5 {
           .getOrElse(throw new IllegalArgumentException(s"no dataset '$name'"))
         parseData(content, ds).iterator.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       }.toDF("idx", "v")
+  }
+
+  /** Read EVERY dataset of an HDF5 file as one `(ds, idx, v)` table —
+    * the wide-file shape dense-group (fractal heap) roots produce
+    * (r16). Same scale contract as [[read]]: one executor task per
+    * file in a distributed binaryFile scan, link enumeration and chunk
+    * decode both executor-side; `load(path)` takes a directory or glob
+    * for many-file corpora. */
+  def readAll(s: SparkSession, file: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(file)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { content =>
+        datasets(content).iterator.flatMap { ds =>
+          parseData(content, ds).iterator.zipWithIndex
+            .map { case (v, i) => (ds.name, i.toLong, v) }
+        }
+      }.toDF("ds", "idx", "v")
   }
 }

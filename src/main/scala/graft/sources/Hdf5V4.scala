@@ -379,22 +379,25 @@ object Hdf5V4 {
   /** `BTHD` + `BTIN`/`BTLF` walk, record types 10 (unfiltered) and 11
     * (filtered); any depth — internal-node pointer widths follow the
     * H5B2 node_info recurrence. Records carry SCALED offsets. */
-  private def readBtree2(rd: Rd, ds: Hdf5.H5Dataset, rank: Int,
-                          chunkBytes: Long): Seq[ChunkEntry] = {
-    if (ds.btreeAddr == Undef) return Nil
-    val h = ds.btreeAddr.toInt
-    require(rd.ascii(h, 4) == "BTHD", s"${ds.name}: bad v2 B-tree header")
-    require(rd.u8(h + 4) == 0, s"${ds.name}: v2 B-tree version")
+  /** Generic v2 B-tree record walk: visits every record of the tree at
+    * `hdrAddr` in tree order, calling `onRecord(byteOffset)` with the
+    * record's position. Returns the record size from the header, or -1
+    * if the tree is empty/undefined. `okType` gates the header's record
+    * type (chunk indexes use 10/11; dense-group name indexes use 5). */
+  private def walkBt2(rd: Rd, hdrAddr: Long, what: String,
+                      okType: Int => Boolean)(onRecord: Int => Unit): Int = {
+    if (hdrAddr == Undef) return -1
+    val h = hdrAddr.toInt
+    require(rd.ascii(h, 4) == "BTHD", s"$what: bad v2 B-tree header")
+    require(rd.u8(h + 4) == 0, s"$what: v2 B-tree version")
     val btType = rd.u8(h + 5)
-    require(btType == 10 || btType == 11,
-      s"${ds.name}: v2 B-tree record type $btType is not a chunk index")
-    val filtered = btType == 11
+    require(okType(btType), s"$what: unexpected v2 B-tree record type $btType")
     val nodeSize = rd.i32(h + 6)
     val rrec = rd.u16(h + 10)
     val depth = rd.u16(h + 12)
     val rootAddr = rd.i64(h + 16)
     val rootNrec = rd.u16(h + 24)
-    if (rootAddr == Undef) return Nil
+    if (rootAddr == Undef) return rrec
     // node_info recurrence (H5B2hdr): pointer-field widths per level
     val leafMax = (nodeSize - 10) / rrec
     val maxNrecSize = (log2gen(leafMax) + 7) / 8
@@ -410,27 +413,16 @@ object Hdf5V4 {
       cumMaxSize(u) = (log2gen(cumMax(u)) + 7) / 8
       u += 1
     }
-    val szLen = if (filtered) rrec - 12 - 8 * rank else 0
-    val out = Seq.newBuilder[ChunkEntry]
-    def record(p: Int): Unit = {
-      val addr = rd.i64(p)
-      val (sz, mask, offBase) =
-        if (filtered) (rd.varU(p + 8, szLen).toInt, rd.i32(p + 8 + szLen),
-          p + 12 + szLen)
-        else (chunkBytes.toInt, 0, p + 8)
-      val corner = (0 until rank).map(a => rd.i64(offBase + 8 * a) * ds.chunkDims(a))
-      if (addr != Undef) out += ((addr, sz, mask, corner))
-    }
     def walk(addr: Long, nrec: Int, level: Int): Unit = {
       val n = addr.toInt
       if (level == 0) {
-        require(rd.ascii(n, 4) == "BTLF", s"${ds.name}: bad v2 B-tree leaf")
+        require(rd.ascii(n, 4) == "BTLF", s"$what: bad v2 B-tree leaf")
         var i = 0
-        while (i < nrec) { record(n + 6 + i * rrec); i += 1 }
+        while (i < nrec) { onRecord(n + 6 + i * rrec); i += 1 }
       } else {
-        require(rd.ascii(n, 4) == "BTIN", s"${ds.name}: bad v2 B-tree internal node")
+        require(rd.ascii(n, 4) == "BTIN", s"$what: bad v2 B-tree internal node")
         var i = 0
-        while (i < nrec) { record(n + 6 + i * rrec); i += 1 }
+        while (i < nrec) { onRecord(n + 6 + i * rrec); i += 1 }
         val ptrBase = n + 6 + nrec * rrec
         val ptrSize = 8 + maxNrecSize + (if (level > 1) cumMaxSize(level - 1) else 0)
         var j = 0
@@ -443,7 +435,156 @@ object Hdf5V4 {
       }
     }
     walk(rootAddr, rootNrec, depth)
+    rrec
+  }
+
+  private def readBtree2(rd: Rd, ds: Hdf5.H5Dataset, rank: Int,
+                          chunkBytes: Long): Seq[ChunkEntry] = {
+    if (ds.btreeAddr == Undef) return Nil
+    val h = ds.btreeAddr.toInt
+    require(rd.ascii(h, 4) == "BTHD", s"${ds.name}: bad v2 B-tree header")
+    val btType = rd.u8(h + 5)
+    require(btType == 10 || btType == 11,
+      s"${ds.name}: v2 B-tree record type $btType is not a chunk index")
+    val filtered = btType == 11
+    val rrecHdr = rd.u16(h + 10)
+    val szLen = if (filtered) rrecHdr - 12 - 8 * rank else 0
+    val out = Seq.newBuilder[ChunkEntry]
+    walkBt2(rd, ds.btreeAddr, ds.name, t => t == 10 || t == 11) { p =>
+      val addr = rd.i64(p)
+      val (sz, mask, offBase) =
+        if (filtered) (rd.varU(p + 8, szLen).toInt, rd.i32(p + 8 + szLen),
+          p + 12 + szLen)
+        else (chunkBytes.toInt, 0, p + 8)
+      val corner = (0 until rank).map(a => rd.i64(offBase + 8 * a) * ds.chunkDims(a))
+      if (addr != Undef) out += ((addr, sz, mask, corner))
+    }
     out.result()
+  }
+
+  // ------------------------------------------- dense (fractal-heap) groups
+
+  /** Enumerate the links of a DENSELY-stored group (r15 verdict Next
+    * #2). Latest-format writers switch a group from compact link
+    * messages to dense storage past the max-compact threshold
+    * (h5py/libhdf5 default: 8 links), at which point the link-info
+    * message points at a FRACTAL HEAP holding the serialized link
+    * messages and a v2 B-tree (record type 5) indexing them by name
+    * hash. The reference hits this through h5py on any wide file
+    * (`/root/reference/dask_array/io/_store.py:233`).
+    *
+    * Format reference: HDF5 File Format Specification III.G (fractal
+    * heap), III.A.2 (v2 B-tree, type 5 = group name index), IV.A.2.g
+    * (link info), IV.A.2.h (link message — the heap objects' payload).
+    *
+    * Supported shape, everything else rejected loudly: unfiltered
+    * managed heap objects (libhdf5 stores links managed-only unless a
+    * single link exceeds `maxMan` ≈ 4 KiB — a pathological name),
+    * root direct block or one level of root indirect block with
+    * DIRECT children (width × maxDirectRows blocks ≈ 1.3 MiB of link
+    * space at the default cparams — thousands of links; child
+    * INDIRECT blocks would mean ~100k+ links in one group).
+    * Returns (linkName, objectHeaderAddr) pairs, hard links only. */
+  private[sources] def denseLinks(bytes: Array[Byte], heapAddr: Long,
+                                  nameBtAddr: Long): Seq[(String, Long)] = {
+    val rd = new Rd(bytes)
+    require(heapAddr != Undef && nameBtAddr != Undef,
+      "dense group without fractal heap + name index addresses")
+    val h = heapAddr.toInt
+    require(rd.ascii(h, 4) == "FRHP", "bad fractal heap signature")
+    require(rd.u8(h + 4) == 0, s"fractal heap version ${rd.u8(h + 4)}")
+    val idLen = rd.u16(h + 5)
+    val filterLen = rd.u16(h + 7)
+    require(filterLen == 0,
+      "fractal heap with I/O-filtered direct blocks unsupported (group " +
+        "link heaps are never filtered by libhdf5)")
+    val flags = rd.u8(h + 9)
+    val maxMan = rd.i32(h + 10).toLong
+    val nHuge = rd.i64(h + 86)
+    val nTiny = rd.i64(h + 102)
+    require(nHuge == 0 && nTiny == 0,
+      s"fractal heap holds huge($nHuge)/tiny($nTiny) objects — only " +
+        "managed link records are supported, refusing rather than drop links")
+    val width = rd.u16(h + 110)
+    val startBlk = rd.i64(h + 112)
+    val maxDirect = rd.i64(h + 120)
+    val maxHeapBits = rd.u16(h + 128)
+    val rootAddr = rd.i64(h + 132)
+    val curRows = rd.u16(h + 140)
+    if (rootAddr == Undef) return Nil
+    val offSize = (maxHeapBits + 7) / 8
+    // H5HF's heap-length width: MIN(bytes to offset inside the largest
+    // direct block, bytes to encode the max managed-object size)
+    val lenSize = math.min(log2gen(maxDirect) / 8 + 1, log2gen(maxMan) / 8 + 1)
+    require(idLen == 1 + offSize + lenSize,
+      s"fractal heap id length $idLen != 1+$offSize+$lenSize")
+    val dblkHdr = 5 + 8 + offSize + (if ((flags & 0x02) != 0) 4 else 0)
+
+    // heap linear offset -> file address, through the block tree
+    val maxDirectRows = log2gen(maxDirect) - log2gen(startBlk) + 2
+    def rowSize(r: Int): Long = if (r < 2) startBlk else startBlk << (r - 1)
+    val fileAddrOf: Long => Long =
+      if (curRows == 0) { // root IS a direct block covering [0, size)
+        require(rd.ascii(rootAddr.toInt, 4) == "FHDB", "bad root direct block")
+        off => {
+          require(off >= dblkHdr, s"heap offset $off inside the block header")
+          rootAddr + off
+        }
+      } else {
+        require(curRows <= maxDirectRows,
+          s"fractal heap root indirect block has $curRows rows (> " +
+            s"$maxDirectRows direct rows) — child indirect blocks " +
+            "unsupported, refusing rather than misread links")
+        val fib = rootAddr.toInt
+        require(rd.ascii(fib, 4) == "FHIB", "bad root indirect block")
+        // (heapOff, size, fileAddr) per allocated child direct block
+        val entryBase = fib + 5 + 8 + offSize
+        val blocks = Seq.newBuilder[(Long, Long, Long)]
+        var heapOff = 0L
+        var k = 0
+        while (k < curRows * width) {
+          val sz = rowSize(k / width)
+          val addr = rd.i64(entryBase + 8 * k)
+          if (addr != Undef) blocks += ((heapOff, sz, addr))
+          heapOff += sz
+          k += 1
+        }
+        val table = blocks.result()
+        off => table.find(b => off >= b._1 && off < b._1 + b._2) match {
+          case Some((bOff, _, bAddr)) =>
+            require(off - bOff >= dblkHdr,
+              s"heap offset $off inside a direct block header")
+            bAddr + (off - bOff)
+          case None => sys.error(s"heap offset $off outside every direct block")
+        }
+      }
+
+    // walk the name index (v2 B-tree type 5: hash(4) + heap id) and
+    // parse each managed heap object as a version-1 link message body
+    val links = Seq.newBuilder[(String, Long)]
+    walkBt2(rd, nameBtAddr, "dense-group name index", _ == 5) { rec =>
+      val idAt = rec + 4
+      val idFlags = rd.u8(idAt)
+      require((idFlags & 0xf0) == 0, // version 0 (bits 6-7), managed (bits 4-5)
+        f"heap id version/type byte 0x$idFlags%02x is not a managed v0 id")
+      val heapOff = rd.varU(idAt + 1, offSize)
+      val p0 = fileAddrOf(heapOff).toInt
+      // link message body, version 1 (same wire format as message 0x06)
+      require(rd.u8(p0) == 1, s"link message version ${rd.u8(p0)} in heap")
+      val lflags = rd.u8(p0 + 1)
+      var p = p0 + 2
+      val linkType =
+        if ((lflags & 0x08) != 0) { val t = rd.u8(p); p += 1; t } else 0
+      if ((lflags & 0x04) != 0) p += 8 // creation order
+      if ((lflags & 0x10) != 0) p += 1 // charset
+      val nlenSize = 1 << (lflags & 0x03)
+      val nameLen = rd.varU(p, nlenSize)
+      p += nlenSize
+      val name = rd.ascii(p, nameLen.toInt)
+      p += nameLen.toInt
+      if (linkType == 0) links += ((name, rd.i64(p))) // hard links only
+    }
+    links.result()
   }
 
   // ------------------------------------------------------------- writer
@@ -933,6 +1074,259 @@ object Hdf5V4 {
     require(buf.position() == dataBase.toInt,
       s"index wrote to ${buf.position()}, data expected at $dataBase")
     blobs.foreach { case (_, blob) => buf.put(blob) }
+    buf.array()
+  }
+
+  /** Serialize N float64 1-d datasets under a DENSELY-stored root group
+    * — the writer half of [[denseLinks]], proving the fractal-heap and
+    * name-index encodings the same way h5BytesV4 proves the chunk
+    * indexes (r15 verdict "next" #2). Emits superblock v3, a root v2
+    * object header whose link-info message points at a fractal heap
+    * (libhdf5's default group cparams: width 4, start block 512 —
+    * overridable to force multi-block shapes — max direct 8 KiB, max
+    * heap 2^32, checksummed direct blocks, 7-byte managed heap ids)
+    * and a depth-0 v2 B-tree type-5 name index; each dataset is a v2
+    * OHDR with a v4 CONTIGUOUS layout (the chunk-index surface is
+    * h5BytesV4's job). Every structure carries its lookup3 checksum. */
+  def h5BytesV4Dense(datasets: Seq[(String, Array[Double])],
+                     startBlockSize: Int = 512): Array[Byte] = {
+    require(datasets.nonEmpty, "no datasets")
+    require(datasets.map(_._1).distinct.size == datasets.size,
+      "dataset names must be distinct")
+    datasets.foreach { case (nm, _) =>
+      require(nm.nonEmpty && !nm.contains('/') && nm.length <= 255,
+        s"bad dataset name '$nm'")
+    }
+    require(Integer.bitCount(startBlockSize) == 1 && startBlockSize >= 64,
+      s"startBlockSize $startBlockSize must be a power of two >= 64")
+    val n = datasets.size
+    val width = 4
+    val maxDirect = 8192L
+    val maxMan = 4096L
+    val maxHeapBits = 32
+    val offSize = 4 // ceil(maxHeapBits / 8)
+    val lenSize = 2 // min(limit_enc(maxDirect), limit_enc(maxMan))
+    val idLen = 1 + offSize + lenSize
+    val dblkHdr = 5 + 8 + offSize + 4 // checksummed direct blocks
+
+    // ---- object headers (sizes first, addresses follow)
+    def ohSize(bodies: Seq[Int]): Int = 10 + bodies.map(4 + _).sum + 4
+    val rootOhAddr = 48L
+    val rootOhSize = ohSize(Seq(18, 2)) // link info + group info, no links
+    val dsOhSize = ohSize(Seq(12, 24, 2, 18)) // space/dtype/fill/contiguous
+    val dsOhAddrs = datasets.indices.map(i =>
+      rootOhAddr + rootOhSize + i.toLong * dsOhSize)
+
+    // ---- heap objects (serialized v1 link messages) packed greedily
+    val linkBodies: Seq[Array[Byte]] = datasets.zipWithIndex.map { case ((nm, _), i) =>
+      val b = ByteBuffer.allocate(2 + 1 + nm.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0.toByte) // version 1; flags: 1-byte name len, hard
+      b.put(nm.length.toByte); b.put(nm.getBytes("ASCII"))
+      b.putLong(dsOhAddrs(i))
+      b.array()
+    }
+    def rowSize(r: Int): Long =
+      if (r < 2) startBlockSize.toLong else startBlockSize.toLong << (r - 1)
+    val maxDirectRows = log2gen(maxDirect) - log2gen(startBlockSize.toLong) + 2
+    val placed = new Array[(Int, Int)](n) // (block ordinal, offset in block)
+    var blk = 0
+    var used = dblkHdr
+    linkBodies.zipWithIndex.foreach { case (lb, i) =>
+      require(lb.length <= maxMan, s"link record ${lb.length} B exceeds managed max")
+      if (used + lb.length > rowSize(blk / width)) { blk += 1; used = dblkHdr }
+      require(lb.length + dblkHdr <= rowSize(blk / width),
+        s"link record ${lb.length} B exceeds direct block ${rowSize(blk / width)}")
+      placed(i) = (blk, used)
+      used += lb.length
+    }
+    val nBlocks = blk + 1
+    val blockHeapOff = (0 until nBlocks).scanLeft(0L)((acc, k) => acc + rowSize(k / width))
+    val heapOffs = placed.zipWithIndex.map { case ((b, o), _) => blockHeapOff(b) + o }
+    val curRows = if (nBlocks == 1) 0 else (nBlocks + width - 1) / width
+    require(curRows <= maxDirectRows,
+      s"$n links need $curRows rows > $maxDirectRows direct rows — raise startBlockSize")
+    val managedSpace =
+      if (curRows == 0) rowSize(0)
+      else (0 until curRows * width).map(k => rowSize(k / width)).sum
+
+    // ---- name index geometry (depth-0 v2 B-tree, records sorted by hash)
+    val btNodeSize = 512
+    val btRrec = 4 + idLen
+    val btLeafMax = (btNodeSize - 10) / btRrec
+    require(n <= btLeafMax,
+      s"$n links exceed one leaf ($btLeafMax) — deeper name trees unwritten")
+    val hashed = datasets.indices
+      .map(i => (lookup3(datasets(i)._1.getBytes("ASCII"), 0, datasets(i)._1.length), i))
+    require(hashed.map(_._1).distinct.size == n,
+      "name-hash collision — pick different dataset names for the fixture")
+    val recOrder = hashed.sortBy(h => h._1.toLong & 0xffffffffL).map(_._2)
+
+    // ---- remaining addresses
+    val frhpAddr = dsOhAddrs.last + dsOhSize
+    val fibSlots = curRows * width
+    val fibSize = if (curRows == 0) 0 else 5 + 8 + offSize + fibSlots * 8 + 4
+    val fibAddr = frhpAddr + 146
+    val dblkAddrs = (0 until nBlocks).scanLeft(fibAddr + fibSize) {
+      (acc, k) => acc + rowSize(k / width)
+    }
+    val bthdAddr = dblkAddrs.last
+    val btlfAddr = bthdAddr + 38
+    val dataBase = btlfAddr + btNodeSize
+    val dataAddrs = datasets.scanLeft(dataBase) { (acc, d) => acc + d._2.length * 8L }
+    val eof = dataAddrs.last
+    val heapRootAddr = if (curRows == 0) dblkAddrs(0) else fibAddr
+
+    val buf = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    def cksumAt(start: Int): Unit = {
+      val p = buf.position()
+      buf.putInt(lookup3(buf.array(), start, p - start))
+    }
+    def ohdr(addr: Long, messages: Seq[(Int, Array[Byte])]): Unit = {
+      require(buf.position() == addr.toInt, s"OHDR at ${buf.position()} != $addr")
+      val start = buf.position()
+      buf.put("OHDR".getBytes("ASCII"))
+      buf.put(2.toByte); buf.put(0x02.toByte) // flags: 4-byte chunk-0 size
+      buf.putInt(messages.map(4 + _._2.length).sum)
+      messages.foreach { case (t, b) =>
+        buf.put(t.toByte); buf.putShort(b.length.toShort); buf.put(0.toByte)
+        buf.put(b)
+      }
+      cksumAt(start)
+    }
+    def body(sz: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+      f(b)
+      require(b.position() == sz, s"body wrote ${b.position()} of $sz")
+      b.array()
+    }
+
+    // ---- superblock v3
+    buf.put(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte))
+    buf.put(3.toByte); buf.put(8.toByte); buf.put(8.toByte); buf.put(0.toByte)
+    buf.putLong(0L); buf.putLong(Undef); buf.putLong(eof)
+    buf.putLong(rootOhAddr)
+    cksumAt(0)
+    require(buf.position() == 48, s"superblock size ${buf.position()}")
+
+    // ---- root group OHDR: link info pointing at the heap + name index
+    val linkInfo = body(18) { b =>
+      b.put(0.toByte); b.put(0.toByte) // version, flags: no creation order
+      b.putLong(frhpAddr); b.putLong(bthdAddr)
+    }
+    val groupInfo = body(2) { b => b.put(0.toByte); b.put(0.toByte) }
+    ohdr(rootOhAddr, Seq(0x0002 -> linkInfo, 0x000A -> groupInfo))
+
+    // ---- dataset OHDRs (v4 contiguous layout)
+    datasets.zipWithIndex.foreach { case ((_, vals), i) =>
+      val spaceMsg = body(12) { b =>
+        b.put(2.toByte); b.put(1.toByte) // dataspace v2, rank 1
+        b.put(0.toByte); b.put(1.toByte) // flags, simple
+        b.putLong(vals.length.toLong)
+      }
+      val dtypeMsg = body(24) { b =>
+        b.put(0x11.toByte); b.put(0x20.toByte); b.put(0x3f.toByte); b.put(0.toByte)
+        b.putInt(8); b.putShort(0); b.putShort(64)
+        b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+        b.putInt(1023); b.putInt(0)
+      }
+      val fillMsg = body(2) { b => b.put(3.toByte); b.put(0x12.toByte) }
+      val layoutMsg = body(18) { b =>
+        b.put(4.toByte); b.put(1.toByte) // layout v4, class contiguous
+        b.putLong(dataAddrs(i)); b.putLong(vals.length * 8L)
+      }
+      ohdr(dsOhAddrs(i), Seq(0x0001 -> spaceMsg, 0x0003 -> dtypeMsg,
+        0x0005 -> fillMsg, 0x0008 -> layoutMsg))
+    }
+
+    // ---- fractal heap header (FRHP)
+    val h0 = buf.position()
+    require(h0 == frhpAddr.toInt)
+    buf.put("FRHP".getBytes("ASCII")); buf.put(0.toByte)
+    buf.putShort(idLen.toShort); buf.putShort(0) // no I/O filters
+    buf.put(0x02.toByte) // flags: checksummed direct blocks
+    buf.putInt(maxMan.toInt)
+    buf.putLong(0L); buf.putLong(Undef) // next huge id, huge bt2
+    buf.putLong(0L); buf.putLong(Undef) // free space, fs manager
+    buf.putLong(managedSpace); buf.putLong(managedSpace)
+    buf.putLong(blockHeapOff(nBlocks - 1) + used) // iterator offset
+    buf.putLong(n.toLong) // managed objects
+    buf.putLong(0L); buf.putLong(0L); buf.putLong(0L); buf.putLong(0L) // huge/tiny
+    buf.putShort(width.toShort)
+    buf.putLong(startBlockSize.toLong); buf.putLong(maxDirect)
+    buf.putShort(maxHeapBits.toShort)
+    buf.putShort((if (curRows == 0) 1 else curRows).toShort) // starting rows
+    buf.putLong(heapRootAddr)
+    buf.putShort(curRows.toShort)
+    cksumAt(h0)
+    require(buf.position() == (frhpAddr + 146).toInt, "FRHP size drift")
+
+    // ---- root indirect block (FHIB), when more than one direct block
+    if (curRows > 0) {
+      val f0 = buf.position()
+      require(f0 == fibAddr.toInt)
+      buf.put("FHIB".getBytes("ASCII")); buf.put(0.toByte)
+      buf.putLong(frhpAddr)
+      var bo = 0L
+      (0 until offSize).foreach { _ => buf.put((bo & 0xff).toByte); bo >>>= 8 }
+      (0 until fibSlots).foreach { k =>
+        buf.putLong(if (k < nBlocks) dblkAddrs(k) else Undef)
+      }
+      cksumAt(f0)
+    }
+
+    // ---- direct blocks (FHDB): header + packed link messages, padded
+    (0 until nBlocks).foreach { k =>
+      val d0 = buf.position()
+      require(d0 == dblkAddrs(k).toInt)
+      buf.put("FHDB".getBytes("ASCII")); buf.put(0.toByte)
+      buf.putLong(frhpAddr)
+      var bo = blockHeapOff(k)
+      (0 until offSize).foreach { _ => buf.put((bo & 0xff).toByte); bo >>>= 8 }
+      val ckPos = buf.position()
+      buf.putInt(0) // checksum patched below (computed with field zeroed)
+      linkBodies.zipWithIndex.foreach { case (lb, i) =>
+        if (placed(i)._1 == k) {
+          buf.position(d0 + placed(i)._2)
+          buf.put(lb)
+        }
+      }
+      buf.position(d0 + rowSize(k / width).toInt) // zero padding to block size
+      buf.putInt(ckPos, lookup3(buf.array(), d0, rowSize(k / width).toInt))
+    }
+
+    // ---- name index: BTHD + one BTLF (records hash-sorted)
+    val b0 = buf.position()
+    require(b0 == bthdAddr.toInt)
+    buf.put("BTHD".getBytes("ASCII")); buf.put(0.toByte)
+    buf.put(5.toByte) // record type 5: group name index
+    buf.putInt(btNodeSize); buf.putShort(btRrec.toShort)
+    buf.putShort(0) // depth
+    buf.put(100.toByte); buf.put(40.toByte)
+    buf.putLong(btlfAddr); buf.putShort(n.toShort)
+    buf.putLong(n.toLong)
+    cksumAt(b0)
+    val l0 = buf.position()
+    require(l0 == btlfAddr.toInt)
+    buf.put("BTLF".getBytes("ASCII")); buf.put(0.toByte)
+    buf.put(5.toByte)
+    recOrder.foreach { i =>
+      buf.putInt(hashed.find(_._2 == i).get._1)
+      buf.put(0.toByte) // heap id: version 0, managed
+      var off = heapOffs(i)
+      (0 until offSize).foreach { _ => buf.put((off & 0xff).toByte); off >>>= 8 }
+      var len = linkBodies(i).length.toLong
+      (0 until lenSize).foreach { _ => buf.put((len & 0xff).toByte); len >>>= 8 }
+    }
+    cksumAt(l0)
+    buf.position(l0 + btNodeSize) // node padding
+
+    // ---- raw contiguous data
+    datasets.zipWithIndex.foreach { case ((_, vals), i) =>
+      require(buf.position() == dataAddrs(i).toInt)
+      vals.foreach(buf.putDouble)
+    }
+    require(buf.position() == eof.toInt, s"wrote ${buf.position()} of $eof")
     buf.array()
   }
 }

@@ -580,6 +580,43 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.parseData(plainFlagged, dsP).toSeq == vals.toSeq)
   }
 
+  test("dense root group: 10 datasets through a fractal heap + name index") {
+    // r15 verdict "next" #2: h5py/libhdf5 switch a latest-format group
+    // from compact link messages to DENSE storage (fractal heap + v2
+    // B-tree name index) past ~8 links, so any wide real file hits it.
+    // Single root direct block shape: 10 short link records fit in the
+    // default 512 B starting block.
+    val ds = (0 until 10).map(i =>
+      (s"data_$i", Array.tabulate(16 + i)(j => (j * 7 % 13) + i * 100.0)))
+    val bytes = Hdf5V4.h5BytesV4Dense(ds)
+    val got = Hdf5.datasets(bytes)
+    assert(got.map(_.name).sorted == ds.map(_._1).sorted,
+      s"names: ${got.map(_.name).sorted}")
+    ds.foreach { case (nm, vals) =>
+      val d = got.find(_.name == nm).get
+      assert(d.shape == Seq(vals.length.toLong), s"$nm shape ${d.shape}")
+      assert(Hdf5.parseData(bytes, d).toSeq == vals.toSeq, s"$nm values")
+    }
+  }
+
+  test("dense root group: multi-direct-block heap behind a root indirect block") {
+    // 40 longer-named datasets with a 64 B starting block: the link
+    // records overflow into several direct blocks across rows of
+    // doubling sizes, so the reader must walk the FHIB child table and
+    // map global heap offsets through per-block offsets.
+    val ds = (0 until 40).map(i =>
+      (f"measurement_series_$i%02d", Array.tabulate(8)(j => i * 1000.0 + j)))
+    val bytes = Hdf5V4.h5BytesV4Dense(ds, startBlockSize = 64)
+    assert(new String(bytes, "ISO-8859-1").contains("FHIB"),
+      "fixture must actually contain a root indirect block")
+    val got = Hdf5.datasets(bytes)
+    assert(got.map(_.name).sorted == ds.map(_._1).sorted)
+    ds.foreach { case (nm, vals) =>
+      val d = got.find(_.name == nm).get
+      assert(Hdf5.parseData(bytes, d).toSeq == vals.toSeq, s"$nm values")
+    }
+  }
+
   test("v4 layout class 3 (virtual storage) is refused with a descriptive error") {
     // r15 ADVICE #5: an unhandled layout class used to surface as a bare
     // scala.MatchError; it must get the same loud descriptive rejection
