@@ -443,6 +443,30 @@ object MatrixQueries {
       graft.sources.Hdf5.readAll(s, file).orderBy("ds", "idx")
     }),
 
+    // NESTED-GROUP HDF5 ingest (r16): the reference's to_hdf5 takes
+    // slash paths ('/g/y') and h5py creates the intermediate groups
+    // (io/_store.py:346,350) — datasets below the root were previously
+    // invisible to the enumeration. A 1.8-era (v0 superblock,
+    // symbol-table) file with two nesting levels, written by the
+    // pure-Scala writer, every dataset read back in one binaryFile
+    // pass with slash-path names. Hdf5Spec covers the latest-format
+    // (dense root + compact subgroup) variant.
+    "h06_hdf5_nested_groups" -> ((s, d) => {
+      val file = s"/tmp/graft_h5_h06_${new java.io.File(d).getName}.h5"
+      val vals = new Array[Double](1000)
+      s.read.parquet(s"$d/events.parquet")
+        .selectExpr("event_id AS idx", "value AS v").where("idx < 1000")
+        .collect().foreach(r => vals(r.getLong(0).toInt) = r.getDouble(1))
+      val (fs, base) = graft.sources.StoreIO.fsOf(file, s.sparkContext.hadoopConfiguration)
+      graft.sources.StoreIO.writeFile(fs, base,
+        graft.sources.Hdf5.h5Bytes(Seq(
+          ("x", vals.slice(0, 250), Seq(250L)),
+          ("g/y", vals.slice(250, 500), Seq(250L)),
+          ("g/z", vals.slice(500, 750), Seq(250L)),
+          ("g/h/w", vals.slice(750, 1000), Seq(250L)))))
+      graft.sources.Hdf5.readAll(s, file).orderBy("ds", "idx")
+    }),
+
     // TileDB dense round trip (reference from_tiledb/to_tiledb,
     // io/_tiledb.py:12,72): one fragment per block task, committed-
     // fragment manifest read, distributed a0.tdb decode
@@ -1422,6 +1446,16 @@ object MatrixQueries {
     "h04_hdf5_v4_latest" ->
       """SELECT event_id AS idx, value AS v FROM events
          WHERE event_id < 1000 ORDER BY idx""",
+
+    // batch definition of the nested split: four 250-row quarters under
+    // slash paths; idx restarts per dataset
+    "h06_hdf5_nested_groups" ->
+      """SELECT CASE WHEN event_id < 250 THEN 'x'
+                WHEN event_id < 500 THEN 'g/y'
+                WHEN event_id < 750 THEN 'g/z'
+                ELSE 'g/h/w' END AS ds,
+           CAST(event_id % 250 AS BIGINT) AS idx, value AS v
+         FROM events WHERE event_id < 1000 ORDER BY ds, idx""",
 
     // batch definition of the dense-group split: dataset part_k holds
     // events [100k, 100(k+1)); idx restarts per dataset

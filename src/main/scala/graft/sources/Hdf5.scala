@@ -47,29 +47,75 @@ object Hdf5 {
   // ------------------------------------------------------------------ write
 
   /** Serialize named float64 datasets (C-order) as one HDF5 file.
-    * At most 8 datasets (one symbol-table node — plenty for block files). */
+    * Names may be nested paths (`g/x` or `/g/x`) — intermediate groups
+    * are created the way h5py's `create_dataset('/g/x')` does (r16; the
+    * reference's `to_hdf5` takes exactly such paths,
+    * `dask_array/io/_store.py:346`). Each group holds at most 8 members
+    * (one symbol-table node — plenty for block files). */
   def h5Bytes(datasets: Seq[(String, Array[Double], Seq[Long])]): Array[Byte] = {
-    require(datasets.nonEmpty && datasets.size <= 8,
-      s"h5Bytes writes 1..8 datasets per file (got ${datasets.size})")
-    datasets.foreach { case (nm, vs, sh) =>
+    require(datasets.nonEmpty, "no datasets")
+    val paths = datasets.map { case (nm, vs, sh) => (nm.stripPrefix("/"), vs, sh) }
+    paths.foreach { case (nm, vs, sh) =>
       require(vs.length.toLong == sh.product, s"$nm: ${vs.length} values for shape $sh")
-      require(nm.nonEmpty && !nm.contains('/'), s"bad dataset name '$nm'")
+      require(nm.nonEmpty && nm.split('/').forall(s => s.nonEmpty && s.length <= 247),
+        s"bad dataset path '$nm'")
     }
-    val byName = datasets.sortBy(_._1) // SNOD entries must be name-sorted
-    // ---- layout plan (all addresses absolute) ----
-    val sbAddr = 0L
-    val rootOhAddr = 96L                       // 56 superblock + 40 root STE
-    val heapAddr = rootOhAddr + 16 + 8 + 16    // OH prefix + symtab msg
-    val nameOffs = byName.map(_._1).scanLeft(8)((acc, n) => acc + pad8(n.length + 1))
-    val heapDataSize = nameOffs.last
-    val heapDataAddr = heapAddr + 32
-    val treeAddr = heapDataAddr + heapDataSize
-    val treeSize = 24 + 9 * 8 + 8 * 8          // K=4 group node: 9 keys, 8 children
-    val snodAddr = treeAddr + treeSize
+    require(paths.map(_._1).distinct.size == paths.size, "duplicate dataset paths")
+
+    // ---- group tree (members name-sorted; SNOD entries must be sorted)
+    final class GNode {
+      val groups = scala.collection.mutable.TreeMap.empty[String, GNode]
+      val dss = scala.collection.mutable.TreeMap.empty[String, Int] // -> paths idx
+      def memberNames: Seq[String] = (groups.keys ++ dss.keys).toSeq.sorted
+    }
+    val root = new GNode
+    paths.zipWithIndex.foreach { case ((nm, _, _), i) =>
+      val segs = nm.split('/')
+      var cur = root
+      segs.dropRight(1).foreach { g =>
+        require(!cur.dss.contains(g), s"'$g' is both a dataset and a group")
+        cur = cur.groups.getOrElseUpdate(g, new GNode)
+      }
+      require(!cur.groups.contains(segs.last),
+        s"'${segs.last}' is both a dataset and a group")
+      cur.dss(segs.last) = i
+    }
+    // pre-order group list; fan-out bound per group
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(String, GNode)]
+    def collect(n: GNode, at: String): Unit = {
+      val k = n.groups.size + n.dss.size
+      require(k >= 1 && k <= 8,
+        s"h5Bytes writes 1..8 members per group (got $k at '$at')")
+      groups += ((at, n))
+      n.groups.foreach { case (g, c) => collect(c, s"$at$g/") }
+    }
+    collect(root, "/")
+
+    // ---- layout plan (all addresses absolute)
+    val treeSize = 24 + 9 * 8 + 8 * 8 // K=4 group node: 9 keys, 8 children
     val snodSize = 8 + 8 * 40
-    val ohSizes = byName.map { case (_, _, sh) => 16 + (16 + 8 * sh.length) + 32 + 16 + 32 }
-    val ohAddrs = ohSizes.scanLeft(snodAddr + snodSize)(_ + _)
-    val dataAddrs = byName.map(_._2.length.toLong * 8)
+    def heapBytes(n: GNode): Int = // null-name slot + padded member names
+      8 + n.memberNames.map(nm => pad8(nm.length + 1)).sum
+    // per-group structures, pre-order: OH(40) HEAP(32+data) TREE SNOD
+    final case class GAddr(oh: Long, heap: Long, heapData: Long,
+                           tree: Long, snod: Long)
+    var cursor = 96L // 56 superblock + 40 root symbol-table entry
+    val gaddr = new java.util.IdentityHashMap[GNode, GAddr]()
+    groups.foreach { case (_, n) =>
+      val oh = cursor
+      val heap = oh + 40
+      val heapData = heap + 32
+      val tree = heapData + heapBytes(n)
+      val snod = tree + treeSize
+      gaddr.put(n, GAddr(oh, heap, heapData, tree, snod))
+      cursor = snod + snodSize
+    }
+    // dataset object headers, in pre-order-group then name order
+    val dsOrder = groups.flatMap { case (_, n) => n.dss.values }.toSeq
+    val ohSizes = dsOrder.map(i => 16 + (16 + 8 * paths(i)._3.length) + 32 + 16 + 32)
+    val ohAddrs = ohSizes.scanLeft(cursor)(_ + _)
+    val dsOhAddr = dsOrder.zip(ohAddrs).toMap // paths idx -> OH addr
+    val dataAddrs = dsOrder.map(i => paths(i)._2.length.toLong * 8)
       .scanLeft(ohAddrs.last)(_ + _)
     val eof = dataAddrs.last
     require(eof <= Int.MaxValue,
@@ -84,46 +130,66 @@ object Hdf5 {
     buf.putInt(0)                                // consistency flags
     buf.putLong(0L); buf.putLong(Undef); buf.putLong(eof); buf.putLong(Undef)
     // root symbol-table entry
-    buf.putLong(0L); buf.putLong(rootOhAddr)
+    val ra = gaddr.get(root)
+    buf.putLong(0L); buf.putLong(ra.oh)
     buf.putInt(1); buf.putInt(0)                 // cache type 1 (btree+heap cached)
-    buf.putLong(treeAddr); buf.putLong(heapAddr) // scratch
-    // ---- root object header (v1): one symbol-table message ----
-    buf.put(1.toByte); buf.put(0.toByte); buf.putShort(1)
-    buf.putInt(1); buf.putInt(24); buf.putInt(0) // refcount, size, align pad
-    buf.putShort(0x0011); buf.putShort(16); buf.putInt(0)
-    buf.putLong(treeAddr); buf.putLong(heapAddr)
-    // ---- local heap ----
-    buf.put("HEAP".getBytes("ASCII")); buf.put(0.toByte)
-    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
-    buf.putLong(heapDataSize.toLong)
-    buf.putLong(1L)                              // free list: empty sentinel
-    buf.putLong(heapDataAddr)
-    buf.putLong(0L)                              // heap data: null name at offset 0
-    byName.zipWithIndex.foreach { case ((nm, _, _), k) =>
-      val b = new Array[Byte](pad8(nm.length + 1))
-      System.arraycopy(nm.getBytes("ASCII"), 0, b, 0, nm.length)
-      buf.put(b)
+    buf.putLong(ra.tree); buf.putLong(ra.heap)   // scratch
+    // ---- group structures, pre-order ----
+    groups.foreach { case (_, n) =>
+      val a = gaddr.get(n)
+      val names = n.memberNames
+      val nameOffs = names.scanLeft(8)((acc, nm) => acc + pad8(nm.length + 1))
+      require(buf.position() == a.oh.toInt)
+      // group object header (v1): one symbol-table message
+      buf.put(1.toByte); buf.put(0.toByte); buf.putShort(1)
+      buf.putInt(1); buf.putInt(24); buf.putInt(0) // refcount, size, align pad
+      buf.putShort(0x0011); buf.putShort(16); buf.putInt(0)
+      buf.putLong(a.tree); buf.putLong(a.heap)
+      // local heap
+      buf.put("HEAP".getBytes("ASCII")); buf.put(0.toByte)
+      buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putLong(heapBytes(n).toLong)
+      buf.putLong(1L)                            // free list: empty sentinel
+      buf.putLong(a.heapData)
+      buf.putLong(0L)                            // heap data: null name at offset 0
+      names.foreach { nm =>
+        val b = new Array[Byte](pad8(nm.length + 1))
+        System.arraycopy(nm.getBytes("ASCII"), 0, b, 0, nm.length)
+        buf.put(b)
+      }
+      // group B-tree (v1), one SNOD child
+      buf.put("TREE".getBytes("ASCII")); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putShort(1)
+      buf.putLong(Undef); buf.putLong(Undef)
+      buf.putLong(0L)                            // key 0: the null name
+      buf.putLong(a.snod)                        // child 0
+      buf.putLong(nameOffs(names.size - 1).toLong) // key 1: last (greatest) name
+      buf.position(buf.position() + (treeSize - 24 - 3 * 8)) // unused capacity
+      // SNOD: members name-sorted; group children cache their own
+      // btree+heap in scratch (cache type 1), datasets carry none
+      buf.put("SNOD".getBytes("ASCII")); buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(names.size.toShort)
+      names.zipWithIndex.foreach { case (nm, k) =>
+        buf.putLong(nameOffs(k).toLong)
+        n.groups.get(nm) match {
+          case Some(child) =>
+            val ca = gaddr.get(child)
+            buf.putLong(ca.oh)
+            buf.putInt(1); buf.putInt(0)
+            buf.putLong(ca.tree); buf.putLong(ca.heap)
+          case None =>
+            buf.putLong(dsOhAddr(n.dss(nm)))
+            buf.putInt(0); buf.putInt(0)
+            buf.putLong(0L); buf.putLong(0L)     // scratch
+        }
+      }
+      buf.position(buf.position() + (snodSize - 8 - names.size * 40))
     }
-    // ---- group B-tree (v1), one SNOD child ----
-    buf.put("TREE".getBytes("ASCII")); buf.put(0.toByte); buf.put(0.toByte)
-    buf.putShort(1)
-    buf.putLong(Undef); buf.putLong(Undef)
-    buf.putLong(0L)                              // key 0: the null name
-    buf.putLong(snodAddr)                        // child 0
-    buf.putLong(nameOffs(byName.size - 1).toLong) // key 1: last (greatest) name
-    buf.position(buf.position() + (treeSize - 24 - 3 * 8)) // unused capacity
-    // ---- SNOD ----
-    buf.put("SNOD".getBytes("ASCII")); buf.put(1.toByte); buf.put(0.toByte)
-    buf.putShort(byName.size.toShort)
-    byName.zipWithIndex.foreach { case (_, k) =>
-      buf.putLong(nameOffs(k).toLong); buf.putLong(ohAddrs(k))
-      buf.putInt(0); buf.putInt(0)
-      buf.putLong(0L); buf.putLong(0L)           // scratch
-    }
-    buf.position(buf.position() + (snodSize - 8 - byName.size * 40))
     // ---- dataset object headers ----
-    byName.zipWithIndex.foreach { case ((_, vs, sh), k) =>
+    dsOrder.zipWithIndex.foreach { case (pi, k) =>
+      val (_, vs, sh) = paths(pi)
       val r = sh.length
+      require(buf.position() == ohAddrs(k).toInt)
       buf.put(1.toByte); buf.put(0.toByte); buf.putShort(4)
       buf.putInt(1); buf.putInt(ohSizes(k) - 16); buf.putInt(0)
       // dataspace v1
@@ -152,7 +218,7 @@ object Hdf5 {
       buf.put(new Array[Byte](6))                // pad 18 -> 24
     }
     // ---- data ----
-    byName.foreach { case (_, vs, _) => vs.foreach(buf.putDouble) }
+    dsOrder.foreach(pi => paths(pi)._2.foreach(buf.putDouble))
     buf.array()
   }
 
@@ -407,27 +473,97 @@ object Hdf5 {
     }
   }
 
-  /** Parse every dataset under the root group. Dispatches on superblock
-    * version: v0 (1.8-era symbol-table groups) below; v2/v3 (1.10+
-    * `libver='latest'` — compact superblock, v2 object headers, link
-    * messages) via [[datasetsLatest]]. */
+  /** Parse every dataset in the file, RECURSING through nested groups
+    * (r16 — the reference's `to_hdf5('f.h5', {'/g/x': a, ...})` creates
+    * intermediate groups, so nested datasets are first-class; they were
+    * previously invisible). Names are slash-joined paths relative to
+    * the root (`g/x`). Dispatches on superblock version: v0 (1.8-era
+    * symbol-table groups) and v2/v3 (1.10+ `libver='latest'` — compact
+    * superblock, v2 object headers, compact link messages or dense
+    * fractal-heap storage) walk through the same recursion; a group's
+    * children are classified by their own object header (dataspace ⇒
+    * dataset, any link-storage message ⇒ group, neither ⇒ loud reject
+    * — a silently-skipped member could fake an empty corpus). Aliased
+    * hard links are enumerated once; nesting deeper than 64 (a link
+    * cycle) is refused. */
   def datasets(bytes: Array[Byte]): Seq[H5Dataset] = {
     val rd = new Rd(bytes)
     require(Sig.indices.forall(i => bytes(i) == Sig(i)), "not an HDF5 file")
     val sbVer = rd.u8(8)
-    if (sbVer == 2 || sbVer == 3) return datasetsLatest(rd)
-    require(sbVer == 0, s"superblock version $sbVer unsupported (v0/v2/v3)")
-    require(rd.u8(13) == 8 && rd.u8(14) == 8, "offsets/lengths must be 8 bytes")
-    val rootOh = rd.i64(64)
-    // root OH → symbol-table message
-    var treeAddr = -1L; var heapAddr = -1L
-    foreachMessage(rd, rootOh) { (tpe, body, _) =>
-      if (tpe == 0x0011) { treeAddr = rd.i64(body); heapAddr = rd.i64(body + 8) }
+    val rootOh =
+      if (sbVer == 2 || sbVer == 3) {
+        require(rd.u8(9) == 8 && rd.u8(10) == 8, "offsets/lengths must be 8 bytes")
+        rd.i64(36)
+      } else {
+        require(sbVer == 0, s"superblock version $sbVer unsupported (v0/v2/v3)")
+        require(rd.u8(13) == 8 && rd.u8(14) == 8, "offsets/lengths must be 8 bytes")
+        rd.i64(64)
+      }
+    val (_, rootStored) = groupChildren(rd, rootOh)
+    require(rootStored,
+      "root group has no link storage (symbol table / link messages / " +
+        "fractal heap) — refusing rather than returning an empty dataset list")
+    val out = scala.collection.mutable.ArrayBuffer.empty[H5Dataset]
+    walkGroup(rd, rootOh, "", out, scala.collection.mutable.Set.empty[Long], 0)
+    out.toSeq
+  }
+
+  /** Children (name → object-header address) of ONE group object
+    * header, through whichever link-storage mechanism it carries:
+    * v1 symbol table (0x0011), compact link messages (0x0006), or
+    * dense fractal-heap storage behind the link-info message (0x0002).
+    * Also returns whether ANY mechanism was present (false ⇒ the OH is
+    * not a group at all). */
+  private def groupChildren(rd: Rd, ohAddr: Long): (Seq[(String, Long)], Boolean) = {
+    val links = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var stTree = Undef; var stHeap = Undef
+    var denseHeap = Undef; var denseNameBt = Undef
+    var sawInfo = false
+    foreachMessageAny(rd, ohAddr) { (tpe, body, _) =>
+      tpe match {
+        case 0x0011 => // v1 symbol table: group B-tree + local heap
+          stTree = rd.i64(body); stHeap = rd.i64(body + 8)
+        case 0x0006 => // compact link message
+          val ver = rd.u8(body)
+          require(ver == 1, s"link message version $ver unsupported")
+          val lflags = rd.u8(body + 1)
+          var p = body + 2
+          val linkType = if ((lflags & 0x08) != 0) { val t = rd.u8(p); p += 1; t } else 0
+          if ((lflags & 0x04) != 0) p += 8 // creation order
+          if ((lflags & 0x10) != 0) p += 1 // charset
+          val lenSize = 1 << (lflags & 0x03)
+          var nameLen = 0L
+          var k = 0
+          while (k < lenSize) { nameLen |= (rd.u8(p + k).toLong << (8 * k)); k += 1 }
+          p += lenSize
+          val name = rd.ascii(p, nameLen.toInt)
+          p += nameLen.toInt
+          if (linkType == 0) links += ((name, rd.i64(p))) // hard link only
+        case 0x0002 => // link info: a defined fractal-heap addr ⇒ dense storage
+          sawInfo = true
+          val p = body + 2 + (if ((rd.u8(body + 1) & 1) != 0) 8 else 0)
+          denseHeap = rd.i64(p)
+          denseNameBt = rd.i64(p + 8)
+        case _ => ()
+      }
     }
-    require(treeAddr >= 0 && heapAddr >= 0, "root group has no symbol table")
+    if (stTree != Undef && stHeap != Undef)
+      links ++= symbolChildren(rd, stTree, stHeap)
+    // dense storage (r16): past ~8 links libhdf5 moves the link messages
+    // into a fractal heap indexed by a name v2 B-tree — enumerate them
+    // through [[Hdf5V4.denseLinks]] (r15 verdict "next" #2; this was a
+    // loud reject before, hit by any wide latest-format file)
+    if (denseHeap != Undef)
+      links ++= Hdf5V4.denseLinks(rd.buf.array(), denseHeap, denseNameBt)
+    (links.toSeq, stTree != Undef || sawInfo || links.nonEmpty)
+  }
+
+  /** v0 symbol-table group enumeration: v1 group B-tree → SNOD leaves,
+    * names resolved through the group's local heap. */
+  private def symbolChildren(rd: Rd, treeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
     require(rd.ascii(heapAddr.toInt, 4) == "HEAP", "bad local heap signature")
     val heapData = rd.i64(heapAddr.toInt + 24)
-    val out = scala.collection.mutable.ArrayBuffer.empty[H5Dataset]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def walkTree(addr: Long): Unit = {
       require(rd.ascii(addr.toInt, 4) == "TREE", "bad B-tree signature")
       val level = rd.u8(addr.toInt + 5)
@@ -444,10 +580,7 @@ object Hdf5 {
           var q = child.toInt + 8
           var s = 0
           while (s < n) {
-            val nameOff = rd.i64(q)
-            val ohAddr = rd.i64(q + 8)
-            val name = rd.cstr((heapData + nameOff).toInt)
-            parseDatasetOH(rd, ohAddr, name).foreach(out += _)
+            out += ((rd.cstr((heapData + rd.i64(q)).toInt), rd.i64(q + 8)))
             q += 40; s += 1
           }
         }
@@ -456,6 +589,33 @@ object Hdf5 {
     }
     walkTree(treeAddr)
     out.toSeq
+  }
+
+  /** Depth-first group recursion shared by both superblock eras. */
+  private def walkGroup(rd: Rd, ohAddr: Long, prefix: String,
+                        out: scala.collection.mutable.ArrayBuffer[H5Dataset],
+                        visited: scala.collection.mutable.Set[Long],
+                        depth: Int): Unit = {
+    require(depth <= 64,
+      s"group nesting deeper than 64 at '$prefix' — refusing (link cycle?)")
+    if (!visited.add(ohAddr)) return // aliased hard link: enumerate once
+    val (children, _) = groupChildren(rd, ohAddr)
+    children.foreach { case (nm, addr) =>
+      val full = if (prefix.isEmpty) nm else s"$prefix/$nm"
+      var isDs = false
+      var isGrp = false
+      foreachMessageAny(rd, addr) { (tpe, _, _) =>
+        if (tpe == 0x0001) isDs = true
+        if (tpe == 0x0011 || tpe == 0x0002 || tpe == 0x0006 || tpe == 0x000A)
+          isGrp = true
+      }
+      if (isDs)
+        out += parseDatasetOH(rd, addr, full).getOrElse(
+          sys.error(s"$full: object has a dataspace but no parsable dataset"))
+      else if (isGrp) walkGroup(rd, addr, full, out, visited, depth + 1)
+      else sys.error(s"$full: object header is neither a dataset nor a group " +
+        "(named datatype?) — refusing rather than skip silently")
+    }
   }
 
   /** Iterate a v1 object header's messages (following continuations):
@@ -481,51 +641,6 @@ object Hdf5 {
     }
   }
 
-  /** Superblock v2/v3: offsets/lengths sizes at 9/10, root object
-    * header address at 36. The root group is a v2 object header whose
-    * members arrive as LINK messages (0x06, compact storage — the
-    * latest-format default for small groups); densely-stored groups
-    * (fractal heap, signalled by a link-info message with a defined
-    * heap address and no link messages) are rejected loudly. */
-  private def datasetsLatest(rd: Rd): Seq[H5Dataset] = {
-    require(rd.u8(9) == 8 && rd.u8(10) == 8, "offsets/lengths must be 8 bytes")
-    val rootOh = rd.i64(36)
-    val links = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    var denseHeap = -1L
-    var denseNameBt = -1L
-    foreachMessageAny(rd, rootOh) { (tpe, body, _) =>
-      tpe match {
-        case 0x0006 => // link message
-          val ver = rd.u8(body)
-          require(ver == 1, s"link message version $ver unsupported")
-          val lflags = rd.u8(body + 1)
-          var p = body + 2
-          val linkType = if ((lflags & 0x08) != 0) { val t = rd.u8(p); p += 1; t } else 0
-          if ((lflags & 0x04) != 0) p += 8 // creation order
-          if ((lflags & 0x10) != 0) p += 1 // charset
-          val lenSize = 1 << (lflags & 0x03)
-          var nameLen = 0L
-          var k = 0
-          while (k < lenSize) { nameLen |= (rd.u8(p + k).toLong << (8 * k)); k += 1 }
-          p += lenSize
-          val name = rd.ascii(p, nameLen.toInt)
-          p += nameLen.toInt
-          if (linkType == 0) links += ((name, rd.i64(p))) // hard link only
-        case 0x0002 => // link info: a defined fractal-heap addr ⇒ dense storage
-          val p = body + 2 + (if ((rd.u8(body + 1) & 1) != 0) 8 else 0)
-          denseHeap = rd.i64(p)
-          denseNameBt = rd.i64(p + 8)
-        case _ => ()
-      }
-    }
-    // dense storage (r16): past ~8 links libhdf5 moves the link messages
-    // into a fractal heap indexed by a name v2 B-tree — enumerate them
-    // through [[Hdf5V4.denseLinks]] (r15 verdict "next" #2; this was a
-    // loud reject before, hit by any wide latest-format file)
-    if (links.isEmpty && denseHeap != Undef)
-      links ++= Hdf5V4.denseLinks(rd.buf.array(), denseHeap, denseNameBt)
-    links.toSeq.flatMap { case (nm, addr) => parseDatasetOH(rd, addr, nm) }
-  }
 
   /** Iterate a VERSION-2 (`OHDR`) object header's messages, following
     * `OCHK` continuation blocks: calls f(type, bodyOffset, bodySize).
@@ -1004,11 +1119,14 @@ object Hdf5 {
     * one-task decode (the stack is the scale path). */
   def read(s: SparkSession, file: String, name: String = "data"): DataFrame = {
     import s.implicits._
+    // nested datasets are named by their slash path; accept the h5py
+    // convention of a leading '/' ("/g/x" == "g/x")
+    val want = name.stripPrefix("/")
     s.read.format("binaryFile").load(file)
       .select(col("content")).as[Array[Byte]]
       .flatMap { content =>
-        val ds = datasets(content).find(_.name == name)
-          .getOrElse(throw new IllegalArgumentException(s"no dataset '$name'"))
+        val ds = datasets(content).find(_.name == want)
+          .getOrElse(throw new IllegalArgumentException(s"no dataset '$want'"))
         parseData(content, ds).iterator.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       }.toDF("idx", "v")
   }

@@ -1091,15 +1091,15 @@ object Hdf5V4 {
   def h5BytesV4Dense(datasets: Seq[(String, Array[Double])],
                      startBlockSize: Int = 512): Array[Byte] = {
     require(datasets.nonEmpty, "no datasets")
-    require(datasets.map(_._1).distinct.size == datasets.size,
-      "dataset names must be distinct")
-    datasets.foreach { case (nm, _) =>
-      require(nm.nonEmpty && !nm.contains('/') && nm.length <= 255,
-        s"bad dataset name '$nm'")
+    val paths = datasets.map { case (nm, vs) => (nm.stripPrefix("/"), vs) }
+    require(paths.map(_._1).distinct.size == paths.size,
+      "dataset paths must be distinct")
+    paths.foreach { case (nm, _) =>
+      require(nm.nonEmpty && nm.split('/').forall(s => s.nonEmpty && s.length <= 255),
+        s"bad dataset path '$nm'")
     }
     require(Integer.bitCount(startBlockSize) == 1 && startBlockSize >= 64,
       s"startBlockSize $startBlockSize must be a power of two >= 64")
-    val n = datasets.size
     val width = 4
     val maxDirect = 8192L
     val maxMan = 4096L
@@ -1109,20 +1109,62 @@ object Hdf5V4 {
     val idLen = 1 + offSize + lenSize
     val dblkHdr = 5 + 8 + offSize + 4 // checksummed direct blocks
 
+    // ---- group tree (r16): nested paths create intermediate groups
+    // like h5py's create_dataset('/g/x'). The ROOT group stores its
+    // members DENSELY (the feature under test); subgroups use compact
+    // link messages (libhdf5's default below ~8 links — the dense read
+    // path is exercised at the root either way).
+    final class GNode {
+      val groups = scala.collection.mutable.TreeMap.empty[String, GNode]
+      val dss = scala.collection.mutable.TreeMap.empty[String, Int] // -> paths idx
+    }
+    val root = new GNode
+    paths.zipWithIndex.foreach { case ((nm, _), i) =>
+      val segs = nm.split('/')
+      var cur = root
+      segs.dropRight(1).foreach { g =>
+        require(!cur.dss.contains(g), s"'$g' is both a dataset and a group")
+        cur = cur.groups.getOrElseUpdate(g, new GNode)
+      }
+      require(!cur.groups.contains(segs.last),
+        s"'${segs.last}' is both a dataset and a group")
+      cur.dss(segs.last) = i
+    }
+    val subGroups = scala.collection.mutable.ArrayBuffer.empty[GNode]
+    def collect(n: GNode): Unit =
+      n.groups.values.foreach { c => subGroups += c; collect(c) }
+    collect(root)
+    // root members drive the dense heap + name index
+    val rootMembers: Seq[String] = (root.groups.keys ++ root.dss.keys).toSeq.sorted
+    val n = rootMembers.size
+
     // ---- object headers (sizes first, addresses follow)
     def ohSize(bodies: Seq[Int]): Int = 10 + bodies.map(4 + _).sum + 4
+    def linkBody(nm: String): Int = 2 + 1 + nm.length + 8
     val rootOhAddr = 48L
     val rootOhSize = ohSize(Seq(18, 2)) // link info + group info, no links
+    def grpOhSize(g: GNode): Int = // toSeq BEFORE map: equal sizes must not dedupe
+      ohSize(Seq(18, 2) ++ (g.groups.keys ++ g.dss.keys).toSeq.map(linkBody))
+    val grpOhAddrs = new java.util.IdentityHashMap[GNode, java.lang.Long]()
+    var ohCursor = rootOhAddr + rootOhSize
+    subGroups.foreach { g =>
+      grpOhAddrs.put(g, ohCursor)
+      ohCursor += grpOhSize(g)
+    }
     val dsOhSize = ohSize(Seq(12, 24, 2, 18)) // space/dtype/fill/contiguous
-    val dsOhAddrs = datasets.indices.map(i =>
-      rootOhAddr + rootOhSize + i.toLong * dsOhSize)
+    val dsOhAddrs = paths.indices.map(i => ohCursor + i.toLong * dsOhSize)
+    def memberAddr(g: GNode, nm: String): Long =
+      g.groups.get(nm) match {
+        case Some(c) => grpOhAddrs.get(c)
+        case None => dsOhAddrs(g.dss(nm))
+      }
 
     // ---- heap objects (serialized v1 link messages) packed greedily
-    val linkBodies: Seq[Array[Byte]] = datasets.zipWithIndex.map { case ((nm, _), i) =>
-      val b = ByteBuffer.allocate(2 + 1 + nm.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+    val linkBodies: Seq[Array[Byte]] = rootMembers.map { nm =>
+      val b = ByteBuffer.allocate(linkBody(nm)).order(ByteOrder.LITTLE_ENDIAN)
       b.put(1.toByte); b.put(0.toByte) // version 1; flags: 1-byte name len, hard
       b.put(nm.length.toByte); b.put(nm.getBytes("ASCII"))
-      b.putLong(dsOhAddrs(i))
+      b.putLong(memberAddr(root, nm))
       b.array()
     }
     def rowSize(r: Int): Long =
@@ -1155,8 +1197,8 @@ object Hdf5V4 {
     val btLeafMax = (btNodeSize - 10) / btRrec
     require(n <= btLeafMax,
       s"$n links exceed one leaf ($btLeafMax) — deeper name trees unwritten")
-    val hashed = datasets.indices
-      .map(i => (lookup3(datasets(i)._1.getBytes("ASCII"), 0, datasets(i)._1.length), i))
+    val hashed = rootMembers.indices
+      .map(i => (lookup3(rootMembers(i).getBytes("ASCII"), 0, rootMembers(i).length), i))
     require(hashed.map(_._1).distinct.size == n,
       "name-hash collision — pick different dataset names for the fixture")
     val recOrder = hashed.sortBy(h => h._1.toLong & 0xffffffffL).map(_._2)
@@ -1172,7 +1214,7 @@ object Hdf5V4 {
     val bthdAddr = dblkAddrs.last
     val btlfAddr = bthdAddr + 38
     val dataBase = btlfAddr + btNodeSize
-    val dataAddrs = datasets.scanLeft(dataBase) { (acc, d) => acc + d._2.length * 8L }
+    val dataAddrs = paths.scanLeft(dataBase) { (acc, d) => acc + d._2.length * 8L }
     val eof = dataAddrs.last
     val heapRootAddr = if (curRows == 0) dblkAddrs(0) else fibAddr
 
@@ -1217,8 +1259,25 @@ object Hdf5V4 {
     val groupInfo = body(2) { b => b.put(0.toByte); b.put(0.toByte) }
     ohdr(rootOhAddr, Seq(0x0002 -> linkInfo, 0x000A -> groupInfo))
 
+    // ---- subgroup OHDRs (compact link messages), pre-order
+    subGroups.foreach { g =>
+      val kids = (g.groups.keys ++ g.dss.keys).toSeq.sorted
+      val li = body(18) { b =>
+        b.put(0.toByte); b.put(0.toByte)
+        b.putLong(Undef); b.putLong(Undef) // compact: no heap, no name index
+      }
+      val linkMsgs = kids.map { nm =>
+        0x0006 -> body(linkBody(nm)) { b =>
+          b.put(1.toByte); b.put(0.toByte)
+          b.put(nm.length.toByte); b.put(nm.getBytes("ASCII"))
+          b.putLong(memberAddr(g, nm))
+        }
+      }
+      ohdr(grpOhAddrs.get(g), Seq(0x0002 -> li, 0x000A -> groupInfo) ++ linkMsgs)
+    }
+
     // ---- dataset OHDRs (v4 contiguous layout)
-    datasets.zipWithIndex.foreach { case ((_, vals), i) =>
+    paths.zipWithIndex.foreach { case ((_, vals), i) =>
       val spaceMsg = body(12) { b =>
         b.put(2.toByte); b.put(1.toByte) // dataspace v2, rank 1
         b.put(0.toByte); b.put(1.toByte) // flags, simple
@@ -1322,7 +1381,7 @@ object Hdf5V4 {
     buf.position(l0 + btNodeSize) // node padding
 
     // ---- raw contiguous data
-    datasets.zipWithIndex.foreach { case ((_, vals), i) =>
+    paths.zipWithIndex.foreach { case ((_, vals), i) =>
       require(buf.position() == dataAddrs(i).toInt)
       vals.foreach(buf.putDouble)
     }
