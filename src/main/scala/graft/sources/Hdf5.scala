@@ -580,7 +580,15 @@ object Hdf5 {
           var q = child.toInt + 8
           var s = 0
           while (s < n) {
-            out += ((rd.cstr((heapData + rd.i64(q)).toInt), rd.i64(q + 8)))
+            val nm = rd.cstr((heapData + rd.i64(q)).toInt)
+            val oh = rd.i64(q + 8)
+            // soft links store cache type 2 with an UNDEFINED header
+            // address (the target lives in the heap as a path string) —
+            // refuse loudly rather than walk address -1
+            require(oh != Undef,
+              s"'$nm': soft/external link in symbol table unsupported — " +
+                "refusing rather than skip silently")
+            out += ((nm, oh))
             q += 40; s += 1
           }
         }

@@ -665,6 +665,96 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  /** Byte offset of the first `sig` occurrence (test-side structure
+    * locator for in-place corruption). */
+  private def sigAt(bytes: Array[Byte], sig: String): Int = {
+    val s = sig.getBytes("ASCII")
+    var i = 0
+    while (i < bytes.length - s.length) {
+      if ((0 until s.length).forall(k => bytes(i + k) == s(k))) return i
+      i += 1
+    }
+    fail(s"no $sig structure in fixture")
+  }
+
+  test("dense-group reject paths fire loudly (filtered heap, huge/tiny, child indirect, bad heap id)") {
+    val ds = (0 until 10).map(i => (s"d$i", Array.tabulate(4)(j => i * 10.0 + j)))
+    val bytes = Hdf5V4.h5BytesV4Dense(ds)
+    def patched(f: (Array[Byte], Int) => Unit): Array[Byte] = {
+      val out = bytes.clone()
+      f(out, sigAt(out, "FRHP"))
+      out
+    }
+    val bb = (a: Array[Byte]) =>
+      java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // I/O-filtered direct blocks: encoded-filter length != 0
+    val filtered = patched((a, h) => bb(a).putShort(h + 7, 1.toShort))
+    val e1 = intercept[IllegalArgumentException](Hdf5.datasets(filtered))
+    assert(e1.getMessage.contains("I/O-filtered"), e1.getMessage)
+    // huge objects present: nHuge at header+86
+    val huge = patched((a, h) => bb(a).putLong(h + 86, 1L))
+    val e2 = intercept[IllegalArgumentException](Hdf5.datasets(huge))
+    assert(e2.getMessage.contains("huge(1)"), e2.getMessage)
+    // child indirect blocks: curRows beyond the direct-row limit
+    // (start block 512, max direct 8 KiB -> 6 direct rows)
+    val deep = patched((a, h) => bb(a).putShort(h + 140, 7.toShort))
+    val e3 = intercept[IllegalArgumentException](Hdf5.datasets(deep))
+    assert(e3.getMessage.contains("child indirect blocks"), e3.getMessage)
+    // non-managed heap id: flip the first name-index record's id byte
+    // to the huge-object type (0x10)
+    val badId = bytes.clone()
+    badId(sigAt(badId, "BTLF") + 6 + 4) = 0x10.toByte
+    val e4 = intercept[IllegalArgumentException](Hdf5.datasets(badId))
+    assert(e4.getMessage.contains("not a managed v0 id"), e4.getMessage)
+  }
+
+  test("dense/nested fuzz: random trees x member counts x block sizes round-trip") {
+    val rnd = new scala.util.Random(0xd1cebead)
+    for (trial <- 0 until 12) {
+      val nTop = 1 + rnd.nextInt(14)
+      val paths = scala.collection.mutable.LinkedHashMap.empty[String, Array[Double]]
+      (0 until nTop).foreach { i =>
+        val depth = rnd.nextInt(3)
+        val segs = (0 until depth).map(k => s"g${i % 3}_$k") :+ f"leaf_$trial%02d_$i%02d"
+        val nm = segs.mkString("/")
+        if (!paths.contains(nm))
+          paths(nm) = Array.tabulate(1 + rnd.nextInt(9))(j => trial * 100.0 + i + j * 0.25)
+      }
+      val startBlk = Seq(64, 128, 512)(rnd.nextInt(3))
+      val bytes =
+        try Hdf5V4.h5BytesV4Dense(paths.toSeq, startBlockSize = startBlk)
+        catch { case e: IllegalArgumentException
+          if e.getMessage.contains("both a dataset and a group") =>
+            // a generated leaf collided with a group prefix — valid reject
+            null
+        }
+      if (bytes != null) {
+        val got = Hdf5.datasets(bytes)
+        assert(got.map(_.name).sorted == paths.keys.toSeq.sorted,
+          s"trial $trial names (startBlk=$startBlk)")
+        paths.foreach { case (nm, vals) =>
+          assert(Hdf5.parseData(bytes, got.find(_.name == nm).get).toSeq == vals.toSeq,
+            s"trial $trial $nm")
+        }
+      }
+      // v0 era: same tree through the symbol-table writer when each
+      // group stays within its 8-member SNOD bound
+      val v0ok =
+        try {
+          val b0 = Hdf5.h5Bytes(paths.toSeq.map { case (nm, vs) =>
+            (nm, vs, Seq(vs.length.toLong)) })
+          Some(b0)
+        } catch { case e: IllegalArgumentException
+          if e.getMessage.contains("members per group") ||
+             e.getMessage.contains("both a dataset and a group") => None
+        }
+      v0ok.foreach { b0 =>
+        val got0 = Hdf5.datasets(b0)
+        assert(got0.map(_.name).sorted == paths.keys.toSeq.sorted, s"trial $trial v0")
+      }
+    }
+  }
+
   test("v4 layout class 3 (virtual storage) is refused with a descriptive error") {
     // r15 ADVICE #5: an unhandled layout class used to surface as a bare
     // scala.MatchError; it must get the same loud descriptive rejection
