@@ -24,10 +24,14 @@ from pathlib import Path
 
 import duckdb
 
-argv = [a for a in sys.argv[1:] if a != "--emit"]
+argv = sys.argv[1:]
 EMIT = None
-if "--emit" in sys.argv:
-    EMIT = Path(argv.pop())  # the arg after --emit is last in argv
+if "--emit" in argv:
+    k = argv.index("--emit")
+    if k + 1 >= len(argv):
+        sys.exit("--emit needs a path argument")
+    EMIT = Path(argv[k + 1])  # the token AFTER --emit, wherever it appears
+    argv = argv[:k] + argv[k + 2:]
 SF = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
 ORACLE = Path(argv[1] if len(argv) > 1 else "/tmp/verify_out/oracle_sql.json")
 
@@ -45,8 +49,9 @@ for name, sql in sorted(oracle.items()):
     try:
         desc = con.execute(f"DESCRIBE {sql}").fetchall()
     except Exception as e:
-        # some oracles create temp state / multi-statement: fall back to
-        # a LIMIT 0 execution to obtain the result schema
+        # some oracles don't DESCRIBE (temp state / multi-statement):
+        # fall back to EXECUTING the query and reading the cursor's
+        # result schema — full execution, fine at the sf0.001 sweep scale
         try:
             cur = con.execute(sql)
             desc = [(c[0], str(c[1]).upper()) for c in cur.description]

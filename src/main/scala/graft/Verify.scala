@@ -97,10 +97,13 @@ object Verify {
           try {
             val r = back.collect()
             (r.length.toLong, CanonicalHash.ofRows(r, back.schema))
-          } catch { case e: Throwable =>
-            System.err.println(s"[verify] $name: canon-hash failed " +
-              s"(query output kept, status ok): ${e.getMessage}")
-            (back.count(), s"hash-error:${e.getClass.getSimpleName}")
+          } catch {
+            // NonFatal only: an OOM/LinkageError must kill the run, not
+            // leave the JVM limping through the remaining queries
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[verify] $name: canon-hash failed " +
+                s"(query output kept, status ok): ${e.getMessage}")
+              (back.count(), s"hash-error:${e.getClass.getSimpleName}")
           }
         manifest(name) = ("ok", rows, canon, "")
         // replay gates: mirror the hash into the gate's replay-diag
@@ -115,19 +118,18 @@ object Verify {
           ("failed", -1L, "", Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
-    def q(s: String): String = jq(s)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val ok = manifest.count(_._2._1 == "ok")
     val failed = manifest.size - ok
     val mJson = "{" +
       s""""registered":${SparkEntry.queries.size},"selected":${selected.size},""" +
-      s""""ok":$ok,"failed":$failed,"sf_dir":${q(sfDir)},"queries":{""" +
+      s""""ok":$ok,"failed":$failed,"sf_dir":${jq(sfDir)},"queries":{""" +
       manifest.map { case (k, (st, rows, canon, err)) =>
-        s"${q(k)}:{" + s""""status":${q(st)},"rows":$rows""" +
-          (if (canon.nonEmpty) s""","canon_sha256":${q(canon)}""" else "") +
-          (if (err.nonEmpty) s""","error":${q(err)}""" else "") + "}"
+        s"${jq(k)}:{" + s""""status":${jq(st)},"rows":$rows""" +
+          (if (canon.nonEmpty) s""","canon_sha256":${jq(canon)}""" else "") +
+          (if (err.nonEmpty) s""","error":${jq(err)}""" else "") + "}"
       }.mkString(",") + "}}"
     Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), mJson)
     System.err.println(s"[verify] manifest: $ok ok, $failed failed, " +

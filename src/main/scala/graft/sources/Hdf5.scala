@@ -57,7 +57,9 @@ object Hdf5 {
     val paths = datasets.map { case (nm, vs, sh) => (nm.stripPrefix("/"), vs, sh) }
     paths.foreach { case (nm, vs, sh) =>
       require(vs.length.toLong == sh.product, s"$nm: ${vs.length} values for shape $sh")
-      require(nm.nonEmpty && nm.split('/').forall(s => s.nonEmpty && s.length <= 247),
+      // split with limit -1 keeps trailing empty segments: 'a/b/' must
+      // be rejected here, not silently collapse onto 'a/b'
+      require(nm.nonEmpty && nm.split("/", -1).forall(s => s.nonEmpty && s.length <= 247),
         s"bad dataset path '$nm'")
     }
     require(paths.map(_._1).distinct.size == paths.size, "duplicate dataset paths")
@@ -499,12 +501,15 @@ object Hdf5 {
         require(rd.u8(13) == 8 && rd.u8(14) == 8, "offsets/lengths must be 8 bytes")
         rd.i64(64)
       }
-    val (_, rootStored) = groupChildren(rd, rootOh)
+    val (rootKids, rootStored) = groupChildren(rd, rootOh)
     require(rootStored,
       "root group has no link storage (symbol table / link messages / " +
         "fractal heap) — refusing rather than returning an empty dataset list")
     val out = scala.collection.mutable.ArrayBuffer.empty[H5Dataset]
-    walkGroup(rd, rootOh, "", out, scala.collection.mutable.Set.empty[Long], 0)
+    // root children are already enumerated for the storage check — walk
+    // them directly (a dense root's heap + name index walk is not free)
+    dispatchChildren(rd, rootKids, "", out,
+      scala.collection.mutable.Set(rootOh), 1)
     out.toSeq
   }
 
@@ -538,7 +543,12 @@ object Hdf5 {
           p += lenSize
           val name = rd.ascii(p, nameLen.toInt)
           p += nameLen.toInt
-          if (linkType == 0) links += ((name, rd.i64(p))) // hard link only
+          // same loud-reject policy as the v0 symbol-table path: a
+          // silently-skipped soft/external link fakes a smaller corpus
+          require(linkType == 0,
+            s"'$name': link type $linkType (soft/external) unsupported — " +
+              "refusing rather than skip silently")
+          links += ((name, rd.i64(p)))
         case 0x0002 => // link info: a defined fractal-heap addr ⇒ dense storage
           sawInfo = true
           val p = body + 2 + (if ((rd.u8(body + 1) & 1) != 0) 8 else 0)
@@ -599,15 +609,15 @@ object Hdf5 {
     out.toSeq
   }
 
-  /** Depth-first group recursion shared by both superblock eras. */
-  private def walkGroup(rd: Rd, ohAddr: Long, prefix: String,
-                        out: scala.collection.mutable.ArrayBuffer[H5Dataset],
-                        visited: scala.collection.mutable.Set[Long],
-                        depth: Int): Unit = {
+  /** Depth-first group recursion shared by both superblock eras: each
+    * child is classified by its own object header. */
+  private def dispatchChildren(rd: Rd, children: Seq[(String, Long)],
+                               prefix: String,
+                               out: scala.collection.mutable.ArrayBuffer[H5Dataset],
+                               visited: scala.collection.mutable.Set[Long],
+                               depth: Int): Unit = {
     require(depth <= 64,
       s"group nesting deeper than 64 at '$prefix' — refusing (link cycle?)")
-    if (!visited.add(ohAddr)) return // aliased hard link: enumerate once
-    val (children, _) = groupChildren(rd, ohAddr)
     children.foreach { case (nm, addr) =>
       val full = if (prefix.isEmpty) nm else s"$prefix/$nm"
       var isDs = false
@@ -620,8 +630,11 @@ object Hdf5 {
       if (isDs)
         out += parseDatasetOH(rd, addr, full).getOrElse(
           sys.error(s"$full: object has a dataspace but no parsable dataset"))
-      else if (isGrp) walkGroup(rd, addr, full, out, visited, depth + 1)
-      else sys.error(s"$full: object header is neither a dataset nor a group " +
+      else if (isGrp) {
+        if (visited.add(addr)) // aliased hard link: enumerate once
+          dispatchChildren(rd, groupChildren(rd, addr)._1, full, out,
+            visited, depth + 1)
+      } else sys.error(s"$full: object header is neither a dataset nor a group " +
         "(named datatype?) — refusing rather than skip silently")
     }
   }

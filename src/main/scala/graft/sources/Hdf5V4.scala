@@ -582,7 +582,11 @@ object Hdf5V4 {
       p += nlenSize
       val name = rd.ascii(p, nameLen.toInt)
       p += nameLen.toInt
-      if (linkType == 0) links += ((name, rd.i64(p))) // hard links only
+      // same loud-reject policy as the compact and v0 paths
+      require(linkType == 0,
+        s"'$name': link type $linkType (soft/external) unsupported — " +
+          "refusing rather than skip silently")
+      links += ((name, rd.i64(p)))
     }
     links.result()
   }
@@ -1095,7 +1099,9 @@ object Hdf5V4 {
     require(paths.map(_._1).distinct.size == paths.size,
       "dataset paths must be distinct")
     paths.foreach { case (nm, _) =>
-      require(nm.nonEmpty && nm.split('/').forall(s => s.nonEmpty && s.length <= 255),
+      // split with limit -1 keeps trailing empty segments: 'a/b/' must
+      // be rejected here, not silently collapse onto 'a/b'
+      require(nm.nonEmpty && nm.split("/", -1).forall(s => s.nonEmpty && s.length <= 255),
         s"bad dataset path '$nm'")
     }
     require(Integer.bitCount(startBlockSize) == 1 && startBlockSize >= 64,

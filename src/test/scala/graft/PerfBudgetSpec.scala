@@ -92,10 +92,14 @@ class PerfBudgetSpec extends AnyFunSuite {
       PerfBudgets.cleanBand)
     val gated =
       if (epoch) {
-        val waived = over.filter(o => PerfBudgets.harnessPaced(o._1))
+        // waiver is capped at the draw's own magnitude class (6x clean
+        // band): a huge coincident regression stays red even in a draw
+        val (waived, kept) = over.partition(o =>
+          PerfBudgets.harnessPaced(o._1) &&
+            PerfGate.epochWaived(o._1, details, PerfBudgets.cleanBand))
         if (waived.nonEmpty) info("EPOCH DRAW: waiving replay-gate budget " +
           s"rows for this run: ${waived.map(_._1).mkString(", ")}")
-        over.filterNot(o => PerfBudgets.harnessPaced(o._1))
+        kept
       } else over
     assert(gated.isEmpty,
       "measured time over budget (query, measured, budget):\n  " +
@@ -132,6 +136,22 @@ class PerfBudgetSpec extends AnyFunSuite {
     assert(!PerfGate.epochDraw(det(1.5, clean = false),
       PerfBudgets.harnessPaced, PerfBudgets.cleanBand),
       "family elevation with residue gauges firing is a leak, not an epoch")
+    // the waiver is CAPPED at the draw's magnitude class: during a
+    // quorum draw, a coincident 50x single-gate regression stays red
+    // (r16 review — the draw must not be a blanket amnesty)
+    val drawPlusBlowup = det(1.5) + ("s02_stream_dedup" ->
+      PerfGate.Detail(105.0, Seq(106.0, 105.5, 105.0), residue = Some(false)))
+    assert(PerfGate.epochDraw(drawPlusBlowup, PerfBudgets.harnessPaced,
+      PerfBudgets.cleanBand), "the family draw still classifies")
+    assert(!PerfGate.epochWaived("s02_stream_dedup", drawPlusBlowup,
+      PerfBudgets.cleanBand),
+      "a 50x gate is beyond the 6x draw class and must not be waived")
+    // while the r15 draw specimen itself (8.27 s on a 2.1 band, 3.9x)
+    // sits inside the cap and IS waived
+    val drawTypical = det(1.5) + ("s02_stream_dedup" ->
+      PerfGate.Detail(8.27, Seq(8.3, 8.5, 8.27), residue = Some(false)))
+    assert(PerfGate.epochWaived("s02_stream_dedup", drawTypical,
+      PerfBudgets.cleanBand))
   }
 
   test("noiseSlack has no regime cliff (r15 ADVICE #3)") {

@@ -133,7 +133,19 @@ object PerfGate {
     * the quorum; a regression DURING a draw is masked for that one
     * run and resurfaces on the next clean run (5-in-6), while the
     * inversion/accumulating arms stay fully armed either way.
-    * Gauge-less (pre-r15) artifacts never qualify — conservative. */
+    * Gauge-less (pre-r15) artifacts never qualify — conservative.
+    *
+    * Two limits, stated honestly (r16 review): (1) the per-run waiver
+    * is CAPPED by [[epochWaived]] — the draw class tops out ~4× the
+    * clean band (r15 s02: 8.27 s on a 2.1 band), so a row beyond
+    * 6×cleanBand stays red even during a draw; a 50× single-gate
+    * regression cannot hide behind a coincident epoch. (2) a code
+    * change that PERSISTENTLY slows the whole replay family ≥1.35×
+    * with clean gauges is indistinguishable from a draw within one
+    * artifact — the cross-run detector is the battery protocol: draws
+    * are 1-in-6, so every-run "draws" on a fresh binary (4/4 in the
+    * per-round battery) are a regression and the builder's battery
+    * ledger in COVERAGE is the gate for that class. */
   def epochDraw(details: Map[String, Detail], harnessPaced: Set[String],
                 cleanBand: Map[String, Double], quorum: Int = 4): Boolean =
     harnessPaced.toSeq.count { q =>
@@ -143,6 +155,17 @@ object PerfGate {
         case _ => false
       }
     } >= quorum
+
+  /** Whether a replay gate's budget violation may be waived during a
+    * classified epoch draw: only while its min stays inside the draw's
+    * own magnitude class (≤ 6× the clean band). No cleanBand entry ⇒
+    * never waived. */
+  def epochWaived(q: String, details: Map[String, Detail],
+                  cleanBand: Map[String, Double]): Boolean =
+    (details.get(q), cleanBand.get(q)) match {
+      case (Some(d), Some(c)) => (d.first +: d.samples).min <= 6.0 * c
+      case _ => false
+    }
 
   /** steady ≤ first inversions: a steady (min-of-three, post-drain) run
     * that exceeds the first by >25% AND >1 s is re-paying per-run work —

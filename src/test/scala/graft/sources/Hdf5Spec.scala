@@ -641,6 +641,15 @@ class Hdf5Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Hdf5.h5Bytes(Seq(
       ("grp", a, Seq(10L)), ("grp/x", b, Seq(12L)))))
     assert(e.getMessage.contains("both a dataset and a group"))
+    // trailing/double slashes are rejected, never silently collapsed
+    // onto the slashless sibling path (r16 review: 'a/b/' used to
+    // overwrite 'a/b' because split drops trailing empty segments)
+    intercept[IllegalArgumentException](
+      Hdf5.h5Bytes(Seq(("a/b/", a, Seq(10L)))))
+    intercept[IllegalArgumentException](
+      Hdf5.h5Bytes(Seq(("a//b", a, Seq(10L)))))
+    intercept[IllegalArgumentException](
+      Hdf5V4.h5BytesV4Dense(Seq("a/b/" -> a)))
   }
 
   test("nested groups, latest format: dense root + compact subgroups") {
