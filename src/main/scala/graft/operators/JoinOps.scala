@@ -58,13 +58,17 @@ object JoinOps {
     * never a range scan or per-row subquery. Backward = `last(payload,
     * ignoreNulls)` over the preceding frame with right rows sorting
     * BEFORE left at equal timestamps (so a simultaneous right row is
-    * visible — DuckDB's `l.ts >= r.ts`). Forward = `first(payload,
-    * ignoreNulls)` over the following frame with right rows sorting
-    * AFTER left at equal timestamps (`l.ts <= r.ts`). Nearest = both
-    * frames over the SAME (partition, order) — Catalyst collapses them
-    * into ONE Window node — with the right event time carried inside
-    * the payload struct for the distance compare; the simultaneous-row
-    * case needs no special handling because its backward distance is 0.
+    * visible — DuckDB's `l.ts >= r.ts`). Forward = `last(payload,
+    * ignoreNulls)` over the RUNNING frame of the REVERSED (ts DESC,
+    * side DESC) order — value-identical to `first` over the following
+    * frame with right rows sorting AFTER left at equal timestamps
+    * (`l.ts <= r.ts`), but O(rows) per key where Spark executes an
+    * UnboundedFollowing frame in O(rows²) (see the inline note).
+    * Nearest = both running frames — one ascending, one descending —
+    * over ONE exchange (the second Window re-sorts, never reshuffles) —
+    * with the right event time carried inside the payload struct for
+    * the distance compare; the simultaneous-row case needs no special
+    * handling because its backward distance is 0.
     *
     * The payloads travel as ONE STRUCT so the attached values always
     * come from a single right ROW — folding `last(ignoreNulls)` over
@@ -116,7 +120,21 @@ object JoinOps {
         pStruct.as("_p"): _*)
     val ord = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
     val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The forward match is a RUNNING frame over the REVERSED order, not a
+    // `first() OVER (... ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+    // FOLLOWING)` (r17 optimization, guide §1.2/§2): Spark's
+    // UnboundedFollowing frame re-folds the aggregate from each row to
+    // the partition end — O(rows²) per key, a scale-killer once a key
+    // holds many rows — while the running (UnboundedPreceding) frame is
+    // one O(rows) pass. `last(ignoreNulls)` over (_ts DESC, _side DESC)
+    // is value-identical to `first(ignoreNulls)` over the following
+    // frame in ascending order: descending, the earliest right row with
+    // rts >= lts is the most recent non-null seen, and at equal ts the
+    // right row (_side=2) sorts before the left row it must be visible
+    // to — the exact mirror of the backward frame's tie rule.
+    val ordRev = Window.partitionBy(key)
+      .orderBy(col("_ts").desc, col("_side").desc)
+    val wFwdRev = ordRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val unioned = lu.unionByName(ru)
     // distances compare in the ts column's own numeric space
     def num(c: Column): Column = micros(left.schema(ts).dataType)(c)
@@ -124,11 +142,14 @@ object JoinOps {
       case "backward" =>
         unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(wBack))
       case "forward" =>
-        unioned.withColumn("_p", first(col("_p"), ignoreNulls = true).over(wFwd))
+        unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(wFwdRev))
       case "nearest" =>
+        // two Window nodes (ascending + descending running frames) over
+        // ONE exchange — the second window re-sorts its partition but
+        // never reshuffles; both frames stay O(rows) per key
         unioned
           .withColumn("_b", last(col("_p"), ignoreNulls = true).over(wBack))
-          .withColumn("_f", first(col("_p"), ignoreNulls = true).over(wFwd))
+          .withColumn("_f", last(col("_p"), ignoreNulls = true).over(wFwdRev))
           .withColumn("_p",
             when(col("_b").isNull, col("_f"))
               .when(col("_f").isNull, col("_b"))

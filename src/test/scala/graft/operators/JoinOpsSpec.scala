@@ -241,11 +241,79 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queryExecution.executedPlan.toString
       assert("Exchange".r.findAllIn(plan).size == 1,
         s"asof($dir) must shuffle exactly once:\n$plan")
-      // nearest evaluates TWO frames, but over the same (partition,
-      // order) — Catalyst must still plan ONE Window node / one sort
-      assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
-        s"asof($dir) windows must collapse into one Window node:\n$plan")
+      // r17: every direction resolves through RUNNING frames only —
+      // backward/forward plan one Window node; nearest needs one per
+      // sort order (ascending + descending) but still ONE exchange.
+      // An UnboundedFollowing frame would be O(rows²) per key in
+      // Spark's WindowExec; the frame pin below keeps it out for good.
+      val want = if (dir == "nearest") 2 else 1
+      assert("\\bWindow\\b".r.findAllIn(plan).size == want,
+        s"asof($dir) must plan exactly $want Window node(s):\n$plan")
+      assert(!plan.contains("unboundedfollowing"),
+        s"asof($dir) must never use an UnboundedFollowing frame (O(n^2)):\n$plan")
       assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("asof forward/nearest running-frame rewrite is value-identical to the definitional frames") {
+    val sp = spark
+    import sp.implicits._
+    // adversarial corpus: duplicate left timestamps, simultaneous
+    // left/right rows, keys with no right rows, right row before/after
+    // every left row
+    val left = sp.range(400).selectExpr("id % 13 AS k",
+      "timestamp_seconds(id % 37) AS t", "id")
+    val right = sp.range(90).selectExpr("id % 11 AS k",
+      "timestamp_seconds((id * 3) % 41) AS t", "CAST(id AS DOUBLE) AS v1",
+      "CAST(id * 3 AS DOUBLE) AS v2")
+      .groupBy("k", "t").agg(
+        org.apache.spark.sql.functions.max("v1").as("v1"),
+        org.apache.spark.sql.functions.max("v2").as("v2"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def definitional(dir: String): org.apache.spark.sql.DataFrame = {
+      // the pre-r17 formulation: first(ignoreNulls) over the
+      // UnboundedFollowing frame in ascending (ts, side) order
+      val pStruct = struct(col("t").as("_ts"), col("v1"), col("v2"))
+      val lu = left.select(col("k"), col("t").as("_ts"), lit(1).as("_side"),
+        col("id"), lit(null).cast(right.select(pStruct).schema.head.dataType).as("_p"))
+      val ru = right.select(col("k"), col("t").as("_ts"), lit(2).as("_side"),
+        lit(null).cast("long").as("id"), pStruct.as("_p"))
+      val ord = Window.partitionBy("k").orderBy(col("_ts"), col("_side"))
+      val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val u = lu.unionByName(ru)
+      val r = dir match {
+        case "forward" =>
+          u.withColumn("_p", first(col("_p"), ignoreNulls = true).over(wF))
+        case "nearest" =>
+          // backward ties use side=0 ordering in JoinOps; replicate by
+          // flipping right side ordinal for the backward frame input
+          val ru0 = right.select(col("k"), col("t").as("_ts"), lit(0).as("_side"),
+            lit(null).cast("long").as("id"), pStruct.as("_p"))
+          val u0 = lu.unionByName(ru0)
+          val b = u0.withColumn("_b", last(col("_p"), ignoreNulls = true).over(wB))
+            .where(col("_side") === 1).select(col("k"), col("_ts"), col("id"), col("_b"))
+          val f = u.withColumn("_f", first(col("_p"), ignoreNulls = true).over(wF))
+            .where(col("_side") === 1).select(col("k").as("k2"), col("_ts").as("_ts2"),
+              col("id").as("id2"), col("_f"))
+          return b.join(f, b("id") === f("id2"))
+            .withColumn("_p",
+              when(col("_b").isNull, col("_f"))
+                .when(col("_f").isNull, col("_b"))
+                .when(unix_micros(col("_ts")) - unix_micros(col("_b._ts")) <=
+                  unix_micros(col("_f._ts")) - unix_micros(col("_ts")), col("_b"))
+                .otherwise(col("_f")))
+            .select(col("id"), col("_p.v1").as("v1"), col("_p.v2").as("v2"))
+      }
+      r.where(col("_side") === 1)
+        .select(col("id"), col("_p.v1").as("v1"), col("_p.v2").as("v2"))
+    }
+    for (dir <- Seq("forward", "nearest")) {
+      val got = JoinOps.asof(left, right, "k", "t", Seq("v1", "v2"), dir)
+        .select("id", "v1", "v2").orderBy("id").collect().map(_.toString)
+      val want = definitional(dir).orderBy("id").collect().map(_.toString)
+      assert(got.toSeq == want.toSeq, s"asof($dir) rewrite diverges")
     }
   }
 
