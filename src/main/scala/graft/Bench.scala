@@ -115,7 +115,36 @@ object Bench {
       once() // unmeasured JIT warmup
       Seq(once(), once(), once()).min
     }
+    // PARALLEL probe (r16 verdict "next" #2): the r16 contamination
+    // class — ~25% multi-core-throughput loss with roving multi-second
+    // stalls — read CLEAN on the single-thread probe (212-224 ms in
+    // every degraded run). This probe runs the SAME xorshift kernel on
+    // one thread per available processor and times the WALL until all
+    // finish (min of three post-warm reps): on a healthy box it lands
+    // near the single-thread number (all threads truly parallel); a box
+    // that lost parallel capacity inflates it in proportion, giving
+    // PerfBudgetSpec a gauge the single-thread probe cannot fake.
+    def probeParMs(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val threads = (0 until n).map { t =>
+          val th = new Thread(() => {
+            var x = 0x9E3779B97F4A7C15L + t
+            var i = 0
+            while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+            if (x == 42L) System.err.println("xorshift fixed point")
+          })
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e6
+      }
+      once() // unmeasured warmup
+      Seq(once(), once(), once()).min
+    }
     val probeStart = probeMs()
+    val probeParStart = probeParMs()
 
     // Per-query JVM counters (r12 verdict #1a: the e14 in-suite slowdown
     // was DIAGNOSED as JIT/code-cache pressure but never measured). Each
@@ -262,9 +291,10 @@ object Bench {
           ",\"mnt\":" + mnt + ",\"lbq\":" + lbq + "}"
     }
     val probeEnd = probeMs()
+    val probeParEnd = probeParMs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"value_minpaced":${fmt(totalMinPaced)},"first_run_total":${fmt(firstTotal)},"probe_ms_start":${fmt(probeStart)},"probe_ms_end":${fmt(probeEnd)},"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"value_minpaced":${fmt(totalMinPaced)},"first_run_total":${fmt(firstTotal)},"probe_ms_start":${fmt(probeStart)},"probe_ms_end":${fmt(probeEnd)},"probe_par_ms_start":${fmt(probeParStart)},"probe_par_ms_end":${fmt(probeParEnd)},"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":${detailQs.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     // Stdout line: steady-state only, slowest first, capped so the whole
     // JSON line stays well inside the 2000-char tail window.
     val budget = 1500

@@ -37,8 +37,59 @@ object PerfGate {
     * allows normal scheduler jitter without widening anything. */
   val probeBoundMs = 250.0
 
+  /** Committed idle-box bound for the PARALLEL probe (r16 verdict
+    * "next" #2): one xorshift thread per processor, wall until all
+    * finish, min of three — measured min 289 ms on the r17 box (whose
+    * min-of-execution suite sums ran ~10% over the r16 builder's clean
+    * state, so the true clean floor is a bit lower). 420 ms allows
+    * scheduler jitter; the r16 contamination class (~25% parallel
+    * capacity loss, single-thread probe CLEAN at 212-224 ms) lands
+    * above it and widens the gates the single-thread ratio cannot.
+    * Widening is the fail-safe direction: an over-eager par probe can
+    * only make the tripwire more lenient, never falsely red. */
+  val probeParBoundMs = 420.0
+
   def ratio(probeMs: Option[Double]): Double =
     probeMs.map(p => math.max(1.0, p / probeBoundMs)).getOrElse(1.0)
+
+  /** Contention ratio from BOTH probes: the single-thread kernel sees
+    * per-core slowdown, the parallel kernel sees lost multi-core
+    * capacity — the r16 degradation moved only the latter. */
+  def ratio(probeMs: Option[Double], probeParMs: Option[Double]): Double =
+    math.max(ratio(probeMs),
+      probeParMs.map(p => math.max(1.0, p / probeParBoundMs)).getOrElse(1.0))
+
+  /** ROVING-VICTIM run classifier (r16 verdict "next" #2). The r16
+    * driver/judge benches put DIFFERENT queries over budget in every
+    * run of the same binary, each victim posting at least one clean
+    * execution inside the very run that flagged it (q99: first 1.96 s
+    * against steadies 9.8/40.6/11.8 s) — multi-second box stalls
+    * landing on a roving subset of executions, invisible to the
+    * single-thread probe. Signature, per query: the MEDIAN steady
+    * breaches the clean-box gate, the spread max/min over ALL
+    * executions (first + steadies) exceeds 3×, and the min sits INSIDE
+    * the gate — i.e. the same plan ran both clean and catastrophically
+    * slow in one session, which no code change can produce. Any such
+    * query classifies the RUN as contaminated; the budget sweep then
+    * gates every row on its min-of-executions (the statistic that
+    * stayed inside the clean band in all three ~230 s r16 runs). A
+    * lone FLAT breach — every execution elevated together — never
+    * matches (min is outside the gate) and stays red: the r14 t07
+    * specimen keeps failing. A real regression during a contaminated
+    * run is masked for that run only and resurfaces on the next clean
+    * run, exactly like the epoch-draw waiver; the accumulating arm
+    * stays fully armed throughout. */
+  def rovingVictims(details: Map[String, Detail],
+                    budgets: Map[String, Double], defaultBudget: Double,
+                    r: Double): Seq[String] =
+    details.toSeq.collect { case (q, d) if {
+      val b = budgets.getOrElse(q, defaultBudget)
+      val gate = (b + noiseSlack(b)) * r
+      val all = d.first +: d.samples
+      val med = d.samples.sorted.apply(d.samples.size / 2)
+      med > gate && all.min <= gate &&
+        all.max > 3.0 * math.max(all.min, 0.05)
+    } => q }.sorted
 
   /** Grace over a budget, SCALED to it (r8 advisory: a flat 4 s let a
     * default-budget query triple silently; r14 verdict #2: the old
