@@ -38,6 +38,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r17: the 307-query bench session fills ~192 MB of the default
+  // 240 MB code-cache reserve (bench_detail cc_mb, flat across rounds).
+  // Near the ceiling HotSpot starts flushing cold compiled methods and
+  // the resulting recompile churn shows up as multi-minute roving stall
+  // epochs late in the suite (r16 driver class: jit_ms doubling while
+  // cc_mb sits pinned at ~190; reproduced here with s14-s17 at 3-8x
+  // their clean steadies and every file op inflated alike). 512 MB
+  // gives the full suite 2.5x headroom so compiled code stays compiled.
+  "-XX:ReservedCodeCacheSize=512m",
   // ScalaTest suites share one JVM-wide SparkSession via getOrCreate,
   // which IGNORES a late suite's builder configs — session-critical
   // configs therefore ride system properties so the FIRST session (from

@@ -1155,28 +1155,47 @@ object ArrayQueries {
     // integer-quantized sum (the q89 gate design); the infinity counts
     // are exact integers (exp overflows to +inf identically everywhere)
     "q109_ufunc_libm" -> ((s, d) => {
-      val base = DArray.arange(s, d, 0.0, 201.0, 1.0)
-      val u = base.map("(v - 100.0) / 100.0")  // [-1, 1]
-      val w = base.map("(v - 100.0) / 50.0")   // [-2, 2]
-      val p = base.map("1.0 + v / 20.0")       // [1, 11.05]
-      def q1(a: DArray, name: String): DataFrame =
-        a.elements.agg(expr(qsum("v", 64)).as(name))
-      Seq(
-        q1(u.arcsin, "asin_q"), q1(u.arccos, "acos_q"), q1(w.arctan, "atan_q"),
-        q1(w.arctan2(p), "atan2_q"),
-        q1(w.sinh, "sinh_q"), q1(w.cosh, "cosh_q"), q1(w.tanh, "tanh_q"),
-        q1(w.arcsinh, "asinh_q"), q1(p.arccosh, "acosh_q"),
-        q1(u.map("v * 0.99").arctanh, "atanh_q"),
-        q1(p.log10, "log10_q"), q1(p.log2, "log2_q"),
-        q1(p.log1p, "log1p_q"), q1(w.expm1, "expm1_q"),
-        q1(w.cbrt, "cbrt_q"), q1(w.hypot(p), "hypot_q"),
-        q1(w.logaddexp(u), "lae_q"), q1(w.logaddexp2(u), "lae2_q"),
-        q1(w.degrees, "deg_q"),
-        base.map("exp(v * 4.0)").isinf.elements
-          .agg(expr("CAST(sum(v) AS BIGINT)").as("inf_n")),
-        base.map("-exp(v * 4.0)").isneginf.elements
-          .agg(expr("CAST(sum(v) AS BIGINT)").as("neginf_n")),
-      ).reduce(_ crossJoin _)
+      // r17 (guide §2.4 — remove shuffles outright): this used to build
+      // 21 independent single-row aggregates over maps of the SAME
+      // 201-element arange and crossJoin them — 21 Exchange
+      // SinglePartition rounds for one logical pass. One projection +
+      // ONE aggregate now computes the same 21 outputs in a single
+      // span. Every column below is the exact textual composition the
+      // DArray wrapper chain produced (u/w/p substituted into the same
+      // libm calls in the same order), so each double — and therefore
+      // each integer-quantized sum — is bit-identical; the oracle SQL
+      // is unchanged and the sweep re-verifies the hash.
+      val u = "((v - 100.0) / 100.0)"  // [-1, 1]
+      val w = "((v - 100.0) / 50.0)"   // [-2, 2]
+      val p = "(1.0 + v / 20.0)"       // [1, 11.05]
+      DArray.arange(s, d, 0.0, 201.0, 1.0).elements
+        .selectExpr(
+          s"asin($u) AS c_asin", s"acos($u) AS c_acos",
+          s"atan($w) AS c_atan", s"atan2($w, $p) AS c_atan2",
+          s"sinh($w) AS c_sinh", s"cosh($w) AS c_cosh",
+          s"tanh($w) AS c_tanh", s"asinh($w) AS c_asinh",
+          s"acosh($p) AS c_acosh", s"atanh($u * 0.99) AS c_atanh",
+          s"log10($p) AS c_log10", s"log2($p) AS c_log2",
+          s"log1p($p) AS c_log1p", s"expm1($w) AS c_expm1",
+          s"cbrt($w) AS c_cbrt", s"hypot($w, $p) AS c_hypot",
+          s"greatest($w, $u) + log1p(exp(-abs($w - $u))) AS c_lae",
+          s"greatest($w, $u) + log2(1.0 + power(2.0, -abs($w - $u))) AS c_lae2",
+          s"$w * (180.0 / 3.141592653589793) AS c_deg",
+          "CAST((NOT isnan(exp(v * 4.0))) AND abs(exp(v * 4.0)) > 1.7976931348623157E308 AS DOUBLE) AS c_inf",
+          "CAST((-exp(v * 4.0)) < -1.7976931348623157E308 AS DOUBLE) AS c_neginf")
+        .agg(
+          expr(qsum("c_asin", 64)).as("asin_q"), expr(qsum("c_acos", 64)).as("acos_q"),
+          expr(qsum("c_atan", 64)).as("atan_q"), expr(qsum("c_atan2", 64)).as("atan2_q"),
+          expr(qsum("c_sinh", 64)).as("sinh_q"), expr(qsum("c_cosh", 64)).as("cosh_q"),
+          expr(qsum("c_tanh", 64)).as("tanh_q"), expr(qsum("c_asinh", 64)).as("asinh_q"),
+          expr(qsum("c_acosh", 64)).as("acosh_q"), expr(qsum("c_atanh", 64)).as("atanh_q"),
+          expr(qsum("c_log10", 64)).as("log10_q"), expr(qsum("c_log2", 64)).as("log2_q"),
+          expr(qsum("c_log1p", 64)).as("log1p_q"), expr(qsum("c_expm1", 64)).as("expm1_q"),
+          expr(qsum("c_cbrt", 64)).as("cbrt_q"), expr(qsum("c_hypot", 64)).as("hypot_q"),
+          expr(qsum("c_lae", 64)).as("lae_q"), expr(qsum("c_lae2", 64)).as("lae2_q"),
+          expr(qsum("c_deg", 64)).as("deg_q"),
+          expr("CAST(sum(c_inf) AS BIGINT)").as("inf_n"),
+          expr("CAST(sum(c_neginf) AS BIGINT)").as("neginf_n"))
     }),
   )
 
